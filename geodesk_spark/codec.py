@@ -1,0 +1,92 @@
+"""Deterministic image codec + synthetic pixel generator.
+
+Real image libraries (PIL / libjpeg) are not present in this container,
+so the engine ships a self-contained deterministic codec with the same
+*contract* as png/jpeg:
+
+- ``fmt="png"``  : lossless — raw RGB uint8 buffer, zlib-compressed.
+- ``fmt="jpeg"`` : lossy — pixels quantized to steps of Q=4 before zlib;
+  worst-case MSE is Q²/12 ≈ 1.33, i.e. PSNR ≈ 46.8 dB > the 40 dB
+  invariant from BASELINE.json ``input_hint``.
+
+A 16-byte header carries magic/fmt/w/h so decode is self-describing.
+The decode path is where a real deployment would call libjpeg-turbo /
+libpng via a vectorized pandas UDF; the Spark-side plumbing (binary
+column in, Arrow batch out) is identical, so swapping the codec is a
+one-function change (see operators/images.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+MAGIC = b"GSKI"
+Q_JPEG = 4  # quantization step for the lossy path
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic (w, h, 3) uint8 image from the image_id alone.
+
+    Seeded gradient + hash-noise: reproducible on any executor without
+    shared state, so golden checks can regenerate expected pixels.
+    """
+    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+    grad = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+    img = np.stack([base, grad, ((base.astype(np.uint16) + grad) // 2).astype(np.uint8)], axis=-1)
+    return (img.astype(np.uint16) + noise).clip(0, 255).astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape[:2]
+    if fmt == "jpeg":
+        px = (pixels.astype(np.int32) // Q_JPEG * Q_JPEG + Q_JPEG // 2).clip(0, 255).astype(np.uint8)
+    elif fmt == "png":
+        px = pixels
+    else:
+        raise NotImplementedError(
+            f"fmt={fmt!r}: real codecs (libjpeg/libpng) are unavailable in this "
+            "container; only the deterministic 'png'/'jpeg' stand-ins are wired"
+        )
+    header = MAGIC + fmt[:1].encode() + b"\x00" + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00\x00"
+    return header + zlib.compress(px.tobytes(), level=1)
+
+
+def decode(blob: bytes) -> np.ndarray:
+    if blob[:4] != MAGIC:
+        raise NotImplementedError(
+            "non-synthetic image payload: plug a real decoder (libjpeg/libpng) here"
+        )
+    w = int.from_bytes(blob[6:10], "little")
+    h = int.from_bytes(blob[10:14], "little")
+    raw = zlib.decompress(blob[16:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0**2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-hash stand-in: 8×8 mean-threshold
+    of the grayscale image (aHash — public-domain algorithm)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    blocks = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+    counts = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+    means = blocks / counts
+    bits = (means > means.mean()).reshape(-1)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -1,0 +1,193 @@
+"""Tile-pyramid algebra over imp coordinates.
+
+Semantics match ``geom/Tile.java`` exactly:
+
+- tile number packs ``(zoom << 24) | (row << 12) | col`` (Tile.java:65-68);
+- ``col = (x + 2^31) >> (32 - zoom)``            (Tile.java:88-91)
+- ``row = (2^31 - 1 - y) >> (32 - zoom)``        (Tile.java:93-98) — y-flip,
+  rows grow southward;
+- tile extent at zoom z is ``2^(32-z)`` imps (Tile.java:45-49);
+- zoom range 0..12 (Tile.java:112-118).
+
+Everything exists twice: numpy kernels and Spark Column builders that use
+only built-in integer/bit functions — tile assignment never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_ZOOM = 12
+DEFAULT_ZOOM_LEVELS = (4, 6, 8, 10, 12)  # ZoomLevels.java:15
+
+# Multi-tile flags — FeatureFlags.java:19-24.  A copy of a feature carries
+# WEST if the feature also appears in the tile to the west, NORTH if it also
+# appears in the tile to the north (row - 1).
+MULTITILE_WEST = 1 << 6
+MULTITILE_NORTH = 1 << 7
+
+
+def column_from_x(x, zoom: int) -> np.ndarray:
+    """Tile.java:88-91 (int64 math avoids the int32 overflow)."""
+    x = np.asarray(x, dtype=np.int64)
+    return ((x + (1 << 31)) >> (32 - zoom)).astype(np.int32)
+
+
+def row_from_y(y, zoom: int) -> np.ndarray:
+    """Tile.java:93-98."""
+    y = np.asarray(y, dtype=np.int64)
+    return (((1 << 31) - 1 - y) >> (32 - zoom)).astype(np.int32)
+
+
+def from_col_row_zoom(col, row, zoom: int) -> np.ndarray:
+    """Tile.java:65-68."""
+    col = np.asarray(col, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    return ((zoom << 24) | (row << 12) | col).astype(np.int32)
+
+
+def from_xyz(x, y, zoom: int) -> np.ndarray:
+    """Tile.java:79-86."""
+    return from_col_row_zoom(column_from_x(x, zoom), row_from_y(y, zoom), zoom)
+
+
+def zoom_of(tile) -> np.ndarray:
+    return (np.asarray(tile, dtype=np.int64) >> 24).astype(np.int32)
+
+
+def column_of(tile) -> np.ndarray:
+    return (np.asarray(tile, dtype=np.int64) & 0xFFF).astype(np.int32)
+
+
+def row_of(tile) -> np.ndarray:
+    return ((np.asarray(tile, dtype=np.int64) >> 12) & 0xFFF).astype(np.int32)
+
+
+def left_x(tile) -> np.ndarray:
+    """Tile.java:127-132: ``(col - 2^(zoom-1)) << (32-zoom)`` (int32 wrap)."""
+    z = zoom_of(tile).astype(np.int64)
+    col = column_of(tile).astype(np.int64)
+    return ((col << (32 - z)) - (1 << 31)).astype(np.int64).astype(np.int32)
+
+
+def top_y(tile) -> np.ndarray:
+    """Tile.java:168-172: ``2^31-1 - (row << (32-zoom))``."""
+    z = zoom_of(tile).astype(np.int64)
+    row = row_of(tile).astype(np.int64)
+    return ((1 << 31) - 1 - (row << (32 - z))).astype(np.int64).astype(np.int32)
+
+
+def bottom_y(tile) -> np.ndarray:
+    """Tile.java:157-166: ``-2^31 - ((row+1) << (32-zoom))`` with int32 wrap."""
+    z = zoom_of(tile).astype(np.int64)
+    row = row_of(tile).astype(np.int64)
+    v = (-(1 << 31)) - ((row + 1) << (32 - z))
+    # Java int arithmetic wraps mod 2^32.
+    return (v & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+
+
+def right_x(tile) -> np.ndarray:
+    """Tile.java:141-147."""
+    z = zoom_of(tile).astype(np.int64)
+    lx = left_x(tile).astype(np.int64)
+    return (lx + (1 << (32 - z)) - 1).astype(np.int32)
+
+
+def bounds(tile):
+    """(minx, miny, maxx, maxy) of a tile — Tile.java:214-222."""
+    return left_x(tile), bottom_y(tile), right_x(tile), top_y(tile)
+
+
+def zoomed_out(tile, zoom: int) -> np.ndarray:
+    """Parent tile at a lower zoom — Tile.java:184-190."""
+    delta = zoom_of(tile) - zoom
+    return from_col_row_zoom(column_of(tile) >> delta, row_of(tile) >> delta, zoom)
+
+
+def neighbor(tile, d_col: int, d_row: int) -> np.ndarray:
+    """Adjacent tile with wraparound — Tile.java:201-212."""
+    z = zoom_of(tile).astype(np.int64)
+    mask = (np.int64(1) << z) - 1
+    col = (column_of(tile) + d_col) & mask
+    row = (row_of(tile) + d_row) & mask
+    return ((z << 24) | (row << 12) | col).astype(np.int32)
+
+
+def is_black(tile) -> np.ndarray:
+    """Checkerboard home-tile heuristic — Tile.java:317-320."""
+    t = np.asarray(tile, dtype=np.int64)
+    return ((t ^ (t >> 12)) & 1) != 0
+
+
+def from_string(s: str) -> int:
+    """Parse ``z/col/row`` (or ``col/row`` at z12) — Tile.java:259-303."""
+    parts = s.split("/")
+    try:
+        if len(parts) == 2:
+            zoom, col, row = 12, int(parts[0]), int(parts[1])
+        elif len(parts) == 3:
+            zoom, col, row = int(parts[0]), int(parts[1]), int(parts[2])
+        else:
+            return -1
+    except ValueError:
+        return -1
+    if zoom < 0 or zoom > 12:
+        return -1
+    extent = 1 << zoom
+    if col < 0 or col >= extent or row < 0 or row >= extent:
+        return -1
+    return int(from_col_row_zoom(col, row, zoom))
+
+
+def to_string(tile: int) -> str:
+    return f"{int(zoom_of(tile))}/{int(column_of(tile))}/{int(row_of(tile))}"
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders (pure built-in int/bit ops — stays in codegen).
+# ---------------------------------------------------------------------------
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+def column_from_x_col(x_col, zoom: int):
+    F = _F()
+    return F.shiftright(x_col.cast("long") + F.lit(1 << 31), 32 - zoom).cast("int")
+
+
+def row_from_y_col(y_col, zoom: int):
+    F = _F()
+    return F.shiftright(F.lit((1 << 31) - 1) - y_col.cast("long"), 32 - zoom).cast("int")
+
+
+def tile_col(x_col, y_col, zoom: int):
+    """Column: imp (x, y) -> int tile id at ``zoom``.  No UDF."""
+    F = _F()
+    col = column_from_x_col(x_col, zoom).cast("long")
+    row = row_from_y_col(y_col, zoom).cast("long")
+    return (F.lit(zoom << 24) | F.shiftleft(row, 12) | col).cast("int")
+
+
+def zoom_of_col(tile_c):
+    return _F().shiftright(tile_c, 24)
+
+
+def column_of_col(tile_c):
+    return tile_c.bitwiseAND(_F().lit(0xFFF))
+
+
+def row_of_col(tile_c):
+    F = _F()
+    return F.shiftright(tile_c, 12).bitwiseAND(F.lit(0xFFF))
+
+
+def zoomed_out_col(tile_c, zoom: int, from_zoom: int):
+    """Parent tile column expression when the source zoom is a constant."""
+    F = _F()
+    delta = from_zoom - zoom
+    col = F.shiftright(column_of_col(tile_c), delta).cast("long")
+    row = F.shiftright(row_of_col(tile_c), delta).cast("long")
+    return (F.lit(zoom << 24) | F.shiftleft(row, 12) | col).cast("int")

@@ -1,0 +1,138 @@
+"""Golden parity with the reference's TileTest
+(/root/reference/src/test/java/com/geodesk/geom/TileTest.java)."""
+
+import numpy as np
+
+from geodesk_spark.geo import tile as T
+
+I32_MIN = -(1 << 31)
+I32_MAX = (1 << 31) - 1
+
+
+def test_from_string():
+    # TileTest.java:10-17
+    assert T.from_string("0/0/0") == 0
+    assert T.from_string("3/6/7") == 0x3007006
+    assert T.from_string("12/4367/0") == -1
+    assert T.from_string("3/97/-4") == -1
+    assert T.from_string("not a valid tile") == -1
+
+
+def test_from_xyz():
+    # TileTest.java:19-28
+    assert T.from_xyz(I32_MIN, I32_MAX, 12)[()] == T.from_string("12/0/0")
+    assert T.from_xyz(I32_MIN, I32_MAX, 0)[()] == T.from_string("0/0/0")
+    assert T.from_xyz(I32_MAX, I32_MIN, 0)[()] == T.from_string("0/0/0")
+    assert T.from_xyz(0, 0, 0)[()] == T.from_string("0/0/0")
+
+
+def test_bounds_goldens():
+    # TileTest.java:30-68
+    cases_left = {
+        "0/0/0": -2147483648,
+        "3/2/0": -1073741824,
+        "3/2/1": -1073741824,
+        "3/2/4": -1073741824,
+        "12/1297/1162": -787480576,
+        "12/3097/4000": 1099956224,
+        "4/3/15": -1342177280,
+        "6/2/44": -2013265920,
+    }
+    for s, v in cases_left.items():
+        assert T.left_x(T.from_string(s))[()] == v, s
+
+    cases_top = {
+        "0/0/0": 2147483647,
+        "1/0/1": -1,
+        "3/2/0": 2147483647,
+        "3/2/1": 1610612735,
+        "3/2/4": -1,
+        "12/1297/1162": 929038335,
+        "12/3097/4000": -2046820353,
+        "4/3/15": -1879048193,
+        "6/2/44": -805306369,
+    }
+    for s, v in cases_top.items():
+        assert T.top_y(T.from_string(s))[()] == v, s
+
+    cases_bottom = {
+        "0/0/0": -2147483648,
+        "1/0/1": -2147483648,
+        "1/0/0": 0,
+        "3/2/0": 1610612736,
+        "3/2/1": 1073741824,
+        "3/2/4": -536870912,
+        "12/1297/1162": 927989760,
+        "12/3097/4000": -2047868928,
+        "4/3/15": -2147483648,
+        "6/2/44": -872415232,
+    }
+    for s, v in cases_bottom.items():
+        assert T.bottom_y(T.from_string(s))[()] == v, s
+
+    assert T.to_string(int(T.from_xyz(-787480576, 929038335, 12)[()])) == "12/1297/1162"
+    assert T.from_xyz(-1342177280, -1879048193, 4)[()] == T.from_string("4/3/15")
+
+
+def test_col_row_goldens():
+    # TileTest.java:70-97
+    assert T.column_from_x(-787480576, 12)[()] == 1297
+    assert T.column_from_x(0x7FFFFFFF, 12)[()] == 4095
+    assert T.column_from_x(-0x80000000, 12)[()] == 0
+    assert T.row_from_y(927989760, 12)[()] == 1162
+    assert T.row_from_y(929038335, 12)[()] == 1162
+    assert T.row_from_y(-0x80000000, 12)[()] == 4095
+    assert T.row_from_y(0x7FFFFFFF, 12)[()] == 0
+    assert T.column_from_x(-1342177280, 4)[()] == 3
+    assert T.row_from_y(-2147483648, 4)[()] == 15
+    assert T.row_from_y(-1879048193, 4)[()] == 15
+    assert T.column_from_x(0x7FFFFFFF, 4)[()] == 15
+    assert T.row_from_y(-0x80000000, 4)[()] == 15
+    assert T.row_from_y(0x7FFFFFFF, 4)[()] == 0
+    assert T.column_from_x(-0x80000000, 4)[()] == 0
+    for v in [0, I32_MIN, I32_MAX]:
+        assert T.column_from_x(v, 0)[()] == 0
+        assert T.row_from_y(v, 0)[()] == 0
+    assert T.column_from_x(0, 1)[()] == 1
+    assert T.column_from_x(I32_MIN, 1)[()] == 0
+    assert T.column_from_x(I32_MAX, 1)[()] == 1
+    assert T.row_from_y(0, 1)[()] == 0
+    assert T.row_from_y(-1, 1)[()] == 1
+    assert T.row_from_y(I32_MIN, 1)[()] == 1
+    assert T.row_from_y(I32_MAX, 1)[()] == 0
+
+
+def test_z12_extremes():
+    # TileTest.java:99-110
+    assert T.left_x(T.from_string("12/0/0"))[()] == I32_MIN
+    assert T.top_y(T.from_string("12/0/0"))[()] == I32_MAX
+    assert T.top_y(T.from_string("12/3567/0"))[()] == I32_MAX
+    assert T.bottom_y(T.from_string("12/4031/0"))[()] == 2146435072
+    assert T.top_y(0)[()] == I32_MAX
+    assert T.bottom_y(0)[()] == I32_MIN
+
+
+def test_zoomed_out_neighbor_black():
+    t = T.from_string("12/1297/1162")
+    assert T.to_string(int(T.zoomed_out(t, 10)[()])) == "10/324/290"
+    assert T.to_string(int(T.zoomed_out(t, 4)[()])) == "4/5/4"
+    n = T.neighbor(np.array([t]), -1, 0)[0]
+    assert T.to_string(int(n)) == "12/1296/1162"
+    n = T.neighbor(np.array([t]), 0, -1)[0]
+    assert T.to_string(int(n)) == "12/1297/1161"
+    # isBlack alternates between E-W neighbors (Tile.java:317-320).
+    a = T.is_black(t)[()]
+    b = T.is_black(int(T.neighbor(np.array([t]), 1, 0)[0]))[()]
+    assert a != b
+
+
+def test_roundtrip_random():
+    rng = np.random.default_rng(7)
+    x = rng.integers(I32_MIN, I32_MAX, 10000, dtype=np.int64).astype(np.int32)
+    y = rng.integers(I32_MIN, I32_MAX, 10000, dtype=np.int64).astype(np.int32)
+    for z in (0, 1, 4, 6, 8, 10, 12):
+        t = T.from_xyz(x, y, z)
+        assert (T.left_x(t) <= x).all()
+        assert (T.right_x(t) >= x).all()
+        assert (T.bottom_y(t) <= y).all()
+        assert (T.top_y(t) >= y).all()
