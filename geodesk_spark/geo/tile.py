@@ -168,7 +168,7 @@ def tile_col(x_col, y_col, zoom: int):
     F = _F()
     col = column_from_x_col(x_col, zoom).cast("long")
     row = row_from_y_col(y_col, zoom).cast("long")
-    return (F.lit(zoom << 24) | F.shiftleft(row, 12) | col).cast("int")
+    return (F.lit(zoom << 24).cast("long") + F.shiftleft(row, 12) + col).cast("int")
 
 
 def zoom_of_col(tile_c):
@@ -190,4 +190,4 @@ def zoomed_out_col(tile_c, zoom: int, from_zoom: int):
     delta = from_zoom - zoom
     col = F.shiftright(column_of_col(tile_c), delta).cast("long")
     row = F.shiftright(row_of_col(tile_c), delta).cast("long")
-    return (F.lit(zoom << 24) | F.shiftleft(row, 12) | col).cast("int")
+    return (F.lit(zoom << 24).cast("long") + F.shiftleft(row, 12) + col).cast("int")

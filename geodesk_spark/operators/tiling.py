@@ -1,0 +1,170 @@
+"""Tile assignment: the GOL-build tile-pyramid placement, Spark-first.
+
+Rules (derived from the reference's storage invariants):
+
+- The pyramid materializes zoom levels {4,6,8,10,12} by default
+  (ZoomLevels.java:15); steps between consecutive levels are 1-3 zooms
+  (ZoomLevels.java:98-113).
+- A feature carries only two duplication flags, MULTITILE_WEST and
+  MULTITILE_NORTH (FeatureFlags.java:19-24), so a stored feature spans
+  at most 2×2 tiles at its assigned zoom.  A copy's WEST flag means
+  "this feature also appears in the tile to the west"; NORTH likewise
+  (row-1, rows grow southward).
+- Placement: a feature is assigned to the HIGHEST zoom in the level set
+  at which its bbox spans ≤2 columns and ≤2 rows; a feature too large
+  even for the lowest level goes to the root tile 0/0/0 (zoom 0) with
+  no flags — the reference's oversized-feature fallback.
+- Query-time dedup (RTreeQueryTask.java:103-104 + TileIndexWalker.java
+  :251-284): a copy in tile T is suppressed iff its multitile flags
+  intersect the query's "northwestFlags" for T — NORTH when the query
+  window extends north of T (maxY > topY(T)), WEST when it extends west
+  (minX < leftX(T)).  Every feature is then emitted exactly once, from
+  its northwest-most copy inside the window, with NO shuffle-based
+  distinct.
+
+Point features (our images) always occupy a single tile — flags 0 —
+so the hot path is pure built-in column arithmetic.  Bbox features
+(polygon layers, way-like fixtures) take the explode path.
+
+Scale notes: tile ids are plain int columns; `repartition(col)` or
+Iceberg partition-by-tile makes tile the physical partition key, and
+the bbox→tile-range enumeration happens driver-side so queries prune
+partitions before any scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geodesk_spark.geo import mercator, tile as T
+
+ZOOM_LEVELS = T.DEFAULT_ZOOM_LEVELS
+
+
+def with_imp_coords(df: DataFrame, lon="lon", lat="lat") -> DataFrame:
+    """Add int32 imp x/y from lon/lat — JVM-side, no UDF."""
+    return df.withColumn("x", mercator.x_from_lon_col(F.col(lon))).withColumn(
+        "y", mercator.y_from_lat_col(F.col(lat))
+    )
+
+
+def with_point_tiles(df: DataFrame, zooms=ZOOM_LEVELS) -> DataFrame:
+    """Add one tile column per zoom level + the canonical cell at max zoom."""
+    for z in zooms:
+        df = df.withColumn(f"tile_z{z}", T.tile_col(F.col("x"), F.col("y"), z))
+    return df.withColumn("cell", F.col(f"tile_z{max(zooms)}").cast("long"))
+
+
+def assign_zoom_col(minx: Column, miny: Column, maxx: Column, maxy: Column, zooms=ZOOM_LEVELS) -> Column:
+    """Column: highest zoom in `zooms` where the bbox spans ≤2 cols and ≤2 rows."""
+    expr = F.lit(0)  # fallback: root tile
+    for z in sorted(zooms):  # build from low to high; later (higher) wins
+        col_span = T.column_from_x_col(maxx, z) - T.column_from_x_col(minx, z)
+        row_span = T.row_from_y_col(miny, z) - T.row_from_y_col(maxy, z)
+        expr = F.when((col_span < 2) & (row_span < 2), F.lit(z)).otherwise(expr)
+    return expr
+
+
+def explode_bbox_tiles(df: DataFrame, zooms=ZOOM_LEVELS) -> DataFrame:
+    """Multi-tile duplication for bbox features, fully JVM-side.
+
+    Input needs int columns minx/miny/maxx/maxy.  Output adds:
+      zoom   — assigned pyramid level,
+      tile   — one row per copy (≤4 copies),
+      flags  — MULTITILE_WEST / MULTITILE_NORTH per copy.
+    """
+    df = df.withColumn("zoom", assign_zoom_col(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), zooms))
+
+    # Per copy offsets (dc, dr) ∈ {0,1}²; copy exists iff bbox spans that col/row.
+    copies = F.array(
+        *[
+            F.struct(F.lit(dc).alias("dc"), F.lit(dr).alias("dr"))
+            for dc in (0, 1)
+            for dr in (0, 1)
+        ]
+    )
+    df = df.withColumn("_copy", F.explode(copies))
+
+    zoom = F.col("zoom")
+    # The shift amount is per-row (dynamic zoom) → SQL expr, still codegen'd.
+    c0 = F.expr(f"shiftright(cast(minx as bigint) + {1 << 31}, 32 - zoom)")
+    c1 = F.expr(f"shiftright(cast(maxx as bigint) + {1 << 31}, 32 - zoom)")
+    r0 = F.expr(f"shiftright({(1 << 31) - 1} - cast(maxy as bigint), 32 - zoom)")  # top row
+    r1 = F.expr(f"shiftright({(1 << 31) - 1} - cast(miny as bigint), 32 - zoom)")  # bottom row
+
+    dc = F.col("_copy.dc").cast("long")
+    dr = F.col("_copy.dr").cast("long")
+    exists = ((dc == 0) | (c1 > c0)) & ((dr == 0) | (r1 > r0))
+    df = df.filter(exists)
+    col_ = c0 + dc
+    row_ = r0 + dr
+    tile_ = (zoom.cast("long") * F.lit(1 << 24) + F.shiftleft(row_, 12) + col_).cast("int")
+    flags_ = (dc * T.MULTITILE_WEST + dr * T.MULTITILE_NORTH).cast("int")
+    return df.withColumn("tile", tile_).withColumn("flags", flags_).drop("_copy")
+
+
+def nw_dedup_filter(qminx: int, qmaxy: int) -> Column:
+    """Query-time exactly-once filter for exploded copies.
+
+    northwestFlags per tile (TileIndexWalker.java:287-297 dense-bbox path):
+      NORTH if query maxY > topY(tile), WEST if query minX < leftX(tile);
+    a copy survives iff (flags & northwestFlags) == 0
+    (RTreeQueryTask.java:103-104).
+    """
+    top_y = F.lit((1 << 31) - 1) - F.expr("shiftleft(cast(((tile >> 12) & 4095) as bigint), 32 - (tile >> 24))")
+    left_x = F.expr("shiftleft(cast((tile & 4095) as bigint), 32 - (tile >> 24))") - F.lit(1 << 31)
+    nw = (
+        F.when(F.lit(qmaxy) > top_y, F.lit(T.MULTITILE_NORTH)).otherwise(F.lit(0))
+        + F.when(F.lit(qminx) < left_x, F.lit(T.MULTITILE_WEST)).otherwise(F.lit(0))
+    )
+    return F.col("flags").bitwiseAND(nw) == 0
+
+
+# ---------------------------------------------------------------------------
+# Slow, obviously-correct Python reference (the "GOL reference" stand-in for
+# golden checks — SURVEY.md §5).  Per-row scalar code; never used in queries.
+# ---------------------------------------------------------------------------
+
+def slow_assign(minx: int, miny: int, maxx: int, maxy: int, zooms=ZOOM_LEVELS):
+    """Return list of (zoom, tile, flags) copies for one bbox feature."""
+    for z in sorted(zooms, reverse=True):
+        c0 = (minx + (1 << 31)) >> (32 - z)
+        c1 = (maxx + (1 << 31)) >> (32 - z)
+        r0 = ((1 << 31) - 1 - maxy) >> (32 - z)
+        r1 = ((1 << 31) - 1 - miny) >> (32 - z)
+        if c1 - c0 < 2 and r1 - r0 < 2:
+            out = []
+            for dc in range(c1 - c0 + 1):
+                for dr in range(r1 - r0 + 1):
+                    flags = (T.MULTITILE_WEST if dc else 0) | (T.MULTITILE_NORTH if dr else 0)
+                    t = (z << 24) | ((r0 + dr) << 12) | (c0 + dc)
+                    out.append((z, t, flags))
+            return out
+    return [(0, 0, 0)]
+
+
+def slow_query_tiles(qminx, qminy, qmaxx, qmaxy, zooms=ZOOM_LEVELS):
+    """Enumerate (tile, northwestFlags) for a query bbox over all levels —
+    the dense-bbox walk of TileIndexWalker.java:287-297 (plus zoom 0 root)."""
+    out = []
+    for z in [0, *sorted(zooms)]:
+        c0 = (qminx + (1 << 31)) >> (32 - z)
+        c1 = (qmaxx + (1 << 31)) >> (32 - z)
+        r0 = ((1 << 31) - 1 - qmaxy) >> (32 - z)
+        r1 = ((1 << 31) - 1 - qminy) >> (32 - z)
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                top = (1 << 31) - 1 - (r << (32 - z))
+                left = (c << (32 - z)) - (1 << 31)
+                nw = (T.MULTITILE_NORTH if qmaxy > top else 0) | (
+                    T.MULTITILE_WEST if qminx < left else 0
+                )
+                out.append(((z << 24) | (r << 12) | c, nw))
+    return out
+
+
+def query_tile_list(qminx, qminy, qmaxx, qmaxy, zooms=ZOOM_LEVELS) -> list[int]:
+    """Driver-side tile enumeration for partition pruning (the Spark analog
+    of the tile-index walk, SURVEY.md §2.1 'Tile-index walk')."""
+    return [t for t, _ in slow_query_tiles(qminx, qminy, qmaxx, qmaxy, zooms)]

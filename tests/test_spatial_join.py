@@ -1,0 +1,97 @@
+"""Three-band PIP join + distance filter + kNN vs brute-force numpy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.geo import mercator, pip
+from geodesk_spark.operators import knn as knn_mod, spatial_join, tiling
+from geodesk_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    df = synth.images_df(spark, 20_000, with_bytes=False, partitions=8)
+    df = tiling.with_point_tiles(tiling.with_imp_coords(df)).cache()
+    pdf = df.select("image_id", "lon", "lat", "x", "y").toPandas()
+    yield df, pdf
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def layer():
+    return synth.polygon_layer()
+
+
+def test_contains_points_matches_bruteforce(world, layer):
+    df, pdf = world
+    prepared = spatial_join.prepare_layer(layer)
+    got = (
+        spatial_join.contains_points(df, prepared, keep_cols=["image_id"])
+        .toPandas()
+    )
+    got_set = set(map(tuple, got[["image_id", "poly_id"]].to_numpy().tolist()))
+
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    exp_set = set()
+    for p in layer:
+        rings = pip.unpack_rings(p["rings"])
+        inside = pip.points_in_polygon(x, y, rings)
+        for iid in pdf["image_id"].to_numpy()[inside]:
+            exp_set.add((iid, p["poly_id"]))
+    assert got_set == exp_set
+    assert len(got_set) > 100  # hot cities guarantee plenty of matches
+
+
+def test_disjoint_anti_join(world, layer):
+    df, pdf = world
+    prepared = spatial_join.prepare_layer(layer)
+    n_total = len(pdf)
+    matched = (
+        spatial_join.contains_points(df, prepared, keep_cols=["image_id"])
+        .select("image_id").distinct().count()
+    )
+    anti = spatial_join.contains_points(df, prepared, keep_cols=["image_id"], anti=True).count()
+    assert anti == n_total - matched
+
+
+def test_within_distance(world):
+    df, pdf = world
+    lon, lat, radius = 139.69, 35.69, 25_000.0  # 25 km around Tokyo
+    got = spatial_join.within_distance(df, lon, lat, radius, keep_cols=["image_id"]).toPandas()
+
+    qx = float(mercator.x_from_lon(lon)[()])
+    qy = float(mercator.y_from_lat(lat)[()])
+    d = mercator.distance(pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), qx, qy)
+    exp = set(pdf["image_id"].to_numpy()[d <= radius])
+    assert set(got["image_id"]) == exp
+    assert len(exp) > 50
+    assert np.allclose(np.sort(got["dist_m"].to_numpy()), np.sort(d[d <= radius]))
+
+
+def test_knn_matches_bruteforce(world):
+    df, pdf = world
+    queries = [("q_tokyo", 139.7, 35.7), ("q_paris", 2.3, 48.9), ("q_ocean", -140.0, -30.0)]
+    k = 10
+    got = knn_mod.knn(df, queries, k=k).toPandas()
+
+    x = pdf["x"].to_numpy(np.float64)
+    y = pdf["y"].to_numpy(np.float64)
+    ids = pdf["image_id"].to_numpy()
+    for qid, lon, lat in queries:
+        qx = float(mercator.x_from_lon(lon)[()])
+        qy = float(mercator.y_from_lat(lat)[()])
+        d = mercator.distance(x, y, qx, qy)
+        order = np.lexsort((ids, d))[:k]
+        exp = list(ids[order])
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["image_id"]) == exp, qid
+
+
+def test_bbox_query_pushdown(world):
+    df, _ = world
+    q = spatial_join.bbox_query(df.select("image_id", "x", "y"), 0, 0, 1 << 28, 1 << 28)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # The bbox predicate must sit in the scan stage, not behind an exchange.
+    assert "Exchange" not in plan

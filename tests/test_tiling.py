@@ -1,0 +1,127 @@
+"""Tile assignment: Spark plan vs the slow GOL-rule reference, and the
+exactly-once NW-flag dedup property (SURVEY.md §1.2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.geo import tile as T
+from geodesk_spark.operators import tiling
+
+I32_MIN = -(1 << 31)
+I32_MAX = (1 << 31) - 1
+
+
+def _random_bboxes(n, rng):
+    """Mix of tiny (tile-local), medium, and huge bboxes."""
+    cx = rng.integers(I32_MIN // 2, I32_MAX // 2, n)
+    cy = rng.integers(I32_MIN // 2, I32_MAX // 2, n)
+    kind = rng.integers(0, 3, n)
+    half = np.where(kind == 0, rng.integers(1, 1 << 16, n),
+           np.where(kind == 1, rng.integers(1 << 16, 1 << 22, n),
+                    rng.integers(1 << 22, 1 << 28, n)))
+    minx = np.maximum(cx - half, I32_MIN).astype(np.int64)
+    maxx = np.minimum(cx + half, I32_MAX).astype(np.int64)
+    miny = np.maximum(cy - half, I32_MIN).astype(np.int64)
+    maxy = np.minimum(cy + half, I32_MAX).astype(np.int64)
+    return minx, miny, maxx, maxy
+
+
+def test_point_tiles_match_numpy(spark):
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    out = tiling.with_point_tiles(tiling.with_imp_coords(df)).toPandas()
+    from geodesk_spark.geo import mercator
+
+    x = mercator.x_from_lon(lon)
+    y = mercator.y_from_lat(lat)
+    assert (out["x"].to_numpy() == x).all()
+    assert (out["y"].to_numpy() == y).all()
+    for z in (4, 6, 8, 10, 12):
+        expect = T.from_xyz(x, y, z)
+        assert (out[f"tile_z{z}"].to_numpy() == expect).all(), f"zoom {z}"
+
+
+def test_explode_matches_slow_reference(spark):
+    rng = np.random.default_rng(2)
+    n = 500
+    minx, miny, maxx, maxy = _random_bboxes(n, rng)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"fid": np.arange(n), "minx": minx.astype(np.int32), "miny": miny.astype(np.int32),
+         "maxx": maxx.astype(np.int32), "maxy": maxy.astype(np.int32)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        tiling.explode_bbox_tiles(df)
+        .select("fid", "zoom", "tile", "flags")
+        .toPandas()
+        .sort_values(["fid", "tile"])
+    )
+    got_set = set(map(tuple, got[["fid", "zoom", "tile", "flags"]].to_numpy().tolist()))
+
+    exp_set = set()
+    for i in range(n):
+        for z, t, fl in tiling.slow_assign(int(minx[i]), int(miny[i]), int(maxx[i]), int(maxy[i])):
+            # int32 view of the tile id for comparison with the Spark int col
+            t32 = t - (1 << 32) if t >= (1 << 31) else t
+            exp_set.add((i, z, t32, fl))
+    assert got_set == exp_set
+
+
+def test_exactly_once_dedup(spark):
+    """For random query windows, exploded copies filtered by the NW rule give
+    each bbox-intersecting feature exactly once — no distinct needed."""
+    rng = np.random.default_rng(3)
+    n = 400
+    minx, miny, maxx, maxy = _random_bboxes(n, rng)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"fid": np.arange(n), "minx": minx.astype(np.int32), "miny": miny.astype(np.int32),
+         "maxx": maxx.astype(np.int32), "maxy": maxy.astype(np.int32)}
+    )
+    exploded = tiling.explode_bbox_tiles(spark.createDataFrame(pdf)).cache()
+
+    for trial in range(5):
+        qminx, qminy, qmaxx, qmaxy = (int(v) for v in _random_bboxes(1, rng))
+        tiles = tiling.query_tile_list(qminx, qminy, qmaxx, qmaxy)
+        res = (
+            exploded.filter(F.col("tile").isin(tiles))
+            .filter((F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+                    & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy))
+            .filter(tiling.nw_dedup_filter(qminx, qmaxy))
+            .groupBy("fid").count()
+            .toPandas()
+        )
+        expected = {
+            int(i)
+            for i in range(n)
+            if minx[i] <= qmaxx and maxx[i] >= qminx and miny[i] <= qmaxy and maxy[i] >= qminy
+        }
+        assert set(res["fid"]) == expected, f"trial {trial}: wrong feature set"
+        assert (res["count"] == 1).all(), f"trial {trial}: duplicates emitted"
+    exploded.unpersist()
+
+
+def test_assign_zoom_rule():
+    # A bbox smaller than half a z12 tile is always z12 single-tile.
+    copies = tiling.slow_assign(0, 0, 100, 100)
+    assert len(copies) == 1 and copies[0][0] == 12 and copies[0][2] == 0
+    # A bbox spanning just over one z12 tile width drops copies at z12 (2 cols).
+    w = 1 << 20  # z12 tile extent
+    copies = tiling.slow_assign(0, 0, w + 10, 10)
+    assert {c[0] for c in copies} == {12} and len(copies) == 2
+    flags = sorted(c[2] for c in copies)
+    assert flags == [0, T.MULTITILE_WEST]
+    # Spanning 3 z12 columns → falls to z10.
+    copies = tiling.slow_assign(0, 0, 2 * w + 10, 10)
+    assert {c[0] for c in copies} == {10}
+    # World-spanning → root.
+    copies = tiling.slow_assign(I32_MIN, I32_MIN, I32_MAX, I32_MAX)
+    assert copies == [(0, 0, 0)]
