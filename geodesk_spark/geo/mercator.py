@@ -86,8 +86,12 @@ def lat_precision7_from_y(y) -> np.ndarray:
 
 
 def scale(y) -> np.ndarray:
-    """Mercator scale factor at projected latitude y.  Mercator.java:128-131."""
-    return np.cosh(np.asarray(y, dtype=np.float64) * 2 * math.pi / MAP_WIDTH)
+    """Mercator scale factor at projected latitude y.  Mercator.java:128-131.
+
+    cosh computed as (e^t + e^-t)/2 so numpy, Spark SQL, and DuckDB all
+    execute the identical IEEE op sequence (oracle hash-parity)."""
+    t = np.asarray(y, dtype=np.float64) * 2 * math.pi / MAP_WIDTH
+    return (np.exp(t) + np.exp(-t)) / 2
 
 
 def meters_at_y(y) -> np.ndarray:
@@ -109,7 +113,8 @@ def distance(x1, y1, x2, y2) -> np.ndarray:
     y1 = np.asarray(y1, dtype=np.float64)
     x2 = np.asarray(x2, dtype=np.float64)
     y2 = np.asarray(y2, dtype=np.float64)
-    d = np.hypot(np.abs(x1 - x2), np.abs(y1 - y2))
+    # sqrt(dx²+dy²), matching Mercator.java:197-198 op-for-op (not hypot).
+    d = np.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
     return d * EARTH_CIRCUMFERENCE / MAP_WIDTH / scale((y1 + y2) / 2)
 
 
@@ -180,12 +185,11 @@ def scale_col(y_col):
 def distance_col(x1, y1, x2, y2):
     """Column: meters between imp points — Mercator.java:194-201."""
     F = _F()
-    d = F.sqrt(
-        (x1.cast("double") - x2.cast("double")) ** 2
-        + (y1.cast("double") - y2.cast("double")) ** 2
-    )
-    return d * (EARTH_CIRCUMFERENCE / MAP_WIDTH) / scale_col((y1.cast("double") + y2.cast("double")) / 2)
+    dx = x1.cast("double") - x2.cast("double")
+    dy = y1.cast("double") - y2.cast("double")
+    d = F.sqrt(dx * dx + dy * dy)
+    return d * EARTH_CIRCUMFERENCE / MAP_WIDTH / scale_col((y1.cast("double") + y2.cast("double")) / 2)
 
 
 def delta_from_meters_col(meters_col, at_y_col):
-    return meters_col * (MAP_WIDTH / EARTH_CIRCUMFERENCE) * scale_col(at_y_col)
+    return meters_col * MAP_WIDTH / EARTH_CIRCUMFERENCE * scale_col(at_y_col)

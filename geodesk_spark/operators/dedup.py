@@ -1,0 +1,158 @@
+"""Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+n-gram Jaccard.  Training-data-pipeline additions (not in the reference).
+
+Design notes for oracle parity *and* scale:
+
+- The only hash primitive used is ``md5`` (hex string) — identical in
+  Spark and DuckDB, so every operator here has an exact SQL twin.
+  MinHash over md5-hex strings is a valid uniform minwise scheme
+  (lexicographic min of a uniformly distributed hex string).
+- All array work uses built-in higher-order functions (``transform``,
+  ``aggregate``, ``filter``) — JVM-side, no Python.
+- Shapes: exact dedup is one hash-groupBy; MinHash-LSH is
+  explode(bands) → groupBy(band) → within-bucket pairing, which at
+  100 TB is the standard shuffle-light candidate generation (bucket
+  sizes are bounded; the quadratic step happens only inside buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geodesk_spark.operators.text import tokens_col
+
+N_MINHASH = 8  # signature length
+LSH_BANDS = 4  # 4 bands × 2 rows
+LSH_ROWS = 2
+SHINGLE_W = 3  # word 3-grams
+
+
+def shingles_col(text: Column) -> Column:
+    """Word 3-gram shingles; docs shorter than 3 words → one whole-doc shingle."""
+    words = tokens_col(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - SHINGLE_W),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_W)),
+    )
+    return F.when(F.size(words) >= SHINGLE_W, ngrams).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def minhash_sig_cols(text: Column) -> list[Column]:
+    """N_MINHASH independent minwise hashes: min(md5('<seed>|' || shingle)).
+
+    NB: the hash lambda must take exactly ONE parameter — PySpark binds a
+    second parameter to the array index, silently shadowing closures."""
+    sh = shingles_col(text)
+
+    def seeded(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    return [
+        F.array_min(F.transform(sh, seeded(j))).alias(f"mh{j}") for j in range(N_MINHASH)
+    ]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text md5; keeps the min doc_id
+    as the canonical representative (hash-groupBy — one shuffle)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", *minhash_sig_cols(F.col(text_col)))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs: band key = md5 of LSH_ROWS signature
+    entries; docs sharing any band key are candidates.  Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b."""
+    sigs = minhash_signatures(df, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over tokens: bit b = sign of Σ_tokens (±1 by the
+    parity of the b-th hex digit of md5(token)).  Pure built-ins;
+    hex-digit value via locate() so the SQL twin is identical."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    ex = df.select("doc_id", F.explode_outer(toks).alias("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+                F.expr(
+                    f"(position(substring(md5(tok), {b + 1}, 1), '0123456789abcdef') - 1) % 2"
+                )
+                * 2
+                - 1
+            )
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ threshold.
+
+    Candidates come from a shared-shingle equi-join (never all-pairs):
+    explode distinct shingles → self-join → |A∩B| per pair → Jaccard via
+    per-doc shingle-set sizes.  At scale, the hot shingles are the skew
+    risk — mitigate upstream by dropping ultra-common shingles (df cap).
+    """
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col)))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

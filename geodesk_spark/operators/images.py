@@ -1,0 +1,96 @@
+"""Multimodal (image) column operators.
+
+Images are opaque ``binary`` columns with typed metadata (w, h, fmt) —
+the BASELINE.json input shape.  All operators run as vectorized
+``mapInPandas`` passes: binary column in → Arrow batch out; the decode
+step uses the deterministic stand-in codec (geodesk_spark.codec) since
+real image libraries are absent here — swapping in libjpeg/PIL touches
+only ``codec.decode``.  The Spark-side plumbing (schemas, batching,
+partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geodesk_spark import codec
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode every image and emit per-channel means + decoded dims +
+    PSNR against the deterministically regenerated source pixels
+    (the BASELINE 'decoded-pixel allclose / PSNR≥40dB' invariant)."""
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "dec_w": np.zeros(n, dtype=np.int32),
+                "dec_h": np.zeros(n, dtype=np.int32),
+                "mean_r": np.zeros(n),
+                "mean_g": np.zeros(n),
+                "mean_b": np.zeros(n),
+                "psnr_db": np.zeros(n),
+                "phash_ok": np.zeros(n, dtype=bool),
+            }
+            for i in range(n):
+                px = codec.decode(pdf["bytes"].iloc[i])
+                out["dec_h"][i], out["dec_w"][i] = px.shape[:2]
+                m = px.astype(np.float64).mean(axis=(0, 1))
+                out["mean_r"][i], out["mean_g"][i], out["mean_b"][i] = m
+                src = codec.synth_pixels(pdf["image_id"].iloc[i], px.shape[1], px.shape[0])
+                out["psnr_db"][i] = min(codec.psnr(src, px), 99.0)
+                out["phash_ok"][i] = codec.phash64(px) == codec.phash64(
+                    codec.decode(codec.encode(px, "png"))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run,
+        schema=(
+            "image_id string, dec_w int, dec_h int, mean_r double, "
+            "mean_g double, mean_b double, psnr_db double, phash_ok boolean"
+        ),
+    )
+
+
+def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour resize: decode → index-sample → re-encode (png).
+    Real pixel work, deterministic; a production build swaps the decode/
+    encode for libjpeg and the sampling for a real resampler."""
+
+    def run(batches):
+        for pdf in batches:
+            blobs = []
+            for i in range(len(pdf)):
+                px = codec.decode(pdf["bytes"].iloc[i])
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                blobs.append(codec.encode(px[yi][:, xi], "png"))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                }
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-frame-sampling stub: the Spark plumbing for a binary video
+    column → exploded frame rows.  Real video decode is unavailable in
+    this container — gate clearly."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg/pyav (absent in this container); "
+        "the operator shape is df.mapInPandas(batch → one row per sampled "
+        "frame with columns (video_id, frame_idx, bytes))"
+    )

@@ -2,23 +2,31 @@
 
 The reference's nearest-neighbour surface is ``maxMetersFromXY`` — a
 radius filter (PointDistanceFilter.java:28-122).  kNN is built on the
-same primitive the way the north star prescribes: expand square rings
-of z12 cells around each query point until ≥k candidates are found,
-then take the top-k by exact Mercator-scaled distance.
+same primitive the way the north star prescribes: expand a square
+candidate window of pyramid cells around each query point until the
+k-th neighbour is provably inside the window, then take the top-k by
+exact Mercator-scaled distance.
 
-Spark shape (single pass, no per-query scans):
+Window → cells uses the SAME pyramid the tiling layer uses: the zoom
+level adapts so a window never enumerates more than ~32×32 cells —
+dense areas search a handful of z12 cells, ocean queries escalate to
+z10/z8/… exactly like the reference's sparse tile tree keeps per-level
+fan-out bounded (TileIndexWalker.java:85-107).
 
-1. Driver: for each query point, compute the ring-0..R candidate cell
-   set (cheap int math).  R starts at ``init_rings`` and doubles only
-   for queries that did not reach k (rare; the loop re-runs ONLY those).
-2. Broadcast a cell→[query…] inverted index; one narrow mapInPandas
-   emits (query_id, point, dist) for points landing in any query's
-   candidate cells — vectorized np.searchsorted per batch.
-3. ``Window.partitionBy(query_id).orderBy(dist)`` + row_number ≤ k.
-   The shuffle moves only candidate rows (ring-bounded), not the table.
+Spark shape (no per-query scans):
 
-At cluster scale the candidate cells also drive partition pruning when
-the table is partitioned by tile — the scan itself skips files.
+1. Driver: per-query candidate cell set from int math (cheap).
+2. Broadcast an inverted cell→queries index; ONE narrow mapInPandas
+   emits (query_id, point, dist) for points in any candidate cell —
+   vectorized np.searchsorted per Arrow batch.
+3. ``Window.partitionBy(query_id).orderBy(dist)`` + row_number ≤ k;
+   the shuffle moves only ring-bounded candidate rows.
+4. Queries whose k-th distance is NOT provably inside their window
+   double the window and re-run (only those queries).
+
+Acceptance proof: all points within Chebyshev radius ``radius_imps``
+of (qx,qy) are candidates, so if kth_dist_m ≤ radius_imps × (min
+meters-per-imp anywhere in the window), the top-k is exact.
 """
 
 from __future__ import annotations
@@ -29,93 +37,107 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from geodesk_spark.geo import mercator, tile as T
 
+I32_MAX = (1 << 31) - 1
+I32_MIN = -(1 << 31)
 
-def _ring_cells(qx: int, qy: int, rings: int, zoom: int = 12) -> np.ndarray:
-    """All cells within `rings` tiles (Chebyshev) of the query's cell."""
-    c = int(T.column_from_x(qx, zoom)[()])
-    r = int(T.row_from_y(qy, zoom)[()])
-    n = 1 << zoom
-    cols = np.arange(max(c - rings, 0), min(c + rings, n - 1) + 1, dtype=np.int64)
-    rows = np.arange(max(r - rings, 0), min(r + rings, n - 1) + 1, dtype=np.int64)
+
+def _cells_for_window(qx: int, qy: int, radius_imps: int, max_per_axis: int = 32) -> np.ndarray:
+    """Cells (pyramid-adaptive zoom) covering the square window around q."""
+    zoom = T.MAX_ZOOM
+    while zoom > 0 and ((2 * radius_imps) >> (32 - zoom)) + 1 > max_per_axis:
+        zoom -= 2  # pyramid steps of 2, like the default level set
+    x0, x1 = max(qx - radius_imps, I32_MIN), min(qx + radius_imps, I32_MAX)
+    y0, y1 = max(qy - radius_imps, I32_MIN), min(qy + radius_imps, I32_MAX)
+    c0, c1 = int(T.column_from_x(x0, zoom)[()]), int(T.column_from_x(x1, zoom)[()])
+    r0, r1 = int(T.row_from_y(y1, zoom)[()]), int(T.row_from_y(y0, zoom)[()])
+    cols = np.arange(c0, c1 + 1, dtype=np.int64)
+    rows = np.arange(r0, r1 + 1, dtype=np.int64)
     cc, rr = np.meshgrid(cols, rows)
-    return ((zoom << 24) | (rr.ravel() << 12) | cc.ravel()).astype(np.int64)
+    return ((zoom << 24) | (rr.ravel() << 12) | cc.ravel()).astype(np.int64), zoom
+
+
+def _guarantee_m(qy: int, radius_imps: int) -> float:
+    """Max distance provably covered: radius × min meters/imp in the window."""
+    ys = [max(qy - radius_imps, I32_MIN), min(qy + radius_imps, I32_MAX)]
+    m_per_imp = min(float(mercator.meters_at_y(y)[()]) for y in ys)
+    return radius_imps * m_per_imp
 
 
 def knn(
     points: DataFrame,
     queries: list[tuple[str, float, float]],
     k: int,
-    zoom: int = 12,
-    init_rings: int = 1,
-    max_rings: int = 64,
+    init_radius_imps: int = 1 << 20,  # one z12 tile
     id_col: str = "image_id",
 ) -> DataFrame:
-    """queries: [(query_id, lon, lat), ...].  Returns
-    (query_id, <id_col>, dist_m, rank) with rank 1..k per query.
-
-    Correct even near sparse regions: any query that cannot reach k
-    candidates within ``max_rings`` returns what exists (documented
-    divergence; raise max_rings for guaranteed-k)."""
+    """queries: [(query_id, lon, lat), ...] → (query_id, id, dist_m, rank)."""
     spark = points.sparkSession
-    qinfo = []
+    qinfo = {}
     for qid, lon, lat in queries:
-        qx = int(mercator.x_from_lon(lon)[()])
-        qy = int(mercator.y_from_lat(lat)[()])
-        qinfo.append((qid, qx, qy))
+        qinfo[qid] = (int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
 
-    remaining = {qid: init_rings for qid, _, _ in qinfo}
+    remaining = {qid: init_radius_imps for qid in qinfo}
     results: list[DataFrame] = []
     pts = points.select(id_col, "x", "y")
 
     while remaining:
-        cell_lists = {
-            qid: _ring_cells(qx, qy, remaining[qid], zoom)
-            for qid, qx, qy in qinfo
-            if qid in remaining
-        }
-        # Inverted candidate index: sorted cells + per-cell query lists.
-        pairs = []
-        for qid, cells in cell_lists.items():
-            pairs.append(pd.DataFrame({"cell": cells, "qid": qid}))
-        inv = pd.concat(pairs, ignore_index=True)
-        qxy = {qid: (qx, qy) for qid, qx, qy in qinfo}
+        frames = []
+        zooms = {}
+        for qid, radius in remaining.items():
+            qx, qy = qinfo[qid]
+            cells, zoom = _cells_for_window(qx, qy, radius)
+            zooms[qid] = zoom
+            frames.append(pd.DataFrame({"cell": cells, "qid": qid}))
+        inv = pd.concat(frames, ignore_index=True).sort_values("cell")
         bc = spark.sparkContext.broadcast(
-            (inv.sort_values("cell").to_numpy(), qxy)
+            (
+                inv["cell"].to_numpy(np.int64),
+                inv["qid"].to_numpy(object),
+                dict(qinfo),
+                sorted(set(zooms.values())),
+            )
         )
 
         def candidates(batches):
-            inv_arr, qxy_l = bc.value
-            cells_sorted = inv_arr[:, 0].astype(np.int64)
-            qids_sorted = inv_arr[:, 1]
+            cells_sorted, qids_sorted, qxy, zoom_list = bc.value
             for pdf in batches:
                 x = pdf["x"].to_numpy(dtype=np.int64)
                 y = pdf["y"].to_numpy(dtype=np.int64)
-                cell = (zoom << 24) | ((((1 << 31) - 1 - y) >> (32 - zoom)) << 12) | (
-                    (x + (1 << 31)) >> (32 - zoom)
-                )
-                lo = np.searchsorted(cells_sorted, cell, side="left")
-                hi = np.searchsorted(cells_sorted, cell, side="right")
-                n_hits = hi - lo
-                if n_hits.sum() == 0:
+                all_rows, all_qids = [], []
+                for zoom in zoom_list:
+                    cell = (
+                        (zoom << 24)
+                        | ((((1 << 31) - 1 - y) >> (32 - zoom)) << 12)
+                        | ((x + (1 << 31)) >> (32 - zoom))
+                    )
+                    lo = np.searchsorted(cells_sorted, cell, side="left")
+                    hi = np.searchsorted(cells_sorted, cell, side="right")
+                    nh = hi - lo
+                    rows = np.nonzero(nh > 0)[0]
+                    if len(rows) == 0:
+                        continue
+                    counts = nh[rows]
+                    all_rows.append(np.repeat(rows, counts))
+                    idx = np.concatenate(
+                        [np.arange(lo[i], hi[i]) for i in rows]
+                    )
+                    all_qids.append(qids_sorted[idx])
+                if not all_rows:
                     continue
-                rows = np.nonzero(n_hits > 0)[0]
-                out_rows, out_qids = [], []
-                for i in rows:  # tiny: only matched rows, ≤ queries per cell
-                    for j in range(lo[i], hi[i]):
-                        out_rows.append(i)
-                        out_qids.append(qids_sorted[j])
-                sub = pdf.iloc[out_rows][[pdf.columns[0], "x", "y"]].copy()
-                sub["query_id"] = out_qids
-                qx_arr = np.array([qxy_l[q][0] for q in out_qids], dtype=np.float64)
-                qy_arr = np.array([qxy_l[q][1] for q in out_qids], dtype=np.float64)
+                rows = np.concatenate(all_rows)
+                qids = np.concatenate(all_qids)
+                sub = pdf.iloc[rows][[pdf.columns[0]]].copy()
+                sub["query_id"] = qids
+                qx_arr = np.array([qxy[q][0] for q in qids], dtype=np.float64)
+                qy_arr = np.array([qxy[q][1] for q in qids], dtype=np.float64)
                 sub["dist_m"] = mercator.distance(
-                    sub["x"].to_numpy(dtype=np.float64), sub["y"].to_numpy(dtype=np.float64), qx_arr, qy_arr
+                    x[rows].astype(np.float64), y[rows].astype(np.float64), qx_arr, qy_arr
                 )
-                yield sub.drop(columns=["x", "y"])
+                yield sub
 
         cand = pts.mapInPandas(candidates, schema=f"{id_col} string, query_id string, dist_m double")
         w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).cache()
         stats = {
             r["query_id"]: (r["cnt"], r["kth"])
             for r in topk.groupBy("query_id")
@@ -124,20 +146,14 @@ def knn(
         }
 
         done, still = [], {}
-        tile_extent = 1 << (32 - zoom)
-        for qid, rings_now in remaining.items():
+        for qid, radius in remaining.items():
             cnt, kth = stats.get(qid, (0, None))
-            # Ring R is guaranteed to contain every point within R tile
-            # widths of the query cell's edge → all true neighbors closer
-            # than `guarantee_m` were candidates.  Conservative meters/imp
-            # at the query latitude with a 0.8 margin for in-ring scale
-            # variation (scale varies smoothly; rings are ≤64 z12 tiles).
-            qy = qxy[qid][1]
-            guarantee_m = rings_now * tile_extent * float(mercator.meters_at_y(qy)[()]) * 0.8
-            if (cnt >= k and kth is not None and kth <= guarantee_m) or rings_now >= max_rings:
+            whole_world = radius >= (1 << 31)
+            ok = cnt >= k and kth is not None and kth <= _guarantee_m(qinfo[qid][1], radius)
+            if ok or whole_world:
                 done.append(qid)
             else:
-                still[qid] = min(rings_now * 2, max_rings)
+                still[qid] = radius * 2
         if done:
             results.append(topk.filter(F.col("query_id").isin(done)))
         remaining = still

@@ -74,8 +74,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: per-language marker hit count over the
     token set, argmax with deterministic tie-break on language code."""
     toks = tokens_col(F.lower(F.col(text_col)))
+
+    # NB: the lambda must take exactly ONE parameter — PySpark interprets a
+    # two-parameter lambda in F.filter as (element, index).
+    def marker_test(words):
+        return lambda t: t.isin(words)
+
     scores = [
-        F.size(F.filter(toks, lambda t, ws=words: t.isin(ws))).alias(f"score_{lang}")
+        F.size(F.filter(toks, marker_test(words))).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
     scored = df.select("doc_id", *scores)
@@ -121,6 +127,6 @@ def lang_id_oracle_sql() -> str:
         )
         select doc_id,
                case when best > 0 then {pick} else 'und' end as lang_pred,
-               best as lang_score
+               cast(best as int) as lang_score
         from b
     """

@@ -1,0 +1,65 @@
+"""Loaders for the driver's parquet tables + deterministic geo-derivation.
+
+The TPC-H-ish tables carry no coordinates, so geospatial oracle queries
+derive lon/lat from integer keys with pure rational arithmetic — bit-
+identical between Spark and DuckDB — then project with the exact
+Mercator formulas (floor(v+0.5) rounding both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from geodesk_spark.geo.mercator import MAP_WIDTH, MAX_LAT, MIN_LAT
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- deterministic key→geo derivation (shared Spark/SQL recipe) -------------
+# lon in (-180, 180), lat in (-80, 80); pure integer modulo + division so
+# both engines compute identical doubles.
+
+def lon_expr(key: str) -> str:
+    return f"(((({key}) * 9973) % 360000) / 1000.0 - 180.0) * 0.999"
+
+
+def lat_expr(key: str) -> str:
+    return f"(((({key}) * 7919) % 160000) / 1000.0 - 80.0) * 0.999"
+
+
+def x_expr(lon_sql: str) -> str:
+    return f"cast(floor({MAP_WIDTH!r} * ({lon_sql}) / 360 + 0.5) as bigint)"
+
+
+def y_expr(lat_sql: str) -> str:
+    lat = f"least(greatest({lat_sql}, {MIN_LAT!r}), {MAX_LAT!r})"
+    return (
+        f"cast(floor(ln(tan(({lat} + 90) * pi() / 360)) * ({MAP_WIDTH!r} / 2 / pi()) + 0.5) as bigint)"
+    )
+
+
+def tile_expr(x_sql: str, y_sql: str, zoom: int) -> str:
+    """(zoom<<24) | (row<<12) | col without bit ops (portable SQL):
+    integer divide by 2^(32-zoom)."""
+    step = 1 << (32 - zoom)
+    col = f"cast(floor((({x_sql}) + 2147483648) / {step}) as bigint)"
+    row = f"cast(floor((2147483647 - ({y_sql})) / {step}) as bigint)"
+    return f"({zoom * (1 << 24)} + ({row}) * 4096 + ({col}))"
+
+
+def with_derived_points(df: DataFrame, key_col: str) -> DataFrame:
+    """Spark twin of the SQL recipe above (same expressions via F.expr)."""
+    lon = lon_expr(key_col)
+    lat = lat_expr(key_col)
+    return (
+        df.withColumn("lon", F.expr(lon))
+        .withColumn("lat", F.expr(lat))
+        .withColumn("x", F.expr(x_expr("lon")))
+        .withColumn("y", F.expr(y_expr("lat")))
+    )
