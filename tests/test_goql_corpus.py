@@ -1,0 +1,128 @@
+"""GOQL golden-corpus parity.
+
+Evaluates the reference's full query corpus
+(/root/reference/src/test/resources/feature/queries.fab, ~150 queries ×
+70 tag fixtures from tags.fab) against our GOQL→Column compiler, exactly
+as MatcherCompilerTest does (fixtures evaluated as WAY features).
+
+The corpus files are read from the reference at test time (data, not
+code); tests skip if the reference tree is absent.  Fixture values pass
+through the same conversion the reference harness applies
+(TagsParser.value(): dotted numbers → Java Double.toString, integers →
+Long.toString — TagsParser.java:68-95).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from geodesk_spark.goql import GoqlError, compile_goql
+
+QUERIES_FAB = "/root/reference/src/test/resources/feature/queries.fab"
+TAGS_FAB = "/root/reference/src/test/resources/feature/tags.fab"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(QUERIES_FAB), reason="reference corpus not available"
+)
+
+
+def load_tags():
+    fixtures: dict[str, dict[str, str]] = {}
+    current = None
+    for line in open(TAGS_FAB, encoding="utf-8"):
+        raw = line.rstrip("\n")
+        stripped = raw.strip()
+        if not stripped or stripped.startswith("//"):
+            continue
+        if not raw[0] in " \t":  # top-level: fixture name
+            name = stripped.rstrip(":")
+            current = {}
+            fixtures[name] = current
+            continue
+        k, _, v = stripped.partition("=")
+        k = k.strip().strip('"')
+        v = v.strip()
+        if v.startswith('"'):
+            v = re.sub(r"\\(.)", r"\1", v[1:-1])
+        elif re.fullmatch(r"-?[0-9]+\.[0-9]+", v):
+            v = repr(float(v))  # Java Double.toString ≈ Python repr (shortest round-trip)
+        elif re.fullmatch(r"-?[0-9]+", v):
+            v = str(int(v))
+        fixtures[name][k] = v
+    return fixtures
+
+
+def load_queries():
+    cases = []
+    cur = None
+    for line in open(QUERIES_FAB, encoding="utf-8"):
+        raw = line.rstrip("\n")
+        stripped = raw.strip()
+        if not stripped or stripped.startswith("//"):
+            continue
+        if raw.startswith("query:"):
+            cur = {"query": raw[len("query:"):].strip(), "expected": {}, "error": None}
+            cases.append(cur)
+            continue
+        if cur is None:
+            continue
+        body = stripped.split("//")[0].strip()
+        if not body:
+            continue
+        k, _, v = body.partition(":")
+        k, v = k.strip(), v.strip()
+        if k == "error":
+            cur["error"] = v
+        else:
+            cur["expected"][k] = v == "true"
+    return cases
+
+
+def test_corpus(spark):
+    fixtures = load_tags()
+    cases = load_queries()
+    assert len(cases) > 100 and len(fixtures) > 50
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "name": list(fixtures),
+            "ftype": "way",
+            "is_area": False,
+            "tags": [fixtures[n] for n in fixtures],
+        }
+    )
+    df = spark.createDataFrame(rows, schema="name string, ftype string, is_area boolean, tags map<string,string>")
+
+    cols, meta = [], []
+    n_err_ok = 0
+    for idx, case in enumerate(cases):
+        if case["error"] is not None:
+            with pytest.raises(GoqlError):
+                compile_goql(case["query"])
+            n_err_ok += 1
+            continue
+        cols.append(compile_goql(case["query"], check_types=False).alias(f"q{idx}"))
+        meta.append((idx, case))
+
+    result = df.select("name", *cols).toPandas().set_index("name")
+
+    failures = []
+    for idx, case in enumerate(cases):
+        if case["error"] is not None:
+            continue
+        for fixture, expected in case["expected"].items():
+            if fixture not in result.index:
+                failures.append(f"missing fixture {fixture} for {case['query']!r}")
+                continue
+            got = bool(result.loc[fixture, f"q{idx}"])
+            if got != expected:
+                failures.append(
+                    f"{case['query']!r} on {fixture}: got {got}, want {expected} tags={fixtures[fixture]}"
+                )
+    assert n_err_ok >= 8
+    assert not failures, f"{len(failures)} mismatches:\n" + "\n".join(failures[:25])
