@@ -398,6 +398,60 @@ _SQL_SELECTOR_UNION = """
 
 # --- text / dedup / ANN -----------------------------------------------------
 
+def _part_features(spark, sf_dir):
+    """part table viewed as an OSM-like feature table: tags map built from
+    columns, with a conditionally-present 'big' key (absent ⟺ p_size ≤ 25)."""
+    p = tables.load(spark, sf_dir, "part")
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type"),
+            F.lit("size"), F.col("p_size").cast("string"),
+            F.lit("big"), F.when(F.col("p_size") > 25, F.lit("yes")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return (
+        p.withColumn("ftype", F.lit("way"))
+        .withColumn("is_area", F.lit(False))
+        .withColumn("tags", tags)
+    )
+
+
+def _q_goql_select(spark, sf_dir):
+    """GOQL tag query compiled to Catalyst (SURVEY §2.2): wildcard suffix
+    match + lenient numeric comparison on a string-typed tag."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    return feats.filter(compile_goql('*[type="STAN*"][size>=40]')).select(
+        F.col("p_partkey").alias("key")
+    )
+
+
+_SQL_GOQL_SELECT = """
+  select p_partkey as key from part
+  where p_type like 'STAN%' and p_size >= 40
+"""
+
+
+def _q_goql_union(spark, sf_dir):
+    """GOQL selector union + key-absence + value list
+    (MatcherParser.java:461-482, :308-313)."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    q = '*[!big][brand="Brand#45","Brand#21"], *[size=1,2]'
+    return feats.filter(compile_goql(q)).select(F.col("p_partkey").alias("key"))
+
+
+_SQL_GOQL_UNION = """
+  select p_partkey as key from part
+  where (p_size <= 25 and p_brand in ('Brand#45', 'Brand#21'))
+     or p_size in (1, 2)
+"""
+
+
 def _q_token_count(spark, sf_dir):
     d = tables.load(spark, sf_dir, "documents")
     return text.token_count(d).select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
@@ -602,6 +656,9 @@ QUERIES: dict[str, tuple] = {
     "graph_connected_to": (_q_connected, _SQL_CONNECTED),
     "view_intersection": (_q_view_intersection, _SQL_VIEW_INTERSECTION),
     "selector_union": (_q_selector_union, _SQL_SELECTOR_UNION),
+    # GOQL tag-query language
+    "goql_select": (_q_goql_select, _SQL_GOQL_SELECT),
+    "goql_union_absent": (_q_goql_union, _SQL_GOQL_UNION),
     # relational / windows / events
     "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),

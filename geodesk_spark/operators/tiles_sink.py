@@ -1,0 +1,106 @@
+"""Raster ↔ vector tile materialization — the MapMaker analog.
+
+The reference's only rendering surface is MapMaker (util/MapMaker.java:
+24-120): features → Leaflet HTML with a raster basemap + vector
+overlays.  Re-expressed Spark-first: one ``applyInPandas`` over
+tile-grouped points materializes, per (zoom, col, row):
+
+- a raster tile: a 256×256 density histogram of the tile's points,
+  encoded with the deterministic png stand-in codec, and
+- a vector tile: GeoJSON FeatureCollection of the points (coordinate
+  precision follows util/CoordinateTransformer.java:21-50 — 7-decimal
+  rounded lon/lat).
+
+Each task writes only its own tile files (standard object-store fan-out
+at cluster scale) and returns a manifest row (tile, n_points, paths).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geodesk_spark import codec
+from geodesk_spark.geo import mercator, tile as T
+
+TILE_PX = 256
+
+
+def render_tiles(points: DataFrame, out_dir: str, tile_col: str = "tile_z8") -> DataFrame:
+    """points needs (image_id, x, y, <tile_col>).  Returns the manifest
+    DataFrame (tile, zoom, col, row, n_points, raster_path, vector_path)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(key[0])
+        z = int(T.zoom_of(tile)[()])
+        c = int(T.column_of(tile)[()])
+        r = int(T.row_of(tile)[()])
+        lx = float(T.left_x(tile)[()])
+        by = float(T.bottom_y(tile)[()])
+        extent = float(1 << (32 - z))
+
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        px = np.clip(((x - lx) / extent * TILE_PX).astype(np.int64), 0, TILE_PX - 1)
+        py = np.clip(((by + extent - 1 - y) / extent * TILE_PX).astype(np.int64), 0, TILE_PX - 1)
+        hist = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+        np.add.at(hist, (py, px), 1)
+        shade = (255 * (1 - 1 / (1 + hist))).astype(np.uint8)
+        raster = np.stack([shade, shade, shade], axis=-1)
+
+        tdir = os.path.join(out_dir, str(z), str(c))
+        os.makedirs(tdir, exist_ok=True)
+        raster_path = os.path.join(tdir, f"{r}.png")
+        with open(raster_path, "wb") as f:
+            f.write(codec.encode(raster, "png"))
+
+        lon = mercator.lon_precision7_from_x(x)
+        lat = mercator.lat_precision7_from_y(y)
+        features = [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [lon[i], lat[i]]},
+                "properties": {"id": pdf["image_id"].iloc[i]},
+            }
+            for i in range(len(pdf))
+        ]
+        vector_path = os.path.join(tdir, f"{r}.geojson")
+        with open(vector_path, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": features}, f)
+
+        return pd.DataFrame(
+            {
+                "tile": [tile],
+                "zoom": [z],
+                "col": [c],
+                "row": [r],
+                "n_points": [len(pdf)],
+                "raster_path": [raster_path],
+                "vector_path": [vector_path],
+            }
+        )
+
+    return (
+        points.select("image_id", "x", "y", tile_col)
+        .groupBy(tile_col)
+        .applyInPandas(
+            render,
+            schema=(
+                "tile int, zoom int, col int, row int, n_points long, "
+                "raster_path string, vector_path string"
+            ),
+        )
+    )
+
+
+def rasterize_counts(points: DataFrame, tile_col: str = "tile_z8"):
+    """Vector→raster aggregate without file IO: per-tile point counts
+    (the partition-pruned rollup used by bench/lineage metrics)."""
+    from pyspark.sql import functions as F
+
+    return points.groupBy(tile_col).agg(F.count("*").alias("n_points"))

@@ -1,0 +1,120 @@
+"""Checkpoint/resume + lineage, tile sink, skew handling, image codec."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark import codec
+from geodesk_spark.operators import images, skew, tiles_sink, tiling
+from geodesk_spark.sources import synth
+from geodesk_spark.streaming.checkpoint import Pipeline
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = synth.images_df(spark, 30_000, with_bytes=False, partitions=8)
+    df = tiling.with_point_tiles(tiling.with_imp_coords(df)).cache()
+    yield df
+    df.unpersist()
+
+
+def test_checkpoint_resume(spark, tmp_path, pts):
+    root = str(tmp_path / "pipe")
+    calls = {"a": 0, "b": 0}
+
+    def stage_a(s):
+        calls["a"] += 1
+        return pts.select("image_id", "x", "y", "tile_z8")
+
+    p = Pipeline(spark, root)
+    a1 = p.stage("encode", stage_a)
+    assert calls["a"] == 1
+
+    def stage_b(s):
+        calls["b"] += 1
+        return p.read("encode").groupBy("tile_z8").agg(F.count("*").alias("n"))
+
+    b1 = p.stage("rollup", stage_b, inputs=["encode"])
+    n_tiles = b1.count()
+    assert calls["b"] == 1
+
+    # Resume: a fresh Pipeline must not recompute committed stages.
+    p2 = Pipeline(spark, root)
+    a2 = p2.stage("encode", stage_a)
+    b2 = p2.stage("rollup", stage_b, inputs=["encode"])
+    assert calls["a"] == 1 and calls["b"] == 1
+    assert b2.count() == n_tiles
+
+    # Lineage manifest: per-partition rows sum to total, throughput recorded.
+    lin = p2.lineage("rollup")
+    assert lin["n_rows"] == n_tiles
+    assert sum(part["rows"] for part in lin["partitions"]) == n_tiles
+    assert lin["rows_per_sec"] > 0
+    assert lin["inputs"] == ["encode"]
+
+    # Invalidate → stage recomputes.
+    p2.invalidate("rollup")
+    p2.stage("rollup", stage_b, inputs=["encode"])
+    assert calls["b"] == 2
+
+
+def test_tile_sink(spark, tmp_path, pts):
+    out = str(tmp_path / "tiles")
+    manifest = tiles_sink.render_tiles(pts.limit(5000), out).toPandas()
+    assert len(manifest) > 3
+    assert manifest["n_points"].sum() == 5000
+    row = manifest.iloc[0]
+    px = codec.decode(open(row["raster_path"], "rb").read())
+    assert px.shape == (256, 256, 3)
+    gj = json.load(open(row["vector_path"]))
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == row["n_points"]
+    lon, lat = gj["features"][0]["geometry"]["coordinates"]
+    assert -180 <= lon <= 180 and -86 <= lat <= 86
+
+
+def test_adaptive_cell_split(spark, pts):
+    out = skew.adaptive_cell_split(pts, max_rows_per_cell=2000, base_zoom=8)
+    hist = out.groupBy("cell_adaptive").agg(F.count("*").alias("n")).toPandas()
+    # Hot city cells got split to deeper zooms; every z8-resident cell obeys
+    # the cap (cells at max_zoom may still exceed it — the irreducible core).
+    from geodesk_spark.geo import tile as T
+
+    zooms = T.zoom_of(hist["cell_adaptive"].to_numpy())
+    at_base = hist[zooms == 8]
+    assert (at_base["n"] <= 2000).all()
+    assert (zooms > 8).any()  # something actually split
+    # splitting preserved rows
+    assert hist["n"].sum() == pts.count()
+
+
+def test_salt_hot_tiles(spark, pts):
+    salted = skew.salt_hot_tiles(pts, "tile_z4", rows_per_partition=1000)
+    grp = salted.groupBy("tile_z4", "salt").agg(F.count("*").alias("n")).toPandas()
+    assert salted.count() == pts.count()
+    # hottest (tile, salt) group is far below the hottest raw tile
+    raw = pts.groupBy("tile_z4").agg(F.count("*").alias("n")).toPandas()
+    assert grp["n"].max() < raw["n"].max() / 2
+
+
+def test_image_roundtrip_invariants(spark):
+    df = synth.images_df(spark, 200, with_bytes=True, partitions=4)
+    stats = images.decode_stats(df).toPandas()
+    assert (stats["psnr_db"] >= 40).all()  # lossy path ≥ 40 dB (BASELINE invariant)
+    assert stats["phash_ok"].all()
+    # caption equality invariant: regenerate captions deterministically
+    got = df.select("image_id", "caption").toPandas()
+    ids = got["image_id"].str.replace("img", "").astype(np.int64).to_numpy()
+    expect = synth.captions_for_ids(ids)
+    assert (got["caption"].to_numpy() == expect).all()
+
+
+def test_resize(spark):
+    df = synth.images_df(spark, 50, with_bytes=True, partitions=2)
+    out = images.resize(df, 16, 16).toPandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    px = codec.decode(out["bytes"].iloc[0])
+    assert px.shape == (16, 16, 3)
