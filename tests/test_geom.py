@@ -1,0 +1,83 @@
+"""Geometry predicate kernels: hand-built truth table + consistency laws."""
+
+import numpy as np
+import pytest
+
+from geodesk_spark.geo import geom
+
+SQ = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=np.float64)]  # 10×10 square
+SQ_HOLE = SQ + [np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=np.float64)]
+
+
+def ring(pts):
+    a = np.array(pts, dtype=np.float64)
+    return np.vstack([a, a[:1]])
+
+
+CASES = [
+    # (name, A (line array | polygon list), B, expected true predicates)
+    ("line inside", np.array([[2, 2], [8, 8]], float), SQ, {"intersects", "within", "covered_by"}),
+    ("line crossing", np.array([[-5, 5], [15, 5]], float), SQ, {"intersects", "crosses"}),
+    ("line outside", np.array([[20, 20], [30, 30]], float), SQ, {"disjoint"}),
+    ("line exits", np.array([[5, 5], [15, 5]], float), SQ, {"intersects", "crosses"}),
+    ("line touches corner", np.array([[10, 10], [20, 20]], float), SQ, {"intersects", "touches"}),
+    ("line along edge", np.array([[0, 0], [10, 0]], float), SQ, {"intersects", "touches", "covered_by"}),
+    ("poly inside", [ring([(2, 2), (8, 2), (8, 8), (2, 8)])], SQ, {"intersects", "within", "covered_by"}),
+    ("poly equal-ish big", [ring([(-5, -5), (15, -5), (15, 15), (-5, 15)])], SQ, {"intersects", "contains"}),
+    ("poly overlap", [ring([(5, 5), (15, 5), (15, 15), (5, 15)])], SQ, {"intersects", "overlaps"}),
+    ("poly outside", [ring([(20, 20), (30, 20), (30, 30), (20, 30)])], SQ, {"disjoint"}),
+    ("poly touch edge", [ring([(10, 2), (20, 2), (20, 8), (10, 8)])], SQ, {"intersects", "touches"}),
+    ("line in hole", np.array([[4.5, 4.5], [5.5, 5.5]], float), SQ_HOLE, {"disjoint"}),
+    ("line spans hole", np.array([[2, 5], [8, 5]], float), SQ_HOLE, {"intersects", "crosses"}),
+    ("poly in hole", [ring([(4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5)])], SQ_HOLE, {"disjoint"}),
+]
+
+
+@pytest.mark.parametrize("name,a,b,expected", CASES, ids=[c[0] for c in CASES])
+def test_truth_table(name, a, b, expected):
+    r = geom.relate(a, b)
+    got = {k for k, v in r.items() if v}
+    # disjoint is the complement of intersects — check consistency first
+    assert r["disjoint"] != r["intersects"]
+    missing = expected - got
+    assert not missing, f"{name}: missing {missing}, got {got}"
+    # mutually exclusive outcomes
+    if r["within"]:
+        assert not r["crosses"] and not r["overlaps"] and r["covered_by"]
+    if r["touches"]:
+        assert not r["within"] and not r["crosses"] and not r["overlaps"]
+
+
+def test_consistency_random():
+    rng = np.random.default_rng(11)
+    B = SQ_HOLE
+    for _ in range(300):
+        pts = rng.integers(-15, 25, size=(4, 2)).astype(np.float64)
+        line = pts[:3]
+        r = geom.relate(line, B)
+        assert r["disjoint"] != r["intersects"]
+        if r["within"]:
+            assert r["intersects"] and r["covered_by"]
+        if r["crosses"]:
+            assert r["intersects"] and not r["within"]
+        if r["touches"]:
+            assert r["intersects"] and not r["within"] and not r["crosses"]
+
+
+def test_orient_exact_fallback():
+    # nearly-collinear big-coordinate case where float64 cross is ambiguous
+    ox, oy = -2_000_000_000, -2_000_000_000
+    ax, ay = 2_000_000_000, 2_000_000_001
+    bx, by = 2_000_000_001, 2_000_000_002  # slightly above the o-a line?
+    s = geom.orient_sign([ox], [oy], [ax], [ay], [bx], [by])[0]
+    # exact integer cross product:
+    exact = (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+    assert s == (0 if exact == 0 else (1 if exact > 0 else -1))
+
+
+def test_segments_cross():
+    a = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    assert geom.segments_cross(a, np.array([[0, 10, 10, 0]], float))  # X cross
+    assert geom.segments_cross(a, np.array([[10, 10, 20, 10]], float))  # endpoint touch
+    assert not geom.segments_cross(a, np.array([[0, 5, 4, 9]], float))  # parallel offset
+    assert geom.segments_cross(a, np.array([[5, 5, 7, 7]], float))  # collinear overlap
