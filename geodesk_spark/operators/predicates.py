@@ -1,0 +1,120 @@
+"""Spatial-predicate broadcast joins for line/polygon features.
+
+The full predicate surface of the reference (filter/*.java — SURVEY
+§2.3) over geometry-carrying features, with the reference's tile-based
+work avoidance (Filter.filterForTile, AbstractRelateFilter.java:61-72):
+
+- candidates: feature bbox ∩ polygon bbox (vectorized per Arrow batch);
+- waive band: every tile under the feature's bbox classified INTERIOR →
+  within/covered_by/intersects are TRUE and disjoint/touches/crosses
+  FALSE without any geometry test (FastTileFilter.java:40-60);
+- boundary band: exact `geom.relate` kernel on the candidate subset.
+
+Feature geometry travels as the packed-rings blob (geo/pip.py) in a
+binary column ``geom``; ``gkind`` ∈ {'line','polygon'}.  Point features
+use the cheaper operators in spatial_join.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geodesk_spark.geo import geom, pip
+from geodesk_spark.operators.spatial_join import INTERIOR, PreparedPolygon
+
+# Predicate result when the feature's bbox-tiles are all INTERIOR
+# (strictly inside the polygon): the geometry test can be waived.
+_INTERIOR_WAIVE = {
+    "intersects": True,
+    "within": True,
+    "covered_by": True,
+    "disjoint": False,
+    "touches": False,
+    "crosses": False,
+    "overlaps": False,  # feature fully inside ⇒ not overlaps (needs outside part)
+    "contains": False,  # feature inside polygon cannot contain it
+}
+
+
+def spatial_predicate_join(
+    features: DataFrame,
+    prepared: list[PreparedPolygon],
+    predicate: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """features: (…, minx, miny, maxx, maxy int, gkind string, geom binary).
+    Emits matching (feature, poly_id) rows for the given predicate."""
+    if predicate not in _INTERIOR_WAIVE:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    keep = keep_cols or [c for c in features.columns if c not in ("geom",)]
+    spark = features.sparkSession
+    bc = spark.sparkContext.broadcast((prepared, predicate))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in features.schema.fields if f.name in keep
+    ) + ", poly_id string"
+
+    def run(batches):
+        polys, pred = bc.value
+        for pdf in batches:
+            fminx = pdf["minx"].to_numpy(np.float64)
+            fminy = pdf["miny"].to_numpy(np.float64)
+            fmaxx = pdf["maxx"].to_numpy(np.float64)
+            fmaxy = pdf["maxy"].to_numpy(np.float64)
+            outs = []
+            for p in polys:
+                cand = (
+                    (fminx <= p.maxx) & (fmaxx >= p.minx)
+                    & (fminy <= p.maxy) & (fmaxy >= p.miny)
+                )
+                idx = np.nonzero(cand)[0]
+                if pred == "disjoint":
+                    # anti-form: non-candidates are disjoint by definition
+                    idx_all = np.arange(len(pdf))
+                else:
+                    idx_all = idx
+                if len(idx_all) == 0:
+                    continue
+
+                # Band classification on the 4 bbox-corner tiles at the
+                # polygon's classification zoom.
+                shift = 32 - p.zoom
+                hits = np.zeros(len(pdf), dtype=bool)
+                if len(idx) > 0:
+                    cx0 = (fminx[idx].astype(np.int64) + (1 << 31)) >> shift
+                    cx1 = (fmaxx[idx].astype(np.int64) + (1 << 31)) >> shift
+                    ry0 = ((1 << 31) - 1 - fmaxy[idx].astype(np.int64)) >> shift
+                    ry1 = ((1 << 31) - 1 - fminy[idx].astype(np.int64)) >> shift
+                    def tid(c, r):
+                        return (p.zoom << 24) | (r << 12) | c
+                    bands = np.stack(
+                        [
+                            p.lookup_bands(tid(cx0, ry0)),
+                            p.lookup_bands(tid(cx1, ry0)),
+                            p.lookup_bands(tid(cx0, ry1)),
+                            p.lookup_bands(tid(cx1, ry1)),
+                        ],
+                        axis=0,
+                    )
+                    all_interior = (bands == INTERIOR).all(axis=0) & (cx1 - cx0 <= 1) & (ry1 - ry0 <= 1)
+                    waive_val = _INTERIOR_WAIVE[pred]
+                    hits[idx[all_interior]] = waive_val
+                    # exact kernel for the rest of the candidates
+                    for j in idx[~all_interior]:
+                        rings = pip.unpack_rings(pdf["geom"].iloc[j])
+                        a = rings if pdf["gkind"].iloc[j] == "polygon" else rings[0]
+                        hits[j] = geom.relate(a, p.rings)[pred]
+                if pred == "disjoint":
+                    non_cand = np.ones(len(pdf), dtype=bool)
+                    non_cand[idx] = False
+                    hits[non_cand] = True
+                sel = np.nonzero(hits)[0]
+                if len(sel):
+                    sub = pdf.iloc[sel][keep].copy()
+                    sub["poly_id"] = p.poly_id
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return features.mapInPandas(run, schema=out_schema)

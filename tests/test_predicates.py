@@ -1,0 +1,89 @@
+"""Spatial-predicate join vs brute force; GOQL on features; length/area."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.geo import geom, mercator, pip
+from geodesk_spark.goql import compile_goql
+from geodesk_spark.operators import geometry_ops, predicates, spatial_join
+from geodesk_spark.sources import synth, synth_features
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    df = synth_features.features_df(spark, 3000, partitions=8).cache()
+    pdf = df.toPandas()
+    yield df, pdf
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    return spatial_join.prepare_layer(synth.polygon_layer())
+
+
+@pytest.mark.parametrize("pred", ["intersects", "within", "disjoint", "crosses", "touches", "overlaps"])
+def test_predicate_join_matches_bruteforce(spark, feats, prepared, pred):
+    df, pdf = feats
+    got = predicates.spatial_predicate_join(df, prepared, pred, keep_cols=["fid"]).toPandas()
+    got_set = set(map(tuple, got[["fid", "poly_id"]].to_numpy().tolist()))
+
+    exp_set = set()
+    for p in prepared:
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            if pred != "disjoint":
+                if row["maxx"] < p.minx or row["minx"] > p.maxx or row["maxy"] < p.miny or row["miny"] > p.maxy:
+                    continue
+                rings = pip.unpack_rings(row["geom"])
+                a = rings if row["gkind"] == "polygon" else rings[0]
+                if geom.relate(a, p.rings)[pred]:
+                    exp_set.add((row["fid"], p.poly_id))
+            else:
+                if row["maxx"] < p.minx or row["minx"] > p.maxx or row["maxy"] < p.miny or row["miny"] > p.maxy:
+                    exp_set.add((row["fid"], p.poly_id))
+                else:
+                    rings = pip.unpack_rings(row["geom"])
+                    a = rings if row["gkind"] == "polygon" else rings[0]
+                    if geom.relate(a, p.rings)["disjoint"]:
+                        exp_set.add((row["fid"], p.poly_id))
+    assert got_set == exp_set, f"{pred}: {len(got_set ^ exp_set)} diffs"
+    if pred == "intersects":
+        assert len(got_set) > 20  # city polygons overlap city features
+
+
+def test_goql_on_features(spark, feats):
+    df, pdf = feats
+    out = df.filter(compile_goql("w[highway=primary,motorway][maxspeed>=60]")).toPandas()
+    exp = {
+        row["fid"]
+        for _, row in pdf.iterrows()
+        if not row["is_area"]
+        and row["tags"].get("highway") in ("primary", "motorway")
+        and float(row["tags"].get("maxspeed", "nan") or "nan") >= 60
+        if "maxspeed" in row["tags"]
+    }
+    assert set(out["fid"]) == exp
+    assert len(exp) > 5
+
+    # area selector: 'a' matches polygon ways
+    areas = df.filter(compile_goql("a[building]")).count()
+    assert areas == int(pdf["is_area"].sum())
+
+
+def test_length_area(spark, feats):
+    df, pdf = feats
+    out = geometry_ops.with_length_area(df).toPandas().set_index("fid")
+    for i in [0, 10, 100]:
+        row = pdf.iloc[i]
+        rings = pip.unpack_rings(row["geom"])
+        shell = rings[0]
+        exp_len = mercator.polyline_length_m(shell[:, 0], shell[:, 1])
+        assert out.loc[row["fid"], "length_m"] == pytest.approx(exp_len)
+        if row["gkind"] == "polygon":
+            exp_area = mercator.ring_area_m2(shell[:, 0], shell[:, 1])
+            assert out.loc[row["fid"], "area_m2"] == pytest.approx(exp_area)
+            assert out.loc[row["fid"], "area_m2"] > 0
+        else:
+            assert out.loc[row["fid"], "area_m2"] == 0.0
