@@ -536,7 +536,7 @@ def _minhash_lsh_sql() -> str:
         f"list_min(list_transform(sh, x -> md5('{j}|' || x))) as mh{j}" for j in range(dedup.N_MINHASH)
     )
     band_selects = " union all ".join(
-        f"select doc_id, md5(mh{b * dedup.LSH_ROWS} || '|' || mh{b * dedup.LSH_ROWS + 1}) as key, {b} as band from m"
+        f"select doc_id, md5('{b}|' || mh{b * dedup.LSH_ROWS} || '|' || mh{b * dedup.LSH_ROWS + 1}) as key from m"
         for b in range(dedup.LSH_BANDS)
     )
     return f"""
@@ -544,7 +544,7 @@ def _minhash_lsh_sql() -> str:
       m as (select doc_id, {mh} from s),
       bands as ({band_selects})
       select distinct a.doc_id as doc_a, b.doc_id as doc_b
-      from bands a join bands b on a.band = b.band and a.key = b.key
+      from bands a join bands b on a.key = b.key
       where a.doc_id < b.doc_id
     """
 

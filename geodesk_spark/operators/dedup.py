@@ -66,36 +66,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select("doc_id", *minhash_sig_cols(F.col(text_col)))
+    """Shingles materialize ONCE into a column; the 8 signature mins read
+    it — without this, codegen re-derives the shingle array (and its md5
+    forest) once per signature column (8× the work)."""
+    def seeded(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    with_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    return with_sh.select(
+        "doc_id",
+        *[F.array_min(F.transform(F.col("sh"), seeded(j))).alias(f"mh{j}") for j in range(N_MINHASH)],
+    )
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs: band key = md5 of LSH_ROWS signature
     entries; docs sharing any band key are candidates.  Returns distinct
-    (doc_a, doc_b) with doc_a < doc_b."""
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Single pass: explode band keys → groupBy(key) collecting the doc
+    list → in-bucket pair expansion (buckets are near-dup groups, so
+    tiny).  No self-join — the signature pipeline runs exactly once and
+    only one shuffle (on the band key) happens.  At 100 TB the band key
+    is also the natural bucketing column for the shuffle-free variant.
+    """
     sigs = minhash_signatures(df, text_col)
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
-                ).alias("key"),
+            F.md5(
+                F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
             )
             for b in range(LSH_BANDS)
         ]
     )
-    exploded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    exploded = sigs.select("doc_id", F.explode(bands).alias("key"))
+    buckets = exploded.groupBy("key").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    pairs = buckets.filter(F.size("docs") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -83,15 +83,18 @@ def lonlat_for_ids(ids: np.ndarray, seed: int = 42) -> tuple[np.ndarray, np.ndar
 
 
 def captions_for_ids(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized: per-word select + conditional concatenation (no Python
+    row loop — this runs in the hot generation path at bench scale)."""
     n_words = (_u01(ids, 5, seed) * 5 + 3).astype(np.int64)  # 3..7 words
     cols = []
     for k in range(7):
         idx = (_u01(ids, 10 + k, seed) * len(VOCAB)).astype(np.int64)
         cols.append(VOCAB[idx])
-    words = np.stack(cols, axis=1)
-    return np.array(
-        [" ".join(words[i, : n_words[i]]) for i in range(len(ids))], dtype=object
-    )
+    out = cols[0].astype(object)
+    for k in range(1, 7):
+        piece = np.where(k < n_words, np.char.add(" ", cols[k].astype("U")), "")
+        out = np.char.add(out.astype("U"), piece)
+    return out.astype(object)
 
 
 def batch_for_ids(ids: np.ndarray, seed: int = 42, with_bytes: bool = True) -> dict:
@@ -102,7 +105,7 @@ def batch_for_ids(ids: np.ndarray, seed: int = 42, with_bytes: bool = True) -> d
     w = sizes[(_u01(ids, 6, seed) * 3).astype(np.int64)]
     h = sizes[(_u01(ids, 7, seed) * 3).astype(np.int64)]
     fmt = np.where(_u01(ids, 8, seed) < 0.5, "png", "jpeg")
-    image_id = np.array([f"img{i:012d}" for i in ids], dtype=object)
+    image_id = np.char.add("img", np.char.zfill(ids.astype("U12"), 12)).astype(object)
     lon, lat = lonlat_for_ids(ids, seed)
     caption = captions_for_ids(ids, seed)
 
