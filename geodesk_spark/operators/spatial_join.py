@@ -144,53 +144,81 @@ def contains_points(
 ) -> DataFrame:
     """Point-in-polygon broadcast join (flagship).
 
-    points must carry int imp columns ``x``, ``y``.  Returns points ⋈
-    polygons with a ``poly_id`` column (``anti=True`` → rows matching NO
-    polygon, the DisjointFilter form).  One narrow mapInPandas pass;
-    exact kernel runs only on boundary-band rows.
+    Three-band plan, mirroring the reference's per-tile filter
+    substitution (TileIndexWalker.java:246-259, FastTileFilter.java:40-60)
+    while keeping the Python boundary minimal:
+
+    1. A broadcast (cell, poly_id, band) table — the polygons' tile
+       classification — joins against the point's cell id, computed
+       JVM-side with bit arithmetic per classification zoom.  INTERIOR
+       matches complete entirely in the JVM (broadcast hash join inside
+       whole-stage codegen; no Python, no shuffle of the fact side).
+    2. Only BOUNDARY-band rows (a few % — tiles the polygon outline
+       touches) cross the Arrow boundary into the vectorized ray-cast
+       kernel, carrying just (x, y, poly_id, keep_cols).
+    3. Union of both bands; ``anti=True`` returns points matching NO
+       polygon via a left_anti join on keep_cols (DisjointFilter form —
+       keep_cols must identify a row, e.g. image_id).
+
+    points must carry int imp columns ``x`` and ``y``.
     """
-    keep = keep_cols or [c for c in points.columns]
+    keep = keep_cols or [c for c in points.columns if c not in ("x", "y")]
     spark = points.sparkSession
-    bc = spark.sparkContext.broadcast(prepared)
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields if f.name in keep)
+    import pandas as pd_mod
+
+    # Broadcast band tables, one per classification zoom present.
+    by_zoom: dict[int, list] = {}
+    rings_by_poly = {p.poly_id: p.rings for p in prepared}
+    for p in prepared:
+        for cell, code in zip(p.band_tiles.tolist(), p.band_codes.tolist()):
+            by_zoom.setdefault(p.zoom, []).append((cell, p.poly_id, int(code)))
+
+    bc_rings = spark.sparkContext.broadcast(rings_by_poly)
+    results = []
+    for zoom, rows in by_zoom.items():
+        bands_df = spark.createDataFrame(
+            pd_mod.DataFrame(rows, columns=["cell", "poly_id", "band"]),
+            schema="cell long, poly_id string, band int",
+        )
+        cellz = T.tile_col(F.col("x"), F.col("y"), zoom).cast("long")
+        j = points.withColumn("_cell", cellz).join(
+            F.broadcast(bands_df), F.col("_cell") == bands_df.cell
+        )
+        interior = j.filter(F.col("band") == INTERIOR).select(*keep, "poly_id")
+        boundary = j.filter(F.col("band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
+
+        def exact(batches):
+            rings_map = bc_rings.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = pdf["x"].to_numpy(dtype=np.float64)
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                hit = np.zeros(len(pdf), dtype=bool)
+                for poly_id, grp in pdf.groupby("poly_id", sort=False):
+                    idx = grp.index.to_numpy()
+                    pos = pdf.index.get_indexer(idx)
+                    hit[pos] = pip.points_in_polygon(x[pos], y[pos], rings_map[poly_id])
+                out = pdf.loc[hit, [*keep, "poly_id"]]
+                if len(out):
+                    yield out
+
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in points.schema.fields
+            if f.name in keep
+        ) + ", poly_id string"
+        exact_hits = boundary.mapInPandas(exact, schema=out_schema)
+        results.append(interior.unionByName(exact_hits))
+
+    matches = results[0]
+    for r in results[1:]:
+        matches = matches.unionByName(r)
     if not anti:
-        out_schema += ", poly_id string"
-
-    def run(batches):
-        polys = bc.value
-        for pdf in batches:
-            x = pdf["x"].to_numpy(dtype=np.float64)
-            y = pdf["y"].to_numpy(dtype=np.float64)
-            any_match = np.zeros(len(pdf), dtype=bool)
-            outs = []
-            for p in polys:
-                cand = (x >= p.minx) & (x <= p.maxx) & (y >= p.miny) & (y <= p.maxy)
-                if not cand.any():
-                    continue
-                idx = np.nonzero(cand)[0]
-                tx = ((x[idx].astype(np.int64) + (1 << 31)) >> (32 - p.zoom))
-                ty = (((1 << 31) - 1 - y[idx].astype(np.int64)) >> (32 - p.zoom))
-                tid = (p.zoom << 24) | (ty << 12) | tx
-                band = p.lookup_bands(tid)
-                inside = band == INTERIOR
-                bmask = band == BOUNDARY
-                if bmask.any():
-                    bidx = idx[bmask]
-                    inside[bmask] = pip.points_in_polygon(x[bidx], y[bidx], p.rings)
-                hit = idx[inside]
-                if len(hit) == 0:
-                    continue
-                any_match[hit] = True
-                if not anti:
-                    sub = pdf.iloc[hit][keep].copy()
-                    sub["poly_id"] = p.poly_id
-                    outs.append(sub)
-            if anti:
-                yield pdf.loc[~any_match, keep]
-            elif outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    return points.mapInPandas(run, schema=out_schema)
+        return matches
+    return points.select(*keep).join(
+        matches.select(*keep).distinct(), keep, "left_anti"
+    )
 
 
 def within_distance(
