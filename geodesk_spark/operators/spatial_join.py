@@ -177,15 +177,15 @@ def contains_points(
     results = []
     for zoom, rows in by_zoom.items():
         bands_df = spark.createDataFrame(
-            pd_mod.DataFrame(rows, columns=["cell", "poly_id", "band"]),
-            schema="cell long, poly_id string, band int",
+            pd_mod.DataFrame(rows, columns=["_band_cell", "poly_id", "_band"]),
+            schema="_band_cell long, poly_id string, _band int",
         )
         cellz = T.tile_col(F.col("x"), F.col("y"), zoom).cast("long")
         j = points.withColumn("_cell", cellz).join(
-            F.broadcast(bands_df), F.col("_cell") == bands_df.cell
+            F.broadcast(bands_df), F.col("_cell") == bands_df._band_cell
         )
-        interior = j.filter(F.col("band") == INTERIOR).select(*keep, "poly_id")
-        boundary = j.filter(F.col("band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
+        interior = j.filter(F.col("_band") == INTERIOR).select(*keep, "poly_id")
+        boundary = j.filter(F.col("_band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
 
         def exact(batches):
             rings_map = bc_rings.value
