@@ -82,18 +82,18 @@ def spatial_predicate_join(
                 shift = 32 - p.zoom
                 hits = np.zeros(len(pdf), dtype=bool)
                 if len(idx) > 0:
+                    from geodesk_spark.operators.spatial_join import _cell_ids
+
                     cx0 = (fminx[idx].astype(np.int64) + (1 << 31)) >> shift
                     cx1 = (fmaxx[idx].astype(np.int64) + (1 << 31)) >> shift
                     ry0 = ((1 << 31) - 1 - fmaxy[idx].astype(np.int64)) >> shift
                     ry1 = ((1 << 31) - 1 - fminy[idx].astype(np.int64)) >> shift
-                    def tid(c, r):
-                        return (p.zoom << 24) | (r << 12) | c
                     bands = np.stack(
                         [
-                            p.lookup_bands(tid(cx0, ry0)),
-                            p.lookup_bands(tid(cx1, ry0)),
-                            p.lookup_bands(tid(cx0, ry1)),
-                            p.lookup_bands(tid(cx1, ry1)),
+                            p.lookup_bands(_cell_ids(p.zoom, ry0, cx0)),
+                            p.lookup_bands(_cell_ids(p.zoom, ry0, cx1)),
+                            p.lookup_bands(_cell_ids(p.zoom, ry1, cx0)),
+                            p.lookup_bands(_cell_ids(p.zoom, ry1, cx1)),
                         ],
                         axis=0,
                     )

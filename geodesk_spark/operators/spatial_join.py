@@ -40,6 +40,19 @@ from geodesk_spark.geo import mercator, pip, tile as T
 
 INTERIOR, BOUNDARY = 1, 2
 
+# Classification can go FINER than the z12 storage pyramid: the GOL tile
+# cap is a storage-format constraint; in-engine acceleration may use any
+# grid (it plays the role of the reference's sub-tile R-tree).  Cell ids
+# at zoom z pack (z<<40)|(row<<20)|col — consistent across prepare and
+# join, independent of the 12-bit GOL tile layout.
+MAX_CLASSIFY_ZOOM = 16
+
+
+def _cell_ids(zoom: int, rows, cols):
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    return (np.int64(zoom) << 40) | (rows << 20) | cols
+
 
 @dataclass
 class PreparedPolygon:
@@ -69,13 +82,21 @@ class PreparedPolygon:
         return out
 
 
-def prepare_polygon(poly_id: str, rings_blob: bytes, max_tiles_per_axis: int = 64) -> PreparedPolygon:
-    """Classify tiles into interior/boundary bands at an adaptive zoom.
+def prepare_polygon(
+    poly_id: str,
+    rings_blob: bytes,
+    max_tiles_per_axis: int = 256,
+    max_zoom: int = MAX_CLASSIFY_ZOOM,
+) -> PreparedPolygon:
+    """Classify grid cells into interior/boundary bands at an adaptive zoom.
 
-    Zoom is chosen so the polygon bbox spans ≤``max_tiles_per_axis`` tiles
+    Zoom is chosen so the polygon bbox spans ≤``max_tiles_per_axis`` cells
     per axis (the reference instead descends its tile tree; same effect —
-    bounded per-polygon work).  Boundary marking is conservative: every
-    tile touched by a ring segment's bbox becomes boundary; interior =
+    bounded per-polygon work).  The grid may be finer than the z12
+    storage pyramid (up to MAX_CLASSIFY_ZOOM) — a fine grid shrinks the
+    boundary band, which is exactly the set of rows that must take the
+    exact geometry kernel.  Boundary marking is conservative: every cell
+    touched by a ring segment's bbox becomes boundary; interior =
     center-inside minus boundary.  Conservative boundary only moves rows
     from the free band to the exact-test band — never wrong, only slower.
     """
@@ -84,10 +105,10 @@ def prepare_polygon(poly_id: str, rings_blob: bytes, max_tiles_per_axis: int = 6
     ys = np.concatenate([r[:, 1] for r in rings])
     minx, miny, maxx, maxy = xs.min(), ys.min(), xs.max(), ys.max()
 
-    zoom = T.MAX_ZOOM
+    zoom = max_zoom
     while zoom > 0:
-        c0, c1 = T.column_from_x(minx, zoom)[()], T.column_from_x(maxx, zoom)[()]
-        r0, r1 = T.row_from_y(maxy, zoom)[()], T.row_from_y(miny, zoom)[()]
+        c0, c1 = int((minx + (1 << 31))) >> (32 - zoom), int((maxx + (1 << 31))) >> (32 - zoom)
+        r0, r1 = int(((1 << 31) - 1 - maxy)) >> (32 - zoom), int(((1 << 31) - 1 - miny)) >> (32 - zoom)
         if (c1 - c0 + 1) <= max_tiles_per_axis and (r1 - r0 + 1) <= max_tiles_per_axis:
             break
         zoom -= 1
@@ -95,33 +116,34 @@ def prepare_polygon(poly_id: str, rings_blob: bytes, max_tiles_per_axis: int = 6
     extent = np.int64(1) << (32 - zoom)
     bands: dict[int, int] = {}
 
-    # Conservative boundary: rasterize each segment bbox to the tile grid.
+    # Conservative boundary: rasterize each segment bbox to the cell grid.
     for ring in rings:
-        sminx = np.minimum(ring[:-1, 0], ring[1:, 0])
-        smaxx = np.maximum(ring[:-1, 0], ring[1:, 0])
-        sminy = np.minimum(ring[:-1, 1], ring[1:, 1])
-        smaxy = np.maximum(ring[:-1, 1], ring[1:, 1])
-        sc0 = T.column_from_x(sminx, zoom).astype(np.int64)
-        sc1 = T.column_from_x(smaxx, zoom).astype(np.int64)
-        sr0 = T.row_from_y(smaxy, zoom).astype(np.int64)
-        sr1 = T.row_from_y(sminy, zoom).astype(np.int64)
+        sc0 = ((np.minimum(ring[:-1, 0], ring[1:, 0]).astype(np.int64) + (1 << 31)) >> (32 - zoom))
+        sc1 = ((np.maximum(ring[:-1, 0], ring[1:, 0]).astype(np.int64) + (1 << 31)) >> (32 - zoom))
+        sr0 = (((1 << 31) - 1 - np.maximum(ring[:-1, 1], ring[1:, 1]).astype(np.int64)) >> (32 - zoom))
+        sr1 = (((1 << 31) - 1 - np.minimum(ring[:-1, 1], ring[1:, 1]).astype(np.int64)) >> (32 - zoom))
         for i in range(len(sc0)):
-            for c in range(sc0[i], sc1[i] + 1):
-                for r in range(sr0[i], sr1[i] + 1):
-                    bands[int((zoom << 24) | (r << 12) | c)] = BOUNDARY
+            cc, rr = np.meshgrid(
+                np.arange(sc0[i], sc1[i] + 1, dtype=np.int64),
+                np.arange(sr0[i], sr1[i] + 1, dtype=np.int64),
+            )
+            for cid in _cell_ids(zoom, rr.ravel(), cc.ravel()).tolist():
+                bands[cid] = BOUNDARY
 
-    # Interior: candidate tiles whose center is inside and not boundary.
-    c0, c1 = int(T.column_from_x(minx, zoom)[()]), int(T.column_from_x(maxx, zoom)[()])
-    r0, r1 = int(T.row_from_y(maxy, zoom)[()]), int(T.row_from_y(miny, zoom)[()])
+    # Interior: candidate cells whose center is inside and not boundary.
+    c0 = int((minx + (1 << 31))) >> (32 - zoom)
+    c1 = int((maxx + (1 << 31))) >> (32 - zoom)
+    r0 = int(((1 << 31) - 1 - maxy)) >> (32 - zoom)
+    r1 = int(((1 << 31) - 1 - miny)) >> (32 - zoom)
     cols = np.arange(c0, c1 + 1, dtype=np.int64)
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
     cc, rr = np.meshgrid(cols, rows)
     cc, rr = cc.ravel(), rr.ravel()
-    tile_ids = (zoom << 24) | (rr << 12) | cc
+    cell_ids = _cell_ids(zoom, rr, cc)
     cx = (cc << (32 - zoom)) - (1 << 31) + extent // 2
     cy = (1 << 31) - 1 - (rr << (32 - zoom)) - extent // 2
     inside = pip.points_in_polygon(cx.astype(np.float64), cy.astype(np.float64), rings)
-    for t, ins in zip(tile_ids.tolist(), inside.tolist()):
+    for t, ins in zip(cell_ids.tolist(), inside.tolist()):
         if ins and t not in bands:
             bands[t] = INTERIOR
     band_tiles = np.array(sorted(bands), dtype=np.int64)
@@ -180,7 +202,11 @@ def contains_points(
             pd_mod.DataFrame(rows, columns=["_band_cell", "poly_id", "_band"]),
             schema="_band_cell long, poly_id string, _band int",
         )
-        cellz = T.tile_col(F.col("x"), F.col("y"), zoom).cast("long")
+        cellz = (
+            F.lit(zoom << 40).cast("long")
+            + F.shiftleft(T.row_from_y_col(F.col("y"), zoom).cast("long"), 20)
+            + T.column_from_x_col(F.col("x"), zoom).cast("long")
+        )
         j = points.withColumn("_cell", cellz).join(
             F.broadcast(bands_df), F.col("_cell") == bands_df._band_cell
         )
