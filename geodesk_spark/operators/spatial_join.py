@@ -40,6 +40,8 @@ from geodesk_spark.geo import mercator, pip, tile as T
 
 INTERIOR, BOUNDARY = 1, 2
 
+_BANDS_CACHE: dict = {}
+
 # Classification can go FINER than the z12 storage pyramid: the GOL tile
 # cap is a storage-format constraint; in-engine acceleration may use any
 # grid (it plays the role of the reference's sub-tile R-tree).  Cell ids
@@ -66,10 +68,17 @@ class PreparedPolygon:
     maxx: float
     maxy: float
     zoom: int = 12
-    # Sorted int64 tile ids + band codes (INTERIOR/BOUNDARY); lookups are
-    # np.searchsorted — no per-row Python anywhere in the join kernel.
+    # Flat single-zoom classification (for bbox-feature corner lookups in
+    # operators/predicates.py): sorted int64 cell ids + band codes.
     band_tiles: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
     band_codes: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int8))
+    # Quadtree classification for the point join: interior kept at the
+    # coarsest zoom where it is certain, boundary refined down to
+    # MAX_CLASSIFY_ZOOM — a small table AND a small boundary band
+    # (the analog of the reference's zoom-step tile tree,
+    # ZoomLevels.java:98-113).
+    qt_cells: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    qt_codes: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int8))
 
     def lookup_bands(self, tile_ids: np.ndarray) -> np.ndarray:
         """Vectorized band lookup: 0 = disjoint, else INTERIOR/BOUNDARY."""
@@ -82,11 +91,106 @@ class PreparedPolygon:
         return out
 
 
+def _quadtree_bands(
+    rings: list[np.ndarray],
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    base_axis: int = 64,
+    max_zoom: int = MAX_CLASSIFY_ZOOM,
+    max_cells: int = 60_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Adaptive quadtree classification: interior cells recorded at the
+    coarsest certain zoom; boundary cells refined until max_zoom or the
+    cell budget.  Returns (sorted cell ids, band codes)."""
+    segs = np.concatenate(
+        [np.concatenate([r[:-1], r[1:]], axis=1) for r in rings], axis=0
+    )
+    sminx = np.minimum(segs[:, 0], segs[:, 2])[:, None]
+    smaxx = np.maximum(segs[:, 0], segs[:, 2])[:, None]
+    sminy = np.minimum(segs[:, 1], segs[:, 3])[:, None]
+    smaxy = np.maximum(segs[:, 1], segs[:, 3])[:, None]
+
+    zoom = max_zoom
+    while zoom > 0:
+        c0 = int(minx + (1 << 31)) >> (32 - zoom)
+        c1 = int(maxx + (1 << 31)) >> (32 - zoom)
+        r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
+        r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+        if (c1 - c0 + 1) <= base_axis and (r1 - r0 + 1) <= base_axis:
+            break
+        zoom -= 1
+    # Align to even zooms so every polygon shares the same level set
+    # ({…,8,10,12,14,16}) — the probe side then needs one cell id per
+    # SHARED level, not per polygon-specific level.
+    if zoom % 2 == 1:
+        zoom -= 1
+        c0 = int(minx + (1 << 31)) >> (32 - zoom)
+        c1 = int(maxx + (1 << 31)) >> (32 - zoom)
+        r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
+        r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+
+    cols = np.arange(c0, c1 + 1, dtype=np.int64)
+    rows = np.arange(r0, r1 + 1, dtype=np.int64)
+    cc, rr = np.meshgrid(cols, rows)
+    cur_c, cur_r = cc.ravel(), rr.ravel()
+
+    out_cells: list[np.ndarray] = []
+    out_codes: list[np.ndarray] = []
+    n_emitted = 0
+
+    while True:
+        extent = np.int64(1) << (32 - zoom)
+        cell_minx = (cur_c << (32 - zoom)) - (1 << 31)
+        cell_maxx = cell_minx + extent - 1
+        cell_maxy = (1 << 31) - 1 - (cur_r << (32 - zoom))
+        cell_miny = cell_maxy - extent + 1
+        touched = (
+            (cell_minx[None, :] <= smaxx)
+            & (cell_maxx[None, :] >= sminx)
+            & (cell_miny[None, :] <= smaxy)
+            & (cell_maxy[None, :] >= sminy)
+        ).any(axis=0)
+        cx = cell_minx.astype(np.float64) + extent / 2
+        cy = cell_miny.astype(np.float64) + extent / 2
+        inside = pip.points_in_polygon(cx, cy, rings)
+
+        interior = ~touched & inside
+        if interior.any():
+            out_cells.append(_cell_ids(zoom, cur_r[interior], cur_c[interior]))
+            out_codes.append(np.full(int(interior.sum()), INTERIOR, dtype=np.int8))
+            n_emitted += int(interior.sum())
+
+        bc, br = cur_c[touched], cur_r[touched]
+        if len(bc) == 0:
+            break
+        # Refine boundary cells in steps of 2 zooms (16 children), like the
+        # reference's default zoom-step tree — fewer distinct levels keeps
+        # the probe fan-out small (one probe row per level per point).
+        step = min(2, max_zoom - zoom)
+        if step <= 0 or n_emitted + (1 << (2 * step)) * len(bc) > max_cells:
+            out_cells.append(_cell_ids(zoom, br, bc))
+            out_codes.append(np.full(len(bc), BOUNDARY, dtype=np.int8))
+            break
+        k = 1 << step
+        offs = np.arange(k, dtype=np.int64)
+        dc, dr = np.meshgrid(offs, offs)
+        cur_c = (bc[:, None] * k + dc.ravel()[None, :]).ravel()
+        cur_r = (br[:, None] * k + dr.ravel()[None, :]).ravel()
+        zoom += step
+
+    cells = np.concatenate(out_cells) if out_cells else np.empty(0, dtype=np.int64)
+    codes = np.concatenate(out_codes) if out_codes else np.empty(0, dtype=np.int8)
+    order = np.argsort(cells)
+    return cells[order], codes[order]
+
+
 def prepare_polygon(
     poly_id: str,
     rings_blob: bytes,
-    max_tiles_per_axis: int = 256,
-    max_zoom: int = MAX_CLASSIFY_ZOOM,
+    max_tiles_per_axis: int = 64,
+    max_zoom: int = T.MAX_ZOOM,
 ) -> PreparedPolygon:
     """Classify grid cells into interior/boundary bands at an adaptive zoom.
 
@@ -148,9 +252,10 @@ def prepare_polygon(
             bands[t] = INTERIOR
     band_tiles = np.array(sorted(bands), dtype=np.int64)
     band_codes = np.array([bands[t] for t in band_tiles.tolist()], dtype=np.int8)
+    qt_cells, qt_codes = _quadtree_bands(rings, minx, miny, maxx, maxy)
     return PreparedPolygon(
         poly_id, rings, float(minx), float(miny), float(maxx), float(maxy),
-        zoom, band_tiles, band_codes,
+        zoom, band_tiles, band_codes, qt_cells, qt_codes,
     )
 
 
@@ -188,58 +293,76 @@ def contains_points(
     spark = points.sparkSession
     import pandas as pd_mod
 
-    # Broadcast band tables, one per classification zoom present.
+    # Broadcast band tables, one per quadtree zoom present (the zoom is
+    # packed in the high bits of the cell id).
     by_zoom: dict[int, list] = {}
     rings_by_poly = {p.poly_id: p.rings for p in prepared}
     for p in prepared:
-        for cell, code in zip(p.band_tiles.tolist(), p.band_codes.tolist()):
-            by_zoom.setdefault(p.zoom, []).append((cell, p.poly_id, int(code)))
+        zooms = (p.qt_cells >> 40).astype(np.int64)
+        for cell, code, z in zip(p.qt_cells.tolist(), p.qt_codes.tolist(), zooms.tolist()):
+            by_zoom.setdefault(int(z), []).append((cell, p.poly_id, int(code)))
 
     bc_rings = spark.sparkContext.broadcast(rings_by_poly)
-    results = []
-    for zoom, rows in by_zoom.items():
+
+    # The band table is query-compilation state (like the reference's
+    # cached matchers, MatcherCompiler.java:37-46) — build it once per
+    # (layer, session).
+    cache_key = (
+        tuple((p.poly_id, len(p.qt_cells)) for p in prepared),
+        id(spark),
+    )
+    cached = _BANDS_CACHE.get(cache_key)
+    if cached is not None:
+        bands_df = cached
+    else:
+        all_rows = [row for rows in by_zoom.values() for row in rows]
         bands_df = spark.createDataFrame(
-            pd_mod.DataFrame(rows, columns=["_band_cell", "poly_id", "_band"]),
+            pd_mod.DataFrame(all_rows, columns=["_band_cell", "poly_id", "_band"]),
             schema="_band_cell long, poly_id string, _band int",
-        )
-        cellz = (
+        ).cache()
+        _BANDS_CACHE[cache_key] = bands_df
+
+    # One exploded probe: the point's quadtree cell id at every zoom level
+    # present in the layer, joined once against the broadcast band table.
+    # All JVM (codegen explode + broadcast hash join); a quadtree leaf
+    # matches at most one zoom per polygon, so no duplicates arise.
+    def cell_expr(zoom: int):
+        return (
             F.lit(zoom << 40).cast("long")
             + F.shiftleft(T.row_from_y_col(F.col("y"), zoom).cast("long"), 20)
             + T.column_from_x_col(F.col("x"), zoom).cast("long")
         )
-        j = points.withColumn("_cell", cellz).join(
-            F.broadcast(bands_df), F.col("_cell") == bands_df._band_cell
-        )
-        interior = j.filter(F.col("_band") == INTERIOR).select(*keep, "poly_id")
-        boundary = j.filter(F.col("_band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
 
-        def exact(batches):
-            rings_map = bc_rings.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = pdf["x"].to_numpy(dtype=np.float64)
-                y = pdf["y"].to_numpy(dtype=np.float64)
-                hit = np.zeros(len(pdf), dtype=bool)
-                for poly_id, grp in pdf.groupby("poly_id", sort=False):
-                    idx = grp.index.to_numpy()
-                    pos = pdf.index.get_indexer(idx)
-                    hit[pos] = pip.points_in_polygon(x[pos], y[pos], rings_map[poly_id])
-                out = pdf.loc[hit, [*keep, "poly_id"]]
-                if len(out):
-                    yield out
+    zoom_list = sorted(by_zoom)
+    probe = points.withColumn(
+        "_cell", F.explode(F.array(*[cell_expr(z) for z in zoom_list]))
+    )
+    j = probe.join(F.broadcast(bands_df), F.col("_cell") == bands_df._band_cell)
+    interior = j.filter(F.col("_band") == INTERIOR).select(*keep, "poly_id")
+    boundary = j.filter(F.col("_band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
 
-        out_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in points.schema.fields
-            if f.name in keep
-        ) + ", poly_id string"
-        exact_hits = boundary.mapInPandas(exact, schema=out_schema)
-        results.append(interior.unionByName(exact_hits))
+    def exact(batches):
+        rings_map = bc_rings.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = pdf["x"].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            hit = np.zeros(len(pdf), dtype=bool)
+            for poly_id, grp in pdf.groupby("poly_id", sort=False):
+                pos = pdf.index.get_indexer(grp.index.to_numpy())
+                hit[pos] = pip.points_in_polygon(x[pos], y[pos], rings_map[poly_id])
+            out = pdf.loc[hit, [*keep, "poly_id"]]
+            if len(out):
+                yield out
 
-    matches = results[0]
-    for r in results[1:]:
-        matches = matches.unionByName(r)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema.fields
+        if f.name in keep
+    ) + ", poly_id string"
+    exact_hits = boundary.mapInPandas(exact, schema=out_schema)
+    matches = interior.unionByName(exact_hits)
     if not anti:
         return matches
     return points.select(*keep).join(
