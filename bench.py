@@ -129,12 +129,17 @@ def _hw_calibration(lo: int, hi: int) -> float:
 
 
 def _calib_work(_k):
+    # Single-threaded compute kernel (elementwise — numpy does NOT
+    # multithread these, unlike BLAS matmul which would saturate the box
+    # from 8 procs and make the ceiling unreadable).
     import numpy as np
 
-    a = np.random.default_rng(1).standard_normal((600, 600))
-    for _ in range(3):
-        a = a @ a.T / 600
-    return 0
+    x = np.linspace(0.0, 50.0, 400_000)
+    s = 0.0
+    for _ in range(10):
+        s += float(np.sin(x).sum() + np.sqrt(x + 1).sum())
+        x = x + 1e-6
+    return s
 
 
 def main():
