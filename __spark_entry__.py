@@ -642,10 +642,282 @@ def _q_images_flagship(spark, sf_dir):
     return joined.groupBy("poly_id").agg(F.count("*").alias("n_matches")).orderBy("poly_id")
 
 
+# --- multi-tile assignment + NW-flag dedup (north-rule core) ----------------
+
+def _q_tile_multitile(spark, sf_dir):
+    """Bbox features → pyramid placement with multi-tile duplication and
+    MULTITILE_WEST/NORTH flags (FeatureFlags.java:19-24, §1.2 dedup rule) —
+    fully JVM-side explode, no UDF."""
+    df = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    out = tiling.explode_bbox_tiles(df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy"))
+    return out.select(
+        "key",
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tile").cast("bigint").alias("tile"),
+        F.col("flags").cast("int").alias("flags"),
+    )
+
+
+def _sql_tile_multitile() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    span = lambda z: (
+        f"(floor((maxx + 2147483648) / {1 << (32 - z)}) - floor((minx + 2147483648) / {1 << (32 - z)}) < 2"
+        f" and floor((2147483647 - miny) / {1 << (32 - z)}) - floor((2147483647 - maxy) / {1 << (32 - z)}) < 2)"
+    )
+    zoom_case = "case " + " ".join(
+        f"when {span(z)} then {z}" for z in sorted(tiling.ZOOM_LEVELS, reverse=True)
+    ) + " else 0 end"
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select o_orderkey as key, x, y, {dx} as dx, {dy} as dy from pts),
+      box as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                     {box['miny']} as miny, {box['maxy']} as maxy from ext),
+      z as (select *, {zoom_case} as zoom from box),
+      g as (select *, cast(pow(2.0, 32 - zoom) as bigint) as step from z),
+      c as (select key, zoom,
+                   cast(floor((minx + 2147483648) / step) as bigint) as c0,
+                   cast(floor((maxx + 2147483648) / step) as bigint) as c1,
+                   cast(floor((2147483647 - maxy) / step) as bigint) as r0,
+                   cast(floor((2147483647 - miny) / step) as bigint) as r1
+            from g)
+      select key, cast(zoom as int) as zoom,
+             cast(zoom * 16777216 + (r0 + dr) * 4096 + (c0 + dc) as bigint) as tile,
+             cast(dc * 64 + dr * 128 as int) as flags
+      from c cross join (values (0, 0), (0, 1), (1, 0), (1, 1)) as d(dc, dr)
+      where (dc = 0 or c1 > c0) and (dr = 0 or r1 > r0)
+    """
+
+
+DEDUP_WIN = (
+    CAIRO_XY[0] - (1 << 24),
+    CAIRO_XY[1] - (1 << 24),
+    CAIRO_XY[0] + (1 << 25),
+    CAIRO_XY[1] + (1 << 24),
+)
+
+
+def _q_tile_window_dedup(spark, sf_dir):
+    """Exactly-once window query over multi-tile copies: tile-list pruning
+    (the tile-index walk) + NW-flag suppression + exact bbox test — each
+    intersecting feature emitted ONCE with no shuffle-distinct
+    (RTreeQueryTask.java:103-104, TileIndexWalker.java:251-284)."""
+    qminx, qminy, qmaxx, qmaxy = DEDUP_WIN
+    df = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    copies = tiling.explode_bbox_tiles(
+        df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy")
+    )
+    tiles = tiling.query_tile_list(qminx, qminy, qmaxx, qmaxy)
+    return (
+        copies.filter(F.col("tile").isin(tiles))
+        .filter(
+            (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+            & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
+        )
+        .filter(tiling.nw_dedup_filter(qminx, qmaxy))
+        .select("key")
+    )
+
+
+def _sql_tile_window_dedup() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    qminx, qminy, qmaxx, qmaxy = DEDUP_WIN
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select o_orderkey as key, x, y, {dx} as dx, {dy} as dy from pts),
+      box as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                     {box['miny']} as miny, {box['maxy']} as maxy from ext)
+      select key from box
+      where minx <= {qmaxx} and maxx >= {qminx} and miny <= {qmaxy} and maxy >= {qminy}
+    """
+
+
+def _q_raster_pixels(spark, sf_dir):
+    """Vector→raster binning (MapMaker analog, util/MapMaker.java:24-120):
+    per (z8 tile, 256×256 pixel) counts, pure JVM column arithmetic."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.rasterize_pixel_counts(df, zoom=8)
+
+
+_SQL_RASTER_PIXELS = f"""
+  with pts as ({_DERIVED_SQL})
+  select {tile_expr('x', 'y', 8)} as tile,
+         cast(floor((x + 2147483648) / 65536) % 256 as int) as px,
+         cast(floor((2147483647 - y) / 65536) % 256 as int) as py,
+         count(*) as n
+  from pts group by 1, 2, 3
+"""
+
+
+# --- line features vs rect polygon: predicate joins with exact SQL oracles --
+
+RECT = (
+    CAIRO_XY[0] - (1 << 27),
+    CAIRO_XY[1] - (1 << 26),
+    CAIRO_XY[0] + (1 << 27),
+    CAIRO_XY[1] + (1 << 26),
+)
+RECT_RING = np.array(
+    [
+        [RECT[0], RECT[1]],
+        [RECT[2], RECT[1]],
+        [RECT[2], RECT[3]],
+        [RECT[0], RECT[3]],
+        [RECT[0], RECT[1]],
+    ],
+    dtype=np.float64,
+)
+
+
+def _segment_features(spark, sf_dir):
+    """Short derived segments as line features (packed-geometry blobs)."""
+    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    segs = segs.select(
+        F.col("o_orderkey").alias("fid"),
+        F.col("x1").cast("int").alias("x1"), F.col("y1").cast("int").alias("y1"),
+        F.col("x2").cast("int").alias("x2"), F.col("y2").cast("int").alias("y2"),
+        F.least("x1", "x2").cast("int").alias("minx"),
+        F.least("y1", "y2").cast("int").alias("miny"),
+        F.greatest("x1", "x2").cast("int").alias("maxx"),
+        F.greatest("y1", "y2").cast("int").alias("maxy"),
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                pip.pack_rings(
+                    [np.array([[r.x1, r.y1], [r.x2, r.y2]], dtype=np.float64)]
+                )
+                for r in pdf.itertuples()
+            ]
+            out = pdf[["fid", "minx", "miny", "maxx", "maxy"]].copy()
+            out["gkind"] = "line"
+            out["geom"] = blobs
+            yield out
+
+    return segs.mapInPandas(
+        pack,
+        schema="fid long, minx int, miny int, maxx int, maxy int, gkind string, geom binary",
+    )
+
+
+def _q_line_intersects(spark, sf_dir):
+    """intersecting (IntersectsFilter.java:21-62) for line features vs the
+    rect polygon, three-band accelerated; oracle = exact SAT test."""
+    from geodesk_spark.operators import predicates
+
+    feats = _segment_features(spark, sf_dir)
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    out = predicates.spatial_predicate_join(feats, prepared, "intersects", keep_cols=["fid"])
+    return out.select("fid", "poly_id")
+
+
+def _seg_sql_base() -> str:
+    ddx, ddy = tables.segment_delta_exprs("o_orderkey")
+    return f"""
+      select o_orderkey as fid, x as x1, y as y1,
+             least(greatest(x + {ddx}, -2147483648), 2147483647) as x2,
+             least(greatest(y + {ddy}, -2147483648), 2147483647) as y2
+      from ({_DERIVED_SQL}) pts
+    """
+
+
+def _sql_line_intersects() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    # SAT for segment vs axis-aligned rect: bbox overlap on x/y axes plus
+    # rect projection onto the segment normal containing the line offset.
+    # Small deltas keep every product ≤ 2^51 → exact in both engines.
+    n_proj = lambda X, Y: f"((y1 - y2) * ({X}) + (x2 - x1) * ({Y}))"
+    corners = [n_proj(rx0, ry0), n_proj(rx1, ry0), n_proj(rx1, ry1), n_proj(rx0, ry1)]
+    c = "((y1 - y2) * x1 + (x2 - x1) * y1)"
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where least(x1, x2) <= {rx1} and greatest(x1, x2) >= {rx0}
+        and least(y1, y2) <= {ry1} and greatest(y1, y2) >= {ry0}
+        and least({', '.join(corners)}) <= {c}
+        and greatest({', '.join(corners)}) >= {c}
+    """
+
+
+def _q_line_within(spark, sf_dir):
+    """within (WithinFilter.java:17-79) for line features vs the rect."""
+    from geodesk_spark.operators import predicates
+
+    feats = _segment_features(spark, sf_dir)
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    out = predicates.spatial_predicate_join(feats, prepared, "within", keep_cols=["fid"])
+    return out.select("fid", "poly_id")
+
+
+def _sql_line_within() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    # Within a convex rect = bbox containment, minus segments lying wholly
+    # on an edge line (no interior point → not DE-9IM within).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where least(x1, x2) >= {rx0} and greatest(x1, x2) <= {rx1}
+        and least(y1, y2) >= {ry0} and greatest(y1, y2) <= {ry1}
+        and not ((x1 = x2 and (x1 = {rx0} or x1 = {rx1}))
+              or (y1 = y2 and (y1 = {ry0} or y1 = {ry1})))
+    """
+
+
+def _q_line_length(spark, sf_dir):
+    """length() in meters (StoredWay.java:189-209) over the packed-geometry
+    column; oracle mirrors Mercator.distance op-for-op."""
+    from geodesk_spark.operators import geometry_ops
+
+    feats = _segment_features(spark, sf_dir)
+    return geometry_ops.with_length_area(feats).select("fid", "length_m")
+
+
+def _sql_line_length() -> str:
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, {_dist_sql('x1', 'y1', 'x2', 'y2')} as length_m from segs
+    """
+
+
+def _q_goql_regex(spark, sf_dir):
+    """GOQL regex clauses ~ / !~ (MatcherParser.java:76-77): Java
+    Pattern.matches() full-match semantics."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    return feats.filter(compile_goql('*[type~"STANDARD.*"][brand!~".*#1[0-9]"]')).select(
+        F.col("p_partkey").alias("key")
+    )
+
+
+_SQL_GOQL_REGEX = """
+  select p_partkey as key from part
+  where regexp_full_match(p_type, 'STANDARD.*')
+    and not regexp_full_match(p_brand, '.*#1[0-9]')
+"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
+
+
 QUERIES: dict[str, tuple] = {
     # geospatial core
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "tile_pyramid_rollup": (_q_tile_pyramid, _SQL_TILE_PYRAMID),
+    "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
+    "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
+    "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
+    "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
+    "line_within_rect": (_q_line_within, _sql_line_within()),
+    "line_length_m": (_q_line_length, _sql_line_length()),
     "bbox_query": (_q_bbox, _SQL_BBOX),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "pip_join": (_q_pip, _SQL_PIP),
@@ -659,6 +931,7 @@ QUERIES: dict[str, tuple] = {
     # GOQL tag-query language
     "goql_select": (_q_goql_select, _SQL_GOQL_SELECT),
     "goql_union_absent": (_q_goql_union, _SQL_GOQL_UNION),
+    "goql_regex": (_q_goql_regex, _SQL_GOQL_REGEX),
     # relational / windows / events
     "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
@@ -677,6 +950,7 @@ QUERIES: dict[str, tuple] = {
     # similarity search
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check
+    "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
     # multimodal
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only

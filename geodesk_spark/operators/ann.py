@@ -79,6 +79,87 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     )
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3, sample: int = 2048, seed: int = 42) -> np.ndarray:
+    """Deterministic IVF codebook: k-means (Lloyd) on a fixed-id sample,
+    seeded from evenly spaced sample rows.  Driver-side numpy on a tiny
+    sample — the 10^12-scale path trains on a bounded sample too."""
+    rows = (
+        df.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 13 == 0)  # deterministic 1/13 sample
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = V[:: max(1, len(V) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for c in range(len(C)):
+            members = V[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are assigned to their nearest
+    centroid (one matmul per Arrow batch); each query scans only its
+    ``nprobe`` closest inverted lists and re-ranks exactly inside them.
+
+    At cluster scale the centroid id is a partition/cluster key, so a
+    probe touches nprobe/n_centroids of the data; the codebook is tiny
+    and broadcast.  Returns (query_id, vec_id, rank, score).
+    """
+    spark = df.sparkSession
+    Q, qids = _query_matrix(df, query_ids)
+    C = ivf_centroids(df, n_centroids=n_centroids, seed=seed)
+    probes = {qid: set(np.argsort(-(C @ Q[j]))[:nprobe].tolist()) for j, qid in enumerate(qids)}
+    bc = spark.sparkContext.broadcast((Q, qids, C, probes, k))
+
+    def scan(batches):
+        Qm, qid_list, Cm, pr, kk = bc.value
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            Vn = V / norms[:, None]
+            cent = np.argmax(Vn @ Cm.T, axis=1)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qid_list):
+                mask = np.isin(cent, list(pr[qid])) & (vec_ids != qid)
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                s = Vn[idx] @ Qm[j]
+                take = min(kk, len(idx))
+                part = np.argpartition(-s, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_v.extend(vec_ids[idx[part]].tolist())
+                out_s.extend(s[part].tolist())
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    cand = df.select("vec_id", "embedding").mapInPandas(
+        scan, schema="query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic hyperplanes via splitmix64-seeded Gaussian."""
     rng = np.random.default_rng(seed)

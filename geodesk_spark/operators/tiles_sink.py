@@ -98,6 +98,29 @@ def render_tiles(points: DataFrame, out_dir: str, tile_col: str = "tile_z8") -> 
     )
 
 
+def rasterize_pixel_counts(points: DataFrame, zoom: int = 8):
+    """Raster histogram as pure JVM column arithmetic: per (tile, px, py)
+    point counts at TILE_PX resolution — the same binning render_tiles
+    does in numpy, expressed so Catalyst codegens it (the scale path:
+    the file-writing sink consumes this rollup instead of raw points).
+
+    px = floor((x - leftX)/extent·256) = floor((x+2^31)/2^(24 at z8)) mod 256,
+    py likewise on the flipped-y axis (rows grow southward).
+    """
+    from pyspark.sql import functions as F
+
+    sub = 32 - zoom - 8  # bits per pixel cell
+    xs = F.col("x").cast("bigint") + (1 << 31)
+    yd = F.lit((1 << 31) - 1) - F.col("y").cast("bigint")
+    return (
+        points.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), zoom).cast("bigint"))
+        .withColumn("px", (F.shiftright(xs, sub) % 256).cast("int"))
+        .withColumn("py", (F.shiftright(yd, sub) % 256).cast("int"))
+        .groupBy("tile", "px", "py")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def rasterize_counts(points: DataFrame, tile_col: str = "tile_z8"):
     """Vector→raster aggregate without file IO: per-tile point counts
     (the partition-pruned rollup used by bench/lineage metrics)."""

@@ -63,3 +63,57 @@ def with_derived_points(df: DataFrame, key_col: str) -> DataFrame:
         .withColumn("x", F.expr(x_expr("lon")))
         .withColumn("y", F.expr(y_expr("lat")))
     )
+
+
+# --- derived bbox features (multi-tile assignment oracle) --------------------
+# Half-extents are powers of two from the key so features land on every
+# pyramid level {12,10,8,6,4} plus the oversized→root fallback; pure
+# integer/pow arithmetic, identical in Spark SQL and DuckDB.
+
+def half_extent_exprs(key: str) -> tuple[str, str]:
+    dx = f"cast(pow(2.0, 12 + ((({key}) * 37) % 18)) as bigint)"
+    dy = f"cast(pow(2.0, 12 + ((({key}) * 53) % 18)) as bigint)"
+    return dx, dy
+
+
+def box_exprs(x: str, y: str, dx: str, dy: str) -> dict[str, str]:
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    return {
+        "minx": f"greatest(({x}) - ({dx}), {lo})",
+        "maxx": f"least(({x}) + ({dx}), {hi})",
+        "miny": f"greatest(({y}) - ({dy}), {lo})",
+        "maxy": f"least(({y}) + ({dy}), {hi})",
+    }
+
+
+def with_derived_boxes(df: DataFrame, key_col: str) -> DataFrame:
+    """Derived bbox features: point ± power-of-two half-extents (clamped)."""
+    df = with_derived_points(df, key_col)
+    dx, dy = half_extent_exprs(key_col)
+    for name, sql in box_exprs("x", "y", dx, dy).items():
+        df = df.withColumn(name, F.expr(sql))
+    return df
+
+
+# --- derived segments (line-predicate + length oracles) ----------------------
+# Second endpoint = first + deterministic delta in [-2^24, 2^24); bounded
+# deltas keep every SQL-side cross product ≤ 2^58, exact in DuckDB int64
+# (the Spark-side kernel is exact regardless via the bigint fallback).
+
+def segment_delta_exprs(key: str) -> tuple[str, str]:
+    ddx = f"(((({key}) * 104729) % 33554432) - 16777216)"
+    ddy = f"(((({key}) * 130363) % 33554432) - 16777216)"
+    return ddx, ddy
+
+
+def with_derived_segments(df: DataFrame, key_col: str) -> DataFrame:
+    """Adds x1/y1 (derived point) and x2/y2 (short offset), clamped int32."""
+    df = with_derived_points(df, key_col)
+    ddx, ddy = segment_delta_exprs(key_col)
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    return (
+        df.withColumn("x1", F.col("x"))
+        .withColumn("y1", F.col("y"))
+        .withColumn("x2", F.expr(f"least(greatest(x + ({ddx}), {lo}), {hi})"))
+        .withColumn("y2", F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})"))
+    )

@@ -1,0 +1,78 @@
+"""Similarity search: brute-force exactness + LSH/IVF recall vs brute.
+
+The approximate paths (LSH hyperplane buckets, IVF inverted lists) trade
+candidates scanned for recall; the tests pin recall@k against the exact
+brute-force ranking on the driver-provided embeddings table.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from geodesk_spark.operators import ann
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+QUERY_IDS = [0, 3, 17, 42]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def _brute(emb_pdf, qid, k):
+    V = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pdf["vec_id"].to_numpy()
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    q = Vn[ids == qid][0]
+    s = Vn @ q
+    mask = ids != qid
+    order = sorted(np.nonzero(mask)[0], key=lambda i: (-s[i], ids[i]))
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_cosine_topk_exact(spark, emb):
+    got = ann.cosine_topk(emb, QUERY_IDS, k=K).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for qid in QUERY_IDS:
+        expect = _brute(pdf, qid, K)
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert rows["vec_id"].tolist() == expect, f"query {qid}"
+
+
+def test_ivf_recall(spark, emb):
+    # Synthetic embeddings are near-uniform on the sphere, so recall tracks
+    # the probed fraction; nprobe=8/16 (half the lists) must beat it clearly.
+    got = ann.ivf_topk(emb, QUERY_IDS, k=K, n_centroids=16, nprobe=8).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    recalls = []
+    for qid in QUERY_IDS:
+        expect = set(_brute(pdf, qid, K))
+        have = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recalls.append(len(expect & have) / K)
+    assert np.mean(recalls) >= 0.6, f"IVF mean recall@{K} too low: {recalls}"
+
+
+def test_lsh_beats_random_scan(spark, emb):
+    """Hyperplane LSH must recall clearly more than a random scan of the
+    same candidate fraction would (the honest bar for near-uniform data)."""
+    n_planes = 6
+    qids = [0, 3, 17, 42, 55, 81, 123, 200]
+    got = ann.lsh_topk(emb, qids, k=K, n_planes=n_planes).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    # probed fraction ≈ (n_planes+1) buckets / 2^n_planes
+    probed_frac = (n_planes + 1) / (1 << n_planes)
+    recalls = []
+    for qid in qids:
+        expect = set(_brute(pdf, qid, K))
+        have = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recalls.append(len(expect & have) / K)
+    assert np.mean(recalls) >= 1.5 * probed_frac, (
+        f"LSH recall {np.mean(recalls):.2f} not better than 1.5× random "
+        f"({probed_frac:.2f} of data probed): {recalls}"
+    )
