@@ -772,11 +772,10 @@ RECT_RING = np.array(
 )
 
 
-def _segment_features(spark, sf_dir):
-    """Short derived segments as line features (packed-geometry blobs)."""
-    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+def _pack_line_features(segs: DataFrame) -> DataFrame:
+    """(fid, x1, y1, x2, y2) → line features with packed-geometry blobs."""
     segs = segs.select(
-        F.col("o_orderkey").alias("fid"),
+        "fid",
         F.col("x1").cast("int").alias("x1"), F.col("y1").cast("int").alias("y1"),
         F.col("x2").cast("int").alias("x2"), F.col("y2").cast("int").alias("y2"),
         F.least("x1", "x2").cast("int").alias("minx"),
@@ -786,8 +785,6 @@ def _segment_features(spark, sf_dir):
     )
 
     def pack(batches):
-        import pandas as pd
-
         for pdf in batches:
             blobs = [
                 pip.pack_rings(
@@ -801,6 +798,49 @@ def _segment_features(spark, sf_dir):
             yield out
 
     return segs.mapInPandas(
+        pack,
+        schema="fid long, minx int, miny int, maxx int, maxy int, gkind string, geom binary",
+    )
+
+
+def _segment_features(spark, sf_dir):
+    """Derived segments as line features (packed-geometry blobs)."""
+    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    return _pack_line_features(segs.withColumn("fid", F.col("o_orderkey")))
+
+
+def _box_features(spark, sf_dir):
+    """Derived bboxes as axis-aligned polygon features (rect rings)."""
+    boxes = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    boxes = boxes.select(
+        F.col("o_orderkey").alias("fid"),
+        F.col("minx").cast("int").alias("minx"), F.col("miny").cast("int").alias("miny"),
+        F.col("maxx").cast("int").alias("maxx"), F.col("maxy").cast("int").alias("maxy"),
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            blobs = [
+                pip.pack_rings(
+                    [
+                        np.array(
+                            [
+                                [r.minx, r.miny], [r.maxx, r.miny],
+                                [r.maxx, r.maxy], [r.minx, r.maxy],
+                                [r.minx, r.miny],
+                            ],
+                            dtype=np.float64,
+                        )
+                    ]
+                )
+                for r in pdf.itertuples()
+            ]
+            out = pdf[["fid", "minx", "miny", "maxx", "maxy"]].copy()
+            out["gkind"] = "polygon"
+            out["geom"] = blobs
+            yield out
+
+    return boxes.mapInPandas(
         pack,
         schema="fid long, minx int, miny int, maxx int, maxy int, gkind string, geom binary",
     )
@@ -885,6 +925,172 @@ def _sql_line_length() -> str:
     """
 
 
+def _line_pred_query(pred: str):
+    def q(spark, sf_dir):
+        from geodesk_spark.operators import predicates
+
+        feats = _segment_features(spark, sf_dir)
+        prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+        return predicates.spatial_predicate_join(feats, prepared, pred, keep_cols=["fid"]).select(
+            "fid", "poly_id"
+        )
+
+    q.__doc__ = f"{pred} predicate join (filter/*.java) for line features vs the rect polygon."
+    return q
+
+
+def _rect_ring(rect) -> np.ndarray:
+    rx0, ry0, rx1, ry1 = rect
+    return np.array(
+        [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1], [rx0, ry0]], dtype=np.float64
+    )
+
+
+def _box_pred_query(pred: str, rect=None):
+    def q(spark, sf_dir):
+        from geodesk_spark.operators import predicates
+
+        r = rect or RECT
+        feats = _box_features(spark, sf_dir)
+        prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([_rect_ring(r)]))]
+        return predicates.spatial_predicate_join(feats, prepared, pred, keep_cols=["fid"]).select(
+            "fid", "poly_id"
+        )
+
+    q.__doc__ = f"{pred} predicate join for axis-aligned polygon features vs the rect."
+    return q
+
+
+def _seg_sat(strict: bool) -> str:
+    """Separating-axis test for segment vs the rect (closed or open form)."""
+    rx0, ry0, rx1, ry1 = RECT
+    lt, gt = ("<", ">") if strict else ("<=", ">=")
+    n_proj = lambda X, Y: f"((y1 - y2) * ({X}) + (x2 - x1) * ({Y}))"
+    corners = [n_proj(rx0, ry0), n_proj(rx1, ry0), n_proj(rx1, ry1), n_proj(rx0, ry1)]
+    c = "((y1 - y2) * x1 + (x2 - x1) * y1)"
+    return (
+        f"least(x1, x2) {lt} {rx1} and greatest(x1, x2) {gt} {rx0}"
+        f" and least(y1, y2) {lt} {ry1} and greatest(y1, y2) {gt} {ry0}"
+        f" and least({', '.join(corners)}) {lt} {c}"
+        f" and greatest({', '.join(corners)}) {gt} {c}"
+    )
+
+
+def _seg_contained() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    return (
+        f"least(x1, x2) >= {rx0} and greatest(x1, x2) <= {rx1}"
+        f" and least(y1, y2) >= {ry0} and greatest(y1, y2) <= {ry1}"
+    )
+
+
+def _sql_line_crosses() -> str:
+    # crosses = interior intersection (strict SAT) while part of the
+    # segment stays outside (not contained in the closed rect).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where ({_seg_sat(True)}) and not ({_seg_contained()})
+    """
+
+
+def _sql_line_coveredby() -> str:
+    # coveredBy a convex rect = bbox containment (on-edge segments count,
+    # unlike within).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where {_seg_contained()}
+    """
+
+
+def _sql_line_disjoint() -> str:
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where not ({_seg_sat(False)})
+    """
+
+
+def _q_line_touches(spark, sf_dir):
+    """touching (TouchesFilter.java:28-57): segments built to end exactly ON
+    the rect's left edge line from outside — touch iff the endpoint lies
+    within the edge's y-range."""
+    rx0 = RECT[0]
+    df = tables.with_derived_points(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    ddx, ddy = tables.segment_delta_exprs("o_orderkey")
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    segs = df.select(
+        F.col("o_orderkey").alias("fid"),
+        F.expr(f"{rx0} - 1 - abs({ddx})").alias("x1"),
+        F.col("y").alias("y1"),
+        F.lit(rx0).alias("x2"),
+        F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})").alias("y2"),
+    )
+    from geodesk_spark.operators import predicates
+
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    return predicates.spatial_predicate_join(
+        _pack_line_features(segs), prepared, "touches", keep_cols=["fid"]
+    ).select("fid", "poly_id")
+
+
+def _sql_line_touches() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    _, ddy = tables.segment_delta_exprs("o_orderkey")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      segs as (select o_orderkey as fid,
+                      least(greatest(y + ({ddy}), {-(1 << 31)}), {(1 << 31) - 1}) as y2
+               from pts)
+      select fid, 'rect' as poly_id from segs
+      where y2 between {ry0} and {ry1}
+    """
+
+
+def _box_sql_base() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    return f"""
+      select o_orderkey as fid, {box['minx']} as minx, {box['maxx']} as maxx,
+             {box['miny']} as miny, {box['maxy']} as maxy
+      from (select o_orderkey, x, y, {dx} as dx, {dy} as dy from ({_DERIVED_SQL}) p) e
+    """
+
+
+# Small rect: the containment target (big boxes rarely swallow RECT).
+SMALL_RECT = (
+    CAIRO_XY[0] - (1 << 23),
+    CAIRO_XY[1] - (1 << 22),
+    CAIRO_XY[0] + (1 << 23),
+    CAIRO_XY[1] + (1 << 22),
+)
+
+
+def _sql_box_pred(pred: str, rect=None) -> str:
+    rx0, ry0, rx1, ry1 = rect or RECT
+    b_in_r = f"(minx >= {rx0} and maxx <= {rx1} and miny >= {ry0} and maxy <= {ry1})"
+    r_in_b = f"({rx0} >= minx and {rx1} <= maxx and {ry0} >= miny and {ry1} <= maxy)"
+    overlap = f"(minx <= {rx1} and maxx >= {rx0} and miny <= {ry1} and maxy >= {ry0})"
+    strict = f"(minx < {rx1} and maxx > {rx0} and miny < {ry1} and maxy > {ry0})"
+    # kernel `contains` needs a rect vertex STRICTLY inside the box
+    corner_strict = " or ".join(
+        f"(minx < {cx} and {cx} < maxx and miny < {cy} and {cy} < maxy)"
+        for cx, cy in [(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)]
+    )
+    conds = {
+        "intersects": overlap,
+        "within": b_in_r,
+        "contains": f"{r_in_b} and ({corner_strict})",
+        "overlaps": f"{strict} and not {b_in_r} and not ({r_in_b} and ({corner_strict}))",
+    }
+    return f"""
+      with box as ({_box_sql_base()})
+      select fid, 'rect' as poly_id from box
+      where {conds[pred]}
+    """
+
+
 def _q_goql_regex(spark, sf_dir):
     """GOQL regex clauses ~ / !~ (MatcherParser.java:76-77): Java
     Pattern.matches() full-match semantics."""
@@ -917,6 +1123,17 @@ QUERIES: dict[str, tuple] = {
     "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_within_rect": (_q_line_within, _sql_line_within()),
+    "line_crosses_rect": (_line_pred_query("crosses"), _sql_line_crosses()),
+    "line_coveredby_rect": (_line_pred_query("covered_by"), _sql_line_coveredby()),
+    "line_disjoint_rect": (_line_pred_query("disjoint"), _sql_line_disjoint()),
+    "line_touches_rect": (_q_line_touches, _sql_line_touches()),
+    "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
+    "box_within_rect": (_box_pred_query("within"), _sql_box_pred("within")),
+    "box_contains_rect": (
+        _box_pred_query("contains", SMALL_RECT),
+        _sql_box_pred("contains", SMALL_RECT),
+    ),
+    "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "bbox_query": (_q_bbox, _SQL_BBOX),
     "distance_filter": (_q_distance, _SQL_DISTANCE),

@@ -71,8 +71,11 @@ def with_derived_points(df: DataFrame, key_col: str) -> DataFrame:
 # integer/pow arithmetic, identical in Spark SQL and DuckDB.
 
 def half_extent_exprs(key: str) -> tuple[str, str]:
+    # Moduli 18 and 17 are coprime so the (dx, dy) exponent pair cycles
+    # through all 306 combinations (37 ≡ 1 and 53 ≡ -1 mod 18 would
+    # otherwise anti-correlate the axes and starve large-square features).
     dx = f"cast(pow(2.0, 12 + ((({key}) * 37) % 18)) as bigint)"
-    dy = f"cast(pow(2.0, 12 + ((({key}) * 53) % 18)) as bigint)"
+    dy = f"cast(pow(2.0, 12 + ((({key}) * 53) % 17)) as bigint)"
     return dx, dy
 
 
