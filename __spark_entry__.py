@@ -591,6 +591,32 @@ _SQL_JACCARD = f"""
 """
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4)
+
+
+def _embedding_neardup_sql() -> str:
+    bkt = " + ".join(
+        f"(case when e[{i + 1}] >= 0 then {1 << i} else 0 end)" for i in range(4)
+    )
+    return f"""
+      with base as (
+        select vec_id as id, embedding as e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)))) as nrm
+        from embeddings),
+      wb as (select *, {bkt} as bkt from base),
+      p as (
+        select a.id as id_a, b.id as id_b,
+               round(list_sum(list_transform(range(1, len(a.e) + 1),
+                     i -> cast(a.e[i] as double) * cast(b.e[i] as double)))
+                     / (a.nrm * b.nrm), 6) as cosine
+        from wb a join wb b on a.bkt = b.bkt and a.id < b.id)
+      select id_a, id_b, cosine from p where cosine >= 0.40
+    """
+
+
 def _q_ann_cosine(spark, sf_dir):
     e = tables.load(spark, sf_dir, "embeddings")
     return ann.cosine_topk(e, ANN_QUERY_IDS, k=ANN_K)
@@ -1164,6 +1190,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
+    "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
     # similarity search
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check

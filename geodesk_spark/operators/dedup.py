@@ -175,3 +175,58 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, text_col: str = "
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.40,
+    sign_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cosine) with
+    cosine ≥ threshold, id_a < id_b.
+
+    Candidate generation is deterministic sign-LSH: bucket = the packed
+    signs of the first `sign_dims` dimensions (axis-aligned hyperplanes).
+    Vectors only pair within a bucket — the self-join is an equi-join on
+    the bucket key, never all-pairs, so at 100 TB the shuffle moves each
+    row once and the quadratic step is confined to ~n/2^sign_dims-sized
+    buckets (raise sign_dims as density grows; a hot bucket is the skew
+    signal for operators/skew.py).  Exact cosine (zip_with product →
+    aggregate sum, all JVM higher-order functions — no Python) filters
+    the candidates.  Cosine is rounded to 6 decimals before the
+    threshold test so the DuckDB oracle lands on the same side.
+    """
+    emb = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    bucket = None
+    for i in range(sign_dims):
+        bit = F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    base = df.select(
+        F.col(id_col).alias("id"),
+        emb.alias("e"),
+        norm.alias("nrm"),
+        bucket.cast("int").alias("bkt"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"), "bkt"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"), "bkt"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

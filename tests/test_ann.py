@@ -76,3 +76,26 @@ def test_lsh_beats_random_scan(spark, emb):
         f"LSH recall {np.mean(recalls):.2f} not better than 1.5× random "
         f"({probed_frac:.2f} of data probed): {recalls}"
     )
+
+
+def test_embedding_neardup_pairs_matches_brute(spark, emb):
+    """Sign-LSH blocked cosine near-dup == numpy brute force with the
+    identical blocking (both sides round cosine to 6 decimals)."""
+    from geodesk_spark.operators import dedup
+
+    thr, sd = 0.30, 4
+    got = dedup.embedding_neardup_pairs(emb, threshold=thr, sign_dims=sd).toPandas()
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(V, axis=1)
+    bkt = (V[:, :sd] >= 0) @ (1 << np.arange(sd))
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and bkt[i] == bkt[j]:
+                c = round(float(V[i] @ V[j] / (nrm[i] * nrm[j])), 6)
+                if c >= thr:
+                    want.add((int(ids[i]), int(ids[j])))
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert len(want) > 0
