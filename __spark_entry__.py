@@ -133,6 +133,28 @@ _SQL_BBOX = f"""
 """
 
 
+def _q_bbox_antimeridian(spark, sf_dir):
+    """Antimeridian-crossing box (Box.java:16-19,76-79): minx > maxx →
+    disjunctive x-test, still a pushed-down scan filter."""
+    df = tables.with_derived_points(tables.load(spark, sf_dir, "customer"), "c_custkey")
+    qminx, qminy, qmaxx, qmaxy = (1 << 30), -(1 << 29), -(1 << 30), 1 << 29
+    out = spatial_join.bbox_query(df, qminx, qminy, qmaxx, qmaxy)
+    return out.select(F.col("c_custkey").alias("key")).orderBy("key")
+
+
+_SQL_BBOX_ANTIMERIDIAN = f"""
+  with pts as (
+    select c_custkey as key,
+           {x_expr(lon_expr("c_custkey"))} as x,
+           {y_expr(lat_expr("c_custkey"))} as y
+    from customer)
+  select key from pts
+  where (x >= {1 << 30} or x <= {-(1 << 30)})
+    and y >= {-(1 << 29)} and y <= {1 << 29}
+  order by key
+"""
+
+
 def _q_distance(spark, sf_dir):
     """maxMetersFromLonLat radius filter (PointDistanceFilter.java:28-122)."""
     df = _derived_orders(spark, sf_dir)
@@ -1162,6 +1184,7 @@ QUERIES: dict[str, tuple] = {
     "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "bbox_query": (_q_bbox, _SQL_BBOX),
+    "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "pip_join": (_q_pip, _SQL_PIP),
     "knn_cellring": (_q_knn, _knn_sql()),

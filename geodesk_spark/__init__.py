@@ -24,4 +24,5 @@ numpy/Arrow via pandas UDFs — no per-row Python in any hot path.
 
 __version__ = "0.1.0"
 
+from geodesk_spark.features import Features  # noqa: F401
 from geodesk_spark.session import get_spark  # noqa: F401

@@ -394,8 +394,14 @@ def within_distance(
 
 def bbox_query(points: DataFrame, qminx: int, qminy: int, qmaxx: int, qmaxy: int) -> DataFrame:
     """``in(bbox)`` for point features (WorldView.java:73-76): pure filter —
-    Catalyst pushes it into the scan, tile partition pruning applies."""
-    return points.filter(
-        (F.col("x") >= qminx) & (F.col("x") <= qmaxx)
-        & (F.col("y") >= qminy) & (F.col("y") <= qmaxy)
-    )
+    Catalyst pushes it into the scan, tile partition pruning applies.
+
+    Antimeridian-aware (Box.java:16-19, 76-79): minx > maxx denotes a box
+    crossing the 180° meridian and the x-test becomes the disjunction
+    ``x >= minx OR x <= maxx`` — both arms are still scan-pushable range
+    predicates (two row-group intervals instead of one)."""
+    if qminx <= qmaxx:
+        xtest = (F.col("x") >= qminx) & (F.col("x") <= qmaxx)
+    else:
+        xtest = (F.col("x") >= qminx) | (F.col("x") <= qmaxx)
+    return points.filter(xtest & (F.col("y") >= qminy) & (F.col("y") <= qmaxy))

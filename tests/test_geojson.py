@@ -1,0 +1,94 @@
+"""GeoJSON polygon-layer source/sink: round-trip fidelity and PIP
+agreement with the packed synthetic layer."""
+
+import numpy as np
+
+from geodesk_spark.geo import pip
+from geodesk_spark.sources import geojson, synth
+
+
+def test_roundtrip_preserves_pip_results():
+    """synth layer → GeoJSON → load: the reloaded layer classifies a
+    random point cloud identically (precision-7 GeoJSON coordinates
+    re-project to imp within the kernel's tolerance — the same
+    divergence budget the reference accepts for its 100-nd round trip,
+    MercatorTest.java:245-291)."""
+    layer = synth.polygon_layer()
+    fc = geojson.dump_polygon_layer(layer)
+    back = geojson.load_polygon_layer(fc, id_prop="id")
+    assert [p["poly_id"] for p in back] == [p["poly_id"] for p in layer]
+    assert [p["layer"] for p in back] == [p["layer"] for p in layer]
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(-(1 << 31), (1 << 31) - 1, 4000).astype(np.float64)
+    ys = rng.integers(-(1 << 30), (1 << 30) - 1, 4000).astype(np.float64)
+    diff = 0
+    for p0, p1 in zip(layer, back):
+        r0 = pip.points_in_polygon(xs, ys, pip.unpack_rings(p0["rings"]))
+        r1 = pip.points_in_polygon(xs, ys, pip.unpack_rings(p1["rings"]))
+        diff += int(np.sum(r0 != r1))
+    # re-projection moves ring vertices by <1 imp; only points exactly on
+    # an edge can flip — none of 4000 random points should
+    assert diff == 0
+
+
+def test_multipolygon_and_holes():
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": "mp", "layer": "adm"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        # part 0: square with a hole
+                        [
+                            [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                            [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+                        ],
+                        # part 1: distant square
+                        [[[20, 20], [25, 20], [25, 25], [20, 25], [20, 20]]],
+                    ],
+                },
+            }
+        ],
+    }
+    layer = geojson.load_polygon_layer(fc)
+    assert [p["poly_id"] for p in layer] == ["mp#0", "mp#1"]
+
+    from geodesk_spark.geo import mercator
+
+    def at(lon, lat):
+        return (
+            float(mercator.x_from_lon(np.array([lon]))[0]),
+            float(mercator.y_from_lat(np.array([lat]))[0]),
+        )
+
+    inside = at(2.0, 2.0)
+    in_hole = at(5.0, 5.0)
+    outside = at(15.0, 15.0)
+    xs = np.array([inside[0], in_hole[0], outside[0]])
+    ys = np.array([inside[1], in_hole[1], outside[1]])
+    got = pip.points_in_polygon(xs, ys, pip.unpack_rings(layer[0]["rings"]))
+    assert got.tolist() == [True, False, False]
+
+
+def test_unclosed_ring_tolerated():
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": "u"},
+                "geometry": {
+                    "type": "Polygon",
+                    # NOT closed — loader must close it
+                    "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10]]],
+                },
+            }
+        ],
+    }
+    layer = geojson.load_polygon_layer(fc)
+    rings = pip.unpack_rings(layer[0]["rings"])
+    assert np.array_equal(rings[0][0], rings[0][-1])
