@@ -668,6 +668,40 @@ def _q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(e, ANN_QUERY_IDS, k=ANN_K).select("query_id", "vec_id", "rank")
 
 
+def _q_polygon_assembly(spark, sf_dir):
+    """Multipolygon assembly (PolygonBuilder.java:162-250): deterministic
+    relations built by chopping the synthetic polygon layer's rings into
+    shuffled/reversed member runs, reassembled distributed by rel_id.
+    Not SQL-expressible (endpoint-chaining) — rows-only check; pytest
+    pins PIP-equivalence vs the original rings (tests/test_polygons.py)."""
+    import numpy as np
+
+    from geodesk_spark.operators import polygons as polys_mod
+
+    rng = np.random.default_rng(13)
+    member_rows, wn_rows = [], []
+    wid = 0
+    for rel_id, poly in enumerate(synth.polygon_layer()):
+        for ring in pip.unpack_rings(poly["rings"]):
+            k = len(ring) - 1
+            n_chunks = min(3, max(1, k - 2))
+            cuts = sorted(rng.choice(np.arange(1, k), size=n_chunks - 1, replace=False)) if n_chunks > 1 else []
+            bounds = [0, *cuts, k]
+            runs = [ring[bounds[i]: bounds[i + 1] + 1] for i in range(n_chunks)]
+            rng.shuffle(runs)
+            for r in runs:
+                if rng.random() < 0.5:
+                    r = r[::-1]
+                member_rows.append((rel_id, wid, "outer"))
+                for s_i, (x, y) in enumerate(r):
+                    wn_rows.append((wid, s_i, int(x), int(y)))
+                wid += 1
+    members = spark.createDataFrame(member_rows, "rel_id long, member_id long, role string")
+    way_nodes = spark.createDataFrame(wn_rows, "way_id long, seq int, x int, y int")
+    out = polys_mod.assemble_relation_polygons(members, way_nodes)
+    return out.select("rel_id", "n_parts", "n_rings", "valid", "minx", "miny", "maxx", "maxy").orderBy("rel_id")
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -1218,6 +1252,8 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check
     "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
+    # polygon assembly (PolygonBuilder)
+    "polygon_assembly": (_q_polygon_assembly, None),  # algorithmic — rows-only; pytest pins PIP parity
     # multimodal
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
