@@ -326,6 +326,72 @@ _SQL_EVENTS_HOURLY = """
 """
 
 
+def _q_stream_windowed(spark, sf_dir):
+    """Structured Streaming parity: the events table drains through a
+    watermarked 15-minute windowed aggregation in SEVERAL micro-batches
+    (maxFilesPerTrigger=2, AvailableNow) into a foreachBatch upsert log;
+    the reduced log (latest batch_id per key) must equal the plain batch
+    GROUP BY — which is exactly what the DuckDB oracle computes.  Proves
+    exactly-once update-mode semantics end-to-end, not just on toy data."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    e = tables.load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gds_stream_")
+    try:
+        indir = f"{tmp}/in"
+        e.repartition(8).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        # watermarks need an instant (TIMESTAMP); parquet NTZ face value
+        # in the UTC session is the same instant
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            # files arrive in arbitrary order, so the parity drain uses a
+            # watermark wider than the table's time span (no drops); the
+            # late-drop path is pinned in tests/test_streaming.py
+            sdf.withWatermark("ts", "90 days")
+            .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(agg, out, ck, "update")
+        log = spark.read.parquet(out)
+        w = Window.partitionBy("win_start", "event_type").orderBy(F.col("batch_id").desc())
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("win_start", "event_type", "n", "sum_value")
+            .orderBy("win_start", "event_type")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_WINDOWED = """
+  select strftime(to_timestamp(floor(epoch(ts) / 900) * 900), '%Y-%m-%d %H:%M') as win_start,
+         event_type, count(*) as n,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from events group by 1, 2
+  order by win_start, event_type
+"""
+
+
 def _q_graph_members(spark, sf_dir):
     """membersOf analog (StoredRelation.java:168-192): relation→members
     equi-join with a role filter."""
@@ -1237,6 +1303,7 @@ QUERIES: dict[str, tuple] = {
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     # text analysis
     "text_token_count": (_q_token_count, _SQL_TOKEN_COUNT),
     "text_quality": (_q_quality, _SQL_QUALITY),
