@@ -180,9 +180,12 @@ class Features:
         return self._with(out)
 
     def parents_of(self) -> "Features":
+        """Parent relations AND parent ways (the reference's node.parents()
+        returns both, StoredNode.java:94-127 + ParentRelationView)."""
         self._need_edges()
-        out = graph.parents_of(self._df, self._members, self._all_features())
-        return self._with(out)
+        rels = graph.parents_of(self._df, self._members, self._all_features())
+        ways = graph.parent_ways_of(self._df, self._way_nodes, self._all_features())
+        return self._with(rels.unionByName(ways).dropDuplicates(["fid"]))
 
     def nodes_of(self, tagged_only: bool = False) -> "Features":
         self._need_edges()

@@ -43,6 +43,28 @@ def parents_of(feature_ids: DataFrame, members: DataFrame, relations: DataFrame)
     return relations.join(hits, relations.fid == hits.rel_id, "left_semi")
 
 
+def parent_ways_of(node_features: DataFrame, way_nodes: DataFrame,
+                   features: DataFrame) -> DataFrame:
+    """Parent WAYS of the given nodes: a way is a parent iff its geometry
+    contains the node's exact integer vertex (StoredNode.java:94-127,
+    ParentWayFilter:153-165) — an equi-join on packed XY, same key as
+    connectedTo (XY.java:26-30).  The node side is typically tiny
+    (a view refinement), so it broadcasts."""
+    xy = (F.col("y").cast("long") * F.lit(1 << 32) + F.col("x").cast("long")).alias("xy")
+    nodes = (
+        node_features.filter(F.col("ftype") == "node")
+        .select(xy)
+        .distinct()
+    )
+    hit_ways = (
+        way_nodes.select("way_id", xy)
+        .join(F.broadcast(nodes), "xy")
+        .select("way_id")
+        .distinct()
+    )
+    return features.join(hit_ways, features.fid == hit_ways.way_id, "left_semi")
+
+
 def nodes_of(way_ids: DataFrame, way_nodes: DataFrame, nodes: DataFrame | None = None,
              tagged_only: bool = False) -> DataFrame:
     """A way's nodes in sequence order; anonymous geometry nodes have

@@ -23,15 +23,15 @@ def feats(spark):
 def world(spark):
     feats = spark.createDataFrame(
         [
-            (1, "relation", False, {"type": "route"}),
-            (2, "relation", False, {"type": "multipolygon"}),
-            (10, "way", False, {"highway": "primary"}),
-            (11, "way", False, {"highway": "track"}),
-            (12, "way", True, {"building": "yes"}),
-            (20, "node", False, {"amenity": "pub"}),
-            (21, "node", False, {}),
+            (1, "relation", False, {"type": "route"}, 0, 0),
+            (2, "relation", False, {"type": "multipolygon"}, 0, 0),
+            (10, "way", False, {"highway": "primary"}, 200, 200),
+            (11, "way", False, {"highway": "track"}, 350, 350),
+            (12, "way", True, {"building": "yes"}, 900, 900),
+            (20, "node", False, {"amenity": "pub"}, 100, 100),
+            (21, "node", False, {}, 400, 400),
         ],
-        "fid long, ftype string, is_area boolean, tags map<string,string>",
+        "fid long, ftype string, is_area boolean, tags map<string,string>, x int, y int",
     )
     members = spark.createDataFrame(
         [
@@ -156,6 +156,13 @@ def test_graph_navigation(spark, world):
     # parents: way 12's parent relation is 2
     got = [r["fid"] for r in v.way(12).parents_of().df.collect()]
     assert got == [2]
+    # node parents include BOTH the relation (membership) and the way
+    # whose geometry holds the node's exact vertex (StoredNode.java:94-127)
+    got = sorted(r["fid"] for r in v.node(20).parents_of().df.collect())
+    assert got == [1, 10]
+    # node 21 sits at way 11's vertex (400,400) but is in no relation
+    got = sorted(r["fid"] for r in v.node(21).parents_of().df.collect())
+    assert got == [11]
     # nodes of way 10 (tagged only → node 20)
     got = [r["node_id"] for r in v.way(10).nodes_of(tagged_only=True).df.collect()]
     assert got == [20]
