@@ -16,8 +16,8 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from geodesk_spark.geo import mercator, pip, tile as T
-from geodesk_spark.operators import ann, dedup, images, knn as knn_mod, spatial_join, text, tiling
+from geodesk_spark.geo import heading as H, mercator, pip, tile as T
+from geodesk_spark.operators import ann, dedup, images, knn as knn_mod, skew, spatial_join, text, tiling
 from geodesk_spark.sources import synth, tables
 from geodesk_spark.sources.tables import lat_expr, lon_expr, tile_expr, x_expr, y_expr
 
@@ -110,6 +110,68 @@ _SQL_TILE_PYRAMID = f"""
   with pts as ({_DERIVED_SQL})
   select {tile_expr('x', 'y', 8)} as tile_z8, count(*) as n
   from pts group by 1
+"""
+
+
+def _q_heading_rollup(spark, sf_dir):
+    """Compass heading (geom/Heading.java:20-60): 8-point heading from
+    Cairo to every customer point, rolled up — pure Column trig."""
+    df = tables.with_derived_points(tables.load(spark, sf_dir, "customer"), "c_custkey")
+    dx = F.col("x") - F.lit(CAIRO_XY[0])
+    dy = F.col("y") - F.lit(CAIRO_XY[1])
+    return (
+        df.withColumn("compass", H.heading_col(dx, dy))
+        .groupBy("compass")
+        .agg(F.count("*").alias("n"))
+        .orderBy("compass")
+    )
+
+
+def _heading_sql() -> str:
+    expr = H.heading_sql(f"x - ({CAIRO_XY[0]})", f"y - ({CAIRO_XY[1]})")
+    return f"""
+      with pts as (
+        select {x_expr(lon_expr("c_custkey"))} as x,
+               {y_expr(lat_expr("c_custkey"))} as y
+        from customer)
+      select {expr} as compass, count(*) as n from pts
+      group by 1 order by 1
+    """
+
+
+def _q_skew_salted_rollup(spark, sf_dir):
+    """Skew machinery parity: hot z8 tiles are salted
+    (operators/skew.salt_hot_tiles) and aggregated in two stages
+    (partial per (tile, salt), merge per tile) — the merged result must
+    value-hash-match the direct GROUP BY the oracle computes.  Proves
+    salting changes the PLAN (no hot key exceeds rows_per_partition),
+    never the answer."""
+    li = tables.with_derived_points(tables.load(spark, sf_dir, "lineitem"), "l_orderkey")
+    t8 = li.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint"))
+    salted = skew.salt_hot_tiles(t8, "tile", rows_per_partition=2000)
+    partial = salted.groupBy("tile", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("pq"),
+    )
+    return (
+        partial.groupBy("tile")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+        )
+        .orderBy("tile")
+    )
+
+
+_SQL_SKEW_SALTED = f"""
+  with pts as (
+    select l_quantity,
+           {x_expr(lon_expr("l_orderkey"))} as x,
+           {y_expr(lat_expr("l_orderkey"))} as y
+    from lineitem)
+  select {tile_expr('x', 'y', 8)} as tile, count(*) as n,
+         cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty
+  from pts group by 1 order by 1
 """
 
 
@@ -1285,6 +1347,8 @@ QUERIES: dict[str, tuple] = {
     "line_length_m": (_q_line_length, _sql_line_length()),
     "bbox_query": (_q_bbox, _SQL_BBOX),
     "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
+    "heading_rollup": (_q_heading_rollup, _heading_sql()),
+    "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "pip_join": (_q_pip, _SQL_PIP),
     "knn_cellring": (_q_knn, _knn_sql()),

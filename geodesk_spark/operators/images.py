@@ -94,3 +94,51 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         "the operator shape is df.mapInPandas(batch → one row per sampled "
         "frame with columns (video_id, frame_idx, bytes))"
     )
+
+
+def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataFrame:
+    """Audio feature extraction over an opaque binary column.
+
+    Input schema: (audio_id string, bytes binary, sr int, n_samples int)
+    — the audio analog of the image table's typed metadata.  The bytes
+    are interpreted as int16 PCM (a real pipeline would decode
+    flac/opus here; the PCM path needs no codec so the whole operator is
+    REAL, not a stub).  Emits per-clip vectorized features: RMS energy,
+    zero-crossing rate, per-frame energy variance (a VAD-ish signal),
+    and duration — the standard cheap quality/filtering signals a
+    training-data pipeline computes before expensive transcription.
+
+    All work is numpy over Arrow batches (mapInPandas), partition-
+    parallel; at 100 TB this is a single scan with no shuffle.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "audio_id": pdf["audio_id"],
+                "duration_s": np.zeros(n),
+                "rms": np.zeros(n),
+                "zcr": np.zeros(n),
+                "frame_energy_var": np.zeros(n),
+            }
+            frame = max(1, sr * frame_ms // 1000)
+            for i in range(n):
+                pcm = np.frombuffer(bytes(pdf["bytes"].iloc[i]), dtype=np.int16)
+                if len(pcm) == 0:
+                    continue
+                x = pcm.astype(np.float64) / 32768.0
+                out["duration_s"][i] = len(x) / sr
+                out["rms"][i] = float(np.sqrt(np.mean(x * x)))
+                out["zcr"][i] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                k = (len(x) // frame) * frame
+                if k:
+                    fe = (x[:k].reshape(-1, frame) ** 2).mean(axis=1)
+                    out["frame_energy_var"][i] = float(fe.var())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="audio_id string, duration_s double, rms double, zcr double, "
+        "frame_energy_var double",
+    )

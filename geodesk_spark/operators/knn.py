@@ -41,11 +41,15 @@ I32_MAX = (1 << 31) - 1
 I32_MIN = -(1 << 31)
 
 
-def _cells_for_window(qx: int, qy: int, radius_imps: int, max_per_axis: int = 32) -> np.ndarray:
-    """Cells (pyramid-adaptive zoom) covering the square window around q."""
+def _window_zoom(radius_imps: int, max_per_axis: int = 32) -> int:
+    """Pyramid-adaptive zoom: coarsen until the window spans ≤max cells/axis."""
     zoom = T.MAX_ZOOM
     while zoom > 0 and ((2 * radius_imps) >> (32 - zoom)) + 1 > max_per_axis:
         zoom -= 2  # pyramid steps of 2, like the default level set
+    return zoom
+
+
+def _cells_at_zoom(qx: int, qy: int, radius_imps: int, zoom: int) -> np.ndarray:
     x0, x1 = max(qx - radius_imps, I32_MIN), min(qx + radius_imps, I32_MAX)
     y0, y1 = max(qy - radius_imps, I32_MIN), min(qy + radius_imps, I32_MAX)
     c0, c1 = int(T.column_from_x(x0, zoom)[()]), int(T.column_from_x(x1, zoom)[()])
@@ -53,7 +57,12 @@ def _cells_for_window(qx: int, qy: int, radius_imps: int, max_per_axis: int = 32
     cols = np.arange(c0, c1 + 1, dtype=np.int64)
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
     cc, rr = np.meshgrid(cols, rows)
-    return ((zoom << 24) | (rr.ravel() << 12) | cc.ravel()).astype(np.int64), zoom
+    return ((zoom << 24) | (rr.ravel() << 12) | cc.ravel()).astype(np.int64)
+
+
+def _cells_for_window(qx: int, qy: int, radius_imps: int, max_per_axis: int = 32):
+    zoom = _window_zoom(radius_imps, max_per_axis)
+    return _cells_at_zoom(qx, qy, radius_imps, zoom), zoom
 
 
 def _guarantee_m(qy: int, radius_imps: int) -> float:
@@ -81,29 +90,38 @@ def knn(
     pts = points.select(id_col, "x", "y")
 
     while remaining:
+        # Two nested windows per query — radius r and 4r — probed in ONE
+        # scan at the 4r window's zoom: a miss at r certifies against 4r
+        # from the same candidate set instead of paying another full
+        # scan.  small ⊂ big at the shared zoom, so each (cell, query)
+        # entry is unique and carries an in-small-window flag.
         frames = []
         zooms = {}
         for qid, radius in remaining.items():
             qx, qy = qinfo[qid]
-            cells, zoom = _cells_for_window(qx, qy, radius)
+            big = min(radius * 4, 1 << 31)
+            zoom = _window_zoom(big)
             zooms[qid] = zoom
-            frames.append(pd.DataFrame({"cell": cells, "qid": qid}))
+            cells = _cells_at_zoom(qx, qy, big, zoom)
+            small = np.isin(cells, _cells_at_zoom(qx, qy, radius, zoom))
+            frames.append(pd.DataFrame({"cell": cells, "qid": qid, "small": small}))
         inv = pd.concat(frames, ignore_index=True).sort_values("cell")
         bc = spark.sparkContext.broadcast(
             (
                 inv["cell"].to_numpy(np.int64),
                 inv["qid"].to_numpy(object),
+                inv["small"].to_numpy(bool),
                 dict(qinfo),
                 sorted(set(zooms.values())),
             )
         )
 
         def candidates(batches):
-            cells_sorted, qids_sorted, qxy, zoom_list = bc.value
+            cells_sorted, qids_sorted, small_sorted, qxy, zoom_list = bc.value
             for pdf in batches:
                 x = pdf["x"].to_numpy(dtype=np.int64)
                 y = pdf["y"].to_numpy(dtype=np.int64)
-                all_rows, all_qids = [], []
+                all_rows, all_idx = [], []
                 for zoom in zoom_list:
                     cell = (
                         (zoom << 24)
@@ -118,14 +136,14 @@ def knn(
                         continue
                     counts = nh[rows]
                     all_rows.append(np.repeat(rows, counts))
-                    idx = np.concatenate(
-                        [np.arange(lo[i], hi[i]) for i in rows]
+                    all_idx.append(
+                        np.concatenate([np.arange(lo[i], hi[i]) for i in rows])
                     )
-                    all_qids.append(qids_sorted[idx])
                 if not all_rows:
                     continue
                 rows = np.concatenate(all_rows)
-                qids = np.concatenate(all_qids)
+                idx = np.concatenate(all_idx)
+                qids = qids_sorted[idx]
                 sub = pdf.iloc[rows][[pdf.columns[0]]].copy()
                 sub["query_id"] = qids
                 qx_arr = np.array([qxy[q][0] for q in qids], dtype=np.float64)
@@ -133,29 +151,75 @@ def knn(
                 sub["dist_m"] = mercator.distance(
                     x[rows].astype(np.float64), y[rows].astype(np.float64), qx_arr, qy_arr
                 )
+                sub["small"] = small_sorted[idx]
                 yield sub
 
-        cand = pts.mapInPandas(candidates, schema=f"{id_col} string, query_id string, dist_m double")
+        cand = pts.mapInPandas(
+            candidates, schema=f"{id_col} string, query_id string, dist_m double, small boolean"
+        )
+        # one window shuffle computes BOTH ranks: rank over all candidates
+        # (the 4r window) and rank among small-window rows (the r window)
         w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).cache()
+        ranked = (
+            cand.withColumn("rank_all", F.row_number().over(w))
+            .withColumn(
+                "rank_small",
+                F.sum(F.when(F.col("small"), 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .filter(F.col("rank_all") <= k)  # rank_small ≤ rank_all
+            .cache()
+        )
         stats = {
-            r["query_id"]: (r["cnt"], r["kth"])
-            for r in topk.groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+            r["query_id"]: r
+            for r in ranked.groupBy("query_id")
+            .agg(
+                F.sum(F.when(F.col("small") & (F.col("rank_small") <= k), 1).otherwise(0)).alias("cnt_s"),
+                F.max(F.when(F.col("small") & (F.col("rank_small") <= k), F.col("dist_m"))).alias("kth_s"),
+                F.count("*").alias("cnt_a"),
+                F.max("dist_m").alias("kth_a"),
+            )
             .collect()
         }
 
-        done, still = [], {}
+        done_small, done_big, still = [], [], {}
         for qid, radius in remaining.items():
-            cnt, kth = stats.get(qid, (0, None))
-            whole_world = radius >= (1 << 31)
-            ok = cnt >= k and kth is not None and kth <= _guarantee_m(qinfo[qid][1], radius)
-            if ok or whole_world:
-                done.append(qid)
+            s = stats.get(qid)
+            big = min(radius * 4, 1 << 31)
+            qy = qinfo[qid][1]
+            ok_s = (
+                s is not None
+                and s["cnt_s"] >= k
+                and s["kth_s"] is not None
+                and s["kth_s"] <= _guarantee_m(qy, radius)
+            )
+            ok_a = (
+                s is not None
+                and s["cnt_a"] >= k
+                and s["kth_a"] is not None
+                and s["kth_a"] <= _guarantee_m(qy, big)
+            )
+            if ok_s:
+                done_small.append(qid)
+            elif ok_a or big >= (1 << 31):
+                done_big.append(qid)
             else:
-                still[qid] = radius * 2
-        if done:
-            results.append(topk.filter(F.col("query_id").isin(done)))
+                still[qid] = radius * 16  # next round probes 16r and 64r
+        if done_small:
+            results.append(
+                ranked.filter(
+                    F.col("query_id").isin(done_small)
+                    & F.col("small")
+                    & (F.col("rank_small") <= k)
+                ).select(id_col, "query_id", "dist_m", F.col("rank_small").alias("rank"))
+            )
+        if done_big:
+            results.append(
+                ranked.filter(F.col("query_id").isin(done_big)).select(
+                    id_col, "query_id", "dist_m", F.col("rank_all").alias("rank")
+                )
+            )
         remaining = still
 
     out = results[0]

@@ -118,3 +118,31 @@ def test_resize(spark):
     assert (out["w"] == 16).all() and (out["h"] == 16).all()
     px = codec.decode(out["bytes"].iloc[0])
     assert px.shape == (16, 16, 3)
+
+
+def test_audio_features(spark):
+    """PCM audio features == straight numpy on the same buffers."""
+    import numpy as np
+    import pandas as pd
+
+    from geodesk_spark.operators import images
+
+    sr = 16_000
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(12):
+        t = np.arange(sr // 2 + i * 1000)
+        tone = np.sin(2 * np.pi * (110 + 50 * i) * t / sr)
+        if i % 3 == 0:
+            tone[: len(tone) // 2] = 0.0  # half-silent clips
+        pcm = (tone * (0.1 + 0.05 * i) * 32767).astype(np.int16)
+        rows.append((f"a{i}", pcm.tobytes(), sr, len(pcm)))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, sr int, n_samples int")
+    got = images.audio_features(df).toPandas().set_index("audio_id").sort_index()
+    for i in range(12):
+        pcm = np.frombuffer(rows[i][1], dtype=np.int16).astype(np.float64) / 32768.0
+        r = got.loc[f"a{i}"]
+        assert abs(r["duration_s"] - len(pcm) / sr) < 1e-9
+        assert abs(r["rms"] - np.sqrt(np.mean(pcm**2))) < 1e-12
+        assert abs(r["zcr"] - np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) < 1e-12
+        assert r["frame_energy_var"] >= 0
