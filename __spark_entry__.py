@@ -473,6 +473,45 @@ _SQL_GRAPH_MEMBERS = """
 """
 
 
+def _q_graph_nodes_of(spark, sf_dir):
+    """nodesOf analog (WayNodeView.java:22-106): a way's vertex run in
+    seq order, anonymous nodes as null node_id — ordinary equi-join on
+    the way_nodes edge table."""
+    from geodesk_spark.operators import graph
+
+    ways = (
+        tables.load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "2-HIGH"))
+        .select(F.col("o_orderkey").alias("fid"))
+    )
+    li = tables.with_derived_points(tables.load(spark, sf_dir, "lineitem"), "l_partkey")
+    way_nodes = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("node_id"),
+    )
+    return graph.nodes_of(ways, way_nodes).select("way_id", "seq", "x", "y", "node_id")
+
+
+_SQL_GRAPH_NODES_OF = f"""
+  with wn as (
+    select l_orderkey as way_id, l_linenumber as seq,
+           cast({x_expr(lon_expr("l_partkey"))} as int) as x,
+           cast({y_expr(lat_expr("l_partkey"))} as int) as y,
+           case when l_linenumber % 3 = 0 then null else l_suppkey end as node_id
+    from lineitem),
+  ways as (select o_orderkey as fid from orders
+           where o_orderstatus = 'F' and o_orderpriority = '2-HIGH')
+  select way_id, seq, x, y, node_id
+  from wn join (select distinct fid from ways) w on wn.way_id = w.fid
+  order by way_id, seq
+"""
+
+
 def _q_graph_parents(spark, sf_dir):
     """parentsOf analog (View.java:119-140): member→parent semi-join."""
     li = tables.load(spark, sf_dir, "lineitem")
@@ -1135,6 +1174,38 @@ def _sql_line_length() -> str:
     """
 
 
+def _q_box_area(spark, sf_dir):
+    """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
+    the packed-geometry column; oracle mirrors the shoelace + centroid
+    scale² kernel op-for-op (IEEE-identical for the 4-vertex rings)."""
+    from geodesk_spark.operators import geometry_ops
+
+    feats = _box_features(spark, sf_dir)
+    return geometry_ops.with_length_area(feats).select("fid", "area_m2")
+
+
+def _sql_box_area() -> str:
+    # shoelace terms in numpy's sequential order: xs[:-1]*ys[1:] - xs[1:]*ys[:-1]
+    # for ring [(x1,y1),(x2,y1),(x2,y2),(x1,y2),(x1,y1)]
+    d = lambda c: f"cast({c} as double)"
+    t1 = f"({d('minx')} * {d('miny')} - {d('maxx')} * {d('miny')})"
+    t2 = f"({d('maxx')} * {d('maxy')} - {d('maxx')} * {d('miny')})"
+    t3 = f"({d('maxx')} * {d('maxy')} - {d('minx')} * {d('maxy')})"
+    t4 = f"({d('minx')} * {d('miny')} - {d('minx')} * {d('maxy')})"
+    a2 = f"((({t1} + {t2}) + {t3}) + {t4})"
+    cy = f"(((({d('miny')} + {d('miny')}) + {d('maxy')}) + {d('maxy')}) / 4.0)"
+    t = f"({cy} * 2 * pi() / {W!r})"
+    scale = f"((exp({t}) + exp(-({t}))) / 2)"
+    s_ = f"({EC!r} / {W!r} / {scale})"
+    return f"""
+      with boxes as ({_box_sql_base()})
+      select fid,
+             case when abs({a2}) / 2.0 = 0 then 0.0
+                  else (abs({a2}) / 2.0) * {s_} * {s_} end as area_m2
+      from boxes
+    """
+
+
 def _line_pred_query(pred: str):
     def q(spark, sf_dir):
         from geodesk_spark.operators import predicates
@@ -1345,6 +1416,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
     "line_length_m": (_q_line_length, _sql_line_length()),
+    "box_area_m2": (_q_box_area, _sql_box_area()),
     "bbox_query": (_q_bbox, _SQL_BBOX),
     "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
     "heading_rollup": (_q_heading_rollup, _heading_sql()),
@@ -1354,6 +1426,7 @@ QUERIES: dict[str, tuple] = {
     "knn_cellring": (_q_knn, _knn_sql()),
     # graph / view algebra
     "graph_members_of": (_q_graph_members, _SQL_GRAPH_MEMBERS),
+    "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
     "graph_connected_to": (_q_connected, _SQL_CONNECTED),
     "view_intersection": (_q_view_intersection, _SQL_VIEW_INTERSECTION),
