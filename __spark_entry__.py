@@ -721,8 +721,11 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_lsh_sql() -> str:
+    # mirror dedup.shingle_hash_col / minhash_from_hashes: one 64-hex
+    # hash per shingle, minwise over disjoint 8-char slices
     mh = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('{j}|' || x))) as mh{j}" for j in range(dedup.N_MINHASH)
+        f"list_min(list_transform(hh, h -> h[{1 + 8 * j}:{8 * j + 8}])) as mh{j}"
+        for j in range(dedup.N_MINHASH)
     )
     band_selects = " union all ".join(
         f"select doc_id, md5('{b}|' || mh{b * dedup.LSH_ROWS} || '|' || mh{b * dedup.LSH_ROWS + 1}) as key from m"
@@ -730,7 +733,10 @@ def _minhash_lsh_sql() -> str:
     )
     return f"""
       with s as ({_SQL_SHINGLES}),
-      m as (select doc_id, {mh} from s),
+      sh2 as (select doc_id,
+                     list_transform(sh, s -> md5(s) || md5('1|' || s)) as hh
+              from s),
+      m as (select doc_id, {mh} from sh2),
       bands as ({band_selects})
       select distinct a.doc_id as doc_a, b.doc_id as doc_b
       from bands a join bands b on a.key = b.key

@@ -39,19 +39,27 @@ def shingles_col(text: Column) -> Column:
     )
 
 
+def shingle_hash_col(sh: Column) -> Column:
+    """Per-shingle 64-hex-char hash (md5(s) ‖ md5('1|'+s)) — computed
+    ONCE per shingle; the N_MINHASH minwise hashes are disjoint
+    8-hex-char slices of it (8 independent uniform 32-bit draws from 2
+    md5 evaluations instead of 8)."""
+    return F.transform(
+        sh, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("1|"), s)))
+    )
+
+
+def minhash_from_hashes(hh: Column, j: int) -> Column:
+    return F.array_min(F.transform(hh, lambda h: F.substring(h, 1 + 8 * j, 8)))
+
+
 def minhash_sig_cols(text: Column) -> list[Column]:
-    """N_MINHASH independent minwise hashes: min(md5('<seed>|' || shingle)).
+    """N_MINHASH independent minwise hashes via slice-of-md5 (above).
 
-    NB: the hash lambda must take exactly ONE parameter — PySpark binds a
-    second parameter to the array index, silently shadowing closures."""
-    sh = shingles_col(text)
-
-    def seeded(j: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    return [
-        F.array_min(F.transform(sh, seeded(j))).alias(f"mh{j}") for j in range(N_MINHASH)
-    ]
+    NB: transform lambdas must take exactly ONE parameter — PySpark binds
+    a second parameter to the array index, silently shadowing closures."""
+    hh = shingle_hash_col(shingles_col(text))
+    return [minhash_from_hashes(hh, j).alias(f"mh{j}") for j in range(N_MINHASH)]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,16 +74,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Shingles materialize ONCE into a column; the 8 signature mins read
-    it — without this, codegen re-derives the shingle array (and its md5
-    forest) once per signature column (8× the work)."""
-    def seeded(j: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    with_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
-    return with_sh.select(
+    """The per-shingle hash array materializes ONCE into a column; the 8
+    signature mins just slice it — without this, codegen re-derives the
+    shingle array and its md5s once per signature column (8× the work)."""
+    with_hh = df.select(
+        "doc_id", shingle_hash_col(shingles_col(F.col(text_col))).alias("hh")
+    )
+    return with_hh.select(
         "doc_id",
-        *[F.array_min(F.transform(F.col("sh"), seeded(j))).alias(f"mh{j}") for j in range(N_MINHASH)],
+        *[minhash_from_hashes(F.col("hh"), j).alias(f"mh{j}") for j in range(N_MINHASH)],
     )
 
 
