@@ -99,11 +99,22 @@ def _quadtree_bands(
     maxy: float,
     base_axis: int = 64,
     max_zoom: int = MAX_CLASSIFY_ZOOM,
-    max_cells: int = 60_000,
+    max_cells: int = 150_000,
+    level_step: int = 4,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Adaptive quadtree classification: interior cells recorded at the
     coarsest certain zoom; boundary cells refined until max_zoom or the
-    cell budget.  Returns (sorted cell ids, band codes)."""
+    cell budget.  Returns (sorted cell ids, band codes).
+
+    All levels live on the FIXED set {4, 8, 12, 16}: every polygon's
+    base snaps down to a multiple of 4 and boundary cells refine in
+    steps of 4 (256 children).  The probe side then explodes exactly
+    one cell id per SHARED level — 4 probe rows per point total,
+    regardless of how many polygons the layer holds or how their sizes
+    differ.  (The reference's zoom-step tree bounds fan-out the same
+    way: ZoomLevels.java:98-113 allows steps of 1-3; we trade a deeper
+    step for a narrower probe because OUR probe cost is per-level, not
+    per-tile.)"""
     segs = np.concatenate(
         [np.concatenate([r[:-1], r[1:]], axis=1) for r in rings], axis=0
     )
@@ -121,15 +132,15 @@ def _quadtree_bands(
         if (c1 - c0 + 1) <= base_axis and (r1 - r0 + 1) <= base_axis:
             break
         zoom -= 1
-    # Align to even zooms so every polygon shares the same level set
-    # ({…,8,10,12,14,16}) — the probe side then needs one cell id per
-    # SHARED level, not per polygon-specific level.
-    if zoom % 2 == 1:
-        zoom -= 1
-        c0 = int(minx + (1 << 31)) >> (32 - zoom)
-        c1 = int(maxx + (1 << 31)) >> (32 - zoom)
-        r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
-        r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+    # Snap to the shared level set ({4,8,12,16} for step 4).
+    if zoom > level_step:
+        zoom -= zoom % level_step
+    else:
+        zoom = level_step
+    c0 = int(minx + (1 << 31)) >> (32 - zoom)
+    c1 = int(maxx + (1 << 31)) >> (32 - zoom)
+    r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
+    r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
 
     cols = np.arange(c0, c1 + 1, dtype=np.int64)
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
@@ -165,10 +176,9 @@ def _quadtree_bands(
         bc, br = cur_c[touched], cur_r[touched]
         if len(bc) == 0:
             break
-        # Refine boundary cells in steps of 2 zooms (16 children), like the
-        # reference's default zoom-step tree — fewer distinct levels keeps
-        # the probe fan-out small (one probe row per level per point).
-        step = min(2, max_zoom - zoom)
+        # Refine boundary cells in level_step-zoom steps so every level
+        # stays on the shared set.
+        step = min(level_step, max_zoom - zoom)
         if step <= 0 or n_emitted + (1 << (2 * step)) * len(bc) > max_cells:
             out_cells.append(_cell_ids(zoom, br, bc))
             out_codes.append(np.full(len(bc), BOUNDARY, dtype=np.int8))
@@ -191,6 +201,7 @@ def prepare_polygon(
     rings_blob: bytes,
     max_tiles_per_axis: int = 64,
     max_zoom: int = T.MAX_ZOOM,
+    level_step: int = 4,
 ) -> PreparedPolygon:
     """Classify grid cells into interior/boundary bands at an adaptive zoom.
 
@@ -252,7 +263,8 @@ def prepare_polygon(
             bands[t] = INTERIOR
     band_tiles = np.array(sorted(bands), dtype=np.int64)
     band_codes = np.array([bands[t] for t in band_tiles.tolist()], dtype=np.int8)
-    qt_cells, qt_codes = _quadtree_bands(rings, minx, miny, maxx, maxy)
+    qt_cells, qt_codes = _quadtree_bands(rings, minx, miny, maxx, maxy,
+                                         level_step=level_step)
     return PreparedPolygon(
         poly_id, rings, float(minx), float(miny), float(maxx), float(maxy),
         zoom, band_tiles, band_codes, qt_cells, qt_codes,
