@@ -280,6 +280,7 @@ def contains_points(
     prepared: list[PreparedPolygon],
     keep_cols: list[str] | None = None,
     anti: bool = False,
+    jvm_exact: bool = True,
 ) -> DataFrame:
     """Point-in-polygon broadcast join (flagship).
 
@@ -350,6 +351,53 @@ def contains_points(
         "_cell", F.explode(F.array(*[cell_expr(z) for z in zoom_list]))
     )
     j = probe.join(F.broadcast(bands_df), F.col("_cell") == bands_df._band_cell)
+
+    if jvm_exact:
+        # Single-scan plan: the exact ray-cast runs as a JVM
+        # higher-order fold over a per-polygon segment array (map
+        # literal, poly_id → array<struct x1,y1,x2,y2>), mirroring
+        # geo/pip.points_in_ring op-for-op in float64 — crossing parity
+        # over ALL rings' segments == XOR of per-ring parities
+        # (PointInPolygon.java:21-23).  No union, no second probe-join
+        # subtree, no Python worker: whole-stage codegen end to end.
+        entries = []
+        for p in prepared:
+            segs = []
+            for ring in p.rings:
+                for i in range(len(ring) - 1):
+                    segs.append(
+                        F.struct(
+                            F.lit(float(ring[i, 0])).alias("x1"),
+                            F.lit(float(ring[i, 1])).alias("y1"),
+                            F.lit(float(ring[i + 1, 0])).alias("x2"),
+                            F.lit(float(ring[i + 1, 1])).alias("y2"),
+                        )
+                    )
+            entries += [F.lit(p.poly_id), F.array(*segs)]
+        seg_map = F.create_map(*entries)
+        xd = F.col("x").cast("double")
+        yd = F.col("y").cast("double")
+
+        def _crosses(sg):
+            c = ((sg["y1"] <= yd) & (sg["y2"] > yd)) | (
+                (sg["y1"] > yd) & (sg["y2"] <= yd)
+            )
+            return c & (
+                xd
+                < sg["x1"] + (yd - sg["y1"]) / (sg["y2"] - sg["y1"]) * (sg["x2"] - sg["x1"])
+            )
+
+        ncross = F.size(F.filter(F.element_at(seg_map, F.col("poly_id")), _crosses))
+        matches = j.filter(
+            (F.col("_band") == INTERIOR)
+            | ((F.col("_band") == BOUNDARY) & (ncross % 2 == 1))
+        ).select(*keep, "poly_id")
+        if not anti:
+            return matches
+        return points.select(*keep).join(
+            matches.select(*keep).distinct(), keep, "left_anti"
+        )
+
     interior = j.filter(F.col("_band") == INTERIOR).select(*keep, "poly_id")
     boundary = j.filter(F.col("_band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
 
