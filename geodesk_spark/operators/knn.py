@@ -16,9 +16,10 @@ fan-out bounded (TileIndexWalker.java:85-107).
 Spark shape (no per-query scans):
 
 1. Driver: per-query candidate cell set from int math (cheap).
-2. Broadcast an inverted cell→queries index; ONE narrow mapInPandas
-   emits (query_id, point, dist) for points in any candidate cell —
-   vectorized np.searchsorted per Arrow batch.
+2. Broadcast the (cell, query, in-small-window) table; candidates are
+   a pure-JVM broadcast hash join against the point's exploded pyramid
+   cell ids, exact Mercator distance as a codegen'd column — no Python
+   workers anywhere.
 3. ``Window.partitionBy(query_id).orderBy(dist)`` + row_number ≤ k;
    the shuffle moves only ring-bounded candidate rows.
 4. Queries whose k-th distance is NOT provably inside their window
@@ -95,7 +96,7 @@ def knn(
         # from the same candidate set instead of paying another full
         # scan.  small ⊂ big at the shared zoom, so each (cell, query)
         # entry is unique and carries an in-small-window flag.
-        frames = []
+        rows_list = []
         zooms = {}
         for qid, radius in remaining.items():
             qx, qy = qinfo[qid]
@@ -104,58 +105,40 @@ def knn(
             zooms[qid] = zoom
             cells = _cells_at_zoom(qx, qy, big, zoom)
             small = np.isin(cells, _cells_at_zoom(qx, qy, radius, zoom))
-            frames.append(pd.DataFrame({"cell": cells, "qid": qid, "small": small}))
-        inv = pd.concat(frames, ignore_index=True).sort_values("cell")
-        bc = spark.sparkContext.broadcast(
-            (
-                inv["cell"].to_numpy(np.int64),
-                inv["qid"].to_numpy(object),
-                inv["small"].to_numpy(bool),
-                dict(qinfo),
-                sorted(set(zooms.values())),
-            )
+            for c, sm in zip(cells.tolist(), small.tolist()):
+                rows_list.append((int(c), qid, bool(sm), qx, qy))
+        qcells = spark.createDataFrame(
+            pd.DataFrame(
+                rows_list, columns=["_qcell", "query_id", "small", "qx", "qy"]
+            ),
+            schema="_qcell long, query_id string, small boolean, qx long, qy long",
         )
 
-        def candidates(batches):
-            cells_sorted, qids_sorted, small_sorted, qxy, zoom_list = bc.value
-            for pdf in batches:
-                x = pdf["x"].to_numpy(dtype=np.int64)
-                y = pdf["y"].to_numpy(dtype=np.int64)
-                all_rows, all_idx = [], []
-                for zoom in zoom_list:
-                    cell = (
-                        (zoom << 24)
-                        | ((((1 << 31) - 1 - y) >> (32 - zoom)) << 12)
-                        | ((x + (1 << 31)) >> (32 - zoom))
-                    )
-                    lo = np.searchsorted(cells_sorted, cell, side="left")
-                    hi = np.searchsorted(cells_sorted, cell, side="right")
-                    nh = hi - lo
-                    rows = np.nonzero(nh > 0)[0]
-                    if len(rows) == 0:
-                        continue
-                    counts = nh[rows]
-                    all_rows.append(np.repeat(rows, counts))
-                    all_idx.append(
-                        np.concatenate([np.arange(lo[i], hi[i]) for i in rows])
-                    )
-                if not all_rows:
-                    continue
-                rows = np.concatenate(all_rows)
-                idx = np.concatenate(all_idx)
-                qids = qids_sorted[idx]
-                sub = pdf.iloc[rows][[pdf.columns[0]]].copy()
-                sub["query_id"] = qids
-                qx_arr = np.array([qxy[q][0] for q in qids], dtype=np.float64)
-                qy_arr = np.array([qxy[q][1] for q in qids], dtype=np.float64)
-                sub["dist_m"] = mercator.distance(
-                    x[rows].astype(np.float64), y[rows].astype(np.float64), qx_arr, qy_arr
+        # Candidate generation is a pure-JVM broadcast hash join: the
+        # point side explodes one pyramid cell id per zoom present
+        # (cell ids carry the zoom in their high bits, so only the
+        # matching window's entries hit), and the exact Mercator
+        # distance is a codegen'd column — no Python workers anywhere
+        # in the kNN path.
+        zoom_list = sorted(set(zooms.values()))
+        probe = pts.withColumn(
+            "_qcell",
+            F.explode(
+                F.array(
+                    *[
+                        T.tile_col(F.col("x"), F.col("y"), z).cast("long")
+                        for z in zoom_list
+                    ]
                 )
-                sub["small"] = small_sorted[idx]
-                yield sub
-
-        cand = pts.mapInPandas(
-            candidates, schema=f"{id_col} string, query_id string, dist_m double, small boolean"
+            ),
+        )
+        cand = (
+            probe.join(F.broadcast(qcells), "_qcell")
+            .withColumn(
+                "dist_m",
+                mercator.distance_col(F.col("x"), F.col("y"), F.col("qx"), F.col("qy")),
+            )
+            .select(id_col, "query_id", "dist_m", "small")
         )
         # one window shuffle computes BOTH ranks: rank over all candidates
         # (the 4r window) and rank among small-window rows (the r window)
