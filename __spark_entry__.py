@@ -454,6 +454,56 @@ _SQL_STREAM_WINDOWED = """
 """
 
 
+def _q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-tile running counts accumulated across several micro-batches;
+    after the AvailableNow drain the latest state per tile must equal
+    the plain batch GROUP BY — the DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    pts = _derived_orders(spark, sf_dir)
+    tiled_batch = pts.select(
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+        T.tile_col(F.col("x"), F.col("y"), 8).alias("tile"),
+        F.lit("2024-01-01 00:01:00").cast("timestamp").alias("ingest_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gds_state_")
+    try:
+        indir = f"{tmp}/in"
+        tiled_batch.repartition(6).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema("x int, y int, tile int, ingest_ts timestamp")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        stats = stream_mod.running_tile_stats(sdf)
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(stats, out, ck, "update")
+        log = spark.read.parquet(out)
+        w = Window.partitionBy("tile").orderBy(F.col("batch_id").desc())
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("tile").cast("bigint").alias("tile"), "n_total")
+            .orderBy("tile")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_STATEFUL = f"""
+  with pts as ({_DERIVED_SQL})
+  select {tile_expr('cast(x as bigint)', 'cast(y as bigint)', 8)} as tile,
+         count(*) as n_total
+  from pts group by 1 order by 1
+"""
+
+
 def _q_graph_members(spark, sf_dir):
     """membersOf analog (StoredRelation.java:168-192): relation→members
     equi-join with a role filter."""
@@ -1447,6 +1497,7 @@ QUERIES: dict[str, tuple] = {
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
+    "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     # text analysis
     "text_token_count": (_q_token_count, _SQL_TOKEN_COUNT),
     "text_quality": (_q_quality, _SQL_QUALITY),
