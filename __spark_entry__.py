@@ -388,6 +388,56 @@ _SQL_EVENTS_HOURLY = """
 """
 
 
+def _q_tile_render(spark, sf_dir):
+    """Map sink (MapMaker analog, util/MapMaker.java:24-120): per-tile
+    raster PNG + GeoJSON files via applyInPandas; the returned manifest
+    (tile, zoom, col, row, n_points) is oracle-checked — file paths are
+    environment-dependent and excluded."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.operators import tiles_sink
+
+    pts = _derived_orders(spark, sf_dir).select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+    )
+    # render one regional window (~a few hundred tiles) — enough to
+    # drive the file sink without dominating the sweep on tiny groups
+    pts = pts.filter(
+        (F.col("x") >= 0) & (F.col("x") < (1 << 29))
+        & (F.col("y") >= 0) & (F.col("y") < (1 << 29))
+    )
+    pts = pts.withColumn("tile_z8", T.tile_col(F.col("x"), F.col("y"), 8))
+    tmp = tempfile.mkdtemp(prefix="gds_tiles_")
+    try:
+        manifest = tiles_sink.render_tiles(pts, tmp)
+        return (
+            manifest.select(
+                F.col("tile").cast("bigint").alias("tile"),
+                "zoom", "col", "row", "n_points",
+            )
+            .orderBy("tile")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_TILE_RENDER = f"""
+  with pts as ({_DERIVED_SQL}),
+  w as (select * from pts
+        where x >= 0 and x < {1 << 29} and y >= 0 and y < {1 << 29}),
+  t as (select {tile_expr('x', 'y', 8)} as tile from w)
+  select tile, 8 as zoom,
+         cast(tile % 4096 as int) as col,
+         cast(floor(tile / 4096) % 4096 as int) as row,
+         count(*) as n_points
+  from t group by tile order by tile
+"""
+
+
 def _q_stream_windowed(spark, sf_dir):
     """Structured Streaming parity: the events table drains through a
     watermarked 15-minute windowed aggregation in SEVERAL micro-batches
@@ -1496,6 +1546,7 @@ QUERIES: dict[str, tuple] = {
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     # text analysis
