@@ -886,6 +886,36 @@ _SQL_JACCARD = f"""
 """
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-group resolution: iterative min-label connected
+    components over the Jaccard near-dup pairs (dedup.connected_components
+    — each round one shuffle join, convergence by changed-count).  The
+    oracle computes the same components with a recursive CTE transitive
+    closure (tiny graph at sf0.01)."""
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3)
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+_SQL_DEDUP_COMPONENTS_TEMPLATE = """
+  with recursive pairs as ({jacc}),
+  edges as (
+    select doc_a as a, doc_b as b from pairs
+    union
+    select doc_b as a, doc_a as b from pairs),
+  reach(s, t) as (
+    select a, a from edges
+    union
+    select r.s, e.b from reach r join edges e on r.t = e.a)
+  select s as doc_id, min(t) as comp_id
+  from reach group by s order by doc_id
+"""
+
+
+def _dedup_components_sql() -> str:
+    return _SQL_DEDUP_COMPONENTS_TEMPLATE.format(jacc=_SQL_JACCARD)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     e = tables.load(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4)
@@ -1560,6 +1590,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
+    "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     # similarity search
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check

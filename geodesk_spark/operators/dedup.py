@@ -237,3 +237,50 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-group resolution: connected components over near-dup
+    pairs by iterative min-label propagation — (doc_id, comp_id) with
+    comp_id = the component's smallest doc id.
+
+    Each round joins current labels across the (symmetrized) edge list
+    and keeps the per-vertex minimum; rounds ≈ graph diameter, and
+    near-dup graphs are unions of small cliques, so 2-3 rounds close
+    almost everything.  At 100 TB scale this is the standard
+    alternating-join CC shape: every round is one shuffle on the vertex
+    id, the edge list is reused (cached), and convergence is detected
+    with a cheap changed-count aggregate instead of comparing frames.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
