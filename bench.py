@@ -97,6 +97,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "ann_cosine_topk",
         "events_hourly",
+        "dedup_embedding_cosine",
+        "heading_rollup",
+        "skew_salted_rollup",
+        "graph_nodes_of",
     ]
     qs = em.queries()
     # Warm the session once (JVM JIT, Hadoop FS init, Arrow/python
