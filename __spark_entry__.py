@@ -113,6 +113,57 @@ _SQL_TILE_PYRAMID = f"""
 """
 
 
+def _q_morton_cells(spark, sf_dir):
+    """Z-order (Morton) cell ids — the TIP-walk-order analog for
+    range-clustered cloud storage (geo/curve.py): one int64 key that
+    clusters both axes; JVM bit-spread, no UDF."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    return (
+        df.select(
+            F.col("o_orderkey").alias("key"),
+            curve.morton_cell_col(F.col("x"), F.col("y"), 12).alias("zcell"),
+        )
+        .orderBy("zcell", "key")
+    )
+
+
+def _morton_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey as key, {curve.morton_sql('x', 'y', 12)} as zcell
+      from pts order by zcell, key
+    """
+
+
+def _q_coords_precision7(spark, sf_dir):
+    """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
+    lon/lat recovered from imps, rounded to 7 decimals."""
+    df = _derived_orders(spark, sf_dir)
+    return df.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(mercator.lon_from_x_col(F.col("x")), 7).alias("lon7"),
+        F.round(mercator.lat_from_y_col(F.col("y")), 7).alias("lat7"),
+    ).orderBy("key")
+
+
+def _coords_p7_sql() -> str:
+    # mirror mercator.lon_from_x_col / lat_from_y_col with the SAME
+    # pre-folded double constants
+    c1 = repr(2 * __import__("math").pi / W)
+    c2 = repr(360 / __import__("math").pi)
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey as key,
+             round(cast(x as double) * 360 / {W!r}, 7) as lon7,
+             round(atan(exp(cast(y as double) * {c1})) * {c2} - 90, 7) as lat7
+      from pts order by key
+    """.replace("{c1}", c1).replace("{c2}", c2)
+
+
 def _q_heading_rollup(spark, sf_dir):
     """Compass heading (geom/Heading.java:20-60): 8-point heading from
     Cairo to every customer point, rolled up — pure Column trig."""
@@ -1556,6 +1607,8 @@ QUERIES: dict[str, tuple] = {
     "bbox_query": (_q_bbox, _SQL_BBOX),
     "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
     "heading_rollup": (_q_heading_rollup, _heading_sql()),
+    "morton_cells": (_q_morton_cells, _morton_sql()),
+    "coords_precision7": (_q_coords_precision7, _coords_p7_sql()),
     "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "pip_join": (_q_pip, _SQL_PIP),

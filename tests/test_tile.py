@@ -136,3 +136,30 @@ def test_roundtrip_random():
         assert (T.right_x(t) >= x).all()
         assert (T.bottom_y(t) <= y).all()
         assert (T.top_y(t) >= y).all()
+
+
+def test_morton_spread_and_locality():
+    """spread_bits == bit-by-bit reference; morton id preserves the
+    quadtree property: the 2x2 child block of a cell is contiguous."""
+    import numpy as np
+
+    from geodesk_spark.geo import curve
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 1 << 16, 200)
+    got = curve.spread_bits(v)
+    want = np.zeros_like(got)
+    for b in range(16):
+        want |= ((v >> b) & 1).astype(np.int64) << (2 * b)
+    assert np.array_equal(got, want)
+
+    # sibling cells (same parent at zoom-1) occupy 4 consecutive codes
+    x = rng.integers(-(1 << 30), 1 << 30, 50)
+    y = rng.integers(-(1 << 30), 1 << 30, 50)
+    z12 = curve.morton_cell(x, y, 12)
+    from geodesk_spark.geo import tile as T
+    col = np.asarray(T.column_from_x(x, 12), dtype=np.int64)
+    row = np.asarray(T.row_from_y(y, 12), dtype=np.int64)
+    base = (curve.spread_bits(row >> 1) << 1 | curve.spread_bits(col >> 1)) << 2
+    child = (z12 & ((1 << 56) - 1)) - base
+    assert ((child >= 0) & (child < 4)).all()
