@@ -290,6 +290,41 @@ _SQL_DISTANCE = f"""
 """
 
 
+DJ_TARGETS = [("t_cairo", 31.24, 30.04), ("t_nyc", -74.01, 40.71), ("t_tokyo", 139.69, 35.69)]
+DJ_METERS = 800_000.0
+
+
+def _q_distance_join(spark, sf_dir):
+    """Distance JOIN (multi-target PointDistanceFilter generalization):
+    orders-derived points × 3 city targets within 800 km."""
+    df = _derived_orders(spark, sf_dir)
+    out = knn_mod.distance_join(df.select(F.col("o_orderkey").alias("image_id"), "x", "y"),
+                                DJ_TARGETS, DJ_METERS, id_col="image_id")
+    return out.select(
+        F.col("image_id").alias("key"), "target_id",
+        F.round("dist_m", 4).alias("dist_m"),
+    ).orderBy("key", "target_id")
+
+
+def _distance_join_sql() -> str:
+    parts = []
+    for tid, lon, lat in DJ_TARGETS:
+        qx = int(mercator.x_from_lon(lon)[()])
+        qy = int(mercator.y_from_lat(lat)[()])
+        delta = int(np.ceil(float(mercator.delta_from_meters(DJ_METERS, qy)[()])))
+        parts.append(f"""
+          select o_orderkey as key, '{tid}' as target_id,
+                 round({_dist_sql('x', 'y', str(qx), str(qy))}, 4) as dist_m
+          from pts
+          where abs(x - ({qx})) <= {delta} and abs(y - ({qy})) <= {delta}
+            and {_dist_sql('x', 'y', str(qx), str(qy))} <= {DJ_METERS}""")
+    u = " union all ".join(parts)
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select * from ({u}) order by key, target_id
+    """
+
+
 def _q_pip(spark, sf_dir):
     """containing(point) — the flagship three-band broadcast PIP join
     (ContainsPointFilter.java:26-72, AbstractRelateFilter.java:61-72)."""
@@ -1611,6 +1646,7 @@ QUERIES: dict[str, tuple] = {
     "coords_precision7": (_q_coords_precision7, _coords_p7_sql()),
     "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
+    "distance_join": (_q_distance_join, _distance_join_sql()),
     "pip_join": (_q_pip, _SQL_PIP),
     "knn_cellring": (_q_knn, _knn_sql()),
     # graph / view algebra

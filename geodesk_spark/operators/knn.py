@@ -209,3 +209,61 @@ def knn(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def distance_join(
+    points: DataFrame,
+    targets: list[tuple[str, float, float]],
+    meters: float,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Table-to-dimension distance join: every point within ``meters`` of
+    each target → (id, target_id, dist_m).
+
+    Generalizes the reference's single-target radius filter
+    (PointDistanceFilter.java:28-122) to a broadcast join: per target,
+    the Chebyshev box of deltaFromMeters(meters, target_y) imps is
+    covered with pyramid cells (zoom adaptive per target); candidates
+    come from ONE pure-JVM broadcast hash join on exploded cell ids.
+    The exact test mirrors the reference: bbox first (the deltaFromMeters
+    box IS the semantics, Box.java:421), then Mercator distance ≤ m —
+    all codegen'd columns.
+    """
+    spark = points.sparkSession
+    rows = []
+    zooms = set()
+    for tid, lon, lat in targets:
+        qx = int(mercator.x_from_lon(lon)[()])
+        qy = int(mercator.y_from_lat(lat)[()])
+        delta = int(np.ceil(float(mercator.delta_from_meters(meters, qy)[()])))
+        zoom = _window_zoom(delta)
+        zooms.add(zoom)
+        for c in _cells_at_zoom(qx, qy, delta, zoom).tolist():
+            rows.append((int(c), tid, qx, qy, delta))
+    tcells = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["_qcell", "target_id", "qx", "qy", "delta"]),
+        schema="_qcell long, target_id string, qx long, qy long, delta long",
+    )
+    probe = points.select(id_col, "x", "y").withColumn(
+        "_qcell",
+        F.explode(
+            F.array(
+                *[T.tile_col(F.col("x"), F.col("y"), z).cast("long") for z in sorted(zooms)]
+            )
+        ),
+    )
+    xd = F.col("x").cast("long")
+    yd = F.col("y").cast("long")
+    return (
+        probe.join(F.broadcast(tcells), "_qcell")
+        .filter(
+            (F.abs(xd - F.col("qx")) <= F.col("delta"))
+            & (F.abs(yd - F.col("qy")) <= F.col("delta"))
+        )
+        .withColumn(
+            "dist_m",
+            mercator.distance_col(F.col("x"), F.col("y"), F.col("qx"), F.col("qy")),
+        )
+        .filter(F.col("dist_m") <= meters)
+        .select(id_col, "target_id", "dist_m")
+    )
