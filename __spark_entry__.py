@@ -540,7 +540,7 @@ def _q_stream_windowed(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="gds_stream_")
     try:
         indir = f"{tmp}/in"
-        e.repartition(8).write.mode("overwrite").parquet(indir)
+        e.repartition(4).write.mode("overwrite").parquet(indir)
         sdf = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 2)
@@ -610,7 +610,7 @@ def _q_stream_stateful(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="gds_state_")
     try:
         indir = f"{tmp}/in"
-        tiled_batch.repartition(6).write.mode("overwrite").parquet(indir)
+        tiled_batch.repartition(4).write.mode("overwrite").parquet(indir)
         sdf = (
             spark.readStream.schema("x int, y int, tile int, ingest_ts timestamp")
             .option("maxFilesPerTrigger", 2)
