@@ -450,6 +450,47 @@ _SQL_WINDOW_TOP3 = """
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (events → latest per-user snapshot at or
+    before each event): union + window carry-forward, one shuffle.
+    Oracle = DuckDB's native ASOF JOIN."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    # deterministic snapshot table: 3 snapshots per user, score = simple arithmetic
+    snaps = (
+        tables.load(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .select(
+            "user_id",
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(hours=F.col("k") * 8 + F.col("user_id") % 5)).alias("rts"),
+            (F.col("user_id") * 10 + F.col("k")).alias("score"),
+        )
+    )
+    out = relational.as_of_join(e, snaps, by="user_id", left_ts="ts", right_ts="rts")
+    return out.select("event_id", "user_id", "score").orderBy("event_id")
+
+
+_SQL_ASOF = """
+  with e as (select event_id, cast(ts as timestamp) as ts, user_id from events),
+  snaps as (
+    select u.user_id,
+           timestamp '2024-01-01 00:00:00'
+             + to_hours(cast(k * 8 + u.user_id % 5 as bigint)) as rts,
+           u.user_id * 10 + k as score
+    from (select distinct user_id from events) u
+    cross join (select unnest([0, 1, 2]) as k) ks)
+  select e.event_id, e.user_id, s.score
+  from e asof left join snaps s
+    on e.user_id = s.user_id and e.ts >= s.rts
+  order by event_id
+"""
+
+
 def _q_events_hourly(spark, sf_dir):
     """Batch-incremental windowed aggregation over the events stream table
     (the reference has no streaming; SURVEY §2.7 maps to snapshot batches)."""
@@ -1665,6 +1706,7 @@ QUERIES: dict[str, tuple] = {
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "asof_join_events": (_q_asof_join, _SQL_ASOF),
     "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),

@@ -78,3 +78,31 @@ def test_connected_to(spark, world):
     feats, members, way_nodes = world
     out = graph.connected_to(way_nodes, 10).toPandas()
     assert list(out["way_id"]) == [11]
+
+
+def test_as_of_join_edges(spark):
+    """Backward as-of: ties take the snapshot at the same instant,
+    events before any snapshot get null, latest-≤ wins."""
+    from geodesk_spark.operators import relational
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7), (2, "2024-01-01 02:00:00", 7),
+         (3, "2024-01-01 05:00:00", 7), (4, "2023-12-31 23:00:00", 7),
+         (5, "2024-01-01 01:00:00", 8)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 100), (7, "2024-01-01 02:00:00", 200),
+         (8, "2024-01-01 02:00:00", 300)],
+        "user_id long, rts string, score long",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["score"]
+        for r in relational.as_of_join(left, right, by="user_id").collect()
+    }
+    assert out[1] == 100      # tie: snapshot at the same instant
+    assert out[2] == 200      # tie on the later snapshot
+    assert out[3] == 200      # latest ≤ wins
+    assert out[4] is None     # before any snapshot
+    assert out[5] is None     # user 8's snapshot is after the event
