@@ -104,6 +104,13 @@ class Features:
         y2 = int(mercator.y_from_lat(n)[()])
         return self.in_bbox(x1, y1, x2, y2)
 
+    def in_box(self, box) -> "Features":
+        """Restrict by a geo.box.Box (empty box → empty view,
+        EmptyView short-circuit, View.java:47-65)."""
+        if box.is_empty:
+            return self._with(self._df.filter(F.lit(False)))
+        return self.in_bbox(box.minx, box.miny, box.maxx, box.maxy)
+
     # -- spatial predicates (Features.java:225-330, filter/*.java) -------
     def _relate(self, prepared, predicate: str) -> "Features":
         keep = [c for c in self._df.columns]

@@ -175,3 +175,14 @@ def test_terminals(feats):
     assert first is not None and "highway" in first["tags"]
     assert v.contains(first["fid"])
     assert Features(feats).select("*[nonexistent_key_xyz]").is_empty
+
+
+def test_in_box_and_empty_shortcircuit(feats):
+    from geodesk_spark.geo.box import Box
+
+    v = Features(feats)
+    assert v.in_box(Box()).count() == 0  # empty box → EmptyView
+    b = Box(-(1 << 29), -(1 << 28), 1 << 30, 1 << 29)
+    assert v.in_box(b).count() == v.in_bbox(b.minx, b.miny, b.maxx, b.maxy).count()
+    wrap = Box.of_wsen(170, -40, -160, 30)
+    assert v.in_box(wrap).count() == v.in_bbox(wrap.minx, wrap.miny, wrap.maxx, wrap.maxy).count()
