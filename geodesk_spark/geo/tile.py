@@ -191,3 +191,35 @@ def zoomed_out_col(tile_c, zoom: int, from_zoom: int):
     col = F.shiftright(column_of_col(tile_c), delta).cast("long")
     row = F.shiftright(row_of_col(tile_c), delta).cast("long")
     return (F.lit(zoom << 24).cast("long") + F.shiftleft(row, 12) + col).cast("int")
+
+
+# --- typed feature ids (FeatureId.java:20-48) -------------------------------
+# node=0, way=1, relation=2 packed into the low 2 bits; FeatureId.sort
+# (FeatureId.java:79-92) == orderBy(typed_id) once packed.
+
+_FTYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+
+
+def typed_fid_col(fid_col, ftype_col):
+    """Column: (fid << 2) | type_code — unique across feature types."""
+    F = _F()
+    code = (
+        F.when(ftype_col == "node", 0)
+        .when(ftype_col == "way", 1)
+        .otherwise(2)
+    )
+    return F.shiftleft(fid_col.cast("long"), 2) + code
+
+
+def fid_of_typed_col(typed_col):
+    """Inverse: plain id (logical unsigned shift, FeatureId.java:45-48)."""
+    F = _F()
+    return F.shiftrightunsigned(typed_col.cast("long"), 2)
+
+
+def ftype_of_typed_col(typed_col):
+    F = _F()
+    code = typed_col.cast("long") % 4
+    return (
+        F.when(code == 0, "node").when(code == 1, "way").otherwise("relation")
+    )

@@ -6,5 +6,5 @@ Here the same grammar compiles to a pyspark Column — Spark's whole-stage
 codegen is the JIT.
 """
 
-from geodesk_spark.goql.compiler import compile_goql  # noqa: F401
+from geodesk_spark.goql.compiler import compile_goql, lenient_double_col  # noqa: F401
 from geodesk_spark.goql.parser import GoqlError, parse  # noqa: F401

@@ -44,6 +44,14 @@ def _val(key: str) -> Column:
     return F.element_at(F.col("tags"), F.lit(key))
 
 
+def lenient_double_col(v: Column) -> Column:
+    """Public alias of the lenient left-prefix numeric parse
+    (MathUtils.doubleFromString, common/math/MathUtils.java:24-60):
+    "50 mph" → 50.0, non-numeric → NULL.  Corpus-verified through the
+    GOQL comparison clauses."""
+    return _dbl(v)
+
+
 def _dbl(v: Column) -> Column:
     # regexp_extract yields '' when no numeric prefix; '' try_casts to NULL
     # (the NaN equivalent: fails every comparison, satisfies '!=').

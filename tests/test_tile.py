@@ -163,3 +163,25 @@ def test_morton_spread_and_locality():
     base = (curve.spread_bits(row >> 1) << 1 | curve.spread_bits(col >> 1)) << 2
     child = (z12 & ((1 << 56) - 1)) - base
     assert ((child >= 0) & (child < 4)).all()
+
+
+def test_typed_fid_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import tile as T
+
+    df = spark.createDataFrame(
+        [(1, "node"), (1, "way"), (1, "relation"), (123456789, "way")],
+        "fid long, ftype string",
+    ).withColumn("tid", T.typed_fid_col(F.col("fid"), F.col("ftype")))
+    rows = df.select(
+        "fid", "ftype", "tid",
+        T.fid_of_typed_col(F.col("tid")).alias("back"),
+        T.ftype_of_typed_col(F.col("tid")).alias("btype"),
+    ).collect()
+    tids = set()
+    for r in rows:
+        assert r["back"] == r["fid"] and r["btype"] == r["ftype"]
+        tids.add(r["tid"])
+    assert len(tids) == 4  # unique across types (FeatureId.java:20-29)
+    assert {r["tid"] for r in rows if r["fid"] == 1} == {4, 5, 6}
