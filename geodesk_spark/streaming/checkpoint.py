@@ -27,16 +27,69 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class Pipeline:
+    """Stages commit as VERSIONED snapshots (<root>/<stage>/v<N>/), with
+    an append-only snapshot log (<root>/_snapshots.json) — the Iceberg
+    snapshot-id analog: `read(stage)` gives the current version,
+    `read(stage, snapshot_id=…)` time-travels to any past commit, and
+    `invalidate` starts a NEW version without destroying history (the
+    reference's double-snapshot reader keeps serving the old snapshot
+    while a writer builds the new one, FreeStore.java:30-61)."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._log_path = os.path.join(root, "_snapshots.json")
+
+    # -- snapshot log -----------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return json.load(f)
+
+    def _append_snapshot(self, entry: dict) -> int:
+        log = self.snapshots()
+        entry["snapshot_id"] = len(log) + 1
+        log.append(entry)
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, self._log_path)  # atomic commit point
+        return entry["snapshot_id"]
+
+    # -- version resolution ----------------------------------------------
+    def _version_dir(self, stage: str, version: int) -> str:
+        return os.path.join(self.root, stage, f"v{version}")
+
+    def _versions(self, stage: str) -> list[int]:
+        base = os.path.join(self.root, stage)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if d.startswith("v") and d[1:].isdigit():
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def _active_version(self, stage: str) -> int | None:
+        """Highest committed, non-invalidated version."""
+        for v in reversed(self._versions(stage)):
+            vd = self._version_dir(stage, v)
+            if os.path.exists(os.path.join(vd, "_SUCCESS")) and not os.path.exists(
+                os.path.join(vd, "_INVALIDATED")
+            ):
+                return v
+        return None
 
     def _dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        v = self._active_version(stage)
+        if v is None:
+            v = (self._versions(stage)[-1] + 1) if self._versions(stage) else 1
+        return self._version_dir(stage, v)
 
     def is_done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
+        return self._active_version(stage) is not None
 
     def lineage(self, stage: str) -> dict:
         with open(os.path.join(self._dir(stage), "_lineage.json")) as f:
@@ -51,9 +104,10 @@ class Pipeline:
     ) -> DataFrame:
         """Run (or resume) a stage.  ``fn(spark) -> DataFrame``; upstream
         stages are read back from their snapshots via ``self.read``."""
-        out = self._dir(name)
         if self.is_done(name):
             return self.read(name)
+        versions = self._versions(name)
+        out = self._version_dir(name, (versions[-1] + 1) if versions else 1)
         t0 = time.time()
         df = fn(self.spark)
         writer = df.write.mode("overwrite")
@@ -83,14 +137,32 @@ class Pipeline:
         }
         with open(os.path.join(out, "_lineage.json"), "w") as f:
             json.dump(manifest, f, indent=1)
+        self._append_snapshot(
+            {
+                "stage": name,
+                "version": int(os.path.basename(out)[1:]),
+                "n_rows": n_rows,
+                "committed_at_unix": manifest["committed_at_unix"],
+            }
+        )
         return snap
 
-    def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(stage))
+    def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to a specific snapshot_id."""
+        if snapshot_id is None:
+            return self.spark.read.parquet(self._dir(stage))
+        for e in self.snapshots():
+            if e["snapshot_id"] == snapshot_id:
+                if e["stage"] != stage:
+                    raise ValueError(
+                        f"snapshot {snapshot_id} belongs to stage {e['stage']!r}"
+                    )
+                return self.spark.read.parquet(self._version_dir(stage, e["version"]))
+        raise ValueError(f"unknown snapshot_id {snapshot_id}")
 
     def invalidate(self, stage: str):
-        """Drop a stage's commit marker so the next run recomputes it
-        (downstream stages are unaffected unless also invalidated)."""
-        marker = os.path.join(self._dir(stage), "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+        """Start a new version on the next run; the old snapshot stays
+        readable via its snapshot_id (time travel — nothing is deleted)."""
+        v = self._active_version(stage)
+        if v is not None:
+            open(os.path.join(self._version_dir(stage, v), "_INVALIDATED"), "w").close()

@@ -146,3 +146,29 @@ def test_audio_features(spark):
         assert abs(r["rms"] - np.sqrt(np.mean(pcm**2))) < 1e-12
         assert abs(r["zcr"] - np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) < 1e-12
         assert r["frame_energy_var"] >= 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Invalidate starts a new version; the old snapshot stays readable
+    by snapshot_id (Iceberg time-travel analog of the double-snapshot
+    store, FreeStore.java:30-61)."""
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    root = str(tmp_path / "tt")
+    p = Pipeline(spark, root)
+    p.stage("nums", lambda s: s.range(10).withColumnRenamed("id", "n"))
+    first = p.snapshots()[-1]
+    assert first["stage"] == "nums" and first["snapshot_id"] == 1
+
+    p.invalidate("nums")
+    assert not p.is_done("nums")
+    p.stage("nums", lambda s: s.range(100).withColumnRenamed("id", "n"))
+    assert p.read("nums").count() == 100            # current version
+    assert p.read("nums", snapshot_id=1).count() == 10   # time travel
+    log = p.snapshots()
+    assert [e["snapshot_id"] for e in log] == [1, 2]
+    assert log[1]["version"] == 2
+
+    # a fresh Pipeline over the same root resumes the LATEST version
+    p2 = Pipeline(spark, root)
+    assert p2.is_done("nums") and p2.read("nums").count() == 100
