@@ -166,3 +166,62 @@ class Pipeline:
         v = self._active_version(stage)
         if v is not None:
             open(os.path.join(self._version_dir(stage, v), "_INVALIDATED"), "w").close()
+
+
+
+def _committed_dirs(p: "Pipeline", stage: str) -> dict[int, str]:
+    out = {}
+    for e in p.snapshots():
+        if e["stage"] != stage:
+            continue
+        vd = p._version_dir(stage, e["version"])
+        if os.path.exists(os.path.join(vd, "_SUCCESS")) and not os.path.exists(
+            os.path.join(vd, "_INVALIDATED")
+        ):
+            out[e["snapshot_id"]] = vd
+    return out
+
+
+def append_stage(p: "Pipeline", name: str, fn) -> int:
+    """Batch-incremental ingest: each call appends a NEW snapshot holding
+    only this batch's rows (the Iceberg append-commit analog); returns
+    its snapshot_id.  Consumers use ``read_all`` for the full table or
+    ``read_incremental(since)`` for exactly the rows committed after a
+    known snapshot — the `option("start-snapshot-id", …)` pattern."""
+    versions = p._versions(name)
+    out = p._version_dir(name, (versions[-1] + 1) if versions else 1)
+    df = fn(p.spark)
+    df.write.mode("overwrite").parquet(out)
+    n_rows = p.spark.read.parquet(out).count()
+    return p._append_snapshot(
+        {
+            "stage": name,
+            "version": int(os.path.basename(out)[1:]),
+            "mode": "append",
+            "n_rows": n_rows,
+            "committed_at_unix": int(time.time()),
+        }
+    )
+
+
+def read_all(p: "Pipeline", stage: str) -> DataFrame:
+    dirs = list(_committed_dirs(p, stage).values())
+    if not dirs:
+        raise ValueError(f"no committed snapshots for stage {stage!r}")
+    return p.spark.read.parquet(*dirs)
+
+
+def read_incremental(p: "Pipeline", stage: str, since_snapshot_id: int) -> DataFrame:
+    """Rows committed strictly AFTER the given snapshot id."""
+    dirs = [d for sid, d in _committed_dirs(p, stage).items() if sid > since_snapshot_id]
+    if not dirs:
+        any_dir = next(iter(_committed_dirs(p, stage).values()), None)
+        if any_dir is None:
+            raise ValueError(f"no committed snapshots for stage {stage!r}")
+        return p.spark.read.parquet(any_dir).limit(0)
+    return p.spark.read.parquet(*dirs)
+
+
+Pipeline.append_stage = append_stage
+Pipeline.read_all = read_all
+Pipeline.read_incremental = read_incremental

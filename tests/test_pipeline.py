@@ -172,3 +172,18 @@ def test_snapshot_time_travel(spark, tmp_path):
     # a fresh Pipeline over the same root resumes the LATEST version
     p2 = Pipeline(spark, root)
     assert p2.is_done("nums") and p2.read("nums").count() == 100
+
+
+def test_incremental_append_stages(spark, tmp_path):
+    """append_stage commits per-batch snapshots; read_incremental(since)
+    returns exactly the later batches (start-snapshot-id semantics)."""
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "inc"))
+    s1 = p.append_stage("ingest", lambda s: s.range(0, 50).withColumnRenamed("id", "n"))
+    s2 = p.append_stage("ingest", lambda s: s.range(50, 80).withColumnRenamed("id", "n"))
+    assert p.read_all("ingest").count() == 80
+    inc = p.read_incremental("ingest", since_snapshot_id=s1)
+    got = sorted(r["n"] for r in inc.collect())
+    assert got == list(range(50, 80))
+    assert p.read_incremental("ingest", since_snapshot_id=s2).count() == 0
