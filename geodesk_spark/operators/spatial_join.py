@@ -132,11 +132,21 @@ def _quadtree_bands(
         if (c1 - c0 + 1) <= base_axis and (r1 - r0 + 1) <= base_axis:
             break
         zoom -= 1
-    # Snap to the shared level set ({4,8,12,16} for step 4).
+    # Snap to the shared level set ({8,12,16} for step 4).  A base below
+    # 8 only helps truly world-spanning polygons; lifting to 8 costs at
+    # most 256 cells/axis on the base grid (bounded) and removes a whole
+    # probe level from every query against the layer.
     if zoom > level_step:
         zoom -= zoom % level_step
     else:
         zoom = level_step
+    if zoom < 8:
+        c0 = int(minx + (1 << 31)) >> (32 - 8)
+        c1 = int(maxx + (1 << 31)) >> (32 - 8)
+        r0 = int((1 << 31) - 1 - maxy) >> (32 - 8)
+        r1 = int((1 << 31) - 1 - miny) >> (32 - 8)
+        if (c1 - c0 + 1) <= 256 and (r1 - r0 + 1) <= 256:
+            zoom = 8
     c0 = int(minx + (1 << 31)) >> (32 - zoom)
     c1 = int(maxx + (1 << 31)) >> (32 - zoom)
     r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
