@@ -37,6 +37,33 @@ _INTERIOR_WAIVE = {
     "contains": False,  # feature inside polygon cannot contain it
 }
 
+# User-defined predicates — the reference's Filter extension point
+# (feature/Filter.java:18-90): an exact kernel plus planner metadata.
+# kernel(rings: list[np.ndarray], gkind: str, poly_rings) -> bool;
+# interior_waive: the constant verdict when the feature sits strictly
+# inside the polygon (FilterStrategy fast-tile analog), or None to
+# always run the kernel.
+_CUSTOM: dict[str, tuple[bool | None, object]] = {}
+
+
+def register_predicate(name: str, kernel, interior_waive: bool | None = None) -> None:
+    """Kernels from outside the geodesk_spark package are serialized BY
+    VALUE (cloudpickle) so executors never need the defining module on
+    their import path — matching how user Filters reach the reference's
+    workers as compiled objects, not classpath entries."""
+    if name in _INTERIOR_WAIVE:
+        raise ValueError(f"{name!r} is a built-in predicate")
+    mod = getattr(kernel, "__module__", "") or ""
+    if not mod.startswith("geodesk_spark"):
+        import sys
+
+        from pyspark import cloudpickle
+
+        module = sys.modules.get(mod)
+        if module is not None:
+            cloudpickle.register_pickle_by_value(module)
+    _CUSTOM[name] = (interior_waive, kernel)
+
 
 def spatial_predicate_join(
     features: DataFrame,
@@ -46,8 +73,15 @@ def spatial_predicate_join(
 ) -> DataFrame:
     """features: (…, minx, miny, maxx, maxy int, gkind string, geom binary).
     Emits matching (feature, poly_id) rows for the given predicate."""
-    if predicate not in _INTERIOR_WAIVE:
+    custom = _CUSTOM.get(predicate)
+    if predicate not in _INTERIOR_WAIVE and custom is None:
         raise ValueError(f"unknown predicate {predicate!r}")
+    # resolve driver-side so the kernel travels inside the closure
+    # (worker-side _CUSTOM is empty — registration happens on the driver)
+    if custom is not None:
+        resolved_waive, resolved_kernel = custom
+    else:
+        resolved_waive, resolved_kernel = _INTERIOR_WAIVE[predicate], None
     keep = keep_cols or [c for c in features.columns if c not in ("geom",)]
     spark = features.sparkSession
     bc = spark.sparkContext.broadcast((prepared, predicate))
@@ -98,13 +132,21 @@ def spatial_predicate_join(
                         axis=0,
                     )
                     all_interior = (bands == INTERIOR).all(axis=0) & (cx1 - cx0 <= 1) & (ry1 - ry0 <= 1)
-                    waive_val = _INTERIOR_WAIVE[pred]
-                    hits[idx[all_interior]] = waive_val
+                    waive_val, exact_fn = resolved_waive, resolved_kernel
+                    if waive_val is None:
+                        all_interior = np.zeros(len(idx), dtype=bool)
+                    else:
+                        hits[idx[all_interior]] = waive_val
                     # exact kernel for the rest of the candidates
                     for j in idx[~all_interior]:
                         rings = pip.unpack_rings(pdf["geom"].iloc[j])
-                        a = rings if pdf["gkind"].iloc[j] == "polygon" else rings[0]
-                        hits[j] = geom.relate(a, p.rings)[pred]
+                        if exact_fn is not None:
+                            hits[j] = bool(
+                                exact_fn(rings, pdf["gkind"].iloc[j], p.rings)
+                            )
+                        else:
+                            a = rings if pdf["gkind"].iloc[j] == "polygon" else rings[0]
+                            hits[j] = geom.relate(a, p.rings)[pred]
                 if pred == "disjoint":
                     non_cand = np.ones(len(pdf), dtype=bool)
                     non_cand[idx] = False

@@ -87,3 +87,49 @@ def test_length_area(spark, feats):
             assert out.loc[row["fid"], "area_m2"] > 0
         else:
             assert out.loc[row["fid"], "area_m2"] == 0.0
+
+
+def _centroid_within(rings, gkind, poly_rings):
+    """Custom predicate: the feature's vertex-centroid lies inside the
+    polygon (module-level so Spark can pickle it)."""
+    import numpy as np
+
+    from geodesk_spark.geo import pip as _pip
+
+    pts = np.vstack(rings) if gkind == "polygon" else rings[0]
+    cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    return bool(_pip.points_in_polygon(np.array([cx]), np.array([cy]), poly_rings)[0])
+
+
+def test_custom_predicate_registry(spark, feats, prepared):
+    """register_predicate == the reference's Filter extension point:
+    the custom kernel composes with the same banding machinery."""
+    from geodesk_spark.geo import pip as _pip
+
+    df, pdf = feats
+    predicates.register_predicate("centroid_within", _centroid_within, interior_waive=True)
+    try:
+        got = set(
+            map(
+                tuple,
+                predicates.spatial_predicate_join(
+                    df, prepared, "centroid_within", keep_cols=["fid"]
+                )
+                .toPandas()[["fid", "poly_id"]]
+                .to_numpy()
+                .tolist(),
+            )
+        )
+        want = set()
+        for p in prepared:
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                if (row["maxx"] < p.minx or row["minx"] > p.maxx
+                        or row["maxy"] < p.miny or row["miny"] > p.maxy):
+                    continue
+                rings = _pip.unpack_rings(row["geom"])
+                if _centroid_within(rings, row["gkind"], p.rings):
+                    want.add((row["fid"], p.poly_id))
+        assert got == want and len(want) > 0
+    finally:
+        predicates._CUSTOM.pop("centroid_within", None)
