@@ -135,6 +135,11 @@ class Features:
     def overlapping(self, prepared) -> "Features":
         return self._relate(prepared, "overlaps")
 
+    def select_spatial(self, prepared, predicate: str) -> "Features":
+        """Arbitrary (incl. registered custom) spatial predicate — the
+        reference's Features.select(Filter) (Features.java:217)."""
+        return self._relate(prepared, predicate)
+
     def containing_point(self, lon: float, lat: float) -> "Features":
         """Features whose polygon contains the lon/lat point
         (ContainsPointFilter.java:26-72): bbox prefilter JVM-side, exact
