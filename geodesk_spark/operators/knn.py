@@ -61,11 +61,6 @@ def _cells_at_zoom(qx: int, qy: int, radius_imps: int, zoom: int) -> np.ndarray:
     return ((zoom << 24) | (rr.ravel() << 12) | cc.ravel()).astype(np.int64)
 
 
-def _cells_for_window(qx: int, qy: int, radius_imps: int, max_per_axis: int = 32):
-    zoom = _window_zoom(radius_imps, max_per_axis)
-    return _cells_at_zoom(qx, qy, radius_imps, zoom), zoom
-
-
 def _guarantee_m(qy: int, radius_imps: int) -> float:
     """Max distance provably covered: radius × min meters/imp in the window."""
     ys = [max(qy - radius_imps, I32_MIN), min(qy + radius_imps, I32_MAX)]
