@@ -117,6 +117,10 @@ class Box:
         return self.minx <= x <= self.maxx and self.miny <= y <= self.maxy
 
     def contains_box(self, o: "Box") -> bool:
+        """Plain-comparison form — NOT wrap-aware, matching the
+        reference (Bounds.java:53-57; its docs call antimeridian
+        behavior undefined for box-box ops).  Only contains_xy handles
+        the wrap (Bounds.java:44-50)."""
         return (
             o.minx >= self.minx
             and o.maxx <= self.maxx
@@ -125,7 +129,8 @@ class Box:
         )
 
     def intersects(self, o: "Box") -> bool:
-        """Bounds.java:36-42 (non-wrapping form)."""
+        """Bounds.java:36-42 — plain comparisons; box-box ops are
+        wrap-unaware in the reference too (see contains_box note)."""
         return not (
             o.minx > self.maxx
             or o.maxx < self.minx

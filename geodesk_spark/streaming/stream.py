@@ -84,10 +84,13 @@ def windowed_tile_counts(
 
 
 def streaming_dedup(tiled: DataFrame, watermark: str = "20 minutes") -> DataFrame:
-    """Exactly-once image_id dedup across micro-batches (state bounded
-    by the watermark — the streaming analog of exact_dedup)."""
-    return tiled.withWatermark("ingest_ts", watermark).dropDuplicates(
-        ["image_id", "ingest_ts"]
+    """Exactly-once image_id dedup across micro-batches: a re-ingested
+    id is dropped even when it arrives with a DIFFERENT timestamp, as
+    long as the copies fall within the watermark window — state is keyed
+    by image_id alone and evicted after the watermark passes
+    (dropDuplicatesWithinWatermark; the streaming analog of exact_dedup)."""
+    return tiled.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["image_id"]
     )
 
 

@@ -106,9 +106,10 @@ def test_running_tile_stats_state_accumulates(spark, tmp_path):
 def test_streaming_dedup(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     ckpt = str(tmp_path / "ck")
-    # duplicate producer: same ids written twice in one batch window
+    # duplicate producer: same ids written twice — the second copy at a
+    # LATER timestamp (the realistic re-ingest case)
     _produce(spark, input_dir, 100, 0, "2024-01-01 00:01:00")
-    _produce(spark, input_dir, 100, 0, "2024-01-01 00:01:00")
+    _produce(spark, input_dir, 100, 0, "2024-01-01 00:05:00")
     tiled = stream.with_stream_tiles(stream.read_image_stream(spark, input_dir))
     ded = stream.streaming_dedup(tiled).select("image_id")
     got = stream.drain_to_memory(spark, ded, "dd", ckpt, "append").toPandas()
