@@ -200,6 +200,10 @@ def knn(
             )
         remaining = still
 
+    if not results:  # no queries given
+        return spark.createDataFrame(
+            [], f"{id_col} string, query_id string, dist_m double, rank int"
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

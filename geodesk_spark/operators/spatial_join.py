@@ -329,9 +329,16 @@ def contains_points(
 
     # The band table is query-compilation state (like the reference's
     # cached matchers, MatcherCompiler.java:37-46) — build it once per
-    # (layer, session).
+    # (layer, session).  The key hashes the cell CONTENT, not just the
+    # shape: re-preparing an edited polygon with the same id/count must
+    # miss the cache.
+    import zlib
+
     cache_key = (
-        tuple((p.poly_id, len(p.qt_cells)) for p in prepared),
+        tuple(
+            (p.poly_id, zlib.crc32(p.qt_cells.tobytes()), zlib.crc32(p.qt_codes.tobytes()))
+            for p in prepared
+        ),
         id(spark),
     )
     cached = _BANDS_CACHE.get(cache_key)

@@ -92,6 +92,8 @@ class Pipeline:
         return self._active_version(stage) is not None
 
     def lineage(self, stage: str) -> dict:
+        if self._active_version(stage) is None:
+            raise ValueError(f"stage {stage!r} has no committed snapshot")
         with open(os.path.join(self._dir(stage), "_lineage.json")) as f:
             return json.load(f)
 
@@ -104,6 +106,10 @@ class Pipeline:
     ) -> DataFrame:
         """Run (or resume) a stage.  ``fn(spark) -> DataFrame``; upstream
         stages are read back from their snapshots via ``self.read``."""
+        if self._is_append_stage(name):
+            raise ValueError(
+                f"{name!r} is an append stage — use append_stage/read_all"
+            )
         if self.is_done(name):
             return self.read(name)
         versions = self._versions(name)
@@ -147,9 +153,20 @@ class Pipeline:
         )
         return snap
 
+    def _is_append_stage(self, stage: str) -> bool:
+        return any(
+            e["stage"] == stage and e.get("mode") == "append" for e in self.snapshots()
+        )
+
     def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
-        """Current snapshot, or time-travel to a specific snapshot_id."""
+        """Current snapshot (append stages: union of ALL committed
+        batches — Iceberg table-read semantics), or time-travel to a
+        specific snapshot_id."""
         if snapshot_id is None:
+            if self._is_append_stage(stage):
+                return self.read_all(stage)
+            if self._active_version(stage) is None:
+                raise ValueError(f"stage {stage!r} has no committed snapshot")
             return self.spark.read.parquet(self._dir(stage))
         for e in self.snapshots():
             if e["snapshot_id"] == snapshot_id:

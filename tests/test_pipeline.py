@@ -187,3 +187,19 @@ def test_incremental_append_stages(spark, tmp_path):
     got = sorted(r["n"] for r in inc.collect())
     assert got == list(range(50, 80))
     assert p.read_incremental("ingest", since_snapshot_id=s2).count() == 0
+
+
+def test_read_and_guards_on_append_stages(spark, tmp_path):
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "g"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no committed snapshot"):
+        p.read("never_ran")
+    p.append_stage("ing", lambda s: s.range(5))
+    p.append_stage("ing", lambda s: s.range(5, 9))
+    # read() on an append stage = full table (Iceberg read semantics)
+    assert p.read("ing").count() == 9
+    with _pt.raises(ValueError, match="append stage"):
+        p.stage("ing", lambda s: s.range(1))
