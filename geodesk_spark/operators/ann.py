@@ -29,6 +29,8 @@ def _query_matrix(df: DataFrame, query_ids: list[int]) -> tuple[np.ndarray, list
     )
     got = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in rows}
     qids = [q for q in query_ids if q in got]
+    if not qids:
+        raise ValueError(f"none of query_ids {query_ids!r} exist in the table")
     Q = np.stack([got[q] for q in qids])
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     return Q, qids
@@ -79,10 +81,12 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     )
 
 
-def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3, sample: int = 2048, seed: int = 42) -> np.ndarray:
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3, sample: int = 2048) -> np.ndarray:
     """Deterministic IVF codebook: k-means (Lloyd) on a fixed-id sample,
-    seeded from evenly spaced sample rows.  Driver-side numpy on a tiny
-    sample — the 10^12-scale path trains on a bounded sample too."""
+    seeded from evenly spaced sample rows — fully deterministic by
+    construction (no RNG, hence no seed parameter).  Driver-side numpy
+    on a tiny sample — the 10^12-scale path trains on a bounded sample
+    too."""
     rows = (
         df.select("vec_id", "embedding")
         .filter(F.col("vec_id") % 13 == 0)  # deterministic 1/13 sample
@@ -109,7 +113,6 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
-    seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are assigned to their nearest
     centroid (one matmul per Arrow batch); each query scans only its
@@ -121,7 +124,7 @@ def ivf_topk(
     """
     spark = df.sparkSession
     Q, qids = _query_matrix(df, query_ids)
-    C = ivf_centroids(df, n_centroids=n_centroids, seed=seed)
+    C = ivf_centroids(df, n_centroids=n_centroids)
     probes = {qid: set(np.argsort(-(C @ Q[j]))[:nprobe].tolist()) for j, qid in enumerate(qids)}
     bc = spark.sparkContext.broadcast((Q, qids, C, probes, k))
 
