@@ -101,6 +101,9 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "heading_rollup",
         "skew_salted_rollup",
         "graph_nodes_of",
+        "distance_join",
+        "asof_join_events",
+        "morton_cells",
     ]
     qs = em.queries()
     # Warm the session once (JVM JIT, Hadoop FS init, Arrow/python
