@@ -97,6 +97,7 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataFrame:
+    # `sr` is the fallback when the input lacks a per-row sr column
     """Audio feature extraction over an opaque binary column.
 
     Input schema: (audio_id string, bytes binary, sr int, n_samples int)
@@ -122,13 +123,15 @@ def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataF
                 "zcr": np.zeros(n),
                 "frame_energy_var": np.zeros(n),
             }
-            frame = max(1, sr * frame_ms // 1000)
+            has_sr = "sr" in pdf.columns
             for i in range(n):
                 pcm = np.frombuffer(bytes(pdf["bytes"].iloc[i]), dtype=np.int16)
                 if len(pcm) == 0:
                     continue
+                row_sr = int(pdf["sr"].iloc[i]) if has_sr and pdf["sr"].iloc[i] else sr
+                frame = max(1, row_sr * frame_ms // 1000)
                 x = pcm.astype(np.float64) / 32768.0
-                out["duration_s"][i] = len(x) / sr
+                out["duration_s"][i] = len(x) / row_sr
                 out["rms"][i] = float(np.sqrt(np.mean(x * x)))
                 out["zcr"][i] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 k = (len(x) // frame) * frame

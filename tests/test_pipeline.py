@@ -127,10 +127,11 @@ def test_audio_features(spark):
 
     from geodesk_spark.operators import images
 
-    sr = 16_000
     rng = np.random.default_rng(3)
     rows = []
+    rates = [16_000, 22_050, 8_000]
     for i in range(12):
+        sr = rates[i % 3]  # mixed sample rates — per-row sr must win
         t = np.arange(sr // 2 + i * 1000)
         tone = np.sin(2 * np.pi * (110 + 50 * i) * t / sr)
         if i % 3 == 0:
@@ -142,7 +143,7 @@ def test_audio_features(spark):
     for i in range(12):
         pcm = np.frombuffer(rows[i][1], dtype=np.int16).astype(np.float64) / 32768.0
         r = got.loc[f"a{i}"]
-        assert abs(r["duration_s"] - len(pcm) / sr) < 1e-9
+        assert abs(r["duration_s"] - len(pcm) / rates[i % 3]) < 1e-9
         assert abs(r["rms"] - np.sqrt(np.mean(pcm**2))) < 1e-12
         assert abs(r["zcr"] - np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) < 1e-12
         assert r["frame_energy_var"] >= 0
