@@ -164,6 +164,55 @@ def _coords_p7_sql() -> str:
     """.replace("{c1}", c1).replace("{c2}", c2)
 
 
+_SKEW_LON = "(case when (o_orderkey % 10) < 8 then 13.0 + ((o_orderkey * 9973) % 2000) / 1000.0 else ((o_orderkey * 9973) % 360000) / 1000.0 - 180.0 end) * 0.999"
+_SKEW_LAT = "(case when (o_orderkey % 10) < 8 then 52.0 + ((o_orderkey * 7919) % 2000) / 1000.0 else ((o_orderkey * 7919) % 160000) / 1000.0 - 80.0 end) * 0.999"
+
+
+def _q_adaptive_split(spark, sf_dir):
+    """GeoDesk-style adaptive cell subdivision (ZoomLevels.java:98-113
+    analog, operators/skew.adaptive_cell_split): 80% of rows land in one
+    ~2° hot square, which splits z8 → z10 → z12 until the per-cell cap
+    holds; the resulting histogram must match the oracle's two-round
+    CASE rewrite exactly."""
+    from geodesk_spark.operators import skew
+
+    o = tables.load(spark, sf_dir, "orders")
+    pts = (
+        o.withColumn("lon", F.expr(_SKEW_LON))
+        .withColumn("lat", F.expr(_SKEW_LAT))
+        .withColumn("x", F.expr(tables.x_expr("lon")))
+        .withColumn("y", F.expr(tables.y_expr("lat")))
+        .withColumn("tile_z8", T.tile_col(F.col("x"), F.col("y"), 8))
+    )
+    out = skew.adaptive_cell_split(pts, max_rows_per_cell=200, base_zoom=8, max_zoom=12, step=2)
+    return (
+        out.groupBy(F.col("cell_adaptive").cast("bigint").alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell")
+    )
+
+
+def _adaptive_split_sql() -> str:
+    t = lambda z: tables.tile_expr("x", "y", z)
+    return f"""
+      with pts as (
+        select {tables.x_expr(_SKEW_LON)} as x, {tables.y_expr(_SKEW_LAT)} as y
+        from orders),
+      cells as (select x, y, {t(8)} as c8, {t(10)} as c10, {t(12)} as c12 from pts),
+      r0 as (select *, c8 as cell from cells),
+      h0 as (select cell from r0 group by cell having count(*) > 200),
+      r1 as (select r0.x, r0.y, r0.c10, r0.c12,
+                    case when h0.cell is not null then r0.c10 else r0.cell end as cell
+             from r0 left join h0 on r0.cell = h0.cell),
+      h1 as (select cell from r1 group by cell having count(*) > 200),
+      r2 as (select case when h1.cell is not null
+                              and cast(floor(r1.cell / {1 << 24}) as int) = 10
+                         then r1.c12 else r1.cell end as cell
+             from r1 left join h1 on r1.cell = h1.cell)
+      select cell, count(*) as n from r2 group by cell order by cell
+    """
+
+
 def _q_heading_rollup(spark, sf_dir):
     """Compass heading (geom/Heading.java:20-60): 8-point heading from
     Cairo to every customer point, rolled up — pure Column trig."""
@@ -1686,6 +1735,7 @@ QUERIES: dict[str, tuple] = {
     "morton_cells": (_q_morton_cells, _morton_sql()),
     "coords_precision7": (_q_coords_precision7, _coords_p7_sql()),
     "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
+    "skew_adaptive_split": (_q_adaptive_split, _adaptive_split_sql()),
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "distance_join": (_q_distance_join, _distance_join_sql()),
     "pip_join": (_q_pip, _SQL_PIP),
