@@ -223,3 +223,20 @@ def ftype_of_typed_col(typed_col):
     return (
         F.when(code == 0, "node").when(code == 1, "way").otherwise("relation")
     )
+
+
+def home_tile_col(start_tile, end_tile):
+    """Checkerboard home-tile heuristic for multi-tile members
+    (Tile.java:305-320): prefer a black tile as the home so large
+    relations concentrate member lookups on half the grid — if the
+    start tile is black it wins, else a black end tile, else the start
+    tile.  (The reference ships the color predicate; the assignment
+    preference is its documented use.)"""
+    F = _F()
+    start_black = ((start_tile.bitwiseXOR(F.shiftright(start_tile, 12))) % 2) != 0
+    end_black = ((end_tile.bitwiseXOR(F.shiftright(end_tile, 12))) % 2) != 0
+    return (
+        F.when(start_black, start_tile)
+        .when(end_black, end_tile)
+        .otherwise(start_tile)
+    )

@@ -185,3 +185,21 @@ def test_typed_fid_roundtrip(spark):
         tids.add(r["tid"])
     assert len(tids) == 4  # unique across types (FeatureId.java:20-29)
     assert {r["tid"] for r in rows if r["fid"] == 1} == {4, 5, 6}
+
+
+def test_home_tile_checkerboard(spark):
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import tile as T
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    rows = [(int(a), int(b)) for a, b in rng.integers(0, 1 << 28, (200, 2))]
+    df = spark.createDataFrame(rows, "s int, e int").withColumn(
+        "home", T.home_tile_col(F.col("s"), F.col("e"))
+    )
+    for r in df.collect():
+        sb = bool(T.is_black(r["s"])[()])
+        eb = bool(T.is_black(r["e"])[()])
+        want = r["s"] if sb else (r["e"] if eb else r["s"])
+        assert r["home"] == want
