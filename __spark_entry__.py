@@ -161,7 +161,7 @@ def _coords_p7_sql() -> str:
              round(cast(x as double) * 360 / {W!r}, 7) as lon7,
              round(atan(exp(cast(y as double) * {c1})) * {c2} - 90, 7) as lat7
       from pts order by key
-    """.replace("{c1}", c1).replace("{c2}", c2)
+    """
 
 
 _SKEW_LON = "(case when (o_orderkey % 10) < 8 then 13.0 + ((o_orderkey * 9973) % 2000) / 1000.0 else ((o_orderkey * 9973) % 360000) / 1000.0 - 180.0 end) * 0.999"
@@ -174,8 +174,6 @@ def _q_adaptive_split(spark, sf_dir):
     ~2° hot square, which splits z8 → z10 → z12 until the per-cell cap
     holds; the resulting histogram must match the oracle's two-round
     CASE rewrite exactly."""
-    from geodesk_spark.operators import skew
-
     o = tables.load(spark, sf_dir, "orders")
     pts = (
         o.withColumn("lon", F.expr(_SKEW_LON))
@@ -1153,8 +1151,6 @@ def _q_polygon_assembly(spark, sf_dir):
     shuffled/reversed member runs, reassembled distributed by rel_id.
     Not SQL-expressible (endpoint-chaining) — rows-only check; pytest
     pins PIP-equivalence vs the original rings (tests/test_polygons.py)."""
-    import numpy as np
-
     from geodesk_spark.operators import polygons as polys_mod
 
     rng = np.random.default_rng(13)

@@ -52,10 +52,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"FAIL  unknown query name(s): {unknown}")
+            sys.exit(2)
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -85,13 +92,18 @@ def main():
             failures += 1
         elif hs != ho:
             print(f"FAIL  {name}: value hash mismatch ({ns} rows)")
-            m = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True)
-            o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+            cols = sorted(sdf.columns)
+            m = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
             print(m.head(3).to_string())
             print(o.head(3).to_string())
             failures += 1
         else:
-            print(f"PASS  {name}: rows={ns} ({t_spark:.1f}s)")
+            vac = "  WARN: vacuous (0 rows both sides)" if ns == 0 else ""
+            print(f"PASS  {name}: rows={ns} ({t_spark:.1f}s){vac}")
+    if ran == 0:
+        print("FAIL  no queries ran")
+        sys.exit(2)
     spark.stop()
     sys.exit(1 if failures else 0)
 
