@@ -1038,14 +1038,19 @@ def _simhash_sql() -> str:
     """
 
 
+JACCARD_DF_CAP = 50  # hot-shingle document-frequency cap (skew guard)
+
+
 def _q_jaccard(spark, sf_dir):
     d = tables.load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.3)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
 
 
 _SQL_JACCARD = f"""
   with s as ({_SQL_SHINGLES}),
-  e as (select doc_id, unnest(list_distinct(sh)) as sh from s),
+  e0 as (select doc_id, unnest(list_distinct(sh)) as sh from s),
+  hot as (select sh from e0 group by sh having count(*) > {JACCARD_DF_CAP}),
+  e as (select * from e0 where sh not in (select sh from hot)),
   sizes as (select doc_id, count(*) as n_sh from e group by doc_id),
   inter as (
     select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
@@ -1067,7 +1072,7 @@ def _q_dedup_components(spark, sf_dir):
     oracle computes the same components with a recursive CTE transitive
     closure (tiny graph at sf0.01)."""
     d = tables.load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
     return dedup.connected_components(pairs).orderBy("doc_id")
 
 
@@ -1149,8 +1154,10 @@ def _q_polygon_assembly(spark, sf_dir):
     """Multipolygon assembly (PolygonBuilder.java:162-250): deterministic
     relations built by chopping the synthetic polygon layer's rings into
     shuffled/reversed member runs, reassembled distributed by rel_id.
-    Not SQL-expressible (endpoint-chaining) — rows-only check; pytest
-    pins PIP-equivalence vs the original rings (tests/test_polygons.py)."""
+    Oracle = the layer's unchopped ground truth (ring/vertex counts +
+    bbox per relation) as a VALUES table — independent of the chaining
+    code under test; pytest additionally pins PIP-equivalence
+    (tests/test_polygons.py)."""
     from geodesk_spark.operators import polygons as polys_mod
 
     rng = np.random.default_rng(13)
@@ -1174,7 +1181,30 @@ def _q_polygon_assembly(spark, sf_dir):
     members = spark.createDataFrame(member_rows, "rel_id long, member_id long, role string")
     way_nodes = spark.createDataFrame(wn_rows, "way_id long, seq int, x int, y int")
     out = polys_mod.assemble_relation_polygons(members, way_nodes)
-    return out.select("rel_id", "n_parts", "n_rings", "valid", "minx", "miny", "maxx", "maxy").orderBy("rel_id")
+    return out.select(
+        "rel_id", "n_parts", "n_rings", "n_vertices", "n_dangling", "valid",
+        "status", "minx", "miny", "maxx", "maxy",
+    ).orderBy("rel_id")
+
+
+def _polygon_assembly_sql() -> str:
+    """Ground-truth expectations straight from the polygon layer (each
+    layer polygon is one part: one outer ring + optional hole inside it),
+    NOT derived through the assembly code."""
+    rows = []
+    for rel_id, poly in enumerate(synth.polygon_layer()):
+        rings = pip.unpack_rings(poly["rings"])
+        n_vertices = int(sum(len(r) - 1 for r in rings))
+        rows.append(
+            f"({rel_id}, 1, {len(rings)}, {n_vertices}, 0, true, 'valid', "
+            f"{poly['minx']}, {poly['miny']}, {poly['maxx']}, {poly['maxy']})"
+        )
+    return (
+        "select * from (values "
+        + ", ".join(rows)
+        + ") as t(rel_id, n_parts, n_rings, n_vertices, n_dangling, valid, "
+        "status, minx, miny, maxx, maxy) order by rel_id"
+    )
 
 
 def _q_images_decode(spark, sf_dir):
@@ -1773,7 +1803,7 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check
     "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
     # polygon assembly (PolygonBuilder)
-    "polygon_assembly": (_q_polygon_assembly, None),  # algorithmic — rows-only; pytest pins PIP parity
+    "polygon_assembly": (_q_polygon_assembly, _polygon_assembly_sql()),
     # multimodal
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only

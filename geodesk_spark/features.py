@@ -115,7 +115,9 @@ class Features:
     def _relate(self, prepared, predicate: str) -> "Features":
         keep = [c for c in self._df.columns]
         out = predicates.spatial_predicate_join(self._df, prepared, predicate, keep_cols=keep)
-        return self._with(out.drop("poly_id").dropDuplicates(["fid"]))
+        # identity is (fid, ftype): OSM node/way/relation id namespaces
+        # overlap, the reference packs type into the id (FeatureId.java:20-29)
+        return self._with(out.drop("poly_id").dropDuplicates(["fid", "ftype"]))
 
     def intersecting(self, prepared) -> "Features":
         return self._relate(prepared, "intersects")
@@ -197,7 +199,8 @@ class Features:
         self._need_edges()
         rels = graph.parents_of(self._df, self._members, self._all_features())
         ways = graph.parent_ways_of(self._df, self._way_nodes, self._all_features())
-        return self._with(rels.unionByName(ways).dropDuplicates(["fid"]))
+        # (fid, ftype) identity: a way and a relation may share a bare id
+        return self._with(rels.unionByName(ways).dropDuplicates(["fid", "ftype"]))
 
     def nodes_of(self, tagged_only: bool = False) -> "Features":
         self._need_edges()
@@ -217,9 +220,13 @@ class Features:
 
     # -- view combination (View.java:176-213) ----------------------------
     def intersect(self, other: "Features") -> "Features":
-        """select(Features other) — features present in both views."""
+        """select(Features other) — features present in both views.
+        Semi-join on (fid, ftype): bare fids collide across type namespaces
+        (FeatureId.java:20-29)."""
         return self._with(
-            self._df.join(other._df.select("fid").distinct(), "fid", "left_semi")
+            self._df.join(
+                other._df.select("fid", "ftype").distinct(), ["fid", "ftype"], "left_semi"
+            )
         )
 
     # -- terminals (Features.java:139-215) -------------------------------
@@ -240,6 +247,10 @@ class Features:
     def __iter__(self) -> Iterator[Row]:
         return self._df.toLocalIterator()
 
-    def contains(self, fid: int) -> bool:
-        """Membership test (WorldView.java:78-102 semi-join form)."""
-        return not self._with(self._df.filter(F.col("fid") == fid)).is_empty
+    def contains(self, fid: int, ftype: str | None = None) -> bool:
+        """Membership test (WorldView.java:78-102 semi-join form).
+        Pass ftype to disambiguate colliding node/way/relation ids."""
+        cond = F.col("fid") == fid
+        if ftype is not None:
+            cond = cond & (F.col("ftype") == ftype)
+        return not self._with(self._df.filter(cond)).is_empty

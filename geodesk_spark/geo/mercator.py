@@ -143,6 +143,51 @@ def polyline_length_m(xs: np.ndarray, ys: np.ndarray) -> float:
     return float(np.sum(distance(xs[:-1], ys[:-1], xs[1:], ys[1:])))
 
 
+def project_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """WGS84 lon/lat rings → imp rings, in the reference's geometry
+    transform semantics (Mercator.java:303-324: each ordinate replaced
+    by the ROUNDED int xFromLon/yFromLat, stored back as double)."""
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        out.append(
+            np.stack(
+                [x_from_lon(r[:, 0]).astype(np.float64),
+                 y_from_lat(r[:, 1]).astype(np.float64)],
+                axis=1,
+            )
+        )
+    return out
+
+
+def unproject_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """imp rings → WGS84 lon/lat rings (Mercator.java:332-352:
+    lonFromX/latFromY, no rounding)."""
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        out.append(np.stack([lon_from_x(r[:, 0]), lat_from_y(r[:, 1])], axis=1))
+    return out
+
+
+def expand_envelope(
+    minx: float, miny: float, maxx: float, maxy: float, meters: float
+) -> tuple[float, float, float, float]:
+    """Grow an imp envelope by ``meters`` on every side, converted at the
+    envelope's mid-latitude (Mercator.java:266-271: env.expandBy(
+    deltaFromMeters(meters, (maxY+minY)/2)))."""
+    d = float(delta_from_meters(meters, (maxy + miny) / 2)[()])
+    return (minx - d, miny - d, maxx + d, maxy + d)
+
+
+def envelope(lon1: float, lat1: float, lon2: float, lat2: float) -> tuple[int, int, int, int]:
+    """(minx, miny, maxx, maxy) imp envelope of two lon/lat corners
+    (Mercator.java:273-277 — JTS Envelope normalizes the corner order)."""
+    x1, x2 = int(x_from_lon(lon1)[()]), int(x_from_lon(lon2)[()])
+    y1, y2 = int(y_from_lat(lat1)[()]), int(y_from_lat(lat2)[()])
+    return (min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2))
+
+
 # ---------------------------------------------------------------------------
 # Spark Column builders — same arithmetic, JVM-side (no Python round-trip).
 # ---------------------------------------------------------------------------
@@ -193,3 +238,15 @@ def distance_col(x1, y1, x2, y2):
 
 def delta_from_meters_col(meters_col, at_y_col):
     return meters_col * MAP_WIDTH / EARTH_CIRCUMFERENCE * scale_col(at_y_col)
+
+
+def expand_envelope_cols(minx, miny, maxx, maxy, meters_col):
+    """Column twin of expand_envelope: 4 expanded bbox Columns, delta
+    taken at each row's own mid-latitude (Mercator.java:266-271)."""
+    d = delta_from_meters_col(meters_col, (maxy.cast("double") + miny.cast("double")) / 2)
+    return (
+        minx.cast("double") - d,
+        miny.cast("double") - d,
+        maxx.cast("double") + d,
+        maxy.cast("double") + d,
+    )

@@ -7,6 +7,21 @@ in arbitrary order and direction; rings are built by chaining runs at
 exactly-equal integer endpoints, then nested rings are grouped into
 (outer, holes…) parts by containment depth.
 
+Fidelity notes:
+- Chaining BACKTRACKS at multi-candidate joints (two rings touching at
+  a shared vertex give 4 run endpoints at one coordinate): candidates
+  that close the current chain back to its start are tried first, and a
+  dead end unwinds instead of welding two rings into a figure-eight —
+  the reference's RingBuilder.build walks TENTATIVE chains and closes a
+  ring exactly when it re-meets its own chain (RingBuilder.java:196-281).
+- Runs that cannot chain into any closed ring are DANGLING: the
+  reference marks them and keeps the rings that did form
+  (Segment.status DANGLING, RingBuilder.java:246-249; PolygonBuilder
+  returns an empty geometry only when NO outer ring forms,
+  PolygonBuilder.java:208-214).  `try_assemble_rings` mirrors that;
+  `assemble_rings` keeps the strict raising behavior for callers that
+  demand complete input.
+
 Pure-numpy driver kernels — the Spark operator
 (operators/polygons.assemble_relation_polygons) calls these inside
 applyInPandas per relation group, so the work distributes by rel_id.
@@ -21,22 +36,25 @@ from geodesk_spark.geo import pip
 
 class RingAssemblyError(ValueError):
     """A member run cannot be chained into any closed ring (dangling
-    endpoint) — the reference marks such relations invalid/fixable
-    (PolygonBuilder.java:58-74)."""
+    endpoint) — the reference marks such segments DANGLING
+    (RingBuilder.java:246-249) and builds what it can."""
 
 
-def assemble_rings(runs: list[np.ndarray]) -> list[np.ndarray]:
+_BACKTRACK_BUDGET = 100_000  # expansion cap: degenerate inputs stay bounded
+
+
+def try_assemble_rings(runs: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
     """Chain coordinate runs into closed rings by exact endpoint match.
 
     Each run is an (k,2) array of integer imp coordinates.  A run whose
-    first point equals its last is already a ring.  Otherwise runs are
-    joined end-to-end, reversing direction as needed — the reference's
-    RingBuilder chains segments the same way (candidates matched on
-    exact coordinate equality).  Raises RingAssemblyError when a chain
-    cannot close.
+    first point equals its last is already a ring.  Open runs are joined
+    end-to-end (reversing as needed) with backtracking at ambiguous
+    joints.  Returns (rings, n_dangling): runs that close nothing are
+    counted, not fatal — RingBuilder.build semantics.
     """
     rings: list[np.ndarray] = []
     open_runs: list[np.ndarray] = []
+    n_dangling = 0
     for r in runs:
         arr = np.asarray(r, dtype=np.float64)
         if len(arr) < 2:
@@ -44,11 +62,10 @@ def assemble_rings(runs: list[np.ndarray]) -> list[np.ndarray]:
         if np.array_equal(arr[0], arr[-1]):
             if len(arr) >= 4:
                 rings.append(arr)
+            else:
+                n_dangling += 1  # defective: <4-point ring (RingBuilder.java:64)
         else:
             open_runs.append(arr)
-
-    # endpoint index: (x, y) -> [(run_idx, at_start)]
-    used = [False] * len(open_runs)
 
     def key(pt) -> tuple:
         return (float(pt[0]), float(pt[1]))
@@ -58,31 +75,57 @@ def assemble_rings(runs: list[np.ndarray]) -> list[np.ndarray]:
         index.setdefault(key(r[0]), []).append((i, True))
         index.setdefault(key(r[-1]), []).append((i, False))
 
+    used = [False] * len(open_runs)
+    budget = [_BACKTRACK_BUDGET]
+
+    def far(j: int, forward: bool) -> tuple:
+        r = open_runs[j]
+        return key(r[-1] if forward else r[0])
+
+    def extend(chain: list[tuple[int, bool]], start: tuple, cur: tuple) -> bool:
+        if cur == start:
+            return True
+        cands = [(j, fwd) for j, fwd in index.get(cur, ()) if not used[j]]
+        # prefer the candidate that closes the chain back to start — at a
+        # 4-endpoint joint (two touching rings) this picks "my" ring first
+        cands.sort(key=lambda c: far(c[0], c[1]) != start)
+        for j, fwd in cands:
+            if budget[0] <= 0:
+                return False
+            budget[0] -= 1
+            used[j] = True
+            chain.append((j, fwd))
+            if extend(chain, start, far(j, fwd)):
+                return True
+            chain.pop()
+            used[j] = False
+        return False
+
     for i in range(len(open_runs)):
         if used[i]:
             continue
         used[i] = True
-        chain = [open_runs[i]]
-        start = key(open_runs[i][0])
-        cur = key(open_runs[i][-1])
-        while cur != start:
-            nxt = None
-            for j, at_start in index.get(cur, ()):
-                if not used[j]:
-                    nxt = (j, at_start)
-                    break
-            if nxt is None:
-                raise RingAssemblyError(f"dangling endpoint {cur}")
-            j, at_start = nxt
-            used[j] = True
-            seg = open_runs[j] if at_start else open_runs[j][::-1]
-            chain.append(seg[1:])  # drop shared joint vertex
-            cur = key(seg[-1])
-        ring = np.vstack(chain)
-        if not np.array_equal(ring[0], ring[-1]):
-            ring = np.vstack([ring, ring[:1]])
-        if len(ring) >= 4:
-            rings.append(ring)
+        chain = [(i, True)]
+        if extend(chain, key(open_runs[i][0]), key(open_runs[i][-1])):
+            parts = [open_runs[j] if fwd else open_runs[j][::-1] for j, fwd in chain]
+            ring = np.vstack([parts[0]] + [p[1:] for p in parts[1:]])
+            if not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            if len(ring) >= 4:
+                rings.append(ring)
+            else:
+                n_dangling += 1
+        else:
+            used[i] = False
+            n_dangling += 1
+    return rings, n_dangling
+
+
+def assemble_rings(runs: list[np.ndarray]) -> list[np.ndarray]:
+    """Strict variant: raises RingAssemblyError on any dangling run."""
+    rings, n_dangling = try_assemble_rings(runs)
+    if n_dangling:
+        raise RingAssemblyError(f"{n_dangling} run(s) left dangling")
     return rings
 
 
@@ -135,3 +178,41 @@ def group_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
             owner = min(owners, key=lambda j: areas[j])
             parts[outer_part[owner]].append(rings[i])
     return parts
+
+
+def holes_overlap(part: list[np.ndarray]) -> bool:
+    """True when any two holes of a part have intersecting bboxes —
+    the reference's trigger for merging holes through buffer(0)
+    (PolygonBuilder.ringsOverlap, PolygonBuilder.java:86-93)."""
+    holes = part[1:]
+    boxes = [pip.ring_bbox(h) for h in holes]
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            a, b = boxes[i], boxes[j]
+            if a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]:
+                return True
+    return False
+
+
+def points_in_parts(cx, cy, parts: list[list[np.ndarray]]) -> np.ndarray:
+    """Membership against grouped parts with union-of-holes semantics:
+    inside = any part where (in outer) and not (in ANY hole).
+
+    For point membership this equals the reference's buffer(0) merge of
+    overlapping holes (PolygonBuilder.java:105-126): the union of hole
+    regions is exactly "inside at least one hole", where plain XOR
+    composition would wrongly re-include the holes' overlap region.
+    Falls back to XOR behavior when holes are disjoint (identical
+    results there)."""
+    cx = np.asarray(cx, dtype=np.float64)
+    cy = np.asarray(cy, dtype=np.float64)
+    out = np.zeros(len(cx), dtype=bool)
+    for part in parts:
+        inside = pip.points_in_ring(cx, cy, part[0])
+        if len(part) > 1:
+            in_hole = np.zeros(len(cx), dtype=bool)
+            for h in part[1:]:
+                in_hole |= pip.points_in_ring(cx, cy, h)
+            inside &= ~in_hole
+        out |= inside
+    return out

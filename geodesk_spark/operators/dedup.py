@@ -86,7 +86,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", bucket_cap: int = 1000
+) -> DataFrame:
     """MinHash-LSH candidate pairs: band key = md5 of LSH_ROWS signature
     entries; docs sharing any band key are candidates.  Returns distinct
     (doc_a, doc_b) with doc_a < doc_b.
@@ -96,6 +98,15 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     tiny).  No self-join — the signature pipeline runs exactly once and
     only one shuffle (on the band key) happens.  At 100 TB the band key
     is also the natural bucketing column for the shuffle-free variant.
+
+    Skew guard: a degenerate band key (a boilerplate corpus slice)
+    would make the all-pairs step quadratic, so buckets larger than
+    ``bucket_cap`` switch to STAR pairs — every doc paired with the
+    bucket's smallest doc id.  O(n) output instead of 10^14 redundant
+    clique edges, and the bucket stays ONE connected component of
+    diameter 2, so downstream ``connected_components`` (the dedup
+    consumer) resolves it in a single propagation round.  Run
+    ``exact_dedup`` first so byte-identical dups never reach here.
     """
     sigs = minhash_signatures(df, text_col)
     bands = F.array(
@@ -108,17 +119,23 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     exploded = sigs.select("doc_id", F.explode(bands).alias("key"))
     buckets = exploded.groupBy("key").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    docs = F.col("docs")
+    all_pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda a, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(docs, 2, F.size(docs) - 1),
+        lambda b: F.struct(F.element_at(docs, 1).alias("doc_a"), b.alias("doc_b")),
+    )
     pairs = buckets.filter(F.size("docs") > 1).select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("docs"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                        lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                    ),
-                )
-            )
+            F.when(F.size("docs") <= bucket_cap, all_pairs).otherwise(star_pairs)
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
@@ -150,17 +167,38 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.cast("int").alias("simhash"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, text_col: str = "text") -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ threshold.
 
     Candidates come from a shared-shingle equi-join (never all-pairs):
     explode distinct shingles → self-join → |A∩B| per pair → Jaccard via
-    per-doc shingle-set sizes.  At scale, the hot shingles are the skew
-    risk — mitigate upstream by dropping ultra-common shingles (df cap).
+    per-doc shingle-set sizes.
+
+    ``max_doc_freq`` is the hot-shingle skew guard: shingles shared by
+    more than that many documents ("in the ..." boilerplate) are dropped
+    from the representation BEFORE the self-join — one cheap aggregate —
+    so no join key fans out quadratically.  The per-doc set sizes are
+    computed over the same filtered set, keeping the Jaccard a true
+    set similarity of the retained shingles (the SQL oracle mirrors the
+    cap exactly).  Without a cap, one stop-word 3-gram shared by 1% of
+    docs at 10^10 docs would mean 10^16 candidate pairs.
     """
     sh = df.select(
         "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col)))).alias("sh")
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -264,6 +302,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -280,7 +319,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         )
         new_labels = new_labels.cache()
         changed = new_labels.filter(F.col("_changed")).count()
+        # the new round is materialized — the previous round's cache is dead
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
+    out = labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
+    # final labels must survive the unpersist of their parent: detach the
+    # result from the cached lineage, then release the caches
+    out = out.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    edges.unpersist()
+    return out

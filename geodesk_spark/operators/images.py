@@ -128,7 +128,10 @@ def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataF
                 pcm = np.frombuffer(bytes(pdf["bytes"].iloc[i]), dtype=np.int16)
                 if len(pcm) == 0:
                     continue
-                row_sr = int(pdf["sr"].iloc[i]) if has_sr and pdf["sr"].iloc[i] else sr
+                # NULL sr arrives as NaN (truthy!) — require a real positive
+                # value, else fall back to the default sample rate
+                v = pdf["sr"].iloc[i] if has_sr else None
+                row_sr = int(v) if (v is not None and pd.notna(v) and v > 0) else sr
                 frame = max(1, row_sr * frame_ms // 1000)
                 x = pcm.astype(np.float64) / 32768.0
                 out["duration_s"][i] = len(x) / row_sr

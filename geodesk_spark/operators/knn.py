@@ -74,9 +74,22 @@ def knn(
     k: int,
     init_radius_imps: int = 1 << 20,  # one z12 tile
     id_col: str = "image_id",
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
-    """queries: [(query_id, lon, lat), ...] → (query_id, id, dist_m, rank)."""
+    """queries: [(query_id, lon, lat), ...] → (query_id, id, dist_m, rank).
+
+    ``id_col`` must be unique per point — it is the deterministic
+    tie-break for equal distances.  Pass ``assert_unique_ids=True`` to
+    pay one aggregate up front and fail fast on duplicates (off by
+    default: the check is a full shuffle of the fact table).
+    """
     spark = points.sparkSession
+    if assert_unique_ids:
+        dup = (
+            points.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"knn: id column {id_col!r} has duplicate values")
     qinfo = {}
     for qid, lon, lat in queries:
         qinfo[qid] = (int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
@@ -184,8 +197,9 @@ def knn(
                 done_big.append(qid)
             else:
                 still[qid] = radius * 16  # next round probes 16r and 64r
+        round_out = []
         if done_small:
-            results.append(
+            round_out.append(
                 ranked.filter(
                     F.col("query_id").isin(done_small)
                     & F.col("small")
@@ -193,11 +207,17 @@ def knn(
                 ).select(id_col, "query_id", "dist_m", F.col("rank_small").alias("rank"))
             )
         if done_big:
-            results.append(
+            round_out.append(
                 ranked.filter(F.col("query_id").isin(done_big)).select(
                     id_col, "query_id", "dist_m", F.col("rank_all").alias("rank")
                 )
             )
+        if round_out:
+            sel = round_out[0] if len(round_out) == 1 else round_out[0].unionByName(round_out[1])
+            # ≤ k rows per finished query: detach from the cached lineage
+            # so the round's candidate cache can be released immediately
+            results.append(sel.localCheckpoint(eager=True))
+        ranked.unpersist()
         remaining = still
 
     if not results:  # no queries given

@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 from geodesk_spark.geo import pip, rings as R
 
 OUT_SCHEMA = (
-    "rel_id long, n_parts int, n_rings int, valid boolean, "
-    "rings binary, minx int, miny int, maxx int, maxy int"
+    "rel_id long, n_parts int, n_rings int, n_vertices int, n_dangling int, "
+    "valid boolean, status string, rings binary, minx int, miny int, maxx int, maxy int"
 )
 
 
@@ -36,8 +36,13 @@ def assemble_relation_polygons(
     """members(rel_id, member_id, role) × way_nodes(way_id, seq, x, y) →
     one packed-rings polygon per relation (PolygonBuilder semantics).
 
-    Rows with valid=false carry relations whose rings do not close
-    (the reference's "fixable/invalid" bucket, PolygonBuilder.java:58-74).
+    The fix-up tier mirrors the reference: runs that close nothing are
+    DANGLING and dropped while the rings that did form are kept
+    (RingBuilder.java:246-249); `status` classifies the outcome —
+    'valid' (everything closed), 'fixed' (rings formed, some members
+    dropped), 'invalid' (no ring formed → PolygonBuilder returns an
+    empty geometry, PolygonBuilder.java:208-214).  `valid` stays the
+    boolean "a polygon came out".
     """
     m = members.filter(F.col("role").isin(*roles)).select(
         "rel_id", F.col("member_id").alias("way_id")
@@ -49,39 +54,36 @@ def assemble_relation_polygons(
         runs = []
         for _, grp in pdf.sort_values(["way_id", "seq"]).groupby("way_id", sort=False):
             runs.append(grp[["x", "y"]].to_numpy(dtype=np.float64))
-        try:
-            rings = R.assemble_rings(runs)
-            parts = R.group_rings(rings)
-            flat = [r for part in parts for r in part]
-            blob = pip.pack_rings(flat) if flat else None
-            xs = np.concatenate([r[:, 0] for r in flat]) if flat else np.array([0.0])
-            ys = np.concatenate([r[:, 1] for r in flat]) if flat else np.array([0.0])
+        rings, n_dangling = R.try_assemble_rings(runs)
+        parts = R.group_rings(rings)
+        flat = [r for part in parts for r in part]
+        if not flat:
             return pd.DataFrame(
                 {
-                    "rel_id": [rel_id],
-                    "n_parts": [len(parts)],
-                    "n_rings": [len(flat)],
-                    "valid": [True],
-                    "rings": [blob],
-                    "minx": [int(xs.min())],
-                    "miny": [int(ys.min())],
-                    "maxx": [int(xs.max())],
-                    "maxy": [int(ys.max())],
+                    "rel_id": [rel_id], "n_parts": [0], "n_rings": [0],
+                    "n_vertices": [0], "n_dangling": [n_dangling],
+                    "valid": [False], "status": ["invalid"], "rings": [None],
+                    "minx": [0], "miny": [0], "maxx": [0], "maxy": [0],
                 }
             )
-        except R.RingAssemblyError:
-            return pd.DataFrame(
-                {
-                    "rel_id": [rel_id],
-                    "n_parts": [0],
-                    "n_rings": [0],
-                    "valid": [False],
-                    "rings": [None],
-                    "minx": [0],
-                    "miny": [0],
-                    "maxx": [0],
-                    "maxy": [0],
-                }
-            )
+        blob = pip.pack_rings(flat)
+        xs = np.concatenate([r[:, 0] for r in flat])
+        ys = np.concatenate([r[:, 1] for r in flat])
+        return pd.DataFrame(
+            {
+                "rel_id": [rel_id],
+                "n_parts": [len(parts)],
+                "n_rings": [len(flat)],
+                "n_vertices": [int(sum(len(r) - 1 for r in flat))],
+                "n_dangling": [n_dangling],
+                "valid": [True],
+                "status": ["valid" if n_dangling == 0 else "fixed"],
+                "rings": [blob],
+                "minx": [int(xs.min())],
+                "miny": [int(ys.min())],
+                "maxx": [int(xs.max())],
+                "maxy": [int(ys.max())],
+            }
+        )
 
     return verts.groupBy("rel_id").applyInPandas(kernel, schema=OUT_SCHEMA)

@@ -42,6 +42,12 @@ INTERIOR, BOUNDARY = 1, 2
 
 _BANDS_CACHE: dict = {}
 
+# Above this many total ring segments the single-plan JVM ray-cast (which
+# embeds every segment as a Catalyst literal) would outgrow codegen's
+# 64 KB method limit / driver plan memory — auto-switch to the Arrow
+# kernel path (VERDICT r01 #5).
+JVM_SEG_BUDGET = 10_000
+
 # Classification can go FINER than the z12 storage pyramid: the GOL tile
 # cap is a storage-format constraint; in-engine acceleration may use any
 # grid (it plays the role of the reference's sub-tile R-tree).  Cell ids
@@ -290,7 +296,7 @@ def contains_points(
     prepared: list[PreparedPolygon],
     keep_cols: list[str] | None = None,
     anti: bool = False,
-    jvm_exact: bool = True,
+    jvm_exact: bool | None = None,
 ) -> DataFrame:
     """Point-in-polygon broadcast join (flagship).
 
@@ -311,8 +317,16 @@ def contains_points(
        keep_cols must identify a row, e.g. image_id).
 
     points must carry int imp columns ``x`` and ``y``.
+
+    ``jvm_exact=None`` (default) picks the exact-test path by layer size:
+    the all-JVM literal-segment plan for dimension-sized layers, the
+    Arrow ray-cast kernel once total segments exceed JVM_SEG_BUDGET
+    (identical results either way — pinned in tests/test_spatial_join.py).
     """
     keep = keep_cols or [c for c in points.columns if c not in ("x", "y")]
+    if jvm_exact is None:
+        total_segs = sum(len(r) - 1 for p in prepared for r in p.rings)
+        jvm_exact = total_segs <= JVM_SEG_BUDGET
     spark = points.sparkSession
     import pandas as pd_mod
 
@@ -345,6 +359,16 @@ def contains_points(
     if cached is not None:
         bands_df = cached
     else:
+        # Evict superseded entries first: same (poly_id set, session) but
+        # different cell content means the layer was edited/re-prepared —
+        # the old cached band frame would otherwise stay pinned in
+        # executor memory for the session's lifetime (ADVICE r01).
+        poly_ids = tuple(p.poly_id for p in prepared)
+        for k in [
+            k for k in _BANDS_CACHE
+            if k[1] == id(spark) and tuple(e[0] for e in k[0]) == poly_ids
+        ]:
+            _BANDS_CACHE.pop(k).unpersist()
         all_rows = [row for rows in by_zoom.values() for row in rows]
         bands_df = spark.createDataFrame(
             pd_mod.DataFrame(all_rows, columns=["_band_cell", "poly_id", "_band"]),

@@ -97,3 +97,58 @@ def test_vectorized_matches_scalar():
     for i in [0, 1, 500, 999, 1000]:
         assert xv[i] == M.x_from_lon(float(lons[i]))[()]
         assert yv[i] == M.y_from_lat(float(lats[i]))[()]
+
+
+def test_project_unproject_rings():
+    """Geometry transforms (Mercator.java:303-352): project stores the
+    ROUNDED int imps as doubles; unproject is the exact inverse map."""
+    ring = np.array(
+        [[31.24, 30.04], [31.50, 30.04], [31.50, 30.30], [31.24, 30.30], [31.24, 30.04]]
+    )
+    [projected] = M.project_rings([ring])
+    assert projected.dtype == np.float64
+    for i in range(len(ring)):
+        assert projected[i, 0] == float(M.x_from_lon(ring[i, 0])[()])
+        assert projected[i, 1] == float(M.y_from_lat(ring[i, 1])[()])
+        assert projected[i, 0] == np.floor(projected[i, 0])  # rounded ints
+    [back] = M.unproject_rings([projected])
+    # int32 quantization ≈ 0.0839 m/imp; 1e-7 deg ≈ 1.1 cm — round-trip
+    # accurate to the 7-decimal output precision
+    assert np.allclose(back, ring, atol=1.5e-7)
+
+
+def test_expand_envelope():
+    """Mercator.java:266-271: expandBy(deltaFromMeters(m, midY))."""
+    x1, y1 = int(M.x_from_lon(31.0)[()]), int(M.y_from_lat(30.0)[()])
+    x2, y2 = int(M.x_from_lon(32.0)[()]), int(M.y_from_lat(31.0)[()])
+    minx, miny, maxx, maxy = M.expand_envelope(x1, y1, x2, y2, 1000.0)
+    d = float(M.delta_from_meters(1000.0, (y1 + y2) / 2)[()])
+    assert (minx, miny, maxx, maxy) == (x1 - d, y1 - d, x2 + d, y2 + d)
+    # symmetric for negative latitudes
+    ys = int(M.y_from_lat(-30.0)[()])
+    out = M.expand_envelope(x1, ys, x2, ys + 100, 500.0)
+    assert out[0] < x1 and out[2] > x2
+
+
+def test_envelope_corner_order():
+    """Mercator.envelope normalizes corner order (JTS Envelope ctor)."""
+    a = M.envelope(32.0, 31.0, 31.0, 30.0)
+    b = M.envelope(31.0, 30.0, 32.0, 31.0)
+    assert a == b
+    assert a[0] < a[2] and a[1] < a[3]
+
+
+def test_expand_envelope_cols_match_numpy(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(int(M.x_from_lon(l)[()]), int(M.y_from_lat(b)[()]),
+             int(M.x_from_lon(l + 1)[()]), int(M.y_from_lat(b + 1)[()]))
+            for l, b in [(31.0, 30.0), (-74.0, 40.0), (139.0, -35.0)]]
+    df = spark.createDataFrame(rows, "minx int, miny int, maxx int, maxy int")
+    e = M.expand_envelope_cols(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), F.lit(1000.0)
+    )
+    got = df.select(*[c.alias(f"c{i}") for i, c in enumerate(e)]).collect()
+    for (minx, miny, maxx, maxy), r in zip(rows, got):
+        want = M.expand_envelope(minx, miny, maxx, maxy, 1000.0)
+        assert (r.c0, r.c1, r.c2, r.c3) == want

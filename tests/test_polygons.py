@@ -61,6 +61,57 @@ def test_dangling_raises():
         R.assemble_rings([open_run])
 
 
+def _sq(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+
+
+def test_fixup_keeps_closed_rings():
+    """RingBuilder.build semantics: dangling runs are dropped, the rings
+    that closed are kept (RingBuilder.java:246-249)."""
+    closed = _sq(0, 0, 10, 10)
+    dangling = np.array([[100, 100], [110, 100]], dtype=np.float64)
+    rings, n_dangling = R.try_assemble_rings([closed, dangling])
+    assert len(rings) == 1 and n_dangling == 1
+    assert np.array_equal(rings[0], closed)
+
+
+def test_touching_rings_backtrack():
+    """Two rings sharing one vertex (4 run endpoints at (10,10)): the
+    chainer must close each ring instead of welding a figure-eight."""
+    a1 = np.array([[0, 0], [10, 0], [10, 10]], dtype=np.float64)
+    a2 = np.array([[10, 10], [0, 10], [0, 0]], dtype=np.float64)
+    b1 = np.array([[10, 10], [20, 10], [20, 20]], dtype=np.float64)
+    b2 = np.array([[20, 20], [10, 20], [10, 10]], dtype=np.float64)
+    for runs in ([a1, b1, a2, b2], [b1, a1, b2, a2], [a1, b2, b1, a2]):
+        rings = R.assemble_rings(runs)
+        assert len(rings) == 2, [r.tolist() for r in rings]
+        for r in rings:
+            assert len(r) == 5 and np.array_equal(r[0], r[-1])
+            # each ring stays within its own quadrant
+            assert (r[:, 0].max() - r[:, 0].min()) == 10
+
+
+def test_points_in_parts_overlapping_holes():
+    """Union-of-holes membership == the reference's buffer(0) hole merge
+    (PolygonBuilder.java:105-126): the overlap region of two holes stays
+    OUTSIDE, where raw XOR composition would re-include it."""
+    outer = _sq(0, 0, 100, 100)
+    hole_a = _sq(30, 30, 60, 60)
+    hole_b = _sq(50, 50, 80, 80)
+    part = [outer, hole_a, hole_b]
+    assert R.holes_overlap(part)
+    assert not R.holes_overlap([outer, hole_a, _sq(70, 10, 90, 20)])
+    xs = np.array([55.0, 40.0, 70.0, 10.0, 200.0])
+    ys = np.array([55.0, 40.0, 70.0, 10.0, 200.0])
+    got = R.points_in_parts(xs, ys, [part])
+    # (55,55) is in BOTH holes: XOR would flip it back to "inside"
+    assert got.tolist() == [False, False, False, True, False]
+    xor = pip.points_in_polygon(xs, ys, part)
+    assert bool(xor[0])  # documents the XOR divergence the merge fixes
+
+
 def test_spark_operator(spark):
     """Distributed assembly: two relations (one with a hole, one broken)."""
     rng = np.random.default_rng(5)
@@ -89,6 +140,8 @@ def test_spark_operator(spark):
         for r in polygons.assemble_relation_polygons(members, way_nodes).collect()
     }
     assert out[7]["valid"] and out[7]["n_rings"] == 2 and out[7]["n_parts"] == 1
+    assert out[7]["status"] == "valid" and out[7]["n_dangling"] == 0
+    assert out[8]["status"] == "invalid"
     assert out[7]["minx"] == 0 and out[7]["maxy"] == 100
     got = pip.points_in_polygon(
         np.array([50.0, 20.0, 200.0]),

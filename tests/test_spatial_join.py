@@ -89,6 +89,77 @@ def test_knn_matches_bruteforce(world):
         assert list(sub["image_id"]) == exp, qid
 
 
+def _ngon_layer(n_polys: int, n_verts: int) -> list[dict]:
+    """Many detailed polygons: regular n-gons on a lon/lat grid."""
+    polys = []
+    for i in range(n_polys):
+        lon = -150 + (i % 20) * 15.0
+        lat = -60 + (i // 20) * 25.0
+        cx = float(mercator.x_from_lon(lon)[()])
+        cy = float(mercator.y_from_lat(lat)[()])
+        ang = np.arange(n_verts) * (2 * np.pi / n_verts)
+        r = 40_000_000 * (1 + 0.1 * np.sin(5 * ang + i))
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]]).astype(np.float64)
+        polys.append(dict(poly_id=f"ngon_{i}", rings=pip.pack_rings([ring])))
+    return polys
+
+
+def test_jvm_auto_switch_identical(world, monkeypatch):
+    """Vertex-budget auto-switch (VERDICT r01 #5): above JVM_SEG_BUDGET the
+    join must drop the literal-segment plan for the Arrow kernel, with
+    identical output; the auto plan must not embed the segment map."""
+    df, _ = world
+    pts = df.select("image_id", "x", "y").limit(4000)
+    layer = _ngon_layer(12, 60)  # 720 segments
+    prepared = spatial_join.prepare_layer(layer)
+    monkeypatch.setattr(spatial_join, "JVM_SEG_BUDGET", 500)
+
+    auto = spatial_join.contains_points(pts, prepared, keep_cols=["image_id"])
+    forced = spatial_join.contains_points(pts, prepared, keep_cols=["image_id"], jvm_exact=True)
+    got_auto = set(map(tuple, auto.toPandas()[["image_id", "poly_id"]].to_numpy().tolist()))
+    got_jvm = set(map(tuple, forced.toPandas()[["image_id", "poly_id"]].to_numpy().tolist()))
+    assert got_auto == got_jvm and len(got_auto) > 0
+    # the auto plan fell back to the kernel: no giant map literal
+    auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+    forced_plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "map(" not in auto_plan and "MapInPandas" in auto_plan
+    assert len(auto_plan) < len(forced_plan)
+
+
+def test_knn_many_queries_bounded(world):
+    """≥100 concurrent queries: the expansion loop stays bounded and every
+    query returns exactly k exact neighbours (spot-checked vs brute force)."""
+    df, pdf = world
+    rng = np.random.default_rng(3)
+    queries = [
+        (f"q{i}", float(rng.uniform(-170, 170)), float(rng.uniform(-60, 60)))
+        for i in range(120)
+    ]
+    k = 3
+    got = knn_mod.knn(df, queries, k=k).toPandas()
+    assert len(got) == len(queries) * k
+    assert got.groupby("query_id")["rank"].max().eq(k).all()
+    x = pdf["x"].to_numpy(np.float64)
+    y = pdf["y"].to_numpy(np.float64)
+    ids = pdf["image_id"].to_numpy()
+    for qid, lon, lat in queries[::17]:
+        qx = float(mercator.x_from_lon(lon)[()])
+        qy = float(mercator.y_from_lat(lat)[()])
+        d = mercator.distance(x, y, qx, qy)
+        exp = list(ids[np.lexsort((ids, d))[:k]])
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["image_id"]) == exp, qid
+
+
+def test_knn_assert_unique_ids(spark):
+    dup = spark.createDataFrame(
+        [("a", 0, 0), ("a", 5, 5), ("b", 9, 9)], "image_id string, x int, y int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        knn_mod.knn(dup, [("q", 0.0, 0.0)], k=1, assert_unique_ids=True)
+
+
 def test_bbox_query_pushdown(world):
     df, _ = world
     q = spatial_join.bbox_query(df.select("image_id", "x", "y"), 0, 0, 1 << 28, 1 << 28)
