@@ -1733,79 +1733,78 @@ def _q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
 
 
+# Registry order = measured sf0.01 cost ascending (cheapest first): the
+# driver's correctness harness walks dict order under a wall-clock
+# budget, so an expensive query must never shadow dozens of cheap ones
+# (VERDICT r01 #1 — 11 queries missed the r01 artifact).
 QUERIES: dict[str, tuple] = {
-    # geospatial core
-    "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
-    "tile_pyramid_rollup": (_q_tile_pyramid, _SQL_TILE_PYRAMID),
-    "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
-    "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
-    "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
-    "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
-    "line_within_rect": (_q_line_within, _sql_line_within()),
+    # sub-second tier
+    "view_intersection": (_q_view_intersection, _SQL_VIEW_INTERSECTION),
+    "selector_union": (_q_selector_union, _SQL_SELECTOR_UNION),
+    "text_token_count": (_q_token_count, _SQL_TOKEN_COUNT),
+    "text_fingerprint": (_q_fingerprint, _SQL_FINGERPRINT),
+    "goql_select": (_q_goql_select, _SQL_GOQL_SELECT),
+    "goql_union_absent": (_q_goql_union, _SQL_GOQL_UNION),
+    "goql_regex": (_q_goql_regex, _SQL_GOQL_REGEX),
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "distance_filter": (_q_distance, _SQL_DISTANCE),
+    "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
+    "text_langid": (_q_langid, text.lang_id_oracle_sql()),
+    "graph_members_of": (_q_graph_members, _SQL_GRAPH_MEMBERS),
+    "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
+    "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
+    "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
+    "heading_rollup": (_q_heading_rollup, _heading_sql()),
+    "bbox_query": (_q_bbox, _SQL_BBOX),
+    "graph_connected_to": (_q_connected, _SQL_CONNECTED),
+    "coords_precision7": (_q_coords_precision7, _coords_p7_sql()),
     "line_crosses_rect": (_line_pred_query("crosses"), _sql_line_crosses()),
-    "line_coveredby_rect": (_line_pred_query("covered_by"), _sql_line_coveredby()),
     "line_disjoint_rect": (_line_pred_query("disjoint"), _sql_line_disjoint()),
-    "line_touches_rect": (_q_line_touches, _sql_line_touches()),
-    "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
+    # ~1 s tier
+    "line_within_rect": (_q_line_within, _sql_line_within()),
+    "line_coveredby_rect": (_line_pred_query("covered_by"), _sql_line_coveredby()),
     "box_within_rect": (_box_pred_query("within"), _sql_box_pred("within")),
     "box_contains_rect": (
         _box_pred_query("contains", SMALL_RECT),
         _sql_box_pred("contains", SMALL_RECT),
     ),
-    "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
-    "line_length_m": (_q_line_length, _sql_line_length()),
-    "box_area_m2": (_q_box_area, _sql_box_area()),
-    "bbox_query": (_q_bbox, _SQL_BBOX),
-    "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
-    "heading_rollup": (_q_heading_rollup, _heading_sql()),
+    "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
     "morton_cells": (_q_morton_cells, _morton_sql()),
-    "coords_precision7": (_q_coords_precision7, _coords_p7_sql()),
-    "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
-    "skew_adaptive_split": (_q_adaptive_split, _adaptive_split_sql()),
-    "distance_filter": (_q_distance, _SQL_DISTANCE),
-    "distance_join": (_q_distance_join, _distance_join_sql()),
-    "pip_join": (_q_pip, _SQL_PIP),
-    "knn_cellring": (_q_knn, _knn_sql()),
-    # graph / view algebra
-    "graph_members_of": (_q_graph_members, _SQL_GRAPH_MEMBERS),
     "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
-    "graph_connected_to": (_q_connected, _SQL_CONNECTED),
-    "view_intersection": (_q_view_intersection, _SQL_VIEW_INTERSECTION),
-    "selector_union": (_q_selector_union, _SQL_SELECTOR_UNION),
-    # GOQL tag-query language
-    "goql_select": (_q_goql_select, _SQL_GOQL_SELECT),
-    "goql_union_absent": (_q_goql_union, _SQL_GOQL_UNION),
-    "goql_regex": (_q_goql_regex, _SQL_GOQL_REGEX),
-    # relational / windows / events
-    "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
-    "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
-    "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
-    "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
+    "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
+    "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
+    "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
+    "line_touches_rect": (_q_line_touches, _sql_line_touches()),
+    "distance_join": (_q_distance_join, _distance_join_sql()),
     "asof_join_events": (_q_asof_join, _SQL_ASOF),
-    "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
-    "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
-    "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
-    # text analysis
-    "text_token_count": (_q_token_count, _SQL_TOKEN_COUNT),
-    "text_quality": (_q_quality, _SQL_QUALITY),
-    "text_langid": (_q_langid, text.lang_id_oracle_sql()),
-    "text_fingerprint": (_q_fingerprint, _SQL_FINGERPRINT),
-    # dedup
-    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),
-    "dedup_simhash": (_q_simhash, _simhash_sql()),
-    "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
-    "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
-    "dedup_components": (_q_dedup_components, _dedup_components_sql()),
-    # similarity search
+    # ~2 s tier
+    "pip_join": (_q_pip, _SQL_PIP),
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check
     "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
-    # polygon assembly (PolygonBuilder)
+    "text_quality": (_q_quality, _SQL_QUALITY),
+    "dedup_simhash": (_q_simhash, _simhash_sql()),
+    "line_length_m": (_q_line_length, _sql_line_length()),
+    "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
+    "knn_cellring": (_q_knn, _knn_sql()),
+    "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),
+    "skew_adaptive_split": (_q_adaptive_split, _adaptive_split_sql()),
+    "tile_pyramid_rollup": (_q_tile_pyramid, _SQL_TILE_PYRAMID),
+    "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
+    "box_area_m2": (_q_box_area, _sql_box_area()),
+    # ≥4 s tier (file sinks, streaming drains, iterative algorithms)
+    "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
+    "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
+    "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
     "polygon_assembly": (_q_polygon_assembly, _polygon_assembly_sql()),
-    # multimodal
-    "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
+    "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
+    "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
+    "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
+    "dedup_components": (_q_dedup_components, _dedup_components_sql()),
+    "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
 }
 

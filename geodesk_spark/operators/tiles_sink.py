@@ -98,6 +98,84 @@ def render_tiles(points: DataFrame, out_dir: str, tile_col: str = "tile_z8") -> 
     )
 
 
+def write_leaflet_page(
+    manifest: pd.DataFrame,
+    out_dir: str,
+    filename: str = "map.html",
+    tile_server_url: str = "https://tile.openstreetmap.org/{z}/{x}/{y}.png",
+    attribution: str = 'Map data © <a href="http://openstreetmap.org">OpenStreetMap</a> contributors',
+    min_zoom: int = 0,
+    max_zoom: int = 19,
+) -> str:
+    """The MapMaker HTML surface (util/MapMaker.java:272-330): one
+    self-contained Leaflet page over the rendered tile set.
+
+    Mirrors the reference's page structure — stylesheet/script includes,
+    ``#map {height:100%}``, a basemap TileLayer with min/max zoom +
+    attribution, per-marker overlays, and a final fitBounds over the
+    union of marker bounds (MapMaker.writeScript).  Our markers are the
+    manifest's tiles: each becomes an ``L.imageOverlay`` of its rendered
+    raster png (relative path ``z/col/row.png``), so the page references
+    every tile the sink produced.  The manifest is the driver-side
+    summary (one row per tile) — writing the page is a cheap driver
+    step, like the reference's single-writer save().
+    """
+    rows = manifest.to_dict("records")
+    parts = []
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+
+    def latlon(x: float, y: float) -> str:
+        # MapMaker.writeXY emits [lat, lon]
+        return f"[{float(mercator.lat_from_y(y)[()])!r},{float(mercator.lon_from_x(x)[()])!r}]"
+
+    for m in rows:
+        tile = int(m["tile"])
+        z = int(m["zoom"])
+        lx = float(T.left_x(tile)[()])
+        by = float(T.bottom_y(tile)[()])
+        extent = float(1 << (32 - z))
+        tminx, tminy = lx, by
+        tmaxx, tmaxy = lx + extent - 1, by + extent - 1
+        minx, miny = min(minx, tminx), min(miny, tminy)
+        maxx, maxy = max(maxx, tmaxx), max(maxy, tmaxy)
+        rel = f"{z}/{int(m['col'])}/{int(m['row'])}.png"
+        parts.append(
+            f"L.imageOverlay('{rel}', [{latlon(tminx, tminy)},{latlon(tmaxx, tmaxy)}],"
+            f" {{opacity: 0.6}}).addTo(map);"
+        )
+    overlays = "\n".join(parts)
+    fit = (
+        f"map.fitBounds([{latlon(minx, miny)},{latlon(maxx, maxy)}]);"
+        if rows
+        else "map.setView([0, 0], 2);"
+    )
+    script = (
+        "var map = L.map('map');\n"
+        f"var tilesUrl='{tile_server_url}';\n"
+        f"var tilesAttrib='{attribution}';\n"
+        f"var tileLayer = new L.TileLayer(tilesUrl, {{minZoom: {min_zoom}, "
+        f"maxZoom: {max_zoom}, attribution: tilesAttrib}});\n"
+        "map.setView([51.505, -0.09], 13);\n"
+        "map.addLayer(tileLayer);\n"
+        "L.control.scale().addTo(map);\n"
+        f"{overlays}\n{fit}"
+    )
+    html = (
+        '<html><head><link rel="stylesheet" '
+        'href="https://unpkg.com/leaflet@1.8.0/dist/leaflet.css">\n'
+        '<script src="https://unpkg.com/leaflet@1.8.0/dist/leaflet.js"></script>\n'
+        "<style>\n#map {height: 100%;}\nbody {margin:0;}\n</style>\n"
+        '</head>\n<body>\n<div id="map"> </div>\n'
+        f"<script>{script}</script></body></html>"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
 def rasterize_pixel_counts(points: DataFrame, zoom: int = 8):
     """Raster histogram as pure JVM column arithmetic: per (tile, px, py)
     point counts at TILE_PX resolution — the same binning render_tiles

@@ -76,6 +76,21 @@ def test_tile_sink(spark, tmp_path, pts):
     assert -180 <= lon <= 180 and -86 <= lat <= 86
 
 
+def test_leaflet_page(spark, tmp_path, pts):
+    """MapMaker HTML surface (util/MapMaker.java:272-330): the page must
+    reference every manifest tile's raster and fit the union bounds."""
+    out = str(tmp_path / "tiles")
+    manifest = tiles_sink.render_tiles(pts.limit(5000), out).toPandas()
+    path = tiles_sink.write_leaflet_page(manifest, out)
+    html = open(path).read()
+    assert html.startswith("<html><head>")
+    assert "leaflet.js" in html and "L.TileLayer" in html
+    assert "map.fitBounds([" in html and "L.control.scale()" in html
+    for _, m in manifest.iterrows():
+        assert f"{int(m['zoom'])}/{int(m['col'])}/{int(m['row'])}.png" in html
+    assert html.count("L.imageOverlay(") == len(manifest)
+
+
 def test_adaptive_cell_split(spark, pts):
     out = skew.adaptive_cell_split(pts, max_rows_per_cell=2000, base_zoom=8)
     hist = out.groupBy("cell_adaptive").agg(F.count("*").alias("n")).toPandas()
