@@ -239,14 +239,16 @@ def _heading_sql() -> str:
 
 def _q_skew_salted_rollup(spark, sf_dir):
     """Skew machinery parity: hot z8 tiles are salted
-    (operators/skew.salt_hot_tiles) and aggregated in two stages
-    (partial per (tile, salt), merge per tile) — the merged result must
+    (operators/skew.with_salt) and aggregated in two stages (partial per
+    (tile, salt), merge per tile) — the merged result must
     value-hash-match the direct GROUP BY the oracle computes.  Proves
     salting changes the PLAN (no hot key exceeds rows_per_partition),
-    never the answer."""
+    never the answer.  No repartition pass: the partial groupBy's own
+    shuffle on (tile, salt) is what spreads the hot key (VERDICT r01 —
+    the explicit repartition was one full-data shuffle too many)."""
     li = tables.with_derived_points(tables.load(spark, sf_dir, "lineitem"), "l_orderkey")
     t8 = li.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint"))
-    salted = skew.salt_hot_tiles(t8, "tile", rows_per_partition=2000)
+    salted = skew.with_salt(t8, "tile", rows_per_partition=2000)
     partial = salted.groupBy("tile", "salt").agg(
         F.count("*").alias("pn"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("pq"),
@@ -1207,6 +1209,133 @@ def _polygon_assembly_sql() -> str:
     )
 
 
+def _geomcoll_fixture():
+    """Deterministic relation-nesting fixture for the non-area
+    GeometryCollection path: routes (ways), point sets, mixed members,
+    a super-relation recursing through a non-area sub-relation, a
+    reference CYCLE (104↔105), an empty relation, and two area
+    sub-relations (200 split-run rectangle, 201 closed rectangle)."""
+    wn = []
+
+    def way(wid, pts):
+        for i, (x, y) in enumerate(pts):
+            wn.append((wid, i, x, y))
+
+    way(1, [(0, 0), (100, 0), (100, 80)])          # area rel 200, run 1
+    way(2, [(100, 80), (0, 80), (0, 0)])           # area rel 200, run 2
+    way(3, [(200, 0), (300, 0), (300, 50), (200, 50), (200, 0)])  # area rel 201
+    way(10, [(0, 0), (10, 5), (20, 9)])
+    way(11, [(20, 9), (30, 14)])
+    way(12, [(-5, -5), (-10, -20)])
+    way(13, [(500, 500), (510, 510), (520, 505)])
+    nodes = [(1, 7, 7), (2, -3, 12), (3, 40, 40), (4, 60, -10), (20, 999, 999)]
+    members = [
+        (100, 10, "w", ""), (100, 11, "w", ""), (100, 12, "w", ""),
+        (101, 1, "n", ""), (101, 2, "n", ""), (101, 3, "n", ""), (101, 4, "n", ""),
+        (102, 13, "w", ""), (102, 1, "n", ""), (102, 200, "r", ""),
+        (103, 100, "r", ""), (103, 201, "r", ""), (103, 2, "n", ""),
+        (104, 105, "r", ""), (104, 10, "w", ""),
+        (105, 104, "r", ""), (105, 20, "n", ""),
+        (200, 1, "w", "outer"), (200, 2, "w", "outer"),
+        (201, 3, "w", "outer"),
+    ]
+    rels = [
+        (100, False), (101, False), (102, False), (103, False),
+        (104, False), (105, False), (106, False), (200, True), (201, True),
+    ]
+    return members, rels, wn, nodes
+
+
+def _q_relation_geomcollection(spark, sf_dir):
+    """Non-area relation → GeometryCollection summary
+    (StoredRelation.toGeometryCollection, StoredRelation.java:74-166):
+    recursive member gathering with cycle guard, typed MultiLineString /
+    MultiPoint / GeometryCollection exactly as the reference branches."""
+    from geodesk_spark.operators import polygons as polys_mod
+
+    members, rels, wn, nodes = _geomcoll_fixture()
+    m = spark.createDataFrame(members, "rel_id long, member_id long, member_type string, role string")
+    ra = spark.createDataFrame(rels, "rel_id long, is_area boolean")
+    w = spark.createDataFrame(wn, "way_id long, seq int, x int, y int")
+    n = spark.createDataFrame(nodes, "node_id long, x int, y int")
+    out = polys_mod.relation_geometry_collection(m, ra, w, n)
+    return out.select(
+        "rel_id", "geom_type", "n_geoms", "n_vertices",
+        F.coalesce("minx", F.lit(0)).alias("minx"),
+        F.coalesce("miny", F.lit(0)).alias("miny"),
+        F.coalesce("maxx", F.lit(0)).alias("maxx"),
+        F.coalesce("maxy", F.lit(0)).alias("maxy"),
+    ).orderBy("rel_id")
+
+
+def _geomcoll_sql() -> str:
+    """Recursive-CTE oracle: DuckDB walks the same member graph (UNION
+    dedup = the reference's processedRelations cycle guard); area
+    sub-relation polygons enter as ground-truth VALUES (rectangles with
+    known ring/vertex/bbox), independent of the assembly code."""
+    members, rels, wn, nodes = _geomcoll_fixture()
+    mv = ", ".join(f"({r}, {m}, '{t}')" for r, m, t, _ in members)
+    rv = ", ".join(f"({r}, {str(a).lower()})" for r, a in rels)
+    wv = ", ".join(f"({w}, {s}, {x}, {y})" for w, s, x, y in wn)
+    nv = ", ".join(f"({i}, {x}, {y})" for i, x, y in nodes)
+    ap = "(200, 'Polygon', 4, 0, 0, 100, 80), (201, 'Polygon', 4, 200, 0, 300, 50)"
+    return f"""
+      with recursive
+        m(rel_id, member_id, member_type) as (values {mv}),
+        ra(rel_id, is_area) as (values {rv}),
+        wn(way_id, seq, x, y) as (values {wv}),
+        nd(node_id, x, y) as (values {nv}),
+        ap(rel_id, gtype, nv, minx, miny, maxx, maxy) as (values {ap}),
+        reach(root_rel_id, rel_id) as (
+          select rel_id, rel_id from ra where not is_area
+          union
+          select r.root_rel_id, m.member_id
+          from reach r
+          join m on m.rel_id = r.rel_id and m.member_type = 'r'
+          join ra a on a.rel_id = m.member_id and not a.is_area
+        ),
+        ways as (
+          select way_id, count(*) as nv, min(x) as minx, min(y) as miny,
+                 max(x) as maxx, max(y) as maxy
+          from wn group by 1),
+        geoms as (
+          select r.root_rel_id, 'Point' as gtype, 1 as nv,
+                 nd.x as minx, nd.y as miny, nd.x as maxx, nd.y as maxy
+          from reach r
+          join m on m.rel_id = r.rel_id and m.member_type = 'n'
+          join nd on nd.node_id = m.member_id
+          union all
+          select r.root_rel_id, 'LineString', w.nv, w.minx, w.miny, w.maxx, w.maxy
+          from reach r
+          join m on m.rel_id = r.rel_id and m.member_type = 'w'
+          join ways w on w.way_id = m.member_id
+          union all
+          select r.root_rel_id, ap.gtype, ap.nv, ap.minx, ap.miny, ap.maxx, ap.maxy
+          from reach r
+          join m on m.rel_id = r.rel_id and m.member_type = 'r'
+          join ap on ap.rel_id = m.member_id
+        ),
+        agg as (
+          select root_rel_id as rel_id,
+                 case when count(distinct gtype) = 1 and min(gtype) = 'LineString'
+                        then 'MultiLineString'
+                      when count(distinct gtype) = 1 and min(gtype) = 'Point'
+                        then 'MultiPoint'
+                      else 'GeometryCollection' end as geom_type,
+                 cast(count(*) as int) as n_geoms, cast(sum(nv) as int) as n_vertices,
+                 min(minx) as minx, min(miny) as miny,
+                 max(maxx) as maxx, max(maxy) as maxy
+          from geoms group by 1)
+      select r.rel_id, coalesce(geom_type, 'GeometryCollection') as geom_type,
+             coalesce(n_geoms, 0) as n_geoms, coalesce(n_vertices, 0) as n_vertices,
+             coalesce(minx, 0) as minx, coalesce(miny, 0) as miny,
+             coalesce(maxx, 0) as maxx, coalesce(maxy, 0) as maxy
+      from (select rel_id from ra where not is_area) r
+      left join agg using (rel_id)
+      order by r.rel_id
+    """
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -1805,6 +1934,7 @@ QUERIES: dict[str, tuple] = {
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
+    "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
 }
 

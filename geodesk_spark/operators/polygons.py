@@ -87,3 +87,175 @@ def assemble_relation_polygons(
         )
 
     return verts.groupBy("rel_id").applyInPandas(kernel, schema=OUT_SCHEMA)
+
+
+def gather_relation_closure(
+    members: DataFrame, rel_is_area: DataFrame, max_depth: int = 16
+) -> DataFrame:
+    """Transitive closure root→gathered-relation for non-area relations
+    (StoredRelation.gatherGeometries, StoredRelation.java:96-137): a
+    non-area sub-relation is expanded recursively, an area sub-relation
+    is a geometry member and is NOT expanded; a visited-set guards
+    reference cycles.
+
+    Spark shape: iterative frontier semi-join — one broadcastable join
+    per nesting level.  OSM relation nesting is shallow (≤ a handful of
+    levels), so the loop runs O(depth) rounds; each round's frontier is
+    deduped against the accumulated closure, which is exactly the
+    reference's ``processedRelations`` set.  Returns
+    (root_rel_id, rel_id) including the identity row (root, root).
+    """
+    non_area = rel_is_area.filter(~F.col("is_area")).select("rel_id")
+    # rel→rel membership is a tiny fraction of any OSM-like corpus
+    # (relations ≪ features; nested relations ≪ relations): broadcast it
+    # so every closure round is a map-side join, no shuffle.
+    edges = F.broadcast(
+        members.filter(F.col("member_type") == "r")
+        .select("rel_id", F.col("member_id").alias("sub_rel_id"))
+        .join(
+            F.broadcast(non_area.withColumnRenamed("rel_id", "sub_rel_id")),
+            "sub_rel_id",
+        )
+    )
+    closure = non_area.select(
+        F.col("rel_id").alias("root_rel_id"), F.col("rel_id")
+    ).cache()
+    frontier = closure
+    cached = [closure]
+    for _ in range(max_depth):
+        step = (
+            frontier.join(edges, "rel_id")
+            .select("root_rel_id", F.col("sub_rel_id").alias("rel_id"))
+            .distinct()
+        )
+        # cycle guard == processedRelations: drop already-gathered rels
+        frontier = step.join(closure, ["root_rel_id", "rel_id"], "left_anti").cache()
+        cached.append(frontier)
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier).cache()
+        cached.append(closure)
+    out = closure.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
+def relation_geometry_collection(
+    members: DataFrame,
+    rel_is_area: DataFrame,
+    way_nodes: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """GeometryCollection assembly for NON-AREA relations
+    (StoredRelation.toGeometryCollection, StoredRelation.java:74-84 +
+    139-166): gather member geometries recursively through non-area
+    sub-relations, then type the result — all-LineString →
+    'MultiLineString', all-Point → 'MultiPoint', anything else
+    (including all-Polygon, per the reference's explicit choice) →
+    'GeometryCollection'.
+
+    Inputs: members(rel_id, member_id, member_type∈{n,w,r}, role),
+    rel_is_area(rel_id, is_area), way_nodes(way_id, seq, x, y),
+    nodes(node_id, x, y).
+
+    Scale shape: the closure is O(depth) broadcastable joins; member
+    geometry summaries are two equi-joins (nodes, way_nodes aggregate)
+    plus one distributed polygon assembly for area sub-relations; the
+    final groupBy root moves one summary row per gathered member — no
+    vertex data crosses that shuffle.  A membership that appears twice
+    contributes twice (the reference appends per membership; only
+    RELATIONS are deduped by the visited set).
+    """
+    closure = gather_relation_closure(members, rel_is_area)
+    area_rels = rel_is_area.filter(F.col("is_area")).select("rel_id")
+
+    gathered_members = closure.join(
+        members.withColumnRenamed("rel_id", "g_rel"),
+        closure["rel_id"] == F.col("g_rel"),
+    ).select("root_rel_id", "member_id", "member_type")
+
+    node_geoms = (
+        gathered_members.filter(F.col("member_type") == "n")
+        .join(nodes.withColumnRenamed("node_id", "member_id"), "member_id")
+        .select(
+            "root_rel_id",
+            F.lit("Point").alias("gtype"),
+            F.lit(1).alias("n_vertices"),
+            F.col("x").alias("minx"), F.col("y").alias("miny"),
+            F.col("x").alias("maxx"), F.col("y").alias("maxy"),
+        )
+    )
+
+    way_summary = way_nodes.groupBy("way_id").agg(
+        F.count("*").alias("n_vertices"),
+        F.min("x").alias("minx"), F.min("y").alias("miny"),
+        F.max("x").alias("maxx"), F.max("y").alias("maxy"),
+    )
+    way_geoms = (
+        gathered_members.filter(F.col("member_type") == "w")
+        .join(way_summary.withColumnRenamed("way_id", "member_id"), "member_id")
+        .select(
+            "root_rel_id",
+            F.lit("LineString").alias("gtype"),
+            "n_vertices", "minx", "miny", "maxx", "maxy",
+        )
+    )
+
+    # Area sub-relations are geometry members: their polygon is what
+    # member.toGeometry() returns (Polygon for one part, MultiPolygon
+    # for several — PolygonBuilder.build).
+    needed_area = (
+        gathered_members.filter(F.col("member_type") == "r")
+        .join(
+            F.broadcast(area_rels.withColumnRenamed("rel_id", "member_id")),
+            "member_id",
+        )
+    )
+    area_polys = assemble_relation_polygons(
+        members.join(
+            F.broadcast(needed_area.select(F.col("member_id").alias("rel_id")).distinct()),
+            "rel_id",
+        ),
+        way_nodes,
+    ).select(
+        F.col("rel_id").alias("member_id"),
+        F.when(F.col("n_parts") > 1, "MultiPolygon").otherwise("Polygon").alias("gtype"),
+        "n_vertices", "minx", "miny", "maxx", "maxy",
+    )
+    area_geoms = needed_area.join(area_polys, "member_id").select(
+        "root_rel_id", "gtype", "n_vertices", "minx", "miny", "maxx", "maxy"
+    )
+
+    geoms = node_geoms.unionByName(way_geoms).unionByName(area_geoms)
+    agg = (
+        geoms.groupBy("root_rel_id")
+        .agg(
+            F.count("*").alias("n_geoms"),
+            F.sum("n_vertices").alias("n_vertices"),
+            F.count_distinct("gtype").alias("_ntypes"),
+            F.min("gtype").alias("_t0"),
+            F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        )
+        .select(
+            F.col("root_rel_id").alias("rel_id"),
+            F.when((F.col("_ntypes") == 1) & (F.col("_t0") == "LineString"), "MultiLineString")
+            .when((F.col("_ntypes") == 1) & (F.col("_t0") == "Point"), "MultiPoint")
+            .otherwise("GeometryCollection")
+            .alias("geom_type"),
+            F.col("n_geoms").cast("int").alias("n_geoms"),
+            F.col("n_vertices").cast("int").alias("n_vertices"),
+            "minx", "miny", "maxx", "maxy",
+        )
+    )
+    # A non-area relation with no member geometries is an EMPTY
+    # GeometryCollection, not an absent row.
+    roots = rel_is_area.filter(~F.col("is_area")).select("rel_id")
+    return roots.join(agg, "rel_id", "left").select(
+        "rel_id",
+        F.coalesce("geom_type", F.lit("GeometryCollection")).alias("geom_type"),
+        F.coalesce("n_geoms", F.lit(0)).alias("n_geoms"),
+        F.coalesce("n_vertices", F.lit(0)).alias("n_vertices"),
+        "minx", "miny", "maxx", "maxy",
+    )

@@ -25,9 +25,10 @@ def tile_histogram(df: DataFrame, tile_col: str) -> DataFrame:
     return df.groupBy(tile_col).agg(F.count("*").alias("n"))
 
 
-def salt_hot_tiles(df: DataFrame, tile_col: str, rows_per_partition: int = 100_000) -> DataFrame:
+def with_salt(df: DataFrame, tile_col: str, rows_per_partition: int = 100_000) -> DataFrame:
     """Add a ``salt`` column: 0 for cold tiles; hot tiles are split into
-    ceil(n / rows_per_partition) salts.  Repartitions by (tile, salt).
+    ceil(n / rows_per_partition) salts.  No repartition — the salt only
+    becomes physical when a downstream shuffle keys on (tile, salt).
 
     One extra aggregate pass computes the histogram (broadcast back);
     at 100 TB this is a cheap map-side-combined count on the tile key.
@@ -36,7 +37,7 @@ def salt_hot_tiles(df: DataFrame, tile_col: str, rows_per_partition: int = 100_0
         "n_salts",
         F.ceil(F.col("n") / F.lit(rows_per_partition)).cast("int"),
     ).filter(F.col("n_salts") > 1)
-    out = (
+    return (
         df.join(F.broadcast(hist.select(tile_col, "n_salts")), tile_col, "left")
         .withColumn(
             "salt",
@@ -47,7 +48,20 @@ def salt_hot_tiles(df: DataFrame, tile_col: str, rows_per_partition: int = 100_0
         )
         .drop("n_salts")
     )
-    return out.repartition(F.col(tile_col), F.col("salt"))
+
+
+def salt_hot_tiles(df: DataFrame, tile_col: str, rows_per_partition: int = 100_000) -> DataFrame:
+    """``with_salt`` + an explicit ``repartition(tile, salt)``.
+
+    Use ONLY when a per-partition kernel needs physical co-location of
+    each (tile, salt) slice (e.g. mapInPandas raster work): the
+    repartition is a full-data shuffle.  For aggregations, use
+    ``with_salt`` + a two-stage groupBy instead — the partial aggregate
+    shuffles on (tile, salt) by itself, one shuffle cheaper.
+    """
+    return with_salt(df, tile_col, rows_per_partition).repartition(
+        F.col(tile_col), F.col("salt")
+    )
 
 
 def adaptive_cell_split(

@@ -150,3 +150,39 @@ def test_spark_operator(spark):
     )
     assert got.tolist() == [False, True, False]  # hole, interior, outside
     assert not out[8]["valid"]
+
+
+def test_relation_geometry_collection(spark):
+    """Non-area relation assembly (StoredRelation.toGeometryCollection):
+    typing rules, recursive gathering, cycle guard, empty relation."""
+    import __spark_entry__ as em
+
+    members, rels, wn, nodes = em._geomcoll_fixture()
+    m = spark.createDataFrame(
+        members, "rel_id long, member_id long, member_type string, role string"
+    )
+    ra = spark.createDataFrame(rels, "rel_id long, is_area boolean")
+    w = spark.createDataFrame(wn, "way_id long, seq int, x int, y int")
+    n = spark.createDataFrame(nodes, "node_id long, x int, y int")
+    out = {
+        r["rel_id"]: r
+        for r in polygons.relation_geometry_collection(m, ra, w, n).collect()
+    }
+    assert set(out) == {100, 101, 102, 103, 104, 105, 106}  # area rels excluded
+    # all-LineString → MultiLineString; all-Point → MultiPoint
+    assert out[100]["geom_type"] == "MultiLineString" and out[100]["n_geoms"] == 3
+    assert out[100]["n_vertices"] == 7
+    assert out[101]["geom_type"] == "MultiPoint" and out[101]["n_geoms"] == 4
+    # mixed members incl. an area sub-relation's polygon
+    assert out[102]["geom_type"] == "GeometryCollection" and out[102]["n_geoms"] == 3
+    assert (out[102]["minx"], out[102]["miny"], out[102]["maxx"], out[102]["maxy"]) == (
+        0, 0, 520, 510,
+    )
+    # super-relation recurses through non-area sub-relation 100
+    assert out[103]["n_geoms"] == 5 and out[103]["n_vertices"] == 12
+    assert out[103]["geom_type"] == "GeometryCollection"
+    # reference cycle 104↔105: both converge on the same member set
+    assert out[104]["n_geoms"] == 2 and out[105]["n_geoms"] == 2
+    assert out[104]["maxx"] == 999 and out[105]["maxx"] == 999
+    # empty relation = empty GeometryCollection, not an absent row
+    assert out[106]["geom_type"] == "GeometryCollection" and out[106]["n_geoms"] == 0
