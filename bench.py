@@ -11,6 +11,19 @@ table) is synthesized ONCE to parquet and reused by both parallelism
 levels — the metric times the ENGINE pipeline (scan → imp encode →
 tile pyramid → three-band PIP broadcast join → rollup), not the
 synthetic-data generator.
+
+Scaling methodology (BENCH.md has the measurements behind it):
+- (lo, hi) pairs are tightly interleaved; the headline efficiency is
+  the MEDIAN pair and thr/dt come from that same pair.
+- The ceiling is a Spark-native kernel (range → sin+cos → sum: zero
+  I/O / shuffle / Python) run in the SAME SparkSession as each engine
+  measurement — engine and ceiling share every throttle window.  Even
+  this kernel scales at only ~0.66 from 8→32 threads on this box
+  (forked python processes scale at 0.97; DRAM streaming at ~0.38), so
+  the normalized number reads the engine against what a single shared-
+  memory JVM can give at all.  A real 4N-executor cluster multiplies
+  memory channels and JVMs by 4; the raw single-box ratio is a lower
+  bound on that.
 """
 
 from __future__ import annotations
@@ -22,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FLAGSHIP_ROWS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ROWS", "64000000"))
+FLAGSHIP_ROWS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ROWS", "128000000"))
 INPUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "/tmp/geodesk_bench_input")
 
 
@@ -60,18 +73,45 @@ def flagship(spark, path: str):
     return joined.groupBy("poly_id").agg(F.count("*").alias("n")).collect()
 
 
-def timed_flagship(cores: int, path: str, n_rows: int, reps: int = 3) -> tuple[float, float]:
-    """Best-of-N timing: the sandbox host has noisy co-tenants, so the
-    minimum is the faithful estimate of the engine's throughput."""
+_CEIL_N = 1_500_000_000
+
+
+def _ceiling_once(spark, salt: int) -> float:
+    """Spark-native scaling ceiling: range → sin+cos → sum.  Zero I/O,
+    zero shuffle, zero Python, one codegen stage — as close to perfectly
+    parallel as ANY Spark job on this JVM can be.  Run in the SAME
+    session right after the engine's timed runs, so ceiling and engine
+    share one throttle window (the r01 numpy-multiprocessing calibration
+    was measured in a different regime AND was memory-bound, which made
+    its 'ceiling' lower than the engine's own efficiency — unsound)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, _CEIL_N + salt, 1, 128).select(
+        F.sum(F.sin(F.col("id") * 1e-6) + F.cos(F.col("id") * 1e-7)).alias("s")
+    ).collect()
+    return time.time() - t0
+
+
+def timed_flagship(
+    cores: int, path: str, n_rows: int, reps: int = 2
+) -> tuple[float, float, float]:
+    """Best-of-N engine timing + one interleaved ceiling measurement.
+
+    Returns (engine_sec, engine_rows_per_sec, ceiling_sec).  Best-of-N:
+    the sandbox host has noisy co-tenants, so the minimum is the
+    faithful estimate of steady-state throughput."""
     from geodesk_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     try:
         flagship(spark, path)  # warm: JIT, Arrow init, python workers
         dt = min(_timed_once(spark, path) for _ in range(reps))
+        _ceiling_once(spark, 0)  # warm the kernel's codegen
+        ceil_dt = min(_ceiling_once(spark, k + 1) for k in range(2))
     finally:
         spark.stop()
-    return dt, n_rows / dt
+    return dt, n_rows / dt, ceil_dt
 
 
 def _timed_once(spark, path: str) -> float:
@@ -135,40 +175,6 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def _hw_calibration(lo: int, hi: int) -> float:
-    """The sandbox is a virtualized, co-tenanted box: even raw numpy
-    multiprocessing does not reach ideal lo→hi scaling.  Measure the
-    hardware's own ceiling with a pure-compute kernel so the engine's
-    efficiency can be read against what the box can give at all."""
-    import numpy as np
-    from concurrent.futures import ProcessPoolExecutor
-
-    def measure(nproc: int) -> float:
-        with ProcessPoolExecutor(nproc) as ex:
-            list(ex.map(_calib_work, range(nproc)))  # warm imports
-            t0 = time.time()
-            list(ex.map(_calib_work, range(64)))
-            return 64 / (time.time() - t0)
-
-    thr_lo = measure(lo)
-    thr_hi = measure(hi)
-    return (thr_hi / thr_lo) / (hi / lo)
-
-
-def _calib_work(_k):
-    # Single-threaded compute kernel (elementwise — numpy does NOT
-    # multithread these, unlike BLAS matmul which would saturate the box
-    # from 8 procs and make the ceiling unreadable).
-    import numpy as np
-
-    x = np.linspace(0.0, 50.0, 400_000)
-    s = 0.0
-    for _ in range(10):
-        s += float(np.sin(x).sum() + np.sqrt(x + 1).sum())
-        x = x + 1e-6
-    return s
-
-
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -184,22 +190,28 @@ def main():
     spark.stop()
 
     lo_cores = max(cores // 4, 1)
-    # Sample (lo, hi) as adjacent pairs, several times, and score each
-    # pair separately: co-tenant throttle windows (minutes-long, strictly
-    # slowing) then poison whole pairs rather than one side of the
-    # ratio; the best pair is the engine's real scaling.
+    # Sample (lo, hi) as tightly interleaved pairs and score each pair
+    # separately; within each side the Spark-native ceiling kernel runs
+    # in the SAME session as the engine, so engine and ceiling always
+    # share a throttle window.  The HEADLINE is the MEDIAN pair (not the
+    # max: a throttle window shorter than a pair would inflate exactly
+    # the pair max() selects), and thr/dt are reported from that same
+    # median pair — no cross-pair cherry-picking.
     pairs = []
     for _ in range(3):
-        dt_lo, thr_lo = timed_flagship(lo_cores, input_path, FLAGSHIP_ROWS, reps=1)
-        dt_hi, thr_hi = timed_flagship(cores, input_path, FLAGSHIP_ROWS, reps=1)
-        pairs.append((dt_lo, thr_lo, dt_hi, thr_hi))
-    dt_lo = min(p[0] for p in pairs)
-    thr_lo = max(p[1] for p in pairs)
-    dt_hi = min(p[2] for p in pairs)
-    thr_hi = max(p[3] for p in pairs)
-    pair_effs = [round((p[3] / p[1]) / (cores / lo_cores), 3) for p in pairs]
-    eff = max(pair_effs)
-    hw_eff = _hw_calibration(lo_cores, cores)
+        dt_lo, thr_lo, ceil_lo = timed_flagship(lo_cores, input_path, FLAGSHIP_ROWS)
+        dt_hi, thr_hi, ceil_hi = timed_flagship(cores, input_path, FLAGSHIP_ROWS)
+        ratio = cores / lo_cores
+        pairs.append(
+            {
+                "dt_lo": dt_lo, "thr_lo": thr_lo, "dt_hi": dt_hi, "thr_hi": thr_hi,
+                "eff": (thr_hi / thr_lo) / ratio,
+                "ceiling_eff": (ceil_lo / ceil_hi) / ratio,
+            }
+        )
+    med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+    eff = med["eff"]
+    ceil_eff = med["ceiling_eff"]
 
     out = {
         "metric": "headline_queries_total",
@@ -208,12 +220,19 @@ def main():
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_rows": FLAGSHIP_ROWS,
-        "flagship_rows_per_sec": {f"local[{lo_cores}]": round(thr_lo), f"local[{cores}]": round(thr_hi)},
-        "flagship_sec": {f"local[{lo_cores}]": round(dt_lo, 2), f"local[{cores}]": round(dt_hi, 2)},
-        "scaling_efficiency_pairs": pair_effs,
+        "flagship_rows_per_sec": {
+            f"local[{lo_cores}]": round(med["thr_lo"]),
+            f"local[{cores}]": round(med["thr_hi"]),
+        },
+        "flagship_sec": {
+            f"local[{lo_cores}]": round(med["dt_lo"], 2),
+            f"local[{cores}]": round(med["dt_hi"], 2),
+        },
+        "scaling_efficiency_pairs": [round(p["eff"], 3) for p in pairs],
+        "ceiling_efficiency_pairs": [round(p["ceiling_eff"], 3) for p in pairs],
         "scaling_efficiency": round(eff, 3),
-        "hw_ceiling_efficiency": round(hw_eff, 3),
-        "scaling_efficiency_normalized": round(min(eff / hw_eff, 1.0), 3),
+        "hw_ceiling_efficiency": round(ceil_eff, 3),
+        "scaling_efficiency_normalized": round(min(eff / ceil_eff, 1.0), 3),
     }
     print(json.dumps(out))
 
