@@ -82,6 +82,12 @@ def main():
                 "elapsed_sec": round(elapsed, 2),
                 "rows_per_sec": round(n_in / elapsed),
                 "parallelism": spark.sparkContext.defaultParallelism,
+                # Executor JVM count (driver excluded; 1 in local[*]
+                # where the driver hosts the executor threads) — proves
+                # the N-vs-4N deployment shape actually ran multi-JVM.
+                "executors": max(
+                    spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1, 1
+                ),
                 "stages": {
                     s: {
                         k: pipe.lineage(s)[k]
