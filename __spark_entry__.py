@@ -1336,6 +1336,46 @@ def _geomcoll_sql() -> str:
     """
 
 
+def _phash_fixture():
+    """500 uniform-random 64-bit phashes (synth's splitmix stream) + 50
+    planted clones with ≤2 bits flipped: at 64 bits, unplanted pairs at
+    Hamming ≤3 have probability ~2e-15, so the expected answer is
+    exactly the planted pairs — an oracle that would catch both recall
+    loss (banding bug) and false positives (distance bug)."""
+    from geodesk_spark.sources.synth import _splitmix64
+
+    ids = np.arange(500, dtype=np.uint64)
+    ph = _splitmix64(ids).astype(np.int64)
+    rows = [(f"img{int(i):012d}", int(p)) for i, p in zip(ids, ph)]
+    for i in range(0, 500, 10):
+        m = (1 << (i % 61)) | (1 << ((i * 13 + 7) % 61))
+        rows.append((f"dup{i:012d}", int(ph[i]) ^ m))
+    return rows
+
+
+def _q_phash_hamming(spark, sf_dir):
+    """Image near-dup by perceptual hash (dedup.phash_neardup_pairs):
+    4×16-bit band blocking with the pigeonhole exact-recall guarantee,
+    exact bit_count(xor) distance — all JVM."""
+    rows = _phash_fixture()
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    return dedup.phash_neardup_pairs(imgs).orderBy("id_a", "id_b")
+
+
+def _phash_hamming_sql() -> str:
+    """Brute-force all-pairs oracle — deliberately NOT mirroring the
+    banding, so the blocking scheme itself is under test."""
+    vals = ", ".join(f"('{i}', {p})" for i, p in _phash_fixture())
+    return f"""
+      with t(image_id, phash) as (values {vals})
+      select a.image_id as id_a, b.image_id as id_b,
+             cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+      from t a join t b on a.image_id < b.image_id
+      where bit_count(xor(a.phash, b.phash)) <= 3
+      order by 1, 2
+    """
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -1916,6 +1956,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
     "text_quality": (_q_quality, _SQL_QUALITY),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
+    "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),

@@ -334,3 +334,86 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         prev_cached.unpersist()
     edges.unpersist()
     return out
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the image-payload analog of MinHash-LSH, entirely JVM-side.
+
+    Banding with an EXACT recall guarantee (pigeonhole): the 64-bit
+    phash splits into ``n_bands`` disjoint bands; a pair at Hamming
+    distance < n_bands differs in fewer bits than there are bands, so
+    at least one band is bit-identical and the pair lands in a shared
+    bucket.  With the defaults (4 × 16-bit bands, max_hamming=3) NO
+    qualifying pair can be missed — unlike MinHash, which is
+    probabilistic.
+
+    Plan shape mirrors ``lsh_candidate_pairs``: explode band keys →
+    ONE shuffle on (band_idx, band_value) → in-bucket pair expansion →
+    exact ``bit_count(xor)`` filter, distinct.  No self-join, no
+    Python.  The same ``bucket_cap`` star-pair guard bounds degenerate
+    buckets (e.g. a flat-color phash shared by millions of thumbnails):
+    capped buckets emit O(n) star pairs that keep the bucket one
+    connected component for downstream ``connected_components``, at the
+    cost of pair-level exactness inside that bucket only.
+    """
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    ph = F.col(phash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(ph, b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), ph.alias("ph"), F.explode(bands).alias("band")
+    ).select("id", "ph", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    buckets = exploded.groupBy("bi", "bv").agg(
+        F.sort_array(F.collect_list(F.struct("id", "ph"))).alias("docs")
+    )
+    docs = F.col("docs")
+    all_pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda a, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"), b["id"].alias("id_b"),
+                    a["ph"].alias("ph_a"), b["ph"].alias("ph_b"),
+                ),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(docs, 2, F.size(docs) - 1),
+        lambda b: F.struct(
+            F.element_at(docs, 1)["id"].alias("id_a"), b["id"].alias("id_b"),
+            F.element_at(docs, 1)["ph"].alias("ph_a"), b["ph"].alias("ph_b"),
+        ),
+    )
+    pairs = (
+        buckets.filter(F.size("docs") > 1)
+        .select(
+            F.explode(
+                F.when(F.size("docs") <= bucket_cap, all_pairs).otherwise(star_pairs)
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

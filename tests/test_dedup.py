@@ -85,3 +85,28 @@ def test_jaccard_doc_freq_cap(spark):
                 want.add((a, b))
     assert {tuple(r) for r in got[["doc_a", "doc_b"]].itertuples(index=False)} == want
     assert (900, 901) in want  # the cap must not kill real near-dups
+
+
+def test_phash_neardup_exact_recall(spark):
+    """Pigeonhole guarantee: every planted ≤3-bit pair is found; random
+    64-bit pairs produce no false candidates surviving the exact test."""
+    import __spark_entry__ as em
+
+    rows = em._phash_fixture()
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    got = dedup.phash_neardup_pairs(imgs).toPandas()
+    want = {(f"dup{i:012d}", f"img{int(i):012d}") for i in range(0, 500, 10)}
+    assert {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)} == want
+    assert (got["hamming"] <= 3).all() and (got["hamming"] >= 1).all()
+
+
+def test_phash_neardup_bucket_cap(spark):
+    """A degenerate bucket (identical phash shared by many images) emits
+    O(n) star pairs instead of a quadratic clique, and the bucket stays
+    one diameter-2 component."""
+    rows = [(f"flat{i:04d}", 0x1234) for i in range(50)]
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    got = dedup.phash_neardup_pairs(imgs, bucket_cap=10).toPandas()
+    assert len(got) == 49  # star from the smallest id, not C(50,2)=1225
+    assert set(got["id_a"]) == {"flat0000"}
+    assert (got["hamming"] == 0).all()
