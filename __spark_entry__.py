@@ -968,7 +968,7 @@ _SQL_FINGERPRINT = r"""
 
 
 def _q_dedup_exact(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
 
 
@@ -992,7 +992,7 @@ _SQL_SHINGLES = r"""
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(d)
 
 
@@ -1021,7 +1021,7 @@ def _minhash_lsh_sql() -> str:
 
 
 def _q_simhash(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = tables.load_spread(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return dedup.simhash16(d)
 
 
@@ -1044,7 +1044,7 @@ JACCARD_DF_CAP = 50  # hot-shingle document-frequency cap (skew guard)
 
 
 def _q_jaccard(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
 
 
@@ -1073,7 +1073,7 @@ def _q_dedup_components(spark, sf_dir):
     — each round one shuffle join, convergence by changed-count).  The
     oracle computes the same components with a recursive CTE transitive
     closure (tiny graph at sf0.01)."""
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
     return dedup.connected_components(pairs).orderBy("doc_id")
 
@@ -1098,7 +1098,7 @@ def _dedup_components_sql() -> str:
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load_spread(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4)
 
 
@@ -1124,7 +1124,7 @@ def _embedding_neardup_sql() -> str:
 
 
 def _q_ann_cosine(spark, sf_dir):
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load_spread(spark, sf_dir, "embeddings")
     return ann.cosine_topk(e, ANN_QUERY_IDS, k=ANN_K)
 
 

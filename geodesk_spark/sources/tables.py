@@ -21,6 +21,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + repartition when the file gives fewer input splits
+    than the session has cores.  Small local test files arrive as ONE
+    split, which serializes every downstream per-row kernel onto one
+    task (measured: the whole minhash pipeline on sf0.1 documents ran
+    single-threaded).  At 100 TB the table has thousands of splits and
+    this is a no-op — the condition keeps the extra shuffle strictly a
+    small-file correction, never a cost at scale.
+    """
+    df = load(spark, sf_dir, name)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 # --- deterministic key→geo derivation (shared Spark/SQL recipe) -------------
 # lon in (-180, 180), lat in (-80, 80); pure integer modulo + division so
 # both engines compute identical doubles.
