@@ -61,7 +61,7 @@ def _dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
 
 
 def _derived_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.with_derived_points(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    return tables.with_derived_points(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
 
 
 _DERIVED_SQL = f"""
@@ -174,7 +174,7 @@ def _q_adaptive_split(spark, sf_dir):
     ~2° hot square, which splits z8 → z10 → z12 until the per-cell cap
     holds; the resulting histogram must match the oracle's two-round
     CASE rewrite exactly."""
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load_spread(spark, sf_dir, "orders")
     pts = (
         o.withColumn("lon", F.expr(_SKEW_LON))
         .withColumn("lat", F.expr(_SKEW_LAT))
@@ -214,7 +214,7 @@ def _adaptive_split_sql() -> str:
 def _q_heading_rollup(spark, sf_dir):
     """Compass heading (geom/Heading.java:20-60): 8-point heading from
     Cairo to every customer point, rolled up — pure Column trig."""
-    df = tables.with_derived_points(tables.load(spark, sf_dir, "customer"), "c_custkey")
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
     dx = F.col("x") - F.lit(CAIRO_XY[0])
     dy = F.col("y") - F.lit(CAIRO_XY[1])
     return (
@@ -246,7 +246,7 @@ def _q_skew_salted_rollup(spark, sf_dir):
     never the answer.  No repartition pass: the partial groupBy's own
     shuffle on (tile, salt) is what spreads the hot key (VERDICT r01 —
     the explicit repartition was one full-data shuffle too many)."""
-    li = tables.with_derived_points(tables.load(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = tables.with_derived_points(tables.load_spread(spark, sf_dir, "lineitem"), "l_orderkey")
     t8 = li.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint"))
     salted = skew.with_salt(t8, "tile", rows_per_partition=2000)
     partial = salted.groupBy("tile", "salt").agg(
@@ -277,7 +277,7 @@ _SQL_SKEW_SALTED = f"""
 
 def _q_bbox(spark, sf_dir):
     """in(bbox) restriction (WorldView.java:73-76) as a pushed-down filter."""
-    df = tables.with_derived_points(tables.load(spark, sf_dir, "customer"), "c_custkey")
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
     qminx, qminy, qmaxx, qmaxy = -(1 << 29), -(1 << 28), 1 << 30, 1 << 29
     out = spatial_join.bbox_query(df, qminx, qminy, qmaxx, qmaxy)
     return out.select(F.col("c_custkey").alias("key")).orderBy("key")
@@ -298,7 +298,7 @@ _SQL_BBOX = f"""
 def _q_bbox_antimeridian(spark, sf_dir):
     """Antimeridian-crossing box (Box.java:16-19,76-79): minx > maxx →
     disjunctive x-test, still a pushed-down scan filter."""
-    df = tables.with_derived_points(tables.load(spark, sf_dir, "customer"), "c_custkey")
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
     qminx, qminy, qmaxx, qmaxy = (1 << 30), -(1 << 29), -(1 << 30), 1 << 29
     out = spatial_join.bbox_query(df, qminx, qminy, qmaxx, qmaxy)
     return out.select(F.col("c_custkey").alias("key")).orderBy("key")
@@ -434,7 +434,7 @@ def _knn_sql() -> str:
 
 def _q_agg_pricing(spark, sf_dir):
     """Aggregation layer (Features.count analog widened to groupBy.agg)."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.load_spread(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -458,8 +458,8 @@ _SQL_AGG_PRICING = """
 
 def _q_join_cust(spark, sf_dir):
     """Broadcast equi-join (dimension join — free in Spark, absent in ref)."""
-    o = tables.load(spark, sf_dir, "orders")
-    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load_spread(spark, sf_dir, "orders")
+    c = tables.load_spread(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -481,7 +481,7 @@ _SQL_JOIN_CUST = """
 
 def _q_window_top3(spark, sf_dir):
     """Window top-k (our kNN building block, SURVEY §2.5)."""
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load_spread(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
         o.withColumn("rank", F.row_number().over(w))
@@ -505,12 +505,12 @@ def _q_asof_join(spark, sf_dir):
     Oracle = DuckDB's native ASOF JOIN."""
     from geodesk_spark.operators import relational
 
-    e = tables.load(spark, sf_dir, "events").select(
+    e = tables.load_spread(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
     # deterministic snapshot table: 3 snapshots per user, score = simple arithmetic
     snaps = (
-        tables.load(spark, sf_dir, "events")
+        tables.load_spread(spark, sf_dir, "events")
         .select("user_id").distinct()
         .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
         .select(
@@ -543,7 +543,7 @@ _SQL_ASOF = """
 def _q_events_hourly(spark, sf_dir):
     """Batch-incremental windowed aggregation over the events stream table
     (the reference has no streaming; SURVEY §2.7 maps to snapshot batches)."""
-    e = tables.load(spark, sf_dir, "events")
+    e = tables.load_spread(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.col("event_type"),
@@ -626,7 +626,7 @@ def _q_stream_windowed(spark, sf_dir):
 
     from geodesk_spark.streaming import stream as stream_mod
 
-    e = tables.load(spark, sf_dir, "events")
+    e = tables.load_spread(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="gds_stream_")
     try:
         indir = f"{tmp}/in"
@@ -733,8 +733,8 @@ _SQL_STREAM_STATEFUL = f"""
 def _q_graph_members(spark, sf_dir):
     """membersOf analog (StoredRelation.java:168-192): relation→members
     equi-join with a role filter."""
-    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load_spread(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = tables.load_spread(spark, sf_dir, "lineitem")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .filter(F.col("l_returnflag") == "R")
@@ -756,11 +756,11 @@ def _q_graph_nodes_of(spark, sf_dir):
     from geodesk_spark.operators import graph
 
     ways = (
-        tables.load(spark, sf_dir, "orders")
+        tables.load_spread(spark, sf_dir, "orders")
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "2-HIGH"))
         .select(F.col("o_orderkey").alias("fid"))
     )
-    li = tables.with_derived_points(tables.load(spark, sf_dir, "lineitem"), "l_partkey")
+    li = tables.with_derived_points(tables.load_spread(spark, sf_dir, "lineitem"), "l_partkey")
     way_nodes = li.select(
         F.col("l_orderkey").alias("way_id"),
         F.col("l_linenumber").alias("seq"),
@@ -790,9 +790,9 @@ _SQL_GRAPH_NODES_OF = f"""
 
 def _q_graph_parents(spark, sf_dir):
     """parentsOf analog (View.java:119-140): member→parent semi-join."""
-    li = tables.load(spark, sf_dir, "lineitem")
-    p = tables.load(spark, sf_dir, "part").filter(F.col("p_size") > 40)
-    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load_spread(spark, sf_dir, "lineitem")
+    p = tables.load_spread(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    o = tables.load_spread(spark, sf_dir, "orders")
     member_orders = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_orderkey").distinct()
     return (
         o.join(member_orders, o.o_orderkey == member_orders.l_orderkey, "left_semi")
@@ -812,7 +812,7 @@ _SQL_GRAPH_PARENTS = """
 def _q_connected(spark, sf_dir):
     """connectedTo analog (ConnectedFilter.java:21-113): shared-vertex
     equi-join — orders sharing a part with order 1."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.load_spread(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_orderkey") == 1).select(F.col("l_partkey").alias("pk")).distinct()
     return (
         li.join(F.broadcast(a), li.l_partkey == a.pk)
@@ -833,7 +833,7 @@ _SQL_CONNECTED = """
 
 def _q_view_intersection(spark, sf_dir):
     """View ∧ view (View.java:176-213): two predicate sets AND-combined."""
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load_spread(spark, sf_dir, "orders")
     v1 = (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O")
     v2 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return o.filter(v1 & v2).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
@@ -849,7 +849,7 @@ _SQL_VIEW_INTERSECTION = """
 
 def _q_selector_union(spark, sf_dir):
     """Selector union (MatcherParser.java:461-482): OR of selector predicates."""
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load_spread(spark, sf_dir, "orders")
     sel = (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 250000)
     return o.filter(sel).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
 
@@ -866,7 +866,7 @@ _SQL_SELECTOR_UNION = """
 def _part_features(spark, sf_dir):
     """part table viewed as an OSM-like feature table: tags map built from
     columns, with a conditionally-present 'big' key (absent ⟺ p_size ≤ 25)."""
-    p = tables.load(spark, sf_dir, "part")
+    p = tables.load_spread(spark, sf_dir, "part")
     tags = F.map_filter(
         F.create_map(
             F.lit("brand"), F.col("p_brand"),
@@ -918,7 +918,7 @@ _SQL_GOQL_UNION = """
 
 
 def _q_token_count(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return text.token_count(d).select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
 
 
@@ -931,7 +931,7 @@ _SQL_TOKEN_COUNT = r"""
 
 
 def _q_quality(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return text.quality_scores(d)
 
 
@@ -952,12 +952,12 @@ _SQL_QUALITY = rf"""
 
 
 def _q_langid(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return text.lang_id(d).select("doc_id", "lang_pred", F.col("lang_score").cast("int").alias("lang_score"))
 
 
 def _q_fingerprint(spark, sf_dir):
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.load_spread(spark, sf_dir, "documents")
     return text.fingerprint(d)
 
 
@@ -1148,7 +1148,7 @@ def _ann_sql() -> str:
 
 
 def _q_ann_lsh(spark, sf_dir):
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load_spread(spark, sf_dir, "embeddings")
     return ann.lsh_topk(e, ANN_QUERY_IDS, k=ANN_K).select("query_id", "vec_id", "rank")
 
 
@@ -1404,7 +1404,7 @@ def _q_tile_multitile(spark, sf_dir):
     """Bbox features → pyramid placement with multi-tile duplication and
     MULTITILE_WEST/NORTH flags (FeatureFlags.java:19-24, §1.2 dedup rule) —
     fully JVM-side explode, no UDF."""
-    df = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    df = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
     out = tiling.explode_bbox_tiles(df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy"))
     return out.select(
         "key",
@@ -1459,7 +1459,7 @@ def _q_tile_window_dedup(spark, sf_dir):
     intersecting feature emitted ONCE with no shuffle-distinct
     (RTreeQueryTask.java:103-104, TileIndexWalker.java:251-284)."""
     qminx, qminy, qmaxx, qmaxy = DEDUP_WIN
-    df = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    df = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
     copies = tiling.explode_bbox_tiles(
         df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy")
     )
@@ -1561,13 +1561,13 @@ def _pack_line_features(segs: DataFrame) -> DataFrame:
 
 def _segment_features(spark, sf_dir):
     """Derived segments as line features (packed-geometry blobs)."""
-    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    segs = tables.with_derived_segments(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
     return _pack_line_features(segs.withColumn("fid", F.col("o_orderkey")))
 
 
 def _box_features(spark, sf_dir):
     """Derived bboxes as axis-aligned polygon features (rect rings)."""
-    boxes = tables.with_derived_boxes(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    boxes = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
     boxes = boxes.select(
         F.col("o_orderkey").alias("fid"),
         F.col("minx").cast("int").alias("minx"), F.col("miny").cast("int").alias("miny"),
@@ -1805,7 +1805,7 @@ def _q_line_touches(spark, sf_dir):
     the rect's left edge line from outside — touch iff the endpoint lies
     within the edge's y-range."""
     rx0 = RECT[0]
-    df = tables.with_derived_points(tables.load(spark, sf_dir, "orders"), "o_orderkey")
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
     ddx, ddy = tables.segment_delta_exprs("o_orderkey")
     lo, hi = -(1 << 31), (1 << 31) - 1
     segs = df.select(
@@ -1898,7 +1898,7 @@ _SQL_GOQL_REGEX = """
 
 
 def _q_ann_ivf(spark, sf_dir):
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load_spread(spark, sf_dir, "embeddings")
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
 
 
