@@ -1103,22 +1103,33 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _embedding_neardup_sql() -> str:
-    bkt = " + ".join(
-        f"(case when e[{i + 1}] >= 0 then {1 << i} else 0 end)" for i in range(4)
-    )
+    """Mirrors the MULTI-TABLE sign-LSH blocking (8 tables × 4 dims):
+    candidates share a bucket in ANY table — an OR of the per-table
+    bucket equalities (fine for the oracle; Spark uses explode +
+    equi-join for the same semantics at scale)."""
+    n_tables, sign_dims = 8, 4
+
+    def bkt(t):
+        return " + ".join(
+            f"(case when e[{t * sign_dims + i + 1}] >= 0 then {1 << i} else 0 end)"
+            for i in range(sign_dims)
+        )
+
+    bkts = ", ".join(f"({bkt(t)}) as b{t}" for t in range(n_tables))
+    any_shared = " or ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
     return f"""
       with base as (
         select vec_id as id, embedding as e,
                sqrt(list_sum(list_transform(embedding,
                     x -> cast(x as double) * cast(x as double)))) as nrm
         from embeddings),
-      wb as (select *, {bkt} as bkt from base),
+      wb as (select *, {bkts} from base),
       p as (
         select a.id as id_a, b.id as id_b,
                round(list_sum(list_transform(range(1, len(a.e) + 1),
                      i -> cast(a.e[i] as double) * cast(b.e[i] as double)))
                      / (a.nrm * b.nrm), 6) as cosine
-        from wb a join wb b on a.bkt = b.bkt and a.id < b.id)
+        from wb a join wb b on ({any_shared}) and a.id < b.id)
       select id_a, id_b, cosine from p where cosine >= 0.40
     """
 

@@ -226,42 +226,65 @@ def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.40,
     sign_dims: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold, id_a < id_b.
 
-    Candidate generation is deterministic sign-LSH: bucket = the packed
-    signs of the first `sign_dims` dimensions (axis-aligned hyperplanes).
-    Vectors only pair within a bucket — the self-join is an equi-join on
-    the bucket key, never all-pairs, so at 100 TB the shuffle moves each
-    row once and the quadratic step is confined to ~n/2^sign_dims-sized
-    buckets (raise sign_dims as density grows; a hot bucket is the skew
-    signal for operators/skew.py).  Exact cosine (zip_with product →
-    aggregate sum, all JVM higher-order functions — no Python) filters
-    the candidates.  Cosine is rounded to 6 decimals before the
-    threshold test so the DuckDB oracle lands on the same side.
+    Candidate generation is MULTI-TABLE sign-LSH: table t's bucket key
+    packs the signs of dimensions [t·sign_dims, (t+1)·sign_dims)
+    (axis-aligned hyperplanes); a pair is a candidate if it shares a
+    bucket in ANY table.  Each table's equi-join is never all-pairs, so
+    at 100 TB the shuffle moves each row n_tables times (the standard
+    LSH recall-for-shuffle trade) and the quadratic step is confined to
+    ~n/2^sign_dims-sized buckets per table (raise sign_dims as density
+    grows; a hot bucket is the skew signal for operators/skew.py).
+    Exact cosine (zip_with product → aggregate sum, all JVM
+    higher-order functions — no Python) filters the candidates; rounded
+    to 6 decimals so the DuckDB oracle lands on the same side.
+    Requires n_tables·sign_dims ≤ vector dimension.
+
+    RECALL < 1, by design: a qualifying pair whose vectors disagree in
+    a sign within EVERY table is never tested (precision is exact —
+    every emitted pair truly clears the threshold).  One 4-dim table
+    measured recall 0.20 on the sf0.01 corpus at threshold 0.40; eight
+    tables lift it to 1-(1-r₁)^8 under independence (measured in
+    tests/test_dedup.py, which pins the shipped floor).  The driver
+    oracle mirrors the same blocking — its green row proves
+    "blocking + distance implemented exactly", not "every near-dup
+    found".  For exact-recall blocking on BINARY fingerprints see
+    ``phash_neardup_pairs`` (pigeonhole bands).
     """
     emb = F.col(vec_col)
     norm = F.sqrt(
         F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    bucket = None
-    for i in range(sign_dims):
-        bit = F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+
+    def bucket(t: int):
+        b = None
+        for i in range(sign_dims):
+            bit = F.when(
+                F.element_at(emb, t * sign_dims + i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        return b.cast("int")
+
+    tables_arr = F.array(
+        *[F.struct(F.lit(t).alias("t"), bucket(t).alias("bkt")) for t in range(n_tables)]
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         emb.alias("e"),
         norm.alias("nrm"),
-        bucket.cast("int").alias("bkt"),
-    )
+        F.explode(tables_arr).alias("tb"),
+    ).select("id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
     a = base.select(
-        F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"), "bkt"
+        F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"), "t", "bkt"
     )
     b = base.select(
-        F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"), "bkt"
+        F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"), "t", "bkt"
     )
     dot = F.aggregate(
         F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
@@ -269,11 +292,12 @@ def embedding_neardup_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "bkt")
+        a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 

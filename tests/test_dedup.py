@@ -110,3 +110,30 @@ def test_phash_neardup_bucket_cap(spark):
     assert len(got) == 49  # star from the smallest id, not C(50,2)=1225
     assert set(got["id_a"]) == {"flat0000"}
     assert (got["hamming"] == 0).all()
+
+
+def test_embedding_neardup_measured_recall(spark):
+    """Pin the sign-LSH blocking quality: precision is exactly 1.0 (every
+    emitted pair clears the threshold) and measured recall on the sf0.01
+    embeddings corpus stays above the floor we ship with."""
+    from geodesk_spark.sources import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    got = dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4).toPandas()
+    found = {(int(a), int(b)) for a, b in got[["id_a", "id_b"]].itertuples(index=False)}
+
+    pdf = e.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ M.T
+    ids = pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    true = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if round(cos[i, j], 6) >= 0.40
+    }
+    assert found <= true  # precision 1.0: no false positives
+    recall = len(found & true) / len(true) if true else 1.0
+    assert len(true) > 0  # corpus must exercise the threshold
+    assert recall >= 0.7, f"recall {recall:.2f} below documented floor ({len(found)}/{len(true)})"
