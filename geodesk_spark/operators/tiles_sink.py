@@ -106,6 +106,7 @@ def write_leaflet_page(
     attribution: str = 'Map data © <a href="http://openstreetmap.org">OpenStreetMap</a> contributors',
     min_zoom: int = 0,
     max_zoom: int = 19,
+    markers: list | None = None,
 ) -> str:
     """The MapMaker HTML surface (util/MapMaker.java:272-330): one
     self-contained Leaflet page over the rendered tile set.
@@ -119,7 +120,18 @@ def write_leaflet_page(
     every tile the sink produced.  The manifest is the driver-side
     summary (one row per tile) — writing the page is a cheap driver
     step, like the reference's single-writer save().
+
+    ``markers`` adds the reference's Marker surface (util/Marker.java:
+    22-153, MapMaker.GeometryMarker.writeStub): each marker is a dict
+    {kind: 'point'|'line'|'polygon', coords, tooltip?, url?, options?}
+    with imp-coordinate geometry (point: (x, y); line: [(x, y), …];
+    polygon: [ring, …] — outer first, then holes).  Emitted exactly as
+    the reference writes them: ``L.circle`` / ``L.polyline`` /
+    ``L.polygon`` with the options object, ``.bindTooltip(...)``, a
+    click handler navigating to ``url``, ``.addTo(map)``; marker bounds
+    join the final fitBounds union.
     """
+    import json as _json
     rows = manifest.to_dict("records")
     parts = []
     minx = miny = float("inf")
@@ -144,10 +156,42 @@ def write_leaflet_page(
             f"L.imageOverlay('{rel}', [{latlon(tminx, tminy)},{latlon(tmaxx, tmaxy)}],"
             f" {{opacity: 0.6}}).addTo(map);"
         )
+    for m in markers or []:
+        kind = m["kind"]
+        opts = f", {_json.dumps(m['options'])}" if m.get("options") else ""
+        if kind == "point":
+            x, y = m["coords"]
+            minx, miny = min(minx, x), min(miny, y)
+            maxx, maxy = max(maxx, x), max(maxy, y)
+            stub = f"L.circle({latlon(x, y)}{opts})"
+        elif kind == "line":
+            pts = [(float(x), float(y)) for x, y in m["coords"]]
+            for x, y in pts:
+                minx, miny = min(minx, x), min(miny, y)
+                maxx, maxy = max(maxx, x), max(maxy, y)
+            coords = ",".join(latlon(x, y) for x, y in pts)
+            stub = f"L.polyline([{coords}]{opts})"
+        elif kind == "polygon":
+            rings = []
+            for ring in m["coords"]:
+                pts = [(float(x), float(y)) for x, y in ring]
+                for x, y in pts:
+                    minx, miny = min(minx, x), min(miny, y)
+                    maxx, maxy = max(maxx, x), max(maxy, y)
+                rings.append("[" + ",".join(latlon(x, y) for x, y in pts) + "]")
+            stub = f"L.polygon([{','.join(rings)}]{opts})"
+        else:  # pragma: no cover
+            raise ValueError(f"unknown marker kind: {kind!r}")
+        if m.get("tooltip"):
+            stub += f".bindTooltip({_json.dumps(m['tooltip'])})"
+        if m.get("url"):
+            stub += f".on('click', function(){{window.location={_json.dumps(m['url'])};}})"
+        parts.append(stub + ".addTo(map);")
+
     overlays = "\n".join(parts)
     fit = (
         f"map.fitBounds([{latlon(minx, miny)},{latlon(maxx, maxy)}]);"
-        if rows
+        if rows or markers
         else "map.setView([0, 0], 2);"
     )
     script = (

@@ -126,3 +126,28 @@ def test_corpus(spark):
                 )
     assert n_err_ok >= 8
     assert not failures, f"{len(failures)} mismatches:\n" + "\n".join(failures[:25])
+
+
+def test_lenient_parse_mathutils_golden(spark):
+    """MathUtilsTest.testDoubleFromString ported row-for-row
+    (common/math/MathUtilsTest.java:12-26): the lenient left-prefix
+    parse behind every GOQL numeric comparison."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.goql.compiler import lenient_double_col
+
+    cases = [
+        ("Test", None), ("--2", None), ("..5", None), ("-..5", None),
+        ("457", 457.0), ("457.0", 457.0), ("457.000000000000000", 457.0),
+        ("-00000.000000000000000", 0.0),
+        ("-0013100.0000000000000000", -13100.0),
+        ("-0013100.999000000000000000", -13100.999),
+        ("   -001413100.99abc9000000000000000", -1413100.99),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    got = {r["v"]: r["d"] for r in df.select("v", lenient_double_col(F.col("v")).alias("d")).collect()}
+    for v, want in cases:
+        if want is None:
+            assert got[v] is None, v  # NaN in the reference = NULL here
+        else:
+            assert got[v] == want, v

@@ -91,6 +91,29 @@ def test_leaflet_page(spark, tmp_path, pts):
     assert html.count("L.imageOverlay(") == len(manifest)
 
 
+def test_leaflet_markers(tmp_path):
+    """Marker surface parity (util/Marker.java:22-153): point/line/
+    polygon stubs, options object, tooltip binding, click-url handler."""
+    import pandas as pd
+
+    out = str(tmp_path / "m")
+    markers = [
+        {"kind": "point", "coords": (0, 0), "tooltip": 'City "A"', "url": "https://example.org/a"},
+        {"kind": "line", "coords": [(0, 0), (1000, 2000)], "options": {"color": "#3388ff"}},
+        {"kind": "polygon", "coords": [[(0, 0), (5000, 0), (5000, 5000), (0, 0)],
+                                       [(1000, 1000), (2000, 1000), (1000, 2000), (1000, 1000)]]},
+    ]
+    path = tiles_sink.write_leaflet_page(pd.DataFrame(), out, markers=markers)
+    html = open(path).read()
+    assert "L.circle([" in html and "L.polyline([" in html and "L.polygon([[" in html
+    assert '.bindTooltip("City \\"A\\"")' in html  # JS-escaped tooltip
+    assert "window.location=\"https://example.org/a\"" in html.replace("'", '"') or \
+        'window.location="https://example.org/a"' in html
+    assert '{"color": "#3388ff"}' in html
+    assert html.count(".addTo(map);") == 4  # 3 markers + L.control.scale
+    assert "map.fitBounds([" in html  # markers alone drive the bounds
+
+
 def test_adaptive_cell_split(spark, pts):
     out = skew.adaptive_cell_split(pts, max_rows_per_cell=2000, base_zoom=8)
     hist = out.groupBy("cell_adaptive").agg(F.count("*").alias("n")).toPandas()
