@@ -90,7 +90,10 @@ def assemble_relation_polygons(
 
 
 def gather_relation_closure(
-    members: DataFrame, rel_is_area: DataFrame, max_depth: int = 16
+    members: DataFrame,
+    rel_is_area: DataFrame,
+    max_depth: int = 16,
+    max_broadcast_edges: int = 1_000_000,
 ) -> DataFrame:
     """Transitive closure root→gathered-relation for non-area relations
     (StoredRelation.gatherGeometries, StoredRelation.java:96-137): a
@@ -98,18 +101,22 @@ def gather_relation_closure(
     is a geometry member and is NOT expanded; a visited-set guards
     reference cycles.
 
-    Spark shape: iterative frontier semi-join — one broadcastable join
-    per nesting level.  OSM relation nesting is shallow (≤ a handful of
-    levels), so the loop runs O(depth) rounds; each round's frontier is
-    deduped against the accumulated closure, which is exactly the
-    reference's ``processedRelations`` set.  Returns
-    (root_rel_id, rel_id) including the identity row (root, root).
+    rel→rel membership is a tiny fraction of any OSM-like corpus
+    (relations ≪ features; nested relations ≪ relations), so the edge
+    set is broadcast-sized BY CONTRACT — when it fits
+    ``max_broadcast_edges`` the closure is computed as a driver-side
+    BFS over exactly the rows a broadcast join would have shipped
+    anyway (the same regime as prepare_layer's driver-side band
+    classification), costing 2 small jobs.  Oversized edge sets fall
+    back to the distributed iterative frontier join — one broadcast
+    join per nesting level, each round's frontier deduped against the
+    accumulated closure, which is the reference's
+    ``processedRelations`` set.  Returns (root_rel_id, rel_id)
+    including the identity row (root, root).
     """
+    spark = members.sparkSession
     non_area = rel_is_area.filter(~F.col("is_area")).select("rel_id")
-    # rel→rel membership is a tiny fraction of any OSM-like corpus
-    # (relations ≪ features; nested relations ≪ relations): broadcast it
-    # so every closure round is a map-side join, no shuffle.
-    edges = F.broadcast(
+    edges_df = (
         members.filter(F.col("member_type") == "r")
         .select("rel_id", F.col("member_id").alias("sub_rel_id"))
         .join(
@@ -117,9 +124,32 @@ def gather_relation_closure(
             "sub_rel_id",
         )
     )
-    closure = non_area.select(
-        F.col("rel_id").alias("root_rel_id"), F.col("rel_id")
-    ).cache()
+    identity = non_area.select(F.col("rel_id").alias("root_rel_id"), F.col("rel_id"))
+
+    n_edges = edges_df.count()
+    if n_edges == 0:
+        return identity
+    if n_edges <= max_broadcast_edges:
+        adj: dict[int, list[int]] = {}
+        for r in edges_df.collect():
+            adj.setdefault(r["rel_id"], []).append(r["sub_rel_id"])
+        pairs = []
+        for root in adj:
+            seen = {root}
+            stack = [root]
+            while stack:
+                for s in adj.get(stack.pop(), ()):
+                    if s not in seen:
+                        seen.add(s)
+                        pairs.append((root, s))
+                        stack.append(s)
+        if not pairs:
+            return identity
+        reach = spark.createDataFrame(pairs, "root_rel_id long, rel_id long")
+        return identity.unionByName(reach)
+
+    edges = F.broadcast(edges_df)
+    closure = identity.cache()
     frontier = closure
     cached = [closure]
     for _ in range(max_depth):
