@@ -139,6 +139,30 @@ def _morton_sql() -> str:
     """
 
 
+def _q_hilbert_cells(spark, sf_dir):
+    """Hilbert-curve cell ids — the S2-style clustering key
+    (geo/curve.hilbert_cell_cols): consecutive ids are ALWAYS
+    edge-adjacent cells, strictly better worst-case range locality than
+    Z-order; level-by-level JVM projections, no UDF."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    return curve.hilbert_cell_cols(df, "x", "y", 12).select(
+        F.col("o_orderkey").alias("key"), "hcell"
+    ).orderBy("hcell", "key")
+
+
+def _hilbert_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    ctes, final = curve.hilbert_sql("x", "y", 12)
+    return f"""
+      with __hilbert_input__ as ({_DERIVED_SQL}), {ctes}
+      select o_orderkey as key, hcell from {final} t
+      order by hcell, key
+    """
+
+
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
     lon/lat recovered from imps, rounded to 7 decimals."""
@@ -1951,6 +1975,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
     "morton_cells": (_q_morton_cells, _morton_sql()),
+    "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
     "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only

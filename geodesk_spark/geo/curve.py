@@ -77,3 +77,103 @@ def morton_cell_col(x_col, y_col, zoom: int):
 
     z = F.shiftleft(spread(row), 1).bitwiseOR(spread(col))
     return F.lit(zoom << 56).cast("long") + z
+
+
+# --- Hilbert curve (the S2-style clustering key) ----------------------------
+#
+# Z-order has unbounded jumps at quadrant seams; the Hilbert curve (what
+# S2 cell ids use) guarantees consecutive ids are ALWAYS edge-adjacent
+# cells, so range scans over the sort key touch contiguous runs with
+# strictly better worst-case locality.  Standard iterative xy→d with
+# per-level rotation; numpy kernel, Column builder, and SQL twin run the
+# identical step sequence.
+
+
+def hilbert_cell(x: np.ndarray, y: np.ndarray, zoom: int) -> np.ndarray:
+    """int64 Hilbert id at `zoom`: zoom in the high byte, curve distance
+    below (sort-compatible within a zoom level, like morton_cell)."""
+    cx = np.asarray(T.column_from_x(x, zoom), dtype=np.int64)
+    ry_ = np.asarray(T.row_from_y(y, zoom), dtype=np.int64)
+    d = np.zeros_like(cx)
+    xx, yy = cx.copy(), ry_.copy()
+    s = np.int64(1) << (zoom - 1) if zoom > 0 else np.int64(0)
+    while s > 0:
+        rx = ((xx & s) > 0).astype(np.int64)
+        ry = ((yy & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xx_f = np.where(flip, s - 1 - xx, xx)
+        yy_f = np.where(flip, s - 1 - yy, yy)
+        xx, yy = np.where(swap, yy_f, xx_f), np.where(swap, xx_f, yy_f)
+        s >>= 1
+    return (np.int64(zoom) << 56) | d
+
+
+def hilbert_cell_cols(df, x_col: str, y_col: str, zoom: int, out: str = "hcell"):
+    """Add `out` = Hilbert id, built level-by-level as narrow projections
+    (one withColumn per level keeps the expression tree linear in zoom —
+    a single nested expression would double per level through the
+    conditional rotation)."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("_hx", T.column_from_x_col(F.col(x_col), zoom).cast("long"))
+    df = df.withColumn("_hy", T.row_from_y_col(F.col(y_col), zoom).cast("long"))
+    df = df.withColumn("_hd", F.lit(0).cast("long"))
+    s = 1 << (zoom - 1) if zoom > 0 else 0
+    while s > 0:
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        df = df.withColumn("_rx", rx.cast("long")).withColumn("_ry", ry.cast("long"))
+        df = df.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s * s).cast("long")
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+        )
+        flip = (F.col("_ry") == 0) & (F.col("_rx") == 1)
+        swap = F.col("_ry") == 0
+        xf = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        yf = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        df = df.withColumn("_hxf", xf).withColumn("_hyf", yf)
+        df = df.withColumn(
+            "_hx2", F.when(swap, F.col("_hyf")).otherwise(F.col("_hxf"))
+        ).withColumn("_hy2", F.when(swap, F.col("_hxf")).otherwise(F.col("_hyf")))
+        df = df.withColumn("_hx", F.col("_hx2")).withColumn("_hy", F.col("_hy2"))
+        s >>= 1
+    df = df.withColumn(out, F.lit(zoom << 56).cast("long") + F.col("_hd"))
+    return df.drop("_hx", "_hy", "_hd", "_rx", "_ry", "_hxf", "_hyf", "_hx2", "_hy2")
+
+
+def hilbert_sql(x_sql: str, y_sql: str, zoom: int) -> str:
+    """DuckDB twin of hilbert_cell: one chained CTE per level running the
+    identical rotation steps."""
+    step = 1 << (32 - zoom)
+    parts = [
+        f"h0 as (select *, "
+        f"cast(floor((({x_sql}) + 2147483648) / {step}) as bigint) as hx, "
+        f"cast(floor((2147483647 - ({y_sql})) / {step}) as bigint) as hy, "
+        f"cast(0 as bigint) as hd from __hilbert_input__)"
+    ]
+    lvl = 0
+    s = 1 << (zoom - 1) if zoom > 0 else 0
+    while s > 0:
+        prev, lvl = lvl, lvl + 1
+        parts.append(
+            f"h{lvl} as (select * exclude (hx, hy, hd, rx, ry), "
+            f"hd + {s * s} * xor(3 * rx, ry) as hd, "
+            f"case when ry = 0 then (case when rx = 1 then {s - 1} - hy else hy end) "
+            f"else hx end as hx, "
+            f"case when ry = 0 then (case when rx = 1 then {s - 1} - hx else hx end) "
+            f"else hy end as hy "
+            f"from (select *, "
+            f"case when (hx & {s}) > 0 then 1 else 0 end as rx, "
+            f"case when (hy & {s}) > 0 then 1 else 0 end as ry from h{prev})"
+            f")"
+        )
+        s >>= 1
+    return (
+        ", ".join(parts),
+        f"(select * exclude (hx, hy, hd), cast({zoom} as bigint) * {1 << 56} + hd as hcell from h{lvl})",
+    )

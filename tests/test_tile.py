@@ -203,3 +203,41 @@ def test_home_tile_checkerboard(spark):
         eb = bool(T.is_black(r["e"])[()])
         want = r["s"] if sb else (r["e"] if eb else r["s"])
         assert r["home"] == want
+
+
+def test_hilbert_cell_properties_and_parity(spark):
+    """Hilbert curve (S2-style clustering key, geo/curve.py): bijection +
+    the adjacency property Z-order lacks (consecutive ids are always
+    edge-adjacent cells), and numpy ↔ Column parity on random points."""
+    import pandas as pd
+
+    from geodesk_spark.geo import curve
+
+    zoom = 5
+    n = 1 << zoom
+    cols, rows = np.meshgrid(np.arange(n), np.arange(n))
+    step = 1 << (32 - zoom)
+    xs = cols.ravel().astype(np.int64) * step - (1 << 31)
+    ys = (1 << 31) - 1 - rows.ravel().astype(np.int64) * step
+    d = curve.hilbert_cell(xs, ys, zoom) - (zoom << 56)
+    assert sorted(d.tolist()) == list(range(n * n))  # bijection over the grid
+    order = np.argsort(d)
+    cseq, rseq = cols.ravel()[order], rows.ravel()[order]
+    assert (np.abs(np.diff(cseq)) + np.abs(np.diff(rseq)) == 1).all()
+
+    rng = np.random.default_rng(11)
+    X = rng.integers(-(2**31), 2**31 - 1, 4000, dtype=np.int64)
+    Y = rng.integers(-(2**31), 2**31 - 1, 4000, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"x": X, "y": Y}))
+    got = (
+        curve.hilbert_cell_cols(df, "x", "y", 12)
+        .toPandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"x": X, "y": Y, "w": curve.hilbert_cell(X, Y, 12)})
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    assert (got["hcell"].to_numpy() == want["w"].to_numpy()).all()
