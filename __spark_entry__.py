@@ -1411,6 +1411,48 @@ def _phash_hamming_sql() -> str:
     """
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic exact stratified sample (operators/sampling.py):
+    ceil(0.2·n) docs per language — unlike sampleBy's binomial draw, a
+    small stratum can never vanish from the training mix."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", 0.2).select("doc_id", "lang").orderBy("doc_id")
+
+
+_SQL_STRATIFIED = """
+  with r as (
+    select doc_id, lang,
+           row_number() over (partition by lang
+               order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+           count(*) over (partition by lang) as n
+    from documents)
+  select doc_id, lang from r where rk <= ceil(n * 0.2) order by doc_id
+"""
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/sampling.py): length-desc
+    prefix-sum binning for fixed context windows — one range-partitioned
+    sort, no driver state."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return sampling.pack_sequences(d, budget=4096, len_col="n_chars").orderBy("doc_id")
+
+
+_SQL_PACK = """
+  select doc_id, n_chars,
+         cast(floor((sum(n_chars) over w - n_chars) / 4096.0) as bigint) as bin_id,
+         cast(sum(n_chars) over w as bigint) as cum_tokens
+  from documents
+  window w as (order by n_chars desc, doc_id
+               rows between unbounded preceding and current row)
+  order by doc_id
+"""
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -1954,6 +1996,8 @@ QUERIES: dict[str, tuple] = {
     "distance_filter": (_q_distance, _SQL_DISTANCE),
     "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
     "text_langid": (_q_langid, text.lang_id_oracle_sql()),
+    "sample_stratified": (_q_stratified_sample, _SQL_STRATIFIED),
+    "pack_sequences": (_q_pack_sequences, _SQL_PACK),
     "graph_members_of": (_q_graph_members, _SQL_GRAPH_MEMBERS),
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),

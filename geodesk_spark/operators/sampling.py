@@ -1,0 +1,121 @@
+"""Training-data sampling / batching operators (build brief, beyond the
+reference): deterministic stratified sampling and token-budget sequence
+packing — the two ops every LLM-corpus pipeline runs between dedup and
+training.
+
+Both are pure window/aggregate compositions (no UDF, no RNG state):
+determinism comes from md5-ranking, so the same corpus always yields the
+same sample/packing on any cluster size, and each has an exact DuckDB
+oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """EXACT deterministic stratified sample: ceil(fraction · n_s) rows
+    from every stratum s — unlike ``DataFrame.sampleBy``, whose
+    per-stratum counts are binomially distributed (a small stratum can
+    vanish entirely from a training mix).
+
+    Mechanism: rows are ranked inside each stratum by md5(seed|id) — a
+    uniform, reproducible permutation — and the top ceil(f·n) kept.
+    One shuffle (the per-stratum window); count comes from the same
+    window, no second pass.  Skewed strata are bounded by the window
+    sort, which Spark spills; for a pathological mega-stratum rank
+    computation can be salted two-stage, the operators/skew.py pattern.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), id_col
+    )
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rk", "_n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document a ``bin_id``
+    so bins group documents for fixed-size context windows.
+
+    Semantics (deterministic, distribution-independent): documents are
+    ordered by (length desc, id) and packed by running token count —
+    ``bin_id = floor(exclusive_prefix_sum / budget)``.  A document that
+    straddles a boundary stays in the bin where it started, so a bin's
+    total is ≤ budget + max_len − 1 (the standard approximate packing
+    used by large pipelines; exact first-fit-decreasing is inherently
+    sequential and buys <1 % fill on real length distributions).
+    Documents longer than the budget each land in their own overflowing
+    bin by construction.
+
+    Plan — a DISTRIBUTED two-phase prefix sum, because a naive global
+    window (``Window.orderBy`` with no partitionBy) physically moves
+    ALL rows to one partition (Spark's WindowExec warns exactly this):
+
+    1. range-repartition + sort on (length desc, id) — the scalable
+       total order;
+    2. per-partition local prefix sums (parallel windows keyed by the
+       partition id);
+    3. per-partition totals (one tiny row each) → driver → broadcast
+       exclusive offsets; global cum = local cum + offset.
+
+    Bin assignments depend only on the TOTAL ORDER, which is unique by
+    (length desc, id), so the result is independent of where the range
+    partitioner draws its boundaries.  Returns (id, len, bin_id,
+    cum_tokens) — the global running token total, from which bin
+    boundaries are auditable downstream.
+    """
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    order = [F.col(len_col).desc(), F.col(id_col)]
+    local = (
+        df.select(id_col, len_col)
+        .repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pin the physical layout so the totals job and the output job see
+    # identical partition boundaries
+    local = local.withColumn(
+        "_lsum", F.sum(F.col(len_col).cast("long")).over(w)
+    ).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid").agg(F.max("_lsum").alias("_t")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    csum = F.col("_lsum") + F.col("_off")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            id_col,
+            F.col(len_col),
+            F.floor((csum - F.col(len_col)) / F.lit(budget)).cast("long").alias("bin_id"),
+            csum.alias("cum_tokens"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Stratified sampling + sequence packing (operators/sampling.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(3)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "lang": rng.choice(["en", "de", "fr", "sw"], n, p=[0.7, 0.2, 0.08, 0.02]),
+            "n_tokens": rng.integers(10, 3000, n),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_stratified_exact_counts(docs):
+    """ceil(f·n) from EVERY stratum — the binomial sampler's failure mode
+    (an empty small stratum) cannot happen."""
+    f = 0.1
+    out = sampling.stratified_sample(docs, "lang", f, id_col="doc_id").toPandas()
+    n_per = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    got = out.groupby("lang").size()
+    for lang, n in n_per.items():
+        assert got.get(lang, 0) == int(np.ceil(n * f)), lang
+    # deterministic: same corpus → same sample
+    again = sampling.stratified_sample(docs, "lang", f, id_col="doc_id").toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_pack_sequences_invariants(docs):
+    budget = 8192
+    out = sampling.pack_sequences(docs, budget, len_col="n_tokens").toPandas()
+    assert len(out) == docs.count()  # every doc assigned
+    per_bin = out.groupby("bin_id")["n_tokens"].sum()
+    max_len = out["n_tokens"].max()
+    # straddle semantics: a bin never exceeds budget + (max_len - 1)
+    assert (per_bin <= budget + max_len - 1).all()
+    # bins are contiguous 0..B and all but the last are at least
+    # budget - (max_len - 1) full (no sparse bins in the middle)
+    bins = sorted(per_bin.index)
+    assert bins == list(range(len(bins)))
+    assert (per_bin.iloc[:-1] >= budget - max_len + 1).all()
+    # total token count preserved
+    assert per_bin.sum() == out["n_tokens"].sum()
+
+
+def test_pack_sequences_oversized_doc(spark):
+    """A document longer than the budget opens (and overflows) its own
+    bin instead of being dropped or crashing."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "n_tokens": [10000, 50, 40]})
+    out = sampling.pack_sequences(spark.createDataFrame(pdf), 4096).toPandas()
+    big = out[out["doc_id"] == 1].iloc[0]
+    assert big["bin_id"] == 0
+    rest = out[out["doc_id"] != 1]
+    assert (rest["bin_id"] > 0).all()  # nothing shares the overflowed bin
