@@ -79,21 +79,28 @@ def test_lsh_beats_random_scan(spark, emb):
 
 
 def test_embedding_neardup_pairs_matches_brute(spark, emb):
-    """Sign-LSH blocked cosine near-dup == numpy brute force with the
-    identical blocking (both sides round cosine to 6 decimals)."""
+    """Multi-table sign-LSH blocked cosine near-dup == numpy brute force
+    with the identical blocking: a pair is a candidate iff its sign
+    bucket matches in ANY of the n_tables dim-blocks (both sides round
+    cosine to 6 decimals)."""
     from geodesk_spark.operators import dedup
 
-    thr, sd = 0.30, 4
-    got = dedup.embedding_neardup_pairs(emb, threshold=thr, sign_dims=sd).toPandas()
+    thr, sd, nt = 0.30, 4, 8
+    got = dedup.embedding_neardup_pairs(
+        emb, threshold=thr, sign_dims=sd, n_tables=nt
+    ).toPandas()
     pdf = emb.toPandas()
     V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     ids = pdf["vec_id"].to_numpy()
     nrm = np.linalg.norm(V, axis=1)
-    bkt = (V[:, :sd] >= 0) @ (1 << np.arange(sd))
+    bkts = np.stack(
+        [(V[:, t * sd : (t + 1) * sd] >= 0) @ (1 << np.arange(sd)) for t in range(nt)],
+        axis=1,
+    )
     want = set()
     for i in range(len(ids)):
         for j in range(len(ids)):
-            if ids[i] < ids[j] and bkt[i] == bkt[j]:
+            if ids[i] < ids[j] and (bkts[i] == bkts[j]).any():
                 c = round(float(V[i] @ V[j] / (nrm[i] * nrm[j])), 6)
                 if c >= thr:
                     want.add((int(ids[i]), int(ids[j])))
