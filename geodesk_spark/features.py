@@ -241,6 +241,43 @@ class Features:
         rows = self._df.limit(1).collect()
         return rows[0] if rows else None
 
+    def to_map(
+        self, out_dir: str, filename: str = "map.html", limit: int = 10_000, **page_opts
+    ) -> str:
+        """Render this view as a Leaflet map — the reference's
+        ``MapMaker.add(features); save()`` flow (util/MapMaker.java:
+        64-88): point features become circle markers, bbox features
+        outline polygons, each tooltipped with its typed id.  Collects
+        at most ``limit`` rows driver-side — a human-facing map is
+        bounded by construction, like the reference's single-writer
+        save; pre-filter the view for anything larger.  Returns the
+        written page's path.
+        """
+        import pandas as pd
+
+        from geodesk_spark.operators import tiles_sink
+
+        cols = set(self._df.columns)
+        markers = []
+        for r in self._df.limit(limit).collect():
+            tip = (
+                f"{r['ftype']}/{r['fid']}" if {"fid", "ftype"} <= cols else None
+            )
+            if {"x", "y"} <= cols and r["x"] is not None:
+                markers.append(
+                    {"kind": "point", "coords": (r["x"], r["y"]), "tooltip": tip}
+                )
+            elif {"minx", "miny", "maxx", "maxy"} <= cols and r["minx"] is not None:
+                ring = [
+                    (r["minx"], r["miny"]), (r["maxx"], r["miny"]),
+                    (r["maxx"], r["maxy"]), (r["minx"], r["maxy"]),
+                    (r["minx"], r["miny"]),
+                ]
+                markers.append({"kind": "polygon", "coords": [ring], "tooltip": tip})
+        return tiles_sink.write_leaflet_page(
+            pd.DataFrame(), out_dir, filename=filename, markers=markers, **page_opts
+        )
+
     def to_list(self) -> list[Row]:
         return self._df.collect()
 

@@ -186,3 +186,18 @@ def test_in_box_and_empty_shortcircuit(feats):
     assert v.in_box(b).count() == v.in_bbox(b.minx, b.miny, b.maxx, b.maxy).count()
     wrap = Box.of_wsen(170, -40, -160, 30)
     assert v.in_box(wrap).count() == v.in_bbox(wrap.minx, wrap.miny, wrap.maxx, wrap.maxy).count()
+
+
+def test_to_map(world, tmp_path):
+    """Features.to_map — the MapMaker.add(features) flow: every collected
+    point feature becomes a tooltipped circle marker on the page."""
+    feats, members, way_nodes = world
+    v = Features(feats, members, way_nodes).select("n[amenity=pub], w[highway]")
+    n = v.count()
+    assert n == 3  # 1 pub node + 2 highway ways
+    path = v.to_map(str(tmp_path), limit=5000)
+    html = open(path).read()
+    assert html.count("L.circle([") == n  # x/y rows render as points
+    assert html.count(".bindTooltip(") == n
+    assert '"node/20"' in html  # typed-id tooltip
+    assert "map.fitBounds([" in html
