@@ -1453,6 +1453,63 @@ _SQL_PACK = """
 """
 
 
+def _q_corpus_prep(spark, sf_dir):
+    """End-to-end corpus preparation — the integration of the
+    training-data ops a real pipeline chains between raw text and
+    training: exact dedup (keep canonical) → quality filter →
+    deterministic stratified sample by language → token-budget packing
+    → per-bin rollup.  Every stage is one of this repo's oracle-checked
+    operators; the composite is oracle-checked as a whole."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    canon = dedup.exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    docs = d.join(canon, "doc_id")
+    q = text.quality_scores(docs)
+    keep = q.filter((F.col("punct_ratio") <= 0.2) & (F.col("n_tokens") >= 5)).select("doc_id")
+    filtered = docs.join(keep, "doc_id")
+    s = sampling.stratified_sample(filtered, "lang", 0.5)
+    p = sampling.pack_sequences(s, budget=2048, len_col="n_chars")
+    return (
+        p.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_total"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def _corpus_prep_sql() -> str:
+    quality_over_docs = _SQL_QUALITY.replace("from documents", "from docs")
+    return rf"""
+      with canon as (
+        select min(doc_id) as doc_id
+        from documents
+        group by md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      docs as (select d.* from documents d join canon using (doc_id)),
+      q as ({quality_over_docs}),
+      keep as (select doc_id from q where punct_ratio <= 0.2 and n_tokens >= 5),
+      filtered as (select d.* from docs d join keep using (doc_id)),
+      ranked as (
+        select doc_id, lang, n_chars,
+               row_number() over (partition by lang
+                   order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+               count(*) over (partition by lang) as n
+        from filtered),
+      sampled as (select doc_id, n_chars from ranked where rk <= ceil(n * 0.5)),
+      packed as (
+        select doc_id, n_chars,
+               cast(floor((sum(n_chars) over w - n_chars) / 2048.0) as bigint) as bin_id
+        from sampled
+        window w as (order by n_chars desc, doc_id
+                     rows between unbounded preceding and current row))
+      select bin_id, count(*) as n_docs,
+             cast(sum(n_chars) as bigint) as n_chars_total
+      from packed group by bin_id order by bin_id
+    """
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -2054,6 +2111,7 @@ QUERIES: dict[str, tuple] = {
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
+    "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_sql()),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
