@@ -64,7 +64,7 @@ TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>-?[0-9]+(?:\.[0-9]+)?)(?![A-Za-z0-9_:]) |
         (?P<ident>[A-Za-z_][A-Za-z0-9_:\-]*) |
-        (?P<str>"(?:[^"\\]|\\.)*") |
+        (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*') |
         (?P<op>!~|!=|>=|<=|=|>|<|~|\[|\]|,|\*|!)
     )""",
     re.VERBOSE,

@@ -151,3 +151,42 @@ def test_lenient_parse_mathutils_golden(spark):
             assert got[v] is None, v  # NaN in the reference = NULL here
         else:
             assert got[v] == want, v
+
+
+def test_queryparser_golden_strings(spark):
+    """QueryParserTest.java:64-79 query strings parse and compile —
+    exercising single-QUOTED values (SimpleParser.java:141-142 accepts
+    both quote chars), spaced operators, and quoted wildcards."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.goql import compile_goql
+
+    df = spark.createDataFrame(
+        [
+            (1, "node", False, {"amenity": "pub", "local_key": "apple"}, 0, 0),
+            (2, "node", False, {"amenity": "bar", "local_key": "banana"}, 0, 0),
+            (3, "node", False, {"emergency": "yes"}, 0, 0),
+            (4, "way", True, {"maxspeed": "10 mph"}, 0, 0),
+            (5, "way", True, {"maxspeed": "50"}, 0, 0),
+            (6, "node", False, {"amenity": "restaurant", "cuisine": "greek", "name": "Acropolis"}, 0, 0),
+            (7, "node", False, {"amenity": "restaurant", "cuisine": "greek", "name": "Athena"}, 0, 0),
+        ],
+        "fid long, ftype string, is_area boolean, tags map<string,string>, x int, y int",
+    )
+    q1 = (
+        "na[amenity=pub,bar,cafe,restaurant][local_key != 'banana'],"
+        "n[emergency],"
+        "wa[maxspeed='*mph'][maxspeed < 35][maxspeed < 4][maxspeed = 10]"
+    )
+    got1 = {r["fid"] for r in df.filter(compile_goql(q1)).collect()}
+    # 1 (pub), 6+7 (restaurant) pass local_key != 'banana' (absent key
+    # matches != — reference semantics); 3 (emergency); 2 excluded by !=;
+    # 4 is '10 mph': wildcard *mph ∧ <35 ∧ <4 is FALSE (10≥4) — excluded
+    assert got1 == {1, 3, 6, 7}
+    q2 = "na[amenity=restaurant][cuisine=greek][name='Acro*','Akro*']"
+    got2 = {r["fid"] for r in df.filter(compile_goql(q2)).collect()}
+    assert got2 == {6}
+    # both quote styles are interchangeable (SimpleParser.java:141-142)
+    assert {r["fid"] for r in df.filter(compile_goql('n[local_key="banana"]')).collect()} == {
+        r["fid"] for r in df.filter(compile_goql("n[local_key='banana']")).collect()
+    }
