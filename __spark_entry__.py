@@ -1187,6 +1187,50 @@ def _q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(e, ANN_QUERY_IDS, k=ANN_K).select("query_id", "vec_id", "rank")
 
 
+def _ann_lsh_sql() -> str:
+    """Full oracle for the hyperplane-LSH top-k (was rows-only): the
+    deterministic plane matrix embeds as SQL literals, buckets are the
+    packed dot-product signs, the multi-probe is exactly Hamming ≤ 1 on
+    bucket ids (bit_count(xor)), and candidates re-rank by cosine — the
+    same candidate set and ordering the Spark kernel produces, derived
+    independently in SQL."""
+    from geodesk_spark.operators.ann import _hyperplanes
+
+    n_planes = 12
+    H = _hyperplanes(64, n_planes, 42)
+    planes = ", ".join(
+        f"({p}, [{', '.join(repr(float(v)) for v in H[p])}])" for p in range(n_planes)
+    )
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+      with planes(p, pv) as (values {planes}),
+      base as (
+        select vec_id, embedding as e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)))) as nrm
+        from embeddings),
+      bkt as (
+        select b.vec_id, any_value(b.e) as e, any_value(b.nrm) as nrm,
+               sum(case when list_sum(list_transform(range(1, len(b.e) + 1),
+                        i -> cast(b.e[i] as double) * pl.pv[i])) > 0
+                   then cast(1 as bigint) << pl.p else 0 end) as bucket
+        from base b cross join planes pl
+        group by b.vec_id),
+      q as (select vec_id as qid, e as qe, bucket as qb from bkt where vec_id in ({ids})),
+      cand as (
+        select q.qid as query_id, v.vec_id,
+               list_sum(list_transform(range(1, len(v.e) + 1),
+                    i -> cast(v.e[i] as double) * cast(q.qe[i] as double))) / v.nrm as score
+        from q join bkt v
+          on bit_count(xor(v.bucket, q.qb)) <= 1 and v.vec_id <> q.qid)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from cand) where rank <= {ANN_K}
+    """
+
+
 def _q_polygon_assembly(spark, sf_dir):
     """Multipolygon assembly (PolygonBuilder.java:162-250): deterministic
     relations built by chopping the synthetic polygon layer's rings into
@@ -2089,7 +2133,7 @@ QUERIES: dict[str, tuple] = {
     # ~2 s tier
     "pip_join": (_q_pip, _SQL_PIP),
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
-    "ann_lsh_topk": (_q_ann_lsh, None),  # approximate — rows-only check
+    "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
     "text_quality": (_q_quality, _SQL_QUALITY),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
