@@ -93,25 +93,48 @@ def _ceiling_once(spark, salt: int) -> float:
     return time.time() - t0
 
 
+def _scan_roofline_once(spark, path: str) -> float:
+    """Scan roofline: read + imp-encode + tile the SAME input (4× by
+    self-union so the job is long enough to dominate scheduling
+    constants) with NO join and NO rollup — the irreducible input-bound
+    part of ANY engine computing this metric.  The engine's efficiency
+    divided by this roofline isolates what the JOIN adds."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.operators import tiling
+
+    imgs = spark.read.parquet(path)
+    pts = tiling.with_point_tiles(tiling.with_imp_coords(imgs)).select(F.col("cell"))
+    u = pts
+    for _ in range(3):
+        u = u.unionAll(pts)
+    t0 = time.time()
+    u.select(F.sum("cell").alias("s")).collect()
+    return time.time() - t0
+
+
 def timed_flagship(
     cores: int, path: str, n_rows: int, reps: int = 2
-) -> tuple[float, float, float]:
-    """Best-of-N engine timing + one interleaved ceiling measurement.
+) -> tuple[float, float, float, float]:
+    """Best-of-N engine timing + interleaved ceiling and scan-roofline
+    measurements in the SAME session.
 
-    Returns (engine_sec, engine_rows_per_sec, ceiling_sec).  Best-of-N:
-    the sandbox host has noisy co-tenants, so the minimum is the
-    faithful estimate of steady-state throughput."""
+    Returns (engine_sec, engine_rows_per_sec, ceiling_sec, scan_sec).
+    Best-of-N: the sandbox host has noisy co-tenants, so the minimum is
+    the faithful estimate of steady-state throughput."""
     from geodesk_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     try:
         flagship(spark, path)  # warm: JIT, Arrow init, python workers
         dt = min(_timed_once(spark, path) for _ in range(reps))
+        _scan_roofline_once(spark, path)  # warm
+        scan_dt = _scan_roofline_once(spark, path)
         _ceiling_once(spark, 0)  # warm the kernel's codegen
         ceil_dt = min(_ceiling_once(spark, k + 1) for k in range(2))
     finally:
         spark.stop()
-    return dt, n_rows / dt, ceil_dt
+    return dt, n_rows / dt, ceil_dt, scan_dt
 
 
 def _timed_once(spark, path: str) -> float:
@@ -199,19 +222,21 @@ def main():
     # median pair — no cross-pair cherry-picking.
     pairs = []
     for _ in range(3):
-        dt_lo, thr_lo, ceil_lo = timed_flagship(lo_cores, input_path, FLAGSHIP_ROWS)
-        dt_hi, thr_hi, ceil_hi = timed_flagship(cores, input_path, FLAGSHIP_ROWS)
+        dt_lo, thr_lo, ceil_lo, scan_lo = timed_flagship(lo_cores, input_path, FLAGSHIP_ROWS)
+        dt_hi, thr_hi, ceil_hi, scan_hi = timed_flagship(cores, input_path, FLAGSHIP_ROWS)
         ratio = cores / lo_cores
         pairs.append(
             {
                 "dt_lo": dt_lo, "thr_lo": thr_lo, "dt_hi": dt_hi, "thr_hi": thr_hi,
                 "eff": (thr_hi / thr_lo) / ratio,
                 "ceiling_eff": (ceil_lo / ceil_hi) / ratio,
+                "scan_eff": (scan_lo / scan_hi) / ratio,
             }
         )
     med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
     eff = med["eff"]
     ceil_eff = med["ceiling_eff"]
+    scan_eff = med["scan_eff"]
 
     out = {
         "metric": "headline_queries_total",
@@ -230,9 +255,12 @@ def main():
         },
         "scaling_efficiency_pairs": [round(p["eff"], 3) for p in pairs],
         "ceiling_efficiency_pairs": [round(p["ceiling_eff"], 3) for p in pairs],
+        "scan_roofline_pairs": [round(p["scan_eff"], 3) for p in pairs],
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling_efficiency": round(ceil_eff, 3),
+        "scan_roofline_efficiency": round(scan_eff, 3),
         "scaling_efficiency_normalized": round(min(eff / ceil_eff, 1.0), 3),
+        "scaling_efficiency_vs_scan_roofline": round(min(eff / scan_eff, 1.0), 3),
     }
     print(json.dumps(out))
 
