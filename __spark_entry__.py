@@ -1554,6 +1554,49 @@ def _corpus_prep_sql() -> str:
     """
 
 
+def _q_image_dedup_pipeline(spark, sf_dir):
+    """Image near-dup resolution end-to-end: phash Hamming banding →
+    connected components → canonical id per image (singletons are their
+    own canonical) — the image-payload twin of corpus_prep_pipeline."""
+    rows = _phash_fixture()
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = dedup.phash_neardup_pairs(imgs)
+    comp = dedup.connected_components(pairs, a_col="id_a", b_col="id_b")
+    out = imgs.join(comp.withColumnRenamed("doc_id", "image_id"), "image_id", "left")
+    canonical = F.coalesce("comp_id", F.col("image_id"))
+    return out.select(
+        "image_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("image_id")).alias("is_canonical"),
+    ).orderBy("image_id")
+
+
+def _image_dedup_sql() -> str:
+    """Brute-force pairs + recursive-CTE transitive closure — fully
+    independent of both the banding and the iterative CC code."""
+    vals = ", ".join(f"('{i}', {p})" for i, p in _phash_fixture())
+    return f"""
+      with recursive t(image_id, phash) as (values {vals}),
+      p as (
+        select a.image_id as id_a, b.image_id as id_b
+        from t a join t b
+          on a.image_id < b.image_id
+         and bit_count(xor(a.phash, b.phash)) <= 3),
+      edges as (select id_a as a, id_b as b from p
+                union select id_b, id_a from p),
+      reach(s, t2) as (
+        select a, a from edges
+        union
+        select r.s, e.b from reach r join edges e on r.t2 = e.a),
+      comp as (select s as image_id, min(t2) as comp_id from reach group by s)
+      select t.image_id,
+             coalesce(c.comp_id, t.image_id) as canonical_id,
+             coalesce(c.comp_id, t.image_id) = t.image_id as is_canonical
+      from t left join comp c using (image_id)
+      order by t.image_id
+    """
+
+
 def _q_images_decode(spark, sf_dir):
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.decode_stats(imgs).select(
@@ -2156,6 +2199,7 @@ QUERIES: dict[str, tuple] = {
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_sql()),
+    "image_dedup_pipeline": (_q_image_dedup_pipeline, _image_dedup_sql()),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
