@@ -2198,11 +2198,13 @@ QUERIES: dict[str, tuple] = {
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
-    "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_sql()),
-    "image_dedup_pipeline": (_q_image_dedup_pipeline, _image_dedup_sql()),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only
+    # round-2 composite pipelines last: they re-exercise operators already
+    # gated above, so a driver budget cutoff costs them first
+    "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_sql()),
+    "image_dedup_pipeline": (_q_image_dedup_pipeline, _image_dedup_sql()),
 }
 
 
