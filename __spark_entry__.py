@@ -272,7 +272,7 @@ def _q_skew_salted_rollup(spark, sf_dir):
     the explicit repartition was one full-data shuffle too many)."""
     li = tables.with_derived_points(tables.load_spread(spark, sf_dir, "lineitem"), "l_orderkey")
     t8 = li.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint"))
-    salted = skew.with_salt(t8, "tile", rows_per_partition=2000)
+    salted = skew.with_salt(t8, "tile", rows_per_partition=2000, sample_fraction=0.1)
     partial = salted.groupBy("tile", "salt").agg(
         F.count("*").alias("pn"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("pq"),

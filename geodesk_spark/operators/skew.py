@@ -25,17 +25,32 @@ def tile_histogram(df: DataFrame, tile_col: str) -> DataFrame:
     return df.groupBy(tile_col).agg(F.count("*").alias("n"))
 
 
-def with_salt(df: DataFrame, tile_col: str, rows_per_partition: int = 100_000) -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    tile_col: str,
+    rows_per_partition: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
     """Add a ``salt`` column: 0 for cold tiles; hot tiles are split into
     ceil(n / rows_per_partition) salts.  No repartition — the salt only
     becomes physical when a downstream shuffle keys on (tile, salt).
 
     One extra aggregate pass computes the histogram (broadcast back);
-    at 100 TB this is a cheap map-side-combined count on the tile key.
+    at 100 TB this is a cheap map-side-combined count on the tile key —
+    or pass ``sample_fraction`` to detect hot keys from a seeded sample
+    with the threshold scaled accordingly (the standard sampled skew
+    detection: a key hot enough to need salting is, by definition, far
+    too frequent to be missed by a 1-10 % sample).  Salting affects the
+    PLAN only, never the answer, so sampling the histogram is always
+    result-safe.
     """
-    hist = tile_histogram(df, tile_col).withColumn(
+    hist_src = (
+        df.sample(fraction=sample_fraction, seed=42) if sample_fraction else df
+    )
+    scale = 1.0 / sample_fraction if sample_fraction else 1.0
+    hist = tile_histogram(hist_src, tile_col).withColumn(
         "n_salts",
-        F.ceil(F.col("n") / F.lit(rows_per_partition)).cast("int"),
+        F.ceil(F.col("n") * F.lit(scale) / F.lit(rows_per_partition)).cast("int"),
     ).filter(F.col("n_salts") > 1)
     return (
         df.join(F.broadcast(hist.select(tile_col, "n_salts")), tile_col, "left")
