@@ -62,7 +62,10 @@ def pack_sequences(
     used by large pipelines; exact first-fit-decreasing is inherently
     sequential and buys <1 % fill on real length distributions).
     Documents longer than the budget each land in their own overflowing
-    bin by construction.
+    bin by construction — and such a document consumes several budget
+    blocks, so bin ids may SKIP values after it (ids are labels, not a
+    dense sequence; they are dense whenever every document fits the
+    budget).
 
     Plan — a DISTRIBUTED two-phase prefix sum, because a naive global
     window (``Window.orderBy`` with no partitionBy) physically moves

@@ -133,3 +133,66 @@ def test_scale_symmetry_and_bounds(y):
     m = float(mercator.meters_at_y(y)[()])
     m0 = float(mercator.meters_at_y(0)[()])
     assert m <= m0 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    x=I32, y=I32,
+    zoom=st.integers(min_value=1, max_value=16),
+)
+def test_hilbert_vs_morton_same_cell_grid(x, y, zoom):
+    """Hilbert and Morton ids at a zoom address the SAME cell grid: two
+    points share a Hilbert id iff they share a Morton id (both are
+    bijections of (col, row))."""
+    from geodesk_spark.geo import curve
+
+    x2 = x ^ 0x5A5A5A5A  # a second, usually-different point
+    h1, h2 = curve.hilbert_cell(np.array([x, x2]), np.array([y, y]), zoom)
+    same_cell = int(T.column_from_x(x, zoom)[()]) == int(T.column_from_x(x2, zoom)[()])
+    assert (h1 == h2) == same_cell
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_phash_banding_exact_for_hamming_3(data):
+    """Pigeonhole exactness as a PROPERTY: for any base hash and any ≤3
+    flipped bits, at least one of the four 16-bit bands is unchanged —
+    the pair can never be missed by the banding."""
+    base = data.draw(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+    k = data.draw(st.integers(min_value=0, max_value=3))
+    bits = data.draw(
+        st.lists(st.integers(min_value=0, max_value=63), min_size=k, max_size=k, unique=True)
+    )
+    other = base
+    for b in bits:
+        other ^= 1 << b
+    shared = any(
+        ((base >> (16 * t)) & 0xFFFF) == ((other >> (16 * t)) & 0xFFFF) for t in range(4)
+    )
+    assert shared
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_pack_sequences_bound_property(data):
+    """Straddle-packing bound as a property over random length sets:
+    every bin total ≤ budget + max_len − 1, totals preserved, bins
+    contiguous (driver-side replica of the operator's arithmetic)."""
+    lens = data.draw(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=300)
+    )
+    budget = data.draw(st.integers(min_value=100, max_value=8192))
+    order = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+    csum, bins = 0, {}
+    for i in order:
+        start = csum
+        csum += lens[i]
+        bins.setdefault(start // budget, []).append(lens[i])
+    max_len = max(lens)
+    keys = sorted(bins)
+    # bin ids are labels: dense when every doc fits the budget, and may
+    # skip values after an oversized doc (it consumes several blocks)
+    if max_len <= budget:
+        assert keys == list(range(len(keys)))
+    assert sum(sum(v) for v in bins.values()) == sum(lens)
+    assert all(sum(v) <= budget + max_len - 1 for v in bins.values())

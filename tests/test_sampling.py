@@ -44,8 +44,9 @@ def test_pack_sequences_invariants(docs):
     max_len = out["n_tokens"].max()
     # straddle semantics: a bin never exceeds budget + (max_len - 1)
     assert (per_bin <= budget + max_len - 1).all()
-    # bins are contiguous 0..B and all but the last are at least
-    # budget - (max_len - 1) full (no sparse bins in the middle)
+    # with every doc under the budget, bins are contiguous 0..B and all
+    # but the last are at least budget - (max_len - 1) full (oversized
+    # docs would instead skip label values — see the property test)
     bins = sorted(per_bin.index)
     assert bins == list(range(len(bins)))
     assert (per_bin.iloc[:-1] >= budget - max_len + 1).all()
