@@ -1554,6 +1554,32 @@ def _corpus_prep_sql() -> str:
     """
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: the 16-bit simhash through the SAME
+    pigeonhole banding machinery as phash (4 × 4-bit bands ⇒ exact for
+    Hamming ≤ 3); here Hamming ≤ 2 on token-level simhashes, the usual
+    boilerplate-dup screen."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    sh = dedup.simhash16(d)
+    return dedup.phash_neardup_pairs(
+        sh, id_col="doc_id", phash_col="simhash", max_hamming=2, hash_bits=16
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_sql() -> str:
+    """Brute-force all-pairs over the simhash oracle CTE — independent
+    of the banding under test."""
+    return f"""
+      with s as ({_simhash_sql()})
+      select a.doc_id as id_a, b.doc_id as id_b,
+             cast(bit_count(xor(cast(a.simhash as bigint),
+                                cast(b.simhash as bigint))) as int) as hamming
+      from s a join s b on a.doc_id < b.doc_id
+      where bit_count(xor(cast(a.simhash as bigint), cast(b.simhash as bigint))) <= 2
+      order by 1, 2
+    """
+
+
 def _q_image_dedup_pipeline(spark, sf_dir):
     """Image near-dup resolution end-to-end: phash Hamming banding →
     connected components → canonical id per image (singletons are their
@@ -2181,6 +2207,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (_q_quality, _SQL_QUALITY),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
+    "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),

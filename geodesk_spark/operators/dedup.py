@@ -367,6 +367,7 @@ def phash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bucket_cap: int = 1000,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
     the image-payload analog of MinHash-LSH, entirely JVM-side.
@@ -388,8 +389,10 @@ def phash_neardup_pairs(
     connected component for downstream ``connected_components``, at the
     cost of pair-level exactness inside that bucket only.
     """
-    assert 64 % n_bands == 0
-    width = 64 // n_bands
+    # generalizes to any hash width (e.g. hash_bits=16 for simhash16):
+    # the pigeonhole bound max_hamming < n_bands holds regardless
+    assert hash_bits % n_bands == 0
+    width = hash_bits // n_bands
     mask = (1 << width) - 1
     ph = F.col(phash_col)
     bands = F.array(
