@@ -2207,7 +2207,6 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (_q_quality, _SQL_QUALITY),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
-    "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),
@@ -2219,6 +2218,7 @@ QUERIES: dict[str, tuple] = {
     # ≥4 s tier (file sinks, streaming drains, iterative algorithms)
     "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
+    "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
     "polygon_assembly": (_q_polygon_assembly, _polygon_assembly_sql()),
     "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
