@@ -1476,6 +1476,35 @@ _SQL_STRATIFIED = """
 """
 
 
+MIX = {"en": 0.1, "de": 0.5, "zh": 1.0}  # fr/es absent → dropped (mix semantics)
+
+
+def _q_sample_mix(spark, sf_dir):
+    """Training-data MIX: per-stratum sampling fractions — upsample rare
+    languages, downsample the dominant one, drop the rest.  Exact
+    deterministic counts per stratum (sampling.stratified_sample with a
+    dict fraction)."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(d, "lang", MIX)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _sample_mix_sql() -> str:
+    cases = " ".join(f"when lang = '{k}' then {v}" for k, v in MIX.items())
+    return f"""
+      with r as (
+        select doc_id, lang,
+               row_number() over (partition by lang
+                   order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+               count(*) over (partition by lang) as n,
+               (case {cases} else 0.0 end) as f
+        from documents)
+      select doc_id, lang from r where rk <= ceil(n * f) order by doc_id
+    """
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (operators/sampling.py): length-desc
     prefix-sum binning for fixed context windows — one range-partitioned
@@ -2167,6 +2196,7 @@ QUERIES: dict[str, tuple] = {
     "bbox_antimeridian": (_q_bbox_antimeridian, _SQL_BBOX_ANTIMERIDIAN),
     "text_langid": (_q_langid, text.lang_id_oracle_sql()),
     "sample_stratified": (_q_stratified_sample, _SQL_STRATIFIED),
+    "sample_mix": (_q_sample_mix, _sample_mix_sql()),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK),
     "graph_members_of": (_q_graph_members, _SQL_GRAPH_MEMBERS),
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),

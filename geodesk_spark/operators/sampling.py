@@ -17,14 +17,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
-    fraction: float,
+    fraction: float | dict,
     id_col: str = "doc_id",
     seed: str = "42",
+    default_fraction: float = 0.0,
 ) -> DataFrame:
     """EXACT deterministic stratified sample: ceil(fraction · n_s) rows
     from every stratum s — unlike ``DataFrame.sampleBy``, whose
     per-stratum counts are binomially distributed (a small stratum can
     vanish entirely from a training mix).
+
+    ``fraction`` is a single float, or a per-stratum dict — the
+    training-data-MIX form ({"en": 0.1, "sw": 1.0, …}); strata absent
+    from the dict get ``default_fraction`` (0.0 = dropped, the usual
+    mix semantics).
 
     Mechanism: rows are ranked inside each stratum by md5(seed|id) — a
     uniform, reproducible permutation — and the top ceil(f·n) kept.
@@ -33,6 +39,12 @@ def stratified_sample(
     sort, which Spark spills; for a pathological mega-stratum rank
     computation can be salted two-stage, the operators/skew.py pattern.
     """
+    if isinstance(fraction, dict):
+        f_expr = F.lit(float(default_fraction))
+        for k, v in fraction.items():
+            f_expr = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(f_expr)
+    else:
+        f_expr = F.lit(float(fraction))
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), id_col
     )
@@ -40,7 +52,7 @@ def stratified_sample(
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(wn))
-        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * f_expr))
         .drop("_rk", "_n")
     )
 

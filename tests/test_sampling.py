@@ -63,3 +63,15 @@ def test_pack_sequences_oversized_doc(spark):
     assert big["bin_id"] == 0
     rest = out[out["doc_id"] != 1]
     assert (rest["bin_id"] > 0).all()  # nothing shares the overflowed bin
+
+
+def test_stratified_mix_fractions(docs):
+    """Dict fractions = training-data mix: exact per-stratum counts,
+    absent strata dropped."""
+    mix = {"en": 0.05, "sw": 1.0}
+    out = sampling.stratified_sample(docs, "lang", mix, id_col="doc_id").toPandas()
+    n_per = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    got = out.groupby("lang").size()
+    assert got.get("en", 0) == int(np.ceil(n_per["en"] * 0.05))
+    assert got.get("sw", 0) == n_per["sw"]  # rare stratum fully kept
+    assert set(out["lang"]) <= {"en", "sw"}  # de/fr dropped (default 0)
