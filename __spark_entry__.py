@@ -2178,6 +2178,95 @@ def _q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
 
 
+def _ann_ivf_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048, nprobe: int = 8) -> str:
+    """Full oracle for the IVF top-k (was rows-only): the codebook trainer
+    itself — `ann.ivf_centroids`'s deterministic Lloyd iterations on the
+    vec_id%13 sample with evenly-spaced init — is unrolled as chained SQL
+    CTEs (assign = row_number over dot desc with argmax's lowest-index
+    tie-break; element-wise cluster means via zipped unnest; empty
+    clusters keep their previous centroid), then the probe path mirrors
+    `ann.ivf_topk` op-for-op: per-query top-nprobe centroid lists, every
+    vector assigned to its argmax centroid, exact cosine re-rank inside
+    the probed lists.  Derived independently of the numpy kernel — only
+    the algorithm definition is shared."""
+    dot = lambda a, b: (
+        f"list_sum(list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j]))"
+    )
+    iters_sql = ""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        iters_sql += f"""
+      a{i} as (
+        select rn, v, c from (
+          select s.rn, s.v, c.c,
+                 row_number() over (partition by s.rn
+                     order by {dot('s.v', 'c.v')} desc, c.c asc) as rk
+          from sv s cross join {prev} c) where rk = 1),
+      m{i} as (
+        select c, list(mv order by j) as mv from (
+          select c, j, avg(vj) as mv from (
+            select c, unnest(range(1, len(v) + 1)) as j, unnest(v) as vj
+            from a{i}) group by c, j) group by c),
+      c{i} as (
+        select p.c,
+               case when m.c is null then p.v
+                    else list_transform(m.mv, x -> x / greatest(
+                         sqrt(list_sum(list_transform(m.mv, y -> y * y))), 1e-12))
+               end as v
+        from {prev} p left join m{i} m on m.c = p.c),"""
+        prev = f"c{i}"
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+      with samp as (
+        select row_number() over (order by vec_id) - 1 as rn, embedding as e
+        from embeddings where vec_id % 13 = 0 order by vec_id limit {sample}),
+      st as (select greatest(1, count(*) // {n_centroids}) as s from samp),
+      sv as (
+        select rn, list_transform(e, x -> cast(x as double) / greatest(
+               sqrt(list_sum(list_transform(e, y -> cast(y as double) * cast(y as double)))),
+               1e-12)) as v
+        from samp),
+      c0 as (
+        select cast(rn // st.s as int) as c, v from sv, st
+        where rn % st.s = 0 and rn // st.s < {n_centroids}),{iters_sql}
+      q as (
+        select vec_id as qid,
+               list_transform(embedding, x -> cast(x as double) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> cast(y as double) * cast(y as double))))) as qv
+        from embeddings where vec_id in ({ids})),
+      probe as (
+        select qid, c from (
+          select q.qid, c.c,
+                 row_number() over (partition by q.qid
+                     order by {dot('c.v', 'q.qv')} desc, c.c asc) as rk
+          from q cross join {prev} c) where rk <= {nprobe}),
+      allv as (
+        select vec_id,
+               list_transform(embedding, x -> cast(x as double) /
+                   (case when nrm = 0 then 1.0 else nrm end)) as v
+        from (select vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          y -> cast(y as double) * cast(y as double)))) as nrm
+              from embeddings)),
+      vassign as (
+        select vec_id, v, c from (
+          select a.vec_id, a.v, c.c,
+                 row_number() over (partition by a.vec_id
+                     order by {dot('a.v', 'c.v')} desc, c.c asc) as rk
+          from allv a cross join {prev} c) where rk = 1),
+      cand as (
+        select q.qid as query_id, a.vec_id, {dot('a.v', 'q.qv')} as score
+        from q join probe p on p.qid = q.qid
+        join vassign a on a.c = p.c and a.vec_id <> q.qid)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from cand) where rank <= {ANN_K}
+    """
+
+
 # Registry order = measured sf0.01 cost ascending (cheapest first): the
 # driver's correctness harness walks dict order under a wall-clock
 # budget, so an expensive query must never shadow dozens of cheap ones
@@ -2233,7 +2322,7 @@ QUERIES: dict[str, tuple] = {
     "pip_join": (_q_pip, _SQL_PIP),
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
-    "ann_ivf_topk": (_q_ann_ivf, None),  # approximate — rows-only check
+    "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "text_quality": (_q_quality, _SQL_QUALITY),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
