@@ -163,6 +163,38 @@ def _hilbert_sql() -> str:
     """
 
 
+HEX_SIZE = 25_000_000  # hex circumradius in imps (~100 km at the equator)
+
+
+def _q_hex_cells(spark, sf_dir):
+    """H3-style hexagonal cell rollup (geo/hexgrid.py): the third index
+    family the build target names (quad-tile = GeoDesk TIP, Z/Hilbert =
+    S2-style keys, hex = H3-style).  Fractional-axial → cube-round is
+    pure Columns (floor(v+0.5) rounding, bit-identical across numpy /
+    Spark / DuckDB); per-cell count aggregation — one scan, one partial
+    agg, the canonical H3 geo-aggregation shape."""
+    from geodesk_spark.geo import hexgrid
+
+    df = _derived_orders(spark, sf_dir)
+    return (
+        hexgrid.hex_cell_cols(df, "x", "y", HEX_SIZE)
+        .groupBy("hcell")
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_key"))
+        .select("hcell", "n", "min_key")
+    )
+
+
+def _hex_sql() -> str:
+    from geodesk_spark.geo import hexgrid
+
+    ctes, final = hexgrid.hex_sql("x", "y", HEX_SIZE)
+    return f"""
+      with __hex_input__ as ({_DERIVED_SQL}), {ctes}
+      select hcell, count(*) as n, min(o_orderkey) as min_key
+      from ({final}) t group by hcell
+    """
+
+
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
     lon/lat recovered from imps, rounded to 7 decimals."""
@@ -2309,6 +2341,7 @@ QUERIES: dict[str, tuple] = {
     "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
     "morton_cells": (_q_morton_cells, _morton_sql()),
     "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
+    "hex_cells": (_q_hex_cells, _hex_sql()),
     "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
