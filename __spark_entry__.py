@@ -195,6 +195,35 @@ def _hex_sql() -> str:
     """
 
 
+def _q_hex_kring(spark, sf_dir):
+    """H3-style kRing smoothing (operators/hexes.py): hex rollup →
+    per-cell ring-1 neighborhood sum.  The offsets table (7 rows) is
+    broadcast; one regroup shuffle on the target cell — the isotropic
+    hex analog of the quad tile_pyramid_rollup."""
+    from geodesk_spark.geo import hexgrid
+    from geodesk_spark.operators import hexes
+
+    df = _derived_orders(spark, sf_dir)
+    cells = (
+        hexgrid.hex_cell_cols(df, "x", "y", HEX_SIZE)
+        .groupBy("hcell")
+        .agg(F.count("*").alias("n"))
+    )
+    return hexes.kring_smooth(cells, k=1).select("hcell", "n", "ring_sum", "ring_cells")
+
+
+def _hex_kring_sql() -> str:
+    from geodesk_spark.geo import hexgrid
+    from geodesk_spark.operators import hexes
+
+    ctes, final = hexgrid.hex_sql("x", "y", HEX_SIZE)
+    rel = (
+        f"(with __hex_input__ as ({_DERIVED_SQL}), {ctes} "
+        f"select hcell, count(*) as n from ({final}) t group by hcell)"
+    )
+    return hexes.kring_sql(rel, k=1)
+
+
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
     lon/lat recovered from imps, rounded to 7 decimals."""
@@ -2342,6 +2371,7 @@ QUERIES: dict[str, tuple] = {
     "morton_cells": (_q_morton_cells, _morton_sql()),
     "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
     "hex_cells": (_q_hex_cells, _hex_sql()),
+    "hex_kring_smooth": (_q_hex_kring, _hex_kring_sql()),
     "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only

@@ -1,0 +1,95 @@
+"""Hex-grid (H3-style) neighborhood aggregation.
+
+`kring_smooth` is the hex analog of the quad-tile pyramid rollup
+(operators/tiling.py): for every populated hex cell, aggregate a value
+over the cell plus its ring-≤k neighbors — the standard H3 "kRing
+smoothing" used for density heatmaps and hotspot detection.  The hex
+kRing is the reason H3 exists: all 6 ring-1 neighbors are equidistant,
+so the smoothing window is isotropic (a quad 3×3 window weights
+diagonals √2 farther).
+
+Scale shape: the offset table has 3k(k+1)+1 rows (7 at k=1) and is
+broadcast; each populated cell explodes to its kRing targets and one
+hash aggregation regroups them — cost is |cells| × ring size with a
+single shuffle on the target cell id, no point-level data touched
+(the rollup already reduced points → cells).
+
+All arithmetic is int64 (unpack axial q,r from the packed cell id, add
+the offset, repack), so the DuckDB oracle is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from geodesk_spark.geo.hexgrid import _OFF
+
+_MASK = (1 << 21) - 1
+
+
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """Axial (dq, dr) offsets of the hex ring neighborhood of radius k,
+    including (0, 0): all cells with hex distance ≤ k."""
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(-k, k + 1)
+        if max(abs(dq), abs(dr), abs(dq + dr)) <= k
+    ]
+
+
+def kring_smooth(
+    cells: DataFrame,
+    cell_col: str = "hcell",
+    val_col: str = "n",
+    k: int = 1,
+) -> DataFrame:
+    """Per-cell kRing aggregation over a (cell, value) rollup.
+
+    Returns one row per POPULATED cell: its own value, the sum of
+    values over its kRing (populated members only), and how many kRing
+    cells are populated.  Empty halo cells are not emitted — smoothing
+    reads from neighbors, it doesn't invent cells.
+    """
+    spark = cells.sparkSession
+    offs = spark.createDataFrame(kring_offsets(k), "dq long, dr long")
+    q = F.shiftright(F.col(cell_col), 21) - F.lit(_OFF)
+    r = F.col(cell_col).bitwiseAND(F.lit(_MASK)) - F.lit(_OFF)
+    # each source cell donates its value to every kRing target
+    donated = (
+        cells.select(F.col(cell_col), F.col(val_col))
+        .crossJoin(F.broadcast(offs))
+        .select(
+            F.shiftleft(q + F.col("dq") + F.lit(_OFF), 21)
+            .bitwiseOR(r + F.col("dr") + F.lit(_OFF))
+            .alias("target"),
+            F.col(val_col).alias("v"),
+        )
+        .groupBy("target")
+        .agg(F.sum("v").alias("ring_sum"), F.count("*").alias("ring_cells"))
+    )
+    return (
+        cells.join(donated, cells[cell_col] == donated["target"], "inner")
+        .select(cell_col, val_col, "ring_sum", "ring_cells")
+    )
+
+
+def kring_sql(cell_sql_rel: str, k: int = 1, cell_col: str = "hcell", val_col: str = "n") -> str:
+    """DuckDB twin of kring_smooth over a relation (name or subquery)
+    with columns (cell_col, val_col) — identical int64 unpack/repack."""
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(k))
+    return f"""
+      with cells as (select * from {cell_sql_rel}),
+      offs(dq, dr) as (values {offs}),
+      donated as (
+        select ((({cell_col} >> 21) - {_OFF} + dq + {_OFF}) << 21)
+               | (({cell_col} & {_MASK}) - {_OFF} + dr + {_OFF}) as target,
+               {val_col} as v
+        from cells cross join offs),
+      ring as (
+        select target, cast(sum(v) as bigint) as ring_sum,
+               count(*) as ring_cells
+        from donated group by target)
+      select c.{cell_col}, c.{val_col}, r.ring_sum, r.ring_cells
+      from cells c join ring r on r.target = c.{cell_col}
+    """

@@ -1,0 +1,61 @@
+"""kRing hex smoothing: brute-force parity and ring topology."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geodesk_spark.geo import hexgrid
+from geodesk_spark.operators import hexes
+
+
+def test_kring_offsets_counts():
+    assert len(hexes.kring_offsets(1)) == 7
+    assert len(hexes.kring_offsets(2)) == 19
+    assert (0, 0) in hexes.kring_offsets(1)
+
+
+def test_kring_smooth_matches_bruteforce(spark):
+    rng = np.random.default_rng(23)
+    qs = rng.integers(-5, 6, size=300)
+    rs = rng.integers(-5, 6, size=300)
+    cells = {}
+    for q, r in zip(qs.tolist(), rs.tolist()):
+        cid = ((q + hexgrid._OFF) << 21) | (r + hexgrid._OFF)
+        cells[cid] = cells.get(cid, 0) + 1
+    df = spark.createDataFrame(list(cells.items()), "hcell long, n long")
+    got = {
+        row["hcell"]: (row["ring_sum"], row["ring_cells"])
+        for row in hexes.kring_smooth(df, k=1).collect()
+    }
+    assert set(got) == set(cells)
+    offs = hexes.kring_offsets(1)
+    for cid, n in cells.items():
+        q = (cid >> 21) - hexgrid._OFF
+        r = (cid & ((1 << 21) - 1)) - hexgrid._OFF
+        members = [
+            ((q + dq + hexgrid._OFF) << 21) | ((r + dr + hexgrid._OFF))
+            for dq, dr in offs
+        ]
+        exp_sum = sum(cells.get(m, 0) for m in members)
+        exp_cnt = sum(1 for m in members if m in cells)
+        assert got[cid] == (exp_sum, exp_cnt), cid
+
+
+def test_kring_smooth_symmetric_uniform(spark):
+    # a fully populated block with uniform value: every interior cell's
+    # ring_sum is 7x the value and ring_cells is 7
+    rows = [
+        (((q + hexgrid._OFF) << 21) | (r + hexgrid._OFF), 3)
+        for q in range(-3, 4)
+        for r in range(-3, 4)
+    ]
+    df = spark.createDataFrame(rows, "hcell long, n long")
+    out = hexes.kring_smooth(df, k=1).collect()
+    interior = [
+        row
+        for row in out
+        if abs((row["hcell"] >> 21) - hexgrid._OFF) <= 1
+        and abs((row["hcell"] & ((1 << 21) - 1)) - hexgrid._OFF) <= 1
+    ]
+    assert interior and all(
+        row["ring_sum"] == 21 and row["ring_cells"] == 7 for row in interior
+    )
