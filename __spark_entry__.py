@@ -224,6 +224,35 @@ def _hex_kring_sql() -> str:
     return hexes.kring_sql(rel, k=1)
 
 
+def _q_hex_polyfill(spark, sf_dir):
+    """H3-polyfill analog (operators/hexes.polyfill_bbox): every derived
+    bbox → the hex cells whose centers it contains (H3's
+    center-in-polygon rule), rolled up per box.  Pure-JVM ceil/floor +
+    sequence explode — the build side of a hex range join."""
+    from geodesk_spark.operators import hexes
+
+    boxes = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("fid"), "minx", "miny", "maxx", "maxy")
+    cells = hexes.polyfill_bbox(boxes, size=HEX_SIZE)
+    return cells.groupBy("fid").agg(
+        F.count("*").alias("n_cells"),
+        F.min("hcell").alias("min_hcell"),
+        F.max("hcell").alias("max_hcell"),
+    )
+
+
+def _hex_polyfill_sql() -> str:
+    from geodesk_spark.operators import hexes
+
+    rel = f"(select fid, minx, miny, maxx, maxy from ({_box_sql_base()}) bb)"
+    return f"""
+      select fid, count(*) as n_cells, min(hcell) as min_hcell,
+             max(hcell) as max_hcell
+      from ({hexes.polyfill_sql(rel, HEX_SIZE)}) pf group by fid
+    """
+
+
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
     lon/lat recovered from imps, rounded to 7 decimals."""
@@ -2372,6 +2401,7 @@ QUERIES: dict[str, tuple] = {
     "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
     "hex_cells": (_q_hex_cells, _hex_sql()),
     "hex_kring_smooth": (_q_hex_kring, _hex_kring_sql()),
+    "hex_polyfill": (_q_hex_polyfill, _hex_polyfill_sql()),
     "graph_nodes_of": (_q_graph_nodes_of, _SQL_GRAPH_NODES_OF),
     "graph_parents_of": (_q_graph_parents, _SQL_GRAPH_PARENTS),
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only

@@ -74,6 +74,78 @@ def kring_smooth(
     )
 
 
+def polyfill_bbox(
+    df: DataFrame,
+    size: int,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+    out: str = "hcell",
+) -> DataFrame:
+    """H3-polyfill analog for bboxes: one output row per (input row, hex
+    cell whose CENTER lies inside the bbox) — H3's center-in-polygon
+    polyfill rule, restricted to the axis-aligned case where the cell
+    enumeration is two nested integer ranges (r rows of the hex lattice,
+    then the q interval each row admits).
+
+    Pure JVM: ceil/floor bounds + `sequence` + `explode`, no UDF.  Rows
+    whose bbox admits no cell center vanish (empty sequence), matching
+    generate_series semantics on the oracle side.  At scale this is the
+    build side of a hex range join: polyfill the query geometry, then
+    equi-join on the cell id against a hex-encoded fact table.
+    """
+    import math
+
+    D = float(size) * math.sqrt(3.0)  # x stride of a lattice row
+    C = 1.5 * float(size)  # y stride between rows
+    empty = F.array().cast("array<long>")
+    r_lo = F.ceil(F.col(miny).cast("double") / F.lit(C))
+    r_hi = F.floor(F.col(maxy).cast("double") / F.lit(C))
+    df = df.withColumn(
+        "_pr", F.explode(F.when(r_lo <= r_hi, F.sequence(r_lo, r_hi)).otherwise(empty))
+    )
+    q_lo = F.ceil(
+        F.col(minx).cast("double") / F.lit(D) - F.col("_pr").cast("double") * F.lit(0.5)
+    )
+    q_hi = F.floor(
+        F.col(maxx).cast("double") / F.lit(D) - F.col("_pr").cast("double") * F.lit(0.5)
+    )
+    df = df.withColumn(
+        "_pq", F.explode(F.when(q_lo <= q_hi, F.sequence(q_lo, q_hi)).otherwise(empty))
+    )
+    return df.withColumn(
+        out,
+        F.shiftleft(F.col("_pq") + F.lit(_OFF), 21).bitwiseOR(F.col("_pr") + F.lit(_OFF)),
+    ).drop("_pr", "_pq")
+
+
+def polyfill_sql(rel: str, size: int, out: str = "hcell") -> str:
+    """DuckDB twin of polyfill_bbox over a relation with
+    (minx, miny, maxx, maxy): identical double op order, so the cell
+    enumeration is bit-exact."""
+    import math
+
+    D = repr(float(size) * math.sqrt(3.0))
+    C = repr(1.5 * float(size))
+    return f"""
+      with pfb as (select * from {rel}),
+      pfr as (
+        select *, unnest(generate_series(
+            cast(ceil(miny / {C}) as bigint),
+            cast(floor(maxy / {C}) as bigint))) as pr
+        from pfb),
+      pfq as (
+        select *, unnest(generate_series(
+            cast(ceil(minx / {D} - pr * 0.5) as bigint),
+            cast(floor(maxx / {D} - pr * 0.5) as bigint))) as pq
+        from pfr)
+      select * exclude (pr, pq),
+             ((pq + {_OFF}) << 21) | (pr + {_OFF}) as {out}
+      from pfq
+    """
+
+
 def kring_sql(cell_sql_rel: str, k: int = 1, cell_col: str = "hcell", val_col: str = "n") -> str:
     """DuckDB twin of kring_smooth over a relation (name or subquery)
     with columns (cell_col, val_col) — identical int64 unpack/repack."""

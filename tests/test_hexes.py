@@ -40,6 +40,47 @@ def test_kring_smooth_matches_bruteforce(spark):
         assert got[cid] == (exp_sum, exp_cnt), cid
 
 
+def test_polyfill_bbox_matches_bruteforce(spark):
+    rng = np.random.default_rng(31)
+    SIZE = 25_000_000
+    boxes = []
+    for i in range(60):
+        cx = int(rng.integers(-1_500_000_000, 1_500_000_000))
+        cy = int(rng.integers(-1_500_000_000, 1_500_000_000))
+        hw = int(rng.integers(1_000_000, 300_000_000))
+        hh = int(rng.integers(1_000_000, 300_000_000))
+        boxes.append((i, cx - hw, cy - hh, cx + hw, cy + hh))
+    df = spark.createDataFrame(boxes, "fid long, minx long, miny long, maxx long, maxy long")
+    got = {}
+    for row in hexes.polyfill_bbox(df, size=SIZE).collect():
+        got.setdefault(row["fid"], set()).add(row["hcell"])
+    D = SIZE * np.sqrt(3.0)
+    C = 1.5 * SIZE
+    for fid, minx, miny, maxx, maxy in boxes:
+        exp = set()
+        for r in range(int(np.ceil(miny / C)), int(np.floor(maxy / C)) + 1):
+            # brute force: every q whose center x lands inside
+            for q in range(
+                int(np.floor(minx / D - r * 0.5)) - 1,
+                int(np.ceil(maxx / D - r * 0.5)) + 2,
+            ):
+                cx_, cy_ = hexgrid.hex_center(np.array([q]), np.array([r]), SIZE)
+                if minx <= cx_[0] <= maxx and miny <= cy_[0] <= maxy:
+                    exp.add(int(((q + hexgrid._OFF) << 21) | (r + hexgrid._OFF)))
+        assert got.get(fid, set()) == exp, fid
+        # every covered cell's center really is inside the box, and every
+        # sampled in-box point's own cell is in the polyfill
+        for _ in range(5):
+            px = int(rng.integers(minx, maxx + 1))
+            py = int(rng.integers(miny, maxy + 1))
+            cid = int(hexgrid.hex_cell_id(np.array([px]), np.array([py]), SIZE)[0])
+            cq = (cid >> 21) - hexgrid._OFF
+            cr = (cid & ((1 << 21) - 1)) - hexgrid._OFF
+            ccx, ccy = hexgrid.hex_center(np.array([cq]), np.array([cr]), SIZE)
+            if minx <= ccx[0] <= maxx and miny <= ccy[0] <= maxy:
+                assert cid in exp
+
+
 def test_kring_smooth_symmetric_uniform(spark):
     # a fully populated block with uniform value: every interior cell's
     # ring_sum is 7x the value and ring_cells is 7
