@@ -517,6 +517,55 @@ _SQL_PIP = f"""
 """
 
 
+def _hex_grid_layer() -> list[tuple[str, np.ndarray]]:
+    """4×4 grid of disjoint hexagons (centers 4R/3R apart) — a multi-
+    polygon layer for the big-big shuffle join; vertices are integer-
+    valued floats, exact in both engines."""
+    polys = []
+    for i in range(4):
+        for j in range(4):
+            cx = CAIRO_XY[0] + (i - 2) * 4 * HEX_R
+            cy = CAIRO_XY[1] + (j - 2) * 3 * HEX_R
+            polys.append((f"hex_{i}_{j}", _hexagon(cx, cy, HEX_R)))
+    return polys
+
+
+def _q_pip_partitioned(spark, sf_dir):
+    """containing(point) with a DataFrame layer — the shuffle big-big
+    path (operators/bigjoin.py): distributed Arrow layer prep, cell-id
+    shuffle equi-join, exact ray-cast fold over a segment COLUMN (no
+    broadcast, no plan literals).  Same three-band semantics as pip_join
+    (Filter.filterForTile, FastTileFilter.java:40-60)."""
+    from geodesk_spark.operators import bigjoin
+
+    df = _derived_orders(spark, sf_dir).withColumn("x", F.col("x").cast("int")).withColumn(
+        "y", F.col("y").cast("int")
+    )
+    rows = [(pid, bytearray(pip.pack_rings([ring]))) for pid, ring in _hex_grid_layer()]
+    ldf = spark.createDataFrame(rows, schema="poly_id string, rings binary")
+    out = bigjoin.contains_points_big(
+        df.select("o_orderkey", "x", "y"), ldf, keep_cols=["o_orderkey"]
+    )
+    return out.select(F.col("o_orderkey").alias("key"), "poly_id")
+
+
+def _pip_partitioned_sql() -> str:
+    branches = []
+    for pid, ring in _hex_grid_layer():
+        clauses = []
+        for i in range(6):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            clauses.append(
+                f"(({x2 - x1!r}) * (y - ({y1!r})) - ({y2 - y1!r}) * (x - ({x1!r})) >= 0)"
+            )
+        branches.append(
+            f"select o_orderkey as key, '{pid}' as poly_id from pts where "
+            + " and ".join(clauses)
+        )
+    return f"with pts as ({_DERIVED_SQL}) " + " union all ".join(branches)
+
+
 def _q_knn(spark, sf_dir):
     """kNN via cell-ring expansion (north star; built on PointDistanceFilter
     semantics).  Exact — the oracle is brute-force window top-k."""
@@ -2413,6 +2462,7 @@ QUERIES: dict[str, tuple] = {
     "asof_join_events": (_q_asof_join, _SQL_ASOF),
     # ~2 s tier
     "pip_join": (_q_pip, _SQL_PIP),
+    "pip_join_partitioned": (_q_pip_partitioned, _pip_partitioned_sql()),
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),

@@ -1,0 +1,209 @@
+"""Shuffle (big-big) point-in-polygon join — the non-broadcast scale path.
+
+The flagship ``spatial_join.contains_points`` assumes a dimension-sized
+polygon layer: bands broadcast, segments either plan literals or a
+driver-held broadcast variable.  That is the right plan for the
+reference's typical query shape (a handful of query polygons,
+ContainsPointFilter.java:26-72), but at 100 TB the layer itself can be a
+fact table — every building footprint on Earth is ~10^9 polygons, far
+past any broadcast threshold, and nothing may ever touch the driver.
+
+This module keeps the SAME three-band semantics (interior cells waive
+the exact test, boundary cells take it, everything else prunes —
+Filter.filterForTile, FastTileFilter.java:40-60) but makes every stage
+distributed:
+
+1. **Layer preparation is a parallel Arrow pass**, not driver work:
+   ``layer_bands`` runs the adaptive quadtree classifier
+   (``spatial_join._quadtree_bands``) per polygon inside ``mapInPandas``
+   over the layer DataFrame, emitting (cell, poly_id, band) rows.  A
+   10^9-polygon layer prepares at full cluster parallelism.
+2. **The candidate join is a shuffle equi-join on the cell id** — both
+   sides repartition by cell; no broadcast required (AQE may still
+   elect a broadcast when the prepared layer turns out small, which is
+   strictly a win and changes nothing semantically).  The probe side
+   explodes exactly one cell id per SHARED quadtree level {4,8,12,16}
+   (see ``_quadtree_bands``: every polygon's bands land on that fixed
+   level set), so probe fan-out is 4 rows/point regardless of layer
+   size or polygon size mix.
+3. **The exact ray-cast is the same 100% whole-stage-codegen fold as
+   the flagship**, but over a segment-array COLUMN fetched by a second
+   equi-join on poly_id — geometry arrives as data, never as plan
+   literals, so Catalyst plan size and codegen method size stay O(1) in
+   the layer (the broadcast path's JVM_SEG_BUDGET ceiling does not
+   exist here).  Only BOUNDARY-band candidates take this join; INTERIOR
+   matches bypass it entirely.
+
+Skew note: the boundary⋈segments join keys on poly_id, so one enormous
+polygon with millions of boundary candidates is a hot key — exactly the
+shape AQE's skew-join splitting handles (enabled in session.py), and
+the adaptive quadtree already bounds boundary-band *width* per polygon
+(max_cells), which bounds the duplication factor.
+
+A point lies in at most one quadtree leaf of a given polygon (the
+adaptive refinement partitions the bbox disjointly across its mixed
+levels), so the cell join yields at most one candidate row per
+(point, polygon) — no post-join dedup is needed, identical to the
+broadcast path's argument.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from geodesk_spark.geo import pip
+from geodesk_spark.geo import tile as T
+from geodesk_spark.operators.spatial_join import (
+    BOUNDARY,
+    INTERIOR,
+    _quadtree_bands,
+)
+
+#: The fixed quadtree level set every polygon's bands land on
+#: (spatial_join._quadtree_bands snaps bases to multiples of 4 and
+#: refines in steps of 4).
+SHARED_LEVELS = (4, 8, 12, 16)
+
+
+def _cell_expr(zoom: int):
+    """Point's quadtree cell id at ``zoom`` — pure JVM bit arithmetic,
+    identical packing to spatial_join._cell_ids: (zoom<<40)|(row<<20)|col."""
+    return (
+        F.lit(zoom << 40).cast("long")
+        + F.shiftleft(T.row_from_y_col(F.col("y"), zoom).cast("long"), 20)
+        + T.column_from_x_col(F.col("x"), zoom).cast("long")
+    )
+
+
+def layer_bands(polygons: DataFrame) -> DataFrame:
+    """Distributed layer preparation: (poly_id string, rings binary) →
+    (cell long, poly_id string, band int).
+
+    One Arrow pass over the layer; each task classifies its polygons with
+    the same adaptive quadtree kernel the broadcast path uses driver-side,
+    so both paths see byte-identical band tables for the same layer.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            cells_out: list[np.ndarray] = []
+            ids_out: list[np.ndarray] = []
+            codes_out: list[np.ndarray] = []
+            for pid, blob in zip(pdf["poly_id"], pdf["rings"]):
+                rings = pip.unpack_rings(bytes(blob))
+                xs = np.concatenate([r[:, 0] for r in rings])
+                ys = np.concatenate([r[:, 1] for r in rings])
+                cells, codes = _quadtree_bands(
+                    rings, xs.min(), ys.min(), xs.max(), ys.max()
+                )
+                cells_out.append(cells)
+                codes_out.append(codes.astype(np.int32))
+                ids_out.append(np.full(len(cells), pid, dtype=object))
+            if not cells_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells_out),
+                    "poly_id": np.concatenate(ids_out),
+                    "band": np.concatenate(codes_out),
+                }
+            )
+
+    return polygons.mapInPandas(gen, schema="cell long, poly_id string, band int")
+
+
+def layer_segments(polygons: DataFrame) -> DataFrame:
+    """(poly_id, rings binary) → (poly_id, segs array<struct<x1,y1,x2,y2>>).
+
+    Segments are emitted as four parallel double arrays (columnar through
+    Arrow) and zipped JVM-side — the exact-test fold then runs on a plain
+    column, keeping plan size independent of the layer.  All rings'
+    segments concatenate into one array: crossing parity over the union
+    of rings == XOR of per-ring parities (PointInPolygon.java:21-23).
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf["poly_id"], pdf["rings"]):
+                rings = pip.unpack_rings(bytes(blob))
+                a = np.concatenate(
+                    [np.concatenate([r[:-1], r[1:]], axis=1) for r in rings], axis=0
+                )
+                rows.append(
+                    (pid, a[:, 0].tolist(), a[:, 1].tolist(), a[:, 2].tolist(), a[:, 3].tolist())
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["poly_id", "x1", "y1", "x2", "y2"]
+                )
+
+    cols = polygons.mapInPandas(
+        gen,
+        schema=(
+            "poly_id string, x1 array<double>, y1 array<double>, "
+            "x2 array<double>, y2 array<double>"
+        ),
+    )
+    return cols.select(
+        "poly_id", F.arrays_zip("x1", "y1", "x2", "y2").alias("segs")
+    )
+
+
+def contains_points_big(
+    points: DataFrame,
+    polygons: DataFrame,
+    keep_cols: list[str] | None = None,
+    anti: bool = False,
+) -> DataFrame:
+    """Point-in-polygon where BOTH sides are large DataFrames.
+
+    points:   int imp columns ``x`` and ``y`` plus carry-through columns.
+    polygons: (poly_id string, rings binary) — ``pip.pack_rings`` blobs.
+
+    Returns (keep_cols…, poly_id) match rows (or, with ``anti=True``,
+    the points matching NO polygon — keep_cols must identify a row).
+    Results are identical to ``spatial_join.contains_points`` on the same
+    layer (pinned in tests/test_bigjoin.py); only the physical plan
+    differs: shuffle joins instead of broadcast, Arrow layer prep instead
+    of driver prep, segment column instead of plan literals.
+    """
+    keep = keep_cols or [c for c in points.columns if c not in ("x", "y")]
+    bands = layer_bands(polygons)
+    segs = layer_segments(polygons)
+
+    probe = points.withColumn(
+        "_cell", F.explode(F.array(*[_cell_expr(z) for z in SHARED_LEVELS]))
+    )
+    j = probe.join(bands, probe["_cell"] == bands["cell"])
+
+    interior = j.filter(F.col("band") == INTERIOR).select(*keep, "poly_id")
+
+    boundary = (
+        j.filter(F.col("band") == BOUNDARY)
+        .select(*keep, "x", "y", "poly_id")
+        .join(segs, "poly_id")
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+
+    def _crosses(sg):
+        c = ((sg["y1"] <= yd) & (sg["y2"] > yd)) | (
+            (sg["y1"] > yd) & (sg["y2"] <= yd)
+        )
+        return c & (
+            xd
+            < sg["x1"] + (yd - sg["y1"]) / (sg["y2"] - sg["y1"]) * (sg["x2"] - sg["x1"])
+        )
+
+    ncross = F.size(F.filter(F.col("segs"), _crosses))
+    exact = boundary.filter(ncross % 2 == 1).select(*keep, "poly_id")
+
+    matches = interior.unionByName(exact)
+    if not anti:
+        return matches
+    return points.select(*keep).join(
+        matches.select(*keep).distinct(), keep, "left_anti"
+    )
