@@ -703,6 +703,61 @@ _SQL_ASOF = """
 """
 
 
+def _q_hll_registers(spark, sf_dir):
+    """HLL approx-distinct register state per event_type (operators/
+    sketches.py): the mergeable-sketch rollup a 10^12-row COUNT(DISTINCT)
+    needs — map-side combine reduces each partition to ≤512 rows/key
+    before the shuffle.  Registers are built on a portable md5-derived
+    hash, so the oracle reproduces them bit-exactly."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.hll_registers(
+        e, ["event_type"], "cast(user_id as string)", p=9
+    ).select("event_type", "bucket", "rho")
+
+
+def _hll_registers_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 9)
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events)
+      select event_type, cast({bucket} as int) as bucket, cast(max({rho}) as int) as rho
+      from v group by event_type, bucket
+    """
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HLL estimate read off the merged registers (Flajolet et al. 2007
+    estimator with linear-counting small-range correction)."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.hll_estimate(e, ["event_type"], "cast(user_id as string)", p=9)
+
+
+def _hll_distinct_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 9)
+    m = 512
+    alpha_m2 = 0.7213 / (1 + 1.079 / m) * m * m
+    raw = f"{alpha_m2!r} / (s + (512 - ne))"
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      regs as (select event_type, {bucket} as bucket, max({rho}) as rho
+               from v group by event_type, bucket),
+      agg as (select event_type, sum(power(2.0, -rho)) as s, count(*) as ne
+              from regs group by event_type)
+      select event_type,
+             case when {raw} <= 1280.0 and (512 - ne) > 0
+                  then 512.0 * ln(512.0 / (512 - ne))
+                  else {raw} end as approx_distinct
+      from agg
+    """
+
+
 def _q_events_hourly(spark, sf_dir):
     """Batch-incremental windowed aggregation over the events stream table
     (the reference has no streaming; SURVEY §2.7 maps to snapshot batches)."""
@@ -2430,6 +2485,8 @@ QUERIES: dict[str, tuple] = {
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),
+    "hll_distinct_events": (_q_hll_distinct, _hll_distinct_sql()),
     "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
     "heading_rollup": (_q_heading_rollup, _heading_sql()),
     "bbox_query": (_q_bbox, _SQL_BBOX),

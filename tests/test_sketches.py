@@ -1,0 +1,77 @@
+"""HLL sketch: register determinism, mergeability, estimator error."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    # 5000 distinct ids, each duplicated a varying number of times.
+    rows = [(f"id_{i}", "g") for i in range(5000) for _ in range(1 + i % 3)]
+    return spark.createDataFrame(rows, schema="v string, grp string")
+
+
+def _py_registers(values, p=9):
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b = h % (1 << p)
+        w = h >> p
+        rho = (60 - p) + 1 if w == 0 else (60 - p) - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_registers_match_python_md5_reference(spark, ids_df):
+    got = {
+        (r["bucket"]): r["rho"]
+        for r in sketches.hll_registers(ids_df, ["grp"], "v").collect()
+    }
+    exp = _py_registers([f"id_{i}" for i in range(5000)])
+    assert got == exp
+
+
+def test_registers_invariant_to_partitioning(spark, ids_df):
+    a = sketches.hll_registers(ids_df.repartition(1), ["grp"], "v").collect()
+    b = sketches.hll_registers(ids_df.repartition(16), ["grp"], "v").collect()
+    assert sorted((r["bucket"], r["rho"]) for r in a) == sorted(
+        (r["bucket"], r["rho"]) for r in b
+    )
+
+
+def test_registers_merge_associatively(spark, ids_df):
+    """Sketch states from disjoint scans merge by groupBy(bucket)→max(rho)
+    into exactly the whole-data state — the property that makes per-day /
+    per-tile rollups free."""
+    half1 = ids_df.filter(F.crc32("v") % 2 == 0)
+    half2 = ids_df.filter(F.crc32("v") % 2 == 1)
+    merged = (
+        sketches.hll_registers(half1, ["grp"], "v")
+        .unionByName(sketches.hll_registers(half2, ["grp"], "v"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    whole = sketches.hll_registers(ids_df, ["grp"], "v").collect()
+    assert sorted((r["bucket"], r["rho"]) for r in merged) == sorted(
+        (r["bucket"], r["rho"]) for r in whole
+    )
+
+
+def test_estimate_error_bound(spark, ids_df):
+    est = sketches.hll_estimate(ids_df, ["grp"], "v").collect()[0]["approx_distinct"]
+    rel = abs(est - 5000) / 5000
+    assert rel < 3 * sketches.hll_error_bound(9)
+
+
+def test_estimate_small_range_linear_counting(spark):
+    df = spark.createDataFrame(
+        [(f"x_{i}", "g") for i in range(40)], schema="v string, grp string"
+    )
+    est = sketches.hll_estimate(df, ["grp"], "v").collect()[0]["approx_distinct"]
+    assert abs(est - 40) / 40 < 0.15
