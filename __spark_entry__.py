@@ -139,6 +139,46 @@ def _morton_sql() -> str:
     """
 
 
+def _q_geohash_cells(spark, sf_dir):
+    """Geohash base32 trie keys (geo/curve.py geohash8_col) — the fourth
+    index family: string prefixes form the multi-resolution cell
+    hierarchy (substr rollups, prefix-range scans).  Pure JVM bit-spread
+    + element_at lookup; lon/lat recovered from imps with the same op
+    order as coords_precision7."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    lon = mercator.lon_from_x_col(F.col("x"))
+    lat = mercator.lat_from_y_col(F.col("y"))
+    return (
+        df.select(
+            F.col("o_orderkey").alias("key"),
+            curve.geohash8_col(lon, lat).alias("gh"),
+            F.substring(curve.geohash8_col(lon, lat), 1, 4).alias("gh4"),
+        )
+        .orderBy("key")
+    )
+
+
+def _geohash_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    import math
+
+    c1 = repr(2 * math.pi / W)
+    c2 = repr(360 / math.pi)
+    lon = f"(cast(x as double) * 360 / {W!r})"
+    lat = f"(atan(exp(cast(y as double) * {c1})) * {c2} - 90)"
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      zt as (select o_orderkey, {curve.geohash_z_sql(lon, lat)} as z from pts)
+      select o_orderkey as key,
+             {curve.geohash_chars_sql('z')} as gh,
+             substr({curve.geohash_chars_sql('z')}, 1, 4) as gh4
+      from zt order by key
+    """
+
+
 def _q_hilbert_cells(spark, sf_dir):
     """Hilbert-curve cell ids — the S2-style clustering key
     (geo/curve.hilbert_cell_cols): consecutive ids are ALWAYS
@@ -2505,6 +2545,7 @@ QUERIES: dict[str, tuple] = {
     "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
     "morton_cells": (_q_morton_cells, _morton_sql()),
     "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
+    "geohash_cells": (_q_geohash_cells, _geohash_sql()),
     "hex_cells": (_q_hex_cells, _hex_sql()),
     "hex_kring_smooth": (_q_hex_kring, _hex_kring_sql()),
     "hex_polyfill": (_q_hex_polyfill, _hex_polyfill_sql()),

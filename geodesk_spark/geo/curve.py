@@ -146,6 +146,115 @@ def hilbert_cell_cols(df, x_col: str, y_col: str, zoom: int, out: str = "hcell")
     return df.drop("_hx", "_hy", "_hd", "_rx", "_ry", "_hxf", "_hyf", "_hx2", "_hy2")
 
 
+# --- Geohash (the base32 trie key) ------------------------------------------
+#
+# The fourth named index family: geohash interleaves lon/lat bins into a
+# base32 string whose PREFIXES form a spatial trie — equal-prefix grouping
+# is a coarser cell, so one string column supports multi-resolution
+# rollups (substr) and prefix-range scans, complementing morton (int
+# sort key), hilbert (adjacency) and hex (isotropic neighborhoods).
+# 8 chars = 40 bits = 20 bits/axis (~19 m × 38 m at the equator).
+# Same contract as the others: numpy kernel, pure-Column builder and
+# portable SQL twin run the identical op sequence, bit-for-bit.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# 20-bit spread over int64 (5 steps; the 16-bit _SPREAD plus a leading
+# 16-shift step with 64-bit masks).
+_SPREAD20 = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _bin20(deg: np.ndarray, lo: float, width: float) -> np.ndarray:
+    """floor((deg - lo) / width * 2^20), clamped to the 20-bit range.
+    Op order is the parity contract — (deg+offset)/width first, then
+    scale, then floor."""
+    u = (np.asarray(deg, dtype=np.float64) - lo) / width
+    b = np.floor(u * 1048576.0).astype(np.int64)
+    return np.clip(b, 0, 1048575)
+
+
+def _spread20(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.int64) & 0xFFFFF
+    for shift, mask in _SPREAD20:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def geohash8(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """8-char geohash per point (numpy, vectorized)."""
+    z = (_spread20(_bin20(lon, -180.0, 360.0)) << 1) | _spread20(
+        _bin20(lat, -90.0, 180.0)
+    )
+    idx = np.stack([(z >> (35 - 5 * k)) & 31 for k in range(8)], axis=1)
+    lut = np.array(list(GEOHASH_ALPHABET))
+    return np.array(["".join(row) for row in lut[idx]])
+
+
+def geohash8_col(lon_col, lat_col):
+    """Pure-Column geohash (JVM, no UDF): bit-spread + base32 lookup via
+    element_at over the alphabet array."""
+    from pyspark.sql import functions as F
+
+    def bin20(deg, lo, width):
+        u = (deg.cast("double") - F.lit(lo)) / F.lit(width)
+        b = F.floor(u * F.lit(1048576.0)).cast("long")
+        return F.least(F.greatest(b, F.lit(0).cast("long")), F.lit(1048575).cast("long"))
+
+    def spread(v):
+        v = v.bitwiseAND(F.lit(0xFFFFF))
+        for shift, mask in _SPREAD20:
+            v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+        return v
+
+    z = F.shiftleft(spread(bin20(lon_col, -180.0, 360.0)), 1).bitwiseOR(
+        spread(bin20(lat_col, -90.0, 180.0))
+    )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(alphabet, (F.shiftright(z, 35 - 5 * k).bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for k in range(8)
+    ]
+    return F.concat(*chars)
+
+
+def _spread20_sql(expr: str) -> str:
+    out = f"(({expr}) & 1048575)"
+    for shift, mask in _SPREAD20:
+        out = f"((({out} | ({out} << {shift}))) & {mask})"
+    return out
+
+
+def geohash_z_sql(lon_sql: str, lat_sql: str) -> str:
+    """Portable SQL for the 40-bit interleave (DuckDB oracle side).
+    The spread chain duplicates its operand per step, so compute z ONCE
+    (in a CTE) and extract chars from the named column."""
+
+    def bin20(deg, lo, width):
+        u = f"((({deg}) - ({lo!r})) / {width!r})"
+        b = f"cast(floor({u} * 1048576.0) as bigint)"
+        return f"least(greatest({b}, 0), 1048575)"
+
+    return (
+        f"(({_spread20_sql(bin20(lon_sql, -180.0, 360.0))} << 1) | "
+        f"{_spread20_sql(bin20(lat_sql, -90.0, 180.0))})"
+    )
+
+
+def geohash_chars_sql(z_sql: str) -> str:
+    """base32 string from a (cheap, e.g. column-reference) z expression."""
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', cast(((({z_sql}) >> {35 - 5 * k}) & 31) as int) + 1, 1)"
+        for k in range(8)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
 def hilbert_sql(x_sql: str, y_sql: str, zoom: int) -> str:
     """DuckDB twin of hilbert_cell: one chained CTE per level running the
     identical rotation steps."""

@@ -241,3 +241,57 @@ def test_hilbert_cell_properties_and_parity(spark):
         .reset_index(drop=True)
     )
     assert (got["hcell"].to_numpy() == want["w"].to_numpy()).all()
+
+
+def test_geohash_golden_vectors_and_parity(spark):
+    """Known geohash.org vectors; prefix-trie property; numpy vs Column
+    vs DuckDB-SQL three-way bit parity."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import curve
+
+    # Classic published vectors (8-char truncation of the full hash).
+    vecs = [
+        (-5.603, 42.605, "ezs42"),
+        (10.40744, 57.64911, "u4pruydq"),
+        (13.361389, 38.115556, "sqc8b49r"),
+    ]
+    got = curve.geohash8(np.array([v[0] for v in vecs]), np.array([v[1] for v in vecs]))
+    for (_, _, exp), g in zip(vecs, got):
+        assert g.startswith(exp)
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(-85, 85, 3000)
+    ref = curve.geohash8(lon, lat)
+
+    # Prefix-trie: equal 4-char prefixes iff equal 20-bit truncated bins.
+    z20 = (curve._spread20(curve._bin20(lon, -180.0, 360.0)) << 1) | curve._spread20(
+        curve._bin20(lat, -90.0, 180.0)
+    )
+    pre = np.array([s[:4] for s in ref])
+    by_bits = {}
+    for p, b in zip(pre.tolist(), (z20 >> 20).tolist()):
+        by_bits.setdefault(b, set()).add(p)
+    assert all(len(s) == 1 for s in by_bits.values())
+
+    # Column parity.
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got_col = [
+        r["gh"]
+        for r in sdf.select(
+            curve.geohash8_col(F.col("lon"), F.col("lat")).alias("gh")
+        ).collect()
+    ]
+    assert got_col == ref.tolist()
+
+    # DuckDB twin parity.
+    duckdb.register("ghp", pd.DataFrame({"lon": lon, "lat": lat}))
+    q = (
+        f"with z as (select {curve.geohash_z_sql('lon', 'lat')} as z from ghp) "
+        f"select {curve.geohash_chars_sql('z')} as gh from z"
+    )
+    assert [r[0] for r in duckdb.sql(q).fetchall()] == ref.tolist()
