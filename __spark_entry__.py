@@ -293,6 +293,67 @@ def _hex_polyfill_sql() -> str:
     """
 
 
+_VT_CX = 7919 * 524287
+_VT_CY = 104729 * 99991
+
+
+def _vt_lines(spark, sf_dir):
+    """Synthetic polylines (integer arithmetic only — bit-exact in every
+    engine): 200 lines, vertices clustered ±200k imps around a per-line
+    center so coarse-grid quantization actually elides vertices."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    lid = k % 200
+    cx = (lid * F.lit(_VT_CX)) % F.lit(4000000001) - F.lit(2000000000)
+    cy = (lid * F.lit(_VT_CY)) % F.lit(3000000001) - F.lit(1500000000)
+    vx = cx + (k * F.lit(104729)) % F.lit(400001) - F.lit(200000)
+    vy = cy + (k * F.lit(95989)) % F.lit(400001) - F.lit(200000)
+    return o.select(
+        lid.alias("line_id"), k.alias("seq"),
+        vx.cast("int").alias("x"), vy.cast("int").alias("y"),
+    )
+
+
+def _q_vector_tile_encode(spark, sf_dir):
+    """MVT-style vector-tile encode (tiles_sink.quantize_for_tiles):
+    tile-local integer quantization + consecutive-duplicate elision —
+    the binary-tile counterpart of render_tiles' GeoJSON output.  Pure
+    JVM integer ops; the window shuffle doubles as the tile-writer
+    partitioning."""
+    from geodesk_spark.operators import tiles_sink
+
+    return tiles_sink.quantize_for_tiles(
+        _vt_lines(spark, sf_dir), zoom=7, extent=256
+    )
+
+
+def _vector_tile_sql() -> str:
+    sh = 32 - 7
+    lxq = f"((x + 2147483648 - (((x + 2147483648) >> {sh}) << {sh})) * 256) >> {sh}"
+    lyq = f"((2147483647 - y - (((2147483647 - y) >> {sh}) << {sh})) * 256) >> {sh}"
+    return f"""
+      with lines as (
+        select o_orderkey % 200 as line_id, o_orderkey as seq,
+               ((o_orderkey % 200) * {_VT_CX}) % 4000000001 - 2000000000
+                 + (o_orderkey * 104729) % 400001 - 200000 as x,
+               ((o_orderkey % 200) * {_VT_CY}) % 3000000001 - 1500000000
+                 + (o_orderkey * 95989) % 400001 - 200000 as y
+        from orders),
+      q as (select line_id, seq,
+               (x + 2147483648) >> {sh} as tcol,
+               (2147483647 - y) >> {sh} as trow,
+               {lxq} as qx, {lyq} as qy
+            from lines),
+      l as (select *, lag(qx) over w as pqx, lag(qy) over w as pqy from q
+            window w as (partition by line_id, tcol, trow order by seq)),
+      kept as (select * from l where pqx is null or qx != pqx or qy != pqy)
+      select line_id, tcol, trow,
+             cast(row_number() over (partition by line_id, tcol, trow order by seq) as int) as seq_out,
+             cast(qx as int) as qx, cast(qy as int) as qy
+      from kept
+    """
+
+
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
     lon/lat recovered from imps, rounded to 7 decimals."""
@@ -2554,6 +2615,7 @@ QUERIES: dict[str, tuple] = {
     "images_decode_stats": (_q_images_decode, None),  # synthetic payload — rows-only
     "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
     "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
+    "vector_tile_encode": (_q_vector_tile_encode, _vector_tile_sql()),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),

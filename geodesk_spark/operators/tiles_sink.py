@@ -249,3 +249,60 @@ def rasterize_counts(points: DataFrame, tile_col: str = "tile_z8"):
     from pyspark.sql import functions as F
 
     return points.groupBy(tile_col).agg(F.count("*").alias("n_points"))
+
+
+def quantize_for_tiles(
+    lines: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    line_id: str = "line_id",
+    seq: str = "seq",
+) -> DataFrame:
+    """The vector-tile ENCODE step (MVT-style): quantize polyline
+    vertices to tile-local integer coordinates and drop consecutive
+    duplicates.
+
+    Vector tile formats store geometry as small ints on a per-tile
+    ``extent`` × ``extent`` grid (MVT: 4096); after quantization,
+    consecutive vertices that land on the same grid point are redundant
+    and every encoder elides them — that elision is what makes coarse-
+    zoom tiles small.  The reference's vector output (GeoJSON in
+    render_tiles, precision-7 floats) keeps full precision; this is the
+    integer-grid counterpart used by binary tile pipelines.
+
+    All integer arithmetic, pure JVM: tile col/row by bit shift, local
+    offset by subtraction, grid snap by ``(local * extent) >> (32-zoom)``
+    (exact — no float enters), dedup + renumber by two narrow windows
+    partitioned on (line_id, tile).  One shuffle (the window partition),
+    which at scale is also exactly the partitioning the tile WRITER
+    needs, so the sort is reused downstream.
+
+    Input: (line_id, seq, x, y) int imps; output (line_id, tcol, trow,
+    seq_out, qx, qy) with seq_out a dense per-(line, tile) vertex index.
+    """
+    from pyspark.sql import Window, functions as F
+
+    step_shift = 32 - zoom
+    col = T.column_from_x_col(F.col("x"), zoom).cast("long")
+    row = T.row_from_y_col(F.col("y"), zoom).cast("long")
+    lx = F.col("x").cast("long") + F.lit(1 << 31).cast("long") - F.shiftleft(col, step_shift)
+    ly = F.lit((1 << 31) - 1).cast("long") - F.col("y").cast("long") - F.shiftleft(row, step_shift)
+    q = lines.select(
+        F.col(line_id).alias("line_id"),
+        F.col(seq).alias("_seq"),
+        col.alias("tcol"),
+        row.alias("trow"),
+        F.shiftright(lx * F.lit(extent).cast("long"), step_shift).cast("int").alias("qx"),
+        F.shiftright(ly * F.lit(extent).cast("long"), step_shift).cast("int").alias("qy"),
+    )
+    w = Window.partitionBy("line_id", "tcol", "trow").orderBy("_seq")
+    q = q.withColumn("_pqx", F.lag("qx").over(w)).withColumn("_pqy", F.lag("qy").over(w))
+    kept = q.filter(
+        F.col("_pqx").isNull()
+        | (F.col("qx") != F.col("_pqx"))
+        | (F.col("qy") != F.col("_pqy"))
+    )
+    w2 = Window.partitionBy("line_id", "tcol", "trow").orderBy("_seq")
+    return kept.withColumn("seq_out", F.row_number().over(w2)).select(
+        "line_id", "tcol", "trow", "seq_out", "qx", "qy"
+    )

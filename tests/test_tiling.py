@@ -125,3 +125,37 @@ def test_assign_zoom_rule():
     # World-spanning → root.
     copies = tiling.slow_assign(I32_MIN, I32_MIN, I32_MAX, I32_MAX)
     assert copies == [(0, 0, 0)]
+
+
+def test_quantize_for_tiles_dedup_and_grid(spark):
+    """Hand-built line: vertices 2,3 quantize onto vertex 1's grid point
+    (must elide), vertex 4 moves a pixel (must survive); tile-local
+    coordinates verified against integer arithmetic by hand."""
+    from geodesk_spark.operators import tiles_sink
+
+    zoom, extent = 7, 256
+    step = 1 << (32 - zoom)
+    px = step // extent  # imps per grid unit
+    base_x, base_y = 5 * step - (1 << 31) + 10 * px, (1 << 31) - 1 - (9 * step) - 3 * px
+    rows = [
+        # (seq, x, y): 3 in one pixel, then a pixel right, then next tile
+        (1, base_x, base_y),
+        (2, base_x + px // 3, base_y),
+        (3, base_x + px - 1, base_y - px // 2),
+        (4, base_x + px, base_y),
+        (5, base_x + step, base_y),
+    ]
+    df = spark.createDataFrame(
+        [(0, s, x, y) for s, x, y in rows], "line_id long, seq long, x int, y int"
+    )
+    got = sorted(
+        (r["tcol"], r["trow"], r["seq_out"], r["qx"], r["qy"])
+        for r in tiles_sink.quantize_for_tiles(df, zoom, extent).collect()
+    )
+    # Vertices 1-4 share tile (5, 9); 2 and 3 collapse into 1; 4 is a new
+    # grid point; 5 lands in tile (6, 9) with qx back at 10.
+    assert got == [
+        (5, 9, 1, 10, 3),
+        (5, 9, 2, 11, 3),
+        (6, 9, 1, 10, 3),
+    ]
