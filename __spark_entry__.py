@@ -2252,6 +2252,44 @@ def _sql_line_length() -> str:
     """
 
 
+_RESAMPLE_M = 25_000.0  # ~25 km spacing over ~100-300 km segments
+
+
+def _q_line_resample(spark, sf_dir):
+    """Densify lines: a point every 25 km along each derived segment
+    (geometry_ops.resample_along_segments) — shuffle-free JVM
+    sequence-explode with the reference's mid-latitude Mercator length
+    (Mercator.java:194-201)."""
+    from geodesk_spark.operators import geometry_ops
+
+    segs = tables.with_derived_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("fid"), "x1", "y1", "x2", "y2")
+    return geometry_ops.resample_along_segments(segs, _RESAMPLE_M)
+
+
+def _resample_sql() -> str:
+    len_m = _dist_sql("x1", "y1", "x2", "y2")
+    return f"""
+      with segs as ({_seg_sql_base()}),
+      m as (select fid, cast(x1 as double) as x1, cast(y1 as double) as y1,
+                   cast(x2 as double) as x2, cast(y2 as double) as y2,
+                   {len_m} as len_m from segs),
+      e as (select fid, x1, y1, x2, y2, len_m,
+                   unnest(generate_series(0, case when len_m > 0
+                     then cast(floor(len_m / {_RESAMPLE_M!r}) as int) else 0 end)) as pt_seq
+            from m)
+      select fid, cast(pt_seq as int) as pt_seq,
+             x1 + (case when len_m > 0
+                   then (cast(pt_seq as double) * {_RESAMPLE_M!r}) / len_m
+                   else 0.0 end) * (x2 - x1) as px,
+             y1 + (case when len_m > 0
+                   then (cast(pt_seq as double) * {_RESAMPLE_M!r}) / len_m
+                   else 0.0 end) * (y2 - y1) as py
+      from e
+    """
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
@@ -2630,6 +2668,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
+    "line_resample": (_q_line_resample, _resample_sql()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),

@@ -133,3 +133,31 @@ def test_custom_predicate_registry(spark, feats, prepared):
         assert got == want and len(want) > 0
     finally:
         predicates._CUSTOM.pop("centroid_within", None)
+
+
+def test_resample_along_segments(spark):
+    """Spacing is exactly every_m meters (Mercator metric), endpoints and
+    degenerate segments behave."""
+    import numpy as np
+
+    from geodesk_spark.geo import mercator
+    from geodesk_spark.operators import geometry_ops
+
+    segs = spark.createDataFrame(
+        [
+            (1, 0, 0, 3_000_000, 4_000_000),  # ~few hundred km
+            (2, 100, 200, 100, 200),          # zero-length
+        ],
+        "fid long, x1 int, y1 int, x2 int, y2 int",
+    )
+    out = geometry_ops.resample_along_segments(segs, 50_000.0).toPandas()
+    one = out[out.fid == 1].sort_values("pt_seq")
+    L = float(mercator.distance(0, 0, 3_000_000, 4_000_000)[()])
+    assert len(one) == int(L // 50_000) + 1
+    # consecutive resampled points are 50 km apart in the same metric
+    px, py = one.px.to_numpy(), one.py.to_numpy()
+    d = mercator.distance(px[:-1], py[:-1], px[1:], py[1:])
+    assert np.allclose(d, 50_000.0, rtol=1e-9)
+    two = out[out.fid == 2]
+    assert len(two) == 1 and two.pt_seq.iloc[0] == 0
+    assert two.px.iloc[0] == 100.0 and two.py.iloc[0] == 200.0
