@@ -2290,6 +2290,72 @@ def _resample_sql() -> str:
     """
 
 
+def _tri_vertex_exprs(key: str) -> list[tuple[str, str]]:
+    """Three derived vertices per key — an irregular triangle (the
+    simplest simple polygon with a non-trivial centroid).  Same
+    rational lon/lat recipe as every derived table, three decorrelated
+    key streams."""
+    ks = [key, f"(({key}) * 2 + 17)", f"(({key}) * 5 + 101)"]
+    return [
+        (
+            tables.x_expr(tables.lon_expr(k)),
+            tables.y_expr(tables.lat_expr(k)),
+        )
+        for k in ks
+    ]
+
+
+def _q_polygon_centroid(spark, sf_dir):
+    """Area-weighted polygon centroid (StoredFeature.java:473-479's
+    shoelace pass reused for centroid weights): rings as
+    array<struct<x,y>>, one transform + one struct-accumulator
+    aggregate — higher-order functions in whole-stage codegen, no UDF,
+    no shuffle (geometry_ops.ring_centroid_cols)."""
+    from geodesk_spark.operators import geometry_ops
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(x).cast("double").alias("x"),
+                F.expr(y).cast("double").alias("y"),
+            )
+            for x, y in _tri_vertex_exprs("o_orderkey")
+        ]
+    )
+    df = o.select(F.col("o_orderkey").alias("fid"), ring.alias("ring"))
+    a2, cx, cy = geometry_ops.ring_centroid_cols(F.col("ring"))
+    return (
+        df.select("fid", a2.alias("area2"), cx.alias("cx"), cy.alias("cy"))
+        .filter(F.col("area2") != 0.0)
+    )
+
+
+def _centroid_sql() -> str:
+    vs = _tri_vertex_exprs("o_orderkey")
+    cols = ", ".join(
+        f"cast({x} as double) as x{i}, cast({y} as double) as y{i}"
+        for i, (x, y) in enumerate(vs)
+    )
+    # edge terms in ring order (0→1, 1→2, 2→0), summed left-associatively
+    # to mirror the Spark aggregate's left fold exactly
+    return f"""
+      with pts as (select o_orderkey as fid, {cols} from orders),
+      t as (select fid,
+              (x0 * y1 - x1 * y0) as c0,
+              (x1 * y2 - x2 * y1) as c1,
+              (x2 * y0 - x0 * y2) as c2,
+              x0, y0, x1, y1, x2, y2 from pts),
+      s as (select fid,
+              (c0 + c1) + c2 as area2,
+              ((x0 + x1) * c0 + (x1 + x2) * c1) + (x2 + x0) * c2 as sx,
+              ((y0 + y1) * c0 + (y1 + y2) * c1) + (y2 + y0) * c2 as sy
+            from t)
+      select fid, area2, sx / (3.0 * area2) as cx, sy / (3.0 * area2) as cy
+      from s where area2 <> 0.0
+    """
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
@@ -2669,6 +2735,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "line_resample": (_q_line_resample, _resample_sql()),
+    "polygon_centroid": (_q_polygon_centroid, _centroid_sql()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),

@@ -44,6 +44,61 @@ def with_length_area(features: DataFrame) -> DataFrame:
     )
 
 
+def ring_centroid_cols(ring):
+    """Area-weighted centroid of a simple ring, 100% JVM-side.
+
+    ``ring`` is an ``array<struct<x:double,y:double>>`` of an OPEN ring
+    (no repeated closing vertex); edges wrap i → (i+1) mod n.  Returns
+    ``(area2, cx, cy)`` Columns — twice the signed shoelace area (imp²,
+    CCW positive) and the centroid in imp space:
+
+        c_i = x_i·y_j − x_j·y_i          (j = i+1 mod n)
+        a2  = Σ c_i                      (left fold, array order)
+        cx  = Σ (x_i + x_j)·c_i / (3·a2)
+        cy  = Σ (y_i + y_j)·c_i / (3·a2)
+
+    This is the reference's polygon centroid decomposition
+    (StoredFeature.java:473-479 computes the same shoelace pass for
+    area(); the centroid weights reuse each edge cross term).  One
+    ``transform`` + one struct-accumulator ``aggregate`` — higher-order
+    functions inside whole-stage codegen, no UDF, no shuffle.  The fold
+    is a left fold in array order, so an oracle that sums the same
+    terms left-associatively is bit-identical.  Degenerate rings
+    (a2 == 0) yield NULL centroids via ANSI x/0 — filter on a2 first.
+    """
+    from pyspark.sql import functions as F
+
+    n = F.size(ring)
+
+    def term(i):
+        p = F.element_at(ring, i + 1)
+        q = F.element_at(ring, ((i + 1) % n) + 1)
+        c = p.x * q.y - q.x * p.y
+        return F.struct(
+            c.alias("c"),
+            ((p.x + q.x) * c).alias("tx"),
+            ((p.y + q.y) * c).alias("ty"),
+        )
+
+    terms = F.transform(F.sequence(F.lit(0), n - 1), term)
+    zero = F.struct(
+        F.lit(0.0).alias("a2"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")
+    )
+    acc = F.aggregate(
+        terms,
+        zero,
+        lambda a, t: F.struct(
+            (a.a2 + t.c).alias("a2"),
+            (a.sx + t.tx).alias("sx"),
+            (a.sy + t.ty).alias("sy"),
+        ),
+    )
+    a2 = acc.a2
+    cx = acc.sx / (F.lit(3.0) * acc.a2)
+    cy = acc.sy / (F.lit(3.0) * acc.a2)
+    return a2, cx, cy
+
+
 def resample_along_segments(
     segs: DataFrame, every_m: float, id_col: str = "fid"
 ) -> DataFrame:

@@ -161,3 +161,58 @@ def test_resample_along_segments(spark):
     two = out[out.fid == 2]
     assert len(two) == 1 and two.pt_seq.iloc[0] == 0
     assert two.px.iloc[0] == 100.0 and two.py.iloc[0] == 200.0
+
+
+def test_ring_centroid_cols(spark):
+    """Golden shapes + numpy shoelace parity for the JVM centroid fold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.operators import geometry_ops
+
+    rng = np.random.default_rng(7)
+    rings = {
+        1: np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=np.float64),
+        # L-shape: known centroid (.(2x4 rect) + (2x2 square)) / area 12
+        2: np.array(
+            [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]], dtype=np.float64
+        ),
+        # clockwise square (negative area): centroid still the center
+        3: np.array([[0, 0], [0, 4], [4, 4], [4, 0]], dtype=np.float64),
+    }
+    # random convex rings (angle-sorted points)
+    for fid in range(4, 20):
+        pts = rng.uniform(-1e6, 1e6, size=(rng.integers(3, 9), 2))
+        ang = np.arctan2(pts[:, 1] - pts[:, 1].mean(), pts[:, 0] - pts[:, 0].mean())
+        rings[fid] = pts[np.argsort(ang)]
+
+    rows = [
+        (fid, [(float(x), float(y)) for x, y in r]) for fid, r in rings.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "fid long, ring array<struct<x:double,y:double>>"
+    )
+    a2, cx, cy = geometry_ops.ring_centroid_cols(F.col("ring"))
+    out = {
+        r["fid"]: r
+        for r in df.select(
+            "fid", a2.alias("a2"), cx.alias("cx"), cy.alias("cy")
+        ).collect()
+    }
+
+    assert out[1]["a2"] == 32.0 and out[1]["cx"] == 2.0 and out[1]["cy"] == 2.0
+    assert out[3]["a2"] == -32.0 and out[3]["cx"] == 2.0 and out[3]["cy"] == 2.0
+    # L-shape: area 12; centroid = (8*(2,1) + 4*(1,3)) / 12
+    assert out[2]["a2"] == 24.0
+    assert abs(out[2]["cx"] - 20 / 12) < 1e-12 and abs(out[2]["cy"] - 20 / 12) < 1e-12
+
+    for fid, r in rings.items():
+        x, y = r[:, 0], r[:, 1]
+        xj, yj = np.roll(x, -1), np.roll(y, -1)
+        c = x * yj - xj * y
+        a2_np = c.sum()
+        cx_np = ((x + xj) * c).sum() / (3.0 * a2_np)
+        cy_np = ((y + yj) * c).sum() / (3.0 * a2_np)
+        assert abs(out[fid]["a2"] - a2_np) < 1e-6 * max(1.0, abs(a2_np))
+        assert abs(out[fid]["cx"] - cx_np) < 1e-6 * max(1.0, abs(cx_np))
+        assert abs(out[fid]["cy"] - cy_np) < 1e-6 * max(1.0, abs(cy_np))
