@@ -1270,6 +1270,14 @@ _SQL_QUALITY = rf"""
 """
 
 
+def _q_bm25(spark, sf_dir):
+    """Top-3 BM25 keyword terms per document (text.bm25_topk): the
+    inverted-index build as three partial aggregations + one term join,
+    corpus constants as a broadcast 1-row frame — no driver collect."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.bm25_topk(d)
+
+
 def _q_langid(spark, sf_dir):
     d = tables.load_spread(spark, sf_dir, "documents")
     return text.lang_id(d).select("doc_id", "lang_pred", F.col("lang_score").cast("int").alias("lang_score"))
@@ -2731,6 +2739,7 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "text_quality": (_q_quality, _SQL_QUALITY),
+    "text_bm25_topk": (_q_bm25, text.bm25_oracle_sql()),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),

@@ -98,6 +98,98 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 keyword terms per document (Robertson/Sparck Jones;
+    the BM25+ idf form ln((N−df+0.5)/(df+0.5)+1) that stays positive).
+
+    Scale shape — the canonical inverted-index build as three partial
+    aggregations plus one join:
+
+      explode(tokens)                       map-side, no shuffle
+      → groupBy(doc_id, term) count         shuffle 1 (tf; map-combine)
+      → groupBy(doc_id) Σtf                 re-uses shuffle-1 partitioning
+      → groupBy(term) count                 shuffle 2 (document frequency)
+      tf ⋈ dl ⋈ dfreq                       term join: broadcast when the
+                                            vocab is dimension-sized, AQE
+                                            shuffle join at corpus scale
+      → window(doc_id) top-k                shuffle 3 (bounded: k rows out
+                                            per doc after rank filter)
+
+    Corpus constants (N, Σdl) reduce to a broadcast 1-row frame — no
+    driver collect, the whole plan is one Spark job.  Scores round to
+    6 dp so ordering and the oracle hash are ulp-stable across engines
+    (libm ln differs in the last ulp between JVM and DuckDB).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    terms = df.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    glob = (
+        dl.agg(F.sum("dl").alias("sum_dl"))
+        .crossJoin(F.broadcast(df.agg(F.count("*").alias("n_docs"))))
+    )
+    scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(F.broadcast(glob))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    score = F.round(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", F.col("tf").cast("int").alias("tf"), score.alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def bm25_oracle_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenization, same float
+    op ORDER (left-assoc, constants interpolated via repr so both
+    engines see the identical doubles)."""
+    return rf"""
+      with toks as (
+        select doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) as term
+        from documents where length(trim(text)) > 0
+      ),
+      tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+      dl as (select doc_id, sum(tf) as dl from tf group by 1),
+      dfreq as (select term, count(*) as dfreq from tf group by 1),
+      g as (select (select sum(dl) from dl) as sum_dl,
+                   (select count(*) from documents) as n_docs),
+      s as (
+        select tf.doc_id, tf.term, tf.tf,
+               round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                     * ((tf.tf * {k1 + 1.0!r})
+                        / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}
+                           * (dl.dl / (cast(sum_dl as double) / n_docs))))), 6)
+                 as score
+        from tf join dl using (doc_id) join dfreq using (term) cross join g
+      ),
+      r as (select *, row_number() over
+              (partition by doc_id order by score desc, term) as rnk from s)
+      select doc_id, term, cast(tf as int) as tf, score, cast(rnk as int) as rnk
+      from r where rnk <= {k}
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed text —
     the canonical exact-dup key."""

@@ -1,0 +1,50 @@
+"""Text-analysis operator unit tests (driver oracles cover the bulk;
+these pin the BM25 math on a hand-checkable corpus)."""
+
+import math
+
+from geodesk_spark.operators import text
+
+
+def test_bm25_topk_hand_corpus(spark):
+    docs = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.bm25_topk(df, k=2).toPandas().sort_values(["doc_id", "rnk"])
+
+    # every doc yields <= k rows, rnk is 1..n, terms unique per doc
+    for doc_id, grp in out.groupby("doc_id"):
+        assert list(grp.rnk) == list(range(1, len(grp) + 1))
+        assert grp.term.is_unique
+        # scores are non-increasing with rank
+        assert all(a >= b for a, b in zip(grp.score, grp.score[1:]))
+
+    def bm25(tf, dfreq, dl, n_docs=3, sum_dl=9, k1=1.2, b=0.75):
+        avgdl = sum_dl / n_docs
+        idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return round(idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))), 6)
+
+    got = {(r.doc_id, r.term): r.score for r in out.itertuples()}
+    # doc 1: apple (tf=2, df=1, dl=3) outranks banana (tf=1, df=2)
+    assert got[(1, "apple")] == bm25(2, 1, 3)
+    assert got[(1, "banana")] == bm25(1, 2, 3)
+    assert got[(1, "apple")] > got[(1, "banana")]
+    # doc 3: cherry tf=3 beats date tf=1 despite date's rarer idf? both present
+    assert got[(3, "cherry")] == bm25(3, 2, 4)
+    assert got[(3, "date")] == bm25(1, 1, 4)
+    # doc 2: ties on tf=1 → banana before cherry lexicographically
+    d2 = out[out.doc_id == 2]
+    assert list(d2.term) == sorted(d2.term, key=lambda t: (-got[(2, t)], t))
+
+
+def test_bm25_empty_and_whitespace_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only doc"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = text.bm25_topk(df, k=5).toPandas()
+    assert set(out.doc_id) == {1}
+    # N counts ALL documents (empty ones raise every idf)
+    assert len(out) == 2
