@@ -11,6 +11,7 @@ match bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -586,6 +587,91 @@ def _distance_join_sql() -> str:
     return f"""
       with pts as ({_DERIVED_SQL})
       select * from ({u}) order by key, target_id
+    """
+
+
+SNAP_M = 600_000.0
+
+
+def _q_snap_segments(spark, sf_dir):
+    """Map matching: snap customer points to the nearest supplier-derived
+    segment within 600 km (knn.snap_to_segments — one broadcast join +
+    one bounded window; clamped int64 projection, exact Mercator foot
+    distance)."""
+    pts = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+    )
+    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "supplier"), "s_suppkey")
+    out = knn_mod.snap_to_segments(
+        pts.select(F.col("c_custkey").alias("key"), "x", "y"),
+        segs.select(F.col("s_suppkey").alias("seg_id"), "x1", "y1", "x2", "y2"),
+        SNAP_M,
+        point_id="key",
+        seg_id="seg_id",
+    )
+    return out.select(
+        "key", "seg_id", "t",
+        F.round("sx", 4).alias("sx"), F.round("sy", 4).alias("sy"),
+        F.round("dist_m", 4).alias("dist_m"),
+    )
+
+
+def _snap_sql() -> str:
+    ddx, ddy = tables.segment_delta_exprs("s_suppkey")
+    # delta_from_meters_col(M, py) * slack — same op order as the Column
+    t_s = f"(cast(py as double) * {2 * math.pi / W!r})"
+    scale = f"((exp({t_s}) + exp(-{t_s})) / 2)"
+    delta = f"((cast({SNAP_M!r} as double) * {W!r} / {EC!r} * {scale}) * 1.5)"
+    return f"""
+      with pts as (
+        select c_custkey as key,
+               {x_expr(lon_expr("c_custkey"))} as px,
+               {y_expr(lat_expr("c_custkey"))} as py
+        from customer
+      ),
+      segs as (
+        select s_suppkey as seg_id, x as x1, y as y1,
+               least(greatest(x + {ddx}, -2147483648), 2147483647) as x2,
+               least(greatest(y + {ddy}, -2147483648), 2147483647) as y2
+        from (select s_suppkey,
+                     {x_expr(lon_expr("s_suppkey"))} as x,
+                     {y_expr(lat_expr("s_suppkey"))} as y
+              from supplier) sp
+      ),
+      cand as (
+        select key, seg_id, px, py, x1, y1, x2, y2,
+               (x2 - x1) as abx, (y2 - y1) as aby,
+               (px - x1) as apx, (py - y1) as apy
+        from pts, segs
+        where px >= least(x1, x2) - {delta} and px <= greatest(x1, x2) + {delta}
+          and py >= least(y1, y2) - {delta} and py <= greatest(y1, y2) + {delta}
+      ),
+      tt as (
+        select key, seg_id, px, py, x1, y1, abx, aby,
+               case when (abx * abx + aby * aby) = 0 then 0.0
+                    else least(greatest((apx * abx + apy * aby)
+                                        / (abx * abx + aby * aby), 0.0), 1.0)
+               end as t
+        from cand
+      ),
+      sn as (
+        select key, seg_id, t,
+               x1 + t * abx as sx, y1 + t * aby as sy, px, py
+        from tt
+      ),
+      d as (
+        select key, seg_id, t, sx, sy,
+               {_dist_sql('px', 'py', 'sx', 'sy')} as dist_m
+        from sn
+      ),
+      r as (
+        select *, row_number() over
+                 (partition by key order by dist_m asc, seg_id asc) as rnk
+        from d where dist_m <= {SNAP_M!r}
+      )
+      select key, seg_id, t, round(sx, 4) as sx, round(sy, 4) as sy,
+             round(dist_m, 4) as dist_m
+      from r where rnk = 1
     """
 
 
@@ -2731,6 +2817,7 @@ QUERIES: dict[str, tuple] = {
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),
+    "snap_to_segments": (_q_snap_segments, _snap_sql()),
     "asof_join_events": (_q_asof_join, _SQL_ASOF),
     # ~2 s tier
     "pip_join": (_q_pip, _SQL_PIP),

@@ -286,3 +286,78 @@ def distance_join(
         .filter(F.col("dist_m") <= meters)
         .select(id_col, "target_id", "dist_m")
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    meters: float,
+    point_id: str = "image_id",
+    seg_id: str = "seg_id",
+    slack: float = 1.5,
+) -> DataFrame:
+    """Map-matching primitive: snap each point to the nearest segment
+    within ``meters`` → (point_id, seg_id, t, sx, sy, dist_m).
+
+    Extends the reference's radius filter (PointDistanceFilter.java:
+    28-122) from point targets to a segment layer: the foot point is
+    the clamped projection onto the segment *in imp space* — Mercator
+    is conformal, so the local scale is isotropic and the imp-space
+    projection IS the metric projection for segments short relative to
+    their latitude span — then the exact Mercator distance to that foot
+    point (Mercator.java:194-201).
+
+    Plan shape: ONE broadcast join (the segment layer is dimension-
+    sized; for planet-scale layers use the cell-blocked ``distance_join``
+    candidates instead), candidate filter = segment bbox expanded by
+    ``delta_from_meters(meters, point_y) × slack`` — a strict superset
+    of the radius ball whenever cosh(y_seg)/cosh(y_pt) ≤ slack, i.e.
+    for any sane radius — then argmin per point via one bounded window
+    (tie-break on seg id).  Dot products stay in exact int64 (|Δseg| ≤
+    2²⁶ imps for derived layers keeps them < 2⁶⁰); the t = dot/len²
+    division is the only float step before the distance itself, so an
+    oracle mirroring the op order is hash-exact.
+    """
+    p = points.select(
+        point_id, F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    s = segs.select(
+        seg_id, "x1", "y1", "x2", "y2",
+        F.least("x1", "x2").alias("_sminx"),
+        F.greatest("x1", "x2").alias("_smaxx"),
+        F.least("y1", "y2").alias("_sminy"),
+        F.greatest("y1", "y2").alias("_smaxy"),
+    )
+    delta = mercator.delta_from_meters_col(
+        F.lit(float(meters)), F.col("py")
+    ) * F.lit(float(slack))
+    cand = p.join(
+        F.broadcast(s),
+        (F.col("px") >= F.col("_sminx") - delta)
+        & (F.col("px") <= F.col("_smaxx") + delta)
+        & (F.col("py") >= F.col("_sminy") - delta)
+        & (F.col("py") <= F.col("_smaxy") + delta),
+    )
+    abx, aby = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    apx, apy = F.col("px") - F.col("x1"), F.col("py") - F.col("y1")
+    dot = apx * abx + apy * aby
+    len2 = abx * abx + aby * aby
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
+    )
+    sx = F.col("x1") + t * abx
+    sy = F.col("y1") + t * aby
+    snapped = cand.select(
+        point_id,
+        seg_id,
+        t.alias("t"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        mercator.distance_col(F.col("px"), F.col("py"), sx, sy).alias("dist_m"),
+    ).filter(F.col("dist_m") <= meters)
+    w = Window.partitionBy(point_id).orderBy(F.asc("dist_m"), F.asc(seg_id))
+    return (
+        snapped.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

@@ -166,3 +166,54 @@ def test_bbox_query_pushdown(world):
     plan = q._jdf.queryExecution().executedPlan().toString()
     # The bbox predicate must sit in the scan stage, not behind an exchange.
     assert "Exchange" not in plan
+
+
+def test_snap_to_segments_bruteforce(world):
+    """The bbox+slack prefilter must never drop the true argmin segment:
+    full numpy brute force over every (point, segment) pair."""
+    df, pdf = world
+    rng = np.random.default_rng(11)
+    n_seg = 60
+    sx1 = rng.integers(-2_000_000_000, 2_000_000_000, n_seg)
+    sy1 = rng.integers(-1_500_000_000, 1_500_000_000, n_seg)
+    sx2 = sx1 + rng.integers(-(1 << 24), 1 << 24, n_seg)
+    sy2 = sy1 + rng.integers(-(1 << 24), 1 << 24, n_seg)
+    sx2[0], sy2[0] = sx1[0], sy1[0]  # one degenerate (point) segment
+    segs = df.sparkSession.createDataFrame(
+        [(int(i), int(sx1[i]), int(sy1[i]), int(sx2[i]), int(sy2[i])) for i in range(n_seg)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    meters = 900_000.0
+    got = {
+        r["image_id"]: (r["seg_id"], r["t"], r["dist_m"])
+        for r in knn_mod.snap_to_segments(
+            df.limit(3000), segs, meters, point_id="image_id"
+        ).collect()
+    }
+
+    px = pdf["x"].to_numpy()[:3000].astype(np.float64)
+    py = pdf["y"].to_numpy()[:3000].astype(np.float64)
+    ids = pdf["image_id"].to_numpy()[:3000]
+    abx = (sx2 - sx1).astype(np.float64)
+    aby = (sy2 - sy1).astype(np.float64)
+    len2 = abx * abx + aby * aby
+    n_checked = 0
+    for i in range(len(px)):
+        apx = px[i] - sx1
+        apy = py[i] - sy1
+        dot = apx * abx + apy * aby
+        t = np.where(len2 == 0, 0.0, np.clip(np.divide(dot, np.where(len2 == 0, 1, len2)), 0, 1))
+        cx = sx1 + t * abx
+        cy = sy1 + t * aby
+        d = mercator.distance(px[i], py[i], cx, cy)
+        j = int(np.argmin(d))
+        if d[j] <= meters:
+            n_checked += 1
+            want = (j, float(t[j]), float(d[j]))
+            have = got[ids[i]]
+            assert have[0] == want[0], (ids[i], have, want)
+            assert abs(have[1] - want[1]) < 1e-9
+            assert abs(have[2] - want[2]) < 1e-6 * max(1.0, want[2])
+        else:
+            assert ids[i] not in got
+    assert n_checked > 20  # the radius actually matched a useful subset
