@@ -945,6 +945,140 @@ def _hll_distinct_sql() -> str:
     """
 
 
+CMS_W, CMS_D = 128, 4
+CMS_PROBES = [str(u) for u in range(20)]
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def _q_cms_registers(spark, sf_dir):
+    """Count-min register table per event_type (operators/sketches.py):
+    the mergeable frequency sketch — ≤ d·w counter rows per key after
+    map-side combine, element-wise-ADD merge across partitions/days."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.cms_registers(
+        e, ["event_type"], "cast(user_id as string)", w=CMS_W, d=CMS_D
+    ).select("event_type", "j", "col", "cnt")
+
+
+def _cms_registers_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.cms_hash_sqls("v", CMS_W, CMS_D)
+    ex = " union all ".join(
+        f"select event_type, {j} as j, {h} as col from v" for j, h in enumerate(hs)
+    )
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      ex as ({ex})
+      select event_type, cast(j as int) as j, cast(col as int) as col,
+             count(*) as cnt
+      from ex group by 1, 2, 3
+    """
+
+
+def _q_cms_estimate(spark, sf_dir):
+    """Point-frequency reads off the CMS: registers ⋈ broadcast probe
+    hashes → min over depths.  Estimates are integer-exact reproducible
+    (portable md5 rows), over-count-only by construction."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    probe = spark.createDataFrame([(v,) for v in CMS_PROBES], "pv string")
+    return sketches.cms_estimate(
+        e, ["event_type"], "cast(user_id as string)", probe, "pv",
+        w=CMS_W, d=CMS_D,
+    ).select("event_type", "probe_value", "est_count")
+
+
+def _cms_estimate_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.cms_hash_sqls("v", CMS_W, CMS_D)
+    ex = " union all ".join(
+        f"select event_type, {j} as j, {h} as col from v" for j, h in enumerate(hs)
+    )
+    ps = sketches.cms_hash_sqls("pv", CMS_W, CMS_D)
+    pex = " union all ".join(
+        f"select pv, {j} as j, {h} as col from probe" for j, h in enumerate(ps)
+    )
+    vals = ", ".join(f"('{v}')" for v in CMS_PROBES)
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      ex as ({ex}),
+      regs as (select event_type, j, col, count(*) as cnt from ex group by 1, 2, 3),
+      probe as (select * from (values {vals}) t(pv)),
+      pex as ({pex})
+      select regs.event_type, pex.pv as probe_value, min(regs.cnt) as est_count
+      from regs join pex on regs.j = pex.j and regs.col = pex.col
+      group by 1, 2
+    """
+
+
+def _q_bloom_bits(spark, sf_dir):
+    """Build-side Bloom filter over the order-holding customer keys —
+    ≤ m rows whatever the input scale, broadcastable, union-mergeable."""
+    from geodesk_spark.operators import sketches
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    return sketches.bloom_bits(
+        o, "cast(o_custkey as string)", m=BLOOM_M, k=BLOOM_K
+    ).select(F.col("bit_idx").cast("int").alias("bit_idx"))
+
+
+def _bloom_ex_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.bloom_hash_sqls("v", BLOOM_M, BLOOM_K)
+    return " union all ".join(f"select {h} as bit_idx from v" for h in hs)
+
+
+def _bloom_bits_sql() -> str:
+    return f"""
+      with v as (select cast(o_custkey as string) as v from orders),
+      ex as ({_bloom_ex_sql()})
+      select distinct cast(bit_idx as int) as bit_idx from ex
+    """
+
+
+def _q_bloom_prune(spark, sf_dir):
+    """Bloom semi-join pruning: flag every customer whose key MIGHT be in
+    orders — the broadcast pre-shuffle prune for 10^12-row probe sides.
+    False positives are deterministic (same md5 bit math in any engine),
+    so the oracle reproduces the exact candidate set, not just the true
+    members."""
+    from geodesk_spark.operators import sketches
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    c = tables.load_spread(spark, sf_dir, "customer").select("c_custkey")
+    bits = sketches.bloom_bits(o, "cast(o_custkey as string)", m=BLOOM_M, k=BLOOM_K)
+    out = sketches.bloom_might_contain(
+        c, bits, "cast(c_custkey as string)", m=BLOOM_M, k=BLOOM_K
+    )
+    return out.select("c_custkey", F.col("might_contain").cast("int").alias("might_contain"))
+
+
+def _bloom_prune_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    ps = sketches.bloom_hash_sqls("pv", BLOOM_M, BLOOM_K)
+    pex = " union all ".join(
+        f"select c_custkey, {h} as bit from p" for h in ps
+    )
+    return f"""
+      with v as (select cast(o_custkey as string) as v from orders),
+      ex as ({_bloom_ex_sql()}),
+      bits as (select distinct bit_idx from ex),
+      p as (select c_custkey, cast(c_custkey as string) as pv from customer),
+      pex as ({pex})
+      select pex.c_custkey,
+             cast((count(b.bit_idx) = {BLOOM_K}) as int) as might_contain
+      from pex left join bits b on pex.bit = b.bit_idx
+      group by 1
+    """
+
+
 def _q_events_hourly(spark, sf_dir):
     """Batch-incremental windowed aggregation over the events stream table
     (the reference has no streaming; SURVEY §2.7 maps to snapshot batches)."""
@@ -2785,6 +2919,10 @@ QUERIES: dict[str, tuple] = {
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),
+    "cms_registers_events": (_q_cms_registers, _cms_registers_sql()),
+    "cms_user_estimates": (_q_cms_estimate, _cms_estimate_sql()),
+    "bloom_bits_orders": (_q_bloom_bits, _bloom_bits_sql()),
+    "bloom_prune_customers": (_q_bloom_prune, _bloom_prune_sql()),
     "hll_distinct_events": (_q_hll_distinct, _hll_distinct_sql()),
     "agg_pricing_summary": (_q_agg_pricing, _SQL_AGG_PRICING),
     "heading_rollup": (_q_heading_rollup, _heading_sql()),

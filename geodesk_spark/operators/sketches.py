@@ -121,3 +121,127 @@ def hll_estimate(
 
 def hll_error_bound(p: int = 9) -> float:
     return 1.04 / math.sqrt(1 << p)
+
+
+# --- Count-min sketch --------------------------------------------------------
+
+def cms_hash_sqls(col: str, w: int, d: int, salt: str = "cms") -> list[str]:
+    """d portable row-hash SQL fragments: md5 over a per-depth salted
+    value, reduced mod the sketch width.  Identical text runs in DuckDB,
+    so the register counts are integer-exact across engines."""
+    out = []
+    for j in range(d):
+        salted = f"concat('{salt}{j}:', {col})"
+        out.append(f"({h60_sql(salted)} % {w})")
+    return out
+
+
+def cms_registers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    w: int = 128,
+    d: int = 4,
+) -> DataFrame:
+    """Per-key count-min register table (keys…, j, col, cnt).
+
+    The frequency twin of the HLL sketch above: each partition reduces
+    to ≤ d·w counter rows per key before the shuffle (map-side
+    combine), register tables merge by element-wise ADD — the mergeable
+    heavy-hitter / frequency primitive for 10^12-row streams (Cormode &
+    Muthukrishnan 2005).  Estimate(v) = min_j cnt[j, hash_j(v)],
+    biased high only (never under-counts) — pinned in
+    tests/test_sketches.py along with merge associativity."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.expr(sql).cast("int").alias("col")
+            )
+            for j, sql in enumerate(cms_hash_sqls(value_col, w, d))
+        ]
+    )
+    ex = df.withColumn("_h", F.explode(arr))
+    return (
+        ex.groupBy(*keys, F.col("_h.j").alias("j"), F.col("_h.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    w: int = 128,
+    d: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for every probe value: build the
+    register table, then ONE broadcast join of the probes' d hash
+    columns against it and a min over depths.  Probe side is dimension-
+    sized by construction (you ask about specific values); the register
+    table is ≤ keys·d·w rows regardless of input scale."""
+    regs = cms_registers(df, keys, value_col, w, d)
+    parr = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(sql).cast("int").alias("col"))
+            for j, sql in enumerate(cms_hash_sqls(probe_col, w, d))
+        ]
+    )
+    probes = probe.withColumn("_h", F.explode(parr)).select(
+        F.col(probe_col).alias("probe_value"),
+        F.col("_h.j").alias("j"),
+        F.col("_h.col").alias("col"),
+    )
+    joined = regs.join(F.broadcast(probes), ["j", "col"])
+    return joined.groupBy(*keys, "probe_value").agg(
+        F.min("cnt").alias("est_count")
+    )
+
+
+# --- Bloom filter ------------------------------------------------------------
+
+def bloom_hash_sqls(col: str, m: int, k: int, salt: str = "blm") -> list[str]:
+    """k portable bit positions in [0, m) for ``col``."""
+    out = []
+    for i in range(k):
+        salted = f"concat('{salt}{i}:', {col})"
+        out.append(f"({h60_sql(salted)} % {m})")
+    return out
+
+
+def bloom_bits(
+    df: DataFrame, value_col: str, m: int = 8192, k: int = 4
+) -> DataFrame:
+    """Build-side Bloom filter as a sorted distinct-bit table (bit_idx).
+
+    ≤ m rows however large the build input — broadcastable, mergeable
+    by union+distinct.  The row form keeps the state engine-portable
+    (bit-exact oracle); a 64-bit-word-packed variant is a trivial
+    groupBy(bit_idx // 64) fold on top when wire size matters."""
+    pos = F.array(*[F.expr(s).cast("int") for s in bloom_hash_sqls(value_col, m, k)])
+    return df.select(F.explode(pos).alias("bit_idx")).distinct()
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    k: int = 4,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Adds ``out_col``: true iff ALL k bit positions of the probe value
+    are set.  The scale use is semi-join pruning: broadcast the ≤ m-row
+    bit table and drop the (1 − fp-rate) majority of a 10^12-row probe
+    side BEFORE any shuffle — false positives are deterministic
+    (identical md5 math in any engine), so an oracle reproduces the
+    exact same candidate set."""
+    pos = F.array(*[F.expr(s).cast("int") for s in bloom_hash_sqls(value_col, m, k)])
+    ex = probe.withColumn("_bit", F.explode(pos))
+    hit = (
+        ex.join(F.broadcast(bits), ex._bit == bits.bit_idx, "left")
+        .groupBy(*probe.columns)
+        .agg((F.count("bit_idx") == k).alias(out_col))
+    )
+    return hit

@@ -75,3 +75,64 @@ def test_estimate_small_range_linear_counting(spark):
     )
     est = sketches.hll_estimate(df, ["grp"], "v").collect()[0]["approx_distinct"]
     assert abs(est - 40) / 40 < 0.15
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_exact_python_parity(spark, ids_df):
+    """est(v) >= true count for every value; registers match a pure-python
+    md5 reference."""
+    w, d = 64, 4
+    truth = {f"id_{i}": 1 + i % 3 for i in range(200)}
+    probe = spark.createDataFrame([(k,) for k in truth], "pv string")
+    est = {
+        (r["probe_value"]): r["est_count"]
+        for r in sketches.cms_estimate(
+            ids_df, ["grp"], "v", probe, "pv", w=w, d=d
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+
+    # python register reference on one depth
+    regs = {}
+    for i in range(5000):
+        for _ in range(1 + i % 3):
+            h = int(hashlib.md5(f"cms0:id_{i}".encode()).hexdigest()[:15], 16)
+            regs[h % w] = regs.get(h % w, 0) + 1
+    got = {
+        r["col"]: r["cnt"]
+        for r in sketches.cms_registers(ids_df, ["grp"], "v", w=w, d=d)
+        .filter(F.col("j") == 0)
+        .collect()
+    }
+    assert got == regs
+
+
+def test_cms_registers_partition_invariant(spark, ids_df):
+    a = sketches.cms_registers(ids_df.repartition(1), ["grp"], "v", w=32, d=2)
+    b = sketches.cms_registers(ids_df.repartition(13), ["grp"], "v", w=32, d=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- bloom filter ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    members = spark.createDataFrame([(f"m_{i}",) for i in range(2000)], "v string")
+    bits = sketches.bloom_bits(members, "v", m=16384, k=4)
+    assert bits.count() <= 16384
+
+    probe_in = members.withColumnRenamed("v", "pv")
+    flags = sketches.bloom_might_contain(probe_in, bits, "pv", m=16384, k=4)
+    assert flags.filter(~F.col("might_contain")).count() == 0  # no false negatives
+
+    probe_out = spark.createDataFrame([(f"x_{i}",) for i in range(2000)], "pv string")
+    fp = (
+        sketches.bloom_might_contain(probe_out, bits, "pv", m=16384, k=4)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    # theoretical fp ≈ (1 - e^(-kn/m))^k ≈ 0.024 at n=2000,m=16384,k=4
+    assert fp / 2000 < 0.08
