@@ -2584,6 +2584,87 @@ def _centroid_sql() -> str:
     """
 
 
+XJOIN_ZOOM = 7
+
+
+def _q_crossing_join(spark, sf_dir):
+    """Big-big segment×segment proper-crossing join
+    (bigjoin.crossing_segments_join): order segments × customer
+    corridor segments, one cell-blocked shuffle join, exactly-once via
+    the intersection-cell rule — no distinct."""
+    from geodesk_spark.operators import bigjoin
+
+    a = tables.with_derived_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("aid"), "x1", "y1", "x2", "y2")
+    b = tables.with_derived_long_segments(
+        tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+    ).select(F.col("c_custkey").alias("bid"), "x1", "y1", "x2", "y2")
+    out = bigjoin.crossing_segments_join(a, b, zoom=XJOIN_ZOOM)
+    return out.select(
+        "aid", "bid", "t",
+        F.round("ix", 4).alias("ix"), F.round("iy", 4).alias("iy"),
+    )
+
+
+def _crossing_join_sql() -> str:
+    step = 1 << (32 - XJOIN_ZOOM)
+    base = XJOIN_ZOOM * (1 << 24)
+    lddx, lddy = tables.long_segment_delta_exprs("c_custkey")
+
+    def cover(src_cte: str, idc: str, p: str) -> str:
+        return f"""
+          c1_{p} as (
+            select {idc}, x1 as {p}x1, y1 as {p}y1, x2 as {p}x2, y2 as {p}y2,
+                   cast(floor((least(x1, x2) + 2147483648) / {step}) as bigint) as cmin,
+                   cast(floor((greatest(x1, x2) + 2147483648) / {step}) as bigint) as cmax,
+                   cast(floor((2147483647 - greatest(y1, y2)) / {step}) as bigint) as rmin,
+                   cast(floor((2147483647 - least(y1, y2)) / {step}) as bigint) as rmax
+            from {src_cte}
+          ),
+          c2_{p} as (select *, unnest(generate_series(cmin, cmax)) as cc from c1_{p}),
+          cov_{p} as (select *, {base} + unnest(generate_series(rmin, rmax)) * 4096 + cc as cell
+                      from c2_{p})"""
+
+    return f"""
+      with segs_a as ({_seg_sql_base()}),
+      segs_b as (
+        select c_custkey as bid, x as x1, y as y1,
+               least(greatest(x + {lddx}, -2147483648), 2147483647) as x2,
+               least(greatest(y + {lddy}, -2147483648), 2147483647) as y2
+        from (select c_custkey,
+                     {x_expr(lon_expr("c_custkey"))} as x,
+                     {y_expr(lat_expr("c_custkey"))} as y
+              from customer) cp
+      ),
+      sa as (select fid as aid, x1, y1, x2, y2 from segs_a),
+      {cover("sa", "aid", "a")},
+      {cover("segs_b", "bid", "b")},
+      j as (
+        select a.aid, b.bid, a.cell,
+               a.ax1, a.ay1, a.ax2, a.ay2, b.bx1, b.by1, b.bx2, b.by2,
+               (b.bx2 - b.bx1) * (a.ay1 - b.by1) - (b.by2 - b.by1) * (a.ax1 - b.bx1) as d1,
+               (b.bx2 - b.bx1) * (a.ay2 - b.by1) - (b.by2 - b.by1) * (a.ax2 - b.bx1) as d2,
+               (a.ax2 - a.ax1) * (b.by1 - a.ay1) - (a.ay2 - a.ay1) * (b.bx1 - a.ax1) as d3,
+               (a.ax2 - a.ax1) * (b.by2 - a.ay1) - (a.ay2 - a.ay1) * (b.bx2 - a.ax1) as d4
+        from cov_a a join cov_b b on a.cell = b.cell
+      ),
+      m as (
+        select aid, bid, cell,
+               d1 / (d1 - d2) as t,
+               ax1 + (d1 / (d1 - d2)) * (ax2 - ax1) as ix,
+               ay1 + (d1 / (d1 - d2)) * (ay2 - ay1) as iy
+        from j
+        where ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+          and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
+      )
+      select aid, bid, t, round(ix, 4) as ix, round(iy, 4) as iy
+      from m
+      where cell = {base} + cast(floor((2147483647 - iy) / {step}) as bigint) * 4096
+                 + cast(floor((ix + 2147483648) / {step}) as bigint)
+    """
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
@@ -2979,6 +3060,7 @@ QUERIES: dict[str, tuple] = {
     "box_area_m2": (_q_box_area, _sql_box_area()),
     # ≥4 s tier (file sinks, streaming drains, iterative algorithms)
     "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
+    "crossing_segments_join": (_q_crossing_join, _crossing_join_sql()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),

@@ -207,3 +207,86 @@ def contains_points_big(
     return points.select(*keep).join(
         matches.select(*keep).distinct(), keep, "left_anti"
     )
+
+
+def crossing_segments_join(
+    a: DataFrame,
+    b: DataFrame,
+    zoom: int = 7,
+    a_id: str = "aid",
+    b_id: str = "bid",
+) -> DataFrame:
+    """Big-big segment×segment PROPER-crossing join → (a_id, b_id, t,
+    ix, iy): every pair whose segments strictly cross (the `crossing`
+    predicate, AbstractRelateFilter.java:61-72, lifted from
+    feature-vs-query-geometry to a distributed two-table join), with
+    the intersection point.
+
+    Scale shape — ONE shuffle equi-join, exactly-once with NO distinct:
+
+    1. Each side covers its segment bbox with fixed-zoom tile cells
+       (sequence-explode, pure JVM; fan-out = O(len/cellsize)² per row).
+    2. Shuffle join on the cell id — both sides partition by cell, AQE
+       handles dense-city skew cells.
+    3. The orientation tests run in EXACT int64 (|Δseg| ≤ 2²⁸ and
+       world coords ≤ 2³² keep every cross product < 2⁶¹), so the
+       match set is bit-deterministic; t = d1/(d1−d2) is one exact
+       integer-ratio division, the only float in the operator.
+    4. A pair sharing k>1 cells would emit k duplicates; instead of a
+       distinct-shuffle, each match keeps ONLY the cell containing its
+       intersection point (which lies on both segments, hence inside
+       both covers) — the NW-flag exactly-once rule generalized to
+       pair joins (tiling.nw_dedup_filter, SURVEY §2.1).
+    """
+    step = 1 << (32 - zoom)
+
+    def cover(df, idc, prefix):
+        x1, y1 = F.col("x1"), F.col("y1")
+        x2, y2 = F.col("x2"), F.col("y2")
+        cmin = F.floor((F.least(x1, x2) + F.lit(2147483648)) / F.lit(step))
+        cmax = F.floor((F.greatest(x1, x2) + F.lit(2147483648)) / F.lit(step))
+        rmin = F.floor((F.lit(2147483647) - F.greatest(y1, y2)) / F.lit(step))
+        rmax = F.floor((F.lit(2147483647) - F.least(y1, y2)) / F.lit(step))
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in ("x1", "y1", "x2", "y2")]
+        return (
+            df.select(F.col(idc), *cols, cmin.alias("_cmin"), cmax.alias("_cmax"),
+                      rmin.alias("_rmin"), rmax.alias("_rmax"))
+            .withColumn("_cc", F.explode(F.sequence(F.col("_cmin"), F.col("_cmax"))))
+            .withColumn("_rr", F.explode(F.sequence(F.col("_rmin"), F.col("_rmax"))))
+            .withColumn(
+                "cell",
+                F.lit(zoom * (1 << 24)).cast("long") + F.col("_rr") * 4096 + F.col("_cc"),
+            )
+            .drop("_cmin", "_cmax", "_rmin", "_rmax", "_cc", "_rr")
+        )
+
+    ca = cover(a, a_id, "a")
+    cb = cover(b, b_id, "b")
+    j = ca.join(cb, "cell")
+
+    ax1, ay1, ax2, ay2 = (F.col(f"a{c}") for c in ("x1", "y1", "x2", "y2"))
+    bx1, by1, bx2, by2 = (F.col(f"b{c}") for c in ("x1", "y1", "x2", "y2"))
+    # orientation determinants, exact int64
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    t = d1 / (d1 - d2)
+    ix = ax1 + t * (ax2 - ax1)
+    iy = ay1 + t * (ay2 - ay1)
+    icell = (
+        F.lit(zoom * (1 << 24)).cast("long")
+        + F.floor((F.lit(2147483647) - iy) / F.lit(step)) * 4096
+        + F.floor((ix + F.lit(2147483648)) / F.lit(step))
+    )
+    return (
+        j.filter(proper)
+        .withColumn("t", t)
+        .withColumn("ix", ix)
+        .withColumn("iy", iy)
+        .filter(F.col("cell") == icell)
+        .select(a_id, b_id, "t", "ix", "iy")
+    )

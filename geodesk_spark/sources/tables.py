@@ -125,6 +125,28 @@ def segment_delta_exprs(key: str) -> tuple[str, str]:
     return ddx, ddy
 
 
+def long_segment_delta_exprs(key: str) -> tuple[str, str]:
+    """Long-segment deltas in [-2^28, 2^28) — corridor-scale features for
+    the crossing join; cross products vs world coords stay < 2^61, exact
+    int64 in both engines."""
+    ddx = f"(((({key}) * 363889) % 536870912) - 268435456)"
+    ddy = f"(((({key}) * 516127) % 536870912) - 268435456)"
+    return ddx, ddy
+
+
+def with_derived_long_segments(df: DataFrame, key_col: str) -> DataFrame:
+    """x1/y1 (derived point) and x2/y2 = point + long delta, clamped int32."""
+    df = with_derived_points(df, key_col)
+    ddx, ddy = long_segment_delta_exprs(key_col)
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    return (
+        df.withColumn("x1", F.col("x"))
+        .withColumn("y1", F.col("y"))
+        .withColumn("x2", F.expr(f"least(greatest(x + ({ddx}), {lo}), {hi})"))
+        .withColumn("y2", F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})"))
+    )
+
+
 def with_derived_segments(df: DataFrame, key_col: str) -> DataFrame:
     """Adds x1/y1 (derived point) and x2/y2 (short offset), clamped int32."""
     df = with_derived_points(df, key_col)

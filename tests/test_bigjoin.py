@@ -94,3 +94,80 @@ def test_big_join_plan_has_no_layer_literals(spark, world, layer):
     ring0 = pip.unpack_rings(layer[0]["rings"])[0]
     assert repr(float(ring0[0, 0])) not in plan
     assert len(plan) < 100_000
+
+
+# ---------------------------------------------------------------- crossing join
+
+
+def _brute_crossings(sa, sb):
+    """Ground-truth proper crossings in exact int arithmetic."""
+    out = set()
+    for aid, ax1, ay1, ax2, ay2 in sa:
+        for bid, bx1, by1, bx2, by2 in sb:
+            d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0) and (
+                (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+            ):
+                out.add((aid, bid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def seg_tables(spark):
+    """Two deterministic segment sets spanning many zoom-7 cells, so
+    multi-cell pairs exercise the intersection-cell dedup rule."""
+    rng = np.random.default_rng(7)
+    span = 1 << 27  # ~4 cells at zoom 7
+
+    def mk(n, seed_off):
+        r = np.random.default_rng(7 + seed_off)
+        x1 = r.integers(-3 * span, 3 * span, n)
+        y1 = r.integers(-3 * span, 3 * span, n)
+        dx = r.integers(-span, span, n)
+        dy = r.integers(-span, span, n)
+        return [
+            (int(i), int(x1[i]), int(y1[i]), int(x1[i] + dx[i]), int(y1[i] + dy[i]))
+            for i in range(n)
+        ]
+
+    sa, sb = mk(400, 0), mk(400, 1)
+    schema = "sid long, x1 long, y1 long, x2 long, y2 long"
+    a = spark.createDataFrame(sa, schema).withColumnRenamed("sid", "aid")
+    b = spark.createDataFrame(sb, schema).withColumnRenamed("sid", "bid")
+    return sa, sb, a, b
+
+
+def test_crossing_join_matches_bruteforce(spark, seg_tables):
+    sa, sb, a, b = seg_tables
+    got = bigjoin.crossing_segments_join(a, b, zoom=7).toPandas()
+    got_pairs = list(map(tuple, got[["aid", "bid"]].to_numpy().tolist()))
+    exp = _brute_crossings(sa, sb)
+    assert set(got_pairs) == exp
+    assert len(exp) > 50
+
+
+def test_crossing_join_exactly_once(spark, seg_tables):
+    """Pairs sharing k>1 cover cells must still emit exactly one row —
+    the intersection-cell rule replaces a distinct shuffle."""
+    sa, sb, a, b = seg_tables
+    got = bigjoin.crossing_segments_join(a, b, zoom=7).toPandas()
+    pairs = list(map(tuple, got[["aid", "bid"]].to_numpy().tolist()))
+    assert len(pairs) == len(set(pairs))
+
+
+def test_crossing_join_intersection_point_on_both(spark, seg_tables):
+    sa, sb, a, b = seg_tables
+    got = bigjoin.crossing_segments_join(a, b, zoom=7).toPandas()
+    amap = {s[0]: s[1:] for s in sa}
+    bmap = {s[0]: s[1:] for s in sb}
+    for _, r in got.iterrows():
+        ax1, ay1, ax2, ay2 = amap[r["aid"]]
+        bx1, by1, bx2, by2 = bmap[r["bid"]]
+        assert 0.0 < r["t"] < 1.0
+        assert min(ax1, ax2) - 1 <= r["ix"] <= max(ax1, ax2) + 1
+        assert min(bx1, bx2) - 1 <= r["ix"] <= max(bx1, bx2) + 1
+        assert min(ay1, ay2) - 1 <= r["iy"] <= max(ay1, ay2) + 1
+        assert min(by1, by2) - 1 <= r["iy"] <= max(by1, by2) + 1
