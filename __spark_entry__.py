@@ -1514,6 +1514,40 @@ _SQL_FINGERPRINT = r"""
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination (text.decontaminate): eval set =
+    every 20th doc, broadcast its distinct shingle vocabulary, flag
+    training docs by distinct-shingle overlap ratio ≥ 0.5."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return text.decontaminate(train, bench)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+      with s as ({_SQL_SHINGLES}),
+      doc_sh as (
+        select doc_id, unnest(list_distinct(sh)) as sh
+        from s where doc_id % 20 <> 0
+      ),
+      bench as (
+        select distinct sh
+        from (select unnest(sh) as sh from s where doc_id % 20 = 0)
+      ),
+      j as (
+        select d.doc_id, case when b.sh is not null then 1 else 0 end as hit
+        from doc_sh d left join bench b using (sh)
+      )
+      select doc_id,
+             cast(count(*) as int) as n_shingles,
+             cast(sum(hit) as int) as n_hits,
+             round(sum(hit) / greatest(count(*), 1), 6) as overlap_ratio,
+             round(sum(hit) / greatest(count(*), 1), 6) >= 0.5 as contaminated
+      from j group by doc_id
+    """
+
+
 def _q_dedup_exact(spark, sf_dir):
     d = tables.load_spread(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -3046,6 +3080,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "text_quality": (_q_quality, _SQL_QUALITY),
     "text_bm25_topk": (_q_bm25, text.bm25_oracle_sql()),
+    "text_decontaminate": (_q_decontaminate, _decontaminate_sql()),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),

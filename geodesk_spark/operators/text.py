@@ -190,6 +190,56 @@ def bm25_oracle_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the overlap of
+    its DISTINCT word 3-gram shingles with an evaluation set's shingle
+    vocabulary → (doc_id, n_shingles, n_hits, overlap_ratio,
+    contaminated).  The standard train/eval n-gram-overlap
+    decontamination pass of a training-data pipeline.
+
+    Scale shape — the eval set is dimension-sized, so its distinct
+    shingle vocabulary is a BROADCAST build side:
+
+      docs:  shingles → array_distinct → explode        map-side
+      bench: shingles → explode → distinct → broadcast  tiny
+      left broadcast join (hit marker)                  no shuffle
+      groupBy(doc_id) count/sum                         the ONE shuffle
+
+    At 10^12 docs the fact side is scanned once with zero fact-side
+    shuffles before the final bounded per-doc rollup.  If the eval set
+    ever outgrows broadcast, the same plan degrades gracefully to an
+    AQE shuffle join on the shingle — the code path is unchanged.
+    """
+    from geodesk_spark.operators.dedup import shingles_col
+
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col(text_col)))).alias("sh"),
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(F.col(text_col))).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+    ratio = F.round(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        / F.greatest(F.count("*"), F.lit(1)),
+        6,
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_hits"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed text —
     the canonical exact-dup key."""

@@ -48,3 +48,37 @@ def test_bm25_empty_and_whitespace_docs(spark):
     assert set(out.doc_id) == {1}
     # N counts ALL documents (empty ones raise every idf)
     assert len(out) == 2
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing a verbatim eval passage must flag; clean docs must
+    not; counts are over DISTINCT shingles (repetition doesn't inflate)."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # full verbatim copy → ratio 1.0
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # half-contaminated: leaked prefix + novel suffix
+            (2, "the quick brown fox circled a red barn twice today ok"),
+            # clean
+            (3, "completely different words without any leak at all"),
+            # repetition of one leaked shingle must count ONCE
+            (4, "the quick brown the quick brown the quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.decontaminate(docs, bench, threshold=0.5).collect()
+    }
+    assert out[1].contaminated and out[1].overlap_ratio == 1.0
+    assert out[3].n_hits == 0 and not out[3].contaminated
+    # doc 2: 10 words -> 8 distinct shingles, 2 leaked ("the quick brown",
+    # "quick brown fox")
+    assert out[2].n_hits == 2 and not out[2].contaminated
+    # doc 4: distinct shingles collapse the repetition
+    assert out[4].n_hits >= 1
+    assert out[4].n_shingles < 7  # 9 words -> 7 raw shingles, dups collapse
