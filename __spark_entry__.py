@@ -2699,6 +2699,79 @@ def _crossing_join_sql() -> str:
     """
 
 
+def _q_tile_clip(spark, sf_dir):
+    """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
+    (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
+    zero-shuffle, output pre-keyed by tile for the writer."""
+    from geodesk_spark.operators import tiles_sink
+
+    s = tables.with_derived_long_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("sid"), "x1", "y1", "x2", "y2")
+    return tiles_sink.clip_segments_to_tiles(s, zoom=XJOIN_ZOOM)
+
+
+def _tile_clip_sql() -> str:
+    step = 1 << (32 - XJOIN_ZOOM)
+    base = XJOIN_ZOOM * (1 << 24)
+    lddx, lddy = tables.long_segment_delta_exprs("o_orderkey")
+    # the four Liang–Barsky (p, q) edge pairs, op-order mirroring the Spark side
+    edges = [
+        ("-(x2 - x1)", "x1 - txmin"),
+        ("(x2 - x1)", "txmax - x1"),
+        ("-(y2 - y1)", "y1 - tymin"),
+        ("(y2 - y1)", "tymax - y1"),
+    ]
+    reject = " or ".join(f"(({p}) = 0 and ({q}) < 0)" for p, q in edges)
+    t0 = "greatest(0.0, " + ", ".join(
+        f"case when ({p}) < 0 then ({q}) / ({p}) else 0.0 end" for p, q in edges
+    ) + ")"
+    t1 = "least(1.0, " + ", ".join(
+        f"case when ({p}) > 0 then ({q}) / ({p}) else 1.0 end" for p, q in edges
+    ) + ")"
+    return f"""
+      with segs as (
+        select o_orderkey as sid, x as x1, y as y1,
+               least(greatest(x + {lddx}, -2147483648), 2147483647) as x2,
+               least(greatest(y + {lddy}, -2147483648), 2147483647) as y2
+        from (select o_orderkey,
+                     {x_expr(lon_expr("o_orderkey"))} as x,
+                     {y_expr(lat_expr("o_orderkey"))} as y
+              from orders) op
+      ),
+      c1 as (
+        select *,
+               cast(floor((least(x1, x2) + 2147483648) / {step}) as bigint) as cmin,
+               cast(floor((greatest(x1, x2) + 2147483648) / {step}) as bigint) as cmax,
+               cast(floor((2147483647 - greatest(y1, y2)) / {step}) as bigint) as rmin,
+               cast(floor((2147483647 - least(y1, y2)) / {step}) as bigint) as rmax
+        from segs
+      ),
+      c2 as (select *, unnest(generate_series(cmin, cmax)) as cc from c1),
+      cov as (select *, unnest(generate_series(rmin, rmax)) as rr from c2),
+      rects as (
+        select sid, x1, y1, x2, y2, cc, rr,
+               cc * {step} - 2147483648 as txmin,
+               cc * {step} - 2147483648 + {step} as txmax,
+               2147483647 - rr * {step} as tymax,
+               2147483647 - rr * {step} - {step} as tymin
+        from cov
+      ),
+      clipped as (
+        select sid, {base} + rr * 4096 + cc as cell,
+               {t0} as t0, {t1} as t1, x1, y1, x2, y2
+        from rects
+        where not ({reject})
+      )
+      select sid, cell,
+             floor((x1 + t0 * (x2 - x1)) * 1e4 + 0.5) / 1e4 as cx1,
+             floor((y1 + t0 * (y2 - y1)) * 1e4 + 0.5) / 1e4 as cy1,
+             floor((x1 + t1 * (x2 - x1)) * 1e4 + 0.5) / 1e4 as cx2,
+             floor((y1 + t1 * (y2 - y1)) * 1e4 + 0.5) / 1e4 as cy2
+      from clipped where t0 < t1
+    """
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
@@ -3067,6 +3140,7 @@ QUERIES: dict[str, tuple] = {
     "box_overlaps_rect": (_box_pred_query("overlaps"), _sql_box_pred("overlaps")),
     "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
     "vector_tile_encode": (_q_vector_tile_encode, _vector_tile_sql()),
+    "tile_clip_segments": (_q_tile_clip, _tile_clip_sql()),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),

@@ -306,3 +306,87 @@ def quantize_for_tiles(
     return kept.withColumn("seq_out", F.row_number().over(w2)).select(
         "line_id", "tcol", "trow", "seq_out", "qx", "qy"
     )
+
+
+def clip_segments_to_tiles(
+    segs: DataFrame, zoom: int = 7, id_col: str = "sid"
+) -> DataFrame:
+    """Liang–Barsky parametric clip of segments to the tile grid — the
+    geometry CLIP step of a vector-tile emit (every tile writer clips
+    features to its tile rect; the reference's tile builder assigns a
+    feature to each tile its geometry enters, then the renderer clips).
+
+    Per (segment, covered tile): solve the parametric overlap
+    [t0, t1] ⊆ [0, 1] of the segment against the tile rect with the
+    four half-plane tests (entering edges raise t0 = max(q/p), leaving
+    edges lower t1 = min(q/p), p = 0 rejects when outside the slab),
+    keep t0 < t1, and emit the clipped endpoints.
+
+    Scale shape: cover-explode (map-side, fan-out O(len/tile)²) → all
+    arithmetic in one codegen stage, NO shuffle at all — the output is
+    already keyed by tile for the downstream writer's partitioning.
+    Division happens only under p≠0 CASE guards (lazy in both engines)
+    and every float op mirrors the SQL oracle's order, so results are
+    IEEE-identical.
+
+    Input: (id_col, x1, y1, x2, y2) int imps; output (id_col, cell,
+    cx1, cy1, cx2, cy2) with cell = zoom·2²⁴ + row·4096 + col and
+    clipped coords rounded to 4 dp.
+    """
+    from pyspark.sql import functions as F
+
+    step = 1 << (32 - zoom)
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    cmin = F.floor((F.least(x1, x2) + F.lit(2147483648)) / F.lit(step))
+    cmax = F.floor((F.greatest(x1, x2) + F.lit(2147483648)) / F.lit(step))
+    rmin = F.floor((F.lit(2147483647) - F.greatest(y1, y2)) / F.lit(step))
+    rmax = F.floor((F.lit(2147483647) - F.least(y1, y2)) / F.lit(step))
+    covered = (
+        segs.select(F.col(id_col), "x1", "y1", "x2", "y2",
+                    cmin.alias("_cmin"), cmax.alias("_cmax"),
+                    rmin.alias("_rmin"), rmax.alias("_rmax"))
+        .withColumn("_cc", F.explode(F.sequence(F.col("_cmin"), F.col("_cmax"))))
+        .withColumn("_rr", F.explode(F.sequence(F.col("_rmin"), F.col("_rmax"))))
+    )
+    txmin = F.col("_cc") * F.lit(step) - F.lit(2147483648)
+    txmax = txmin + F.lit(step)
+    tymax = F.lit(2147483647) - F.col("_rr") * F.lit(step)
+    tymin = tymax - F.lit(step)
+    dx = (x2 - x1).cast("double")
+    dy = (y2 - y1).cast("double")
+    edges = [
+        (-dx, (x1 - txmin).cast("double")),
+        (dx, (txmax - x1).cast("double")),
+        (-dy, (y1 - tymin).cast("double")),
+        (dy, (tymax - y1).cast("double")),
+    ]
+    reject = F.lit(False)
+    entries, exits = [], []
+    for p, q in edges:
+        reject = reject | ((p == 0) & (q < 0))
+        entries.append(F.when(p < 0, q / p).otherwise(F.lit(0.0)))
+        exits.append(F.when(p > 0, q / p).otherwise(F.lit(1.0)))
+    t0 = F.greatest(F.lit(0.0), *entries)
+    t1 = F.least(F.lit(1.0), *exits)
+    cell = (
+        F.lit(zoom * (1 << 24)).cast("long") + F.col("_rr") * 4096 + F.col("_cc")
+    )
+    # floor(v·10⁴ + 0.5)/10⁴ instead of round(): round() ties break
+    # differently across engines (Spark = exact-BigDecimal HALF_UP,
+    # DuckDB = float midpoint), while this form is the same IEEE op
+    # sequence everywhere (CLAUDE.md hexgrid invariant).
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return (
+        covered.filter(~reject & (t0 < t1))
+        .select(
+            id_col,
+            cell.alias("cell"),
+            r4(x1 + t0 * dx).alias("cx1"),
+            r4(y1 + t0 * dy).alias("cy1"),
+            r4(x1 + t1 * dx).alias("cx2"),
+            r4(y1 + t1 * dy).alias("cy2"),
+        )
+    )

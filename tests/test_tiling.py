@@ -1,6 +1,8 @@
 """Tile assignment: Spark plan vs the slow GOL-rule reference, and the
 exactly-once NW-flag dedup property (SURVEY.md §1.2)."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -159,3 +161,103 @@ def test_quantize_for_tiles_dedup_and_grid(spark):
         (5, 9, 2, 11, 3),
         (6, 9, 1, 10, 3),
     ]
+
+
+# ------------------------------------------------------- segment tile clipping
+
+
+def _brute_clip(segs, zoom):
+    """Reference Liang–Barsky clip per covered tile, exact float order."""
+    step = 1 << (32 - zoom)
+    out = {}
+    for sid, x1, y1, x2, y2 in segs:
+        cmin = (min(x1, x2) + (1 << 31)) // step
+        cmax = (max(x1, x2) + (1 << 31)) // step
+        rmin = ((1 << 31) - 1 - max(y1, y2)) // step
+        rmax = ((1 << 31) - 1 - min(y1, y2)) // step
+        dx, dy = float(x2 - x1), float(y2 - y1)
+        for rr in range(rmin, rmax + 1):
+            for cc in range(cmin, cmax + 1):
+                txmin = cc * step - (1 << 31)
+                txmax = txmin + step
+                tymax = (1 << 31) - 1 - rr * step
+                tymin = tymax - step
+                edges = [
+                    (-dx, float(x1 - txmin)),
+                    (dx, float(txmax - x1)),
+                    (-dy, float(y1 - tymin)),
+                    (dy, float(tymax - y1)),
+                ]
+                if any(p == 0 and q < 0 for p, q in edges):
+                    continue
+                t0 = max([0.0] + [q / p for p, q in edges if p < 0])
+                t1 = min([1.0] + [q / p for p, q in edges if p > 0])
+                if t0 < t1:
+                    cell = zoom * (1 << 24) + rr * 4096 + cc
+                    r4 = lambda v: math.floor(v * 1e4 + 0.5) / 1e4
+                    out[(sid, cell)] = (
+                        r4(x1 + t0 * dx), r4(y1 + t0 * dy),
+                        r4(x1 + t1 * dx), r4(y1 + t1 * dy),
+                    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def clip_segs(spark):
+    rng = np.random.default_rng(11)
+    span = 1 << 27  # several zoom-7 tiles
+    n = 300
+    x1 = rng.integers(-4 * span, 4 * span, n)
+    y1 = rng.integers(-4 * span, 4 * span, n)
+    dx = rng.integers(-2 * span, 2 * span, n)
+    dy = rng.integers(-2 * span, 2 * span, n)
+    segs = [
+        (int(i), int(x1[i]), int(y1[i]), int(x1[i] + dx[i]), int(y1[i] + dy[i]))
+        for i in range(n)
+    ]
+    # degenerate shapes: horizontal, vertical, tile-boundary-aligned, point
+    step = 1 << (32 - 7)
+    segs += [
+        (1000, 0, 5, 3 * step, 5),            # horizontal, crosses tiles
+        (1001, 7, -step, 7, 2 * step),        # vertical
+        (1002, 0, 0, 2 * step, 0),            # starts exactly on tile corner
+        (1003, 42, 42, 42, 42),               # degenerate point
+    ]
+    df = spark.createDataFrame(segs, "sid long, x1 long, y1 long, x2 long, y2 long")
+    return segs, df
+
+
+def test_clip_matches_bruteforce(spark, clip_segs):
+    from geodesk_spark.operators import tiles_sink
+
+    segs, df = clip_segs
+    got = {
+        (r["sid"], r["cell"]): (r["cx1"], r["cy1"], r["cx2"], r["cy2"])
+        for r in tiles_sink.clip_segments_to_tiles(df, zoom=7).collect()
+    }
+    exp = _brute_clip(segs, 7)
+    assert got == exp
+    assert len(exp) > 400  # plenty of multi-tile segments
+
+
+def test_clip_pieces_tile_the_segment(spark, clip_segs):
+    """Per segment the clip parameters [t0,t1] partition [0,1]: the
+    pieces sum to the whole segment (measure-zero edge overlaps)."""
+    from geodesk_spark.operators import tiles_sink
+
+    segs, df = clip_segs
+    rows = tiles_sink.clip_segments_to_tiles(df, zoom=7).collect()
+    by_sid = {}
+    for r in rows:
+        by_sid.setdefault(r["sid"], []).append(r)
+    for sid, x1, y1, x2, y2 in segs:
+        dx, dy = x2 - x1, y2 - y1
+        if dx == 0 and dy == 0:
+            continue
+        tot = 0.0
+        for r in by_sid[sid]:
+            if abs(dx) >= abs(dy):
+                tot += (r["cx2"] - r["cx1"]) / dx
+            else:
+                tot += (r["cy2"] - r["cy1"]) / dy
+        assert abs(tot - 1.0) < 1e-3, sid
