@@ -890,6 +890,103 @@ _SQL_ASOF = """
 """
 
 
+IVJ_BUCKET_US = 600_000_000  # 10 min
+
+
+def _q_interval_join(spark, sf_dir):
+    """Point-in-interval range join (relational.interval_join): error
+    events open a 10-70 min incident window; every click inside any
+    window attaches to it.  ONE bucketed equi-join, exactly-once free
+    (a point has one bucket) — Spark's native BETWEEN would plan a
+    nested-loop cartesian."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 7 + 1) * F.lit(IVJ_BUCKET_US)
+        ).alias("e"),
+    )
+    pt = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    out = relational.interval_join(iv, pt, bucket_width=IVJ_BUCKET_US)
+    return out.select("iid", "pid", (F.col("t") - F.col("s")).alias("offset_us"))
+
+
+_SQL_INTERVAL_JOIN = f"""
+  with iv as (
+    select event_id as iid, epoch_us(ts) as s,
+           epoch_us(ts) + (event_id % 7 + 1) * {IVJ_BUCKET_US} as e
+    from events where event_type = 'error'),
+  pt as (select event_id as pid, epoch_us(ts) as t
+         from events where event_type = 'click')
+  select iid, pid, t - s as offset_us
+  from iv join pt on pt.t between iv.s and iv.e
+"""
+
+
+SESSION_GAP_US = 3_600_000_000  # 1 h
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (relational.sessionize): per-user
+    sessions split on >1 h silence; one shuffle (the rollup reuses the
+    window's user partitioning)."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.sessionize(e, gap_us=SESSION_GAP_US)
+
+
+_SQL_SESSIONIZE = f"""
+  with f as (
+    select user_id, event_id, value, epoch_us(ts) as us,
+           lag(epoch_us(ts)) over (partition by user_id
+                                   order by epoch_us(ts), event_id) as prev
+    from events),
+  s as (
+    select *, cast(sum(case when prev is null or us - prev > {SESSION_GAP_US}
+                       then 1 else 0 end)
+                over (partition by user_id order by us, event_id) as int)
+              as session_idx
+    from f)
+  select user_id, session_idx, cast(count(*) as int) as n_events,
+         min(us) as start_us, max(us) as end_us,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from s group by user_id, session_idx
+"""
+
+
+WSAMPLE_K = 200
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis on the portable
+    md5-uniform): 200 documents drawn ∝ n_chars; plans as
+    TakeOrderedAndProject — per-partition top-k, no shuffle."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return sampling.weighted_sample(d, k=WSAMPLE_K, weight_col="n_chars")
+
+
+def _weighted_sample_sql() -> str:
+    from geodesk_spark.operators import sampling
+
+    return sampling.weighted_sample_sql(
+        "(select doc_id, lang, n_chars from documents) d",
+        k=WSAMPLE_K,
+        weight_col="n_chars",
+    )
+
+
 def _q_hll_registers(spark, sf_dir):
     """HLL approx-distinct register state per event_type (operators/
     sketches.py): the mergeable-sketch rollup a 10^12-row COUNT(DISTINCT)
@@ -3106,6 +3203,9 @@ QUERIES: dict[str, tuple] = {
     "join_customer_orders": (_q_join_cust, _SQL_JOIN_CUST),
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
+    "interval_join_events": (_q_interval_join, _SQL_INTERVAL_JOIN),
+    "sample_weighted": (_q_weighted_sample, _weighted_sample_sql()),
     "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),
     "cms_registers_events": (_q_cms_registers, _cms_registers_sql()),
     "cms_user_estimates": (_q_cms_estimate, _cms_estimate_sql()),

@@ -78,3 +78,89 @@ def as_of_join(
         *[F.col(c) for c in lcols if c not in (by, left_ts)],
         *[F.col(old).alias(new) for old, new in rename.items()],
     )
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    bucket_width: int,
+    i_start: str = "s",
+    i_end: str = "e",
+    p_t: str = "t",
+) -> DataFrame:
+    """Point-in-interval join — Spark has no efficient range join (a
+    plain ``t BETWEEN s AND e`` predicate plans as BroadcastNestedLoop /
+    cartesian), so lift it to ONE bucketed equi-join:
+
+      intervals: explode buckets floor(s/w) … floor(e/w)   map-side
+      points:    bucket floor(t/w)                          map-side
+      equi-join on bucket  →  residual s ≤ t ≤ e            the shuffle
+
+    Exactly-once is FREE here (cf. the crossing join's intersection-cell
+    rule): a point lies in exactly one bucket, so a matching (interval,
+    point) pair meets only in that bucket — no distinct, no dedup.
+
+    Pick ``bucket_width`` ≈ the typical interval length: fan-out stays
+    O(1) per interval while buckets stay selective.  Hot buckets (many
+    concurrent long intervals) are ordinary join skew — AQE splits them.
+    Returns all interval columns + all point columns.
+    """
+    w = bucket_width
+    bi = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(i_start) / F.lit(w)), F.floor(F.col(i_end) / F.lit(w))
+            )
+        ),
+    )
+    bp = points.withColumn("_b", F.floor(F.col(p_t) / F.lit(w)))
+    return (
+        bi.join(bp, "_b")
+        .filter((F.col(p_t) >= F.col(i_start)) & (F.col(p_t) <= F.col(i_end)))
+        .drop("_b")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive events of a user
+    closer than ``gap_us`` microseconds share a session; a longer gap
+    starts the next one.  The standard event-pipeline rollup Spark has
+    no primitive for in batch (session_window exists only in streaming
+    aggregations).
+
+    Plan: ONE shuffle total — the per-user window computes the lag gap
+    and the running session index (sum of boundary flags), and the
+    per-(user, session) rollup reuses the window's hash partitioning
+    (HashPartitioning(user) satisfies the grouping's clustered
+    distribution, so Catalyst inserts no second exchange).
+
+    Value sums go through decimal(18,4) — float addition is
+    order-dependent across partitionings/engines; fixed-point is not.
+
+    Returns (user, session_idx, n_events, start_us, end_us, sum_value).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("_us", order_col)
+    flagged = (
+        events.withColumn("_us", us)
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_us") - F.col("_prev") > gap_us)).cast("int"),
+        )
+        .withColumn("session_idx", F.sum("_new").over(w).cast("int"))
+    )
+    return flagged.groupBy(user_col, "session_idx").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

@@ -134,3 +134,56 @@ def pack_sequences(
             csum.alias("cum_tokens"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): keep the k rows with the largest ln(u)/w, u a
+    reproducible md5-uniform in (0,1].  Inclusion probability is
+    proportional to weight, the selection is a pure function of
+    (seed, id, weight) — the corpus-mixture draw every training-data
+    pipeline needs to be able to REPLAY.
+
+    Scale shape: no shuffle at all — orderBy(...).limit(k) plans as
+    TakeOrderedAndProject (per-partition top-k, driver merges k·P rows),
+    the same pattern as any distributed top-k.  The md5-uniform is the
+    sketches-module h60 (integer-exact in every engine); only the final
+    ln is float, and ranking gaps (~1/n²) dwarf cross-engine libm ulp.
+    """
+    from geodesk_spark.operators.sketches import h60_sql
+
+    h = F.expr(h60_sql(f"concat('{seed}|', cast({id_col} as string))"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return (
+        df.withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(k)
+        .withColumn("skey", F.floor(F.col("_key") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+        .drop("_key")
+    )
+
+
+def weighted_sample_sql(
+    table: str, k: int, weight_col: str, id_col: str = "doc_id", seed: str = "42"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — same h60, same op order."""
+    from geodesk_spark.operators.sketches import h60_sql
+
+    h = h60_sql(f"concat('{seed}|', cast({id_col} as string))")
+    return f"""
+      select * exclude (_key), floor(_key * 1e9 + 0.5) / 1e9 as skey
+      from (
+        select *, ln(cast({h} + 1 as double) / {float(1 << 60)!r})
+                  / greatest(cast({weight_col} as double), 1.0) as _key
+        from {table}
+        order by _key desc, {id_col}
+        limit {k}
+      )
+    """

@@ -106,3 +106,64 @@ def test_as_of_join_edges(spark):
     assert out[3] == 200      # latest ≤ wins
     assert out[4] is None     # before any snapshot
     assert out[5] is None     # user 8's snapshot is after the event
+
+
+# ------------------------------------------------ interval join / sessionize
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import numpy as np
+    from geodesk_spark.operators import relational
+
+    rng = np.random.default_rng(3)
+    ivs = []
+    for i in range(150):
+        s = int(rng.integers(0, 10_000))
+        ivs.append((i, s, s + int(rng.integers(0, 900))))
+    # boundary shapes: zero-length, bucket-aligned, many-bucket span
+    ivs += [(900, 500, 500), (901, 0, 100), (902, 100, 4100)]
+    pts = [(j, int(rng.integers(0, 10_000))) for j in range(300)]
+    pts += [(990, 500), (991, 100), (992, 4100)]  # exact endpoints
+    a = spark.createDataFrame(ivs, "iid long, s long, e long")
+    b = spark.createDataFrame(pts, "pid long, t long")
+    got = {
+        (r["iid"], r["pid"])
+        for r in relational.interval_join(a, b, bucket_width=100).collect()
+    }
+    exp = {(i, p) for i, s, e in ivs for p, t in pts if s <= t <= e}
+    assert got == exp
+    assert len(exp) > 500
+
+
+def test_interval_join_exactly_once(spark):
+    from geodesk_spark.operators import relational
+
+    a = spark.createDataFrame([(1, 0, 1000)], "iid long, s long, e long")
+    b = spark.createDataFrame([(7, 500)], "pid long, t long")
+    rows = relational.interval_join(a, b, bucket_width=10).collect()
+    assert len(rows) == 1  # interval spans 101 buckets; the pair emits once
+
+
+def test_sessionize_hand_case(spark):
+    from geodesk_spark.operators import relational
+
+    base = "2024-01-01 00:"
+    rows = [
+        # user 1: events at 00:00, 00:10, 02:00 → sessions {2 events}, {1}
+        (1, 1, f"{base}00:00", 1.5),
+        (2, 1, f"{base}10:00", 2.5),
+        (3, 1, "2024-01-01 02:00:00", 4.0),
+        # user 2: single event
+        (4, 2, f"{base}05:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in relational.sessionize(df, gap_us=3_600_000_000).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["sum_value"] == 4.0
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["sum_value"] == 4.0
+    assert out[(2, 1)]["n_events"] == 1
+    assert out[(1, 1)]["end_us"] - out[(1, 1)]["start_us"] == 600_000_000

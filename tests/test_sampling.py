@@ -75,3 +75,23 @@ def test_stratified_mix_fractions(docs):
     assert got.get("en", 0) == int(np.ceil(n_per["en"] * 0.05))
     assert got.get("sw", 0) == n_per["sw"]  # rare stratum fully kept
     assert set(out["lang"]) <= {"en", "sw"}  # de/fr dropped (default 0)
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from geodesk_spark.operators import sampling
+
+    rows = [(i, "en", 10 if i != 7 else 10_000_000) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    s1 = sampling.weighted_sample(df, k=50, weight_col="n_chars")
+    s2 = sampling.weighted_sample(df, k=50, weight_col="n_chars")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2 and len(ids1) == 50
+    # a 10^6x-weight row is (1 - ~1e-6)^... essentially certain to be drawn
+    assert 7 in ids1
+    # different seed → different draw
+    ids3 = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, k=50, weight_col="n_chars", seed="9").collect()
+    )
+    assert ids3 != ids1
