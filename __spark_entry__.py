@@ -929,6 +929,22 @@ _SQL_INTERVAL_JOIN = f"""
 """
 
 
+def _q_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (stats.group_quantiles): value p50/p90/
+    p99 per event_type by rank-select — one shuffle, the rollup reuses
+    the window partitioning; the exact counterpart of approx_percentile."""
+    from geodesk_spark.operators import stats
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return stats.group_quantiles(e, "event_type", "value", "event_id")
+
+
+def _group_quantiles_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    return stats.group_quantiles_sql("events", "event_type", "value", "event_id")
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 h
 
 
@@ -3204,6 +3220,7 @@ QUERIES: dict[str, tuple] = {
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
+    "group_quantiles_events": (_q_group_quantiles, _group_quantiles_sql()),
     "interval_join_events": (_q_interval_join, _SQL_INTERVAL_JOIN),
     "sample_weighted": (_q_weighted_sample, _weighted_sample_sql()),
     "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),

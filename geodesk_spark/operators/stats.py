@@ -1,0 +1,76 @@
+"""Exact distributed order statistics — the analytics rollup layer.
+
+Spark ships approx_percentile (a KLL-ish sketch); pipelines auditing
+data quality need EXACT per-group quantiles that reproduce bit-for-bit
+across engines and cluster sizes.  Exact quantiles are a rank-select
+composition: one window shuffle ranks each group's values, and the
+aggregation picks the elements at the quantile ranks — the rollup
+reuses the window's hash partitioning, so the whole operator is ONE
+shuffle.
+
+Rank convention: q_p = value at row_number ceil(p·n) (1-based, ties
+broken by an id column for a deterministic total order; the SELECTED
+value is order-independent under ties, the tiebreak just fixes the
+sort).  This is percentile_disc semantics with the "ceil" rule, chosen
+because ceil(p·n) is integer-exact in every engine (p·n < 2^52).
+
+At 10^12 rows a single group's sort is the classic skew risk: the
+window sort spills, and a pathological mega-group can be pre-reduced
+by value-bucketing (count per value bucket → cumulative counts →
+within-bucket select) — the same two-stage shape as skew.with_salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact quantiles of ``value_col`` at probabilities ``ps``
+    → (group, n, q_<p> …).  One shuffle (window + reusing rollup)."""
+    w = Window.partitionBy(group_col).orderBy(value_col, order_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col, order_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(wn))
+    aggs = [F.max("_n").cast("int").alias("n")]
+    for p in ps:
+        rank = F.greatest(F.ceil(F.lit(p) * F.col("_n")), F.lit(1))
+        name = f"q{str(p)[2:]}"  # 0.5 -> q5, 0.99 -> q99
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin — identical rank rule, identical names."""
+    cols = []
+    for p in ps:
+        name = f"q{str(p)[2:]}"
+        cols.append(
+            f"max(case when _rn = greatest(ceil({p!r} * _n), 1)"
+            f" then {value_col} end) as {name}"
+        )
+    return f"""
+      with r as (
+        select {group_col}, {value_col}, {order_col},
+               row_number() over (partition by {group_col}
+                                  order by {value_col}, {order_col}) as _rn,
+               count(*) over (partition by {group_col}) as _n
+        from {table})
+      select {group_col}, cast(max(_n) as int) as n, {', '.join(cols)}
+      from r group by {group_col}
+    """

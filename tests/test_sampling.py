@@ -95,3 +95,22 @@ def test_weighted_sample_deterministic_and_biased(spark):
         for r in sampling.weighted_sample(df, k=50, weight_col="n_chars", seed="9").collect()
     )
     assert ids3 != ids1
+
+
+def test_group_quantiles_hand_case(spark):
+    from geodesk_spark.operators import stats
+
+    rows = [("a", float(v), i) for i, v in enumerate([5, 1, 4, 2, 3])] + [
+        ("b", 10.0, 100),
+        ("b", 20.0, 101),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double, event_id long")
+    out = {
+        r["g"]: r
+        for r in stats.group_quantiles(df, "g", "value", "event_id").collect()
+    }
+    # group a: sorted [1,2,3,4,5]; ceil(.5*5)=3 -> 3.0; ceil(.9*5)=5 -> 5.0
+    assert out["a"]["n"] == 5 and out["a"]["q5"] == 3.0
+    assert out["a"]["q9"] == 5.0 and out["a"]["q99"] == 5.0
+    # group b: ceil(.5*2)=1 -> 10.0; ceil(.9*2)=2 -> 20.0
+    assert out["b"]["q5"] == 10.0 and out["b"]["q9"] == 20.0
