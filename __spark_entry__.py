@@ -2812,6 +2812,79 @@ def _crossing_join_sql() -> str:
     """
 
 
+RAST_PSTEP = 1 << 17
+
+
+def _rast_verts() -> list[tuple[int, int, int, int]]:
+    """20 deterministic 12-point concave stars (alternating radii), as
+    closed vertex rows (poly_id, seq, x, y).  Integer literals computed
+    host-side ONCE, so Spark and the oracle see identical vertices."""
+    out = []
+    for k in range(20):
+        cx = ((k * 2654435761) % 3_800_000_001) - 1_900_000_000
+        cy = ((k * 1103515245) % 2_000_000_001) - 1_000_000_000
+        ring = []
+        for j in range(12):
+            a = math.pi / 6 * j
+            r = 12_000_000 if j % 2 == 0 else 5_000_000
+            ring.append((cx + round(r * math.cos(a)), cy + round(r * math.sin(a))))
+        ring.append(ring[0])
+        out.extend((k, s, x, y) for s, (x, y) in enumerate(ring))
+    return out
+
+
+def _q_rasterize_polygons(spark, sf_dir):
+    """Even-odd scanline polygon rasterization to run-length spans
+    (tiles_sink.rasterize_polygons_scanline) over 20 concave stars;
+    the oracle re-derives every span from an INDEPENDENT per-pixel
+    ray-cast + gaps-and-islands regroup."""
+    from geodesk_spark.operators import tiles_sink
+
+    verts = spark.createDataFrame(
+        _rast_verts(), "poly_id long, seq long, x long, y long"
+    )
+    return tiles_sink.rasterize_polygons_scanline(verts, RAST_PSTEP)
+
+
+def _rasterize_sql() -> str:
+    p, h = RAST_PSTEP, RAST_PSTEP // 2
+    vals = ", ".join(f"({k},{s},{x},{y})" for k, s, x, y in _rast_verts())
+    return f"""
+      with verts(poly_id, seq, x, y) as (values {vals}),
+      e as (select * from (
+          select poly_id, x as x1, y as y1,
+                 lead(x) over (partition by poly_id order by seq) as x2,
+                 lead(y) over (partition by poly_id order by seq) as y2
+          from verts) le where x2 is not null),
+      b as (select poly_id,
+              cast(floor(min(least(x1, x2)) / {p}) as bigint) * {p} as ox,
+              cast(ceil(max(greatest(y1, y2)) / {p}) as bigint) * {p} as oy,
+              max(greatest(x1, x2)) as mx, min(least(y1, y2)) as my
+            from e group by poly_id),
+      g as (select poly_id, ox, oy,
+              cast(ceil((mx - ox) / {p}) as bigint) as npx,
+              cast(ceil((oy - my) / {p}) as bigint) as npy
+            from b),
+      pyr as (select poly_id, ox, oy, npx,
+                     unnest(generate_series(0, npy - 1)) as py from g),
+      pix as (select poly_id, ox, py, oy - py * {p} - {h} as yc,
+                     unnest(generate_series(0, npx - 1)) as px from pyr),
+      cnt as (
+        select p.poly_id, p.py, p.px,
+               count(*) filter (where (e.y1 > p.yc) <> (e.y2 > p.yc)
+                  and (p.ox + p.px * {p} + {h})
+                      < e.x1 + (p.yc - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)) as c
+        from pix p join e on e.poly_id = p.poly_id
+        group by 1, 2, 3),
+      ins as (select poly_id, py, px from cnt where c % 2 = 1),
+      isl as (select poly_id, py, px,
+                     px - row_number() over (partition by poly_id, py order by px) as grp
+              from ins)
+      select poly_id, py, min(px) as px0, max(px) as px1
+      from isl group by poly_id, py, grp
+    """
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
@@ -3287,6 +3360,7 @@ QUERIES: dict[str, tuple] = {
     # ≥4 s tier (file sinks, streaming drains, iterative algorithms)
     "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
     "crossing_segments_join": (_q_crossing_join, _crossing_join_sql()),
+    "rasterize_polygon_spans": (_q_rasterize_polygons, _rasterize_sql()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),

@@ -390,3 +390,119 @@ def clip_segments_to_tiles(
             r4(y1 + t1 * dy).alias("cy2"),
         )
     )
+
+
+def rasterize_polygons_scanline(
+    verts: DataFrame, pstep: int, poly_col: str = "poly_id", seq_col: str = "seq"
+) -> DataFrame:
+    """Even-odd scanline rasterization of polygon interiors → run-length
+    spans (poly_id, py, px0, px1): the polygon counterpart of
+    rasterize_pixel_counts (MapMaker draws polygon layers, not just
+    points), on a per-polygon grid of ``pstep``-sized pixels anchored
+    at floor(bbox/pstep).
+
+    Fill rule = EXACTLY the reference's ray-cast XOR (geo/pip.py,
+    PointInPolygon.java truth table): a pixel center is inside iff the
+    number of edge crossings strictly to its right is odd, edges
+    crossing half-open in y ((y1>yc) != (y2>yc)).  Scanline form: per
+    pixel row, sorted crossing xs c₁≤…≤c₂ₖ fill the half-open spans
+    [c₂ᵢ₋₁, c₂ᵢ) — the parity theorem guarantees an even count.
+
+    Numerically span bounds are EXACT mirrors of the per-pixel test:
+    pstep is a power of two, so (cx − ox − h)/pstep divides without
+    rounding and ceil() reproduces pixel-center comparisons bit-for-bit
+    — the driver oracle recomputes every pixel independently (ray-cast
+    per pixel + gaps-and-islands regrouping) and must agree exactly.
+
+    Scale shape: edge pairing is one window over the (dimension-sized
+    or sharded) vertex table; the row-explode fans each edge to its
+    O(height/pstep) scan rows; the only data-sized shuffle is the
+    groupBy(poly, row) that sorts each row's handful of crossings.
+    Rows of different polygons/bands rasterize fully in parallel —
+    the tile-renderer partitioning.
+    """
+    from pyspark.sql import Window, functions as F
+
+    assert pstep % 2 == 0 and (pstep & (pstep - 1)) == 0, "pstep must be 2^k"
+    h = pstep // 2
+    w = Window.partitionBy(poly_col).orderBy(seq_col)
+    e = (
+        verts.withColumn("x2", F.lead("x").over(w))
+        .withColumn("y2", F.lead("y").over(w))
+        .filter(F.col("x2").isNotNull())
+    )
+    wb = Window.partitionBy(poly_col)
+    e = e.withColumn(
+        "_ox",
+        F.floor(F.min(F.least("x", "x2")).over(wb) / F.lit(pstep)) * F.lit(pstep),
+    ).withColumn(
+        "_oy",
+        F.ceil(F.max(F.greatest("y", "y2")).over(wb) / F.lit(pstep)) * F.lit(pstep),
+    )
+    ymin_e = F.least("y", "y2")
+    ymax_e = F.greatest("y", "y2")
+    py_min = F.floor((F.col("_oy") - h - ymax_e) / F.lit(pstep)) + 1
+    py_max = F.floor((F.col("_oy") - h - ymin_e) / F.lit(pstep))
+    rows = (
+        e.filter(F.col("y") != F.col("y2"))
+        .withColumn("_pymin", py_min)
+        .withColumn("_pymax", py_max)
+        .filter(F.col("_pymin") <= F.col("_pymax"))
+        .withColumn("py", F.explode(F.sequence(F.col("_pymin"), F.col("_pymax"))))
+    )
+    yc = F.col("_oy") - F.col("py") * F.lit(pstep) - F.lit(h)
+    cx = F.col("x") + (yc - F.col("y")) * (F.col("x2") - F.col("x")) / (
+        F.col("y2") - F.col("y")
+    )
+    grouped = (
+        rows.select(poly_col, "py", F.col("_ox"), cx.alias("cx"))
+        .groupBy(poly_col, "py")
+        .agg(F.sort_array(F.collect_list("cx")).alias("cs"), F.first("_ox").alias("_ox"))
+    )
+    cs = F.col("cs")
+    spans = F.transform(
+        F.sequence(F.lit(0), (F.size(cs) / F.lit(2)).cast("int") - 1),
+        lambda i: F.struct(
+            F.element_at(cs, 2 * i + 1).alias("c0"),
+            F.element_at(cs, 2 * i + 2).alias("c1"),
+        ),
+    )
+    # pixel spans per crossing pair; drop pixel-empty ones, then COALESCE
+    # touching/adjacent spans (two crossing pairs with no pixel center in
+    # the gap fill contiguous pixels — an RLE raster has one run there,
+    # and the per-pixel oracle can't see the split)
+    pxs = F.filter(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                F.ceil((s.c0 - F.col("_ox") - h) / F.lit(pstep)).alias("a"),
+                (F.ceil((s.c1 - F.col("_ox") - h) / F.lit(pstep)) - 1).alias("b"),
+            ),
+        ),
+        lambda s: s.a <= s.b,
+    )
+    merged = F.aggregate(
+        pxs,
+        F.array().cast("array<struct<a:bigint,b:bigint>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s.a <= F.element_at(acc, -1).b + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).a.alias("a"),
+                        F.greatest(s.b, F.element_at(acc, -1).b).alias("b"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return (
+        grouped.withColumn("_s", F.explode(merged))
+        .select(
+            poly_col,
+            "py",
+            F.col("_s.a").alias("px0"),
+            F.col("_s.b").alias("px1"),
+        )
+    )

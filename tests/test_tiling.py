@@ -261,3 +261,68 @@ def test_clip_pieces_tile_the_segment(spark, clip_segs):
             else:
                 tot += (r["cy2"] - r["cy1"]) / dy
         assert abs(tot - 1.0) < 1e-3, sid
+
+
+# ------------------------------------------------ polygon scanline rasterization
+
+
+def _brute_raster_spans(verts_by_poly, pstep):
+    """Independent per-pixel ray-cast rasterizer (numpy-free loops)."""
+    h = pstep // 2
+    out = set()
+    for pid, ring in verts_by_poly.items():
+        edges = [
+            (ring[i], ring[i + 1]) for i in range(len(ring) - 1)
+        ]
+        xs = [v[0] for v in ring]
+        ys = [v[1] for v in ring]
+        ox = math.floor(min(xs) / pstep) * pstep
+        oy = math.ceil(max(ys) / pstep) * pstep
+        npx = math.ceil((max(xs) - ox) / pstep)
+        npy = math.ceil((oy - min(ys)) / pstep)
+        for py in range(npy):
+            yc = oy - py * pstep - h
+            run = None
+            for px in range(npx):
+                xc = ox + px * pstep + h
+                c = 0
+                for (x1, y1), (x2, y2) in edges:
+                    if (y1 > yc) != (y2 > yc) and xc < x1 + (yc - y1) * (x2 - x1) / (y2 - y1):
+                        c += 1
+                if c % 2 == 1:
+                    run = (run[0], px) if run else (px, px)
+                else:
+                    if run:
+                        out.add((pid, py, run[0], run[1]))
+                        run = None
+            if run:
+                out.add((pid, py, run[0], run[1]))
+    return out
+
+
+def test_rasterize_polygons_matches_per_pixel(spark):
+    from geodesk_spark.operators import tiles_sink
+
+    rng = np.random.default_rng(5)
+    pstep = 1 << 10
+    polys = {}
+    rows = []
+    for pid in range(6):
+        cx, cy = int(rng.integers(-50_000, 50_000)), int(rng.integers(-50_000, 50_000))
+        ring = []
+        nv = int(rng.integers(5, 13))
+        for j in range(nv):
+            a = 2 * math.pi * j / nv
+            r = int(rng.integers(4_000, 30_000))
+            ring.append((cx + round(r * math.cos(a)), cy + round(r * math.sin(a))))
+        ring.append(ring[0])
+        polys[pid] = ring
+        rows += [(pid, s, x, y) for s, (x, y) in enumerate(ring)]
+    df = spark.createDataFrame(rows, "poly_id long, seq long, x long, y long")
+    got = {
+        (r["poly_id"], r["py"], r["px0"], r["px1"])
+        for r in tiles_sink.rasterize_polygons_scanline(df, pstep).collect()
+    }
+    exp = _brute_raster_spans(polys, pstep)
+    assert got == exp
+    assert len(exp) > 100
