@@ -2958,6 +2958,38 @@ def _tile_clip_sql() -> str:
     """
 
 
+_DP_EPS = 8000
+_DP_VERTS_SQL = """
+  select o_orderkey % 100 as line_id, o_orderkey as seq,
+         (o_orderkey * 48271) % 60001 - 30000 as x,
+         (o_orderkey * 69621) % 60001 - 30000 as y
+  from orders
+"""
+
+
+def _q_simplify_dp(spark, sf_dir):
+    """Douglas–Peucker polyline simplification (geometry_ops.
+    simplify_lines_dp): exact-integer split rule in a per-line Arrow
+    kernel; oracle replays the recursion as a DuckDB recursive CTE."""
+    from geodesk_spark.operators import geometry_ops
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    verts = o.select(
+        (k % 100).alias("line_id"),
+        k.alias("seq"),
+        ((k * 48271) % 60001 - 30000).alias("x"),
+        ((k * 69621) % 60001 - 30000).alias("y"),
+    )
+    return geometry_ops.simplify_lines_dp(verts, eps=_DP_EPS)
+
+
+def _simplify_dp_sql() -> str:
+    from geodesk_spark.operators import geometry_ops
+
+    return geometry_ops.simplify_lines_dp_sql(_DP_VERTS_SQL, eps=_DP_EPS)
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
@@ -3361,6 +3393,7 @@ QUERIES: dict[str, tuple] = {
     "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
     "crossing_segments_join": (_q_crossing_join, _crossing_join_sql()),
     "rasterize_polygon_spans": (_q_rasterize_polygons, _rasterize_sql()),
+    "simplify_lines_dp": (_q_simplify_dp, _simplify_dp_sql()),
     "dedup_ngram_jaccard": (_q_jaccard, _SQL_JACCARD),
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),

@@ -141,3 +141,116 @@ def resample_along_segments(
         (F.col("_x1") + f * (F.col("_x2") - F.col("_x1"))).alias("px"),
         (F.col("_y1") + f * (F.col("_y2") - F.col("_y1"))).alias("py"),
     )
+
+
+def simplify_lines_dp(
+    verts: DataFrame,
+    eps: int,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification — the simplify step every
+    tile renderer runs before coarse-zoom encode (quantize_for_tiles
+    elides only coincident grid points; DP removes sub-tolerance
+    geometry).
+
+    Split rule, EXACT integer arithmetic: an interval (i0, i1) splits at
+    the first vertex j maximizing cross² where cross = dx·(yⱼ−y₀) −
+    dy·(xⱼ−x₀), iff cross² > eps²·len² (the perpendicular-distance test
+    cleared of its division; a degenerate zero-length chord gives 0 > 0
+    = false and simplifies to its endpoints).  Python bigints make the
+    comparison exact at any coordinate size; the driver oracle replays
+    the same recursion as a DuckDB recursive CTE in hugeint.
+
+    Scale shape: one shuffle (groupBy line) into a per-line Arrow
+    kernel — simplification is genuinely per-geometry recursive, the
+    documented case for applyInPandas.  Lines partition freely; a
+    monster line is a hot key like any other (split it upstream).
+
+    Input (line_col, seq, x, y); output the KEPT rows, same schema.
+    """
+    eps2 = int(eps) * int(eps)
+
+    def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col).reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(xs)
+        if n <= 2:
+            return pdf
+        keep = {0, n - 1}
+        stack = [(0, n - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            dx = xs[i1] - xs[i0]
+            dy = ys[i1] - ys[i0]
+            l2 = dx * dx + dy * dy
+            jbest, c2best = -1, -1
+            for j in range(i0 + 1, i1):
+                c = dx * (ys[j] - ys[i0]) - dy * (xs[j] - xs[i0])
+                c2 = c * c
+                if c2 > c2best:
+                    jbest, c2best = j, c2
+            if c2best > eps2 * l2:
+                keep.add(jbest)
+                stack.append((i0, jbest))
+                stack.append((jbest, i1))
+        return pdf.iloc[sorted(keep)]
+
+    schema = verts.select(line_col, seq_col, "x", "y").schema
+    return (
+        verts.select(line_col, seq_col, "x", "y")
+        .groupBy(line_col)
+        .applyInPandas(lambda pdf: simplify(pdf), schema=schema)
+    )
+
+
+def simplify_lines_dp_sql(verts_cte: str, eps: int) -> str:
+    """DuckDB twin of :func:`simplify_lines_dp`: the DP recursion as a
+    recursive CTE over intervals, argmax by (cross² desc, seq), exact
+    hugeint comparisons — structurally independent of the kernel's
+    stack loop."""
+    eps2 = int(eps) * int(eps)
+    return f"""
+      with recursive v as ({verts_cte}),
+      iv(line_id, i0, i1) as (
+        select line_id, min(seq), max(seq) from v group by line_id
+        union all
+        select t.line_id,
+               case when k.k = 0 then t.i0 else t.j end,
+               case when k.k = 0 then t.j else t.i1 end
+        from (
+          select * from (
+            select s.line_id, s.i0, s.i1, vm.seq as j,
+                   row_number() over (
+                     partition by s.line_id, s.i0, s.i1
+                     order by cast((v1.x - v0.x) * (vm.y - v0.y)
+                                 - (v1.y - v0.y) * (vm.x - v0.x) as hugeint)
+                              * ((v1.x - v0.x) * (vm.y - v0.y)
+                                 - (v1.y - v0.y) * (vm.x - v0.x)) desc,
+                              vm.seq) as rn,
+                   cast((v1.x - v0.x) * (vm.y - v0.y)
+                      - (v1.y - v0.y) * (vm.x - v0.x) as hugeint)
+                   * ((v1.x - v0.x) * (vm.y - v0.y)
+                      - (v1.y - v0.y) * (vm.x - v0.x)) as c2,
+                   cast({eps2} as hugeint)
+                   * ((v1.x - v0.x) * (v1.x - v0.x)
+                      + (v1.y - v0.y) * (v1.y - v0.y)) as e2l2
+            from iv s
+            join v vm on vm.line_id = s.line_id
+                     and vm.seq > s.i0 and vm.seq < s.i1
+            join v v0 on v0.line_id = s.line_id and v0.seq = s.i0
+            join v v1 on v1.line_id = s.line_id and v1.seq = s.i1
+          ) c where rn = 1 and c2 > e2l2
+        ) t cross join (values (0), (1)) k(k)
+      ),
+      keep as (
+        select line_id, i0 as seq from iv
+        union
+        select line_id, i1 from iv
+      )
+      select distinct k.line_id, k.seq, v.x, v.y
+      from keep k join v using (line_id, seq)
+    """

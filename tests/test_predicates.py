@@ -216,3 +216,67 @@ def test_ring_centroid_cols(spark):
         assert abs(out[fid]["a2"] - a2_np) < 1e-6 * max(1.0, abs(a2_np))
         assert abs(out[fid]["cx"] - cx_np) < 1e-6 * max(1.0, abs(cx_np))
         assert abs(out[fid]["cy"] - cy_np) < 1e-6 * max(1.0, abs(cy_np))
+
+
+# ------------------------------------------------- Douglas-Peucker simplification
+
+
+def _dp_reference(pts, eps):
+    """Plain recursive DP (different structure from the operator's
+    explicit stack), exact ints."""
+    def rec(i0, i1, keep):
+        if i1 - i0 < 2:
+            return
+        dx, dy = pts[i1][0] - pts[i0][0], pts[i1][1] - pts[i0][1]
+        best, c2b = -1, -1
+        for j in range(i0 + 1, i1):
+            c = dx * (pts[j][1] - pts[i0][1]) - dy * (pts[j][0] - pts[i0][0])
+            if c * c > c2b:
+                best, c2b = j, c * c
+        if c2b > eps * eps * (dx * dx + dy * dy):
+            keep.add(best)
+            rec(i0, best, keep)
+            rec(best, i1, keep)
+
+    keep = {0, len(pts) - 1}
+    rec(0, len(pts) - 1, keep)
+    return sorted(keep)
+
+
+def test_simplify_dp_matches_recursive_reference(spark):
+    import numpy as np
+    from geodesk_spark.operators import geometry_ops
+
+    rng = np.random.default_rng(17)
+    rows, expect = [], set()
+    for lid in range(8):
+        n = int(rng.integers(5, 60))
+        pts = [(int(rng.integers(-30000, 30000)), int(rng.integers(-30000, 30000)))
+               for _ in range(n)]
+        rows += [(lid, s, x, y) for s, (x, y) in enumerate(pts)]
+        expect |= {(lid, s) for s in _dp_reference(pts, 8000)}
+    df = spark.createDataFrame(rows, "line_id long, seq long, x long, y long")
+    got = {
+        (r["line_id"], r["seq"])
+        for r in geometry_ops.simplify_lines_dp(df, eps=8000).collect()
+    }
+    assert got == expect
+
+
+def test_simplify_dp_hand_cases(spark):
+    from geodesk_spark.operators import geometry_ops
+
+    rows = (
+        # near-straight: middle deviates 5 < eps -> endpoints only
+        [(0, s, x, y) for s, (x, y) in enumerate([(0, 0), (500, 5), (1000, 0)])]
+        # sharp corner: deviation 400 > eps -> corner kept
+        + [(1, s, x, y) for s, (x, y) in enumerate([(0, 0), (500, 400), (1000, 0)])]
+        # degenerate closed chord: simplifies to its endpoints
+        + [(2, s, x, y) for s, (x, y) in enumerate([(0, 0), (300, 300), (0, 0)])]
+    )
+    df = spark.createDataFrame(rows, "line_id long, seq long, x long, y long")
+    got = {
+        (r["line_id"], r["seq"])
+        for r in geometry_ops.simplify_lines_dp(df, eps=10).collect()
+    }
+    assert got == {(0, 0), (0, 2), (1, 0), (1, 1), (1, 2), (2, 0), (2, 2)}
