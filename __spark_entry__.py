@@ -945,6 +945,60 @@ def _group_quantiles_sql() -> str:
     return stats.group_quantiles_sql("events", "event_type", "value", "event_id")
 
 
+_LINREG_T0_US = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+
+
+def _q_linreg_trend(spark, sf_dir):
+    """Exact per-user OLS value trend (stats.group_linreg): decimal-sum
+    closed form, one aggregation — the drift-detection rollup."""
+    from geodesk_spark.operators import stats
+
+    e = tables.load_spread(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_LINREG_T0_US)).alias("xr"),
+        "value",
+    )
+    return stats.group_linreg(e, "user_id", "xr", "value")
+
+
+def _linreg_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    return stats.group_linreg_sql(
+        f"(select user_id, epoch_us(ts) - {_LINREG_T0_US} as xr, value from events) e",
+        "user_id",
+        "xr",
+        "value",
+    )
+
+
+def _q_tag_stats(spark, sf_dir):
+    """taginfo-style key statistics over the GOQL feature view
+    (operators/tags.tag_stats): per key — feature count, distinct
+    values, dominant value; two bounded shuffles."""
+    from geodesk_spark.operators import tags as tags_mod
+
+    return tags_mod.tag_stats(_part_features(spark, sf_dir))
+
+
+_SQL_TAG_STATS = """
+  with kv as (
+    select 'brand' as k, p_brand as v from part
+    union all select 'type', p_type from part
+    union all select 'size', cast(p_size as varchar) from part
+    union all select 'big', 'yes' from part where p_size > 25
+  ),
+  g as (select k, v, count(*) as c from kv group by 1, 2),
+  r as (select *, row_number() over (partition by k order by c desc, v) as rn
+        from g)
+  select k as tag_key, cast(sum(c) as bigint) as n_features,
+         cast(count(*) as int) as n_values,
+         max(case when rn = 1 then v end) as top_value,
+         cast(max(case when rn = 1 then c end) as bigint) as top_n
+  from r group by k
+"""
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 h
 
 
@@ -2885,6 +2939,43 @@ def _rasterize_sql() -> str:
     """
 
 
+BLUR_R = 2
+
+
+def _q_box_blur(spark, sf_dir):
+    """Separable box blur (tiles_sink.box_blur_counts) over the global
+    2^16-pixel grid: the heatmap smoothing between raster binning and
+    encode — two rank-1 explode+regroup passes, 2(2r+1) fan-out
+    instead of (2r+1)², exact integer convolution."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = (
+        df.select(
+            F.floor((F.col("x") + F.lit(2147483648)) / F.lit(65536)).alias("gx"),
+            F.floor((F.lit(2147483647) - F.col("y")) / F.lit(65536)).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("n"))
+    )
+    return tiles_sink.box_blur_counts(pix, radius=BLUR_R)
+
+
+_SQL_BOX_BLUR = f"""
+  with pts as ({{derived}}),
+  pix as (select cast(floor((x + 2147483648) / 65536) as bigint) as gx,
+                 cast(floor((2147483647 - y) / 65536) as bigint) as gy,
+                 count(*) as n
+          from pts group by 1, 2),
+  hx as (select gx + unnest(generate_series(-{BLUR_R}, {BLUR_R})) as gx, gy, n
+         from pix),
+  h as (select gx, gy, sum(n) as n from hx group by 1, 2),
+  vy as (select gx, gy + unnest(generate_series(-{BLUR_R}, {BLUR_R})) as gy, n
+         from h)
+  select gx, gy, cast(sum(n) as bigint) as n from vy group by 1, 2
+"""
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
@@ -3326,6 +3417,8 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
     "group_quantiles_events": (_q_group_quantiles, _group_quantiles_sql()),
+    "linreg_user_trend": (_q_linreg_trend, _linreg_sql()),
+    "tag_key_stats": (_q_tag_stats, _SQL_TAG_STATS),
     "interval_join_events": (_q_interval_join, _SQL_INTERVAL_JOIN),
     "sample_weighted": (_q_weighted_sample, _weighted_sample_sql()),
     "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),
@@ -3363,6 +3456,7 @@ QUERIES: dict[str, tuple] = {
     "raster_pixel_counts": (_q_raster_pixels, _SQL_RASTER_PIXELS),
     "vector_tile_encode": (_q_vector_tile_encode, _vector_tile_sql()),
     "tile_clip_segments": (_q_tile_clip, _tile_clip_sql()),
+    "raster_box_blur": (_q_box_blur, _SQL_BOX_BLUR.format(derived=_DERIVED_SQL)),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),

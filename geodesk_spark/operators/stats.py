@@ -74,3 +74,78 @@ def group_quantiles_sql(
       select {group_col}, cast(max(_n) as int) as n, {', '.join(cols)}
       from r group by {group_col}
     """
+
+
+def group_linreg(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    out_scale: int = 9,
+) -> DataFrame:
+    """Exact per-group OLS trend (drift detection over event streams):
+    slope/intercept from the closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with every sum accumulated in DECIMAL — float partial sums are
+    order-dependent across partitionings and engines, fixed-point is
+    not, so the aggregate state is bit-identical on any cluster size.
+    ONE aggregation (map-side partial + final); the only floats are the
+    final two divisions, emitted with the floor(x·10^k + 0.5)/10^k
+    cross-engine rounding form.
+
+    → (group, n, slope, intercept); slope/intercept NULL for a
+    degenerate group (constant x).
+    """
+    x = F.col(x_col).cast("decimal(18,0)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / F.nullif(den, F.lit(0.0))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    m = 10 ** out_scale
+
+    def r(c):
+        return F.floor(c * F.lit(float(m)) + F.lit(0.5)) / F.lit(float(m))
+
+    return g.select(
+        group_col,
+        F.col("n").cast("int").alias("n"),
+        r(slope).alias("slope"),
+        r(intercept).alias("intercept"),
+    )
+
+
+def group_linreg_sql(
+    table: str, group_col: str, x_expr: str, y_expr: str, out_scale: int = 9
+) -> str:
+    """DuckDB twin — same decimal accumulation, same op order."""
+    m = 10 ** out_scale
+    return f"""
+      with g as (
+        select {group_col}, count(*) as n,
+               sum(cast({x_expr} as decimal(28,0))) as sx,
+               sum(cast({y_expr} as decimal(18,4))) as sy,
+               sum(cast({x_expr} as decimal(28,0)) * cast({x_expr} as decimal(28,0))) as sxx,
+               sum(cast({x_expr} as decimal(28,0)) * cast({y_expr} as decimal(18,4))) as sxy
+        from {table} group by {group_col}),
+      s as (
+        select {group_col}, n,
+               cast(n * sxy - sx * sy as double)
+                 / nullif(cast(n * sxx - sx * sx as double), 0.0) as slope,
+               sx, sy
+        from g)
+      select {group_col}, cast(n as int) as n,
+             floor(slope * {float(m)!r} + 0.5) / {float(m)!r} as slope,
+             floor(((cast(sy as double) - slope * cast(sx as double)) / n)
+                   * {float(m)!r} + 0.5) / {float(m)!r} as intercept
+      from s
+    """

@@ -506,3 +506,37 @@ def rasterize_polygons_scanline(
             F.col("_s.b").alias("px1"),
         )
     )
+
+
+def box_blur_counts(
+    pix: DataFrame, radius: int, x_col: str = "gx", y_col: str = "gy", val: str = "n"
+) -> DataFrame:
+    """Separable box blur over a sparse global pixel-count grid — the
+    KDE/heatmap smoothing step between rasterize_pixel_counts and the
+    png encode.  Exact integer convolution: out(q) = Σ_{|dx|≤r,|dy|≤r}
+    n(q+d), computed as TWO rank-1 passes (horizontal spread+regroup,
+    then vertical), 2·(2r+1) fan-out instead of (2r+1)² — the separable
+    decomposition that makes big kernels affordable at scale.
+
+    Global pixel coordinates (not per-tile) mean tile borders need no
+    halo exchange: the groupBy shuffle IS the halo.  Sparsity is free —
+    absent pixels are zero, and the output support is exactly the
+    Chebyshev-r dilation of the input support.
+    """
+    from pyspark.sql import functions as F
+
+    r = radius
+    h = (
+        pix.withColumn(
+            x_col, F.explode(F.sequence(F.col(x_col) - r, F.col(x_col) + r))
+        )
+        .groupBy(x_col, y_col)
+        .agg(F.sum(val).alias(val))
+    )
+    return (
+        h.withColumn(
+            y_col, F.explode(F.sequence(F.col(y_col) - r, F.col(y_col) + r))
+        )
+        .groupBy(x_col, y_col)
+        .agg(F.sum(val).alias(val))
+    )

@@ -114,3 +114,30 @@ def test_group_quantiles_hand_case(spark):
     assert out["a"]["q9"] == 5.0 and out["a"]["q99"] == 5.0
     # group b: ceil(.5*2)=1 -> 10.0; ceil(.9*2)=2 -> 20.0
     assert out["b"]["q5"] == 10.0 and out["b"]["q9"] == 20.0
+
+
+def test_group_linreg_exact_line(spark):
+    from geodesk_spark.operators import stats
+
+    # y = 2x + 3 exactly -> slope 2, intercept 3; plus a constant-x group
+    rows = [(1, x, 2.0 * x + 3.0) for x in range(0, 100, 7)]
+    rows += [(2, 5, 1.0), (2, 5, 3.0)]
+    df = spark.createDataFrame(rows, "g long, xr long, value double")
+    out = {r["g"]: r for r in stats.group_linreg(df, "g", "xr", "value").collect()}
+    assert out[1]["slope"] == 2.0 and out[1]["intercept"] == 3.0
+    assert out[2]["slope"] is None and out[2]["intercept"] is None
+
+
+def test_tag_stats_hand_case(spark):
+    from pyspark.sql import functions as F
+    from geodesk_spark.operators import tags as tags_mod
+
+    df = spark.createDataFrame(
+        [({"a": "x", "b": "p"},), ({"a": "x", "b": "q"},), ({"a": "y"},)],
+        "tags map<string,string>",
+    )
+    out = {r["tag_key"]: r for r in tags_mod.tag_stats(df).collect()}
+    assert out["a"]["n_features"] == 3 and out["a"]["n_values"] == 2
+    assert out["a"]["top_value"] == "x" and out["a"]["top_n"] == 2
+    # b: tie between p and q -> lexicographically smallest wins
+    assert out["b"]["top_value"] == "p" and out["b"]["n_features"] == 2

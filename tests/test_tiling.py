@@ -326,3 +326,26 @@ def test_rasterize_polygons_matches_per_pixel(spark):
     exp = _brute_raster_spans(polys, pstep)
     assert got == exp
     assert len(exp) > 100
+
+
+def test_box_blur_matches_direct_convolution(spark):
+    from geodesk_spark.operators import tiles_sink
+
+    rng = np.random.default_rng(23)
+    pts = {}
+    for _ in range(200):
+        k = (int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+        pts[k] = pts.get(k, 0) + int(rng.integers(1, 9))
+    df = spark.createDataFrame(
+        [(x, y, n) for (x, y), n in pts.items()], "gx long, gy long, n long"
+    )
+    got = {
+        (r["gx"], r["gy"]): r["n"]
+        for r in tiles_sink.box_blur_counts(df, radius=2).collect()
+    }
+    exp = {}
+    for (x, y), n in pts.items():
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                exp[(x + dx, y + dy)] = exp.get((x + dx, y + dy), 0) + n
+    assert got == exp
