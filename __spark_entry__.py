@@ -945,6 +945,27 @@ def _group_quantiles_sql() -> str:
     return stats.group_quantiles_sql("events", "event_type", "value", "event_id")
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer PageRank over the user→target interaction graph
+    (graph.pagerank_integer): 5 exact-integer iterations, one shuffle
+    join per round; oracle = the loop unrolled as chained CTEs."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    e = tables.load_spread(spark, sf_dir, "events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+    )
+    # dimension-sized graph: lazy 10-join plan beats 10 blocking rounds
+    return graph_mod.pagerank_integer(e, iters=5, materialize=False)
+
+
+def _pagerank_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    return graph_mod.pagerank_integer_sql(
+        "select user_id as src, event_id % 50 as dst from events", iters=5
+    )
+
+
 _LINREG_T0_US = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
 
 
@@ -3496,6 +3517,7 @@ QUERIES: dict[str, tuple] = {
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
+    "pagerank_users": (_q_pagerank, _pagerank_sql()),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only

@@ -89,3 +89,111 @@ def connected_to(way_nodes: DataFrame, way_id: int) -> DataFrame:
         .select("way_id")
         .distinct()
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 10,
+    total_units: int = 1_000_000_000_000,
+    damping: tuple[int, int] = (85, 100),
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Iterative PageRank in EXACT integer units — the canonical
+    iterative graph algorithm (authority/quality scoring of a link
+    graph, the classic web-corpus quality signal).
+
+    Floating-point PageRank is not reproducible across partitionings
+    (sum order); instead every node starts with ``total_units`` integer
+    units and each iteration sends ``(units · d_num) div (d_den · deg)``
+    along each out-edge (exact integral division in BOTH engines — not
+    floor(double)), plus the constant teleport ``(total_units ·
+    (d_den − d_num)) div d_den``.  Remainders are absorbed (units are a
+    fixed-point encoding, not a conserved mass), and dangling nodes
+    keep only teleport — both rules applied identically in the chained
+    CTE oracle, so 10 iterations are bit-deterministic end to end.
+
+    Scale shape: per iteration ONE shuffle join (ranks ⋈ edges on src;
+    deg is folded into the edge list once, up front) + the groupBy(dst)
+    rollup with map-side combine.  Ranks cache per round and unpersist
+    the previous round (the connected-components pattern); at real
+    scale checkpoint every ~5 rounds to cut lineage.
+    ``materialize=False`` skips the per-round cache/eval and hands
+    Catalyst one lazy ``iters``-deep join plan — right when the graph
+    is dimension-sized (blocking micro-jobs cost more than the query),
+    wrong at scale (unbounded lineage depth).
+    """
+    d_num, d_den = damping
+    base = (total_units * (d_den - d_num)) // d_den
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    e = edges.join(deg, src).select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), "deg"
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("units", F.lit(total_units).cast("long"))
+    if materialize:
+        ranks = ranks.cache()
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e._src == ranks.node)
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr(f"(units * {d_num}) div ({d_den} * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long") + F.coalesce(F.col("c"), F.lit(0))).alias(
+                    "units"
+                ),
+            )
+        )
+        if materialize:
+            new_ranks = new_ranks.cache()
+            new_ranks.count()
+            ranks.unpersist()
+        ranks = new_ranks
+    return ranks
+
+
+def pagerank_integer_sql(
+    edges_cte: str,
+    iters: int = 10,
+    total_units: int = 1_000_000_000_000,
+    damping: tuple[int, int] = (85, 100),
+) -> str:
+    """DuckDB twin of :func:`pagerank_integer`: the iteration unrolled
+    as chained CTEs (the IVF-Lloyd oracle pattern), `//` = Spark `div`
+    on positive operands."""
+    d_num, d_den = damping
+    base = (total_units * (d_den - d_num)) // d_den
+    parts = [
+        f"e as ({edges_cte})",
+        "deg as (select src, count(*) as deg from e group by src)",
+        "nodes as (select distinct node from "
+        "(select src as node from e union all select dst from e) u)",
+        f"r0 as (select node, cast({total_units} as bigint) as units from nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} as (select e.dst as node, "
+            f"sum((r{i-1}.units * {d_num}) // ({d_den} * deg.deg)) as c "
+            f"from e join deg on e.src = deg.src "
+            f"join r{i-1} on r{i-1}.node = e.src group by e.dst)"
+        )
+        parts.append(
+            f"r{i} as (select n.node, cast({base} + coalesce(c.c, 0) as bigint) as units "
+            f"from nodes n left join c{i} c using (node))"
+        )
+    return (
+        "with " + ",\n".join(parts) + f"\nselect node, units from r{iters}"
+    )

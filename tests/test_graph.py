@@ -167,3 +167,33 @@ def test_sessionize_hand_case(spark):
     assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["sum_value"] == 4.0
     assert out[(2, 1)]["n_events"] == 1
     assert out[(1, 1)]["end_us"] - out[(1, 1)]["start_us"] == 600_000_000
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_integer_properties(spark):
+    from geodesk_spark.operators import graph as graph_mod
+
+    # star: everyone links to 0; 0 links to 1; node 9 dangling target
+    edges = [(s, 0) for s in range(1, 8)] + [(0, 1), (3, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lazy = {
+        r["node"]: r["units"]
+        for r in graph_mod.pagerank_integer(df, iters=10, materialize=False).collect()
+    }
+    mat = {
+        r["node"]: r["units"]
+        for r in graph_mod.pagerank_integer(df, iters=10, materialize=True).collect()
+    }
+    assert lazy == mat  # the scale path and the lazy path agree bit-for-bit
+    # the 0<->1 attractor holds nearly all mass (ranks alternate with
+    # iteration parity, so only the PAIR ordering is stable)
+    top2 = {n for n, _ in sorted(lazy.items(), key=lambda kv: -kv[1])[:2]}
+    assert top2 == {0, 1}
+    # nodes with no in-edges hold exactly the teleport base
+    base = (1_000_000_000_000 * 15) // 100
+    for n in (2, 4, 5, 6, 7):
+        assert lazy[n] == base
+    # node 9: base + floor(0.85 * base / outdeg(3)=2), hand-computed
+    assert lazy[9] == base + (base * 85) // (100 * 2)
