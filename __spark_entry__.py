@@ -966,6 +966,36 @@ def _pagerank_sql() -> str:
     )
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered orientation
+    (graph.triangle_counts, O(m^1.5) wedge join); oracle counts
+    triangles the INDEPENDENT way — a<b<c triple join with no
+    orientation."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    e = o.select((k % 200).alias("a"), (F.expr("(o_orderkey div 200)") % 200).alias("b"))
+    return graph_mod.triangle_counts(e)
+
+
+_SQL_TRIANGLES = """
+  with e0 as (select o_orderkey % 200 as a, (o_orderkey // 200) % 200 as b
+              from orders),
+  und as (select distinct least(a, b) as u, greatest(a, b) as v
+          from e0 where a <> b),
+  t as (
+    select e1.u as a, e1.v as b, e2.v as c
+    from und e1
+    join und e2 on e2.u = e1.v
+    join und e3 on e3.u = e1.u and e3.v = e2.v
+  )
+  select node, count(*) as n_tri
+  from (select a as node from t union all select b from t union all select c from t) n
+  group by node
+"""
+
+
 _LINREG_T0_US = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
 
 
@@ -3518,6 +3548,7 @@ QUERIES: dict[str, tuple] = {
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "pagerank_users": (_q_pagerank, _pagerank_sql()),
+    "triangle_counts": (_q_triangles, _SQL_TRIANGLES),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
     "images_flagship_pipeline": (_q_images_flagship, None),  # synthetic input — rows-only

@@ -197,3 +197,57 @@ def pagerank_integer_sql(
     return (
         "with " + ",\n".join(parts) + f"\nselect node, units from r{iters}"
     )
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle counts of an undirected graph — the standard
+    clustering/cohesion signal (spam subgraphs, community density).
+
+    Algorithm: degree-ordered orientation.  Each undirected edge points
+    from its (degree, id)-smaller endpoint to the larger; every
+    triangle then has exactly ONE vertex with both triangle edges
+    outgoing, so wedges (s→x, s→y), x<y, closed by edge {x,y} find each
+    triangle exactly once — no post-dedup.  The orientation bounds
+    out-degrees by O(√m), which bounds the wedge join at O(m^1.5):
+    the classic shuffle-efficient shape (a naive edge³ join is
+    quadratic on hub nodes).
+
+    Shuffles: degree rollup, two dimension joins to attach degrees
+    (broadcast when degree table is small), the wedge self-join on s,
+    and the closing semi-join on the canonical edge — all equi-joins
+    AQE can skew-split.  Returns (node, n_tri) for nodes in ≥1 triangle.
+    """
+    und = (
+        edges.filter(F.col(a) != F.col(b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e2 = und.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e2.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        und,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("s", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )

@@ -197,3 +197,17 @@ def test_pagerank_integer_properties(spark):
         assert lazy[n] == base
     # node 9: base + floor(0.85 * base / outdeg(3)=2), hand-computed
     assert lazy[9] == base + (base * 85) // (100 * 2)
+
+
+def test_triangle_counts_hand_graph(spark):
+    from geodesk_spark.operators import graph as graph_mod
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3), plus a pendant 4-5
+    # and a separate triangle {6,7,8}; duplicate + reversed edges must
+    # not double-count
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (1, 0), (2, 0),          # reversed dups
+             (4, 5), (6, 7), (7, 8), (8, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node"]: r["n_tri"] for r in graph_mod.triangle_counts(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 6: 1, 7: 1, 8: 1}
