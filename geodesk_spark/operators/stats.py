@@ -33,10 +33,14 @@ def group_quantiles(
     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
     """Per-group exact quantiles of ``value_col`` at probabilities ``ps``
-    → (group, n, q_<p> …).  One shuffle (window + reusing rollup)."""
+    → (group, n, q_<p> …).  One shuffle (window + reusing rollup).
+    NULL values are dropped (Spark sorts nulls first, DuckDB last — the
+    only cross-engine-stable rank semantics excludes them)."""
     w = Window.partitionBy(group_col).orderBy(value_col, order_col)
     wn = Window.partitionBy(group_col)
-    ranked = df.select(group_col, value_col, order_col).withColumn(
+    ranked = df.select(group_col, value_col, order_col).filter(
+        F.col(value_col).isNotNull()
+    ).withColumn(
         "_rn", F.row_number().over(w)
     ).withColumn("_n", F.count("*").over(wn))
     aggs = [F.max("_n").cast("int").alias("n")]
@@ -70,7 +74,7 @@ def group_quantiles_sql(
                row_number() over (partition by {group_col}
                                   order by {value_col}, {order_col}) as _rn,
                count(*) over (partition by {group_col}) as _n
-        from {table})
+        from {table} where {value_col} is not null)
       select {group_col}, cast(max(_n) as int) as n, {', '.join(cols)}
       from r group by {group_col}
     """

@@ -401,6 +401,10 @@ def rasterize_polygons_scanline(
     points), on a per-polygon grid of ``pstep``-sized pixels anchored
     at floor(bbox/pstep).
 
+    Input rings MUST be closed (last vertex = first; the driver corpus
+    and rings.assemble_rings both guarantee this) — an open ring drops
+    one edge and breaks the even-crossing parity theorem silently.
+
     Fill rule = EXACTLY the reference's ray-cast XOR (geo/pip.py,
     PointInPolygon.java truth table): a pixel center is inside iff the
     number of edge crossings strictly to its right is odd, edges
