@@ -1371,6 +1371,52 @@ _SQL_TILE_RENDER = f"""
 """
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup parity: the events table plus a
+    RE-DELIVERED copy of every third event drains through streaming
+    dropDuplicates(event_id) in several micro-batches (AvailableNow,
+    maxFilesPerTrigger=2) — cross-batch re-deliveries must be absorbed
+    by the dedup state, so the appended output aggregates to exactly
+    the clean table's per-type counts (the DuckDB oracle)."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    feed = e.unionByName(e.filter(F.col("event_id") % 3 == 0))
+    tmp = tempfile.mkdtemp(prefix="gds_sdedup_")
+    try:
+        indir = f"{tmp}/in"
+        feed.repartition(6).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        dd = sdf.dropDuplicates(["event_id"])
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(dd, out, ck, "append")
+        log = spark.read.parquet(out)
+        return (
+            log.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_DEDUP = """
+  select event_type, count(*) as n,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from events group by event_type
+"""
+
+
 def _q_stream_windowed(spark, sf_dir):
     """Structured Streaming parity: the events table drains through a
     watermarked 15-minute windowed aggregation in SEVERAL micro-batches
@@ -3546,6 +3592,7 @@ QUERIES: dict[str, tuple] = {
     "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
+    "stream_dedup_counts": (_q_stream_dedup, _SQL_STREAM_DEDUP),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "pagerank_users": (_q_pagerank, _pagerank_sql()),
     "triangle_counts": (_q_triangles, _SQL_TRIANGLES),
