@@ -1371,6 +1371,45 @@ _SQL_TILE_RENDER = f"""
 """
 
 
+def _q_zorder_read(spark, sf_dir):
+    """Z-order storage layout round-trip (sources/layout): write the
+    point table partitioned by zoom-3 Morton prefix (the TIP walk-order
+    clustering applied to parquet), read it back through the
+    partition-pruning bbox predicate — the scan opens only matching
+    partitions (plan-asserted in test_tile), and the result must equal
+    a plain bbox filter."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.sources import layout
+
+    df = _derived_orders(spark, sf_dir).select("o_orderkey", "x", "y")
+    tmp = tempfile.mkdtemp(prefix="gds_zord_")
+    try:
+        layout.write_zordered(df, f"{tmp}/z", zoom=3)
+        ds = spark.read.parquet(f"{tmp}/z")
+        out = (
+            ds.filter(layout.bbox_partition_filter(RECT, zoom=3))
+            .filter(
+                (F.col("x") >= RECT[0]) & (F.col("x") <= RECT[2])
+                & (F.col("y") >= RECT[1]) & (F.col("y") <= RECT[3])
+            )
+            .select("o_orderkey", "x", "y")
+        )
+        return out.localCheckpoint()  # materialize before the dir is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _zorder_read_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey, x, y from pts
+      where x >= {RECT[0]} and x <= {RECT[2]}
+        and y >= {RECT[1]} and y <= {RECT[3]}
+    """
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup parity: the events table plus a
     RE-DELIVERED copy of every third event drains through streaming
@@ -3590,6 +3629,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (_q_embedding_neardup, _embedding_neardup_sql()),
     "polygon_assembly": (_q_polygon_assembly, _polygon_assembly_sql()),
     "tile_render_manifest": (_q_tile_render, _SQL_TILE_RENDER),
+    "zorder_pruned_read": (_q_zorder_read, _zorder_read_sql()),
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "stream_dedup_counts": (_q_stream_dedup, _SQL_STREAM_DEDUP),

@@ -1,0 +1,67 @@
+"""Storage layout — the TIP walk-order clustering applied to parquet.
+
+The reference clusters tile blobs in GOL files along the tile-index
+walk so spatially-close tiles are byte-close (SURVEY §1.4/§2.1).  On a
+data lake the same idea is Z-ORDER LAYOUT: partition (and sort) the
+fact table by a Morton-cell prefix, so a bbox query's cell-range
+predicate becomes PARTITION PRUNING — the scan never opens files
+outside the query window.  At 100 TB this is the difference between
+reading the world and reading a city.
+
+``write_zordered`` materializes points partitioned by the zoom-k Morton
+prefix and sorted by the fine Morton key within each partition (row-
+group min/max stats then prune further inside each file).
+``bbox_partition_filter`` compiles a bbox to the exact prefix IN-list a
+reader needs; tests assert via ``inputFiles()`` that Spark actually
+skips the other partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geodesk_spark.geo import curve
+
+
+def with_morton_prefix(df: DataFrame, zoom: int = 4) -> DataFrame:
+    """Adds z{zoom} (the coarse Morton cell = partition key) and
+    _zfine (zoom-16 Morton key = in-file sort key)."""
+    z = curve.morton_cell_col(F.col("x"), F.col("y"), zoom).alias(f"z{zoom}")
+    zf = curve.morton_cell_col(F.col("x"), F.col("y"), 16).alias("_zfine")
+    return df.select("*", z, zf)
+
+
+def write_zordered(df: DataFrame, path: str, zoom: int = 4) -> None:
+    """Hive-partition by the coarse Morton cell, Z-sorted within files."""
+    (
+        with_morton_prefix(df, zoom)
+        .repartition(F.col(f"z{zoom}"))
+        .sortWithinPartitions("_zfine")
+        .write.mode("overwrite")
+        .partitionBy(f"z{zoom}")
+        .parquet(path)
+    )
+
+
+def bbox_prefix_values(bbox: tuple[int, int, int, int], zoom: int = 4) -> list[int]:
+    """All zoom-``zoom`` Morton cells intersecting the bbox — the exact
+    partition IN-list for a bbox read (driver-side tile enumeration,
+    the same walk the reference's tile index does)."""
+    import numpy as np
+
+    minx, miny, maxx, maxy = bbox
+    step = 1 << (32 - zoom)
+    cols = range((minx + (1 << 31)) // step, (maxx + (1 << 31)) // step + 1)
+    rows = range(((1 << 31) - 1 - maxy) // step, ((1 << 31) - 1 - miny) // step + 1)
+    out = []
+    for r in rows:
+        for c in cols:
+            x = int(c * step - (1 << 31))
+            y = int((1 << 31) - 1 - r * step)
+            out.append(int(curve.morton_cell(np.array([x]), np.array([y]), zoom)[0]))
+    return sorted(set(out))
+
+
+def bbox_partition_filter(bbox: tuple[int, int, int, int], zoom: int = 4) -> Column:
+    """Partition-pruning predicate for a z-ordered dataset."""
+    return F.col(f"z{zoom}").isin(bbox_prefix_values(bbox, zoom))

@@ -295,3 +295,47 @@ def test_geohash_golden_vectors_and_parity(spark):
         f"select {curve.geohash_chars_sql('z')} as gh from z"
     )
     assert [r[0] for r in duckdb.sql(q).fetchall()] == ref.tolist()
+
+
+# ----------------------------------------------------- z-order storage layout
+
+
+def test_zorder_layout_prunes_partitions(spark, tmp_path):
+    """The TIP walk-order analog on parquet: a bbox read of a z-order-
+    partitioned dataset must OPEN only the partitions whose Morton
+    prefix intersects the bbox — partition pruning as the storage-level
+    spatial index."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geodesk_spark.sources import layout
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    xs = rng.integers(-(1 << 30), 1 << 30, n)
+    ys = rng.integers(-(1 << 30), 1 << 30, n)
+    df = spark.createDataFrame(
+        [(int(i), int(xs[i]), int(ys[i])) for i in range(n)],
+        "pid long, x long, y long",
+    )
+    path = str(tmp_path / "zorded")
+    layout.write_zordered(df, path, zoom=3)
+
+    bbox = (0, 0, (1 << 28), (1 << 28))  # well inside one zoom-3 cell
+    ds = spark.read.parquet(path)
+    pruned = ds.filter(layout.bbox_partition_filter(bbox, zoom=3)).filter(
+        (F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+        & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])
+    )
+    full_files = len(ds.inputFiles())
+    assert full_files >= 16  # data spans 16 populated zoom-3 cells
+    # Catalyst pushes the prefix IN-list into the scan's PartitionFilters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "z3" in plan
+    # execution touches exactly the ONE matching partition's file(s)
+    touched = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert len(touched) == 1
+    # pruning must not change the answer
+    brute = {int(i) for i in range(n)
+             if 0 <= xs[i] <= (1 << 28) and 0 <= ys[i] <= (1 << 28)}
+    got = {r["pid"] for r in pruned.collect()}
+    assert got == brute and len(brute) > 50
