@@ -65,3 +65,24 @@ def bbox_prefix_values(bbox: tuple[int, int, int, int], zoom: int = 4) -> list[i
 def bbox_partition_filter(bbox: tuple[int, int, int, int], zoom: int = 4) -> Column:
     """Partition-pruning predicate for a z-ordered dataset."""
     return F.col(f"z{zoom}").isin(bbox_prefix_values(bbox, zoom))
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 16
+) -> None:
+    """Materialize a table BUCKETED by the join key (Spark bucketBy +
+    sortBy): every future equi-join or aggregation on ``key`` between
+    tables bucketed the same way runs with ZERO shuffle — the storage
+    layout carries the partitioning, the co-location a 100 TB pipeline
+    sets up once for its hottest join key (e.g. the tile id between the
+    feature table and the per-tile index).  Pair with
+    ``spark.sql.sources.bucketing.enabled`` (on by default); the
+    no-Exchange plan is asserted in tests/test_tile.py.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

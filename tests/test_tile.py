@@ -339,3 +339,31 @@ def test_zorder_layout_prunes_partitions(spark, tmp_path):
              if 0 <= xs[i] <= (1 << 28) and 0 <= ys[i] <= (1 << 28)}
     got = {r["pid"] for r in pruned.collect()}
     assert got == brute and len(brute) > 50
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located storage: two tables bucketed on the same key join
+    with NO Exchange in the plan — the bucketing replaces the shuffle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geodesk_spark.sources import layout
+
+    a = spark.range(0, 20_000).select(
+        (F.col("id") % 500).alias("tile"), F.col("id").alias("pid")
+    )
+    b = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("tile"), (F.col("id") * 3).alias("w")
+    )
+    layout.write_bucketed(a, "bk_a", "tile", 8)
+    layout.write_bucketed(b, "bk_b", "tile", 8)
+    try:
+        ta, tb = spark.table("bk_a"), spark.table("bk_b")
+        joined = ta.join(tb.hint("merge"), "tile")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the co-located join still computes the right thing
+        n = joined.count()
+        assert n == 20_000 * 10  # each pid meets 5000/500 = 10 w rows
+    finally:
+        spark.sql("drop table if exists bk_a")
+        spark.sql("drop table if exists bk_b")
