@@ -1784,11 +1784,11 @@ _SQL_QUALITY = rf"""
          cast(length(text) as int) as n_chars_m,
          cast(case when length(trim(text)) = 0 then 0
               else len(string_split_regex(trim(text), '\s+')) end as int) as n_tokens,
-         round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / greatest(length(text), 1), 6) as punct_ratio,
-         round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1), 6) as upper_ratio,
-         round(len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) in ({_ALL_STOPWORDS})))
-               / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1), 6) as stop_ratio,
-         round(length(text) / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1), 6) as mean_word_len
+         floor(((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 as punct_ratio,
+         floor(((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 as upper_ratio,
+         floor((len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) in ({_ALL_STOPWORDS})))
+               / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1)) * 1e6 + 0.5) / 1e6 as stop_ratio,
+         floor((length(text) / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1)) * 1e6 + 0.5) / 1e6 as mean_word_len
   from documents
 """
 
@@ -1845,8 +1845,8 @@ def _decontaminate_sql() -> str:
       select doc_id,
              cast(count(*) as int) as n_shingles,
              cast(sum(hit) as int) as n_hits,
-             round(sum(hit) / greatest(count(*), 1), 6) as overlap_ratio,
-             round(sum(hit) / greatest(count(*), 1), 6) >= 0.5 as contaminated
+             floor((sum(hit) / greatest(count(*), 1)) * 1e6 + 0.5) / 1e6 as overlap_ratio,
+             floor((sum(hit) / greatest(count(*), 1)) * 1e6 + 0.5) / 1e6 >= 0.5 as contaminated
       from j group by doc_id
     """
 
@@ -1943,7 +1943,7 @@ _SQL_JACCARD = f"""
     from e a join e b on a.sh = b.sh and a.doc_id < b.doc_id
     group by 1, 2)
   select doc_a, doc_b,
-         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) as jaccard
+         floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 as jaccard
   from inter
   join sizes sa on sa.doc_id = doc_a
   join sizes sb on sb.doc_id = doc_b
@@ -2938,30 +2938,36 @@ def _q_crossing_join(spark, sf_dir):
         tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
     ).select(F.col("c_custkey").alias("bid"), "x1", "y1", "x2", "y2")
     out = bigjoin.crossing_segments_join(a, b, zoom=XJOIN_ZOOM)
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return out.select(
-        "aid", "bid", "t",
-        F.round("ix", 4).alias("ix"), F.round("iy", 4).alias("iy"),
+        "aid", "bid", "t", r4(F.col("ix")).alias("ix"), r4(F.col("iy")).alias("iy")
     )
 
 
 def _crossing_join_sql() -> str:
     step = 1 << (32 - XJOIN_ZOOM)
-    base = XJOIN_ZOOM * (1 << 24)
+    b = tiling.cover_bounds_sql(XJOIN_ZOOM)
+    cell = tiling.cover_cell_sql(XJOIN_ZOOM)
     lddx, lddy = tables.long_segment_delta_exprs("c_custkey")
+    icell = tiling.cover_cell_sql(
+        XJOIN_ZOOM,
+        f"cast(floor((2147483647 - iy) / {step}) as bigint)",
+        f"cast(floor((ix + 2147483648) / {step}) as bigint)",
+    )
 
     def cover(src_cte: str, idc: str, p: str) -> str:
         return f"""
           c1_{p} as (
             select {idc}, x1 as {p}x1, y1 as {p}y1, x2 as {p}x2, y2 as {p}y2,
-                   cast(floor((least(x1, x2) + 2147483648) / {step}) as bigint) as cmin,
-                   cast(floor((greatest(x1, x2) + 2147483648) / {step}) as bigint) as cmax,
-                   cast(floor((2147483647 - greatest(y1, y2)) / {step}) as bigint) as rmin,
-                   cast(floor((2147483647 - least(y1, y2)) / {step}) as bigint) as rmax
+                   {b['cmin']} as cmin, {b['cmax']} as cmax,
+                   {b['rmin']} as rmin, {b['rmax']} as rmax
             from {src_cte}
           ),
           c2_{p} as (select *, unnest(generate_series(cmin, cmax)) as cc from c1_{p}),
-          cov_{p} as (select *, {base} + unnest(generate_series(rmin, rmax)) * 4096 + cc as cell
-                      from c2_{p})"""
+          c3_{p} as (select *, unnest(generate_series(rmin, rmax)) as rr from c2_{p}),
+          cov_{p} as (select *, {cell} as cell from c3_{p})"""
 
     return f"""
       with segs_a as ({_seg_sql_base()}),
@@ -2995,10 +3001,10 @@ def _crossing_join_sql() -> str:
         where ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
           and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
       )
-      select aid, bid, t, round(ix, 4) as ix, round(iy, 4) as iy
+      select aid, bid, t, floor(ix * 1e4 + 0.5) / 1e4 as ix,
+             floor(iy * 1e4 + 0.5) / 1e4 as iy
       from m
-      where cell = {base} + cast(floor((2147483647 - iy) / {step}) as bigint) * 4096
-                 + cast(floor((ix + 2147483648) / {step}) as bigint)
+      where cell = {icell}
     """
 
 
@@ -3126,7 +3132,8 @@ def _q_tile_clip(spark, sf_dir):
 
 def _tile_clip_sql() -> str:
     step = 1 << (32 - XJOIN_ZOOM)
-    base = XJOIN_ZOOM * (1 << 24)
+    b = tiling.cover_bounds_sql(XJOIN_ZOOM)
+    cell = tiling.cover_cell_sql(XJOIN_ZOOM, "rr", "cc")
     lddx, lddy = tables.long_segment_delta_exprs("o_orderkey")
     # the four Liang–Barsky (p, q) edge pairs, op-order mirroring the Spark side
     edges = [
@@ -3154,10 +3161,8 @@ def _tile_clip_sql() -> str:
       ),
       c1 as (
         select *,
-               cast(floor((least(x1, x2) + 2147483648) / {step}) as bigint) as cmin,
-               cast(floor((greatest(x1, x2) + 2147483648) / {step}) as bigint) as cmax,
-               cast(floor((2147483647 - greatest(y1, y2)) / {step}) as bigint) as rmin,
-               cast(floor((2147483647 - least(y1, y2)) / {step}) as bigint) as rmax
+               {b['cmin']} as cmin, {b['cmax']} as cmax,
+               {b['rmin']} as rmin, {b['rmax']} as rmax
         from segs
       ),
       c2 as (select *, unnest(generate_series(cmin, cmax)) as cc from c1),
@@ -3171,7 +3176,7 @@ def _tile_clip_sql() -> str:
         from cov
       ),
       clipped as (
-        select sid, {base} + rr * 4096 + cc as cell,
+        select sid, {cell} as cell,
                {t0} as t0, {t1} as t1, x1, y1, x2, y2
         from rects
         where not ({reject})

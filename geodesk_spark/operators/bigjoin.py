@@ -238,27 +238,14 @@ def crossing_segments_join(
        both covers) — the NW-flag exactly-once rule generalized to
        pair joins (tiling.nw_dedup_filter, SURVEY §2.1).
     """
+    from geodesk_spark.operators.tiling import cover_cell_col, explode_cover
+
     step = 1 << (32 - zoom)
 
     def cover(df, idc, prefix):
-        x1, y1 = F.col("x1"), F.col("y1")
-        x2, y2 = F.col("x2"), F.col("y2")
-        cmin = F.floor((F.least(x1, x2) + F.lit(2147483648)) / F.lit(step))
-        cmax = F.floor((F.greatest(x1, x2) + F.lit(2147483648)) / F.lit(step))
-        rmin = F.floor((F.lit(2147483647) - F.greatest(y1, y2)) / F.lit(step))
-        rmax = F.floor((F.lit(2147483647) - F.least(y1, y2)) / F.lit(step))
+        cov = explode_cover(df.select(idc, "x1", "y1", "x2", "y2"), zoom)
         cols = [F.col(c).alias(f"{prefix}{c}") for c in ("x1", "y1", "x2", "y2")]
-        return (
-            df.select(F.col(idc), *cols, cmin.alias("_cmin"), cmax.alias("_cmax"),
-                      rmin.alias("_rmin"), rmax.alias("_rmax"))
-            .withColumn("_cc", F.explode(F.sequence(F.col("_cmin"), F.col("_cmax"))))
-            .withColumn("_rr", F.explode(F.sequence(F.col("_rmin"), F.col("_rmax"))))
-            .withColumn(
-                "cell",
-                F.lit(zoom * (1 << 24)).cast("long") + F.col("_rr") * 4096 + F.col("_cc"),
-            )
-            .drop("_cmin", "_cmax", "_rmin", "_rmax", "_cc", "_rr")
-        )
+        return cov.select(F.col(idc), *cols, "cell")
 
     ca = cover(a, a_id, "a")
     cb = cover(b, b_id, "b")
@@ -277,10 +264,10 @@ def crossing_segments_join(
     t = d1 / (d1 - d2)
     ix = ax1 + t * (ax2 - ax1)
     iy = ay1 + t * (ay2 - ay1)
-    icell = (
-        F.lit(zoom * (1 << 24)).cast("long")
-        + F.floor((F.lit(2147483647) - iy) / F.lit(step)) * 4096
-        + F.floor((ix + F.lit(2147483648)) / F.lit(step))
+    icell = cover_cell_col(
+        zoom,
+        F.floor((F.lit(2147483647) - iy) / F.lit(step)),
+        F.floor((ix + F.lit(2147483648)) / F.lit(step)),
     )
     return (
         j.filter(proper)

@@ -215,7 +215,12 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+            F.floor(
+                (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

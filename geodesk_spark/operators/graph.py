@@ -135,6 +135,11 @@ def pagerank_integer(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    if materialize:
+        # pin the loop-invariant frames — without this every blocking
+        # round recomputes the degree rollup and node dedup shuffles
+        e = e.cache()
+        nodes = nodes.cache()
     ranks = nodes.withColumn("units", F.lit(total_units).cast("long"))
     if materialize:
         ranks = ranks.cache()
@@ -162,6 +167,9 @@ def pagerank_integer(
             new_ranks.count()
             ranks.unpersist()
         ranks = new_ranks
+    if materialize:
+        e.unpersist()
+        nodes.unpersist()
     return ranks
 
 

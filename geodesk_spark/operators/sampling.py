@@ -160,9 +160,12 @@ def weighted_sample(
 
     h = F.expr(h60_sql(f"concat('{seed}|', cast({id_col} as string))"))
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("_key", key)
+        # proportional-to-weight means weight<=0 rows are NEVER drawn —
+        # exclude them rather than clamping them up to weight 1
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_key", key)
         .orderBy(F.desc("_key"), id_col)
         .limit(k)
         .withColumn("skey", F.floor(F.col("_key") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
@@ -181,8 +184,9 @@ def weighted_sample_sql(
       select * exclude (_key), floor(_key * 1e9 + 0.5) / 1e9 as skey
       from (
         select *, ln(cast({h} + 1 as double) / {float(1 << 60)!r})
-                  / greatest(cast({weight_col} as double), 1.0) as _key
+                  / cast({weight_col} as double) as _key
         from {table}
+        where {weight_col} > 0
         order by _key desc, {id_col}
         limit {k}
       )

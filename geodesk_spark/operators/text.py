@@ -55,10 +55,13 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.filter(toks, lambda t: F.lower(t).isin([w for ws in LANG_MARKERS.values() for w in ws]))
     )
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    upper_ratio = F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
-    mean_word_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    def r6(c):  # floor-form rounding: cross-engine-exact on rational ties
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    punct_ratio = r6(n_punct / F.greatest(n_chars, F.lit(1)))
+    upper_ratio = r6(n_upper / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = r6(n_stop / F.greatest(n_tokens, F.lit(1)))
+    mean_word_len = r6(n_chars / F.greatest(n_tokens, F.lit(1)))
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
@@ -227,11 +230,11 @@ def decontaminate(
         .withColumn("_hit", F.lit(1))
     )
     joined = doc_sh.join(F.broadcast(bench_sh), "sh", "left")
-    ratio = F.round(
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-        / F.greatest(F.count("*"), F.lit(1)),
-        6,
+    raw = F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.greatest(
+        F.count("*"), F.lit(1)
     )
+    # floor-form rounding: cross-engine-exact (CLAUDE.md invariant)
+    ratio = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_shingles"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_hits"),

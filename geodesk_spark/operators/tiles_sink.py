@@ -335,19 +335,13 @@ def clip_segments_to_tiles(
     """
     from pyspark.sql import functions as F
 
+    from geodesk_spark.operators.tiling import explode_cover
+
     step = 1 << (32 - zoom)
     x1, y1 = F.col("x1"), F.col("y1")
     x2, y2 = F.col("x2"), F.col("y2")
-    cmin = F.floor((F.least(x1, x2) + F.lit(2147483648)) / F.lit(step))
-    cmax = F.floor((F.greatest(x1, x2) + F.lit(2147483648)) / F.lit(step))
-    rmin = F.floor((F.lit(2147483647) - F.greatest(y1, y2)) / F.lit(step))
-    rmax = F.floor((F.lit(2147483647) - F.least(y1, y2)) / F.lit(step))
-    covered = (
-        segs.select(F.col(id_col), "x1", "y1", "x2", "y2",
-                    cmin.alias("_cmin"), cmax.alias("_cmax"),
-                    rmin.alias("_rmin"), rmax.alias("_rmax"))
-        .withColumn("_cc", F.explode(F.sequence(F.col("_cmin"), F.col("_cmax"))))
-        .withColumn("_rr", F.explode(F.sequence(F.col("_rmin"), F.col("_rmax"))))
+    covered = explode_cover(
+        segs.select(F.col(id_col), "x1", "y1", "x2", "y2"), zoom
     )
     txmin = F.col("_cc") * F.lit(step) - F.lit(2147483648)
     txmax = txmin + F.lit(step)
@@ -369,9 +363,6 @@ def clip_segments_to_tiles(
         exits.append(F.when(p > 0, q / p).otherwise(F.lit(1.0)))
     t0 = F.greatest(F.lit(0.0), *entries)
     t1 = F.least(F.lit(1.0), *exits)
-    cell = (
-        F.lit(zoom * (1 << 24)).cast("long") + F.col("_rr") * 4096 + F.col("_cc")
-    )
     # floor(v·10⁴ + 0.5)/10⁴ instead of round(): round() ties break
     # differently across engines (Spark = exact-BigDecimal HALF_UP,
     # DuckDB = float midpoint), while this form is the same IEEE op
@@ -383,7 +374,7 @@ def clip_segments_to_tiles(
         covered.filter(~reject & (t0 < t1))
         .select(
             id_col,
-            cell.alias("cell"),
+            "cell",
             r4(x1 + t0 * dx).alias("cx1"),
             r4(y1 + t0 * dy).alias("cy1"),
             r4(x1 + t1 * dx).alias("cx2"),

@@ -168,3 +168,66 @@ def query_tile_list(qminx, qminy, qmaxx, qmaxy, zooms=ZOOM_LEVELS) -> list[int]:
     """Driver-side tile enumeration for partition pruning (the Spark analog
     of the tile-index walk, SURVEY.md §2.1 'Tile-index walk')."""
     return [t for t, _ in slow_query_tiles(qminx, qminy, qmaxx, qmaxy, zooms)]
+
+
+# --- shared segment-bbox cell cover (fixed zoom) ----------------------------
+# ONE definition of the cover arithmetic used by the big-big joins and the
+# tile clip (bigjoin.crossing_segments_join, tiles_sink.clip_segments_to_tiles)
+# and by their SQL oracles: the exactly-once rules (intersection-cell,
+# point-owns-bucket) require every copy to be bit-identical, so there are no
+# copies — Python and SQL call sites both come here.
+
+
+def cover_bounds_cols(zoom: int):
+    """(cmin, cmax, rmin, rmax) Columns over x1/y1/x2/y2 segment endpoints."""
+    from pyspark.sql import functions as F
+
+    step = 1 << (32 - zoom)
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    return (
+        F.floor((F.least(x1, x2) + F.lit(2147483648)) / F.lit(step)),
+        F.floor((F.greatest(x1, x2) + F.lit(2147483648)) / F.lit(step)),
+        F.floor((F.lit(2147483647) - F.greatest(y1, y2)) / F.lit(step)),
+        F.floor((F.lit(2147483647) - F.least(y1, y2)) / F.lit(step)),
+    )
+
+
+def cover_cell_col(zoom: int, rr, cc):
+    """Packed cell id zoom·2²⁴ + row·4096 + col (matches tile id packing)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(zoom * (1 << 24)).cast("long") + rr * 4096 + cc
+
+
+def explode_cover(df, zoom: int):
+    """Explode a segment frame (… x1 y1 x2 y2) to one row per covered
+    cell, adding _cc/_rr/cell.  Pure JVM; fan-out O(len/cellsize)²."""
+    from pyspark.sql import functions as F
+
+    cmin, cmax, rmin, rmax = cover_bounds_cols(zoom)
+    return (
+        df.withColumn("_cmin", cmin)
+        .withColumn("_cmax", cmax)
+        .withColumn("_rmin", rmin)
+        .withColumn("_rmax", rmax)
+        .withColumn("_cc", F.explode(F.sequence(F.col("_cmin"), F.col("_cmax"))))
+        .withColumn("_rr", F.explode(F.sequence(F.col("_rmin"), F.col("_rmax"))))
+        .withColumn("cell", cover_cell_col(zoom, F.col("_rr"), F.col("_cc")))
+        .drop("_cmin", "_cmax", "_rmin", "_rmax")
+    )
+
+
+def cover_bounds_sql(zoom: int) -> dict[str, str]:
+    """SQL twins of cover_bounds_cols over columns x1/y1/x2/y2."""
+    step = 1 << (32 - zoom)
+    return {
+        "cmin": f"cast(floor((least(x1, x2) + 2147483648) / {step}) as bigint)",
+        "cmax": f"cast(floor((greatest(x1, x2) + 2147483648) / {step}) as bigint)",
+        "rmin": f"cast(floor((2147483647 - greatest(y1, y2)) / {step}) as bigint)",
+        "rmax": f"cast(floor((2147483647 - least(y1, y2)) / {step}) as bigint)",
+    }
+
+
+def cover_cell_sql(zoom: int, rr: str = "rr", cc: str = "cc") -> str:
+    return f"({zoom * (1 << 24)} + {rr} * 4096 + {cc})"
