@@ -1817,6 +1817,25 @@ _SQL_FINGERPRINT = r"""
 """
 
 
+def _q_bm25_retrieve(spark, sf_dir):
+    """Corpus retrieval (text.bm25_retrieve): every 25th document's text
+    as a query, top-5 documents each by BM25 over the shared inverted
+    index — broadcastable query terms, one scoring rollup + bounded
+    top-k window; decimal-summed scores for cross-engine order freedom."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return text.bm25_retrieve(d, q, k=5)
+
+
+def _bm25_retrieve_sql() -> str:
+    return text.bm25_retrieve_sql(
+        "select doc_id as qid, text as qtext from documents where doc_id % 25 = 0",
+        k=5,
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Train/eval n-gram decontamination (text.decontaminate): eval set =
     every 20th doc, broadcast its distinct shingle vocabulary, flag
@@ -3611,6 +3630,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "text_quality": (_q_quality, _SQL_QUALITY),
     "text_bm25_topk": (_q_bm25, text.bm25_oracle_sql()),
+    "text_bm25_retrieve": (_q_bm25_retrieve, _bm25_retrieve_sql()),
     "text_decontaminate": (_q_decontaminate, _decontaminate_sql()),
     "dedup_simhash": (_q_simhash, _simhash_sql()),
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),

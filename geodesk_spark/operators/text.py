@@ -275,3 +275,117 @@ def lang_id_oracle_sql() -> str:
                cast(best as int) as lang_score
         from b
     """
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    q_id: str = "qid",
+    q_text: str = "qtext",
+) -> DataFrame:
+    """Full-text retrieval: top-k documents per query by BM25 — the
+    query-side counterpart of :func:`bm25_topk` (same index statistics,
+    same idf form), i.e. the corpus search/linking primitive (dedupe
+    candidates by content, caption→document grounding, eval-set
+    retrieval).
+
+    Scale shape: the document index (tf/dl/dfreq) builds exactly as in
+    bm25_topk; the query term set is typically dimension-sized and
+    BROADCASTS into the term join, so scoring adds ONE aggregation
+    (groupBy qid, doc) + the bounded top-k window on top of the index
+    shuffles.  Scores floor-round to 6 dp (cross-engine ulp stability),
+    ties break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    glob = dl.agg(F.sum("dl").alias("sum_dl")).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    )
+    qt = (
+        queries.select(q_id, F.explode(tokens_col(F.lower(F.col(q_text)))).alias("term"))
+        .distinct()
+    )
+    scored = (
+        qt.join(tf, "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(glob))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+    # float addition is order-dependent across engines/partitionings:
+    # round each TERM score to 6 dp (floor form), sum in decimal (exact,
+    # order-free), emit as double
+    ts6 = (F.floor(term_score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+        "decimal(18,6)"
+    )
+    per_doc = scored.groupBy(q_id, "doc_id").agg(
+        F.sum(ts6).cast("double").alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id, "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def bm25_retrieve_sql(
+    queries_cte: str, k: int = 5, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB twin of :func:`bm25_retrieve`; ``queries_cte`` must yield
+    (qid, qtext)."""
+    return rf"""
+      with toks as (
+        select doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) as term
+        from documents where length(trim(text)) > 0
+      ),
+      tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+      dl as (select doc_id, sum(tf) as dl from tf group by 1),
+      dfreq as (select term, count(*) as dfreq from tf group by 1),
+      g as (select (select sum(dl) from dl) as sum_dl,
+                   (select count(*) from documents) as n_docs),
+      q as ({queries_cte}),
+      qt as (select distinct qid, term from (
+               select qid,
+                      unnest(string_split_regex(trim(lower(qtext)), '\s+')) as term
+               from q where length(trim(qtext)) > 0) e),
+      s as (
+        select qt.qid, tf.doc_id,
+               ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                 * ((tf.tf * {k1 + 1.0!r})
+                    / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}
+                       * (dl.dl / (cast(sum_dl as double) / n_docs))))) as ts
+        from qt join tf using (term) join dl using (doc_id)
+             join dfreq using (term) cross join g
+      ),
+      pd as (select qid, doc_id,
+                    cast(sum(cast(floor(ts * 1e6 + 0.5) / 1e6 as decimal(18,6)))
+                         as double) as score
+             from s group by 1, 2),
+      r as (select *, row_number() over
+              (partition by qid order by score desc, doc_id) as rnk from pd)
+      select qid, doc_id, score, cast(rnk as int) as rnk
+      from r where rnk <= {k}
+    """

@@ -82,3 +82,20 @@ def test_decontaminate_planted_overlap(spark):
     # doc 4: distinct shingles collapse the repetition
     assert out[4].n_hits >= 1
     assert out[4].n_shingles < 7  # 9 words -> 7 raw shingles, dups collapse
+
+
+def test_bm25_retrieve_self_rank1(spark):
+    """A document used verbatim as the query must rank itself first."""
+    docs = [
+        (1, "apple apple banana kiwi"),
+        (2, "banana cherry melon"),
+        (3, "cherry cherry date plum"),
+        (4, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(1, "apple apple banana kiwi")], "qid long, qtext string")
+    out = text.bm25_retrieve(df, q, k=3).collect()
+    top = [r for r in out if r["rnk"] == 1][0]
+    assert top["doc_id"] == 1
+    got_docs = {r["doc_id"] for r in out}
+    assert 4 not in got_docs  # no shared terms -> never a candidate
