@@ -1456,6 +1456,74 @@ _SQL_STREAM_DEDUP = """
 """
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """Streaming session windows (F.session_window, the native streaming
+    sessionizer) drained micro-batch-wise in COMPLETE mode must
+    reproduce the BATCH gaps-and-islands sessionization (relational.
+    sessionize's oracle SQL) — session starts, counts and decimal sums
+    per user.  Complete mode because session keys are unstable under
+    merging (an upsert log keyed by window start would strand
+    superseded partial sessions); the final batch holds the full state."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gds_ssess_")
+    try:
+        indir = f"{tmp}/in"
+        e.repartition(4).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            sdf.withWatermark("ts", "90 days")
+            .groupBy(F.session_window("ts", "1 hour").alias("win"), "user_id")
+            .agg(
+                F.count("*").cast("int").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("win.start")).alias("start_us"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(agg, out, ck, "complete")
+        log = spark.read.parquet(out)
+        last = log.agg(F.max("batch_id").alias("b"))
+        return (
+            log.join(F.broadcast(last), F.col("batch_id") == F.col("b"))
+            .select("user_id", "start_us", "n_events", "sum_value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_SESSIONS = f"""
+  with f as (
+    select user_id, event_id, value, epoch_us(ts) as us,
+           lag(epoch_us(ts)) over (partition by user_id
+                                   order by epoch_us(ts), event_id) as prev
+    from events),
+  s as (
+    select *, sum(case when prev is null or us - prev > {SESSION_GAP_US}
+                  then 1 else 0 end)
+             over (partition by user_id order by us, event_id) as sn
+    from f)
+  select user_id, min(us) as start_us, cast(count(*) as int) as n_events,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from s group by user_id, sn
+"""
+
+
 def _q_stream_windowed(spark, sf_dir):
     """Structured Streaming parity: the events table drains through a
     watermarked 15-minute windowed aggregation in SEVERAL micro-batches
@@ -3658,6 +3726,7 @@ QUERIES: dict[str, tuple] = {
     "tile_window_dedup": (_q_tile_window_dedup, _sql_tile_window_dedup()),
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "stream_dedup_counts": (_q_stream_dedup, _SQL_STREAM_DEDUP),
+    "stream_session_counts": (_q_stream_sessions, _SQL_STREAM_SESSIONS),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "pagerank_users": (_q_pagerank, _pagerank_sql()),
     "triangle_counts": (_q_triangles, _SQL_TRIANGLES),
