@@ -3530,6 +3530,14 @@ def _q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC scoring over JVM-encoded sub-codes);
+    rank-only output, oracle = the same deterministic trainer unrolled in
+    SQL (see ann.pq_topk_sql)."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.pq_topk(e, ANN_QUERY_IDS, k=ANN_K)
+
+
 def _ann_ivf_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048, nprobe: int = 8) -> str:
     """Full oracle for the IVF top-k (was rows-only): the codebook trainer
     itself — `ann.ivf_centroids`'s deterministic Lloyd iterations on the
@@ -3696,6 +3704,7 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (_q_ann_cosine, _ann_sql()),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
+    "ann_pq_topk": (_q_ann_pq, ann.pq_topk_sql(ANN_QUERY_IDS, k=ANN_K)),
     "text_quality": (_q_quality, _SQL_QUALITY),
     "text_bm25_topk": (_q_bm25, text.bm25_oracle_sql()),
     "text_bm25_retrieve": (_q_bm25_retrieve, _bm25_retrieve_sql()),

@@ -247,3 +247,273 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 12
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "score")
     )
+
+
+# ----------------------------------------------------- product quantization
+
+
+def pq_codebooks(
+    df: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3, sample: int = 2048
+) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (m, ksub, dim/m): per-subspace
+    Lloyd k-means on the same fixed-id bounded sample as ivf_centroids
+    (evenly-spaced init, no RNG).  Driver-side numpy is fine here — the
+    trainer output is DATA shared verbatim with the scoring path and
+    the oracle, so only encode/score need cross-engine op-order care."""
+    rows = (
+        df.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 13 == 0)
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    d = V.shape[1]
+    assert d % m == 0
+    sub = d // m
+    books = np.zeros((m, ksub, sub))
+    for mi in range(m):
+        S = V[:, mi * sub : (mi + 1) * sub]
+        C = S[:: max(1, len(S) // ksub)][:ksub].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[mi] = C
+    return books
+
+
+def _subdist_col(emb: str, centroid: np.ndarray, offset: int):
+    """Left-assoc Σ (emb[i] − cᵢ)² as a Column — the op ORDER every
+    engine reproduces exactly (element_at is 1-based)."""
+    acc = None
+    for i, cv in enumerate(centroid):
+        t = (F.element_at(F.col(emb), offset + i + 1).cast("double") - F.lit(float(cv)))
+        term = t * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_encode(df: DataFrame, books: np.ndarray, emb: str = "embedding") -> DataFrame:
+    """Encode every vector to m sub-codes: per subspace, the distance
+    array is materialized in its OWN Project (CollapseProject keeps a
+    non-cheap expression used twice un-inlined), then argmin-with-
+    lowest-index-tie = array_position(arr, array_min(arr)) − 1.  Pure
+    Catalyst; the plan carries each distance tree exactly once instead
+    of the ~9× a least()+CASE chain pays."""
+    m, ksub, sub = books.shape
+    darrs = df.select(
+        "vec_id",
+        *[
+            F.array(*[_subdist_col(emb, books[mi, c], mi * sub) for c in range(ksub)]).alias(
+                f"darr{mi}"
+            )
+            for mi in range(m)
+        ],
+    )
+    return darrs.select(
+        "vec_id",
+        *[
+            (F.array_position(F.col(f"darr{mi}"), F.array_min(F.col(f"darr{mi}"))) - 1)
+            .cast("int")
+            .alias(f"code{mi}")
+            for mi in range(m)
+        ],
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """Product-quantization ANN: encode every vector to m sub-codes
+    (argmin centroid per subspace), score queries by asymmetric
+    distance (ADC) — per-subspace lookup tables summed left-assoc —
+    and take the top-k smallest approximate L2 per query.
+
+    Scale shape: ONE scan encodes (JVM column expressions; the codebook
+    enters as plan literals — m·ksub·(dim/m) doubles, tiny), the
+    queries arrive as a BROADCAST LUT table (one row per query, m
+    arrays of ksub doubles) cross-joined against the codes, and one
+    bounded window does the ranking.  At 10^12 vectors the codes table
+    is the stored artifact (32× smaller than float32 at dim 64) and
+    rebuilding LUTs per query batch is free — the standard
+    billion-scale recipe.  Returns (query_id, vec_id, rank).
+    """
+    spark = df.sparkSession
+    books = pq_codebooks(df, m=m, ksub=ksub)
+    rows = (
+        df.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    got = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    qids = [q for q in query_ids if q in got]
+    if not qids:
+        raise ValueError(f"none of query_ids {query_ids!r} exist in the table")
+    sub = books.shape[2]
+    # LUT values are driver-computed floats: DATA (literal rows), summed
+    # sequentially to match both the Spark left-assoc score and the
+    # oracle's list_sum order.  RAW query vectors (no normalization):
+    # ADC approximates L2 in the raw space the codebooks were trained in.
+    lut_rows = []
+    for qid in qids:
+        q = got[qid]
+        luts = []
+        for mi in range(m):
+            qm = q[mi * sub : (mi + 1) * sub]
+            vals = []
+            for c in range(ksub):
+                acc = 0.0
+                for x, y in zip(qm, books[mi, c]):
+                    t = float(x) - float(y)
+                    acc += t * t
+                vals.append(acc)
+            luts.append(vals)
+        lut_rows.append((int(qid), *luts))
+    qdf = spark.createDataFrame(
+        lut_rows,
+        schema="query_id long, " + ", ".join(f"lut{mi} array<double>" for mi in range(m)),
+    )
+    codes = pq_encode(df, books)
+    score = None
+    for mi in range(m):
+        t = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        score = t if score is None else score + t
+    cand = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        # rank-only output (the IVF-oracle precedent): scores order the
+        # candidates but tiny trainer float diffs between numpy and the
+        # SQL-unrolled trainer must not enter the hash
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+def pq_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    sample: int = 2048,
+    dim: int = 64,
+) -> str:
+    """DATA-INDEPENDENT DuckDB twin of :func:`pq_topk`: the per-subspace
+    Lloyd trainer (same vec_id%13 sample, evenly-spaced init, argmin
+    assignment with lowest-index ties, element-wise means, empty
+    clusters carry) unrolled as chained CTEs — the ivf-oracle pattern —
+    then encode + ADC scoring, rank-only output."""
+    sub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+        )
+
+    parts = [
+        f"""samp as (
+        select row_number() over (order by vec_id) - 1 as rn, embedding as e
+        from embeddings where vec_id % 13 = 0 order by vec_id limit {sample})""",
+        f"st as (select greatest(1, count(*) // {ksub}) as s from samp)",
+    ]
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            f"sv{mi} as (select rn, list_transform(e[{lo}:{hi}],"
+            f" x -> cast(x as double)) as v from samp)"
+        )
+        parts.append(
+            f"""c{mi}_0 as (
+            select cast(rn // st.s as int) as c, v from sv{mi}, st
+            where rn % st.s = 0 and rn // st.s < {ksub})"""
+        )
+        prev = f"c{mi}_0"
+        for i in range(1, iters + 1):
+            parts.append(
+                f"""a{mi}_{i} as (
+                select rn, v, c from (
+                  select s.rn, s.v, c.c,
+                         row_number() over (partition by s.rn
+                             order by {l2('s.v', 'c.v')} asc, c.c asc) as rk
+                  from sv{mi} s cross join {prev} c) x where rk = 1)"""
+            )
+            parts.append(
+                f"""m{mi}_{i} as (
+                select c, list(mv order by j) as mv from (
+                  select c, j, avg(vj) as mv from (
+                    select c, unnest(range(1, len(v) + 1)) as j, unnest(v) as vj
+                    from a{mi}_{i}) x group by c, j) y group by c)"""
+            )
+            parts.append(
+                f"""c{mi}_{i} as (
+                select p.c, case when m.c is null then p.v else m.mv end as v
+                from {prev} p left join m{mi}_{i} m on m.c = p.c)"""
+            )
+            prev = f"c{mi}_{i}"
+    # encode every vector: per-subspace argmin code
+    code_joins = []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            f"av{mi} as (select vec_id, list_transform(embedding[{lo}:{hi}],"
+            f" x -> cast(x as double)) as v from embeddings)"
+        )
+        parts.append(
+            f"""code{mi} as (
+            select vec_id, c as code, v from (
+              select a.vec_id, a.v, c.c,
+                     row_number() over (partition by a.vec_id
+                         order by {l2('a.v', 'c.v')} asc, c.c asc) as rk
+              from av{mi} a cross join c{mi}_{iters} c) x where rk = 1)"""
+        )
+        code_joins.append(f"code{mi}")
+    ids = ", ".join(str(i) for i in query_ids)
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            f"q{mi} as (select vec_id as qid, list_transform(embedding[{lo}:{hi}],"
+            f" x -> cast(x as double)) as qv from embeddings"
+            f" where vec_id in ({ids}))"
+        )
+    score = " + ".join(
+        f"{l2(f'q{mi}.qv', f'cb{mi}.v')}" for mi in range(m)
+    )
+    cb_joins = " ".join(
+        f"join c{mi}_{iters} cb{mi} on cb{mi}.c = code{mi}.code" for mi in range(m)
+    )
+    code_chain = "code0 " + " ".join(
+        f"join code{mi} on code{mi}.vec_id = code0.vec_id" for mi in range(1, m)
+    )
+    q_chain = "q0 " + " ".join(
+        f"join q{mi} on q{mi}.qid = q0.qid" for mi in range(1, m)
+    )
+    parts.append(
+        f"""cand as (
+        select q0.qid as query_id, code0.vec_id, {score} as score
+        from {q_chain} cross join {code_chain} {cb_joins}
+        where code0.vec_id <> q0.qid)"""
+    )
+    return (
+        "with " + ",\n".join(parts) + f""",
+      r as (select query_id, vec_id,
+                   row_number() over (partition by query_id
+                       order by score asc, vec_id asc) as rank
+            from cand)
+      select query_id, vec_id, cast(rank as int) as rank
+      from r where rank <= {k}
+    """
+    )

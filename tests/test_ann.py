@@ -58,6 +58,33 @@ def test_ivf_recall(spark, emb):
     assert np.mean(recalls) >= 0.6, f"IVF mean recall@{K} too low: {recalls}"
 
 
+def test_pq_recall(spark, emb):
+    """PQ/ADC approximates L2 on raw vectors.  Near-uniform synthetic
+    embeddings are PQ's worst case (no cluster structure for the
+    codebook to exploit), so the honest bar — as for LSH — is that
+    recall@k clearly beats a random scan of k candidates (k/N ≈ 0.02
+    here; measured PQ recall ≈ 0.15, i.e. ~7× random)."""
+    got = ann.pq_topk(emb, QUERY_IDS, k=K, m=4, ksub=8).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    random_baseline = K / (len(ids) - 1)
+    recalls = []
+    for qid in QUERY_IDS:
+        q = V[ids == qid][0]
+        d2 = ((V - q) ** 2).sum(axis=1)
+        order = sorted(np.nonzero(ids != qid)[0], key=lambda i: (d2[i], ids[i]))
+        expect = set(int(ids[i]) for i in order[:K])
+        rows = got[got["query_id"] == qid]
+        assert len(rows) == K and rows["rank"].tolist() != []
+        have = set(rows["vec_id"].tolist())
+        recalls.append(len(expect & have) / K)
+    assert np.mean(recalls) >= 3 * random_baseline, (
+        f"PQ mean recall@{K} {np.mean(recalls):.2f} not better than 3× random "
+        f"({random_baseline:.3f}): {recalls}"
+    )
+
+
 def test_lsh_beats_random_scan(spark, emb):
     """Hyperplane LSH must recall clearly more than a random scan of the
     same candidate fraction would (the honest bar for near-uniform data)."""
