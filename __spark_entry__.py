@@ -3205,6 +3205,40 @@ _SQL_BOX_BLUR = f"""
 """
 
 
+VEC_GRID_BITS = 7
+VEC_THRESHOLD = 3
+
+
+def _q_vectorize_edges(spark, sf_dir):
+    """RASTER->VECTOR boundary extraction (tiles_sink.vectorize_boundary_edges):
+    the dense-region footprint of the order-point raster as wound lattice
+    edge segments -- marching-squares contract, integer-exact, one binning
+    shuffle + one anti-join against the inside set."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.vectorize_boundary_edges(
+        df, grid_bits=VEC_GRID_BITS, threshold=VEC_THRESHOLD
+    )
+
+
+_SQL_VECTORIZE_EDGES = f"""
+  with pts as ({{derived}}),
+  cells as (select cast(floor((x + 2147483648) / {1 << (32 - VEC_GRID_BITS)}) as bigint) as gx,
+                   cast(floor((2147483647 - y) / {1 << (32 - VEC_GRID_BITS)}) as bigint) as gy,
+                   count(*) as n
+            from pts group by 1, 2),
+  inside as (select gx, gy from cells where n >= {VEC_THRESHOLD}),
+  dirs(dx, dy, x1o, y1o, x2o, y2o) as (values
+    (0, -1, 0, 0, 1, 0), (1, 0, 1, 0, 1, 1), (0, 1, 1, 1, 0, 1), (-1, 0, 0, 1, 0, 0)),
+  cand as (select i.gx, i.gy, d.* from inside i cross join dirs d),
+  edges as (select c.* from cand c
+            left join inside nb on nb.gx = c.gx + c.dx and nb.gy = c.gy + c.dy
+            where nb.gx is null)
+  select gx + x1o as x1, gy + y1o as y1, gx + x2o as x2, gy + y2o as y2 from edges
+"""
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
@@ -3693,6 +3727,7 @@ QUERIES: dict[str, tuple] = {
     "vector_tile_encode": (_q_vector_tile_encode, _vector_tile_sql()),
     "tile_clip_segments": (_q_tile_clip, _tile_clip_sql()),
     "raster_box_blur": (_q_box_blur, _SQL_BOX_BLUR.format(derived=_DERIVED_SQL)),
+    "raster_vectorize_edges": (_q_vectorize_edges, _SQL_VECTORIZE_EDGES.format(derived=_DERIVED_SQL)),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),

@@ -535,3 +535,105 @@ def box_blur_counts(
         .groupBy(x_col, y_col)
         .agg(F.sum(val).alias(val))
     )
+
+
+def grid_counts(points: DataFrame, grid_bits: int, x_col: str = "x", y_col: str = "y"):
+    """Bin points onto the global 2^bits × 2^bits pixel lattice (the
+    whole-world raster at that resolution): (gx, gy, n).  Same axis
+    conventions as rasterize_pixel_counts — gy grows southward — but
+    WITHOUT the per-tile split, so downstream neighborhood operators
+    (box_blur_counts, vectorize_boundary_edges) need no tile halo."""
+    from pyspark.sql import functions as F
+
+    sub = 32 - grid_bits
+    xs = F.col(x_col).cast("bigint") + (1 << 31)
+    yd = F.lit((1 << 31) - 1) - F.col(y_col).cast("bigint")
+    return (
+        points.select(
+            F.shiftright(xs, sub).alias("gx"),
+            F.shiftright(yd, sub).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# Per boundary side: neighbor offset and the edge's two lattice endpoints,
+# ordered CLOCKWISE in the y-down raster frame (= counter-clockwise in the
+# y-up map frame), so the dense interior is always on the LEFT of x1→x2 in
+# map orientation — the winding a downstream ring chainer needs.
+_BOUNDARY_SIDES = (
+    # (dx, dy, x1off, y1off, x2off, y2off)
+    (0, -1, 0, 0, 1, 0),  # N neighbor missing → top edge, west→east
+    (1, 0, 1, 0, 1, 1),   # E → right edge, north→south
+    (0, 1, 1, 1, 0, 1),   # S → bottom edge, east→west
+    (-1, 0, 0, 1, 0, 0),  # W → left edge, south→north
+)
+
+
+def vectorize_boundary_edges(
+    points: DataFrame, grid_bits: int = 7, threshold: int = 3
+) -> DataFrame:
+    """RASTER→VECTOR: extract the boundary of the dense region of a point
+    raster as lattice edge segments — the inverse of the scanline
+    rasterizer, completing the reference's raster↔vector tile surface
+    (util/MapMaker.java renders only raster→screen; real pipelines also
+    need isoline/footprint extraction from density rasters).
+
+    A lattice cell is INSIDE iff its point count ≥ ``threshold``; every
+    unit edge separating an inside cell from an outside (or absent) cell
+    is a boundary segment.  Output (x1, y1, x2, y2) in lattice coords,
+    wound so the interior is left of x1→x2 in map (y-up) orientation —
+    outer boundaries CCW, hole boundaries CW, exactly the marching-squares
+    contract, and integer-exact (no float enters).
+
+    Scale shape: every unit lattice edge is shared by exactly TWO cells,
+    so no neighbor join is needed — each inside cell emits its 4 edges
+    under a canonical edge key (kx, ky, horiz), and a groupBy keeps the
+    keys contributed exactly ONCE (an interior edge arrives from both of
+    its cells and cancels).  One binning aggregation over the fact table
+    (scanned once), one narrow shuffle on the edge key; absent cells are
+    implicit zeros, so sparsity costs nothing.
+    """
+    from pyspark.sql import functions as F
+
+    inside = (
+        grid_counts(points, grid_bits)
+        .filter(F.col("n") >= threshold)
+        .select("gx", "gy")
+    )
+    # canonical edge key: horizontal edge of cell (gx,gy) at its N side
+    # = S side of (gx,gy-1) → key (gx, gy, h); vertical W side = E side
+    # of (gx-1,gy) → key (gx, gy, v).
+    sides = F.array(
+        *[
+            F.struct(
+                F.lit(1 if dx > 0 else 0).alias("kxo"),
+                F.lit(1 if dy > 0 else 0).alias("kyo"),
+                F.lit(dy != 0).alias("horiz"),
+                F.lit(x1).alias("x1o"),
+                F.lit(y1).alias("y1o"),
+                F.lit(x2).alias("x2o"),
+                F.lit(y2).alias("y2o"),
+            )
+            for dx, dy, x1, y1, x2, y2 in _BOUNDARY_SIDES
+        ]
+    )
+    cand = inside.select("gx", "gy", F.explode(sides).alias("s")).select(
+        (F.col("gx") + F.col("s.kxo")).alias("kx"),
+        (F.col("gy") + F.col("s.kyo")).alias("ky"),
+        F.col("s.horiz").alias("horiz"),
+        (F.col("gx") + F.col("s.x1o")).alias("x1"),
+        (F.col("gy") + F.col("s.y1o")).alias("y1"),
+        (F.col("gx") + F.col("s.x2o")).alias("x2"),
+        (F.col("gy") + F.col("s.y2o")).alias("y2"),
+    )
+    return (
+        cand.groupBy("kx", "ky", "horiz")
+        .agg(
+            F.count("*").alias("deg"),
+            F.min(F.struct("x1", "y1", "x2", "y2")).alias("e"),
+        )
+        .filter(F.col("deg") == 1)
+        .select("e.x1", "e.y1", "e.x2", "e.y2")
+    )

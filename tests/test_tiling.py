@@ -349,3 +349,47 @@ def test_box_blur_matches_direct_convolution(spark):
             for dy in range(-2, 3):
                 exp[(x + dx, y + dy)] = exp.get((x + dx, y + dy), 0) + n
     assert got == exp
+
+
+def test_vectorize_boundary_matches_bruteforce(spark):
+    """Boundary edges of the dense region: ring-with-hole shape, checked
+    against a direct per-cell neighbor scan, plus the winding invariant
+    (interior left of x1->x2 in the y-up map frame)."""
+    from geodesk_spark.operators import tiles_sink
+
+    g = 7
+    sub = 32 - g
+    # dense 6x6 block with a 2x2 hole -> outer CCW ring + inner CW ring
+    cells = {
+        (cx, cy)
+        for cx in range(10, 16)
+        for cy in range(20, 26)
+        if not (12 <= cx <= 13 and 22 <= cy <= 23)
+    }
+    rows = []
+    for cx, cy in cells:
+        # 3 points per inside cell (>= threshold), 1 point elsewhere nearby
+        for i in range(3):
+            rows.append((int((cx << sub) - (1 << 31) + i), int((1 << 31) - 1 - (cy << sub) - i)))
+    rows.append((int((30 << sub) - (1 << 31)), int((1 << 31) - 1 - (40 << sub))))  # sparse
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x1"], r["y1"], r["x2"], r["y2"])
+        for r in tiles_sink.vectorize_boundary_edges(df, grid_bits=g, threshold=3).collect()
+    }
+    exp = set()
+    for (cx, cy) in cells:
+        for dx, dy, x1, y1, x2, y2 in tiles_sink._BOUNDARY_SIDES:
+            if (cx + dx, cy + dy) not in cells:
+                exp.add((cx + x1, cy + y1, cx + x2, cy + y2))
+    assert got == exp
+    # outer ring: 6x6 block perimeter = 24 edges; hole: 2x2 = 8 edges
+    assert len(got) == 24 + 8
+    # winding: the interior must lie LEFT of x1->x2 in the y-up map frame,
+    # which in the y-down screen frame is the -90deg rotation (-ey, ex):
+    # the adjacent inside cell is at edge midpoint + that normal.
+    for x1, y1, x2, y2 in got:
+        ex, ey = x2 - x1, y2 - y1  # screen frame, y down
+        mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+        cell = (int(np.floor(mx - ey * 0.5)), int(np.floor(my + ex * 0.5)))
+        assert cell in cells, (x1, y1, x2, y2, cell)
