@@ -3239,6 +3239,57 @@ _SQL_VECTORIZE_EDGES = f"""
 """
 
 
+DISSOLVE_ZOOM = 5
+
+
+def _q_dissolve(spark, sf_dir):
+    """Dissolve rollup (geometry_ops.union_area_by_group): exact union
+    area of the derived bbox features per z5 center tile -- coordinate
+    compression, quadratic only in the group size, decimal(38,0) exact."""
+    from geodesk_spark.operators import geometry_ops
+
+    boxes = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
+        T.tile_col(F.col("x"), F.col("y"), DISSOLVE_ZOOM).cast("bigint").alias("g"),
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+    )
+    return geometry_ops.union_area_by_group(boxes, "g")
+
+
+def _dissolve_sql() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select {tile_expr('x', 'y', DISSOLVE_ZOOM)} as g, x, y,
+                     {dx} as dx, {dy} as dy from pts),
+      b as (select g, {box['minx']} as minx, {box['maxx']} as maxx,
+                   {box['miny']} as miny, {box['maxy']} as maxy from ext),
+      xs as (select distinct g, v from (
+               select g, minx as v from b union all select g, maxx from b)),
+      xi as (select g, x0, x1 from (
+               select g, v as x0, lead(v) over (partition by g order by v) as x1
+               from xs) t where x1 is not null and x1 > x0),
+      ys as (select distinct g, v from (
+               select g, miny as v from b union all select g, maxy from b)),
+      yi as (select g, y0, y1 from (
+               select g, v as y0, lead(v) over (partition by g order by v) as y1
+               from ys) t where y1 is not null and y1 > y0),
+      cells as (select xi.g, x0, x1, y0, y1 from xi join yi on yi.g = xi.g),
+      cov as (select c.* from cells c where exists (
+                select 1 from b where b.g = c.g
+                  and c.x0 >= b.minx and c.x1 <= b.maxx
+                  and c.y0 >= b.miny and c.y1 <= b.maxy))
+      select g, cast(cast(sum(cast(x1 - x0 as hugeint) * cast(y1 - y0 as hugeint))
+                     as decimal(38,0)) as double) as union_area
+      from cov group by g
+    """
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
@@ -3728,6 +3779,7 @@ QUERIES: dict[str, tuple] = {
     "tile_clip_segments": (_q_tile_clip, _tile_clip_sql()),
     "raster_box_blur": (_q_box_blur, _SQL_BOX_BLUR.format(derived=_DERIVED_SQL)),
     "raster_vectorize_edges": (_q_vectorize_edges, _SQL_VECTORIZE_EDGES.format(derived=_DERIVED_SQL)),
+    "dissolve_union_area": (_q_dissolve, _dissolve_sql()),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),
     "distance_join": (_q_distance_join, _distance_join_sql()),

@@ -254,3 +254,75 @@ def simplify_lines_dp_sql(verts_cte: str, eps: int) -> str:
       select distinct k.line_id, k.seq, v.x, v.y
       from keep k join v using (line_id, seq)
     """
+
+
+def union_area_by_group(
+    boxes: DataFrame, group_col: str = "g"
+) -> DataFrame:
+    """Dissolve: EXACT area of the union of axis-aligned boxes per group —
+    the ST_Union→area analog for the bbox layer (the reference's Box
+    algebra composes pairwise, Box.java:139-171; this is the n-ary union
+    measure a rollup actually needs).
+
+    Coordinate compression: within a group, the distinct box x-coords cut
+    the axis into intervals (same for y); a compressed grid cell is either
+    wholly inside some box or wholly outside, so
+    union_area = Σ cell_area over cells covered by ≥1 box.  A group of k
+    boxes makes ≤ (2k−1)² cells — quadratic in the GROUP size only, never
+    in the table size, which is the right trade at scale (dissolve groups
+    are dimension-sized; the fact table never self-joins).
+
+    Plan: two window passes for the interval lists (both reuse the same
+    group partitioning), a within-group interval×interval join, and a
+    LEFT SEMI join against the boxes on (group, containment) — all
+    equi-joins on the group key, AQE-skew-splittable.  Areas in
+    decimal(38,0): a world-spanning box is (2^32)² > int64.
+
+    Input (group_col, minx, miny, maxx, maxy) integer imps, boxes closed
+    [min, max]; output (group_col, union_area) — summed exactly in
+    decimal(38,0), emitted as double (the engine-portable output form;
+    the sum itself never rounds).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = group_col
+    xs = boxes.select(g, F.explode(F.array("minx", "maxx")).alias("v")).distinct()
+    w = Window.partitionBy(g).orderBy("v")
+    xi = (
+        xs.select(g, F.col("v").alias("x0"), F.lead("v").over(w).alias("x1"))
+        .filter(F.col("x1").isNotNull() & (F.col("x1") > F.col("x0")))
+    )
+    ys = boxes.select(g, F.explode(F.array("miny", "maxy")).alias("v")).distinct()
+    yi = (
+        ys.select(g, F.col("v").alias("y0"), F.lead("v").over(w.orderBy("v")).alias("y1"))
+        .filter(F.col("y1").isNotNull() & (F.col("y1") > F.col("y0")))
+    )
+    cells = xi.join(yi, g)
+    b = boxes.select(
+        F.col(g).alias("bg"),
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+    )
+    covered = cells.join(
+        b,
+        (F.col(g) == F.col("bg"))
+        & (F.col("x0") >= F.col("minx"))
+        & (F.col("x1") <= F.col("maxx"))
+        & (F.col("y0") >= F.col("miny"))
+        & (F.col("y1") <= F.col("maxy")),
+        "left_semi",
+    )
+    area = (F.col("x1") - F.col("x0")).cast("decimal(19,0)") * (
+        F.col("y1") - F.col("y0")
+    ).cast("decimal(19,0)")
+    return (
+        covered.groupBy(g)
+        .agg(F.sum(area).alias("union_area"))
+        .select(
+            g,
+            F.col("union_area").cast("decimal(38,0)").cast("double").alias("union_area"),
+        )
+    )

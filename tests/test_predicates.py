@@ -280,3 +280,43 @@ def test_simplify_dp_hand_cases(spark):
         for r in geometry_ops.simplify_lines_dp(df, eps=10).collect()
     }
     assert got == {(0, 0), (0, 2), (1, 0), (1, 1), (1, 2), (2, 0), (2, 2)}
+
+
+def test_union_area_by_group_matches_raster_brute(spark):
+    """Dissolve (coordinate-compression union area) vs a per-unit-pixel
+    rasterized union on small coordinates, incl. nested / disjoint /
+    identical / zero-width boxes."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(6):
+        k = int(rng.integers(1, 12))
+        for _ in range(k):
+            x0, y0 = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+            rows.append((g, x0, y0, x0 + int(rng.integers(0, 20)), y0 + int(rng.integers(0, 20))))
+    rows.append((0, 5, 5, 5, 30))          # zero-width
+    rows.append((1, *rows[5][1:]))          # duplicate of an existing box
+    df = spark.createDataFrame(rows, "g int, minx long, miny long, maxx long, maxy long")
+    got = {
+        r["g"]: r["union_area"]
+        for r in geometry_ops.union_area_by_group(df, "g").collect()
+    }
+    exp = {}
+    for g in sorted({r[0] for r in rows}):
+        grid = np.zeros((70, 70), dtype=bool)
+        for gg, x0, y0, x1, y1 in rows:
+            if gg == g:
+                grid[x0:x1, y0:y1] = True
+        exp[g] = int(grid.sum())
+    assert got == exp
+
+
+def test_union_area_world_span_no_overflow(spark):
+    """A world-spanning box: area (2^32)^2 exceeds int64; the decimal
+    path must stay exact."""
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    df = spark.createDataFrame(
+        [(0, lo, lo, hi, hi), (0, 0, 0, 100, 100)],
+        "g int, minx long, miny long, maxx long, maxy long",
+    )
+    [r] = geometry_ops.union_area_by_group(df, "g").collect()
+    assert r["union_area"] == float((hi - lo) * (hi - lo))
