@@ -782,6 +782,64 @@ def _knn_sql() -> str:
     """
 
 
+IDW_K = 8
+
+
+def _q_idw(spark, sf_dir):
+    """IDW spatial interpolation (knn.idw_interpolate): 1/d²-weighted mean
+    of the exact kNN set at each query point, rank-ordered folds, exact-hit
+    guard — the classic interpolation consumer of the kNN north star."""
+    df = _derived_orders(spark, sf_dir).withColumn("key", F.col("o_orderkey").cast("string"))
+    pts = df.select("key", "x", "y", F.col("o_totalprice").cast("double").alias("v"))
+    out = knn_mod.idw_interpolate(pts, KNN_QUERIES, k=IDW_K, val_col="v", id_col="key")
+    return out.select(
+        "query_id", "idw_value", F.col("n_samples").cast("int").alias("n_samples")
+    )
+
+
+def _idw_sql() -> str:
+    qrows = []
+    for qid, lon, lat in KNN_QUERIES:
+        qx = int(mercator.x_from_lon(lon)[()])
+        qy = int(mercator.y_from_lat(lat)[()])
+        qrows.append(f"select '{qid}' as query_id, {qx} as qx, {qy} as qy")
+    qtable = " union all ".join(qrows)
+    return f"""
+      with pts as (
+        select o_orderkey, cast(o_totalprice as double) as v,
+               {x_expr(lon_expr("o_orderkey"))} as x,
+               {y_expr(lat_expr("o_orderkey"))} as y
+        from orders
+      ), q as ({qtable}),
+      d as (
+        select q.query_id, cast(pts.o_orderkey as varchar) as key, pts.v,
+               pts.x, pts.y, q.qx, q.qy,
+               {_dist_sql('pts.x', 'pts.y', 'q.qx', 'q.qy')} as dist_m
+        from pts cross join q
+      ),
+      r as (
+        select *, row_number() over (partition by query_id
+                                     order by dist_m asc, key asc) as rank
+        from d
+      ),
+      t as (
+        select query_id, rank, v,
+               greatest(cast(x - qx as double) * cast(x - qx as double)
+                        + cast(y - qy as double) * cast(y - qy as double),
+                        1.0) as d2
+        from r where rank <= {IDW_K}
+      ),
+      f as (
+        select query_id,
+               list_sum(list(v / d2 order by rank)) as num,
+               list_sum(list(1.0 / d2 order by rank)) as den,
+               count(*) as n
+        from t group by query_id
+      )
+      select query_id, num / den as idw_value, cast(n as int) as n_samples from f
+    """
+
+
 def _q_agg_pricing(spark, sf_dir):
     """Aggregation layer (Features.count analog widened to groupBy.agg)."""
     li = tables.load_spread(spark, sf_dir, "lineitem")
@@ -3803,6 +3861,7 @@ QUERIES: dict[str, tuple] = {
     "polygon_centroid": (_q_polygon_centroid, _centroid_sql()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),
+    "idw_interpolate": (_q_idw, _idw_sql()),
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),
     "skew_adaptive_split": (_q_adaptive_split, _adaptive_split_sql()),
     "tile_pyramid_rollup": (_q_tile_pyramid, _SQL_TILE_PYRAMID),

@@ -361,3 +361,66 @@ def snap_to_segments(
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+def idw_interpolate(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int = 8,
+    val_col: str = "v",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at query locations — the
+    classic spatial-interpolation consumer of kNN: estimate a field value
+    at (lon, lat) as the 1/d²-weighted mean of its k nearest samples.
+
+    value(q) = Σᵢ vᵢ/d²ᵢ ÷ Σᵢ 1/d²ᵢ over the exact kNN set, where d² is
+    the squared imp-space distance (exact-hit guard: d² floored at 1, so
+    a sample ON the query point dominates without a division by zero).
+
+    Determinism contract: both folds run in RANK order (knn's ranking is
+    itself deterministic), every float op is fixed-order, so the result
+    is bit-reproducible across partitionings and engines.
+
+    Scale shape: the kNN candidate machinery does all the heavy lifting
+    (broadcast cell windows, one bounded rank shuffle); the value
+    join-back broadcasts the tiny (query, neighbor) table against the
+    fact table, and the final fold groups k·|queries| rows.  Returns
+    (query_id, idw_value, n_samples).
+    """
+    spark = points.sparkSession
+    nn = knn(points, queries, k, id_col=id_col).select("query_id", id_col, "rank")
+    qrows = [
+        (
+            qid,
+            int(mercator.x_from_lon(lon)[()]),
+            int(mercator.y_from_lat(lat)[()]),
+        )
+        for qid, lon, lat in queries
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, qx long, qy long")
+    j = (
+        points.select(id_col, "x", "y", F.col(val_col).cast("double").alias("v"))
+        .join(F.broadcast(nn), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    dx = (F.col("x") - F.col("qx")).cast("double")
+    dy = (F.col("y") - F.col("qy")).cast("double")
+    d2 = F.greatest(dx * dx + dy * dy, F.lit(1.0))
+    terms = j.select(
+        "query_id",
+        F.struct(F.col("rank"), (F.col("v") / d2).alias("t"), (F.lit(1.0) / d2).alias("w")).alias("s"),
+    )
+    acc0 = F.lit(0.0)
+    return (
+        terms.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "query_id",
+            (
+                F.aggregate("ss", acc0, lambda a, s: a + s["t"])
+                / F.aggregate("ss", acc0, lambda a, s: a + s["w"])
+            ).alias("idw_value"),
+            F.size("ss").alias("n_samples"),
+        )
+    )

@@ -217,3 +217,49 @@ def test_snap_to_segments_bruteforce(world):
         else:
             assert ids[i] not in got
     assert n_checked > 20  # the radius actually matched a useful subset
+
+
+def test_idw_interpolate_matches_numpy_fold(world):
+    """IDW = rank-ordered 1/d² folds over the exact kNN set; bit-compared
+    against the same fold in numpy, plus the exact-hit guard."""
+    df, pdf = world
+    val = (F.crc32(F.col("image_id")) % 1000).cast("double")
+    pts = df.withColumn("val", val)
+    queries = [("q_tokyo", 139.7, 35.7), ("q_paris", 2.3, 48.9)]
+    k = 6
+    got = {
+        r["query_id"]: (r["idw_value"], r["n_samples"])
+        for r in knn_mod.idw_interpolate(pts, queries, k=k, val_col="val").collect()
+    }
+    vals = {r["image_id"]: float(r["val"]) for r in pts.select("image_id", "val").collect()}
+    x = pdf["x"].to_numpy(np.float64)
+    y = pdf["y"].to_numpy(np.float64)
+    ids = pdf["image_id"].to_numpy()
+    for qid, lon, lat in queries:
+        qxi = int(mercator.x_from_lon(lon)[()])
+        qyi = int(mercator.y_from_lat(lat)[()])
+        d = mercator.distance(x, y, float(qxi), float(qyi))
+        order = np.lexsort((ids, d))[:k]
+        num = den = 0.0
+        for i in order:  # rank order, same fold
+            dx = float(int(x[i]) - qxi)
+            dy = float(int(y[i]) - qyi)
+            d2 = max(dx * dx + dy * dy, 1.0)
+            num += vals[ids[i]] / d2
+            den += 1.0 / d2
+        assert got[qid][1] == k
+        assert got[qid][0] == num / den, qid
+
+
+def test_idw_exact_hit_dominates(spark):
+    """A sample exactly ON the query point gets weight 1/1 and must pull
+    the estimate to (almost) its own value."""
+    lon, lat = 10.0, 20.0
+    qx = int(mercator.x_from_lon(lon)[()])
+    qy = int(mercator.y_from_lat(lat)[()])
+    rows = [("hit", qx, qy, 500.0)] + [
+        (f"far{i}", qx + 2_000_000 + i, qy, 1.0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, x long, y long, val double")
+    [r] = knn_mod.idw_interpolate(df, [("q", lon, lat)], k=5, val_col="val").collect()
+    assert abs(r["idw_value"] - 500.0) < 1e-3
