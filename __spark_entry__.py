@@ -1024,6 +1024,42 @@ def _pagerank_sql() -> str:
     )
 
 
+SSSP_SOURCES = [0, 7]
+SSSP_ROUNDS = 4
+_SSSP_EDGES_SQL = (
+    "select user_id as src, (event_id % 500) + 1000 as dst, 1 + (event_id % 97) as w from events "
+    "union all "
+    "select (event_id % 500) + 1000 as src, user_id as dst, 1 + (event_id % 97) as w from events"
+)
+
+
+def _q_sssp(spark, sf_dir):
+    """Bounded-round SSSP (graph.sssp_rounds): ≤4-hop integer shortest
+    paths from two sources over the undirected user↔target interaction
+    graph — delta-frontier Bellman-Ford, one shuffle join per round;
+    oracle = the frontier-free relaxation unrolled as chained CTEs."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    ev = tables.load_spread(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") % 500) + 1000).alias("dst"),
+        (F.lit(1) + F.col("event_id") % 97).alias("w"),
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return graph_mod.sssp_rounds(
+        e, SSSP_SOURCES, rounds=SSSP_ROUNDS, materialize=False
+    )
+
+
+def _sssp_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    return graph_mod.sssp_rounds_sql(_SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS)
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts via degree-ordered orientation
     (graph.triangle_counts, O(m^1.5) wedge join); oracle counts
@@ -3884,6 +3920,7 @@ QUERIES: dict[str, tuple] = {
     "stream_session_counts": (_q_stream_sessions, _SQL_STREAM_SESSIONS),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "pagerank_users": (_q_pagerank, _pagerank_sql()),
+    "sssp_bounded": (_q_sssp, _sssp_sql()),
     "triangle_counts": (_q_triangles, _SQL_TRIANGLES),
     "stream_stateful_tile_counts": (_q_stream_stateful, _SQL_STREAM_STATEFUL),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),

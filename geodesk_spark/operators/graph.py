@@ -259,3 +259,88 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    sources: list,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    materialize: bool = True,
+) -> DataFrame:
+    """Bounded-round single-source shortest paths — Bellman-Ford
+    relaxation over positive INTEGER weights (routing distance over a
+    road-segment graph is the geodesk-adjacent consumer; the bounded
+    round count makes the result well-defined without a convergence
+    race: after r rounds dist(v) = min cost over paths of ≤ r hops).
+
+    min over integers is order-free, so the result is bit-deterministic
+    across partitionings and engines — the same reason pagerank_integer
+    uses integer units.
+
+    Scale shape (textbook Pregel SSSP): per round ONE shuffle join of
+    the FRONTIER (only nodes improved last round — the delta, usually a
+    tiny fraction) against the edge list, plus a min-merge rollup;
+    converged graphs exit early (empty frontier ⇒ the ≤r-hop minimum is
+    already the true minimum, identical to running all rounds).
+    Unreached nodes are absent (no +inf sentinel rows).
+
+    Returns (node, dist).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(w).alias("_w"))
+    if materialize:
+        e = e.cache()
+    dist = spark.createDataFrame([(s, 0) for s in sources], f"node long, dist long").distinct()
+    frontier = dist
+    if materialize:
+        dist = dist.cache()
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier.node == e._src)
+            .select(F.col("_dst").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        # delta: nodes whose distance improved this round (new nodes or
+        # strictly smaller) — the next round relaxes only these
+        new_frontier = merged.join(
+            dist.select(F.col("node"), F.col("dist").alias("old")), "node", "left"
+        ).filter(F.col("old").isNull() | (F.col("dist") < F.col("old"))).select("node", "dist")
+        if materialize:
+            merged = merged.cache()
+            new_frontier = new_frontier.cache()
+            if new_frontier.count() == 0:
+                new_frontier.unpersist()
+                dist.unpersist()
+                dist = merged
+                break
+            dist.unpersist()
+        dist, frontier = merged, new_frontier
+    if materialize:
+        e.unpersist()
+    return dist
+
+
+def sssp_rounds_sql(edges_cte: str, sources: list, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`sssp_rounds`, the FULL (frontier-free)
+    relaxation unrolled as chained CTEs — an independent formulation of
+    the same ≤r-hop minimum, so it also proves the delta-frontier
+    optimization changes nothing."""
+    src_rows = " union all ".join(f"select cast({s} as bigint) as node, cast(0 as bigint) as dist" for s in sources)
+    parts = [
+        f"e as ({edges_cte})",
+        f"d0 as (select distinct node, dist from ({src_rows}) s)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} as (select node, min(dist) as dist from ("
+            f"select node, dist from d{i-1} "
+            f"union all "
+            f"select e.dst as node, d{i-1}.dist + e.w as dist "
+            f"from d{i-1} join e on e.src = d{i-1}.node) u group by node)"
+        )
+    return "with " + ",\n".join(parts) + f"\nselect node, dist from d{rounds}"

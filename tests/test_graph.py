@@ -211,3 +211,49 @@ def test_triangle_counts_hand_graph(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     out = {r["node"]: r["n_tri"] for r in graph_mod.triangle_counts(df).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_sssp_hand_graph(spark):
+    """Bounded-round SSSP on a hand graph: a shorter 3-hop path must beat
+    a heavy 1-hop edge, unreached nodes stay absent, and the bounded
+    round count caps path length."""
+    edges = [
+        (0, 1, 10),
+        (0, 2, 1), (2, 3, 1), (3, 1, 1),   # 3-hop path to 1, cost 3
+        (1, 4, 5),
+        (7, 8, 1),                          # disconnected from source
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in graph.sssp_rounds(df, [0], rounds=6).collect()}
+    assert got == {0: 0, 1: 3, 2: 1, 3: 2, 4: 8}
+    # with rounds=1 only direct edges are relaxed
+    got1 = {r["node"]: r["dist"] for r in graph.sssp_rounds(df, [0], rounds=1).collect()}
+    assert got1 == {0: 0, 1: 10, 2: 1}
+
+
+def test_sssp_lazy_matches_materialized(spark):
+    """materialize=False (lazy join tower) must agree with the cached
+    per-round path, and multi-source takes the min over sources."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(rng.integers(0, 30)), int(rng.integers(0, 30)), int(rng.integers(1, 9)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    a = {r["node"]: r["dist"]
+         for r in graph.sssp_rounds(df, [0, 5], rounds=5, materialize=True).collect()}
+    b = {r["node"]: r["dist"]
+         for r in graph.sssp_rounds(df, [0, 5], rounds=5, materialize=False).collect()}
+    assert a == b
+    # brute: Bellman-Ford in numpy, 5 rounds
+    import collections
+    dist = {0: 0, 5: 0}
+    for _ in range(5):
+        nd = dict(dist)
+        for s, d, w in edges:
+            if s in dist and (d not in nd or dist[s] + w < nd[d]):
+                nd[d] = min(nd.get(d, 1 << 60), dist[s] + w)
+        dist = nd
+    assert a == dist
