@@ -1060,6 +1060,68 @@ def _sssp_sql() -> str:
     return graph_mod.sssp_rounds_sql(_SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS)
 
 
+GEOFENCES = [
+    ("A", -(1 << 30), -(1 << 29), -(1 << 28), (1 << 29)),
+    ("B", 0, 0, (1 << 29), (1 << 30)),
+    ("C", (1 << 29), -(1 << 30), (1 << 30), 0),
+]
+
+
+def _fence_case_col(x, y):
+    c = None
+    for fid, minx, miny, maxx, maxy in GEOFENCES:
+        cond = (x >= minx) & (x < maxx) & (y >= miny) & (y < maxy)
+        c = F.when(cond, F.lit(fid)) if c is None else c.when(cond, F.lit(fid))
+    return c
+
+
+def _q_geofence(spark, sf_dir):
+    """Geofence enter/exit/switch stream (relational.geofence_transitions):
+    per-event bbox fence assignment (first-match, pure Catalyst) -> per-user
+    lag window; ONE shuffle, null-safe state compare."""
+    from geodesk_spark.operators import relational
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), "event_id"
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        _fence_case_col(F.col("x"), F.col("y")).alias("fence_id"),
+    )
+    return relational.geofence_transitions(located, ts_col="ts_us").select(
+        "user_id", "ts_us", "event_id", "prev_fence", "fence", "kind"
+    )
+
+
+def _geofence_sql() -> str:
+    fence_case = "case " + " ".join(
+        f"when x >= {minx} and x < {maxx} and y >= {miny} and y < {maxy} then '{fid}'"
+        for fid, minx, miny, maxx, maxy in GEOFENCES
+    ) + " end"
+    return f"""
+      with pts as (
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr("event_id"))} as x,
+               {y_expr(lat_expr("event_id"))} as y
+        from events
+      ),
+      located as (select user_id, ts_us, event_id, {fence_case} as fence_id from pts),
+      lagged as (
+        select user_id, ts_us, event_id, fence_id,
+               lag(fence_id) over (partition by user_id order by ts_us, event_id) as prev_fence
+        from located
+      )
+      select user_id, ts_us, event_id, prev_fence, fence_id as fence,
+             case when fence_id is null then 'exit'
+                  when prev_fence is null then 'enter'
+                  else 'switch' end as kind
+      from lagged
+      where fence_id is distinct from prev_fence
+    """
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts via degree-ordered orientation
     (graph.triangle_counts, O(m^1.5) wedge join); oracle counts
@@ -3384,6 +3446,42 @@ def _dissolve_sql() -> str:
     """
 
 
+HOTSPOT_GRID_BITS = 7
+
+
+def _q_hotspot(spark, sf_dir):
+    """Getis-Ord Gi* hotspot scores over the order-point density raster
+    (tiles_sink.hotspot_gi_star): separable 3x3 neighborhood sums, exact
+    integer aggregates, fixed-order float formula -- bit-reproducible."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.hotspot_gi_star(df, grid_bits=HOTSPOT_GRID_BITS)
+
+
+_SQL_HOTSPOT = f"""
+  with pts as ({{derived}}),
+  cells as (select cast(floor((x + 2147483648) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gx,
+                   cast(floor((2147483647 - y) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gy,
+                   count(*) as n
+            from pts group by 1, 2),
+  nbsum as (select c.gx, c.gy, c.n,
+                   sum(nb.n) as s_i, count(*) as n_i
+            from cells c join cells nb
+              on nb.gx between c.gx - 1 and c.gx + 1
+             and nb.gy between c.gy - 1 and c.gy + 1
+            group by c.gx, c.gy, c.n),
+  stats as (select count(*) as n_tot, sum(n) as sx, sum(n * n) as sxx from cells)
+  select gx, gy, n,
+         (cast(s_i as double) - (cast(sx as double) / cast(n_tot as double)) * cast(n_i as double))
+         / (sqrt(cast(sxx as double) / cast(n_tot as double)
+                 - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
+            * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0)))
+         as gi_star
+  from nbsum cross join stats
+"""
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
@@ -3831,6 +3929,7 @@ QUERIES: dict[str, tuple] = {
     "window_top3_orders": (_q_window_top3, _SQL_WINDOW_TOP3),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
+    "geofence_transitions": (_q_geofence, _geofence_sql()),
     "group_quantiles_events": (_q_group_quantiles, _group_quantiles_sql()),
     "linreg_user_trend": (_q_linreg_trend, _linreg_sql()),
     "tag_key_stats": (_q_tag_stats, _SQL_TAG_STATS),
@@ -3873,6 +3972,7 @@ QUERIES: dict[str, tuple] = {
     "tile_clip_segments": (_q_tile_clip, _tile_clip_sql()),
     "raster_box_blur": (_q_box_blur, _SQL_BOX_BLUR.format(derived=_DERIVED_SQL)),
     "raster_vectorize_edges": (_q_vectorize_edges, _SQL_VECTORIZE_EDGES.format(derived=_DERIVED_SQL)),
+    "hotspot_gi_star": (_q_hotspot, _SQL_HOTSPOT.format(derived=_DERIVED_SQL)),
     "dissolve_union_area": (_q_dissolve, _dissolve_sql()),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),

@@ -164,3 +164,50 @@ def sessionize(
         F.max("_us").alias("end_us"),
         F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+def geofence_transitions(
+    located: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    fence_col: str = "fence_id",
+) -> DataFrame:
+    """Geofence ENTER/EXIT/SWITCH detection — the spatio-temporal event
+    operator downstream of any spatial assignment: given per-event fence
+    membership (``fence_col``, NULL = outside all fences, produced by a
+    PIP join / bbox filter / hex lookup upstream), emit one row per
+    transition of each user's fence state over time.
+
+    kind: 'enter'  outside→fence (incl. a user's first located event),
+          'exit'   fence→outside,
+          'switch' fence A→fence B directly.
+
+    Plan: ONE shuffle — the per-user lag window; tie-break on
+    ``order_col`` makes the sequence (hence the transition set)
+    deterministic.  State compares NULL-safely, which also gets the
+    boundary right for free: a user's first event inside a fence has
+    prev = NULL ≠ fence → 'enter'; a first event outside has
+    NULL <=> NULL → no row.  Runs of equal state — the overwhelming
+    bulk at scale — are dropped before anything else moves.
+
+    Returns (user, ts, order, prev_fence, fence, kind).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    out = (
+        located.withColumn("_prev", F.lag(fence_col).over(w))
+        .filter(~F.col(fence_col).eqNullSafe(F.col("_prev")))
+    )
+    kind = (
+        F.when(F.col(fence_col).isNull(), F.lit("exit"))
+        .when(F.col("_prev").isNull(), F.lit("enter"))
+        .otherwise(F.lit("switch"))
+    )
+    return out.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(order_col),
+        F.col("_prev").alias("prev_fence"),
+        F.col(fence_col).alias("fence"),
+        kind.alias("kind"),
+    )

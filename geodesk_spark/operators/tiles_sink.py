@@ -637,3 +637,55 @@ def vectorize_boundary_edges(
         .filter(F.col("deg") == 1)
         .select("e.x1", "e.y1", "e.x2", "e.y2")
     )
+
+
+def hotspot_gi_star(points: DataFrame, grid_bits: int = 7) -> DataFrame:
+    """Getis-Ord Gi* hotspot scoring of the point-density raster — the
+    standard local spatial-autocorrelation statistic (which cells are
+    significantly hotter than the global field, not just locally maximal
+    like a top-k rollup).
+
+    Study region = the OCCUPIED cells of the global lattice (a sparse
+    world grid has no meaningful "all cells" N); weights = binary 3×3
+    neighborhood incl. self.  For occupied cell i with count x:
+
+        Gi* = (S_i − x̄·n_i) / (s·sqrt((N·n_i − n_i²) / (N − 1)))
+
+    with S_i / n_i the neighborhood count-sum / occupied-neighbor count,
+    and x̄, s the global mean / population σ.  Every aggregate (S_i, n_i,
+    N, Σx, Σx²) is an exact integer; floats enter only in the final
+    fixed-order expression, so the score is bit-reproducible across
+    partitionings and engines.
+
+    Plan: binning agg (the only fact shuffle) → 3×3 neighborhood sums as
+    TWO separable rank-1 explode+regroup passes (the box_blur shape) →
+    join back to occupied cells → broadcast one global-stats row.
+    """
+    from pyspark.sql import functions as F
+
+    cells = grid_counts(points, grid_bits)
+    h = (
+        cells.withColumn("gx", F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1)))
+        .groupBy("gx", "gy")
+        .agg(F.sum("n").alias("sn"), F.count("*").alias("cnt"))
+    )
+    v = (
+        h.withColumn("gy", F.explode(F.sequence(F.col("gy") - 1, F.col("gy") + 1)))
+        .groupBy("gx", "gy")
+        .agg(F.sum("sn").alias("s_i"), F.sum("cnt").alias("n_i"))
+    )
+    occ = cells.join(v, ["gx", "gy"])
+    stats = cells.agg(
+        F.count("*").alias("n_tot"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    j = occ.crossJoin(F.broadcast(stats))
+    xbar = F.col("sx").cast("double") / F.col("n_tot").cast("double")
+    s = F.sqrt(F.col("sxx").cast("double") / F.col("n_tot").cast("double") - xbar * xbar)
+    denom = s * F.sqrt(
+        (F.col("n_tot") * F.col("n_i") - F.col("n_i") * F.col("n_i")).cast("double")
+        / (F.col("n_tot").cast("double") - F.lit(1.0))
+    )
+    gi = (F.col("s_i").cast("double") - xbar * F.col("n_i").cast("double")) / denom
+    return j.select("gx", "gy", "n", gi.alias("gi_star"))

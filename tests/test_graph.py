@@ -257,3 +257,38 @@ def test_sssp_lazy_matches_materialized(spark):
                 nd[d] = min(nd.get(d, 1 << 60), dist[s] + w)
         dist = nd
     assert a == dist
+
+
+def test_geofence_transitions_hand_case(spark):
+    """enter/exit/switch over a hand timeline, incl. first-event-inside,
+    first-event-outside, equal-state runs dropped, ts tie-break."""
+    from geodesk_spark.operators import relational
+
+    rows = [
+        # user 1: outside, A, A, B, outside, outside, A
+        (1, 100, 0, None), (1, 200, 1, "A"), (1, 300, 2, "A"), (1, 400, 3, "B"),
+        (1, 500, 4, None), (1, 600, 5, None), (1, 700, 6, "A"),
+        # user 2: first event inside
+        (2, 100, 7, "C"), (2, 200, 8, None),
+        # user 3: never inside
+        (3, 100, 9, None),
+        # user 4: ts tie broken by event_id
+        (4, 100, 10, "A"), (4, 100, 11, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, fence_id string")
+    got = [
+        (r["user_id"], r["ts"], r["prev_fence"], r["fence"], r["kind"])
+        for r in relational.geofence_transitions(df)
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    ]
+    assert got == [
+        (1, 200, None, "A", "enter"),
+        (1, 400, "A", "B", "switch"),
+        (1, 500, "B", None, "exit"),
+        (1, 700, None, "A", "enter"),
+        (2, 100, None, "C", "enter"),
+        (2, 200, "C", None, "exit"),
+        (4, 100, None, "A", "enter"),
+        (4, 100, "A", None, "exit"),
+    ]

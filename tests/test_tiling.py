@@ -393,3 +393,49 @@ def test_vectorize_boundary_matches_bruteforce(spark):
         mx, my = (x1 + x2) / 2, (y1 + y2) / 2
         cell = (int(np.floor(mx - ey * 0.5)), int(np.floor(my + ex * 0.5)))
         assert cell in cells, (x1, y1, x2, y2, cell)
+
+
+def test_hotspot_gi_star_matches_direct(spark):
+    """Gi* vs a direct per-cell numpy evaluation (no separable trick):
+    a planted hot 2x2 block must carry the max score."""
+    from geodesk_spark.operators import tiles_sink
+
+    g = 7
+    sub = 32 - g
+    rng = np.random.default_rng(5)
+    counts = {}
+    for _ in range(60):
+        counts[(int(rng.integers(20, 40)), int(rng.integers(20, 40)))] = int(rng.integers(1, 4))
+    for cx in (30, 31):
+        for cy in (30, 31):
+            counts[(cx, cy)] = 25  # hot block
+    rows = []
+    for (cx, cy), n in counts.items():
+        for i in range(n):
+            rows.append((int((cx << sub) - (1 << 31) + i), int((1 << 31) - 1 - (cy << sub) - i)))
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["gx"], r["gy"]): (r["n"], r["gi_star"])
+        for r in tiles_sink.hotspot_gi_star(df, grid_bits=g).collect()
+    }
+    N = len(counts)
+    xs = np.array(list(counts.values()), dtype=np.int64)
+    xbar = float(xs.sum()) / float(N)
+    s = np.sqrt(float((xs * xs).sum()) / float(N) - xbar * xbar)
+    exp = {}
+    for (cx, cy), n in counts.items():
+        s_i = n_i = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = counts.get((cx + dx, cy + dy))
+                if nb is not None:
+                    s_i += nb
+                    n_i += 1
+        denom = s * np.sqrt(float(N * n_i - n_i * n_i) / (N - 1.0))
+        exp[(cx, cy)] = (n, (float(s_i) - xbar * float(n_i)) / denom)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-12, (k, got[k], exp[k])
+    hot = max(got, key=lambda k: got[k][1])
+    assert hot in {(30, 30), (30, 31), (31, 30), (31, 31)}
