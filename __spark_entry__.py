@@ -1122,6 +1122,114 @@ def _geofence_sql() -> str:
     """
 
 
+COLOC_BUCKET_US = 86_400_000_000  # 1 day
+COLOC_GRID_BITS = 5
+COLOC_MIN_BUCKETS = 2
+# movement model for the contact query: each user wanders among 16
+# home-anchored positions, so co-location is CORRELATED (a uniform
+# per-event scatter never collides at z5)
+COLOC_KEY = "user_id * 7919 + (event_id % 16)"
+OD_GRID_BITS = 5
+_EVENTS_LOCATED_SQL = f"""
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr("event_id"))} as x,
+               {y_expr(lat_expr("event_id"))} as y
+        from events
+"""
+
+
+def _located_events(spark, sf_dir):
+    ev = tables.with_derived_points(tables.load_spread(spark, sf_dir, "events"), "event_id")
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+
+
+def _q_colocation(spark, sf_dir):
+    """Co-location contact pairs (mobility.colocation_pairs): users sharing
+    a z5-lattice cell within the same day bucket in >= 2 distinct buckets;
+    distinct-first self-join, hot-cell cap guard."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), COLOC_KEY
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.colocation_pairs(
+        located,
+        bucket_us=COLOC_BUCKET_US,
+        grid_bits=COLOC_GRID_BITS,
+        min_buckets=COLOC_MIN_BUCKETS,
+    )
+
+
+def _colocation_sql() -> str:
+    sub = 1 << (32 - COLOC_GRID_BITS)
+    located = f"""
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(COLOC_KEY))} as x,
+               {y_expr(lat_expr(COLOC_KEY))} as y
+        from events
+    """
+    return f"""
+      with pts as ({located}),
+      obs as (select distinct user_id as u, ts_us // {COLOC_BUCKET_US} as tb,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      ok as (select tb, gx, gy from obs group by tb, gx, gy having count(*) <= 10000),
+      o2 as (select obs.* from obs join ok using (tb, gx, gy)),
+      pairs as (select a.u as u1, b.u as u2, a.tb
+                from o2 a join o2 b
+                  on a.tb = b.tb and a.gx = b.gx and a.gy = b.gy and a.u < b.u)
+      select u1, u2, count(distinct tb) as n_buckets
+      from pairs group by u1, u2
+      having count(distinct tb) >= {COLOC_MIN_BUCKETS}
+    """
+
+
+def _q_od_matrix(spark, sf_dir):
+    """Origin->destination flow matrix (mobility.od_matrix): per (user, day)
+    first/last z5 cell as one trip, conditional aggregation reusing the
+    window partitioning -- one shuffle to trips."""
+    from geodesk_spark.operators import mobility
+
+    return mobility.od_matrix(_located_events(spark, sf_dir), grid_bits=OD_GRID_BITS)
+
+
+def _od_matrix_sql() -> str:
+    sub = 1 << (32 - OD_GRID_BITS)
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      obs as (select user_id as u, ts_us // 86400000000 as day, ts_us, event_id,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      r as (select *,
+                   row_number() over (partition by u, day order by ts_us, event_id) as rf,
+                   row_number() over (partition by u, day order by ts_us desc, event_id desc) as rb
+            from obs),
+      trips as (select u, day,
+                       max(case when rf = 1 then gx end) as o_gx,
+                       max(case when rf = 1 then gy end) as o_gy,
+                       max(case when rb = 1 then gx end) as d_gx,
+                       max(case when rb = 1 then gy end) as d_gy
+                from r group by u, day)
+      select o_gx, o_gy, d_gx, d_gy, count(*) as n_trips
+      from trips group by o_gx, o_gy, d_gx, d_gy
+    """
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts via degree-ordered orientation
     (graph.triangle_counts, O(m^1.5) wedge join); oracle counts
@@ -3930,6 +4038,8 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
     "geofence_transitions": (_q_geofence, _geofence_sql()),
+    "colocation_pairs": (_q_colocation, _colocation_sql()),
+    "od_matrix": (_q_od_matrix, _od_matrix_sql()),
     "group_quantiles_events": (_q_group_quantiles, _group_quantiles_sql()),
     "linreg_user_trend": (_q_linreg_trend, _linreg_sql()),
     "tag_key_stats": (_q_tag_stats, _SQL_TAG_STATS),

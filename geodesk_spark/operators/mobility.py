@@ -1,0 +1,122 @@
+"""Mobility analytics over located event streams — the spatio-temporal
+layer above the tiling ops: co-location (contact) detection and
+origin→destination flow rollups.
+
+Both consume the same (user, time, x, y) shape the geofence and
+sessionize operators use; cells come from the global lattice
+(tiles_sink.grid_counts conventions) so one binning serves raster,
+hotspot and mobility paths alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cell_cols(x, y, grid_bits: int):
+    sub = 32 - grid_bits
+    gx = F.shiftright(x.cast("bigint") + (1 << 31), sub)
+    gy = F.shiftright(F.lit((1 << 31) - 1) - y.cast("bigint"), sub)
+    return gx, gy
+
+
+def colocation_pairs(
+    located: DataFrame,
+    bucket_us: int,
+    grid_bits: int = 10,
+    min_buckets: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    max_users_per_cell: int = 10_000,
+) -> DataFrame:
+    """Co-location (contact) detection: pairs of users observed in the
+    SAME lattice cell during the SAME time bucket, sustained over at
+    least ``min_buckets`` distinct buckets — convoy/contact analytics.
+
+    Scale shape: project to distinct (user, bucket, gx, gy) FIRST (the
+    dedup collapses per-user event bursts, usually the dominant
+    reduction), then a self-equi-join on (bucket, cell) with ``u1 < u2``
+    — candidate pairs are quadratic only in the per-(bucket, cell)
+    user count, never in the table.  A degenerate cell (stadium) is
+    guarded by ``max_users_per_cell``: cells over the cap are DROPPED
+    and surfaced in the plan's filter rather than silently exploding a
+    task (the LSH bucket-cap rule).  Final rollup counts DISTINCT
+    buckets per pair, so multi-cell co-occurrence inside one bucket
+    counts once.
+
+    Returns (u1, u2, n_buckets).
+    """
+    gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
+    obs = (
+        located.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"cast(({ts_col}) as bigint) div {bucket_us}").alias("tb"),
+            gx.alias("gx"),
+            gy.alias("gy"),
+        )
+        .distinct()
+    )
+    cnt = Window.partitionBy("tb", "gx", "gy")
+    obs = obs.withColumn("_n", F.count("*").over(cnt)).filter(
+        F.col("_n") <= max_users_per_cell
+    )
+    a = obs.select("tb", "gx", "gy", F.col("u").alias("u1"))
+    b = obs.select("tb", "gx", "gy", F.col("u").alias("u2"))
+    pairs = a.join(b, ["tb", "gx", "gy"]).filter(F.col("u1") < F.col("u2"))
+    return (
+        pairs.groupBy("u1", "u2")
+        .agg(F.count_distinct("tb").alias("n_buckets"))
+        .filter(F.col("n_buckets") >= min_buckets)
+    )
+
+
+def od_matrix(
+    located: DataFrame,
+    day_us: int = 86_400_000_000,
+    grid_bits: int = 6,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Origin→destination flow matrix: per (user, day), the cell of the
+    FIRST and LAST observation become one O→D trip; flows aggregate
+    trips per (origin cell, destination cell) — the standard mobility
+    rollup (commute matrices, tile-to-tile demand).
+
+    ONE shuffle: both ends come from two row_numbers over the SAME
+    (user, day) partitioning (asc = origin, desc = destination,
+    ``order_col`` tie-break), merged by conditional aggregation that
+    REUSES that partitioning (no self-join, no second exchange — the
+    sessionize pattern); the flow groupBy is over the tiny cell-pair
+    domain.  A user seen once in a day contributes a self-loop O=D
+    (kept: the honest count of stationary users; filter downstream if
+    unwanted).
+
+    Returns (o_gx, o_gy, d_gx, d_gy, n_trips).
+    """
+    gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
+    obs = located.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"cast(({ts_col}) as bigint) div {day_us}").alias("day"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+    )
+    w = Window.partitionBy("u", "day")
+    fwd = w.orderBy("_ts", "_ord")
+    bwd = w.orderBy(F.col("_ts").desc(), F.col("_ord").desc())
+    ends = obs.withColumn("_rf", F.row_number().over(fwd)).withColumn(
+        "_rb", F.row_number().over(bwd)
+    )
+    pick = lambda flag, c: F.max(F.when(F.col(flag) == 1, F.col(c)))
+    trips = ends.groupBy("u", "day").agg(
+        pick("_rf", "gx").alias("o_gx"),
+        pick("_rf", "gy").alias("o_gy"),
+        pick("_rb", "gx").alias("d_gx"),
+        pick("_rb", "gy").alias("d_gy"),
+    )
+    return (
+        trips.groupBy("o_gx", "o_gy", "d_gx", "d_gy")
+        .agg(F.count("*").alias("n_trips"))
+    )

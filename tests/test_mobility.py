@@ -1,0 +1,99 @@
+"""Mobility operators: co-location pairs and OD matrix vs brute force."""
+
+import numpy as np
+
+from geodesk_spark.operators import mobility
+
+
+def _cell(v, grid_bits):
+    return (int(v) + (1 << 31)) >> (32 - grid_bits)
+
+
+def _cell_y(v, grid_bits):
+    return ((1 << 31) - 1 - int(v)) >> (32 - grid_bits)
+
+
+def test_colocation_pairs_matches_bruteforce(spark):
+    rng = np.random.default_rng(17)
+    g, bucket = 8, 1000
+    rows = []
+    for _ in range(400):
+        rows.append(
+            (
+                int(rng.integers(0, 12)),               # user
+                int(rng.integers(0, 5000)),             # ts_us
+                int(rng.integers(-(1 << 28), 1 << 28)) & ~0xFFFFF,  # coarse x
+                int(rng.integers(-(1 << 28), 1 << 28)) & ~0xFFFFF,
+            )
+        )
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, x long, y long")
+    got = {
+        (r["u1"], r["u2"]): r["n_buckets"]
+        for r in mobility.colocation_pairs(
+            df, bucket_us=bucket, grid_bits=g, min_buckets=2
+        ).collect()
+    }
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    obs = {(u, ts // bucket, _cell(x, g), _cell_y(y, g)) for u, ts, x, y in rows}
+    by_key = defaultdict(set)
+    for u, tb, cx, cy in obs:
+        by_key[(tb, cx, cy)].add(u)
+    for (tb, cx, cy), us in by_key.items():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                seen[(us[i], us[j])].add(tb)
+    exp = {p: len(tbs) for p, tbs in seen.items() if len(tbs) >= 2}
+    assert got == exp
+
+
+def test_colocation_cell_cap_drops_hot_cell(spark):
+    """A cell over max_users_per_cell is dropped entirely, not exploded."""
+    rows = [(u, 0, 0, 0) for u in range(6)] + [(1, 5000, 1 << 30, 0), (2, 5000, 1 << 30, 0)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, x long, y long")
+    got = {
+        (r["u1"], r["u2"]): r["n_buckets"]
+        for r in mobility.colocation_pairs(
+            df, bucket_us=1000, grid_bits=8, min_buckets=1, max_users_per_cell=5
+        ).collect()
+    }
+    # the 6-user cell is dropped; only the 2-user cell pair survives
+    assert got == {(1, 2): 1}
+
+
+def test_od_matrix_hand_case(spark):
+    g = 6
+    step = 1 << (32 - g)
+
+    def at(cx, cy):
+        return (cx * step - (1 << 31), (1 << 31) - 1 - cy * step)
+
+    day = 100
+    rows = []
+    # user 1 day 0: cell (10,10) -> (12,11); two middle points elsewhere
+    for i, (cx, cy) in enumerate([(10, 10), (20, 20), (11, 30), (12, 11)]):
+        x, y = at(cx, cy)
+        rows.append((1, i * 10, i, x, y))
+    # user 1 day 1: single obs -> self loop at (5,5)
+    x, y = at(5, 5)
+    rows.append((1, day + 3, 10, x, y))
+    # user 2 day 0: same trip as user 1
+    x0, y0 = at(10, 10)
+    x1, y1 = at(12, 11)
+    rows.append((2, 1, 20, x0, y0))
+    rows.append((2, 99, 21, x1, y1))
+    # user 3: ts tie on the SAME ts broken by event_id
+    rows.append((3, 50, 31, *at(7, 7)))
+    rows.append((3, 50, 30, *at(8, 8)))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long, x long, y long")
+    got = {
+        (r["o_gx"], r["o_gy"], r["d_gx"], r["d_gy"]): r["n_trips"]
+        for r in mobility.od_matrix(df, day_us=day, grid_bits=g).collect()
+    }
+    assert got == {
+        (10, 10, 12, 11): 2,
+        (5, 5, 5, 5): 1,
+        (8, 8, 7, 7): 1,
+    }
