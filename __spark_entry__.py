@@ -753,6 +753,55 @@ def _pip_partitioned_sql() -> str:
     return f"with pts as ({_DERIVED_SQL}) " + " union all ".join(branches)
 
 
+ZONAL_GRID_BITS = 7
+
+
+def _q_zonal(spark, sf_dir):
+    """Zonal statistics (tiles_sink.zonal_stats): the order-point density
+    raster aggregated per hex-grid polygon zone by the center rule --
+    grid_counts -> exact cell centers -> flagship broadcast PIP ->
+    per-zone rollup."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    prepared = [
+        spatial_join.prepare_polygon(pid, pip.pack_rings([ring]))
+        for pid, ring in _hex_grid_layer()
+    ]
+    return tiles_sink.zonal_stats(df, prepared, grid_bits=ZONAL_GRID_BITS)
+
+
+def _zonal_sql() -> str:
+    step = 1 << (32 - ZONAL_GRID_BITS)
+    branches = []
+    for pid, ring in _hex_grid_layer():
+        clauses = []
+        for i in range(6):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            clauses.append(
+                f"(({x2 - x1!r}) * (y - ({y1!r})) - ({y2 - y1!r}) * (x - ({x1!r})) >= 0)"
+            )
+        branches.append(
+            f"select '{pid}' as poly_id, n from centers where "
+            + " and ".join(clauses)
+        )
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      cells as (select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                       cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                       count(*) as n
+                from pts group by 1, 2),
+      centers as (select n,
+                         cast(gx * {step} + {step // 2} - 2147483648 as bigint) as x,
+                         cast(2147483647 - (gy * {step} + {step // 2}) as bigint) as y
+                  from cells),
+      hits as ({" union all ".join(branches)})
+      select poly_id, count(*) as n_cells, sum(n) as sum_val, max(n) as max_val
+      from hits group by poly_id
+    """
+
+
 def _q_knn(spark, sf_dir):
     """kNN via cell-ring expansion (north star; built on PointDistanceFilter
     semantics).  Exact — the oracle is brute-force window top-k."""
@@ -4083,6 +4132,7 @@ QUERIES: dict[str, tuple] = {
     "raster_box_blur": (_q_box_blur, _SQL_BOX_BLUR.format(derived=_DERIVED_SQL)),
     "raster_vectorize_edges": (_q_vectorize_edges, _SQL_VECTORIZE_EDGES.format(derived=_DERIVED_SQL)),
     "hotspot_gi_star": (_q_hotspot, _SQL_HOTSPOT.format(derived=_DERIVED_SQL)),
+    "zonal_stats": (_q_zonal, _zonal_sql()),
     "dissolve_union_area": (_q_dissolve, _dissolve_sql()),
     "line_intersects_rect": (_q_line_intersects, _sql_line_intersects()),
     "line_touches_rect": (_q_line_touches, _sql_line_touches()),

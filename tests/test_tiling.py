@@ -439,3 +439,37 @@ def test_hotspot_gi_star_matches_direct(spark):
         assert abs(got[k][1] - exp[k][1]) < 1e-12, (k, got[k], exp[k])
     hot = max(got, key=lambda k: got[k][1])
     assert hot in {(30, 30), (30, 31), (31, 30), (31, 31)}
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    """Zonal stats vs per-cell brute PIP on a small square zone."""
+    from geodesk_spark.geo import pip
+    from geodesk_spark.operators import spatial_join, tiles_sink
+
+    g = 8
+    step = 1 << (32 - g)
+    # CCW square covering cells gx,gy in [100, 104) x [50, 54)
+    x0, x1 = 100 * step - (1 << 31), 104 * step - (1 << 31)
+    yt, yb = (1 << 31) - 1 - 50 * step, (1 << 31) - 1 - 54 * step
+    ring = np.array(
+        [[x0, yb], [x1, yb], [x1, yt], [x0, yt], [x0, yb]], dtype=np.float64
+    )
+    prepared = [spatial_join.prepare_polygon("sq", pip.pack_rings([ring]))]
+    rng = np.random.default_rng(3)
+    rows = []
+    counts = {}
+    for _ in range(300):
+        cx, cy = int(rng.integers(98, 107)), int(rng.integers(48, 57))
+        counts[(cx, cy)] = counts.get((cx, cy), 0) + 1
+        i = counts[(cx, cy)]
+        rows.append((cx * step - (1 << 31) + i, (1 << 31) - 1 - cy * step - i))
+    df = spark.createDataFrame(rows, "x long, y long")
+    [r] = tiles_sink.zonal_stats(df, prepared, grid_bits=g).collect()
+    inside = {
+        (cx, cy): n for (cx, cy), n in counts.items()
+        if 100 <= cx < 104 and 50 <= cy < 54
+    }
+    assert r["poly_id"] == "sq"
+    assert r["n_cells"] == len(inside)
+    assert r["sum_val"] == sum(inside.values())
+    assert r["max_val"] == max(inside.values())
