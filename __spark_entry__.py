@@ -1837,6 +1837,59 @@ _SQL_STREAM_SESSIONS = f"""
 """
 
 
+def _q_stream_geofence(spark, sf_dir):
+    """Streaming geofencing (stream.streaming_geofence_transitions): the
+    located event feed drains as FOUR time-ordered micro-batches through
+    the per-user applyInPandasWithState fence tracker; cross-batch state
+    must reproduce exactly the batch operator's transition set (the same
+    SQL oracle as geofence_transitions)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), "event_id"
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        _fence_case_col(F.col("x"), F.col("y")).alias("fence_id"),
+    )
+    pdf = located.toPandas().sort_values(["ts_us", "event_id"])
+    tmp = tempfile.mkdtemp(prefix="gds_sgeo_")
+    try:
+        indir = f"{tmp}/in"
+        os.makedirs(indir)
+        # four sequential time slices as individual files with strictly
+        # increasing mtimes -- FileStreamSource picks oldest-first, giving
+        # the in-order feed the operator's contract requires
+        n = len(pdf)
+        for i in range(4):
+            part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+            part.to_parquet(f"{indir}/slice{i}.parquet", index=False)
+            time.sleep(0.15)  # distinct ms-granularity mtimes order the feed
+        sdf = (
+            spark.readStream.schema(located.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(
+            stream_mod.streaming_geofence_transitions(sdf), out, ck, "append"
+        )
+        log = spark.read.parquet(out)
+        return (
+            log.select("user_id", "ts_us", "event_id", "prev_fence", "fence", "kind")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_stream_windowed(spark, sf_dir):
     """Structured Streaming parity: the events table drains through a
     watermarked 15-minute windowed aggregation in SEVERAL micro-batches
@@ -4178,6 +4231,7 @@ QUERIES: dict[str, tuple] = {
     "stream_windowed_counts": (_q_stream_windowed, _SQL_STREAM_WINDOWED),
     "stream_dedup_counts": (_q_stream_dedup, _SQL_STREAM_DEDUP),
     "stream_session_counts": (_q_stream_sessions, _SQL_STREAM_SESSIONS),
+    "stream_geofence_transitions": (_q_stream_geofence, _geofence_sql()),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "pagerank_users": (_q_pagerank, _pagerank_sql()),
     "sssp_bounded": (_q_sssp, _sssp_sql()),

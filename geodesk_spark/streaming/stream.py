@@ -195,3 +195,71 @@ def drain_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+_GEOFENCE_OUT_SCHEMA = (
+    "user_id long, ts_us long, event_id long, "
+    "prev_fence string, fence string, kind string"
+)
+# state: the user's last seen fence (empty string encodes OUTSIDE — the
+# state tuple itself existing distinguishes "seen before" from "new user")
+_GEOFENCE_STATE_SCHEMA = "last_fence string"
+
+
+def _geofence_fn(key, pdfs, state):
+    import pandas as pd
+
+    if state.exists:
+        (enc,) = state.get
+        prev = None if enc == "" else enc
+        seen = True
+    else:
+        prev, seen = None, False
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    out = {k: [] for k in ("user_id", "ts_us", "event_id", "prev_fence", "fence", "kind")}
+    for ts, eid, fence in zip(pdf["ts_us"], pdf["event_id"], pdf["fence_id"]):
+        fence = None if pd.isna(fence) else fence
+        if seen and fence == prev:
+            continue
+        if not seen and fence is None:
+            seen = True
+            continue
+        out["user_id"].append(key[0])
+        out["ts_us"].append(int(ts))
+        out["event_id"].append(int(eid))
+        out["prev_fence"].append(prev)
+        out["fence"].append(fence)
+        out["kind"].append(
+            "exit" if fence is None else ("enter" if prev is None else "switch")
+        )
+        prev, seen = fence, True
+    state.update(("" if prev is None else prev,))
+    yield pd.DataFrame(out)
+
+
+def streaming_geofence_transitions(located: DataFrame) -> DataFrame:
+    """Streaming twin of relational.geofence_transitions: per-user fence
+    state carried across micro-batches by applyInPandasWithState — the
+    real-time geofencing surface (alert on enter/exit as events arrive).
+
+    Contract: micro-batches must arrive time-ordered per user (the CDC
+    in-order-feed assumption; a range-partitioned file feed or a
+    per-key-ordered log satisfies it) — rows inside a batch are sorted
+    in the kernel, state bridges batch boundaries.  The batch operator
+    is the oracle: draining any in-order split of the feed must emit
+    exactly the batch transition set.
+
+    Input (user_id, ts_us, event_id, fence_id); state = one string per
+    live user."""
+    return (
+        located.select("user_id", "ts_us", "event_id", "fence_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _geofence_fn,
+            outputStructType=_GEOFENCE_OUT_SCHEMA,
+            stateStructType=_GEOFENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

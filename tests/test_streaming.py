@@ -115,3 +115,58 @@ def test_streaming_dedup(spark, tmp_path):
     got = stream.drain_to_memory(spark, ded, "dd", ckpt, "append").toPandas()
     assert len(got) == 100
     assert got["image_id"].nunique() == 100
+
+
+def test_streaming_geofence_state_bridges_batches(spark, tmp_path):
+    """A user ENTERs in micro-batch 1 and EXITs in micro-batch 2: the
+    carried state must suppress the duplicate-state row and classify the
+    batch-2 transition correctly (vs the batch operator on the union)."""
+    import os
+    import time
+
+    from geodesk_spark.operators import relational
+
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts_us": [100, 200, 100],
+            "event_id": [0, 1, 2],
+            "fence_id": [None, "A", "B"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts_us": [300, 400, 300, 300],
+            "event_id": [3, 4, 5, 6],
+            "fence_id": ["A", None, "B", "C"],  # user1 still in A then exits
+        }
+    )
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    b1.to_parquet(f"{indir}/b0.parquet", index=False)
+    time.sleep(0.15)
+    b2.to_parquet(f"{indir}/b1.parquet", index=False)
+    sdf = (
+        spark.readStream.schema("user_id long, ts_us long, event_id long, fence_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream.drain_foreach_batch(
+        stream.streaming_geofence_transitions(sdf), out, ck, "append"
+    )
+    log = spark.read.parquet(out)
+    assert log.select(F.count_distinct("batch_id")).collect()[0][0] >= 2
+    got = {
+        (r["user_id"], r["ts_us"], r["prev_fence"], r["fence"], r["kind"])
+        for r in log.collect()
+    }
+    batch_df = spark.createDataFrame(pd.concat([b1, b2], ignore_index=True))
+    exp = {
+        (r["user_id"], r["ts_us"], r["prev_fence"], r["fence"], r["kind"])
+        for r in relational.geofence_transitions(batch_df, ts_col="ts_us").collect()
+    }
+    assert got == exp
+    assert (1, 400, "A", None, "exit") in got  # the cross-batch exit
+    assert (1, 300, "A", "A", "switch") not in got
