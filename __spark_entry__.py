@@ -802,6 +802,41 @@ def _zonal_sql() -> str:
     """
 
 
+def _q_incr_rollup(spark, sf_dir):
+    """Incremental tile-rollup maintenance (checkpoint.merge_rollup): a
+    90% base slice is rolled up once, the 10% delta batch folds in
+    WITHOUT rescanning base facts; the oracle is the full recompute --
+    merge(rollup(A), B) == rollup(A ∪ B) exactly."""
+    from geodesk_spark.streaming import checkpoint
+
+    df = _derived_orders(spark, sf_dir).withColumn(
+        "tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint")
+    )
+    base = df.filter(F.col("o_orderkey") % 10 != 0)
+    delta = df.filter(F.col("o_orderkey") % 10 == 0)
+    sums = {"n": "1", "sum_price": "cast(o_totalprice as decimal(18,2))"}
+    base_roll = base.groupBy("tile").agg(
+        *[F.sum(F.expr(e)).alias(o) for o, e in sums.items()]
+    )
+    merged = checkpoint.merge_rollup(base_roll, delta, ["tile"], sums)
+    return merged.select(
+        "tile", "n", F.col("sum_price").cast("double").alias("sum_price")
+    )
+
+
+_SQL_INCR_ROLLUP = f"""
+  with pts as (
+    select o_orderkey, o_totalprice,
+           {x_expr(lon_expr("o_orderkey"))} as x,
+           {y_expr(lat_expr("o_orderkey"))} as y
+    from orders
+  )
+  select {tile_expr('x', 'y', 8)} as tile, count(*) as n,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price
+  from pts group by 1
+"""
+
+
 def _q_knn(spark, sf_dir):
     """kNN via cell-ring expansion (north star; built on PointDistanceFilter
     semantics).  Exact — the oracle is brute-force window top-k."""
@@ -4214,6 +4249,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_lsh_sql()),
     "skew_adaptive_split": (_q_adaptive_split, _adaptive_split_sql()),
     "tile_pyramid_rollup": (_q_tile_pyramid, _SQL_TILE_PYRAMID),
+    "incremental_tile_rollup": (_q_incr_rollup, _SQL_INCR_ROLLUP),
     "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
     "box_area_m2": (_q_box_area, _sql_box_area()),
     # ≥4 s tier (file sinks, streaming drains, iterative algorithms)

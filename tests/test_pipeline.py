@@ -242,3 +242,36 @@ def test_read_and_guards_on_append_stages(spark, tmp_path):
     assert p.read("ing").count() == 9
     with _pt.raises(ValueError, match="append stage"):
         p.stage("ing", lambda s: s.range(1))
+
+
+def test_merge_rollup_identity(spark):
+    """merge(rollup(A), B) == rollup(A ∪ B) exactly, incl. keys only in
+    the base, only in the delta, and decimal measures."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.streaming import checkpoint
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(rng.integers(0, 12)), int(rng.integers(1, 100)))
+        for _ in range(300)
+    ]
+    rows += [(100, 7)]          # key only in base slice
+    rows += [(200, 8), (200, 9)]  # key only in delta slice
+    df_i = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "i long, k long, v long"
+    )
+    base = df_i.filter((F.col("v") % 3 != 0) & (F.col("k") != 200))
+    delta = df_i.join(base.select("i"), "i", "left_anti")
+    sums = {"n": "1", "sv": "cast(v as decimal(18,2))"}
+    base_roll = base.groupBy("k").agg(
+        F.sum(F.expr("1")).alias("n"), F.sum(F.expr("cast(v as decimal(18,2))")).alias("sv")
+    )
+    merged = checkpoint.merge_rollup(base_roll, delta, ["k"], sums)
+    got = {r["k"]: (r["n"], float(r["sv"])) for r in merged.collect()}
+    full = df_i.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum(F.expr("cast(v as decimal(18,2))")).alias("sv")
+    )
+    exp = {r["k"]: (r["n"], float(r["sv"])) for r in full.collect()}
+    assert got == exp
