@@ -4149,6 +4149,32 @@ def _ann_ivf_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048, npro
     """
 
 
+def _kmeans_assign_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048) -> str:
+    """Oracle for kmeans_assign: reuses the IVF trainer + assignment CTEs
+    verbatim (same algorithm definition) and stops at the per-vector
+    argmax — cluster id + size per cluster."""
+    full = _ann_ivf_sql(n_centroids=n_centroids, iters=iters, sample=sample)
+    head = full.split("cand as (")[0].rstrip().rstrip(",")
+    return f"""{head}
+      select c as cluster, count(*) as n_vecs, min(vec_id) as min_vec_id
+      from vassign group by c
+    """
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Full-corpus k-means clustering (the data-curation stage: cluster
+    the embedding table with the deterministic IVF codebook, report the
+    cluster census).  Assignment is the same normalized-argmax scan the
+    IVF probe path uses -- one Arrow pass, codebook broadcast."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return (
+        ann.kmeans_assign(e)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+
 # Registry order = measured sf0.01 cost ascending (cheapest first): the
 # driver's correctness harness walks dict order under a wall-clock
 # budget, so an expensive query must never shadow dozens of cheap ones
@@ -4234,6 +4260,7 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "ann_pq_topk": (_q_ann_pq, ann.pq_topk_sql(ANN_QUERY_IDS, k=ANN_K)),
+    "kmeans_assign": (_q_kmeans_assign, _kmeans_assign_sql()),
     "text_quality": (_q_quality, _SQL_QUALITY),
     "text_bm25_topk": (_q_bm25, text.bm25_oracle_sql()),
     "text_bm25_retrieve": (_q_bm25_retrieve, _bm25_retrieve_sql()),

@@ -517,3 +517,32 @@ def pq_topk_sql(
       from r where rank <= {k}
     """
     )
+
+
+def kmeans_assign(df: DataFrame, n_centroids: int = 16, iters: int = 3) -> DataFrame:
+    """Full-corpus k-means assignment — clustering as a USER-facing op
+    (corpus curation: topic buckets, diversity sampling, per-cluster
+    quotas), not just an ANN index internal.  The deterministic Lloyd
+    codebook (ivf_centroids) is broadcast; one Arrow scan assigns every
+    vector to its argmax-cosine centroid (lowest index wins ties, numpy
+    argmax semantics — mirrored by the SQL oracle's row_number).
+
+    Returns (vec_id, cluster)."""
+    spark = df.sparkSession
+    C = ivf_centroids(df, n_centroids=n_centroids, iters=iters)
+    bc = spark.sparkContext.broadcast(C)
+
+    def scan(batches):
+        Cm = bc.value
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            cent = np.argmax((V / norms[:, None]) @ Cm.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cent.astype("int32")}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        scan, schema="vec_id long, cluster int"
+    )

@@ -133,3 +133,19 @@ def test_embedding_neardup_pairs_matches_brute(spark, emb):
                     want.add((int(ids[i]), int(ids[j])))
     assert set(zip(got["id_a"], got["id_b"])) == want
     assert len(want) > 0
+
+
+def test_kmeans_assign_properties(spark, emb):
+    """Every vector gets exactly one cluster in range; assignment equals
+    the driver-side numpy argmax on the same codebook."""
+    got = ann.kmeans_assign(emb, n_centroids=8).toPandas()
+    assert len(got) == emb.count()
+    assert got["cluster"].between(0, 7).all()
+    C = ann.ivf_centroids(emb, n_centroids=8)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = 1.0
+    exp = np.argmax((V / n[:, None]) @ C.T, axis=1)
+    by_id = dict(zip(pdf["vec_id"], exp))
+    assert all(by_id[v] == c for v, c in zip(got["vec_id"], got["cluster"]))
