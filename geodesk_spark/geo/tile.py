@@ -240,3 +240,22 @@ def home_tile_col(start_tile, end_tile):
         .when(end_black, end_tile)
         .otherwise(start_tile)
     )
+
+
+def intersection(tile, minx, miny, maxx, maxy):
+    """Tile.intersection(tile, bounds) (geom/Tile.java:344-356): clamp a
+    bounds rect to the tile's pixel box — returns (minx, miny, maxx,
+    maxy) arrays; like the reference, the result may be an "empty"
+    box (min > max) when tile and bounds are disjoint (callers test
+    Box.isEmpty, geo/box.py semantics)."""
+    extent = (np.int64(1) << (32 - zoom_of(tile))).astype(np.int64)
+    tminx = left_x(tile)
+    tminy = bottom_y(tile)
+    tmaxx = tminx + extent - 1
+    tmaxy = tminy + extent - 1
+    return (
+        np.maximum(tminx, minx),
+        np.maximum(tminy, miny),
+        np.minimum(tmaxx, maxx),
+        np.minimum(tmaxy, maxy),
+    )

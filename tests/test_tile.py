@@ -367,3 +367,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("drop table if exists bk_a")
         spark.sql("drop table if exists bk_b")
+
+
+def test_tile_intersection_reference_semantics():
+    """Tile.intersection (Tile.java:344-356): clamp to the tile box;
+    disjoint inputs yield an inverted (empty) box exactly like the
+    reference's Box result."""
+    t = int(T.from_col_row_zoom(5, 9, 7)[()])
+    ext = 1 << (32 - 7)
+    lx = int(T.left_x(t)[()]); by = int(T.bottom_y(t)[()])
+    # bounds wholly containing the tile -> the tile box itself
+    got = T.intersection(t, lx - 10, by - 10, lx + ext + 10, by + ext + 10)
+    assert tuple(int(v[()] if hasattr(v, "shape") else v) for v in got) == (
+        lx, by, lx + ext - 1, by + ext - 1)
+    # bounds inside the tile -> the bounds
+    got = T.intersection(t, lx + 5, by + 6, lx + 7, by + 8)
+    assert tuple(int(v) for v in got) == (lx + 5, by + 6, lx + 7, by + 8)
+    # disjoint -> inverted box (min > max), reference's empty contract
+    got = T.intersection(t, lx - 100, by - 100, lx - 50, by - 50)
+    assert int(got[0]) > int(got[2]) and int(got[1]) > int(got[3])
