@@ -1481,6 +1481,50 @@ def _hll_registers_sql() -> str:
     """
 
 
+def _q_hll_pyramid(spark, sf_dir):
+    """Tile-pyramid sketch rollup (sketches.hll_merge): per-z10-tile HLL
+    registers of distinct customers, MERGED (register-wise max) up to z8
+    and z6 without touching the fact table again; the oracle computes
+    every zoom DIRECTLY from the facts -- merge ≡ direct is the
+    mergeability theorem the 100 TB rollup relies on."""
+    from geodesk_spark.operators import sketches
+
+    df = _derived_orders(spark, sf_dir).withColumn(
+        "tile", T.tile_col(F.col("x"), F.col("y"), 10).cast("int")
+    )
+    r10 = sketches.hll_registers(df, ["tile"], "cast(o_custkey as string)", p=6)
+    r8 = sketches.hll_merge(
+        r10.withColumn("tile", T.zoomed_out_col(F.col("tile"), 8, 10)), ["tile"]
+    )
+    r6 = sketches.hll_merge(
+        r8.withColumn("tile", T.zoomed_out_col(F.col("tile"), 6, 8)), ["tile"]
+    )
+    out = (
+        r10.withColumn("zoom", F.lit(10))
+        .unionByName(r8.withColumn("zoom", F.lit(8)))
+        .unionByName(r6.withColumn("zoom", F.lit(6)))
+    )
+    return out.select("zoom", F.col("tile").cast("bigint").alias("tile"), "bucket", "rho")
+
+
+def _hll_pyramid_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 6)
+    branches = []
+    for z in (10, 8, 6):
+        branches.append(f"""
+      select {z} as zoom, {tile_expr('x', 'y', z)} as tile,
+             cast({bucket} as int) as bucket, cast(max({rho}) as int) as rho
+      from v group by 1, 2, 3""")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      v as (select pts.x, pts.y, cast(o.o_custkey as varchar) as v
+            from pts join orders o using (o_orderkey))
+      {" union all ".join(branches)}
+    """
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HLL estimate read off the merged registers (Flajolet et al. 2007
     estimator with linear-counting small-range correction)."""
@@ -4209,6 +4253,7 @@ QUERIES: dict[str, tuple] = {
     "interval_join_events": (_q_interval_join, _SQL_INTERVAL_JOIN),
     "sample_weighted": (_q_weighted_sample, _weighted_sample_sql()),
     "hll_registers_events": (_q_hll_registers, _hll_registers_sql()),
+    "hll_pyramid_merge": (_q_hll_pyramid, _hll_pyramid_sql()),
     "cms_registers_events": (_q_cms_registers, _cms_registers_sql()),
     "cms_user_estimates": (_q_cms_estimate, _cms_estimate_sql()),
     "bloom_bits_orders": (_q_bloom_bits, _bloom_bits_sql()),
@@ -4269,7 +4314,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_phash_hamming": (_q_phash_hamming, _phash_hamming_sql()),
     "line_length_m": (_q_line_length, _sql_line_length()),
     "line_resample": (_q_line_resample, _resample_sql()),
-    "polygon_centroid": (_q_polygon_centroid, _centroid_sql()),
     "tile_assign": (_q_tile_assign, _SQL_TILE_ASSIGN),
     "knn_cellring": (_q_knn, _knn_sql()),
     "idw_interpolate": (_q_idw, _idw_sql()),
@@ -4280,6 +4324,7 @@ QUERIES: dict[str, tuple] = {
     "skew_salted_rollup": (_q_skew_salted_rollup, _SQL_SKEW_SALTED),
     "box_area_m2": (_q_box_area, _sql_box_area()),
     # ≥4 s tier (file sinks, streaming drains, iterative algorithms)
+    "polygon_centroid": (_q_polygon_centroid, _centroid_sql()),
     "tile_assign_multitile": (_q_tile_multitile, _sql_tile_multitile()),
     "crossing_segments_join": (_q_crossing_join, _crossing_join_sql()),
     "rasterize_polygon_spans": (_q_rasterize_polygons, _rasterize_sql()),

@@ -245,3 +245,14 @@ def bloom_might_contain(
         .agg((F.count("bit_idx") == k).alias(out_col))
     )
     return hit
+
+
+def hll_merge(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge HLL register states onto (possibly coarser) keys — the
+    sketch-mergeability property that makes pyramid/hypertable rollups
+    re-aggregable WITHOUT rescanning facts: register-wise max over any
+    partition of the inputs equals the registers computed directly
+    (max is associative, commutative, idempotent).  Input rows are
+    (…, bucket, rho); ``keys`` are columns/Columns of the coarser
+    grouping already present on the frame."""
+    return regs.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))

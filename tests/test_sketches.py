@@ -136,3 +136,26 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     )
     # theoretical fp ≈ (1 - e^(-kn/m))^k ≈ 0.024 at n=2000,m=16384,k=4
     assert fp / 2000 < 0.08
+
+
+def test_hll_merge_equals_direct(spark):
+    """Mergeability: registers merged from fine keys == registers
+    computed directly at the coarse key, for any split."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(rng.integers(0, 8)), int(rng.integers(0, 4)), f"u{rng.integers(0, 300)}")
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "fine int, coarse int, v string")
+    fine = sketches.hll_registers(df, ["fine", "coarse"], "v", p=5)
+    merged = {
+        (r["coarse"], r["bucket"]): r["rho"]
+        for r in sketches.hll_merge(fine, ["coarse"]).collect()
+    }
+    direct = {
+        (r["coarse"], r["bucket"]): r["rho"]
+        for r in sketches.hll_registers(df, ["coarse"], "v", p=5).collect()
+    }
+    assert merged == direct
