@@ -639,7 +639,9 @@ def vectorize_boundary_edges(
     )
 
 
-def hotspot_gi_star(points: DataFrame, grid_bits: int = 7) -> DataFrame:
+def hotspot_gi_star(
+    points: DataFrame, grid_bits: int = 7, prebinned: bool = False
+) -> DataFrame:
     """Getis-Ord Gi* hotspot scoring of the point-density raster — the
     standard local spatial-autocorrelation statistic (which cells are
     significantly hotter than the global field, not just locally maximal
@@ -660,10 +662,17 @@ def hotspot_gi_star(points: DataFrame, grid_bits: int = 7) -> DataFrame:
     Plan: binning agg (the only fact shuffle) → 3×3 neighborhood sums as
     TWO separable rank-1 explode+regroup passes (the box_blur shape) →
     join back to occupied cells → broadcast one global-stats row.
+
+    The cells frame feeds three consumers (neighbor chain, join-back,
+    global stats); Catalyst reuses the exchange where subtrees are
+    identical, but at 100 TB the right pattern is to MATERIALIZE the
+    binned rollup once (checkpoint / write) and pass it back with
+    ``prebinned=True`` — then every re-read touches the tiny cells
+    table, never the facts.
     """
     from pyspark.sql import functions as F
 
-    cells = grid_counts(points, grid_bits)
+    cells = points if prebinned else grid_counts(points, grid_bits)
     h = (
         cells.withColumn("gx", F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1)))
         .groupBy("gx", "gy")

@@ -473,3 +473,26 @@ def test_zonal_stats_matches_bruteforce(spark):
     assert r["n_cells"] == len(inside)
     assert r["sum_val"] == sum(inside.values())
     assert r["max_val"] == max(inside.values())
+
+
+def test_hotspot_prebinned_matches_points_path(spark):
+    """prebinned=True over a materialized cells frame must equal the
+    points path bit-for-bit (the 100 TB pattern: bin once, reuse)."""
+    from geodesk_spark.operators import tiles_sink
+
+    g = 7
+    sub = 32 - g
+    rng = np.random.default_rng(8)
+    rows = [
+        (int(rng.integers(20, 40)) << sub, int(rng.integers(20, 40)) << sub)
+        for _ in range(200)
+    ]
+    pts = spark.createDataFrame(
+        [(x - (1 << 31), (1 << 31) - 1 - y) for x, y in rows], "x long, y long"
+    )
+    a = {(r["gx"], r["gy"]): (r["n"], r["gi_star"])
+         for r in tiles_sink.hotspot_gi_star(pts, grid_bits=g).collect()}
+    cells = tiles_sink.grid_counts(pts, g)
+    b = {(r["gx"], r["gy"]): (r["n"], r["gi_star"])
+         for r in tiles_sink.hotspot_gi_star(cells, grid_bits=g, prebinned=True).collect()}
+    assert a == b
