@@ -316,9 +316,13 @@ def sssp_rounds(
             if new_frontier.count() == 0:
                 new_frontier.unpersist()
                 dist.unpersist()
+                if frontier is not dist:
+                    frontier.unpersist()
                 dist = merged
                 break
             dist.unpersist()
+            if frontier is not dist:
+                frontier.unpersist()  # the previous round's delta
         dist, frontier = merged, new_frontier
     if materialize:
         e.unpersist()
