@@ -97,3 +97,20 @@ def test_od_matrix_hand_case(spark):
         (5, 5, 5, 5): 1,
         (8, 8, 7, 7): 1,
     }
+
+
+def test_od_matrix_single_user_day_exchange(spark):
+    """The docstring's shuffle claim, asserted on the plan: the trips
+    stage reuses the window's (u, day) hash partitioning — exactly ONE
+    exchange on user/day columns, and none between window and groupBy."""
+    df = spark.createDataFrame(
+        [(1, 10, 0, 5, 5), (1, 20, 1, 6, 6), (2, 10, 2, 7, 7)],
+        "user_id long, ts_us long, event_id long, x long, y long",
+    )
+    out = mobility.od_matrix(df, day_us=100, grid_bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # exchanges that partition by the user/day pair
+    uday = len(re.findall(r"hashpartitioning\(u#", plan))
+    assert uday == 1, plan
