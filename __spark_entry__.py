@@ -837,6 +837,28 @@ _SQL_INCR_ROLLUP = f"""
 """
 
 
+def _q_quadkeys(spark, sf_dir):
+    """Quadkey encode (geo/tile.quadkey_col): the Bing string form of the
+    quad pyramid -- prefix = ancestor, making it a range-scannable
+    storage key; pure codegen digit arithmetic."""
+    df = _derived_orders(spark, sf_dir).withColumn(
+        "tile", T.tile_col(F.col("x"), F.col("y"), 8)
+    )
+    return df.select(
+        "o_orderkey", T.quadkey_col(F.col("tile"), 8).alias("qk")
+    )
+
+
+def _quadkey_sql() -> str:
+    step = 1 << (32 - 8)
+    col = f"cast(floor((x + 2147483648) / {step}) as bigint)"
+    row = f"cast(floor((2147483647 - y) / {step}) as bigint)"
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey, {T.quadkey_sql(col, row, 8)} as qk from pts
+    """
+
+
 def _q_knn(spark, sf_dir):
     """kNN via cell-ring expansion (north star; built on PointDistanceFilter
     semantics).  Exact — the oracle is brute-force window top-k."""
@@ -1311,6 +1333,64 @@ def _od_matrix_sql() -> str:
                 from r group by u, day)
       select o_gx, o_gy, d_gx, d_gy, count(*) as n_trips
       from trips group by o_gx, o_gy, d_gx, d_gy
+    """
+
+
+STAY_MIN_US = 3_600_000_000  # 1 hour dwell
+STAY_GRID_BITS = 8
+# slow positional drift: a user's consecutive events share a cell for
+# runs of ~7 observations (div is integer division — Spark `div`,
+# DuckDB `//`; positive operands, identical semantics)
+STAY_KEY_SPARK = "user_id * 7919 + (event_id div 1024)"
+STAY_KEY_SQL = "user_id * 7919 + (event_id // 1024)"
+
+
+def _q_staypoints(spark, sf_dir):
+    """Stay-point detection (mobility.staypoints): maximal same-cell runs
+    per user with >= 1 h dwell -- gaps-and-islands, ONE shuffle (the
+    rollup reuses the window partitioning)."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), STAY_KEY_SPARK
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.staypoints(
+        located, min_duration_us=STAY_MIN_US, grid_bits=STAY_GRID_BITS
+    )
+
+
+def _staypoints_sql() -> str:
+    sub = 1 << (32 - STAY_GRID_BITS)
+    return f"""
+      with pts as (
+        select user_id as u, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(STAY_KEY_SQL))} as x,
+               {y_expr(lat_expr(STAY_KEY_SQL))} as y
+        from events
+      ),
+      obs as (select u, ts_us, event_id,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      l as (select *, lag(gx) over w as pgx, lag(gy) over w as pgy from obs
+            window w as (partition by u order by ts_us, event_id)),
+      r as (select *, sum(case when pgx is distinct from gx
+                                 or pgy is distinct from gy
+                           then 1 else 0 end)
+                     over (partition by u order by ts_us, event_id) as run
+            from l)
+      select u, min(gx) as gx, min(gy) as gy, count(*) as n_obs,
+             min(ts_us) as start_us, max(ts_us) as end_us,
+             max(ts_us) - min(ts_us) as dwell_us
+      from r group by u, run
+      having max(ts_us) - min(ts_us) >= {STAY_MIN_US}
     """
 
 
@@ -4247,6 +4327,7 @@ QUERIES: dict[str, tuple] = {
     "geofence_transitions": (_q_geofence, _geofence_sql()),
     "colocation_pairs": (_q_colocation, _colocation_sql()),
     "od_matrix": (_q_od_matrix, _od_matrix_sql()),
+    "staypoints": (_q_staypoints, _staypoints_sql()),
     "group_quantiles_events": (_q_group_quantiles, _group_quantiles_sql()),
     "linreg_user_trend": (_q_linreg_trend, _linreg_sql()),
     "tag_key_stats": (_q_tag_stats, _SQL_TAG_STATS),
@@ -4276,6 +4357,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "box_intersects_rect": (_box_pred_query("intersects"), _sql_box_pred("intersects")),
     "morton_cells": (_q_morton_cells, _morton_sql()),
+    "quadkey_cells": (_q_quadkeys, _quadkey_sql()),
     "hilbert_cells": (_q_hilbert_cells, _hilbert_sql()),
     "geohash_cells": (_q_geohash_cells, _geohash_sql()),
     "hex_cells": (_q_hex_cells, _hex_sql()),

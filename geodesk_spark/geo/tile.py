@@ -259,3 +259,56 @@ def intersection(tile, minx, miny, maxx, maxy):
         np.minimum(tmaxx, maxx),
         np.minimum(tmaxy, maxy),
     )
+
+
+# --- quadkeys (Bing tile naming; the string form of the quad pyramid) -------
+# digit i (outermost first) interleaves the i-th bits of row and col:
+# d = 2*rowbit + colbit, so a PREFIX of a quadkey names the ancestor tile —
+# the property that makes quadkeys a range-scannable storage key.
+
+
+def quadkey(tile) -> np.ndarray:
+    """Quadkey string per tile (vectorized)."""
+    z = zoom_of(tile).astype(np.int64)
+    col = column_of(tile).astype(np.int64)
+    row = row_of(tile).astype(np.int64)
+    zmax = int(z.max()) if z.size else 0
+    out = np.full(np.shape(tile), "", dtype=f"<U{max(zmax, 1)}")
+    flat_out = out.ravel()
+    for idx in range(flat_out.size):
+        zz, cc, rr = int(z.ravel()[idx]), int(col.ravel()[idx]), int(row.ravel()[idx])
+        digits = [
+            str(2 * ((rr >> (zz - i)) & 1) + ((cc >> (zz - i)) & 1))
+            for i in range(1, zz + 1)
+        ]
+        flat_out[idx] = "".join(digits)
+    return out
+
+
+def quadkey_sql(col_sql: str, row_sql: str, zoom: int) -> str:
+    """Portable SQL (Spark AND DuckDB) for the quadkey of a (col, row)
+    pair at a LITERAL zoom — concat of per-level digit lookups, pure
+    integer arithmetic, no UDF on either engine."""
+    digits = []
+    for i in range(1, zoom + 1):
+        p = 1 << (zoom - i)
+        digits.append(
+            f"cast(2 * (cast(floor(({row_sql}) / {p}) as int) % 2)"
+            f" + (cast(floor(({col_sql}) / {p}) as int) % 2) as string)"
+        )
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def quadkey_col(tile_c, zoom: int):
+    """Column twin (zoom literal): digit arithmetic stays in codegen."""
+    F = _F()
+    col = column_of_col(tile_c)
+    row = row_of_col(tile_c)
+    parts = []
+    for i in range(1, zoom + 1):
+        d = (
+            F.shiftright(row, zoom - i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(col, zoom - i).bitwiseAND(F.lit(1))
+        )
+        parts.append(d.cast("string"))
+    return F.concat(*parts)

@@ -120,3 +120,61 @@ def od_matrix(
         trips.groupBy("o_gx", "o_gy", "d_gx", "d_gy")
         .agg(F.count("*").alias("n_trips"))
     )
+
+
+def staypoints(
+    located: DataFrame,
+    min_duration_us: int,
+    grid_bits: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive observations of
+    a user inside ONE lattice cell, kept when the dwell (last ts − first
+    ts of the run) reaches ``min_duration_us`` — the home/work/POI-visit
+    primitive of mobility analytics.
+
+    Gaps-and-islands on the CELL run (the sessionize pattern): one
+    per-user window computes the lag cell and the running run index
+    (sum of change flags); the per-(user, run) rollup reuses the
+    window's hash partitioning — ONE shuffle total.  A cell revisited
+    later is a NEW run (runs are maximal in time, not unique per cell).
+
+    Returns (user, gx, gy, n_obs, start_us, end_us, dwell_us).
+    """
+    gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
+    obs = located.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+    )
+    w = Window.partitionBy("u").orderBy("_ts", "_ord")
+    changed = (
+        (~F.col("gx").eqNullSafe(F.lag("gx").over(w)))
+        | (~F.col("gy").eqNullSafe(F.lag("gy").over(w)))
+    ).cast("int")
+    runs = obs.withColumn("_run", F.sum(changed).over(w))
+    return (
+        runs.groupBy("u", "_run")
+        .agg(
+            # constant within a run by construction; min() for determinism
+            F.min("gx").alias("gx"),
+            F.min("gy").alias("gy"),
+            F.count("*").alias("n_obs"),
+            F.min("_ts").alias("start_us"),
+            F.max("_ts").alias("end_us"),
+        )
+        .filter((F.col("end_us") - F.col("start_us")) >= min_duration_us)
+        .select(
+            F.col("u"),
+            "gx",
+            "gy",
+            "n_obs",
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("dwell_us"),
+        )
+    )

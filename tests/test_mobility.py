@@ -114,3 +114,34 @@ def test_od_matrix_single_user_day_exchange(spark):
     # exchanges that partition by the user/day pair
     uday = len(re.findall(r"hashpartitioning\(u#", plan))
     assert uday == 1, plan
+
+
+def test_staypoints_hand_case(spark):
+    """Runs are maximal per cell in time; revisits start new runs; dwell
+    threshold filters; ts tie-break by event_id."""
+    g = 8
+    sub = 32 - g
+
+    def at(cx, cy):
+        return (cx << sub) - (1 << 31), (1 << 31) - 1 - (cy << sub)
+
+    a, b = at(10, 10), at(20, 20)
+    rows = [
+        # user 1: cell A 0-100 (dwell 100), cell B 150-160 (dwell 10),
+        # back to A 200-400 (new run, dwell 200)
+        (1, 0, 0, *a), (1, 50, 1, *a), (1, 100, 2, *a),
+        (1, 150, 3, *b), (1, 160, 4, *b),
+        (1, 200, 5, *a), (1, 400, 6, *a),
+        # user 2: single obs (dwell 0 -> filtered)
+        (2, 0, 7, *a),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long, x long, y long")
+    got = sorted(
+        ((r["u"], r["gx"], r["gy"], r["n_obs"], r["start_us"], r["end_us"], r["dwell_us"])
+         for r in mobility.staypoints(df, min_duration_us=50, grid_bits=g).collect()),
+        key=lambda t: (t[0], t[4]),
+    )
+    assert got == [
+        (1, 10, 10, 3, 0, 100, 100),
+        (1, 10, 10, 2, 200, 400, 200),
+    ]

@@ -386,3 +386,29 @@ def test_tile_intersection_reference_semantics():
     # disjoint -> inverted box (min > max), reference's empty contract
     got = T.intersection(t, lx - 100, by - 100, lx - 50, by - 50)
     assert int(got[0]) > int(got[2]) and int(got[1]) > int(got[3])
+
+
+def test_quadkey_bing_semantics(spark):
+    """Known Bing example (col=3, row=5, z=3 -> '213'), prefix-ancestor
+    property, and numpy/Column/SQL three-way parity."""
+    t = int(T.from_col_row_zoom(3, 5, 3)[()])
+    assert T.quadkey(t)[()] == "213"
+    # prefix property: parent's quadkey is the child's prefix
+    child = int(T.from_col_row_zoom(13, 21, 5)[()])
+    parent = int(T.zoomed_out(child, 3)[()])
+    assert str(T.quadkey(child)[()]).startswith(str(T.quadkey(parent)[()]))
+    # three-way parity on a batch
+    rng = np.random.default_rng(4)
+    z = 8
+    cols = rng.integers(0, 1 << z, 50)
+    rows_ = rng.integers(0, 1 << z, 50)
+    tiles = T.from_col_row_zoom(cols, rows_, z)
+    exp = list(T.quadkey(tiles))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(int(t),) for t in tiles], "tile int")
+    got_col = [r["qk"] for r in df.select(T.quadkey_col(F.col("tile"), z).alias("qk")).collect()]
+    assert got_col == exp
+    sql = T.quadkey_sql("tile % 4096", "cast(floor(tile / 4096) as int) % 4096", z)
+    got_sql = [r["qk"] for r in df.selectExpr(f"{sql} as qk").collect()]
+    assert got_sql == exp
