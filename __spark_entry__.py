@@ -3842,11 +3842,15 @@ _SQL_HOTSPOT = f"""
             group by c.gx, c.gy, c.n),
   stats as (select count(*) as n_tot, sum(n) as sx, sum(n * n) as sxx from cells)
   select gx, gy, n,
-         (cast(s_i as double) - (cast(sx as double) / cast(n_tot as double)) * cast(n_i as double))
+         case when (sqrt(cast(sxx as double) / cast(n_tot as double)
+                 - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
+            * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0))) = 0.0
+              then null
+              else (cast(s_i as double) - (cast(sx as double) / cast(n_tot as double)) * cast(n_i as double))
          / (sqrt(cast(sxx as double) / cast(n_tot as double)
                  - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
             * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0)))
-         as gi_star
+         end as gi_star
   from nbsum cross join stats
 """
 

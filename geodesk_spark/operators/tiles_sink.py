@@ -696,7 +696,10 @@ def hotspot_gi_star(
         (F.col("n_tot") * F.col("n_i") - F.col("n_i") * F.col("n_i")).cast("double")
         / (F.col("n_tot").cast("double") - F.lit(1.0))
     )
-    gi = (F.col("s_i").cast("double") - xbar * F.col("n_i").cast("double")) / denom
+    num = F.col("s_i").cast("double") - xbar * F.col("n_i").cast("double")
+    # zero global variance (every cell equal) ⇒ the statistic is
+    # undefined; emit NULL rather than divide by zero (oracle mirrors)
+    gi = F.when(denom != 0.0, num / denom)
     return j.select("gx", "gy", "n", gi.alias("gi_star"))
 
 
