@@ -609,9 +609,13 @@ def _q_snap_segments(spark, sf_dir):
         point_id="key",
         seg_id="seg_id",
     )
+    # sx/sy are rational (x1 + t*Δ with t a clamped integer-dot ratio) so
+    # ties at 4 dp are REAL — floor-form per the CLAUDE.md invariant.
+    # dist_m is transcendental (sinh/asinh chain): ties measure-zero, round ok.
+    r4 = lambda c: F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
     return out.select(
         "key", "seg_id", "t",
-        F.round("sx", 4).alias("sx"), F.round("sy", 4).alias("sy"),
+        r4("sx").alias("sx"), r4("sy").alias("sy"),
         F.round("dist_m", 4).alias("dist_m"),
     )
 
@@ -669,7 +673,9 @@ def _snap_sql() -> str:
                  (partition by key order by dist_m asc, seg_id asc) as rnk
         from d where dist_m <= {SNAP_M!r}
       )
-      select key, seg_id, t, round(sx, 4) as sx, round(sy, 4) as sy,
+      select key, seg_id, t,
+             floor(sx * 1e4 + 0.5) / 1e4 as sx,
+             floor(sy * 1e4 + 0.5) / 1e4 as sy,
              round(dist_m, 4) as dist_m
       from r where rnk = 1
     """

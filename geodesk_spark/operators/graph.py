@@ -326,6 +326,11 @@ def sssp_rounds(
         dist, frontier = merged, new_frontier
     if materialize:
         e.unpersist()
+        # round budget exhausted without an empty frontier: the last
+        # round's cached delta is not the returned frame — release it
+        # (the early-exit branch already does)
+        if frontier is not dist:
+            frontier.unpersist()
     return dist
 
 

@@ -238,11 +238,18 @@ def bloom_might_contain(
     (identical md5 math in any engine), so an oracle reproduces the
     exact same candidate set."""
     pos = F.array(*[F.expr(s).cast("int") for s in bloom_hash_sqls(value_col, m, k)])
-    ex = probe.withColumn("_bit", F.explode(pos))
+    # a per-row id keeps duplicate probe rows distinct: grouping by the
+    # probe columns alone would both collapse duplicates to one output
+    # row and inflate count(bit_idx) to 2k (making a present value read
+    # as absent)
+    ex = probe.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_bit", F.explode(pos)
+    )
     hit = (
         ex.join(F.broadcast(bits), ex._bit == bits.bit_idx, "left")
-        .groupBy(*probe.columns)
+        .groupBy("_rid", *probe.columns)
         .agg((F.count("bit_idx") == k).alias(out_col))
+        .drop("_rid")
     )
     return hit
 

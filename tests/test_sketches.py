@@ -138,6 +138,22 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp / 2000 < 0.08
 
 
+def test_bloom_duplicate_probe_rows(spark):
+    """Duplicate probe rows must each get their own output row with the
+    correct flag (regression: grouping by probe columns alone collapsed
+    duplicates AND inflated count(bit_idx) to 2k, flipping present
+    values to might_contain=false)."""
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    bits = sketches.bloom_bits(members, "v", m=1024, k=4)
+    probe = spark.createDataFrame([("a",), ("a",), ("zz",), ("zz",)], "pv string")
+    rows = sketches.bloom_might_contain(probe, bits, "pv", m=1024, k=4).collect()
+    assert len(rows) == 4
+    got = sorted((r["pv"], r["might_contain"]) for r in rows)
+    assert got[:2] == [("a", True), ("a", True)]
+    # "zz" may be a false positive in principle, but both duplicates must agree
+    assert got[2][1] == got[3][1]
+
+
 def test_hll_merge_equals_direct(spark):
     """Mergeability: registers merged from fine keys == registers
     computed directly at the coarse key, for any split."""
