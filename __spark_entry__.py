@@ -894,6 +894,58 @@ def _knn_sql() -> str:
     """
 
 
+KNNJ_K = 5
+KNNJ_MOD = 97
+
+
+def _q_knn_join(spark, sf_dir):
+    """Table×table kNN join (knn.knn_join): the exact 5 nearest
+    order-derived points for EVERY customer-derived query row — the
+    DataFrame-query-side generalization of knn_cellring with no
+    per-query driver state (the 100 TB "nearest X for every row" shape;
+    VERDICT r02 #3).  Oracle = brute-force cross-join window top-k."""
+    pts = _derived_orders(spark, sf_dir).withColumn(
+        "key", F.col("o_orderkey").cast("string")
+    )
+    qs = (
+        tables.with_derived_points(
+            tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+        )
+        .filter(F.col("c_custkey") % KNNJ_MOD == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("query_id"),
+            "x",
+            "y",
+        )
+    )
+    out = knn_mod.knn_join(pts.select("key", "x", "y"), qs, k=KNNJ_K, id_col="key")
+    return out.select(
+        "query_id", "key", "dist_m", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _knn_join_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      qs as (
+        select 'c' || cast(c_custkey as varchar) as query_id,
+               {x_expr(lon_expr("c_custkey"))} as qx,
+               {y_expr(lat_expr("c_custkey"))} as qy
+        from customer where c_custkey % {KNNJ_MOD} = 0
+      ),
+      d as (
+        select qs.query_id, cast(pts.o_orderkey as varchar) as key,
+               {_dist_sql('pts.x', 'pts.y', 'qs.qx', 'qs.qy')} as dist_m
+        from pts cross join qs
+      )
+      select query_id, key, dist_m, cast(rank as int) as rank from (
+        select query_id, key, dist_m,
+               row_number() over (partition by query_id order by dist_m asc, key asc) as rank
+        from d
+      ) where rank <= {KNNJ_K}
+    """
+
+
 IDW_K = 8
 
 
@@ -4373,7 +4425,7 @@ QUERIES: dict[str, tuple] = {
     "stream_session_counts": (_q_stream_sessions, _SQL_STREAM_SESSIONS),
     "dedup_components": (_q_dedup_components, _dedup_components_sql()),
     "relation_geom_collection": (_q_relation_geomcollection, _geomcoll_sql()),
-    # (slot 50 reserved for knn_join — added below when built this round)
+    "knn_join": (_q_knn_join, _knn_join_sql()),
     # ---- TIER B: family re-verification (r02-green variants first) -----
     "selector_union": (_q_selector_union, _SQL_SELECTOR_UNION),
     "text_token_count": (_q_token_count, _SQL_TOKEN_COUNT),

@@ -230,6 +230,219 @@ def knn(
     return out
 
 
+def _guarantee_col(qy_col, radius: int):
+    """Column form of :func:`_guarantee_m`: max distance provably covered
+    by the Chebyshev window of ``radius`` imps around a query row at
+    projected latitude ``qy_col`` — radius × the minimum meters-per-imp
+    anywhere in the window (scale is monotone in |y|, so the min is at
+    one of the two clamped y endpoints)."""
+    F_ = F
+    mpi0 = F_.lit(mercator.EARTH_CIRCUMFERENCE / mercator.MAP_WIDTH)
+    y_lo = F_.greatest(qy_col - F_.lit(radius), F_.lit(I32_MIN)).cast("double")
+    y_hi = F_.least(qy_col + F_.lit(radius), F_.lit(I32_MAX)).cast("double")
+    mpi = F_.least(mpi0 / mercator.scale_col(y_lo), mpi0 / mercator.scale_col(y_hi))
+    return F_.lit(float(radius)) * mpi
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    init_radius_imps: int = 1 << 20,  # one z12 tile
+    id_col: str = "image_id",
+    query_id: str = "query_id",
+    broadcast_queries: bool = True,
+    max_per_axis: int = 32,
+) -> DataFrame:
+    """Table×table kNN join: exact k nearest ``points`` for EVERY row of
+    a DataFrame-sized query side → (id, query_id, dist_m, rank).
+
+    The 100 TB consumer shape ("nearest POI for every image") that the
+    interactive :func:`knn` cannot serve: that variant keeps per-query
+    radii on the driver and ``collect()``\\ s per-round stats, capping the
+    query side at driver memory and serializing rounds.  Here the query
+    side stays a DataFrame end to end:
+
+    1. Per-round, every active query shares one radius (init × 16^round),
+       so the window zoom is a compile-time constant and the candidate
+       cell cover is generated AS COLUMNS — two chained
+       ``explode(sequence(...))`` over the clamped col/row ranges, with
+       the in-small-window flag a pure range test.  No driver cell math.
+    2. Candidates = one hash join on the cell id (broadcast when the
+       query side is dimension-sized — ``broadcast_queries`` — else a
+       shuffle join keyed on the cell), exact Mercator distance and the
+       dual small/big rank computed exactly like :func:`knn`.
+    3. The completion test (k-th distance provably inside the window,
+       :func:`_guarantee_col`) is a per-query COLUMN over the aggregated
+       stats frame; finished queries' top-k detach via localCheckpoint,
+       unfinished ones re-expand — the only driver-side signal per round
+       is the scalar "any queries left?".
+
+    The radius schedule doubles-twice per probe (window r and 4r share
+    one scan) and multiplies 16× per round, capping at the world window,
+    so the loop is bounded at 4 rounds from the default init radius and
+    every query terminates (a world window makes every point a
+    candidate).  Semantics match :func:`knn` exactly: same pyramid, same
+    acceptance proof, same (dist, id) deterministic tie-break.
+
+    ``queries`` must carry (``query_id``, x, y) with imp-space coords;
+    ``id_col`` must be unique per point (the tie-break).
+    """
+    spark = points.sparkSession
+    out_schema = f"{id_col} string, {query_id} string, dist_m double, rank int"
+    pts = points.select(id_col, "x", "y")
+    active = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col("x").cast("long").alias("_qx"),
+        F.col("y").cast("long").alias("_qy"),
+    )
+    maybe_b = (lambda df: F.broadcast(df)) if broadcast_queries else (lambda df: df)
+
+    # radius schedule: (r, 4r) per round, 16× between rounds, final round
+    # capped at the world window (everything becomes a candidate)
+    schedule = []
+    radius = init_radius_imps
+    while True:
+        big = min(radius * 4, 1 << 31)
+        schedule.append((radius, big))
+        if big >= (1 << 31):
+            break
+        radius *= 16
+
+    results: list[DataFrame] = []
+    for radius, big in schedule:
+        zoom = _window_zoom(big, max_per_axis)
+        shift = 32 - zoom
+
+        def col_range(rad):
+            x0 = F.greatest(F.col("_qx") - F.lit(rad).cast("long"), F.lit(I32_MIN).cast("long"))
+            x1 = F.least(F.col("_qx") + F.lit(rad).cast("long"), F.lit(I32_MAX).cast("long"))
+            return (
+                F.shiftright(x0 + F.lit(1 << 31).cast("long"), shift).cast("int"),
+                F.shiftright(x1 + F.lit(1 << 31).cast("long"), shift).cast("int"),
+            )
+
+        def row_range(rad):
+            y0 = F.greatest(F.col("_qy") - F.lit(rad).cast("long"), F.lit(I32_MIN).cast("long"))
+            y1 = F.least(F.col("_qy") + F.lit(rad).cast("long"), F.lit(I32_MAX).cast("long"))
+            return (
+                F.shiftright(F.lit((1 << 31) - 1).cast("long") - y1, shift).cast("int"),
+                F.shiftright(F.lit((1 << 31) - 1).cast("long") - y0, shift).cast("int"),
+            )
+
+        bc0, bc1 = col_range(big)
+        br0, br1 = row_range(big)
+        sc0, sc1 = col_range(radius)
+        sr0, sr1 = row_range(radius)
+        cover = (
+            active.withColumn("_row", F.explode(F.sequence(br0, br1)))
+            .withColumn("_col", F.explode(F.sequence(bc0, bc1)))
+            .select(
+                (
+                    F.lit(zoom << 24).cast("long")
+                    + F.shiftleft(F.col("_row").cast("long"), 12)
+                    + F.col("_col").cast("long")
+                ).alias("_qcell"),
+                "_qid",
+                "_qx",
+                "_qy",
+                (
+                    (F.col("_col") >= sc0)
+                    & (F.col("_col") <= sc1)
+                    & (F.col("_row") >= sr0)
+                    & (F.col("_row") <= sr1)
+                ).alias("small"),
+            )
+        )
+
+        probe = pts.withColumn("_qcell", T.tile_col(F.col("x"), F.col("y"), zoom).cast("long"))
+        cand = (
+            probe.join(maybe_b(cover), "_qcell")
+            .withColumn(
+                "dist_m",
+                mercator.distance_col(F.col("x"), F.col("y"), F.col("_qx"), F.col("_qy")),
+            )
+            .select(id_col, "_qid", "dist_m", "small")
+        )
+        w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
+        ranked = (
+            cand.withColumn("rank_all", F.row_number().over(w))
+            .withColumn(
+                "rank_small",
+                F.sum(F.when(F.col("small"), 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .filter(F.col("rank_all") <= k)
+            .cache()
+        )
+        stats = ranked.groupBy("_qid").agg(
+            F.sum(
+                F.when(F.col("small") & (F.col("rank_small") <= k), 1).otherwise(0)
+            ).alias("cnt_s"),
+            F.max(
+                F.when(F.col("small") & (F.col("rank_small") <= k), F.col("dist_m"))
+            ).alias("kth_s"),
+            F.count("*").alias("cnt_a"),
+            F.max("dist_m").alias("kth_a"),
+        )
+        final_round = big >= (1 << 31)
+        ok_s = (
+            (F.coalesce(F.col("cnt_s"), F.lit(0)) >= k)
+            & F.col("kth_s").isNotNull()
+            & (F.col("kth_s") <= _guarantee_col(F.col("_qy"), radius))
+        )
+        ok_a = (
+            (F.coalesce(F.col("cnt_a"), F.lit(0)) >= k)
+            & F.col("kth_a").isNotNull()
+            & (F.col("kth_a") <= _guarantee_col(F.col("_qy"), big))
+        )
+        decide = active.join(stats, "_qid", "left").select(
+            "_qid",
+            "_qx",
+            "_qy",
+            ok_s.alias("take_small"),
+            (ok_s | ok_a | F.lit(final_round)).alias("done"),
+        )
+        done_q = decide.filter(F.col("done")).select("_qid", "take_small")
+        round_out = (
+            ranked.join(maybe_b(done_q), "_qid")
+            .filter(
+                (F.col("take_small") & F.col("small") & (F.col("rank_small") <= k))
+                | (~F.col("take_small") & (F.col("rank_all") <= k))
+            )
+            .select(
+                id_col,
+                F.col("_qid").alias(query_id),
+                "dist_m",
+                F.when(F.col("take_small"), F.col("rank_small"))
+                .otherwise(F.col("rank_all"))
+                .alias("rank"),
+            )
+        )
+        # ≤ k rows per finished query: detach from the cached candidate
+        # lineage so the round cache releases immediately
+        results.append(round_out.localCheckpoint(eager=True))
+        if final_round:
+            ranked.unpersist()
+            break
+        active = (
+            decide.filter(~F.col("done"))
+            .select("_qid", "_qx", "_qy")
+            .localCheckpoint(eager=True)
+        )
+        ranked.unpersist()
+        if active.isEmpty():  # scalar signal only — no per-query collect
+            break
+
+    if not results:
+        return spark.createDataFrame([], out_schema)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def distance_join(
     points: DataFrame,
     targets: list[tuple[str, float, float]],

@@ -152,6 +152,80 @@ def test_knn_many_queries_bounded(world):
         assert list(sub["image_id"]) == exp, qid
 
 
+def test_knn_join_matches_bruteforce(world):
+    """Table×table kNN join: DataFrame query side, exact vs brute force —
+    includes an ocean query to force the distributed re-expansion path."""
+    df, pdf = world
+    queries = [("q_tokyo", 139.7, 35.7), ("q_paris", 2.3, 48.9), ("q_ocean", -140.0, -30.0)]
+    k = 10
+    spark = df.sparkSession
+    qrows = [
+        (qid, int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
+        for qid, lon, lat in queries
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
+    got = knn_mod.knn_join(df.select("image_id", "x", "y"), qdf, k=k).toPandas()
+    assert len(got) == len(queries) * k
+
+    x = pdf["x"].to_numpy(np.float64)
+    y = pdf["y"].to_numpy(np.float64)
+    ids = pdf["image_id"].to_numpy()
+    for qid, lon, lat in queries:
+        qx = float(mercator.x_from_lon(lon)[()])
+        qy = float(mercator.y_from_lat(lat)[()])
+        d = mercator.distance(x, y, qx, qy)
+        exp = list(ids[np.lexsort((ids, d))[:k]])
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["image_id"]) == exp, qid
+
+
+def test_knn_join_matches_knn(world):
+    """knn_join (DataFrame query side) must agree row-for-row with the
+    driver-list knn() on an identical query set, including re-expansion."""
+    df, _ = world
+    rng = np.random.default_rng(11)
+    queries = [
+        (f"q{i}", float(rng.uniform(-170, 170)), float(rng.uniform(-60, 60)))
+        for i in range(60)
+    ]
+    k = 4
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (qid, int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
+            for qid, lon, lat in queries
+        ],
+        "query_id string, x long, y long",
+    )
+    pts = df.select("image_id", "x", "y")
+    a = knn_mod.knn(pts, queries, k=k).toPandas()
+    b = knn_mod.knn_join(pts, qdf, k=k).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert np.allclose(a["dist_m"].to_numpy(), b["dist_m"].to_numpy())
+
+
+def test_knn_join_shuffle_path(world):
+    """broadcast_queries=False (the huge-query-side path) returns the
+    identical result through a shuffle join."""
+    df, pdf = world
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [("qa", int(mercator.x_from_lon(139.7)[()]), int(mercator.y_from_lat(35.7)[()]))],
+        "query_id string, x long, y long",
+    )
+    pts = df.select("image_id", "x", "y")
+    a = knn_mod.knn_join(pts, qdf, k=5).toPandas().sort_values("rank")
+    b = (
+        knn_mod.knn_join(pts, qdf, k=5, broadcast_queries=False)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(a["image_id"]) == list(b["image_id"])
+
+
 def test_knn_assert_unique_ids(spark):
     dup = spark.createDataFrame(
         [("a", 0, 0), ("a", 5, 5), ("b", 9, 9)], "image_id string, x int, y int"
