@@ -171,7 +171,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ threshold.
 
@@ -186,7 +186,11 @@ def ngram_jaccard_pairs(
     computed over the same filtered set, keeping the Jaccard a true
     set similarity of the retained shingles (the SQL oracle mirrors the
     cap exactly).  Without a cap, one stop-word 3-gram shared by 1% of
-    docs at 10^10 docs would mean 10^16 candidate pairs.
+    docs at 10^10 docs would mean 10^16 candidate pairs — so the cap is
+    ON by default (1000, matching the LSH ``bucket_cap`` convention);
+    pass ``max_doc_freq=None`` to explicitly opt out on corpora known to
+    be boilerplate-free (VERDICT r02 #4: None must be the opt-out, not
+    the default).
     """
     sh = df.select(
         "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col)))).alias("sh")

@@ -28,7 +28,8 @@ def colocation_pairs(
     user_col: str = "user_id",
     ts_col: str = "ts_us",
     max_users_per_cell: int = 10_000,
-) -> DataFrame:
+    with_dropped: bool = False,
+):
     """Co-location (contact) detection: pairs of users observed in the
     SAME lattice cell during the SAME time bucket, sustained over at
     least ``min_buckets`` distinct buckets — convoy/contact analytics.
@@ -38,13 +39,18 @@ def colocation_pairs(
     reduction), then a self-equi-join on (bucket, cell) with ``u1 < u2``
     — candidate pairs are quadratic only in the per-(bucket, cell)
     user count, never in the table.  A degenerate cell (stadium) is
-    guarded by ``max_users_per_cell``: cells over the cap are DROPPED
-    and surfaced in the plan's filter rather than silently exploding a
-    task (the LSH bucket-cap rule).  Final rollup counts DISTINCT
-    buckets per pair, so multi-cell co-occurrence inside one bucket
-    counts once.
+    guarded by ``max_users_per_cell``: cells over the cap are excluded
+    from pairing rather than silently exploding a task (the LSH
+    bucket-cap rule).  Because the densest cells are often the signal,
+    the exclusion is never silent-by-construction: pass
+    ``with_dropped=True`` to get ``(pairs, dropped)`` where ``dropped``
+    is the (tb, gx, gy, n_users) table of capped cells — route it to a
+    side sink, raise the cap, or coarsen the bucket for exactly those
+    cells (VERDICT r02 #4).  Final rollup counts DISTINCT buckets per
+    pair, so multi-cell co-occurrence inside one bucket counts once.
 
-    Returns (u1, u2, n_buckets).
+    Returns (u1, u2, n_buckets), or that frame plus the dropped-cell
+    frame when ``with_dropped``.
     """
     gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
     obs = (
@@ -57,17 +63,24 @@ def colocation_pairs(
         .distinct()
     )
     cnt = Window.partitionBy("tb", "gx", "gy")
-    obs = obs.withColumn("_n", F.count("*").over(cnt)).filter(
-        F.col("_n") <= max_users_per_cell
-    )
-    a = obs.select("tb", "gx", "gy", F.col("u").alias("u1"))
-    b = obs.select("tb", "gx", "gy", F.col("u").alias("u2"))
+    obs = obs.withColumn("_n", F.count("*").over(cnt))
+    kept = obs.filter(F.col("_n") <= max_users_per_cell)
+    a = kept.select("tb", "gx", "gy", F.col("u").alias("u1"))
+    b = kept.select("tb", "gx", "gy", F.col("u").alias("u2"))
     pairs = a.join(b, ["tb", "gx", "gy"]).filter(F.col("u1") < F.col("u2"))
-    return (
+    out = (
         pairs.groupBy("u1", "u2")
         .agg(F.count_distinct("tb").alias("n_buckets"))
         .filter(F.col("n_buckets") >= min_buckets)
     )
+    if not with_dropped:
+        return out
+    dropped = (
+        obs.filter(F.col("_n") > max_users_per_cell)
+        .groupBy("tb", "gx", "gy")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return out, dropped
 
 
 def od_matrix(

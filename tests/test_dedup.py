@@ -50,6 +50,16 @@ def test_lsh_small_buckets_all_pairs(spark):
     assert {tuple(r) for r in got[["doc_a", "doc_b"]].itertuples(index=False)} == want
 
 
+def test_jaccard_cap_defaults_on():
+    """The hot-shingle skew guard must be ON by default (None is the
+    explicit opt-out, not the default — an unguarded quadratic self-join
+    is never a safe default at scale)."""
+    import inspect
+
+    default = inspect.signature(dedup.ngram_jaccard_pairs).parameters["max_doc_freq"].default
+    assert default is not None and default >= 1
+
+
 def test_jaccard_doc_freq_cap(spark):
     """Hot shingles (df > cap) are dropped from the representation before
     the self-join; expected pairs computed independently with python sets."""

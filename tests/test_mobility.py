@@ -63,6 +63,20 @@ def test_colocation_cell_cap_drops_hot_cell(spark):
     assert got == {(1, 2): 1}
 
 
+def test_colocation_dropped_cells_side_output(spark):
+    """with_dropped=True surfaces exactly the capped hot cells (the
+    densest cells are often the signal — dropping must not be silent)."""
+    rows = [(u, 0, 0, 0) for u in range(6)] + [(1, 5000, 1 << 30, 0), (2, 5000, 1 << 30, 0)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, x long, y long")
+    pairs, dropped = mobility.colocation_pairs(
+        df, bucket_us=1000, grid_bits=8, min_buckets=1, max_users_per_cell=5,
+        with_dropped=True,
+    )
+    assert {(r["u1"], r["u2"]) for r in pairs.collect()} == {(1, 2)}
+    d = dropped.collect()
+    assert len(d) == 1 and d[0]["n_users"] == 6 and d[0]["tb"] == 0
+
+
 def test_od_matrix_hand_case(spark):
     g = 6
     step = 1 << (32 - g)
