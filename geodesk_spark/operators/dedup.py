@@ -17,6 +17,8 @@ Design notes for oracle parity *and* scale:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from geodesk_spark.operators.text import tokens_col
@@ -231,11 +233,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_tables_for(
+    threshold: float,
+    sign_dims: int = 4,
+    target_recall: float = 0.90,
+    max_tables: int = 16,
+) -> int:
+    """Smallest sign-LSH table count whose ANALYTIC recall at the cosine
+    ``threshold`` clears ``target_recall``.
+
+    Random-hyperplane LSH collision probability per bit is
+    1 − θ/π with θ = arccos(cosine) (Charikar 2002, public result); a
+    table of ``sign_dims`` bits matches with p = (1 − θ/π)^sign_dims and
+    T independent tables recall 1 − (1 − p)^T.  Axis-aligned planes on
+    near-isotropic embeddings track the same curve (measured within a
+    few points in tests/test_dedup.py).  Lower thresholds need more
+    tables: 0.9 → 3, 0.8 → 5, 0.6 → 9, 0.4 → 14 at sign_dims=4,
+    target 0.9.
+    """
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p = p1**sign_dims
+    if p >= 1.0:
+        return 1
+    if p <= 0.0:
+        return max_tables
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    return max(1, min(t, max_tables))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.40,
     sign_dims: int = 4,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -259,13 +289,23 @@ def embedding_neardup_pairs(
     a sign within EVERY table is never tested (precision is exact —
     every emitted pair truly clears the threshold).  One 4-dim table
     measured recall 0.20 on the sf0.01 corpus at threshold 0.40; eight
-    tables lift it to 1-(1-r₁)^8 under independence (measured in
-    tests/test_dedup.py, which pins the shipped floor).  The driver
-    oracle mirrors the same blocking — its green row proves
+    tables lift it to 1-(1-r₁)^8 under independence — measured ≥0.7 on
+    the sf0.01 corpus (tests/test_dedup.py pins that floor).  Pass
+    ``n_tables=None`` to size the table count FROM the threshold
+    analytically (:func:`neardup_tables_for`, target recall 0.9, capped
+    by the vector dimension — one first() row probe discovers it); the
+    static default 8 keeps the driver oracle's blocking stable.  The
+    driver oracle mirrors the same blocking — its green row proves
     "blocking + distance implemented exactly", not "every near-dup
     found".  For exact-recall blocking on BINARY fingerprints see
     ``phash_neardup_pairs`` (pigeonhole bands).
     """
+    if n_tables is None:
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else sign_dims
+        n_tables = min(
+            neardup_tables_for(threshold, sign_dims), max(1, dim // sign_dims)
+        )
     emb = F.col(vec_col)
     norm = F.sqrt(
         F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))

@@ -147,3 +147,49 @@ def test_embedding_neardup_measured_recall(spark):
     recall = len(found & true) / len(true) if true else 1.0
     assert len(true) > 0  # corpus must exercise the threshold
     assert recall >= 0.7, f"recall {recall:.2f} below documented floor ({len(found)}/{len(true)})"
+
+
+def test_neardup_tables_for_analytic():
+    """Table count from the threshold: monotone (looser threshold needs
+    more tables) and matching the closed form 1-(1-p)^T ≥ target."""
+    import math
+
+    prev = 0
+    for thr in (0.9, 0.8, 0.6, 0.4, 0.2):
+        t = dedup.neardup_tables_for(thr, sign_dims=4, target_recall=0.9)
+        assert t >= prev  # looser threshold → never fewer tables
+        prev = t
+        p = (1 - math.acos(thr) / math.pi) ** 4
+        if t < 16:  # not clipped by max_tables
+            assert 1 - (1 - p) ** t >= 0.9
+            assert t == 1 or 1 - (1 - p) ** (t - 1) < 0.9  # minimal
+    assert dedup.neardup_tables_for(0.8, sign_dims=4) == 5
+    assert dedup.neardup_tables_for(0.4, sign_dims=4) == 14
+
+
+def test_embedding_neardup_adaptive_tables(spark):
+    """n_tables=None sizes the blocking from the threshold; at 0.40 the
+    analytic choice (14 tables) must clear the 0.9 recall target on the
+    seeded corpus (dim 64 caps it at 16)."""
+    from geodesk_spark.sources import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    got = dedup.embedding_neardup_pairs(
+        e, threshold=0.40, sign_dims=4, n_tables=None
+    ).toPandas()
+    found = {(int(a), int(b)) for a, b in got[["id_a", "id_b"]].itertuples(index=False)}
+
+    pdf = e.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ M.T
+    ids = pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    true = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if round(cos[i, j], 6) >= 0.40
+    }
+    assert found <= true
+    recall = len(found & true) / len(true) if true else 1.0
+    assert recall >= 0.9, f"adaptive recall {recall:.2f} below analytic target"
