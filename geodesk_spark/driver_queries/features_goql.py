@@ -1,0 +1,541 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    ANN_K,
+    ANN_QUERY_IDS,
+    F,
+    H,
+    _part_features,
+    ann,
+    dedup,
+    lat_expr,
+    lon_expr,
+    tables,
+    text,
+    x_expr,
+    y_expr,
+)
+
+def _q_graph_members(spark, sf_dir):
+    """membersOf analog (StoredRelation.java:168-192): relation→members
+    equi-join with a role filter."""
+    o = tables.load_spread(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = tables.load_spread(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_orderkey").alias("rel_id"), F.col("l_partkey").alias("member_id"), "l_linenumber")
+    )
+
+
+_SQL_GRAPH_MEMBERS = """
+  select o_orderkey as rel_id, l_partkey as member_id, l_linenumber
+  from orders join lineitem on o_orderkey = l_orderkey
+  where o_orderpriority = '1-URGENT' and l_returnflag = 'R'
+"""
+
+
+def _q_graph_nodes_of(spark, sf_dir):
+    """nodesOf analog (WayNodeView.java:22-106): a way's vertex run in
+    seq order, anonymous nodes as null node_id — ordinary equi-join on
+    the way_nodes edge table."""
+    from geodesk_spark.operators import graph
+
+    ways = (
+        tables.load_spread(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "2-HIGH"))
+        .select(F.col("o_orderkey").alias("fid"))
+    )
+    li = tables.with_derived_points(tables.load_spread(spark, sf_dir, "lineitem"), "l_partkey")
+    way_nodes = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("node_id"),
+    )
+    return graph.nodes_of(ways, way_nodes).select("way_id", "seq", "x", "y", "node_id")
+
+
+_SQL_GRAPH_NODES_OF = f"""
+  with wn as (
+    select l_orderkey as way_id, l_linenumber as seq,
+           cast({x_expr(lon_expr("l_partkey"))} as int) as x,
+           cast({y_expr(lat_expr("l_partkey"))} as int) as y,
+           case when l_linenumber % 3 = 0 then null else l_suppkey end as node_id
+    from lineitem),
+  ways as (select o_orderkey as fid from orders
+           where o_orderstatus = 'F' and o_orderpriority = '2-HIGH')
+  select way_id, seq, x, y, node_id
+  from wn join (select distinct fid from ways) w on wn.way_id = w.fid
+  order by way_id, seq
+"""
+
+
+def _q_graph_parents(spark, sf_dir):
+    """parentsOf analog (View.java:119-140): member→parent semi-join."""
+    li = tables.load_spread(spark, sf_dir, "lineitem")
+    p = tables.load_spread(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    o = tables.load_spread(spark, sf_dir, "orders")
+    member_orders = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_orderkey").distinct()
+    return (
+        o.join(member_orders, o.o_orderkey == member_orders.l_orderkey, "left_semi")
+        .select(F.col("o_orderkey").alias("parent_id"))
+        .orderBy("parent_id")
+    )
+
+
+_SQL_GRAPH_PARENTS = """
+  select o_orderkey as parent_id from orders
+  where o_orderkey in (
+    select l_orderkey from lineitem join part on l_partkey = p_partkey where p_size > 40)
+  order by parent_id
+"""
+
+
+def _q_connected(spark, sf_dir):
+    """connectedTo analog (ConnectedFilter.java:21-113): shared-vertex
+    equi-join — orders sharing a part with order 1."""
+    li = tables.load_spread(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") == 1).select(F.col("l_partkey").alias("pk")).distinct()
+    return (
+        li.join(F.broadcast(a), li.l_partkey == a.pk)
+        .filter(F.col("l_orderkey") != 1)
+        .select(F.col("l_orderkey").alias("connected_id"))
+        .distinct()
+        .orderBy("connected_id")
+    )
+
+
+_SQL_CONNECTED = """
+  select distinct l_orderkey as connected_id from lineitem
+  where l_partkey in (select l_partkey from lineitem where l_orderkey = 1)
+    and l_orderkey <> 1
+  order by connected_id
+"""
+
+
+def _q_view_intersection(spark, sf_dir):
+    """View ∧ view (View.java:176-213): two predicate sets AND-combined."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    v1 = (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O")
+    v2 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return o.filter(v1 & v2).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+_SQL_VIEW_INTERSECTION = """
+  select o_orderpriority, count(*) as n from orders
+  where o_totalprice > 100000 and o_orderstatus = 'O'
+    and o_orderpriority in ('1-URGENT', '2-HIGH')
+  group by o_orderpriority
+"""
+
+
+def _q_selector_union(spark, sf_dir):
+    """Selector union (MatcherParser.java:461-482): OR of selector predicates."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    sel = (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 250000)
+    return o.filter(sel).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+_SQL_SELECTOR_UNION = """
+  select o_orderstatus, count(*) as n from orders
+  where o_orderstatus = 'F' or o_totalprice > 250000
+  group by o_orderstatus
+"""
+
+
+def _q_goql_select(spark, sf_dir):
+    """GOQL tag query compiled to Catalyst (SURVEY §2.2): wildcard suffix
+    match + lenient numeric comparison on a string-typed tag."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    return feats.filter(compile_goql('*[type="STAN*"][size>=40]')).select(
+        F.col("p_partkey").alias("key")
+    )
+
+
+_SQL_GOQL_SELECT = """
+  select p_partkey as key from part
+  where p_type like 'STAN%' and p_size >= 40
+"""
+
+
+def _q_goql_union(spark, sf_dir):
+    """GOQL selector union + key-absence + value list
+    (MatcherParser.java:461-482, :308-313)."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    q = '*[!big][brand="Brand#45","Brand#21"], *[size=1,2]'
+    return feats.filter(compile_goql(q)).select(F.col("p_partkey").alias("key"))
+
+
+_SQL_GOQL_UNION = """
+  select p_partkey as key from part
+  where (p_size <= 25 and p_brand in ('Brand#45', 'Brand#21'))
+     or p_size in (1, 2)
+"""
+
+
+def _q_token_count(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.token_count(d).select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+_SQL_TOKEN_COUNT = r"""
+  select doc_id,
+         cast(case when length(trim(text)) = 0 then 0
+              else len(string_split_regex(trim(text), '\s+')) end as int) as n_tokens
+  from documents
+"""
+
+
+def _q_quality(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.quality_scores(d)
+
+
+_ALL_STOPWORDS = ",".join(f"'{w}'" for ws in text.LANG_MARKERS.values() for w in ws)
+
+
+_SQL_QUALITY = rf"""
+  select doc_id,
+         cast(length(text) as int) as n_chars_m,
+         cast(case when length(trim(text)) = 0 then 0
+              else len(string_split_regex(trim(text), '\s+')) end as int) as n_tokens,
+         floor(((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 as punct_ratio,
+         floor(((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 as upper_ratio,
+         floor((len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) in ({_ALL_STOPWORDS})))
+               / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1)) * 1e6 + 0.5) / 1e6 as stop_ratio,
+         floor((length(text) / greatest(case when length(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end, 1)) * 1e6 + 0.5) / 1e6 as mean_word_len
+  from documents
+"""
+
+
+def _q_bm25(spark, sf_dir):
+    """Top-3 BM25 keyword terms per document (text.bm25_topk): the
+    inverted-index build as three partial aggregations + one term join,
+    corpus constants as a broadcast 1-row frame — no driver collect."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.bm25_topk(d)
+
+
+def _q_langid(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.lang_id(d).select("doc_id", "lang_pred", F.col("lang_score").cast("int").alias("lang_score"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.fingerprint(d)
+
+
+_SQL_FINGERPRINT = r"""
+  select doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+  from documents
+"""
+
+
+def _q_bm25_retrieve(spark, sf_dir):
+    """Corpus retrieval (text.bm25_retrieve): every 25th document's text
+    as a query, top-5 documents each by BM25 over the shared inverted
+    index — broadcastable query terms, one scoring rollup + bounded
+    top-k window; decimal-summed scores for cross-engine order freedom."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return text.bm25_retrieve(d, q, k=5)
+
+
+def _bm25_retrieve_sql() -> str:
+    return text.bm25_retrieve_sql(
+        "select doc_id as qid, text as qtext from documents where doc_id % 25 = 0",
+        k=5,
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination (text.decontaminate): eval set =
+    every 20th doc, broadcast its distinct shingle vocabulary, flag
+    training docs by distinct-shingle overlap ratio ≥ 0.5."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return text.decontaminate(train, bench)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+      with s as ({_SQL_SHINGLES}),
+      doc_sh as (
+        select doc_id, unnest(list_distinct(sh)) as sh
+        from s where doc_id % 20 <> 0
+      ),
+      bench as (
+        select distinct sh
+        from (select unnest(sh) as sh from s where doc_id % 20 = 0)
+      ),
+      j as (
+        select d.doc_id, case when b.sh is not null then 1 else 0 end as hit
+        from doc_sh d left join bench b using (sh)
+      )
+      select doc_id,
+             cast(count(*) as int) as n_shingles,
+             cast(sum(hit) as int) as n_hits,
+             floor((sum(hit) / greatest(count(*), 1)) * 1e6 + 0.5) / 1e6 as overlap_ratio,
+             floor((sum(hit) / greatest(count(*), 1)) * 1e6 + 0.5) / 1e6 >= 0.5 as contaminated
+      from j group by doc_id
+    """
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+_SQL_DEDUP_EXACT = r"""
+  select md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp,
+         min(doc_id) as canonical_id, count(*) as n_dups
+  from documents group by 1
+"""
+
+
+_SQL_SHINGLES = r"""
+  select doc_id,
+         case when len(w) >= 3
+              then list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+              else [array_to_string(w, ' ')] end as sh
+  from (select doc_id,
+               case when length(trim(text)) = 0 then []::varchar[]
+                    else string_split_regex(trim(text), '\s+') end as w
+        from documents)
+"""
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(d)
+
+
+def _minhash_lsh_sql() -> str:
+    # mirror dedup.shingle_hash_col / minhash_from_hashes: one 64-hex
+    # hash per shingle, minwise over disjoint 8-char slices
+    mh = ", ".join(
+        f"list_min(list_transform(hh, h -> h[{1 + 8 * j}:{8 * j + 8}])) as mh{j}"
+        for j in range(dedup.N_MINHASH)
+    )
+    band_selects = " union all ".join(
+        f"select doc_id, md5('{b}|' || mh{b * dedup.LSH_ROWS} || '|' || mh{b * dedup.LSH_ROWS + 1}) as key from m"
+        for b in range(dedup.LSH_BANDS)
+    )
+    return f"""
+      with s as ({_SQL_SHINGLES}),
+      sh2 as (select doc_id,
+                     list_transform(sh, s -> md5(s) || md5('1|' || s)) as hh
+              from s),
+      m as (select doc_id, {mh} from sh2),
+      bands as ({band_selects})
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from bands a join bands b on a.key = b.key
+      where a.doc_id < b.doc_id
+    """
+
+
+def _q_simhash(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return dedup.simhash16(d)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum((strpos('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1) % 2 * 2 - 1) as s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(16))
+    return rf"""
+      with toks as (
+        select doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+        from documents where length(trim(text)) > 0),
+      sums as (select doc_id, {sums} from toks group by doc_id)
+      select doc_id, cast({bits} as int) as simhash from sums
+    """
+
+
+JACCARD_DF_CAP = 50  # hot-shingle document-frequency cap (skew guard)
+
+
+def _q_jaccard(spark, sf_dir):
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
+
+
+_SQL_JACCARD = f"""
+  with s as ({_SQL_SHINGLES}),
+  e0 as (select doc_id, unnest(list_distinct(sh)) as sh from s),
+  hot as (select sh from e0 group by sh having count(*) > {JACCARD_DF_CAP}),
+  e as (select * from e0 where sh not in (select sh from hot)),
+  sizes as (select doc_id, count(*) as n_sh from e group by doc_id),
+  inter as (
+    select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+    from e a join e b on a.sh = b.sh and a.doc_id < b.doc_id
+    group by 1, 2)
+  select doc_a, doc_b,
+         floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 as jaccard
+  from inter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+"""
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-group resolution: iterative min-label connected
+    components over the Jaccard near-dup pairs (dedup.connected_components
+    — each round one shuffle join, convergence by changed-count).  The
+    oracle computes the same components with a recursive CTE transitive
+    closure (tiny graph at sf0.01)."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+_SQL_DEDUP_COMPONENTS_TEMPLATE = """
+  with recursive pairs as ({jacc}),
+  edges as (
+    select doc_a as a, doc_b as b from pairs
+    union
+    select doc_b as a, doc_a as b from pairs),
+  reach(s, t) as (
+    select a, a from edges
+    union
+    select r.s, e.b from reach r join edges e on r.t = e.a)
+  select s as doc_id, min(t) as comp_id
+  from reach group by s order by doc_id
+"""
+
+
+def _dedup_components_sql() -> str:
+    return _SQL_DEDUP_COMPONENTS_TEMPLATE.format(jacc=_SQL_JACCARD)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4)
+
+
+def _embedding_neardup_sql() -> str:
+    """Mirrors the MULTI-TABLE sign-LSH blocking (8 tables × 4 dims):
+    candidates share a bucket in ANY table — an OR of the per-table
+    bucket equalities (fine for the oracle; Spark uses explode +
+    equi-join for the same semantics at scale)."""
+    n_tables, sign_dims = 8, 4
+
+    def bkt(t):
+        return " + ".join(
+            f"(case when e[{t * sign_dims + i + 1}] >= 0 then {1 << i} else 0 end)"
+            for i in range(sign_dims)
+        )
+
+    bkts = ", ".join(f"({bkt(t)}) as b{t}" for t in range(n_tables))
+    any_shared = " or ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+      with base as (
+        select vec_id as id, embedding as e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)))) as nrm
+        from embeddings),
+      wb as (select *, {bkts} from base),
+      p as (
+        select a.id as id_a, b.id as id_b,
+               round(list_sum(list_transform(range(1, len(a.e) + 1),
+                     i -> cast(a.e[i] as double) * cast(b.e[i] as double)))
+                     / (a.nrm * b.nrm), 6) as cosine
+        from wb a join wb b on ({any_shared}) and a.id < b.id)
+      select id_a, id_b, cosine from p where cosine >= 0.40
+    """
+
+
+def _q_ann_cosine(spark, sf_dir):
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(e, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _ann_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+      with q as (select vec_id as qid, embedding as qe from embeddings where vec_id in ({ids})),
+      d as (
+        select q.qid as query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> cast(e.embedding[i] as double) * cast(q.qe[i] as double)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))))
+                  * sqrt(list_sum(list_transform(q.qe, x -> cast(x as double) * cast(x as double))))) as score
+        from embeddings e cross join q
+        where e.vec_id <> q.qid)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id order by score desc, vec_id asc) as rank
+        from d) where rank <= {ANN_K}
+    """
+
+
+def _q_ann_lsh(spark, sf_dir):
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(e, ANN_QUERY_IDS, k=ANN_K).select("query_id", "vec_id", "rank")
+
+
+def _ann_lsh_sql() -> str:
+    """Full oracle for the hyperplane-LSH top-k (was rows-only): the
+    deterministic plane matrix embeds as SQL literals, buckets are the
+    packed dot-product signs, the multi-probe is exactly Hamming ≤ 1 on
+    bucket ids (bit_count(xor)), and candidates re-rank by cosine — the
+    same candidate set and ordering the Spark kernel produces, derived
+    independently in SQL."""
+    from geodesk_spark.operators.ann import _hyperplanes
+
+    n_planes = 12
+    H = _hyperplanes(64, n_planes, 42)
+    planes = ", ".join(
+        f"({p}, [{', '.join(repr(float(v)) for v in H[p])}])" for p in range(n_planes)
+    )
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+      with planes(p, pv) as (values {planes}),
+      base as (
+        select vec_id, embedding as e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)))) as nrm
+        from embeddings),
+      bkt as (
+        select b.vec_id, any_value(b.e) as e, any_value(b.nrm) as nrm,
+               sum(case when list_sum(list_transform(range(1, len(b.e) + 1),
+                        i -> cast(b.e[i] as double) * pl.pv[i])) > 0
+                   then cast(1 as bigint) << pl.p else 0 end) as bucket
+        from base b cross join planes pl
+        group by b.vec_id),
+      q as (select vec_id as qid, e as qe, bucket as qb from bkt where vec_id in ({ids})),
+      cand as (
+        select q.qid as query_id, v.vec_id,
+               list_sum(list_transform(range(1, len(v.e) + 1),
+                    i -> cast(v.e[i] as double) * cast(q.qe[i] as double))) / v.nrm as score
+        from q join bkt v
+          on bit_count(xor(v.bucket, q.qb)) <= 1 and v.vec_id <> q.qid)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from cand) where rank <= {ANN_K}
+    """
+
+

@@ -1,0 +1,162 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    ANN_K,
+    ANN_QUERY_IDS,
+    F,
+    _part_features,
+    ann,
+    tables,
+)
+
+def _q_goql_regex(spark, sf_dir):
+    """GOQL regex clauses ~ / !~ (MatcherParser.java:76-77): Java
+    Pattern.matches() full-match semantics."""
+    from geodesk_spark.goql import compile_goql
+
+    feats = _part_features(spark, sf_dir)
+    return feats.filter(compile_goql('*[type~"STANDARD.*"][brand!~".*#1[0-9]"]')).select(
+        F.col("p_partkey").alias("key")
+    )
+
+
+_SQL_GOQL_REGEX = """
+  select p_partkey as key from part
+  where regexp_full_match(p_type, 'STANDARD.*')
+    and not regexp_full_match(p_brand, '.*#1[0-9]')
+"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
+
+
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC scoring over JVM-encoded sub-codes);
+    rank-only output, oracle = the same deterministic trainer unrolled in
+    SQL (see ann.pq_topk_sql)."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.pq_topk(e, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _ann_ivf_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048, nprobe: int = 8) -> str:
+    """Full oracle for the IVF top-k (was rows-only): the codebook trainer
+    itself — `ann.ivf_centroids`'s deterministic Lloyd iterations on the
+    vec_id%13 sample with evenly-spaced init — is unrolled as chained SQL
+    CTEs (assign = row_number over dot desc with argmax's lowest-index
+    tie-break; element-wise cluster means via zipped unnest; empty
+    clusters keep their previous centroid), then the probe path mirrors
+    `ann.ivf_topk` op-for-op: per-query top-nprobe centroid lists, every
+    vector assigned to its argmax centroid, exact cosine re-rank inside
+    the probed lists.  Derived independently of the numpy kernel — only
+    the algorithm definition is shared."""
+    dot = lambda a, b: (
+        f"list_sum(list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j]))"
+    )
+    iters_sql = ""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        iters_sql += f"""
+      a{i} as (
+        select rn, v, c from (
+          select s.rn, s.v, c.c,
+                 row_number() over (partition by s.rn
+                     order by {dot('s.v', 'c.v')} desc, c.c asc) as rk
+          from sv s cross join {prev} c) where rk = 1),
+      m{i} as (
+        select c, list(mv order by j) as mv from (
+          select c, j, avg(vj) as mv from (
+            select c, unnest(range(1, len(v) + 1)) as j, unnest(v) as vj
+            from a{i}) group by c, j) group by c),
+      c{i} as (
+        select p.c,
+               case when m.c is null then p.v
+                    else list_transform(m.mv, x -> x / greatest(
+                         sqrt(list_sum(list_transform(m.mv, y -> y * y))), 1e-12))
+               end as v
+        from {prev} p left join m{i} m on m.c = p.c),"""
+        prev = f"c{i}"
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+      with samp as (
+        select row_number() over (order by vec_id) - 1 as rn, embedding as e
+        from embeddings where vec_id % 13 = 0 order by vec_id limit {sample}),
+      st as (select greatest(1, count(*) // {n_centroids}) as s from samp),
+      sv as (
+        select rn, list_transform(e, x -> cast(x as double) / greatest(
+               sqrt(list_sum(list_transform(e, y -> cast(y as double) * cast(y as double)))),
+               1e-12)) as v
+        from samp),
+      c0 as (
+        select cast(rn // st.s as int) as c, v from sv, st
+        where rn % st.s = 0 and rn // st.s < {n_centroids}),{iters_sql}
+      q as (
+        select vec_id as qid,
+               list_transform(embedding, x -> cast(x as double) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> cast(y as double) * cast(y as double))))) as qv
+        from embeddings where vec_id in ({ids})),
+      probe as (
+        select qid, c from (
+          select q.qid, c.c,
+                 row_number() over (partition by q.qid
+                     order by {dot('c.v', 'q.qv')} desc, c.c asc) as rk
+          from q cross join {prev} c) where rk <= {nprobe}),
+      allv as (
+        select vec_id,
+               list_transform(embedding, x -> cast(x as double) /
+                   (case when nrm = 0 then 1.0 else nrm end)) as v
+        from (select vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          y -> cast(y as double) * cast(y as double)))) as nrm
+              from embeddings)),
+      vassign as (
+        select vec_id, v, c from (
+          select a.vec_id, a.v, c.c,
+                 row_number() over (partition by a.vec_id
+                     order by {dot('a.v', 'c.v')} desc, c.c asc) as rk
+          from allv a cross join {prev} c) where rk = 1),
+      cand as (
+        select q.qid as query_id, a.vec_id, {dot('a.v', 'q.qv')} as score
+        from q join probe p on p.qid = q.qid
+        join vassign a on a.c = p.c and a.vec_id <> q.qid)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from cand) where rank <= {ANN_K}
+    """
+
+
+def _kmeans_assign_sql(n_centroids: int = 16, iters: int = 3, sample: int = 2048) -> str:
+    """Oracle for kmeans_assign: reuses the IVF trainer + assignment CTEs
+    verbatim (same algorithm definition) and stops at the per-vector
+    argmax — cluster id + size per cluster."""
+    full = _ann_ivf_sql(n_centroids=n_centroids, iters=iters, sample=sample)
+    head = full.split("cand as (")[0].rstrip().rstrip(",")
+    return f"""{head}
+      select c as cluster, count(*) as n_vecs, min(vec_id) as min_vec_id
+      from vassign group by c
+    """
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Full-corpus k-means clustering (the data-curation stage: cluster
+    the embedding table with the deterministic IVF codebook, report the
+    cluster census).  Assignment is the same normalized-argmax scan the
+    IVF probe path uses -- one Arrow pass, codebook broadcast."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return (
+        ann.kmeans_assign(e)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+

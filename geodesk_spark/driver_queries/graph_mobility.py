@@ -1,0 +1,436 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    F,
+    _part_features,
+    lat_expr,
+    lon_expr,
+    tables,
+    x_expr,
+    y_expr,
+)
+
+def _q_pagerank(spark, sf_dir):
+    """Integer PageRank over the user→target interaction graph
+    (graph.pagerank_integer): 5 exact-integer iterations, one shuffle
+    join per round; oracle = the loop unrolled as chained CTEs."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    e = tables.load_spread(spark, sf_dir, "events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+    )
+    # dimension-sized graph: lazy 10-join plan beats 10 blocking rounds
+    return graph_mod.pagerank_integer(e, iters=5, materialize=False)
+
+
+def _pagerank_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    return graph_mod.pagerank_integer_sql(
+        "select user_id as src, event_id % 50 as dst from events", iters=5
+    )
+
+
+SSSP_SOURCES = [0, 7]
+
+
+SSSP_ROUNDS = 4
+
+
+_SSSP_EDGES_SQL = (
+    "select user_id as src, (event_id % 500) + 1000 as dst, 1 + (event_id % 97) as w from events "
+    "union all "
+    "select (event_id % 500) + 1000 as src, user_id as dst, 1 + (event_id % 97) as w from events"
+)
+
+
+def _q_sssp(spark, sf_dir):
+    """Bounded-round SSSP (graph.sssp_rounds): ≤4-hop integer shortest
+    paths from two sources over the undirected user↔target interaction
+    graph — delta-frontier Bellman-Ford, one shuffle join per round;
+    oracle = the frontier-free relaxation unrolled as chained CTEs."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    ev = tables.load_spread(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") % 500) + 1000).alias("dst"),
+        (F.lit(1) + F.col("event_id") % 97).alias("w"),
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return graph_mod.sssp_rounds(
+        e, SSSP_SOURCES, rounds=SSSP_ROUNDS, materialize=False
+    )
+
+
+def _sssp_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    return graph_mod.sssp_rounds_sql(_SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS)
+
+
+GEOFENCES = [
+    ("A", -(1 << 30), -(1 << 29), -(1 << 28), (1 << 29)),
+    ("B", 0, 0, (1 << 29), (1 << 30)),
+    ("C", (1 << 29), -(1 << 30), (1 << 30), 0),
+]
+
+
+def _fence_case_col(x, y):
+    c = None
+    for fid, minx, miny, maxx, maxy in GEOFENCES:
+        cond = (x >= minx) & (x < maxx) & (y >= miny) & (y < maxy)
+        c = F.when(cond, F.lit(fid)) if c is None else c.when(cond, F.lit(fid))
+    return c
+
+
+def _q_geofence(spark, sf_dir):
+    """Geofence enter/exit/switch stream (relational.geofence_transitions):
+    per-event bbox fence assignment (first-match, pure Catalyst) -> per-user
+    lag window; ONE shuffle, null-safe state compare."""
+    from geodesk_spark.operators import relational
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), "event_id"
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        _fence_case_col(F.col("x"), F.col("y")).alias("fence_id"),
+    )
+    return relational.geofence_transitions(located, ts_col="ts_us").select(
+        "user_id", "ts_us", "event_id", "prev_fence", "fence", "kind"
+    )
+
+
+def _geofence_sql() -> str:
+    fence_case = "case " + " ".join(
+        f"when x >= {minx} and x < {maxx} and y >= {miny} and y < {maxy} then '{fid}'"
+        for fid, minx, miny, maxx, maxy in GEOFENCES
+    ) + " end"
+    return f"""
+      with pts as (
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr("event_id"))} as x,
+               {y_expr(lat_expr("event_id"))} as y
+        from events
+      ),
+      located as (select user_id, ts_us, event_id, {fence_case} as fence_id from pts),
+      lagged as (
+        select user_id, ts_us, event_id, fence_id,
+               lag(fence_id) over (partition by user_id order by ts_us, event_id) as prev_fence
+        from located
+      )
+      select user_id, ts_us, event_id, prev_fence, fence_id as fence,
+             case when fence_id is null then 'exit'
+                  when prev_fence is null then 'enter'
+                  else 'switch' end as kind
+      from lagged
+      where fence_id is distinct from prev_fence
+    """
+
+
+COLOC_BUCKET_US = 86_400_000_000  # 1 day
+
+
+COLOC_GRID_BITS = 5
+
+
+COLOC_MIN_BUCKETS = 2
+
+
+COLOC_KEY = "user_id * 7919 + (event_id % 16)"
+
+
+OD_GRID_BITS = 5
+
+
+_EVENTS_LOCATED_SQL = f"""
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr("event_id"))} as x,
+               {y_expr(lat_expr("event_id"))} as y
+        from events
+"""
+
+
+def _located_events(spark, sf_dir):
+    ev = tables.with_derived_points(tables.load_spread(spark, sf_dir, "events"), "event_id")
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+
+
+def _q_colocation(spark, sf_dir):
+    """Co-location contact pairs (mobility.colocation_pairs): users sharing
+    a z5-lattice cell within the same day bucket in >= 2 distinct buckets;
+    distinct-first self-join, hot-cell cap guard."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), COLOC_KEY
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.colocation_pairs(
+        located,
+        bucket_us=COLOC_BUCKET_US,
+        grid_bits=COLOC_GRID_BITS,
+        min_buckets=COLOC_MIN_BUCKETS,
+    )
+
+
+def _colocation_sql() -> str:
+    sub = 1 << (32 - COLOC_GRID_BITS)
+    located = f"""
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(COLOC_KEY))} as x,
+               {y_expr(lat_expr(COLOC_KEY))} as y
+        from events
+    """
+    return f"""
+      with pts as ({located}),
+      obs as (select distinct user_id as u, ts_us // {COLOC_BUCKET_US} as tb,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      ok as (select tb, gx, gy from obs group by tb, gx, gy having count(*) <= 10000),
+      o2 as (select obs.* from obs join ok using (tb, gx, gy)),
+      pairs as (select a.u as u1, b.u as u2, a.tb
+                from o2 a join o2 b
+                  on a.tb = b.tb and a.gx = b.gx and a.gy = b.gy and a.u < b.u)
+      select u1, u2, count(distinct tb) as n_buckets
+      from pairs group by u1, u2
+      having count(distinct tb) >= {COLOC_MIN_BUCKETS}
+    """
+
+
+def _q_od_matrix(spark, sf_dir):
+    """Origin->destination flow matrix (mobility.od_matrix): per (user, day)
+    first/last z5 cell as one trip, conditional aggregation reusing the
+    window partitioning -- one shuffle to trips."""
+    from geodesk_spark.operators import mobility
+
+    return mobility.od_matrix(_located_events(spark, sf_dir), grid_bits=OD_GRID_BITS)
+
+
+def _od_matrix_sql() -> str:
+    sub = 1 << (32 - OD_GRID_BITS)
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      obs as (select user_id as u, ts_us // 86400000000 as day, ts_us, event_id,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      r as (select *,
+                   row_number() over (partition by u, day order by ts_us, event_id) as rf,
+                   row_number() over (partition by u, day order by ts_us desc, event_id desc) as rb
+            from obs),
+      trips as (select u, day,
+                       max(case when rf = 1 then gx end) as o_gx,
+                       max(case when rf = 1 then gy end) as o_gy,
+                       max(case when rb = 1 then gx end) as d_gx,
+                       max(case when rb = 1 then gy end) as d_gy
+                from r group by u, day)
+      select o_gx, o_gy, d_gx, d_gy, count(*) as n_trips
+      from trips group by o_gx, o_gy, d_gx, d_gy
+    """
+
+
+STAY_MIN_US = 3_600_000_000  # 1 hour dwell
+
+
+STAY_GRID_BITS = 8
+
+
+STAY_KEY_SPARK = "user_id * 7919 + (event_id div 1024)"
+
+
+STAY_KEY_SQL = "user_id * 7919 + (event_id // 1024)"
+
+
+def _q_staypoints(spark, sf_dir):
+    """Stay-point detection (mobility.staypoints): maximal same-cell runs
+    per user with >= 1 h dwell -- gaps-and-islands, ONE shuffle (the
+    rollup reuses the window partitioning)."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), STAY_KEY_SPARK
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.staypoints(
+        located, min_duration_us=STAY_MIN_US, grid_bits=STAY_GRID_BITS
+    )
+
+
+def _staypoints_sql() -> str:
+    sub = 1 << (32 - STAY_GRID_BITS)
+    return f"""
+      with pts as (
+        select user_id as u, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(STAY_KEY_SQL))} as x,
+               {y_expr(lat_expr(STAY_KEY_SQL))} as y
+        from events
+      ),
+      obs as (select u, ts_us, event_id,
+                     cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+              from pts),
+      l as (select *, lag(gx) over w as pgx, lag(gy) over w as pgy from obs
+            window w as (partition by u order by ts_us, event_id)),
+      r as (select *, sum(case when pgx is distinct from gx
+                                 or pgy is distinct from gy
+                           then 1 else 0 end)
+                     over (partition by u order by ts_us, event_id) as run
+            from l)
+      select u, min(gx) as gx, min(gy) as gy, count(*) as n_obs,
+             min(ts_us) as start_us, max(ts_us) as end_us,
+             max(ts_us) - min(ts_us) as dwell_us
+      from r group by u, run
+      having max(ts_us) - min(ts_us) >= {STAY_MIN_US}
+    """
+
+
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered orientation
+    (graph.triangle_counts, O(m^1.5) wedge join); oracle counts
+    triangles the INDEPENDENT way — a<b<c triple join with no
+    orientation."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    e = o.select((k % 200).alias("a"), (F.expr("(o_orderkey div 200)") % 200).alias("b"))
+    return graph_mod.triangle_counts(e)
+
+
+_SQL_TRIANGLES = """
+  with e0 as (select o_orderkey % 200 as a, (o_orderkey // 200) % 200 as b
+              from orders),
+  und as (select distinct least(a, b) as u, greatest(a, b) as v
+          from e0 where a <> b),
+  t as (
+    select e1.u as a, e1.v as b, e2.v as c
+    from und e1
+    join und e2 on e2.u = e1.v
+    join und e3 on e3.u = e1.u and e3.v = e2.v
+  )
+  select node, count(*) as n_tri
+  from (select a as node from t union all select b from t union all select c from t) n
+  group by node
+"""
+
+
+_LINREG_T0_US = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+
+
+def _q_linreg_trend(spark, sf_dir):
+    """Exact per-user OLS value trend (stats.group_linreg): decimal-sum
+    closed form, one aggregation — the drift-detection rollup."""
+    from geodesk_spark.operators import stats
+
+    e = tables.load_spread(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_LINREG_T0_US)).alias("xr"),
+        "value",
+    )
+    return stats.group_linreg(e, "user_id", "xr", "value")
+
+
+def _linreg_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    return stats.group_linreg_sql(
+        f"(select user_id, epoch_us(ts) - {_LINREG_T0_US} as xr, value from events) e",
+        "user_id",
+        "xr",
+        "value",
+    )
+
+
+def _q_tag_stats(spark, sf_dir):
+    """taginfo-style key statistics over the GOQL feature view
+    (operators/tags.tag_stats): per key — feature count, distinct
+    values, dominant value; two bounded shuffles."""
+    from geodesk_spark.operators import tags as tags_mod
+
+    return tags_mod.tag_stats(_part_features(spark, sf_dir))
+
+
+_SQL_TAG_STATS = """
+  with kv as (
+    select 'brand' as k, p_brand as v from part
+    union all select 'type', p_type from part
+    union all select 'size', cast(p_size as varchar) from part
+    union all select 'big', 'yes' from part where p_size > 25
+  ),
+  g as (select k, v, count(*) as c from kv group by 1, 2),
+  r as (select *, row_number() over (partition by k order by c desc, v) as rn
+        from g)
+  select k as tag_key, cast(sum(c) as bigint) as n_features,
+         cast(count(*) as int) as n_values,
+         max(case when rn = 1 then v end) as top_value,
+         cast(max(case when rn = 1 then c end) as bigint) as top_n
+  from r group by k
+"""
+
+
+SESSION_GAP_US = 3_600_000_000  # 1 h
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (relational.sessionize): per-user
+    sessions split on >1 h silence; one shuffle (the rollup reuses the
+    window's user partitioning)."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.sessionize(e, gap_us=SESSION_GAP_US)
+
+
+_SQL_SESSIONIZE = f"""
+  with f as (
+    select user_id, event_id, value, epoch_us(ts) as us,
+           lag(epoch_us(ts)) over (partition by user_id
+                                   order by epoch_us(ts), event_id) as prev
+    from events),
+  s as (
+    select *, cast(sum(case when prev is null or us - prev > {SESSION_GAP_US}
+                       then 1 else 0 end)
+                over (partition by user_id order by us, event_id) as int)
+              as session_idx
+    from f)
+  select user_id, session_idx, cast(count(*) as int) as n_events,
+         min(us) as start_us, max(us) as end_us,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from s group by user_id, session_idx
+"""
+
+
+WSAMPLE_K = 200
+
+

@@ -1,0 +1,938 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    CAIRO_XY,
+    DataFrame,
+    EC,
+    F,
+    RECT,
+    T,
+    W,
+    _DERIVED_SQL,
+    _box_sql_base,
+    _derived_orders,
+    _dist_sql,
+    lat_expr,
+    lon_expr,
+    math,
+    np,
+    pip,
+    spatial_join,
+    tables,
+    tile_expr,
+    tiling,
+    x_expr,
+    y_expr,
+)
+
+def _q_raster_pixels(spark, sf_dir):
+    """Vector→raster binning (MapMaker analog, util/MapMaker.java:24-120):
+    per (z8 tile, 256×256 pixel) counts, pure JVM column arithmetic."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.rasterize_pixel_counts(df, zoom=8)
+
+
+_SQL_RASTER_PIXELS = f"""
+  with pts as ({_DERIVED_SQL})
+  select {tile_expr('x', 'y', 8)} as tile,
+         cast(floor((x + 2147483648) / 65536) % 256 as int) as px,
+         cast(floor((2147483647 - y) / 65536) % 256 as int) as py,
+         count(*) as n
+  from pts group by 1, 2, 3
+"""
+
+
+RECT_RING = np.array(
+    [
+        [RECT[0], RECT[1]],
+        [RECT[2], RECT[1]],
+        [RECT[2], RECT[3]],
+        [RECT[0], RECT[3]],
+        [RECT[0], RECT[1]],
+    ],
+    dtype=np.float64,
+)
+
+
+def _pack_line_features(segs: DataFrame) -> DataFrame:
+    """(fid, x1, y1, x2, y2) → line features with packed-geometry blobs."""
+    segs = segs.select(
+        "fid",
+        F.col("x1").cast("int").alias("x1"), F.col("y1").cast("int").alias("y1"),
+        F.col("x2").cast("int").alias("x2"), F.col("y2").cast("int").alias("y2"),
+        F.least("x1", "x2").cast("int").alias("minx"),
+        F.least("y1", "y2").cast("int").alias("miny"),
+        F.greatest("x1", "x2").cast("int").alias("maxx"),
+        F.greatest("y1", "y2").cast("int").alias("maxy"),
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            blobs = [
+                pip.pack_rings(
+                    [np.array([[r.x1, r.y1], [r.x2, r.y2]], dtype=np.float64)]
+                )
+                for r in pdf.itertuples()
+            ]
+            out = pdf[["fid", "minx", "miny", "maxx", "maxy"]].copy()
+            out["gkind"] = "line"
+            out["geom"] = blobs
+            yield out
+
+    return segs.mapInPandas(
+        pack,
+        schema="fid long, minx int, miny int, maxx int, maxy int, gkind string, geom binary",
+    )
+
+
+def _segment_features(spark, sf_dir):
+    """Derived segments as line features (packed-geometry blobs)."""
+    segs = tables.with_derived_segments(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    return _pack_line_features(segs.withColumn("fid", F.col("o_orderkey")))
+
+
+def _box_features(spark, sf_dir):
+    """Derived bboxes as axis-aligned polygon features (rect rings)."""
+    boxes = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    boxes = boxes.select(
+        F.col("o_orderkey").alias("fid"),
+        F.col("minx").cast("int").alias("minx"), F.col("miny").cast("int").alias("miny"),
+        F.col("maxx").cast("int").alias("maxx"), F.col("maxy").cast("int").alias("maxy"),
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            blobs = [
+                pip.pack_rings(
+                    [
+                        np.array(
+                            [
+                                [r.minx, r.miny], [r.maxx, r.miny],
+                                [r.maxx, r.maxy], [r.minx, r.maxy],
+                                [r.minx, r.miny],
+                            ],
+                            dtype=np.float64,
+                        )
+                    ]
+                )
+                for r in pdf.itertuples()
+            ]
+            out = pdf[["fid", "minx", "miny", "maxx", "maxy"]].copy()
+            out["gkind"] = "polygon"
+            out["geom"] = blobs
+            yield out
+
+    return boxes.mapInPandas(
+        pack,
+        schema="fid long, minx int, miny int, maxx int, maxy int, gkind string, geom binary",
+    )
+
+
+def _q_line_intersects(spark, sf_dir):
+    """intersecting (IntersectsFilter.java:21-62) for line features vs the
+    rect polygon, three-band accelerated; oracle = exact SAT test."""
+    from geodesk_spark.operators import predicates
+
+    feats = _segment_features(spark, sf_dir)
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    out = predicates.spatial_predicate_join(feats, prepared, "intersects", keep_cols=["fid"])
+    return out.select("fid", "poly_id")
+
+
+def _seg_sql_base() -> str:
+    ddx, ddy = tables.segment_delta_exprs("o_orderkey")
+    return f"""
+      select o_orderkey as fid, x as x1, y as y1,
+             least(greatest(x + {ddx}, -2147483648), 2147483647) as x2,
+             least(greatest(y + {ddy}, -2147483648), 2147483647) as y2
+      from ({_DERIVED_SQL}) pts
+    """
+
+
+def _sql_line_intersects() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    # SAT for segment vs axis-aligned rect: bbox overlap on x/y axes plus
+    # rect projection onto the segment normal containing the line offset.
+    # Small deltas keep every product ≤ 2^51 → exact in both engines.
+    n_proj = lambda X, Y: f"((y1 - y2) * ({X}) + (x2 - x1) * ({Y}))"
+    corners = [n_proj(rx0, ry0), n_proj(rx1, ry0), n_proj(rx1, ry1), n_proj(rx0, ry1)]
+    c = "((y1 - y2) * x1 + (x2 - x1) * y1)"
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where least(x1, x2) <= {rx1} and greatest(x1, x2) >= {rx0}
+        and least(y1, y2) <= {ry1} and greatest(y1, y2) >= {ry0}
+        and least({', '.join(corners)}) <= {c}
+        and greatest({', '.join(corners)}) >= {c}
+    """
+
+
+def _q_line_within(spark, sf_dir):
+    """within (WithinFilter.java:17-79) for line features vs the rect."""
+    from geodesk_spark.operators import predicates
+
+    feats = _segment_features(spark, sf_dir)
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    out = predicates.spatial_predicate_join(feats, prepared, "within", keep_cols=["fid"])
+    return out.select("fid", "poly_id")
+
+
+def _sql_line_within() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    # Within a convex rect = bbox containment, minus segments lying wholly
+    # on an edge line (no interior point → not DE-9IM within).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where least(x1, x2) >= {rx0} and greatest(x1, x2) <= {rx1}
+        and least(y1, y2) >= {ry0} and greatest(y1, y2) <= {ry1}
+        and not ((x1 = x2 and (x1 = {rx0} or x1 = {rx1}))
+              or (y1 = y2 and (y1 = {ry0} or y1 = {ry1})))
+    """
+
+
+def _q_line_length(spark, sf_dir):
+    """length() in meters (StoredWay.java:189-209) over the packed-geometry
+    column; oracle mirrors Mercator.distance op-for-op."""
+    from geodesk_spark.operators import geometry_ops
+
+    feats = _segment_features(spark, sf_dir)
+    return geometry_ops.with_length_area(feats).select("fid", "length_m")
+
+
+def _sql_line_length() -> str:
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, {_dist_sql('x1', 'y1', 'x2', 'y2')} as length_m from segs
+    """
+
+
+_RESAMPLE_M = 25_000.0  # ~25 km spacing over ~100-300 km segments
+
+
+def _q_line_resample(spark, sf_dir):
+    """Densify lines: a point every 25 km along each derived segment
+    (geometry_ops.resample_along_segments) — shuffle-free JVM
+    sequence-explode with the reference's mid-latitude Mercator length
+    (Mercator.java:194-201)."""
+    from geodesk_spark.operators import geometry_ops
+
+    segs = tables.with_derived_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("fid"), "x1", "y1", "x2", "y2")
+    return geometry_ops.resample_along_segments(segs, _RESAMPLE_M)
+
+
+def _resample_sql() -> str:
+    len_m = _dist_sql("x1", "y1", "x2", "y2")
+    return f"""
+      with segs as ({_seg_sql_base()}),
+      m as (select fid, cast(x1 as double) as x1, cast(y1 as double) as y1,
+                   cast(x2 as double) as x2, cast(y2 as double) as y2,
+                   {len_m} as len_m from segs),
+      e as (select fid, x1, y1, x2, y2, len_m,
+                   unnest(generate_series(0, case when len_m > 0
+                     then cast(floor(len_m / {_RESAMPLE_M!r}) as int) else 0 end)) as pt_seq
+            from m)
+      select fid, cast(pt_seq as int) as pt_seq,
+             x1 + (case when len_m > 0
+                   then (cast(pt_seq as double) * {_RESAMPLE_M!r}) / len_m
+                   else 0.0 end) * (x2 - x1) as px,
+             y1 + (case when len_m > 0
+                   then (cast(pt_seq as double) * {_RESAMPLE_M!r}) / len_m
+                   else 0.0 end) * (y2 - y1) as py
+      from e
+    """
+
+
+def _tri_vertex_exprs(key: str) -> list[tuple[str, str]]:
+    """Three derived vertices per key — an irregular triangle (the
+    simplest simple polygon with a non-trivial centroid).  Same
+    rational lon/lat recipe as every derived table, three decorrelated
+    key streams."""
+    ks = [key, f"(({key}) * 2 + 17)", f"(({key}) * 5 + 101)"]
+    return [
+        (
+            tables.x_expr(tables.lon_expr(k)),
+            tables.y_expr(tables.lat_expr(k)),
+        )
+        for k in ks
+    ]
+
+
+def _q_polygon_centroid(spark, sf_dir):
+    """Area-weighted polygon centroid (StoredFeature.java:473-479's
+    shoelace pass reused for centroid weights): rings as
+    array<struct<x,y>>, one transform + one struct-accumulator
+    aggregate — higher-order functions in whole-stage codegen, no UDF,
+    no shuffle (geometry_ops.ring_centroid_cols)."""
+    from geodesk_spark.operators import geometry_ops
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(x).cast("double").alias("x"),
+                F.expr(y).cast("double").alias("y"),
+            )
+            for x, y in _tri_vertex_exprs("o_orderkey")
+        ]
+    )
+    df = o.select(F.col("o_orderkey").alias("fid"), ring.alias("ring"))
+    a2, cx, cy = geometry_ops.ring_centroid_cols(F.col("ring"))
+    return (
+        df.select("fid", a2.alias("area2"), cx.alias("cx"), cy.alias("cy"))
+        .filter(F.col("area2") != 0.0)
+    )
+
+
+def _centroid_sql() -> str:
+    vs = _tri_vertex_exprs("o_orderkey")
+    cols = ", ".join(
+        f"cast({x} as double) as x{i}, cast({y} as double) as y{i}"
+        for i, (x, y) in enumerate(vs)
+    )
+    # edge terms in ring order (0→1, 1→2, 2→0), summed left-associatively
+    # to mirror the Spark aggregate's left fold exactly
+    return f"""
+      with pts as (select o_orderkey as fid, {cols} from orders),
+      t as (select fid,
+              (x0 * y1 - x1 * y0) as c0,
+              (x1 * y2 - x2 * y1) as c1,
+              (x2 * y0 - x0 * y2) as c2,
+              x0, y0, x1, y1, x2, y2 from pts),
+      s as (select fid,
+              (c0 + c1) + c2 as area2,
+              ((x0 + x1) * c0 + (x1 + x2) * c1) + (x2 + x0) * c2 as sx,
+              ((y0 + y1) * c0 + (y1 + y2) * c1) + (y2 + y0) * c2 as sy
+            from t)
+      select fid, area2, sx / (3.0 * area2) as cx, sy / (3.0 * area2) as cy
+      from s where area2 <> 0.0
+    """
+
+
+XJOIN_ZOOM = 7
+
+
+def _q_crossing_join(spark, sf_dir):
+    """Big-big segment×segment proper-crossing join
+    (bigjoin.crossing_segments_join): order segments × customer
+    corridor segments, one cell-blocked shuffle join, exactly-once via
+    the intersection-cell rule — no distinct."""
+    from geodesk_spark.operators import bigjoin
+
+    a = tables.with_derived_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("aid"), "x1", "y1", "x2", "y2")
+    b = tables.with_derived_long_segments(
+        tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+    ).select(F.col("c_custkey").alias("bid"), "x1", "y1", "x2", "y2")
+    out = bigjoin.crossing_segments_join(a, b, zoom=XJOIN_ZOOM)
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return out.select(
+        "aid", "bid", "t", r4(F.col("ix")).alias("ix"), r4(F.col("iy")).alias("iy")
+    )
+
+
+def _crossing_join_sql() -> str:
+    step = 1 << (32 - XJOIN_ZOOM)
+    b = tiling.cover_bounds_sql(XJOIN_ZOOM)
+    cell = tiling.cover_cell_sql(XJOIN_ZOOM)
+    lddx, lddy = tables.long_segment_delta_exprs("c_custkey")
+    icell = tiling.cover_cell_sql(
+        XJOIN_ZOOM,
+        f"cast(floor((2147483647 - iy) / {step}) as bigint)",
+        f"cast(floor((ix + 2147483648) / {step}) as bigint)",
+    )
+
+    def cover(src_cte: str, idc: str, p: str) -> str:
+        return f"""
+          c1_{p} as (
+            select {idc}, x1 as {p}x1, y1 as {p}y1, x2 as {p}x2, y2 as {p}y2,
+                   {b['cmin']} as cmin, {b['cmax']} as cmax,
+                   {b['rmin']} as rmin, {b['rmax']} as rmax
+            from {src_cte}
+          ),
+          c2_{p} as (select *, unnest(generate_series(cmin, cmax)) as cc from c1_{p}),
+          c3_{p} as (select *, unnest(generate_series(rmin, rmax)) as rr from c2_{p}),
+          cov_{p} as (select *, {cell} as cell from c3_{p})"""
+
+    return f"""
+      with segs_a as ({_seg_sql_base()}),
+      segs_b as (
+        select c_custkey as bid, x as x1, y as y1,
+               least(greatest(x + {lddx}, -2147483648), 2147483647) as x2,
+               least(greatest(y + {lddy}, -2147483648), 2147483647) as y2
+        from (select c_custkey,
+                     {x_expr(lon_expr("c_custkey"))} as x,
+                     {y_expr(lat_expr("c_custkey"))} as y
+              from customer) cp
+      ),
+      sa as (select fid as aid, x1, y1, x2, y2 from segs_a),
+      {cover("sa", "aid", "a")},
+      {cover("segs_b", "bid", "b")},
+      j as (
+        select a.aid, b.bid, a.cell,
+               a.ax1, a.ay1, a.ax2, a.ay2, b.bx1, b.by1, b.bx2, b.by2,
+               (b.bx2 - b.bx1) * (a.ay1 - b.by1) - (b.by2 - b.by1) * (a.ax1 - b.bx1) as d1,
+               (b.bx2 - b.bx1) * (a.ay2 - b.by1) - (b.by2 - b.by1) * (a.ax2 - b.bx1) as d2,
+               (a.ax2 - a.ax1) * (b.by1 - a.ay1) - (a.ay2 - a.ay1) * (b.bx1 - a.ax1) as d3,
+               (a.ax2 - a.ax1) * (b.by2 - a.ay1) - (a.ay2 - a.ay1) * (b.bx2 - a.ax1) as d4
+        from cov_a a join cov_b b on a.cell = b.cell
+      ),
+      m as (
+        select aid, bid, cell,
+               d1 / (d1 - d2) as t,
+               ax1 + (d1 / (d1 - d2)) * (ax2 - ax1) as ix,
+               ay1 + (d1 / (d1 - d2)) * (ay2 - ay1) as iy
+        from j
+        where ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+          and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
+      )
+      select aid, bid, t, floor(ix * 1e4 + 0.5) / 1e4 as ix,
+             floor(iy * 1e4 + 0.5) / 1e4 as iy
+      from m
+      where cell = {icell}
+    """
+
+
+RAST_PSTEP = 1 << 17
+
+
+def _rast_verts() -> list[tuple[int, int, int, int]]:
+    """20 deterministic 12-point concave stars (alternating radii), as
+    closed vertex rows (poly_id, seq, x, y).  Integer literals computed
+    host-side ONCE, so Spark and the oracle see identical vertices."""
+    out = []
+    for k in range(20):
+        cx = ((k * 2654435761) % 3_800_000_001) - 1_900_000_000
+        cy = ((k * 1103515245) % 2_000_000_001) - 1_000_000_000
+        ring = []
+        for j in range(12):
+            a = math.pi / 6 * j
+            r = 12_000_000 if j % 2 == 0 else 5_000_000
+            ring.append((cx + round(r * math.cos(a)), cy + round(r * math.sin(a))))
+        ring.append(ring[0])
+        out.extend((k, s, x, y) for s, (x, y) in enumerate(ring))
+    return out
+
+
+def _q_rasterize_polygons(spark, sf_dir):
+    """Even-odd scanline polygon rasterization to run-length spans
+    (tiles_sink.rasterize_polygons_scanline) over 20 concave stars;
+    the oracle re-derives every span from an INDEPENDENT per-pixel
+    ray-cast + gaps-and-islands regroup."""
+    from geodesk_spark.operators import tiles_sink
+
+    verts = spark.createDataFrame(
+        _rast_verts(), "poly_id long, seq long, x long, y long"
+    )
+    return tiles_sink.rasterize_polygons_scanline(verts, RAST_PSTEP)
+
+
+def _rasterize_sql() -> str:
+    p, h = RAST_PSTEP, RAST_PSTEP // 2
+    vals = ", ".join(f"({k},{s},{x},{y})" for k, s, x, y in _rast_verts())
+    return f"""
+      with verts(poly_id, seq, x, y) as (values {vals}),
+      e as (select * from (
+          select poly_id, x as x1, y as y1,
+                 lead(x) over (partition by poly_id order by seq) as x2,
+                 lead(y) over (partition by poly_id order by seq) as y2
+          from verts) le where x2 is not null),
+      b as (select poly_id,
+              cast(floor(min(least(x1, x2)) / {p}) as bigint) * {p} as ox,
+              cast(ceil(max(greatest(y1, y2)) / {p}) as bigint) * {p} as oy,
+              max(greatest(x1, x2)) as mx, min(least(y1, y2)) as my
+            from e group by poly_id),
+      g as (select poly_id, ox, oy,
+              cast(ceil((mx - ox) / {p}) as bigint) as npx,
+              cast(ceil((oy - my) / {p}) as bigint) as npy
+            from b),
+      pyr as (select poly_id, ox, oy, npx,
+                     unnest(generate_series(0, npy - 1)) as py from g),
+      pix as (select poly_id, ox, py, oy - py * {p} - {h} as yc,
+                     unnest(generate_series(0, npx - 1)) as px from pyr),
+      cnt as (
+        select p.poly_id, p.py, p.px,
+               count(*) filter (where (e.y1 > p.yc) <> (e.y2 > p.yc)
+                  and (p.ox + p.px * {p} + {h})
+                      < e.x1 + (p.yc - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)) as c
+        from pix p join e on e.poly_id = p.poly_id
+        group by 1, 2, 3),
+      ins as (select poly_id, py, px from cnt where c % 2 = 1),
+      isl as (select poly_id, py, px,
+                     px - row_number() over (partition by poly_id, py order by px) as grp
+              from ins)
+      select poly_id, py, min(px) as px0, max(px) as px1
+      from isl group by poly_id, py, grp
+    """
+
+
+BLUR_R = 2
+
+
+def _q_box_blur(spark, sf_dir):
+    """Separable box blur (tiles_sink.box_blur_counts) over the global
+    2^16-pixel grid: the heatmap smoothing between raster binning and
+    encode — two rank-1 explode+regroup passes, 2(2r+1) fan-out
+    instead of (2r+1)², exact integer convolution."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = (
+        df.select(
+            F.floor((F.col("x") + F.lit(2147483648)) / F.lit(65536)).alias("gx"),
+            F.floor((F.lit(2147483647) - F.col("y")) / F.lit(65536)).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("n"))
+    )
+    return tiles_sink.box_blur_counts(pix, radius=BLUR_R)
+
+
+_SQL_BOX_BLUR = f"""
+  with pts as ({{derived}}),
+  pix as (select cast(floor((x + 2147483648) / 65536) as bigint) as gx,
+                 cast(floor((2147483647 - y) / 65536) as bigint) as gy,
+                 count(*) as n
+          from pts group by 1, 2),
+  hx as (select gx + unnest(generate_series(-{BLUR_R}, {BLUR_R})) as gx, gy, n
+         from pix),
+  h as (select gx, gy, sum(n) as n from hx group by 1, 2),
+  vy as (select gx, gy + unnest(generate_series(-{BLUR_R}, {BLUR_R})) as gy, n
+         from h)
+  select gx, gy, cast(sum(n) as bigint) as n from vy group by 1, 2
+"""
+
+
+VEC_GRID_BITS = 7
+
+
+VEC_THRESHOLD = 3
+
+
+def _q_vectorize_edges(spark, sf_dir):
+    """RASTER->VECTOR boundary extraction (tiles_sink.vectorize_boundary_edges):
+    the dense-region footprint of the order-point raster as wound lattice
+    edge segments -- marching-squares contract, integer-exact, one binning
+    shuffle + one anti-join against the inside set."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.vectorize_boundary_edges(
+        df, grid_bits=VEC_GRID_BITS, threshold=VEC_THRESHOLD
+    )
+
+
+_SQL_VECTORIZE_EDGES = f"""
+  with pts as ({{derived}}),
+  cells as (select cast(floor((x + 2147483648) / {1 << (32 - VEC_GRID_BITS)}) as bigint) as gx,
+                   cast(floor((2147483647 - y) / {1 << (32 - VEC_GRID_BITS)}) as bigint) as gy,
+                   count(*) as n
+            from pts group by 1, 2),
+  inside as (select gx, gy from cells where n >= {VEC_THRESHOLD}),
+  dirs(dx, dy, x1o, y1o, x2o, y2o) as (values
+    (0, -1, 0, 0, 1, 0), (1, 0, 1, 0, 1, 1), (0, 1, 1, 1, 0, 1), (-1, 0, 0, 1, 0, 0)),
+  cand as (select i.gx, i.gy, d.* from inside i cross join dirs d),
+  edges as (select c.* from cand c
+            left join inside nb on nb.gx = c.gx + c.dx and nb.gy = c.gy + c.dy
+            where nb.gx is null)
+  select gx + x1o as x1, gy + y1o as y1, gx + x2o as x2, gy + y2o as y2 from edges
+"""
+
+
+DISSOLVE_ZOOM = 5
+
+
+def _q_dissolve(spark, sf_dir):
+    """Dissolve rollup (geometry_ops.union_area_by_group): exact union
+    area of the derived bbox features per z5 center tile -- coordinate
+    compression, quadratic only in the group size, decimal(38,0) exact."""
+    from geodesk_spark.operators import geometry_ops
+
+    boxes = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
+        T.tile_col(F.col("x"), F.col("y"), DISSOLVE_ZOOM).cast("bigint").alias("g"),
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+    )
+    return geometry_ops.union_area_by_group(boxes, "g")
+
+
+def _dissolve_sql() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select {tile_expr('x', 'y', DISSOLVE_ZOOM)} as g, x, y,
+                     {dx} as dx, {dy} as dy from pts),
+      b as (select g, {box['minx']} as minx, {box['maxx']} as maxx,
+                   {box['miny']} as miny, {box['maxy']} as maxy from ext),
+      xs as (select distinct g, v from (
+               select g, minx as v from b union all select g, maxx from b)),
+      xi as (select g, x0, x1 from (
+               select g, v as x0, lead(v) over (partition by g order by v) as x1
+               from xs) t where x1 is not null and x1 > x0),
+      ys as (select distinct g, v from (
+               select g, miny as v from b union all select g, maxy from b)),
+      yi as (select g, y0, y1 from (
+               select g, v as y0, lead(v) over (partition by g order by v) as y1
+               from ys) t where y1 is not null and y1 > y0),
+      cells as (select xi.g, x0, x1, y0, y1 from xi join yi on yi.g = xi.g),
+      cov as (select c.* from cells c where exists (
+                select 1 from b where b.g = c.g
+                  and c.x0 >= b.minx and c.x1 <= b.maxx
+                  and c.y0 >= b.miny and c.y1 <= b.maxy))
+      select g, cast(cast(sum(cast(x1 - x0 as hugeint) * cast(y1 - y0 as hugeint))
+                     as decimal(38,0)) as double) as union_area
+      from cov group by g
+    """
+
+
+HOTSPOT_GRID_BITS = 7
+
+
+def _q_hotspot(spark, sf_dir):
+    """Getis-Ord Gi* hotspot scores over the order-point density raster
+    (tiles_sink.hotspot_gi_star): separable 3x3 neighborhood sums, exact
+    integer aggregates, fixed-order float formula -- bit-reproducible."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.hotspot_gi_star(df, grid_bits=HOTSPOT_GRID_BITS)
+
+
+_SQL_HOTSPOT = f"""
+  with pts as ({{derived}}),
+  cells as (select cast(floor((x + 2147483648) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gx,
+                   cast(floor((2147483647 - y) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gy,
+                   count(*) as n
+            from pts group by 1, 2),
+  nbsum as (select c.gx, c.gy, c.n,
+                   sum(nb.n) as s_i, count(*) as n_i
+            from cells c join cells nb
+              on nb.gx between c.gx - 1 and c.gx + 1
+             and nb.gy between c.gy - 1 and c.gy + 1
+            group by c.gx, c.gy, c.n),
+  stats as (select count(*) as n_tot, sum(n) as sx, sum(n * n) as sxx from cells)
+  select gx, gy, n,
+         case when (sqrt(cast(sxx as double) / cast(n_tot as double)
+                 - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
+            * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0))) = 0.0
+              then null
+              else (cast(s_i as double) - (cast(sx as double) / cast(n_tot as double)) * cast(n_i as double))
+         / (sqrt(cast(sxx as double) / cast(n_tot as double)
+                 - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
+            * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0)))
+         end as gi_star
+  from nbsum cross join stats
+"""
+
+
+def _q_tile_clip(spark, sf_dir):
+    """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
+    (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,
+    zero-shuffle, output pre-keyed by tile for the writer."""
+    from geodesk_spark.operators import tiles_sink
+
+    s = tables.with_derived_long_segments(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("sid"), "x1", "y1", "x2", "y2")
+    return tiles_sink.clip_segments_to_tiles(s, zoom=XJOIN_ZOOM)
+
+
+def _tile_clip_sql() -> str:
+    step = 1 << (32 - XJOIN_ZOOM)
+    b = tiling.cover_bounds_sql(XJOIN_ZOOM)
+    cell = tiling.cover_cell_sql(XJOIN_ZOOM, "rr", "cc")
+    lddx, lddy = tables.long_segment_delta_exprs("o_orderkey")
+    # the four Liang–Barsky (p, q) edge pairs, op-order mirroring the Spark side
+    edges = [
+        ("-(x2 - x1)", "x1 - txmin"),
+        ("(x2 - x1)", "txmax - x1"),
+        ("-(y2 - y1)", "y1 - tymin"),
+        ("(y2 - y1)", "tymax - y1"),
+    ]
+    reject = " or ".join(f"(({p}) = 0 and ({q}) < 0)" for p, q in edges)
+    t0 = "greatest(0.0, " + ", ".join(
+        f"case when ({p}) < 0 then ({q}) / ({p}) else 0.0 end" for p, q in edges
+    ) + ")"
+    t1 = "least(1.0, " + ", ".join(
+        f"case when ({p}) > 0 then ({q}) / ({p}) else 1.0 end" for p, q in edges
+    ) + ")"
+    return f"""
+      with segs as (
+        select o_orderkey as sid, x as x1, y as y1,
+               least(greatest(x + {lddx}, -2147483648), 2147483647) as x2,
+               least(greatest(y + {lddy}, -2147483648), 2147483647) as y2
+        from (select o_orderkey,
+                     {x_expr(lon_expr("o_orderkey"))} as x,
+                     {y_expr(lat_expr("o_orderkey"))} as y
+              from orders) op
+      ),
+      c1 as (
+        select *,
+               {b['cmin']} as cmin, {b['cmax']} as cmax,
+               {b['rmin']} as rmin, {b['rmax']} as rmax
+        from segs
+      ),
+      c2 as (select *, unnest(generate_series(cmin, cmax)) as cc from c1),
+      cov as (select *, unnest(generate_series(rmin, rmax)) as rr from c2),
+      rects as (
+        select sid, x1, y1, x2, y2, cc, rr,
+               cc * {step} - 2147483648 as txmin,
+               cc * {step} - 2147483648 + {step} as txmax,
+               2147483647 - rr * {step} as tymax,
+               2147483647 - rr * {step} - {step} as tymin
+        from cov
+      ),
+      clipped as (
+        select sid, {cell} as cell,
+               {t0} as t0, {t1} as t1, x1, y1, x2, y2
+        from rects
+        where not ({reject})
+      )
+      select sid, cell,
+             floor((x1 + t0 * (x2 - x1)) * 1e4 + 0.5) / 1e4 as cx1,
+             floor((y1 + t0 * (y2 - y1)) * 1e4 + 0.5) / 1e4 as cy1,
+             floor((x1 + t1 * (x2 - x1)) * 1e4 + 0.5) / 1e4 as cx2,
+             floor((y1 + t1 * (y2 - y1)) * 1e4 + 0.5) / 1e4 as cy2
+      from clipped where t0 < t1
+    """
+
+
+_DP_EPS = 8000
+
+
+_DP_VERTS_SQL = """
+  select o_orderkey % 100 as line_id, o_orderkey as seq,
+         (o_orderkey * 48271) % 60001 - 30000 as x,
+         (o_orderkey * 69621) % 60001 - 30000 as y
+  from orders
+"""
+
+
+def _q_simplify_dp(spark, sf_dir):
+    """Douglas–Peucker polyline simplification (geometry_ops.
+    simplify_lines_dp): exact-integer split rule in a per-line Arrow
+    kernel; oracle replays the recursion as a DuckDB recursive CTE."""
+    from geodesk_spark.operators import geometry_ops
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    verts = o.select(
+        (k % 100).alias("line_id"),
+        k.alias("seq"),
+        ((k * 48271) % 60001 - 30000).alias("x"),
+        ((k * 69621) % 60001 - 30000).alias("y"),
+    )
+    return geometry_ops.simplify_lines_dp(verts, eps=_DP_EPS)
+
+
+def _simplify_dp_sql() -> str:
+    from geodesk_spark.operators import geometry_ops
+
+    return geometry_ops.simplify_lines_dp_sql(_DP_VERTS_SQL, eps=_DP_EPS)
+
+
+def _q_box_area(spark, sf_dir):
+    """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
+    the packed-geometry column; oracle mirrors the shoelace + centroid
+    scale² kernel op-for-op (IEEE-identical for the 4-vertex rings)."""
+    from geodesk_spark.operators import geometry_ops
+
+    feats = _box_features(spark, sf_dir)
+    return geometry_ops.with_length_area(feats).select("fid", "area_m2")
+
+
+def _sql_box_area() -> str:
+    # shoelace terms in numpy's sequential order: xs[:-1]*ys[1:] - xs[1:]*ys[:-1]
+    # for ring [(x1,y1),(x2,y1),(x2,y2),(x1,y2),(x1,y1)]
+    d = lambda c: f"cast({c} as double)"
+    t1 = f"({d('minx')} * {d('miny')} - {d('maxx')} * {d('miny')})"
+    t2 = f"({d('maxx')} * {d('maxy')} - {d('maxx')} * {d('miny')})"
+    t3 = f"({d('maxx')} * {d('maxy')} - {d('minx')} * {d('maxy')})"
+    t4 = f"({d('minx')} * {d('miny')} - {d('minx')} * {d('maxy')})"
+    a2 = f"((({t1} + {t2}) + {t3}) + {t4})"
+    cy = f"(((({d('miny')} + {d('miny')}) + {d('maxy')}) + {d('maxy')}) / 4.0)"
+    t = f"({cy} * 2 * pi() / {W!r})"
+    scale = f"((exp({t}) + exp(-({t}))) / 2)"
+    s_ = f"({EC!r} / {W!r} / {scale})"
+    return f"""
+      with boxes as ({_box_sql_base()})
+      select fid,
+             case when abs({a2}) / 2.0 = 0 then 0.0
+                  else (abs({a2}) / 2.0) * {s_} * {s_} end as area_m2
+      from boxes
+    """
+
+
+def _line_pred_query(pred: str):
+    def q(spark, sf_dir):
+        from geodesk_spark.operators import predicates
+
+        feats = _segment_features(spark, sf_dir)
+        prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+        return predicates.spatial_predicate_join(feats, prepared, pred, keep_cols=["fid"]).select(
+            "fid", "poly_id"
+        )
+
+    q.__doc__ = f"{pred} predicate join (filter/*.java) for line features vs the rect polygon."
+    return q
+
+
+def _rect_ring(rect) -> np.ndarray:
+    rx0, ry0, rx1, ry1 = rect
+    return np.array(
+        [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1], [rx0, ry0]], dtype=np.float64
+    )
+
+
+def _box_pred_query(pred: str, rect=None):
+    def q(spark, sf_dir):
+        from geodesk_spark.operators import predicates
+
+        r = rect or RECT
+        feats = _box_features(spark, sf_dir)
+        prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([_rect_ring(r)]))]
+        return predicates.spatial_predicate_join(feats, prepared, pred, keep_cols=["fid"]).select(
+            "fid", "poly_id"
+        )
+
+    q.__doc__ = f"{pred} predicate join for axis-aligned polygon features vs the rect."
+    return q
+
+
+def _seg_sat(strict: bool) -> str:
+    """Separating-axis test for segment vs the rect (closed or open form)."""
+    rx0, ry0, rx1, ry1 = RECT
+    lt, gt = ("<", ">") if strict else ("<=", ">=")
+    n_proj = lambda X, Y: f"((y1 - y2) * ({X}) + (x2 - x1) * ({Y}))"
+    corners = [n_proj(rx0, ry0), n_proj(rx1, ry0), n_proj(rx1, ry1), n_proj(rx0, ry1)]
+    c = "((y1 - y2) * x1 + (x2 - x1) * y1)"
+    return (
+        f"least(x1, x2) {lt} {rx1} and greatest(x1, x2) {gt} {rx0}"
+        f" and least(y1, y2) {lt} {ry1} and greatest(y1, y2) {gt} {ry0}"
+        f" and least({', '.join(corners)}) {lt} {c}"
+        f" and greatest({', '.join(corners)}) {gt} {c}"
+    )
+
+
+def _seg_contained() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    return (
+        f"least(x1, x2) >= {rx0} and greatest(x1, x2) <= {rx1}"
+        f" and least(y1, y2) >= {ry0} and greatest(y1, y2) <= {ry1}"
+    )
+
+
+def _sql_line_crosses() -> str:
+    # crosses = interior intersection (strict SAT) while part of the
+    # segment stays outside (not contained in the closed rect).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where ({_seg_sat(True)}) and not ({_seg_contained()})
+    """
+
+
+def _sql_line_coveredby() -> str:
+    # coveredBy a convex rect = bbox containment (on-edge segments count,
+    # unlike within).
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where {_seg_contained()}
+    """
+
+
+def _sql_line_disjoint() -> str:
+    return f"""
+      with segs as ({_seg_sql_base()})
+      select fid, 'rect' as poly_id from segs
+      where not ({_seg_sat(False)})
+    """
+
+
+def _q_line_touches(spark, sf_dir):
+    """touching (TouchesFilter.java:28-57): segments built to end exactly ON
+    the rect's left edge line from outside — touch iff the endpoint lies
+    within the edge's y-range."""
+    rx0 = RECT[0]
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    ddx, ddy = tables.segment_delta_exprs("o_orderkey")
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    segs = df.select(
+        F.col("o_orderkey").alias("fid"),
+        F.expr(f"{rx0} - 1 - abs({ddx})").alias("x1"),
+        F.col("y").alias("y1"),
+        F.lit(rx0).alias("x2"),
+        F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})").alias("y2"),
+    )
+    from geodesk_spark.operators import predicates
+
+    prepared = [spatial_join.prepare_polygon("rect", pip.pack_rings([RECT_RING]))]
+    return predicates.spatial_predicate_join(
+        _pack_line_features(segs), prepared, "touches", keep_cols=["fid"]
+    ).select("fid", "poly_id")
+
+
+def _sql_line_touches() -> str:
+    rx0, ry0, rx1, ry1 = RECT
+    _, ddy = tables.segment_delta_exprs("o_orderkey")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      segs as (select o_orderkey as fid,
+                      least(greatest(y + ({ddy}), {-(1 << 31)}), {(1 << 31) - 1}) as y2
+               from pts)
+      select fid, 'rect' as poly_id from segs
+      where y2 between {ry0} and {ry1}
+    """
+
+
+SMALL_RECT = (
+    CAIRO_XY[0] - (1 << 23),
+    CAIRO_XY[1] - (1 << 22),
+    CAIRO_XY[0] + (1 << 23),
+    CAIRO_XY[1] + (1 << 22),
+)
+
+
+def _sql_box_pred(pred: str, rect=None) -> str:
+    rx0, ry0, rx1, ry1 = rect or RECT
+    b_in_r = f"(minx >= {rx0} and maxx <= {rx1} and miny >= {ry0} and maxy <= {ry1})"
+    r_in_b = f"({rx0} >= minx and {rx1} <= maxx and {ry0} >= miny and {ry1} <= maxy)"
+    overlap = f"(minx <= {rx1} and maxx >= {rx0} and miny <= {ry1} and maxy >= {ry0})"
+    strict = f"(minx < {rx1} and maxx > {rx0} and miny < {ry1} and maxy > {ry0})"
+    # kernel `contains` needs a rect vertex STRICTLY inside the box
+    corner_strict = " or ".join(
+        f"(minx < {cx} and {cx} < maxx and miny < {cy} and {cy} < maxy)"
+        for cx, cy in [(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)]
+    )
+    conds = {
+        "intersects": overlap,
+        "within": b_in_r,
+        "contains": f"{r_in_b} and ({corner_strict})",
+        "overlaps": f"{strict} and not {b_in_r} and not ({r_in_b} and ({corner_strict}))",
+    }
+    return f"""
+      with box as ({_box_sql_base()})
+      select fid, 'rect' as poly_id from box
+      where {conds[pred]}
+    """
+
+

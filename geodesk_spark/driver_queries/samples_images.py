@@ -1,0 +1,336 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    CAIRO_XY,
+    F,
+    _DERIVED_SQL,
+    dedup,
+    images,
+    spatial_join,
+    synth,
+    tables,
+    text,
+    tiling,
+)
+from geodesk_spark.driver_queries.features_goql import (
+    _SQL_QUALITY,
+    _simhash_sql,
+)
+from geodesk_spark.driver_queries.polygons import (
+    _phash_fixture,
+)
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic exact stratified sample (operators/sampling.py):
+    ceil(0.2·n) docs per language — unlike sampleBy's binomial draw, a
+    small stratum can never vanish from the training mix."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", 0.2).select("doc_id", "lang").orderBy("doc_id")
+
+
+_SQL_STRATIFIED = """
+  with r as (
+    select doc_id, lang,
+           row_number() over (partition by lang
+               order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+           count(*) over (partition by lang) as n
+    from documents)
+  select doc_id, lang from r where rk <= ceil(n * 0.2) order by doc_id
+"""
+
+
+MIX = {"en": 0.1, "de": 0.5, "zh": 1.0}  # fr/es absent → dropped (mix semantics)
+
+
+def _q_sample_mix(spark, sf_dir):
+    """Training-data MIX: per-stratum sampling fractions — upsample rare
+    languages, downsample the dominant one, drop the rest.  Exact
+    deterministic counts per stratum (sampling.stratified_sample with a
+    dict fraction)."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(d, "lang", MIX)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _sample_mix_sql() -> str:
+    cases = " ".join(f"when lang = '{k}' then {v}" for k, v in MIX.items())
+    return f"""
+      with r as (
+        select doc_id, lang,
+               row_number() over (partition by lang
+                   order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+               count(*) over (partition by lang) as n,
+               (case {cases} else 0.0 end) as f
+        from documents)
+      select doc_id, lang from r where rk <= ceil(n * f) order by doc_id
+    """
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/sampling.py): length-desc
+    prefix-sum binning for fixed context windows — one range-partitioned
+    sort, no driver state."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return sampling.pack_sequences(d, budget=4096, len_col="n_chars").orderBy("doc_id")
+
+
+_SQL_PACK = """
+  select doc_id, n_chars,
+         cast(floor((sum(n_chars) over w - n_chars) / 4096.0) as bigint) as bin_id,
+         cast(sum(n_chars) over w as bigint) as cum_tokens
+  from documents
+  window w as (order by n_chars desc, doc_id
+               rows between unbounded preceding and current row)
+  order by doc_id
+"""
+
+
+def _q_corpus_prep(spark, sf_dir):
+    """End-to-end corpus preparation — the integration of the
+    training-data ops a real pipeline chains between raw text and
+    training: exact dedup (keep canonical) → quality filter →
+    deterministic stratified sample by language → token-budget packing
+    → per-bin rollup.  Every stage is one of this repo's oracle-checked
+    operators; the composite is oracle-checked as a whole."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    canon = dedup.exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    docs = d.join(canon, "doc_id")
+    q = text.quality_scores(docs)
+    keep = q.filter((F.col("punct_ratio") <= 0.2) & (F.col("n_tokens") >= 5)).select("doc_id")
+    filtered = docs.join(keep, "doc_id")
+    s = sampling.stratified_sample(filtered, "lang", 0.5)
+    p = sampling.pack_sequences(s, budget=2048, len_col="n_chars")
+    return (
+        p.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_total"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def _corpus_prep_sql() -> str:
+    quality_over_docs = _SQL_QUALITY.replace("from documents", "from docs")
+    return rf"""
+      with canon as (
+        select min(doc_id) as doc_id
+        from documents
+        group by md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      docs as (select d.* from documents d join canon using (doc_id)),
+      q as ({quality_over_docs}),
+      keep as (select doc_id from q where punct_ratio <= 0.2 and n_tokens >= 5),
+      filtered as (select d.* from docs d join keep using (doc_id)),
+      ranked as (
+        select doc_id, lang, n_chars,
+               row_number() over (partition by lang
+                   order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
+               count(*) over (partition by lang) as n
+        from filtered),
+      sampled as (select doc_id, n_chars from ranked where rk <= ceil(n * 0.5)),
+      packed as (
+        select doc_id, n_chars,
+               cast(floor((sum(n_chars) over w - n_chars) / 2048.0) as bigint) as bin_id
+        from sampled
+        window w as (order by n_chars desc, doc_id
+                     rows between unbounded preceding and current row))
+      select bin_id, count(*) as n_docs,
+             cast(sum(n_chars) as bigint) as n_chars_total
+      from packed group by bin_id order by bin_id
+    """
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: the 16-bit simhash through the SAME
+    pigeonhole banding machinery as phash (4 × 4-bit bands ⇒ exact for
+    Hamming ≤ 3); here Hamming ≤ 2 on token-level simhashes, the usual
+    boilerplate-dup screen."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    sh = dedup.simhash16(d)
+    return dedup.phash_neardup_pairs(
+        sh, id_col="doc_id", phash_col="simhash", max_hamming=2, hash_bits=16
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_sql() -> str:
+    """Brute-force all-pairs over the simhash oracle CTE — independent
+    of the banding under test."""
+    return f"""
+      with s as ({_simhash_sql()})
+      select a.doc_id as id_a, b.doc_id as id_b,
+             cast(bit_count(xor(cast(a.simhash as bigint),
+                                cast(b.simhash as bigint))) as int) as hamming
+      from s a join s b on a.doc_id < b.doc_id
+      where bit_count(xor(cast(a.simhash as bigint), cast(b.simhash as bigint))) <= 2
+      order by 1, 2
+    """
+
+
+def _q_image_dedup_pipeline(spark, sf_dir):
+    """Image near-dup resolution end-to-end: phash Hamming banding →
+    connected components → canonical id per image (singletons are their
+    own canonical) — the image-payload twin of corpus_prep_pipeline."""
+    rows = _phash_fixture()
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = dedup.phash_neardup_pairs(imgs)
+    comp = dedup.connected_components(pairs, a_col="id_a", b_col="id_b")
+    out = imgs.join(comp.withColumnRenamed("doc_id", "image_id"), "image_id", "left")
+    canonical = F.coalesce("comp_id", F.col("image_id"))
+    return out.select(
+        "image_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("image_id")).alias("is_canonical"),
+    ).orderBy("image_id")
+
+
+def _image_dedup_sql() -> str:
+    """Brute-force pairs + recursive-CTE transitive closure — fully
+    independent of both the banding and the iterative CC code."""
+    vals = ", ".join(f"('{i}', {p})" for i, p in _phash_fixture())
+    return f"""
+      with recursive t(image_id, phash) as (values {vals}),
+      p as (
+        select a.image_id as id_a, b.image_id as id_b
+        from t a join t b
+          on a.image_id < b.image_id
+         and bit_count(xor(a.phash, b.phash)) <= 3),
+      edges as (select id_a as a, id_b as b from p
+                union select id_b, id_a from p),
+      reach(s, t2) as (
+        select a, a from edges
+        union
+        select r.s, e.b from reach r join edges e on r.t2 = e.a),
+      comp as (select s as image_id, min(t2) as comp_id from reach group by s)
+      select t.image_id,
+             coalesce(c.comp_id, t.image_id) as canonical_id,
+             coalesce(c.comp_id, t.image_id) = t.image_id as is_canonical
+      from t left join comp c using (image_id)
+      order by t.image_id
+    """
+
+
+def _q_images_decode(spark, sf_dir):
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.decode_stats(imgs).select(
+        "image_id", "dec_w", "dec_h",
+        F.round("mean_r", 4).alias("mean_r"),
+        (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+        "phash_ok",
+    )
+
+
+def _q_images_flagship(spark, sf_dir):
+    """Flagship: synthetic image table → imp encode → tile → three-band PIP
+    join against the polygon layer → per-tile match counts."""
+    imgs = synth.images_df(spark, 20_000, with_bytes=False, partitions=16)
+    pts = tiling.with_point_tiles(tiling.with_imp_coords(imgs))
+    prepared = spatial_join.prepare_layer(synth.polygon_layer())
+    joined = spatial_join.contains_points(
+        pts.select("image_id", "x", "y", "tile_z8"), prepared, keep_cols=["image_id", "tile_z8"]
+    )
+    return joined.groupBy("poly_id").agg(F.count("*").alias("n_matches")).orderBy("poly_id")
+
+
+def _q_tile_multitile(spark, sf_dir):
+    """Bbox features → pyramid placement with multi-tile duplication and
+    MULTITILE_WEST/NORTH flags (FeatureFlags.java:19-24, §1.2 dedup rule) —
+    fully JVM-side explode, no UDF."""
+    df = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    out = tiling.explode_bbox_tiles(df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy"))
+    return out.select(
+        "key",
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tile").cast("bigint").alias("tile"),
+        F.col("flags").cast("int").alias("flags"),
+    )
+
+
+def _sql_tile_multitile() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    span = lambda z: (
+        f"(floor((maxx + 2147483648) / {1 << (32 - z)}) - floor((minx + 2147483648) / {1 << (32 - z)}) < 2"
+        f" and floor((2147483647 - miny) / {1 << (32 - z)}) - floor((2147483647 - maxy) / {1 << (32 - z)}) < 2)"
+    )
+    zoom_case = "case " + " ".join(
+        f"when {span(z)} then {z}" for z in sorted(tiling.ZOOM_LEVELS, reverse=True)
+    ) + " else 0 end"
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select o_orderkey as key, x, y, {dx} as dx, {dy} as dy from pts),
+      box as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                     {box['miny']} as miny, {box['maxy']} as maxy from ext),
+      z as (select *, {zoom_case} as zoom from box),
+      g as (select *, cast(pow(2.0, 32 - zoom) as bigint) as step from z),
+      c as (select key, zoom,
+                   cast(floor((minx + 2147483648) / step) as bigint) as c0,
+                   cast(floor((maxx + 2147483648) / step) as bigint) as c1,
+                   cast(floor((2147483647 - maxy) / step) as bigint) as r0,
+                   cast(floor((2147483647 - miny) / step) as bigint) as r1
+            from g)
+      select key, cast(zoom as int) as zoom,
+             cast(zoom * 16777216 + (r0 + dr) * 4096 + (c0 + dc) as bigint) as tile,
+             cast(dc * 64 + dr * 128 as int) as flags
+      from c cross join (values (0, 0), (0, 1), (1, 0), (1, 1)) as d(dc, dr)
+      where (dc = 0 or c1 > c0) and (dr = 0 or r1 > r0)
+    """
+
+
+DEDUP_WIN = (
+    CAIRO_XY[0] - (1 << 24),
+    CAIRO_XY[1] - (1 << 24),
+    CAIRO_XY[0] + (1 << 25),
+    CAIRO_XY[1] + (1 << 24),
+)
+
+
+def _q_tile_window_dedup(spark, sf_dir):
+    """Exactly-once window query over multi-tile copies: tile-list pruning
+    (the tile-index walk) + NW-flag suppression + exact bbox test — each
+    intersecting feature emitted ONCE with no shuffle-distinct
+    (RTreeQueryTask.java:103-104, TileIndexWalker.java:251-284)."""
+    qminx, qminy, qmaxx, qmaxy = DEDUP_WIN
+    df = tables.with_derived_boxes(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    copies = tiling.explode_bbox_tiles(
+        df.select(F.col("o_orderkey").alias("key"), "minx", "miny", "maxx", "maxy")
+    )
+    tiles = tiling.query_tile_list(qminx, qminy, qmaxx, qmaxy)
+    return (
+        copies.filter(F.col("tile").isin(tiles))
+        .filter(
+            (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+            & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
+        )
+        .filter(tiling.nw_dedup_filter(qminx, qmaxy))
+        .select("key")
+    )
+
+
+def _sql_tile_window_dedup() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    qminx, qminy, qmaxx, qmaxy = DEDUP_WIN
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      ext as (select o_orderkey as key, x, y, {dx} as dx, {dy} as dy from pts),
+      box as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                     {box['miny']} as miny, {box['maxy']} as maxy from ext)
+      select key from box
+      where minx <= {qmaxx} and maxx >= {qminx} and miny <= {qmaxy} and maxy >= {qminy}
+    """
+
+

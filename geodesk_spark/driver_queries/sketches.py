@@ -1,0 +1,304 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    F,
+    T,
+    _DERIVED_SQL,
+    _derived_orders,
+    tables,
+    tile_expr,
+)
+from geodesk_spark.driver_queries.graph_mobility import (
+    WSAMPLE_K,
+)
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis on the portable
+    md5-uniform): 200 documents drawn ∝ n_chars; plans as
+    TakeOrderedAndProject — per-partition top-k, no shuffle."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return sampling.weighted_sample(d, k=WSAMPLE_K, weight_col="n_chars")
+
+
+def _weighted_sample_sql() -> str:
+    from geodesk_spark.operators import sampling
+
+    return sampling.weighted_sample_sql(
+        "(select doc_id, lang, n_chars from documents) d",
+        k=WSAMPLE_K,
+        weight_col="n_chars",
+    )
+
+
+def _q_hll_registers(spark, sf_dir):
+    """HLL approx-distinct register state per event_type (operators/
+    sketches.py): the mergeable-sketch rollup a 10^12-row COUNT(DISTINCT)
+    needs — map-side combine reduces each partition to ≤512 rows/key
+    before the shuffle.  Registers are built on a portable md5-derived
+    hash, so the oracle reproduces them bit-exactly."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.hll_registers(
+        e, ["event_type"], "cast(user_id as string)", p=9
+    ).select("event_type", "bucket", "rho")
+
+
+def _hll_registers_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 9)
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events)
+      select event_type, cast({bucket} as int) as bucket, cast(max({rho}) as int) as rho
+      from v group by event_type, bucket
+    """
+
+
+def _q_hll_pyramid(spark, sf_dir):
+    """Tile-pyramid sketch rollup (sketches.hll_merge): per-z10-tile HLL
+    registers of distinct customers, MERGED (register-wise max) up to z8
+    and z6 without touching the fact table again; the oracle computes
+    every zoom DIRECTLY from the facts -- merge ≡ direct is the
+    mergeability theorem the 100 TB rollup relies on."""
+    from geodesk_spark.operators import sketches
+
+    df = _derived_orders(spark, sf_dir).withColumn(
+        "tile", T.tile_col(F.col("x"), F.col("y"), 10).cast("int")
+    )
+    r10 = sketches.hll_registers(df, ["tile"], "cast(o_custkey as string)", p=6)
+    r8 = sketches.hll_merge(
+        r10.withColumn("tile", T.zoomed_out_col(F.col("tile"), 8, 10)), ["tile"]
+    )
+    r6 = sketches.hll_merge(
+        r8.withColumn("tile", T.zoomed_out_col(F.col("tile"), 6, 8)), ["tile"]
+    )
+    out = (
+        r10.withColumn("zoom", F.lit(10))
+        .unionByName(r8.withColumn("zoom", F.lit(8)))
+        .unionByName(r6.withColumn("zoom", F.lit(6)))
+    )
+    return out.select("zoom", F.col("tile").cast("bigint").alias("tile"), "bucket", "rho")
+
+
+def _hll_pyramid_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 6)
+    branches = []
+    for z in (10, 8, 6):
+        branches.append(f"""
+      select {z} as zoom, {tile_expr('x', 'y', z)} as tile,
+             cast({bucket} as int) as bucket, cast(max({rho}) as int) as rho
+      from v group by 1, 2, 3""")
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      v as (select pts.x, pts.y, cast(o.o_custkey as varchar) as v
+            from pts join orders o using (o_orderkey))
+      {" union all ".join(branches)}
+    """
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HLL estimate read off the merged registers (Flajolet et al. 2007
+    estimator with linear-counting small-range correction)."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.hll_estimate(e, ["event_type"], "cast(user_id as string)", p=9)
+
+
+def _hll_distinct_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    bucket, rho = sketches.hll_sql("v", 9)
+    m = 512
+    alpha_m2 = 0.7213 / (1 + 1.079 / m) * m * m
+    raw = f"{alpha_m2!r} / (s + (512 - ne))"
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      regs as (select event_type, {bucket} as bucket, max({rho}) as rho
+               from v group by event_type, bucket),
+      agg as (select event_type, sum(power(2.0, -rho)) as s, count(*) as ne
+              from regs group by event_type)
+      select event_type,
+             case when {raw} <= 1280.0 and (512 - ne) > 0
+                  then 512.0 * ln(512.0 / (512 - ne))
+                  else {raw} end as approx_distinct
+      from agg
+    """
+
+
+CMS_W, CMS_D = 128, 4
+
+
+CMS_PROBES = [str(u) for u in range(20)]
+
+
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def _q_cms_registers(spark, sf_dir):
+    """Count-min register table per event_type (operators/sketches.py):
+    the mergeable frequency sketch — ≤ d·w counter rows per key after
+    map-side combine, element-wise-ADD merge across partitions/days."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.cms_registers(
+        e, ["event_type"], "cast(user_id as string)", w=CMS_W, d=CMS_D
+    ).select("event_type", "j", "col", "cnt")
+
+
+def _cms_registers_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.cms_hash_sqls("v", CMS_W, CMS_D)
+    ex = " union all ".join(
+        f"select event_type, {j} as j, {h} as col from v" for j, h in enumerate(hs)
+    )
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      ex as ({ex})
+      select event_type, cast(j as int) as j, cast(col as int) as col,
+             count(*) as cnt
+      from ex group by 1, 2, 3
+    """
+
+
+def _q_cms_estimate(spark, sf_dir):
+    """Point-frequency reads off the CMS: registers ⋈ broadcast probe
+    hashes → min over depths.  Estimates are integer-exact reproducible
+    (portable md5 rows), over-count-only by construction."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    probe = spark.createDataFrame([(v,) for v in CMS_PROBES], "pv string")
+    return sketches.cms_estimate(
+        e, ["event_type"], "cast(user_id as string)", probe, "pv",
+        w=CMS_W, d=CMS_D,
+    ).select("event_type", "probe_value", "est_count")
+
+
+def _cms_estimate_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.cms_hash_sqls("v", CMS_W, CMS_D)
+    ex = " union all ".join(
+        f"select event_type, {j} as j, {h} as col from v" for j, h in enumerate(hs)
+    )
+    ps = sketches.cms_hash_sqls("pv", CMS_W, CMS_D)
+    pex = " union all ".join(
+        f"select pv, {j} as j, {h} as col from probe" for j, h in enumerate(ps)
+    )
+    vals = ", ".join(f"('{v}')" for v in CMS_PROBES)
+    return f"""
+      with v as (select event_type, cast(user_id as string) as v from events),
+      ex as ({ex}),
+      regs as (select event_type, j, col, count(*) as cnt from ex group by 1, 2, 3),
+      probe as (select * from (values {vals}) t(pv)),
+      pex as ({pex})
+      select regs.event_type, pex.pv as probe_value, min(regs.cnt) as est_count
+      from regs join pex on regs.j = pex.j and regs.col = pex.col
+      group by 1, 2
+    """
+
+
+def _q_bloom_bits(spark, sf_dir):
+    """Build-side Bloom filter over the order-holding customer keys —
+    ≤ m rows whatever the input scale, broadcastable, union-mergeable."""
+    from geodesk_spark.operators import sketches
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    return sketches.bloom_bits(
+        o, "cast(o_custkey as string)", m=BLOOM_M, k=BLOOM_K
+    ).select(F.col("bit_idx").cast("int").alias("bit_idx"))
+
+
+def _bloom_ex_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    hs = sketches.bloom_hash_sqls("v", BLOOM_M, BLOOM_K)
+    return " union all ".join(f"select {h} as bit_idx from v" for h in hs)
+
+
+def _bloom_bits_sql() -> str:
+    return f"""
+      with v as (select cast(o_custkey as string) as v from orders),
+      ex as ({_bloom_ex_sql()})
+      select distinct cast(bit_idx as int) as bit_idx from ex
+    """
+
+
+def _q_bloom_prune(spark, sf_dir):
+    """Bloom semi-join pruning: flag every customer whose key MIGHT be in
+    orders — the broadcast pre-shuffle prune for 10^12-row probe sides.
+    False positives are deterministic (same md5 bit math in any engine),
+    so the oracle reproduces the exact candidate set, not just the true
+    members."""
+    from geodesk_spark.operators import sketches
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    c = tables.load_spread(spark, sf_dir, "customer").select("c_custkey")
+    bits = sketches.bloom_bits(o, "cast(o_custkey as string)", m=BLOOM_M, k=BLOOM_K)
+    out = sketches.bloom_might_contain(
+        c, bits, "cast(c_custkey as string)", m=BLOOM_M, k=BLOOM_K
+    )
+    return out.select("c_custkey", F.col("might_contain").cast("int").alias("might_contain"))
+
+
+def _bloom_prune_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    ps = sketches.bloom_hash_sqls("pv", BLOOM_M, BLOOM_K)
+    pex = " union all ".join(
+        f"select c_custkey, {h} as bit from p" for h in ps
+    )
+    return f"""
+      with v as (select cast(o_custkey as string) as v from orders),
+      ex as ({_bloom_ex_sql()}),
+      bits as (select distinct bit_idx from ex),
+      p as (select c_custkey, cast(c_custkey as string) as pv from customer),
+      pex as ({pex})
+      select pex.c_custkey,
+             cast((count(b.bit_idx) = {BLOOM_K}) as int) as might_contain
+      from pex left join bits b on pex.bit = b.bit_idx
+      group by 1
+    """
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Batch-incremental windowed aggregation over the events stream table
+    (the reference has no streaming; SURVEY §2.7 maps to snapshot batches)."""
+    e = tables.load_spread(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+  select event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
+         count(*) as n,
+         cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+  from events group by 1, 2
+"""
+
+

@@ -1,0 +1,446 @@
+"""Driver-contract query builders (split from __spark_entry__.py).
+
+Auto-split by tools/split_entry.py: statements keep their original
+relative order; cross-module imports are computed from the actual
+name-reference graph.  See registry.py for the assembled QUERIES."""
+
+from __future__ import annotations
+
+from geodesk_spark.driver_queries.common import (
+    CAIRO_XY,
+    F,
+    H,
+    T,
+    W,
+    _DERIVED_SQL,
+    _box_sql_base,
+    _derived_orders,
+    lat_expr,
+    lon_expr,
+    math,
+    mercator,
+    skew,
+    tables,
+    tile_expr,
+    x_expr,
+    y_expr,
+)
+
+def _q_tile_assign(spark, sf_dir):
+    """Tile assignment (SURVEY §2.1 tile scan / §1.2): points → z12 tiles,
+    JVM-side bit arithmetic (geo/tile.py tile_col), grouped count."""
+    df = _derived_orders(spark, sf_dir)
+    return (
+        df.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 12).cast("bigint"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"))
+        .select("tile", "n")
+    )
+
+
+_SQL_TILE_ASSIGN = f"""
+  with pts as ({_DERIVED_SQL})
+  select {tile_expr('x', 'y', 12)} as tile, count(*) as n
+  from pts group by 1
+"""
+
+
+def _q_tile_pyramid(spark, sf_dir):
+    """Zoom pyramid rollup (zoomedOut, Tile.java:184-190): z12 → z8 parents."""
+    df = _derived_orders(spark, sf_dir)
+    t12 = T.tile_col(F.col("x"), F.col("y"), 12)
+    return (
+        df.withColumn("tile_z8", T.zoomed_out_col(t12, 8, 12).cast("bigint"))
+        .groupBy("tile_z8")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_TILE_PYRAMID = f"""
+  with pts as ({_DERIVED_SQL})
+  select {tile_expr('x', 'y', 8)} as tile_z8, count(*) as n
+  from pts group by 1
+"""
+
+
+def _q_morton_cells(spark, sf_dir):
+    """Z-order (Morton) cell ids — the TIP-walk-order analog for
+    range-clustered cloud storage (geo/curve.py): one int64 key that
+    clusters both axes; JVM bit-spread, no UDF."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    return (
+        df.select(
+            F.col("o_orderkey").alias("key"),
+            curve.morton_cell_col(F.col("x"), F.col("y"), 12).alias("zcell"),
+        )
+        .orderBy("zcell", "key")
+    )
+
+
+def _morton_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey as key, {curve.morton_sql('x', 'y', 12)} as zcell
+      from pts order by zcell, key
+    """
+
+
+def _q_geohash_cells(spark, sf_dir):
+    """Geohash base32 trie keys (geo/curve.py geohash8_col) — the fourth
+    index family: string prefixes form the multi-resolution cell
+    hierarchy (substr rollups, prefix-range scans).  Pure JVM bit-spread
+    + element_at lookup; lon/lat recovered from imps with the same op
+    order as coords_precision7."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    lon = mercator.lon_from_x_col(F.col("x"))
+    lat = mercator.lat_from_y_col(F.col("y"))
+    return (
+        df.select(
+            F.col("o_orderkey").alias("key"),
+            curve.geohash8_col(lon, lat).alias("gh"),
+            F.substring(curve.geohash8_col(lon, lat), 1, 4).alias("gh4"),
+        )
+        .orderBy("key")
+    )
+
+
+def _geohash_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    import math
+
+    c1 = repr(2 * math.pi / W)
+    c2 = repr(360 / math.pi)
+    lon = f"(cast(x as double) * 360 / {W!r})"
+    lat = f"(atan(exp(cast(y as double) * {c1})) * {c2} - 90)"
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      zt as (select o_orderkey, {curve.geohash_z_sql(lon, lat)} as z from pts)
+      select o_orderkey as key,
+             {curve.geohash_chars_sql('z')} as gh,
+             substr({curve.geohash_chars_sql('z')}, 1, 4) as gh4
+      from zt order by key
+    """
+
+
+def _q_hilbert_cells(spark, sf_dir):
+    """Hilbert-curve cell ids — the S2-style clustering key
+    (geo/curve.hilbert_cell_cols): consecutive ids are ALWAYS
+    edge-adjacent cells, strictly better worst-case range locality than
+    Z-order; level-by-level JVM projections, no UDF."""
+    from geodesk_spark.geo import curve
+
+    df = _derived_orders(spark, sf_dir)
+    return curve.hilbert_cell_cols(df, "x", "y", 12).select(
+        F.col("o_orderkey").alias("key"), "hcell"
+    ).orderBy("hcell", "key")
+
+
+def _hilbert_sql() -> str:
+    from geodesk_spark.geo import curve
+
+    ctes, final = curve.hilbert_sql("x", "y", 12)
+    return f"""
+      with __hilbert_input__ as ({_DERIVED_SQL}), {ctes}
+      select o_orderkey as key, hcell from {final} t
+      order by hcell, key
+    """
+
+
+HEX_SIZE = 25_000_000  # hex circumradius in imps (~100 km at the equator)
+
+
+def _q_hex_cells(spark, sf_dir):
+    """H3-style hexagonal cell rollup (geo/hexgrid.py): the third index
+    family the build target names (quad-tile = GeoDesk TIP, Z/Hilbert =
+    S2-style keys, hex = H3-style).  Fractional-axial → cube-round is
+    pure Columns (floor(v+0.5) rounding, bit-identical across numpy /
+    Spark / DuckDB); per-cell count aggregation — one scan, one partial
+    agg, the canonical H3 geo-aggregation shape."""
+    from geodesk_spark.geo import hexgrid
+
+    df = _derived_orders(spark, sf_dir)
+    return (
+        hexgrid.hex_cell_cols(df, "x", "y", HEX_SIZE)
+        .groupBy("hcell")
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_key"))
+        .select("hcell", "n", "min_key")
+    )
+
+
+def _hex_sql() -> str:
+    from geodesk_spark.geo import hexgrid
+
+    ctes, final = hexgrid.hex_sql("x", "y", HEX_SIZE)
+    return f"""
+      with __hex_input__ as ({_DERIVED_SQL}), {ctes}
+      select hcell, count(*) as n, min(o_orderkey) as min_key
+      from ({final}) t group by hcell
+    """
+
+
+def _q_hex_kring(spark, sf_dir):
+    """H3-style kRing smoothing (operators/hexes.py): hex rollup →
+    per-cell ring-1 neighborhood sum.  The offsets table (7 rows) is
+    broadcast; one regroup shuffle on the target cell — the isotropic
+    hex analog of the quad tile_pyramid_rollup."""
+    from geodesk_spark.geo import hexgrid
+    from geodesk_spark.operators import hexes
+
+    df = _derived_orders(spark, sf_dir)
+    cells = (
+        hexgrid.hex_cell_cols(df, "x", "y", HEX_SIZE)
+        .groupBy("hcell")
+        .agg(F.count("*").alias("n"))
+    )
+    return hexes.kring_smooth(cells, k=1).select("hcell", "n", "ring_sum", "ring_cells")
+
+
+def _hex_kring_sql() -> str:
+    from geodesk_spark.geo import hexgrid
+    from geodesk_spark.operators import hexes
+
+    ctes, final = hexgrid.hex_sql("x", "y", HEX_SIZE)
+    rel = (
+        f"(with __hex_input__ as ({_DERIVED_SQL}), {ctes} "
+        f"select hcell, count(*) as n from ({final}) t group by hcell)"
+    )
+    return hexes.kring_sql(rel, k=1)
+
+
+def _q_hex_polyfill(spark, sf_dir):
+    """H3-polyfill analog (operators/hexes.polyfill_bbox): every derived
+    bbox → the hex cells whose centers it contains (H3's
+    center-in-polygon rule), rolled up per box.  Pure-JVM ceil/floor +
+    sequence explode — the build side of a hex range join."""
+    from geodesk_spark.operators import hexes
+
+    boxes = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("fid"), "minx", "miny", "maxx", "maxy")
+    cells = hexes.polyfill_bbox(boxes, size=HEX_SIZE)
+    return cells.groupBy("fid").agg(
+        F.count("*").alias("n_cells"),
+        F.min("hcell").alias("min_hcell"),
+        F.max("hcell").alias("max_hcell"),
+    )
+
+
+def _hex_polyfill_sql() -> str:
+    from geodesk_spark.operators import hexes
+
+    rel = f"(select fid, minx, miny, maxx, maxy from ({_box_sql_base()}) bb)"
+    return f"""
+      select fid, count(*) as n_cells, min(hcell) as min_hcell,
+             max(hcell) as max_hcell
+      from ({hexes.polyfill_sql(rel, HEX_SIZE)}) pf group by fid
+    """
+
+
+_VT_CX = 7919 * 524287
+
+
+_VT_CY = 104729 * 99991
+
+
+def _vt_lines(spark, sf_dir):
+    """Synthetic polylines (integer arithmetic only — bit-exact in every
+    engine): 200 lines, vertices clustered ±200k imps around a per-line
+    center so coarse-grid quantization actually elides vertices."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    lid = k % 200
+    cx = (lid * F.lit(_VT_CX)) % F.lit(4000000001) - F.lit(2000000000)
+    cy = (lid * F.lit(_VT_CY)) % F.lit(3000000001) - F.lit(1500000000)
+    vx = cx + (k * F.lit(104729)) % F.lit(400001) - F.lit(200000)
+    vy = cy + (k * F.lit(95989)) % F.lit(400001) - F.lit(200000)
+    return o.select(
+        lid.alias("line_id"), k.alias("seq"),
+        vx.cast("int").alias("x"), vy.cast("int").alias("y"),
+    )
+
+
+def _q_vector_tile_encode(spark, sf_dir):
+    """MVT-style vector-tile encode (tiles_sink.quantize_for_tiles):
+    tile-local integer quantization + consecutive-duplicate elision —
+    the binary-tile counterpart of render_tiles' GeoJSON output.  Pure
+    JVM integer ops; the window shuffle doubles as the tile-writer
+    partitioning."""
+    from geodesk_spark.operators import tiles_sink
+
+    return tiles_sink.quantize_for_tiles(
+        _vt_lines(spark, sf_dir), zoom=7, extent=256
+    )
+
+
+def _vector_tile_sql() -> str:
+    sh = 32 - 7
+    lxq = f"((x + 2147483648 - (((x + 2147483648) >> {sh}) << {sh})) * 256) >> {sh}"
+    lyq = f"((2147483647 - y - (((2147483647 - y) >> {sh}) << {sh})) * 256) >> {sh}"
+    return f"""
+      with lines as (
+        select o_orderkey % 200 as line_id, o_orderkey as seq,
+               ((o_orderkey % 200) * {_VT_CX}) % 4000000001 - 2000000000
+                 + (o_orderkey * 104729) % 400001 - 200000 as x,
+               ((o_orderkey % 200) * {_VT_CY}) % 3000000001 - 1500000000
+                 + (o_orderkey * 95989) % 400001 - 200000 as y
+        from orders),
+      q as (select line_id, seq,
+               (x + 2147483648) >> {sh} as tcol,
+               (2147483647 - y) >> {sh} as trow,
+               {lxq} as qx, {lyq} as qy
+            from lines),
+      l as (select *, lag(qx) over w as pqx, lag(qy) over w as pqy from q
+            window w as (partition by line_id, tcol, trow order by seq)),
+      kept as (select * from l where pqx is null or qx != pqx or qy != pqy)
+      select line_id, tcol, trow,
+             cast(row_number() over (partition by line_id, tcol, trow order by seq) as int) as seq_out,
+             cast(qx as int) as qx, cast(qy as int) as qy
+      from kept
+    """
+
+
+def _q_coords_precision7(spark, sf_dir):
+    """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
+    lon/lat recovered from imps, rounded to 7 decimals."""
+    df = _derived_orders(spark, sf_dir)
+    return df.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(mercator.lon_from_x_col(F.col("x")), 7).alias("lon7"),
+        F.round(mercator.lat_from_y_col(F.col("y")), 7).alias("lat7"),
+    ).orderBy("key")
+
+
+def _coords_p7_sql() -> str:
+    # mirror mercator.lon_from_x_col / lat_from_y_col with the SAME
+    # pre-folded double constants
+    c1 = repr(2 * __import__("math").pi / W)
+    c2 = repr(360 / __import__("math").pi)
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey as key,
+             round(cast(x as double) * 360 / {W!r}, 7) as lon7,
+             round(atan(exp(cast(y as double) * {c1})) * {c2} - 90, 7) as lat7
+      from pts order by key
+    """
+
+
+_SKEW_LON = "(case when (o_orderkey % 10) < 8 then 13.0 + ((o_orderkey * 9973) % 2000) / 1000.0 else ((o_orderkey * 9973) % 360000) / 1000.0 - 180.0 end) * 0.999"
+
+
+_SKEW_LAT = "(case when (o_orderkey % 10) < 8 then 52.0 + ((o_orderkey * 7919) % 2000) / 1000.0 else ((o_orderkey * 7919) % 160000) / 1000.0 - 80.0 end) * 0.999"
+
+
+def _q_adaptive_split(spark, sf_dir):
+    """GeoDesk-style adaptive cell subdivision (ZoomLevels.java:98-113
+    analog, operators/skew.adaptive_cell_split): 80% of rows land in one
+    ~2° hot square, which splits z8 → z10 → z12 until the per-cell cap
+    holds; the resulting histogram must match the oracle's two-round
+    CASE rewrite exactly."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    pts = (
+        o.withColumn("lon", F.expr(_SKEW_LON))
+        .withColumn("lat", F.expr(_SKEW_LAT))
+        .withColumn("x", F.expr(tables.x_expr("lon")))
+        .withColumn("y", F.expr(tables.y_expr("lat")))
+        .withColumn("tile_z8", T.tile_col(F.col("x"), F.col("y"), 8))
+    )
+    out = skew.adaptive_cell_split(pts, max_rows_per_cell=200, base_zoom=8, max_zoom=12, step=2)
+    return (
+        out.groupBy(F.col("cell_adaptive").cast("bigint").alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell")
+    )
+
+
+def _adaptive_split_sql() -> str:
+    t = lambda z: tables.tile_expr("x", "y", z)
+    return f"""
+      with pts as (
+        select {tables.x_expr(_SKEW_LON)} as x, {tables.y_expr(_SKEW_LAT)} as y
+        from orders),
+      cells as (select x, y, {t(8)} as c8, {t(10)} as c10, {t(12)} as c12 from pts),
+      r0 as (select *, c8 as cell from cells),
+      h0 as (select cell from r0 group by cell having count(*) > 200),
+      r1 as (select r0.x, r0.y, r0.c10, r0.c12,
+                    case when h0.cell is not null then r0.c10 else r0.cell end as cell
+             from r0 left join h0 on r0.cell = h0.cell),
+      h1 as (select cell from r1 group by cell having count(*) > 200),
+      r2 as (select case when h1.cell is not null
+                              and cast(floor(r1.cell / {1 << 24}) as int) = 10
+                         then r1.c12 else r1.cell end as cell
+             from r1 left join h1 on r1.cell = h1.cell)
+      select cell, count(*) as n from r2 group by cell order by cell
+    """
+
+
+def _q_heading_rollup(spark, sf_dir):
+    """Compass heading (geom/Heading.java:20-60): 8-point heading from
+    Cairo to every customer point, rolled up — pure Column trig."""
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
+    dx = F.col("x") - F.lit(CAIRO_XY[0])
+    dy = F.col("y") - F.lit(CAIRO_XY[1])
+    return (
+        df.withColumn("compass", H.heading_col(dx, dy))
+        .groupBy("compass")
+        .agg(F.count("*").alias("n"))
+        .orderBy("compass")
+    )
+
+
+def _heading_sql() -> str:
+    expr = H.heading_sql(f"x - ({CAIRO_XY[0]})", f"y - ({CAIRO_XY[1]})")
+    return f"""
+      with pts as (
+        select {x_expr(lon_expr("c_custkey"))} as x,
+               {y_expr(lat_expr("c_custkey"))} as y
+        from customer)
+      select {expr} as compass, count(*) as n from pts
+      group by 1 order by 1
+    """
+
+
+def _q_skew_salted_rollup(spark, sf_dir):
+    """Skew machinery parity: hot z8 tiles are salted
+    (operators/skew.with_salt) and aggregated in two stages (partial per
+    (tile, salt), merge per tile) — the merged result must
+    value-hash-match the direct GROUP BY the oracle computes.  Proves
+    salting changes the PLAN (no hot key exceeds rows_per_partition),
+    never the answer.  No repartition pass: the partial groupBy's own
+    shuffle on (tile, salt) is what spreads the hot key (VERDICT r01 —
+    the explicit repartition was one full-data shuffle too many)."""
+    li = tables.with_derived_points(tables.load_spread(spark, sf_dir, "lineitem"), "l_orderkey")
+    t8 = li.withColumn("tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint"))
+    salted = skew.with_salt(t8, "tile", rows_per_partition=2000, sample_fraction=0.1)
+    partial = salted.groupBy("tile", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("pq"),
+    )
+    return (
+        partial.groupBy("tile")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+        )
+        .orderBy("tile")
+    )
+
+
+_SQL_SKEW_SALTED = f"""
+  with pts as (
+    select l_quantity,
+           {x_expr(lon_expr("l_orderkey"))} as x,
+           {y_expr(lat_expr("l_orderkey"))} as y
+    from lineitem)
+  select {tile_expr('x', 'y', 8)} as tile, count(*) as n,
+         cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty
+  from pts group by 1 order by 1
+"""
+
+
