@@ -113,6 +113,26 @@ def _scan_roofline_once(spark, path: str) -> float:
     return time.time() - t0
 
 
+def _flagship_mpb(path: str, cores: int) -> str:
+    """Scan-partition size targeting ~10 tasks/core (clamped 16–128 MB).
+
+    Measured (r03, 128 M rows): the default 128 MB packed the input into
+    43 scan partitions — 1.34 waves at 32 cores, so up to 25% of cores
+    idled in the tail of the ONE long codegen stage, and coarse tasks
+    amplified the city-hot-cell per-row skew.  16–24 MB (≈8–12
+    tasks/core) cut local[32] wall 11.4 → 7.0 s in the same window; the
+    lo side prefers coarser tasks (64 MB at 8 cores), hence the
+    per-core rule rather than a fixed size.  At 100 TB this is the same
+    standard sizing rule — tasks ≈ a small multiple of total cores."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, fn))
+    mpb = min(max(total // (10 * cores), 16 << 20), 128 << 20)
+    return str(mpb)
+
+
 def timed_flagship(
     cores: int, path: str, n_rows: int, reps: int = 2
 ) -> tuple[float, float, float, float]:
@@ -124,7 +144,12 @@ def timed_flagship(
     the faithful estimate of steady-state throughput."""
     from geodesk_spark.session import get_spark
 
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        f"bench-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": _flagship_mpb(path, cores)},
+    )
     try:
         flagship(spark, path)  # warm: JIT, Arrow init, python workers
         dt = min(_timed_once(spark, path) for _ in range(reps))
@@ -141,6 +166,36 @@ def _timed_once(spark, path: str) -> float:
     t0 = time.time()
     flagship(spark, path)
     return time.time() - t0
+
+
+def timed_flagship_cluster(
+    n_exec: int, cores_each: int, path: str, n_rows: int, reps: int = 2
+) -> tuple[float, float]:
+    """Flagship on ``local-cluster[n,c]`` — REAL separate executor JVMs
+    with their own heaps and shuffle/broadcast transport, the literal
+    single-box analog of the BASELINE "N vs 4N executors" criterion
+    (local[k] shares one JVM; this does not).  Returns (sec, rows/sec)."""
+    from pyspark.sql import SparkSession
+
+    total = n_exec * cores_each
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores_each},4096]")
+        .appName(f"bench-lc-{n_exec}x{cores_each}")
+        .config("spark.executor.memory", "4g")
+        .config("spark.sql.shuffle.partitions", str(max(total, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", _flagship_mpb(path, total))
+        .getOrCreate()
+    )
+    try:
+        flagship(spark, path)  # warm
+        dt = min(_timed_once(spark, path) for _ in range(reps))
+    finally:
+        spark.stop()
+    return dt, n_rows / dt
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
@@ -238,6 +293,19 @@ def main():
     ceil_eff = med["ceiling_eff"]
     scan_eff = med["scan_eff"]
 
+    # REAL separate executor JVMs (local-cluster): the literal N→4N
+    # executors analog, promoted into the artifact per VERDICT r02 #2.
+    # Same interleaved-pair + median discipline as the local-mode pairs.
+    lc_pairs = []
+    for _ in range(3):
+        dt1, thr1 = timed_flagship_cluster(1, 8, input_path, FLAGSHIP_ROWS)
+        dt4, thr4 = timed_flagship_cluster(4, 8, input_path, FLAGSHIP_ROWS)
+        lc_pairs.append(
+            {"dt_lo": dt1, "thr_lo": thr1, "dt_hi": dt4, "thr_hi": thr4,
+             "eff": (thr4 / thr1) / 4.0}
+        )
+    lc_med = sorted(lc_pairs, key=lambda p: p["eff"])[len(lc_pairs) // 2]
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -261,6 +329,16 @@ def main():
         "scan_roofline_efficiency": round(scan_eff, 3),
         "scaling_efficiency_normalized": round(min(eff / ceil_eff, 1.0), 3),
         "scaling_efficiency_vs_scan_roofline": round(min(eff / scan_eff, 1.0), 3),
+        "local_cluster_flagship_sec": {
+            "1x8": round(lc_med["dt_lo"], 2),
+            "4x8": round(lc_med["dt_hi"], 2),
+        },
+        "local_cluster_rows_per_sec": {
+            "1x8": round(lc_med["thr_lo"]),
+            "4x8": round(lc_med["thr_hi"]),
+        },
+        "local_cluster_scaling_pairs": [round(p["eff"], 3) for p in lc_pairs],
+        "local_cluster_scaling_efficiency": round(lc_med["eff"], 3),
     }
     print(json.dumps(out))
 

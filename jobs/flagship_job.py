@@ -46,6 +46,25 @@ def main():
 
     spark = SparkSession.builder.appName("geodesk-flagship").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Scan-partition sizing (measured, BENCH.md r03): the pipeline is ONE
+    # long codegen stage rooted at the scan, so scan partitions ARE the
+    # task granularity — target ~10 tasks/core; the 128 MB default left
+    # a 32-core run at 1.34 waves (25% tail idle) and let coarse tasks
+    # amplify city-hot-cell skew.  When reading an existing input whose
+    # size we can cheaply know, shrink maxPartitionBytes accordingly.
+    if args.input:
+        try:
+            cores = spark.sparkContext.defaultParallelism
+            total = sum(
+                int(f.length)
+                for f in spark._jvm.org.apache.hadoop.fs.FileSystem.get(
+                    spark._jsc.hadoopConfiguration()
+                ).listStatus(spark._jvm.org.apache.hadoop.fs.Path(args.input))
+            )
+            mpb = min(max(total // (10 * cores), 16 << 20), 128 << 20)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        except Exception:
+            pass  # keep the default on exotic filesystems
     t0 = time.time()
     pipe = Pipeline(spark, args.workdir)
 
