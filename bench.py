@@ -275,7 +275,13 @@ def main():
     # max: a throttle window shorter than a pair would inflate exactly
     # the pair max() selects), and thr/dt are reported from that same
     # median pair — no cross-pair cherry-picking.
+    # local-mode and local-cluster pairs are INTERLEAVED round-robin so
+    # both samplings see the same throttle windows (running all lc pairs
+    # last systematically handed them the degraded tail of the run).
+    # local-cluster = REAL separate executor JVMs, the literal N→4N
+    # executors analog, promoted into the artifact per VERDICT r02 #2.
     pairs = []
+    lc_pairs = []
     for _ in range(3):
         dt_lo, thr_lo, ceil_lo, scan_lo = timed_flagship(lo_cores, input_path, FLAGSHIP_ROWS)
         dt_hi, thr_hi, ceil_hi, scan_hi = timed_flagship(cores, input_path, FLAGSHIP_ROWS)
@@ -288,22 +294,16 @@ def main():
                 "scan_eff": (scan_lo / scan_hi) / ratio,
             }
         )
-    med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
-    eff = med["eff"]
-    ceil_eff = med["ceiling_eff"]
-    scan_eff = med["scan_eff"]
-
-    # REAL separate executor JVMs (local-cluster): the literal N→4N
-    # executors analog, promoted into the artifact per VERDICT r02 #2.
-    # Same interleaved-pair + median discipline as the local-mode pairs.
-    lc_pairs = []
-    for _ in range(3):
         dt1, thr1 = timed_flagship_cluster(1, 8, input_path, FLAGSHIP_ROWS)
         dt4, thr4 = timed_flagship_cluster(4, 8, input_path, FLAGSHIP_ROWS)
         lc_pairs.append(
             {"dt_lo": dt1, "thr_lo": thr1, "dt_hi": dt4, "thr_hi": thr4,
              "eff": (thr4 / thr1) / 4.0}
         )
+    med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+    eff = med["eff"]
+    ceil_eff = med["ceiling_eff"]
+    scan_eff = med["scan_eff"]
     lc_med = sorted(lc_pairs, key=lambda p: p["eff"])[len(lc_pairs) // 2]
 
     out = {
@@ -339,6 +339,12 @@ def main():
         },
         "local_cluster_scaling_pairs": [round(p["eff"], 3) for p in lc_pairs],
         "local_cluster_scaling_efficiency": round(lc_med["eff"], 3),
+        # supplementary, explicitly labeled: the quietest window observed
+        # in THIS run (the headline stays the median pair — never max)
+        "scaling_efficiency_best_pair": round(max(p["eff"] for p in pairs), 3),
+        "local_cluster_scaling_efficiency_best_pair": round(
+            max(p["eff"] for p in lc_pairs), 3
+        ),
     }
     print(json.dumps(out))
 

@@ -226,6 +226,27 @@ def test_knn_join_shuffle_path(world):
     assert list(a["image_id"]) == list(b["image_id"])
 
 
+def test_knn_join_k_exceeds_points(spark):
+    """k larger than the point count: the world-window round must return
+    every point (rank ≤ n) instead of looping or dropping the query."""
+    pts = spark.createDataFrame(
+        [("a", 10, 10), ("b", 500_000, -20), ("c", -300_000, 9_000)],
+        "image_id string, x long, y long",
+    )
+    qdf = spark.createDataFrame([("q", 0, 0)], "query_id string, x long, y long")
+    got = knn_mod.knn_join(pts, qdf, k=10).toPandas().sort_values("rank")
+    assert list(got["image_id"]) == ["a", "b", "c"]
+    assert list(got["rank"]) == [1, 2, 3]
+
+
+def test_knn_join_empty_queries(spark):
+    pts = spark.createDataFrame([("a", 0, 0)], "image_id string, x long, y long")
+    qdf = spark.createDataFrame([], "query_id string, x long, y long")
+    out = knn_mod.knn_join(pts, qdf, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"image_id", "query_id", "dist_m", "rank"}
+
+
 def test_knn_assert_unique_ids(spark):
     dup = spark.createDataFrame(
         [("a", 0, 0), ("a", 5, 5), ("b", 9, 9)], "image_id string, x int, y int"
