@@ -235,7 +235,8 @@ def test_knn_join_k_exceeds_points(spark):
     )
     qdf = spark.createDataFrame([("q", 0, 0)], "query_id string, x long, y long")
     got = knn_mod.knn_join(pts, qdf, k=10).toPandas().sort_values("rank")
-    assert list(got["image_id"]) == ["a", "b", "c"]
+    # by exact distance: a (~14 imps), c (~300k imps), b (500k imps)
+    assert list(got["image_id"]) == ["a", "c", "b"]
     assert list(got["rank"]) == [1, 2, 3]
 
 
