@@ -78,6 +78,13 @@ def knn(
 ) -> DataFrame:
     """queries: [(query_id, lon, lat), ...] → (query_id, id, dist_m, rank).
 
+    The interactive front end of :func:`knn_join`: the query list is
+    projected to imp coordinates and handed to the distributed
+    table×table join, so BOTH entry points share one engine — no
+    per-query driver state anywhere (r02 carried a second, driver-loop
+    implementation here; ``test_knn_join_matches_knn`` pinned the two
+    row-for-row equal before it was removed).
+
     ``id_col`` must be unique per point — it is the deterministic
     tie-break for equal distances.  Pass ``assert_unique_ids=True`` to
     pay one aggregate up front and fail fast on duplicates (off by
@@ -90,144 +97,14 @@ def knn(
         )
         if dup:
             raise ValueError(f"knn: id column {id_col!r} has duplicate values")
-    qinfo = {}
-    for qid, lon, lat in queries:
-        qinfo[qid] = (int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
-
-    remaining = {qid: init_radius_imps for qid in qinfo}
-    results: list[DataFrame] = []
-    pts = points.select(id_col, "x", "y")
-
-    while remaining:
-        # Two nested windows per query — radius r and 4r — probed in ONE
-        # scan at the 4r window's zoom: a miss at r certifies against 4r
-        # from the same candidate set instead of paying another full
-        # scan.  small ⊂ big at the shared zoom, so each (cell, query)
-        # entry is unique and carries an in-small-window flag.
-        rows_list = []
-        zooms = {}
-        for qid, radius in remaining.items():
-            qx, qy = qinfo[qid]
-            big = min(radius * 4, 1 << 31)
-            zoom = _window_zoom(big)
-            zooms[qid] = zoom
-            cells = _cells_at_zoom(qx, qy, big, zoom)
-            small = np.isin(cells, _cells_at_zoom(qx, qy, radius, zoom))
-            for c, sm in zip(cells.tolist(), small.tolist()):
-                rows_list.append((int(c), qid, bool(sm), qx, qy))
-        qcells = spark.createDataFrame(
-            pd.DataFrame(
-                rows_list, columns=["_qcell", "query_id", "small", "qx", "qy"]
-            ),
-            schema="_qcell long, query_id string, small boolean, qx long, qy long",
-        )
-
-        # Candidate generation is a pure-JVM broadcast hash join: the
-        # point side explodes one pyramid cell id per zoom present
-        # (cell ids carry the zoom in their high bits, so only the
-        # matching window's entries hit), and the exact Mercator
-        # distance is a codegen'd column — no Python workers anywhere
-        # in the kNN path.
-        zoom_list = sorted(set(zooms.values()))
-        probe = pts.withColumn(
-            "_qcell",
-            F.explode(
-                F.array(
-                    *[
-                        T.tile_col(F.col("x"), F.col("y"), z).cast("long")
-                        for z in zoom_list
-                    ]
-                )
-            ),
-        )
-        cand = (
-            probe.join(F.broadcast(qcells), "_qcell")
-            .withColumn(
-                "dist_m",
-                mercator.distance_col(F.col("x"), F.col("y"), F.col("qx"), F.col("qy")),
-            )
-            .select(id_col, "query_id", "dist_m", "small")
-        )
-        # one window shuffle computes BOTH ranks: rank over all candidates
-        # (the 4r window) and rank among small-window rows (the r window)
-        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-        ranked = (
-            cand.withColumn("rank_all", F.row_number().over(w))
-            .withColumn(
-                "rank_small",
-                F.sum(F.when(F.col("small"), 1).otherwise(0)).over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            .filter(F.col("rank_all") <= k)  # rank_small ≤ rank_all
-            .cache()
-        )
-        stats = {
-            r["query_id"]: r
-            for r in ranked.groupBy("query_id")
-            .agg(
-                F.sum(F.when(F.col("small") & (F.col("rank_small") <= k), 1).otherwise(0)).alias("cnt_s"),
-                F.max(F.when(F.col("small") & (F.col("rank_small") <= k), F.col("dist_m"))).alias("kth_s"),
-                F.count("*").alias("cnt_a"),
-                F.max("dist_m").alias("kth_a"),
-            )
-            .collect()
-        }
-
-        done_small, done_big, still = [], [], {}
-        for qid, radius in remaining.items():
-            s = stats.get(qid)
-            big = min(radius * 4, 1 << 31)
-            qy = qinfo[qid][1]
-            ok_s = (
-                s is not None
-                and s["cnt_s"] >= k
-                and s["kth_s"] is not None
-                and s["kth_s"] <= _guarantee_m(qy, radius)
-            )
-            ok_a = (
-                s is not None
-                and s["cnt_a"] >= k
-                and s["kth_a"] is not None
-                and s["kth_a"] <= _guarantee_m(qy, big)
-            )
-            if ok_s:
-                done_small.append(qid)
-            elif ok_a or big >= (1 << 31):
-                done_big.append(qid)
-            else:
-                still[qid] = radius * 16  # next round probes 16r and 64r
-        round_out = []
-        if done_small:
-            round_out.append(
-                ranked.filter(
-                    F.col("query_id").isin(done_small)
-                    & F.col("small")
-                    & (F.col("rank_small") <= k)
-                ).select(id_col, "query_id", "dist_m", F.col("rank_small").alias("rank"))
-            )
-        if done_big:
-            round_out.append(
-                ranked.filter(F.col("query_id").isin(done_big)).select(
-                    id_col, "query_id", "dist_m", F.col("rank_all").alias("rank")
-                )
-            )
-        if round_out:
-            sel = round_out[0] if len(round_out) == 1 else round_out[0].unionByName(round_out[1])
-            # ≤ k rows per finished query: detach from the cached lineage
-            # so the round's candidate cache can be released immediately
-            results.append(sel.localCheckpoint(eager=True))
-        ranked.unpersist()
-        remaining = still
-
-    if not results:  # no queries given
-        return spark.createDataFrame(
-            [], f"{id_col} string, query_id string, dist_m double, rank int"
-        )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    qrows = [
+        (qid, int(mercator.x_from_lon(lon)[()]), int(mercator.y_from_lat(lat)[()]))
+        for qid, lon, lat in queries
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
+    return knn_join(
+        points, qdf, k, init_radius_imps=init_radius_imps, id_col=id_col
+    ).select("query_id", id_col, "dist_m", F.col("rank").cast("int").alias("rank"))
 
 
 def _guarantee_col(qy_col, radius: int):
