@@ -154,7 +154,10 @@ def timed_flagship(
         flagship(spark, path)  # warm: JIT, Arrow init, python workers
         dt = min(_timed_once(spark, path) for _ in range(reps))
         _scan_roofline_once(spark, path)  # warm
-        scan_dt = _scan_roofline_once(spark, path)
+        # best-of-2 like the engine and ceiling: a single sample let one
+        # throttle hiccup ride the median pair into the headline
+        # vs-roofline number (r03 review)
+        scan_dt = min(_scan_roofline_once(spark, path) for _ in range(2))
         _ceiling_once(spark, 0)  # warm the kernel's codegen
         ceil_dt = min(_ceiling_once(spark, k + 1) for k in range(2))
     finally:

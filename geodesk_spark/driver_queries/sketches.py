@@ -143,7 +143,7 @@ def _hll_distinct_sql() -> str:
 CMS_W, CMS_D = 128, 4
 
 
-CMS_PROBES = [str(u) for u in range(20)]
+CMS_PROBES = [str(u) for u in range(20)] + ["absent_user"]  # exercises est 0
 
 
 BLOOM_M, BLOOM_K = 4096, 3
@@ -208,9 +208,15 @@ def _cms_estimate_sql() -> str:
       ex as ({ex}),
       regs as (select event_type, j, col, count(*) as cnt from ex group by 1, 2, 3),
       probe as (select * from (values {vals}) t(pv)),
-      pex as ({pex})
-      select regs.event_type, pex.pv as probe_value, min(regs.cnt) as est_count
-      from regs join pex on regs.j = pex.j and regs.col = pex.col
+      pex as ({pex}),
+      groups as (select distinct event_type from regs),
+      grid as (select g.event_type, pex.pv, pex.j, pex.col
+               from groups g cross join pex)
+      select grid.event_type, grid.pv as probe_value,
+             min(coalesce(regs.cnt, 0)) as est_count
+      from grid left join regs
+        on regs.event_type = grid.event_type
+       and regs.j = grid.j and regs.col = grid.col
       group by 1, 2
     """
 

@@ -104,7 +104,7 @@ def knn(
     qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
     return knn_join(
         points, qdf, k, init_radius_imps=init_radius_imps, id_col=id_col
-    ).select("query_id", id_col, "dist_m", F.col("rank").cast("int").alias("rank"))
+    ).select("query_id", id_col, "dist_m", "rank")
 
 
 def _guarantee_col(qy_col, radius: int):
@@ -165,8 +165,6 @@ def knn_join(
     ``queries`` must carry (``query_id``, x, y) with imp-space coords;
     ``id_col`` must be unique per point (the tie-break).
     """
-    spark = points.sparkSession
-    out_schema = f"{id_col} string, {query_id} string, dist_m double, rank int"
     pts = points.select(id_col, "x", "y")
     active = queries.select(
         F.col(query_id).alias("_qid"),
@@ -294,6 +292,7 @@ def knn_join(
                 "dist_m",
                 F.when(F.col("take_small"), F.col("rank_small"))
                 .otherwise(F.col("rank_all"))
+                .cast("int")  # rank_small is a sum (long); contract says int
                 .alias("rank"),
             )
         )
@@ -312,8 +311,8 @@ def knn_join(
         if active.isEmpty():  # scalar signal only — no per-query collect
             break
 
-    if not results:
-        return spark.createDataFrame([], out_schema)
+    # the schedule always runs ≥1 round and every round appends (possibly
+    # empty) output, so `results` is never empty — even for zero queries
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -479,7 +478,9 @@ def idw_interpolate(
     (query_id, idw_value, n_samples).
     """
     spark = points.sparkSession
-    nn = knn(points, queries, k, id_col=id_col).select("query_id", id_col, "rank")
+    # project the query list ONCE and share the frame between the kNN
+    # candidate machinery and the value join-back (r03 review: knn()
+    # used to re-project the same list internally)
     qrows = [
         (
             qid,
@@ -488,11 +489,17 @@ def idw_interpolate(
         )
         for qid, lon, lat in queries
     ]
-    qdf = spark.createDataFrame(qrows, "query_id string, qx long, qy long")
+    qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
+    nn = knn_join(points, qdf, k, id_col=id_col).select("query_id", id_col, "rank")
     j = (
         points.select(id_col, "x", "y", F.col(val_col).cast("double").alias("v"))
         .join(F.broadcast(nn), id_col)
-        .join(F.broadcast(qdf), "query_id")
+        .join(
+            F.broadcast(
+                qdf.select("query_id", F.col("x").alias("qx"), F.col("y").alias("qy"))
+            ),
+            "query_id",
+        )
     )
     dx = (F.col("x") - F.col("qx")).cast("double")
     dy = (F.col("y") - F.col("qy")).cast("double")

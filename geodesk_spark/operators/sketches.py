@@ -180,7 +180,14 @@ def cms_estimate(
     register table, then ONE broadcast join of the probes' d hash
     columns against it and a min over depths.  Probe side is dimension-
     sized by construction (you ask about specific values); the register
-    table is ≤ keys·d·w rows regardless of input scale."""
+    table is ≤ keys·d·w rows regardless of input scale.
+
+    Empty registers COUNT AS ZERO: the (key-group × probe-hash) grid is
+    LEFT-joined against the registers so a probe value whose register
+    was never touched estimates 0 — an inner join would silently drop
+    the untouched depths from the min, overestimating absent values and
+    losing a probe row entirely when all d registers are empty
+    (r03 code-review finding; the oracle mirrors the left join)."""
     regs = cms_registers(df, keys, value_col, w, d)
     parr = F.array(
         *[
@@ -193,9 +200,10 @@ def cms_estimate(
         F.col("_h.j").alias("j"),
         F.col("_h.col").alias("col"),
     )
-    joined = regs.join(F.broadcast(probes), ["j", "col"])
+    grid = regs.select(*keys).distinct().crossJoin(F.broadcast(probes))
+    joined = grid.join(F.broadcast(regs), [*keys, "j", "col"], "left")
     return joined.groupBy(*keys, "probe_value").agg(
-        F.min("cnt").alias("est_count")
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count")
     )
 
 

@@ -110,6 +110,24 @@ def test_cms_never_undercounts_and_exact_python_parity(spark, ids_df):
     assert got == regs
 
 
+def test_cms_absent_probe_estimates_zero(spark):
+    """A probe value none of whose d registers were ever touched must
+    estimate 0 and still appear in the output (regression: the old
+    inner join dropped empty registers from the min, overestimating
+    absent values and losing all-empty probes entirely)."""
+    df = spark.createDataFrame([("g", "present")], "grp string, v string")
+    probe = spark.createDataFrame([("present",), ("never_seen",)], "pv string")
+    # w large enough that 'never_seen' almost surely misses all 4 of
+    # 'present's registers; both rows must come back
+    est = {
+        r["probe_value"]: r["est_count"]
+        for r in sketches.cms_estimate(df, ["grp"], "v", probe, "pv", w=4096, d=4).collect()
+    }
+    assert set(est) == {"present", "never_seen"}
+    assert est["present"] >= 1
+    assert est["never_seen"] == 0
+
+
 def test_cms_registers_partition_invariant(spark, ids_df):
     a = sketches.cms_registers(ids_df.repartition(1), ["grp"], "v", w=32, d=2)
     b = sketches.cms_registers(ids_df.repartition(13), ["grp"], "v", w=32, d=2)
