@@ -395,7 +395,7 @@ _SQL_JACCARD = f"""
   from inter
   join sizes sa on sa.doc_id = doc_a
   join sizes sb on sb.doc_id = doc_b
-  where round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+  where floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 >= 0.3
 """
 
 
@@ -458,9 +458,9 @@ def _embedding_neardup_sql() -> str:
       wb as (select *, {bkts} from base),
       p as (
         select a.id as id_a, b.id as id_b,
-               round(list_sum(list_transform(range(1, len(a.e) + 1),
+               floor(list_sum(list_transform(range(1, len(a.e) + 1),
                      i -> cast(a.e[i] as double) * cast(b.e[i] as double)))
-                     / (a.nrm * b.nrm), 6) as cosine
+                     / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 as cosine
         from wb a join wb b on ({any_shared}) and a.id < b.id)
       select id_a, id_b, cosine from p where cosine >= 0.40
     """

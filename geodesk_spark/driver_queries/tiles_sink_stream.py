@@ -207,6 +207,11 @@ def _q_stream_sessions(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Boundary-tie semantics (verified empirically on Spark 4.1): two events
+# EXACTLY one gap apart merge into ONE session_window — the merge test is
+# next_start <= window_end, a closed boundary — so the oracle's strict
+# `us - prev > gap` new-session condition is the correct mirror (>= would
+# NOT be).
 _SQL_STREAM_SESSIONS = f"""
   with f as (
     select user_id, event_id, value, epoch_us(ts) as us,

@@ -214,11 +214,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    # sizes is one row per DOCUMENT — never force-broadcast it (at the
+    # corpus scales this function is designed for, that is a driver
+    # collect of the whole corpus); AQE picks broadcast when it fits
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.floor(
@@ -300,11 +303,19 @@ def embedding_neardup_pairs(
     found".  For exact-recall blocking on BINARY fingerprints see
     ``phash_neardup_pairs`` (pigeonhole bands).
     """
+    # one-row dim probe: beyond-dim tables would read element_at → NULL,
+    # silently collapsing EVERY row into one global bucket per table and
+    # going quadratic (r03 review) — fail loudly instead
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else sign_dims
     if n_tables is None:
-        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(dim_row["d"]) if dim_row else sign_dims
         n_tables = min(
             neardup_tables_for(threshold, sign_dims), max(1, dim // sign_dims)
+        )
+    if n_tables * sign_dims > dim:
+        raise ValueError(
+            f"embedding_neardup_pairs: n_tables*sign_dims = {n_tables * sign_dims} "
+            f"exceeds vector dimension {dim}"
         )
     emb = F.col(vec_col)
     norm = F.sqrt(
@@ -340,10 +351,13 @@ def embedding_neardup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # floor-form rounding per the CLAUDE.md float-output invariant (the
+    # oracle emits the same floor(x·1e6 + 0.5)/1e6)
+    cos6 = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return (
         a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cosine", cos6)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()

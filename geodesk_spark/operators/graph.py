@@ -168,8 +168,15 @@ def pagerank_integer(
             ranks.unpersist()
         ranks = new_ranks
     if materialize:
+        # detach the result from its cached lineage, then release ALL the
+        # round caches — returning the cached frame itself pinned it in
+        # executor storage for the life of the session (r03 review; same
+        # pattern as connected_components)
+        ranks_out = ranks.localCheckpoint(eager=True)
+        ranks.unpersist()
         e.unpersist()
         nodes.unpersist()
+        return ranks_out
     return ranks
 
 
@@ -331,6 +338,11 @@ def sssp_rounds(
         # (the early-exit branch already does)
         if frontier is not dist:
             frontier.unpersist()
+        # detach the result before releasing its own cache (r03 review:
+        # returning the cached frame pinned it for the session lifetime)
+        dist_out = dist.localCheckpoint(eager=True)
+        dist.unpersist()
+        return dist_out
     return dist
 
 

@@ -144,6 +144,28 @@ def test_interval_join_exactly_once(spark):
     assert len(rows) == 1  # interval spans 101 buckets; the pair emits once
 
 
+def test_session_window_exact_gap_tie_matches_sessionize(spark):
+    """Pin the boundary-tie contract between the two sessionizers: two
+    events EXACTLY one gap apart must land in ONE session in BOTH the
+    gaps-and-islands operator (strict `> gap` new-session test) and
+    Spark's native session_window (closed-boundary merge) — the
+    stream_session_counts oracle depends on this agreement."""
+    from geodesk_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1, 1.0), ("u", "2024-01-01 01:00:00", 2, 1.0)],
+        "user_id string, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    native = (
+        df.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(native) == 1 and native[0]["count"] == 2
+    ours = relational.sessionize(df, gap_us=3_600_000_000).collect()
+    assert len(ours) == 1 and ours[0]["n_events"] == 2
+
+
 def test_sessionize_hand_case(spark):
     from geodesk_spark.operators import relational
 

@@ -168,7 +168,12 @@ def main() -> int:
                 and isinstance(st.value.value, str)
             ):
                 continue  # original module docstring (superseded by header)
-            seg = "".join(lines[st.lineno - 1 : st.end_lineno])
+            # include decorator lines: FunctionDef.lineno points at `def`,
+            # decorators live on earlier lines
+            start = st.lineno
+            for dec in getattr(st, "decorator_list", []):
+                start = min(start, dec.lineno)
+            seg = "".join(lines[start - 1 : st.end_lineno])
             parts.append(seg)
             parts.append("\n\n")
         (PKG / f"{mod}.py").write_text("".join(parts))
