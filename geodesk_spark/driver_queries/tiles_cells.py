@@ -308,25 +308,29 @@ def _vector_tile_sql() -> str:
 
 def _q_coords_precision7(spark, sf_dir):
     """Precision-7 coordinate writer (CoordinateTransformer.java:21-50):
-    lon/lat recovered from imps, rounded to 7 decimals."""
+    lon/lat recovered from imps, rounded to 7 decimals in the
+    reference's OWN form — Mercator.java's Math.round is
+    floor(v·1e7 + 0.5)/1e7, which is also the repo's cross-engine
+    float-output invariant (round(,7) matched it only off-tie)."""
     df = _derived_orders(spark, sf_dir)
+    r7 = lambda c: F.floor(c * F.lit(1e7) + F.lit(0.5)) / F.lit(1e7)
     return df.select(
         F.col("o_orderkey").alias("key"),
-        F.round(mercator.lon_from_x_col(F.col("x")), 7).alias("lon7"),
-        F.round(mercator.lat_from_y_col(F.col("y")), 7).alias("lat7"),
+        r7(mercator.lon_from_x_col(F.col("x"))).alias("lon7"),
+        r7(mercator.lat_from_y_col(F.col("y"))).alias("lat7"),
     ).orderBy("key")
 
 
 def _coords_p7_sql() -> str:
     # mirror mercator.lon_from_x_col / lat_from_y_col with the SAME
-    # pre-folded double constants
+    # pre-folded double constants; floor-form per Mercator.java
     c1 = repr(2 * __import__("math").pi / W)
     c2 = repr(360 / __import__("math").pi)
     return f"""
       with pts as ({_DERIVED_SQL})
       select o_orderkey as key,
-             round(cast(x as double) * 360 / {W!r}, 7) as lon7,
-             round(atan(exp(cast(y as double) * {c1})) * {c2} - 90, 7) as lat7
+             floor(cast(x as double) * 360 / {W!r} * 1e7 + 0.5) / 1e7 as lon7,
+             floor((atan(exp(cast(y as double) * {c1})) * {c2} - 90) * 1e7 + 0.5) / 1e7 as lat7
       from pts order by key
     """
 
