@@ -43,7 +43,7 @@ _SQL_STRATIFIED = """
                order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
            count(*) over (partition by lang) as n
     from documents)
-  select doc_id, lang from r where rk <= ceil(n * 0.2) order by doc_id
+  select doc_id, lang from r where rk <= ceil(floor(n * 0.2 * 1e9 + 0.5) / 1e9) order by doc_id
 """
 
 
@@ -72,7 +72,7 @@ def _sample_mix_sql() -> str:
                count(*) over (partition by lang) as n,
                (case {cases} else 0.0 end) as f
         from documents)
-      select doc_id, lang from r where rk <= ceil(n * f) order by doc_id
+      select doc_id, lang from r where rk <= ceil(floor(n * f * 1e9 + 0.5) / 1e9) order by doc_id
     """
 
 
@@ -141,7 +141,7 @@ def _corpus_prep_sql() -> str:
                    order by md5(concat('42', '|', cast(doc_id as varchar))), doc_id) as rk,
                count(*) over (partition by lang) as n
         from filtered),
-      sampled as (select doc_id, n_chars from ranked where rk <= ceil(n * 0.5)),
+      sampled as (select doc_id, n_chars from ranked where rk <= ceil(floor(n * 0.5 * 1e9 + 0.5) / 1e9)),
       packed as (
         select doc_id, n_chars,
                cast(floor((sum(n_chars) over w - n_chars) / 2048.0) as bigint) as bin_id

@@ -21,7 +21,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _query_matrix(df: DataFrame, query_ids: list[int]) -> tuple[np.ndarray, list[int]]:
+def _query_vectors(df: DataFrame, query_ids: list[int]) -> tuple[np.ndarray, list[int]]:
+    """Fetch the raw (unnormalized) query embeddings, preserving the
+    requested id order and failing loudly if nothing matched — the one
+    shared fetch path for the cosine/IVF/LSH query side and PQ's
+    raw-query variant."""
     rows = (
         df.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
         .select("vec_id", "embedding")
@@ -31,9 +35,30 @@ def _query_matrix(df: DataFrame, query_ids: list[int]) -> tuple[np.ndarray, list
     qids = [q for q in query_ids if q in got]
     if not qids:
         raise ValueError(f"none of query_ids {query_ids!r} exist in the table")
-    Q = np.stack([got[q] for q in qids])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    return Q, qids
+    return np.stack([got[q] for q in qids]), qids
+
+
+def _query_matrix(df: DataFrame, query_ids: list[int]) -> tuple[np.ndarray, list[int]]:
+    Q, qids = _query_vectors(df, query_ids)
+    # zero-norm guard, same as every scan kernel's data side: an
+    # all-zero query would otherwise become a NaN row and silently rank
+    # arbitrary neighbors first (NaN sorts above every real double)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return Q / norms, qids
+
+
+def _sample_matrix(df: DataFrame, sample: int) -> np.ndarray:
+    """The shared deterministic trainer sample (fixed-id 1/13 filter,
+    id-ordered, bounded): one fetch path for the IVF and PQ trainers."""
+    rows = (
+        df.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 13 == 0)
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
 
 
 def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -87,14 +112,7 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3, sample: 
     construction (no RNG, hence no seed parameter).  Driver-side numpy
     on a tiny sample — the 10^12-scale path trains on a bounded sample
     too."""
-    rows = (
-        df.select("vec_id", "embedding")
-        .filter(F.col("vec_id") % 13 == 0)  # deterministic 1/13 sample
-        .orderBy("vec_id")
-        .limit(sample)
-        .collect()
-    )
-    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    V = _sample_matrix(df, sample)
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     C = V[:: max(1, len(V) // n_centroids)][:n_centroids].copy()
     for _ in range(iters):
@@ -211,7 +229,12 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 12
             b |= int(qbits[j, p]) << p
         qbuckets[qid] = {b} | {b ^ (1 << p) for p in range(n_planes)}
 
-    bucketed = with_lsh_bucket(df, dim=Q.shape[1], n_planes=n_planes, seed=seed)
+    # bucket only the two columns the scan reads: with_lsh_bucket's
+    # Arrow kernel pandas-copies every input column per batch, so a
+    # full-width table pays serialization for columns dropped right after
+    bucketed = with_lsh_bucket(
+        df.select("vec_id", "embedding"), dim=Q.shape[1], n_planes=n_planes, seed=seed
+    )
     bc = spark.sparkContext.broadcast((Q, qids, qbuckets, k))
 
     def scan(batches):
@@ -260,14 +283,7 @@ def pq_codebooks(
     (evenly-spaced init, no RNG).  Driver-side numpy is fine here — the
     trainer output is DATA shared verbatim with the scoring path and
     the oracle, so only encode/score need cross-engine op-order care."""
-    rows = (
-        df.select("vec_id", "embedding")
-        .filter(F.col("vec_id") % 13 == 0)
-        .orderBy("vec_id")
-        .limit(sample)
-        .collect()
-    )
-    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    V = _sample_matrix(df, sample)
     d = V.shape[1]
     assert d % m == 0
     sub = d // m
@@ -348,15 +364,8 @@ def pq_topk(
     """
     spark = df.sparkSession
     books = pq_codebooks(df, m=m, ksub=ksub)
-    rows = (
-        df.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    got = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in rows}
-    qids = [q for q in query_ids if q in got]
-    if not qids:
-        raise ValueError(f"none of query_ids {query_ids!r} exist in the table")
+    Qraw, qids = _query_vectors(df, query_ids)
+    got = {qid: Qraw[i] for i, qid in enumerate(qids)}
     sub = books.shape[2]
     # LUT values are driver-computed floats: DATA (literal rows), summed
     # sequentially to match both the Spark left-assoc score and the

@@ -34,6 +34,11 @@ def stratified_sample(
 
     Mechanism: rows are ranked inside each stratum by md5(seed|id) — a
     uniform, reproducible permutation — and the top ceil(f·n) kept.
+    The product is rounded to 9 dp (floor form) BEFORE the ceil: IEEE
+    n·f often lands one ulp above the exact integer (15000·0.2 =
+    3000.0000000000005), which a bare ceil turns into one extra row
+    (r03 review).  Exact for n·f < ~9·10⁶ per stratum; beyond that the
+    correction degrades to a no-op and a ±1-row edge is immaterial.
     One shuffle (the per-stratum window); count comes from the same
     window, no second pass.  Skewed strata are bounded by the window
     sort, which Spark spills; for a pathological mega-stratum rank
@@ -52,7 +57,10 @@ def stratified_sample(
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(wn))
-        .filter(F.col("_rk") <= F.ceil(F.col("_n") * f_expr))
+        .filter(
+            F.col("_rk")
+            <= F.ceil(F.floor(F.col("_n") * f_expr * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+        )
         .drop("_rk", "_n")
     )
 

@@ -101,6 +101,66 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bm25_index(docs: DataFrame, text_col: str):
+    """The shared BM25 inverted-index statistics — three partial
+    aggregations plus the corpus-constants broadcast frame: returns
+    (tf, dl, dfreq, glob).  Both :func:`bm25_topk` and
+    :func:`bm25_retrieve` build on this one path (they had drifted as
+    near-verbatim copies; r03 review)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    glob = dl.agg(F.sum("dl").alias("sum_dl")).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    )
+    return tf, dl, dfreq, glob
+
+
+def _bm25_term_score(k1: float, b: float):
+    """The per-(doc, term) BM25 contribution as a Column over the joined
+    index frame — BM25+ idf ln((N−df+0.5)/(df+0.5)+1) × tf saturation.
+    One definition shared by both consumers so the float op ORDER (and
+    any rounding-form fix) can never drift between them."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    return idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+
+
+# shared SQL twin of _bm25_index (tokenization + tf/dl/dfreq/g CTEs)
+_BM25_INDEX_SQL = r"""
+      with toks as (
+        select doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) as term
+        from documents where length(trim(text)) > 0
+      ),
+      tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+      dl as (select doc_id, sum(tf) as dl from tf group by 1),
+      dfreq as (select term, count(*) as dfreq from tf group by 1),
+      g as (select (select sum(dl) from dl) as sum_dl,
+                   (select count(*) from documents) as n_docs)"""
+
+
+def _bm25_term_score_sql(k1: float, b: float, tf_ref: str = "tf.tf", dl_ref: str = "dl.dl") -> str:
+    return (
+        f"ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)"
+        f" * (({tf_ref} * {k1 + 1.0!r})"
+        f"    / ({tf_ref} + {k1!r} * ({1.0 - b!r} + {b!r}"
+        f"       * ({dl_ref} / (cast(sum_dl as double) / n_docs)))))"
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     k: int = 3,
@@ -126,31 +186,15 @@ def bm25_topk(
 
     Corpus constants (N, Σdl) reduce to a broadcast 1-row frame — no
     driver collect, the whole plan is one Spark job.  Scores round to
-    6 dp so ordering and the oracle hash are ulp-stable across engines
-    (libm ln differs in the last ulp between JVM and DuckDB).
+    6 dp in the floor(x·1e6+0.5)/1e6 form (the repo's cross-engine
+    float-output invariant) so ordering and the oracle hash are
+    ulp-stable across engines.
     """
     from pyspark.sql import Window
 
-    toks = tokens_col(F.lower(F.col(text_col)))
-    terms = df.select("doc_id", F.explode(toks).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    glob = (
-        dl.agg(F.sum("dl").alias("sum_dl"))
-        .crossJoin(F.broadcast(df.agg(F.count("*").alias("n_docs"))))
-    )
+    tf, dl, dfreq, glob = _bm25_index(df, text_col)
     scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(F.broadcast(glob))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
-        / (F.col("dfreq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
-    )
-    score = F.round(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom), 6)
+    score = F.floor(_bm25_term_score(k1, b) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.select(
@@ -166,24 +210,11 @@ def bm25_oracle_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenization, same float
     op ORDER (left-assoc, constants interpolated via repr so both
     engines see the identical doubles)."""
-    return rf"""
-      with toks as (
-        select doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) as term
-        from documents where length(trim(text)) > 0
-      ),
-      tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
-      dl as (select doc_id, sum(tf) as dl from tf group by 1),
-      dfreq as (select term, count(*) as dfreq from tf group by 1),
-      g as (select (select sum(dl) from dl) as sum_dl,
-                   (select count(*) from documents) as n_docs),
+    return f"""
+      {_BM25_INDEX_SQL},
       s as (
         select tf.doc_id, tf.term, tf.tf,
-               round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-                     * ((tf.tf * {k1 + 1.0!r})
-                        / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}
-                           * (dl.dl / (cast(sum_dl as double) / n_docs))))), 6)
-                 as score
+               floor(({_bm25_term_score_sql(k1, b)}) * 1e6 + 0.5) / 1e6 as score
         from tf join dl using (doc_id) join dfreq using (term) cross join g
       ),
       r as (select *, row_number() over
@@ -302,17 +333,7 @@ def bm25_retrieve(
     """
     from pyspark.sql import Window
 
-    toks = tokens_col(F.lower(F.col(text_col)))
-    tf = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    glob = dl.agg(F.sum("dl").alias("sum_dl")).crossJoin(
-        F.broadcast(docs.agg(F.count("*").alias("n_docs")))
-    )
+    tf, dl, dfreq, glob = _bm25_index(docs, text_col)
     qt = (
         queries.select(q_id, F.explode(tokens_col(F.lower(F.col(q_text)))).alias("term"))
         .distinct()
@@ -323,22 +344,12 @@ def bm25_retrieve(
         .join(dfreq, "term")
         .crossJoin(F.broadcast(glob))
     )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
-        / (F.col("dfreq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    term_score = idf * (
-        (F.col("tf") * F.lit(k1 + 1.0))
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
-    )
     # float addition is order-dependent across engines/partitionings:
     # round each TERM score to 6 dp (floor form), sum in decimal (exact,
     # order-free), emit as double
-    ts6 = (F.floor(term_score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
-        "decimal(18,6)"
-    )
+    ts6 = (
+        F.floor(_bm25_term_score(k1, b) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).cast("decimal(18,6)")
     per_doc = scored.groupBy(q_id, "doc_id").agg(
         F.sum(ts6).cast("double").alias("score")
     )
@@ -356,16 +367,7 @@ def bm25_retrieve_sql(
     """DuckDB twin of :func:`bm25_retrieve`; ``queries_cte`` must yield
     (qid, qtext)."""
     return rf"""
-      with toks as (
-        select doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) as term
-        from documents where length(trim(text)) > 0
-      ),
-      tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
-      dl as (select doc_id, sum(tf) as dl from tf group by 1),
-      dfreq as (select term, count(*) as dfreq from tf group by 1),
-      g as (select (select sum(dl) from dl) as sum_dl,
-                   (select count(*) from documents) as n_docs),
+      {_BM25_INDEX_SQL},
       q as ({queries_cte}),
       qt as (select distinct qid, term from (
                select qid,
@@ -373,10 +375,7 @@ def bm25_retrieve_sql(
                from q where length(trim(qtext)) > 0) e),
       s as (
         select qt.qid, tf.doc_id,
-               ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-                 * ((tf.tf * {k1 + 1.0!r})
-                    / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}
-                       * (dl.dl / (cast(sum_dl as double) / n_docs))))) as ts
+               {_bm25_term_score_sql(k1, b)} as ts
         from qt join tf using (term) join dl using (doc_id)
              join dfreq using (term) cross join g
       ),
