@@ -630,7 +630,10 @@ _SQL_HOTSPOT = f"""
             group by c.gx, c.gy, c.n),
   stats as (select count(*) as n_tot, sum(n) as sx, sum(n * n) as sxx from cells)
   select gx, gy, n,
-         case when (sqrt(cast(sxx as double) / cast(n_tot as double)
+         case when (cast(sxx as double) / cast(n_tot as double)
+                 - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double))) <= 0.0
+              then null
+              when (sqrt(cast(sxx as double) / cast(n_tot as double)
                  - (cast(sx as double) / cast(n_tot as double)) * (cast(sx as double) / cast(n_tot as double)))
             * sqrt(cast(n_tot * n_i - n_i * n_i as double) / (cast(n_tot as double) - 1.0))) = 0.0
               then null

@@ -97,6 +97,54 @@ class PreparedPolygon:
         return out
 
 
+def _cell_range(minx, miny, maxx, maxy, zoom: int) -> tuple[int, int, int, int]:
+    """Inclusive (c0, c1, r0, r1) cell-index ranges of a bbox at ``zoom``
+    (row 0 at the top of the map, matching tile row convention).  The
+    ONE definition of the bbox→cell-range shift arithmetic — it used to
+    be copy-pasted five times across this module (r03 review)."""
+    c0 = int(minx + (1 << 31)) >> (32 - zoom)
+    c1 = int(maxx + (1 << 31)) >> (32 - zoom)
+    r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
+    r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+    return c0, c1, r0, r1
+
+
+def _segment_bbox_mins_maxs(rings: list[np.ndarray]):
+    """Per-segment bbox corners as (n_segs, 1) columns for broadcast
+    cell-intersection tests (shared by the quadtree classifier and the
+    conservative boundary rasterizer)."""
+    segs = np.concatenate(
+        [np.concatenate([r[:-1], r[1:]], axis=1) for r in rings], axis=0
+    )
+    return (
+        np.minimum(segs[:, 0], segs[:, 2])[:, None],
+        np.maximum(segs[:, 0], segs[:, 2])[:, None],
+        np.minimum(segs[:, 1], segs[:, 3])[:, None],
+        np.maximum(segs[:, 1], segs[:, 3])[:, None],
+    )
+
+
+def _touched_mask(cur_c, cur_r, zoom, sminx, smaxx, sminy, smaxy, chunk: int = 8192):
+    """Which cells' bboxes intersect ANY segment bbox — vectorized with
+    the segment dimension chunked so a coastline-sized ring never
+    materializes an O(segs × cells) boolean matrix at once."""
+    extent = np.int64(1) << (32 - zoom)
+    cell_minx = (cur_c << (32 - zoom)) - (1 << 31)
+    cell_maxx = cell_minx + extent - 1
+    cell_maxy = (1 << 31) - 1 - (cur_r << (32 - zoom))
+    cell_miny = cell_maxy - extent + 1
+    touched = np.zeros(len(cur_c), dtype=bool)
+    for s in range(0, len(sminx), chunk):
+        e = s + chunk
+        touched |= (
+            (cell_minx[None, :] <= smaxx[s:e])
+            & (cell_maxx[None, :] >= sminx[s:e])
+            & (cell_miny[None, :] <= smaxy[s:e])
+            & (cell_maxy[None, :] >= sminy[s:e])
+        ).any(axis=0)
+    return touched
+
+
 def _quadtree_bands(
     rings: list[np.ndarray],
     minx: float,
@@ -130,20 +178,11 @@ def _quadtree_bands(
     way: ZoomLevels.java:98-113 allows steps of 1-3; we trade a deeper
     step for a narrower probe because OUR probe cost is per-level, not
     per-tile.)"""
-    segs = np.concatenate(
-        [np.concatenate([r[:-1], r[1:]], axis=1) for r in rings], axis=0
-    )
-    sminx = np.minimum(segs[:, 0], segs[:, 2])[:, None]
-    smaxx = np.maximum(segs[:, 0], segs[:, 2])[:, None]
-    sminy = np.minimum(segs[:, 1], segs[:, 3])[:, None]
-    smaxy = np.maximum(segs[:, 1], segs[:, 3])[:, None]
+    sminx, smaxx, sminy, smaxy = _segment_bbox_mins_maxs(rings)
 
     zoom = max_zoom
     while zoom > 0:
-        c0 = int(minx + (1 << 31)) >> (32 - zoom)
-        c1 = int(maxx + (1 << 31)) >> (32 - zoom)
-        r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
-        r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+        c0, c1, r0, r1 = _cell_range(minx, miny, maxx, maxy, zoom)
         if (c1 - c0 + 1) <= base_axis and (r1 - r0 + 1) <= base_axis:
             break
         zoom -= 1
@@ -156,16 +195,10 @@ def _quadtree_bands(
     else:
         zoom = level_step
     if zoom < 8:
-        c0 = int(minx + (1 << 31)) >> (32 - 8)
-        c1 = int(maxx + (1 << 31)) >> (32 - 8)
-        r0 = int((1 << 31) - 1 - maxy) >> (32 - 8)
-        r1 = int((1 << 31) - 1 - miny) >> (32 - 8)
+        c0, c1, r0, r1 = _cell_range(minx, miny, maxx, maxy, 8)
         if (c1 - c0 + 1) <= 256 and (r1 - r0 + 1) <= 256:
             zoom = 8
-    c0 = int(minx + (1 << 31)) >> (32 - zoom)
-    c1 = int(maxx + (1 << 31)) >> (32 - zoom)
-    r0 = int((1 << 31) - 1 - maxy) >> (32 - zoom)
-    r1 = int((1 << 31) - 1 - miny) >> (32 - zoom)
+    c0, c1, r0, r1 = _cell_range(minx, miny, maxx, maxy, zoom)
 
     cols = np.arange(c0, c1 + 1, dtype=np.int64)
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
@@ -179,15 +212,8 @@ def _quadtree_bands(
     while True:
         extent = np.int64(1) << (32 - zoom)
         cell_minx = (cur_c << (32 - zoom)) - (1 << 31)
-        cell_maxx = cell_minx + extent - 1
-        cell_maxy = (1 << 31) - 1 - (cur_r << (32 - zoom))
-        cell_miny = cell_maxy - extent + 1
-        touched = (
-            (cell_minx[None, :] <= smaxx)
-            & (cell_maxx[None, :] >= sminx)
-            & (cell_miny[None, :] <= smaxy)
-            & (cell_maxy[None, :] >= sminy)
-        ).any(axis=0)
+        cell_miny = (1 << 31) - 1 - (cur_r << (32 - zoom)) - extent + 1
+        touched = _touched_mask(cur_c, cur_r, zoom, sminx, smaxx, sminy, smaxy)
         # PIP only the untouched cells (the touched ones are boundary
         # regardless of their center) — at deep refinement levels most
         # children ARE untouched, so this cuts the dominant O(segs×cells)
@@ -252,47 +278,36 @@ def prepare_polygon(
 
     zoom = max_zoom
     while zoom > 0:
-        c0, c1 = int((minx + (1 << 31))) >> (32 - zoom), int((maxx + (1 << 31))) >> (32 - zoom)
-        r0, r1 = int(((1 << 31) - 1 - maxy)) >> (32 - zoom), int(((1 << 31) - 1 - miny)) >> (32 - zoom)
+        c0, c1, r0, r1 = _cell_range(minx, miny, maxx, maxy, zoom)
         if (c1 - c0 + 1) <= max_tiles_per_axis and (r1 - r0 + 1) <= max_tiles_per_axis:
             break
         zoom -= 1
 
     extent = np.int64(1) << (32 - zoom)
-    bands: dict[int, int] = {}
 
-    # Conservative boundary: rasterize each segment bbox to the cell grid.
-    for ring in rings:
-        sc0 = ((np.minimum(ring[:-1, 0], ring[1:, 0]).astype(np.int64) + (1 << 31)) >> (32 - zoom))
-        sc1 = ((np.maximum(ring[:-1, 0], ring[1:, 0]).astype(np.int64) + (1 << 31)) >> (32 - zoom))
-        sr0 = (((1 << 31) - 1 - np.maximum(ring[:-1, 1], ring[1:, 1]).astype(np.int64)) >> (32 - zoom))
-        sr1 = (((1 << 31) - 1 - np.minimum(ring[:-1, 1], ring[1:, 1]).astype(np.int64)) >> (32 - zoom))
-        for i in range(len(sc0)):
-            cc, rr = np.meshgrid(
-                np.arange(sc0[i], sc1[i] + 1, dtype=np.int64),
-                np.arange(sr0[i], sr1[i] + 1, dtype=np.int64),
-            )
-            for cid in _cell_ids(zoom, rr.ravel(), cc.ravel()).tolist():
-                bands[cid] = BOUNDARY
-
-    # Interior: candidate cells whose center is inside and not boundary.
-    c0 = int((minx + (1 << 31))) >> (32 - zoom)
-    c1 = int((maxx + (1 << 31))) >> (32 - zoom)
-    r0 = int(((1 << 31) - 1 - maxy)) >> (32 - zoom)
-    r1 = int(((1 << 31) - 1 - miny)) >> (32 - zoom)
+    # Candidate grid = the polygon bbox at ``zoom`` (every segment bbox
+    # lies inside it).  Conservative boundary = cells whose bbox touches
+    # any segment bbox — ONE vectorized pass shared with the quadtree
+    # classifier (was a per-segment Python meshgrid + per-cell dict-store
+    # loop: O(segments) driver iterations on coastline-sized rings,
+    # r03 review).  Interior = center-inside and not boundary.
+    c0, c1, r0, r1 = _cell_range(minx, miny, maxx, maxy, zoom)
     cols = np.arange(c0, c1 + 1, dtype=np.int64)
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
     cc, rr = np.meshgrid(cols, rows)
     cc, rr = cc.ravel(), rr.ravel()
+    sminx, smaxx, sminy, smaxy = _segment_bbox_mins_maxs(rings)
+    touched = _touched_mask(cc, rr, zoom, sminx, smaxx, sminy, smaxy)
     cell_ids = _cell_ids(zoom, rr, cc)
     cx = (cc << (32 - zoom)) - (1 << 31) + extent // 2
     cy = (1 << 31) - 1 - (rr << (32 - zoom)) - extent // 2
     inside = pip.points_in_polygon(cx.astype(np.float64), cy.astype(np.float64), rings)
-    for t, ins in zip(cell_ids.tolist(), inside.tolist()):
-        if ins and t not in bands:
-            bands[t] = INTERIOR
-    band_tiles = np.array(sorted(bands), dtype=np.int64)
-    band_codes = np.array([bands[t] for t in band_tiles.tolist()], dtype=np.int8)
+    keep = touched | inside
+    band_tiles = cell_ids[keep]
+    band_codes = np.where(touched[keep], BOUNDARY, INTERIOR).astype(np.int8)
+    order = np.argsort(band_tiles)
+    band_tiles = band_tiles[order]
+    band_codes = band_codes[order]
     qt_cells, qt_codes = _quadtree_bands(rings, minx, miny, maxx, maxy,
                                          level_step=level_step)
     return PreparedPolygon(
@@ -358,51 +373,69 @@ def contains_points(
     spark = points.sparkSession
     import pandas as pd_mod
 
-    # Broadcast band tables, one per quadtree zoom present (the zoom is
-    # packed in the high bits of the cell id).
-    by_zoom: dict[int, list] = {}
-    rings_by_poly = {p.poly_id: p.rings for p in prepared}
-    for p in prepared:
-        zooms = (p.qt_cells >> 40).astype(np.int64)
-        for cell, code, z in zip(p.qt_cells.tolist(), p.qt_codes.tolist(), zooms.tolist()):
-            by_zoom.setdefault(int(z), []).append((cell, p.poly_id, int(code)))
-
-    bc_rings = spark.sparkContext.broadcast(rings_by_poly)
+    # Zooms present in the layer (packed in the cell ids' high bits) —
+    # needed for the probe explode whether or not the band table is
+    # cached; vectorized, no per-cell Python.
+    zoom_list = sorted(
+        {int(z) for p in prepared for z in np.unique(p.qt_cells >> 40).tolist()}
+    )
 
     # The band table is query-compilation state (like the reference's
     # cached matchers, MatcherCompiler.java:37-46) — build it once per
-    # (layer, session).  The key hashes the cell CONTENT, not just the
-    # shape: re-preparing an edited polygon with the same id/count must
-    # miss the cache.
+    # (layer, session).  The key hashes the cell AND ring CONTENT, not
+    # just the shape: re-preparing an edited polygon with the same
+    # id/count must miss the cache (rings are in the key because the
+    # rings broadcast is cached alongside the band frame).
     import zlib
 
     cache_key = (
         tuple(
-            (p.poly_id, zlib.crc32(p.qt_cells.tobytes()), zlib.crc32(p.qt_codes.tobytes()))
+            (
+                p.poly_id,
+                zlib.crc32(p.qt_cells.tobytes()),
+                zlib.crc32(p.qt_codes.tobytes()),
+                tuple(zlib.crc32(np.ascontiguousarray(r).tobytes()) for r in p.rings),
+            )
             for p in prepared
         ),
         id(spark),
     )
-    cached = _BANDS_CACHE.get(cache_key)
-    if cached is not None:
-        bands_df = cached
-    else:
+    entry = _BANDS_CACHE.get(cache_key)
+    if entry is None:
         # Evict superseded entries first: same (poly_id set, session) but
-        # different cell content means the layer was edited/re-prepared —
-        # the old cached band frame would otherwise stay pinned in
-        # executor memory for the session's lifetime (ADVICE r01).
+        # different content means the layer was edited/re-prepared — the
+        # old cached band frame (and rings broadcast) would otherwise stay
+        # pinned in executor memory for the session's lifetime (ADVICE r01).
         poly_ids = tuple(p.poly_id for p in prepared)
         for k in [
             k for k in _BANDS_CACHE
             if k[1] == id(spark) and tuple(e[0] for e in k[0]) == poly_ids
         ]:
-            _BANDS_CACHE.pop(k).unpersist()
-        all_rows = [row for rows in by_zoom.values() for row in rows]
+            old = _BANDS_CACHE.pop(k)
+            old["bands"].unpersist()
+            if old["rings_bc"] is not None:
+                old["rings_bc"].unpersist()
+        # band rows assembled vectorized per polygon (the old per-cell
+        # Python loop ran on EVERY call, cache hit or not — r03 review)
+        bands_pdf = pd_mod.concat(
+            [
+                pd_mod.DataFrame(
+                    {
+                        "_band_cell": p.qt_cells.astype(np.int64),
+                        "poly_id": p.poly_id,
+                        "_band": p.qt_codes.astype(np.int32),
+                    }
+                )
+                for p in prepared
+            ],
+            ignore_index=True,
+        )
         bands_df = spark.createDataFrame(
-            pd_mod.DataFrame(all_rows, columns=["_band_cell", "poly_id", "_band"]),
-            schema="_band_cell long, poly_id string, _band int",
+            bands_pdf, schema="_band_cell long, poly_id string, _band int"
         ).cache()
-        _BANDS_CACHE[cache_key] = bands_df
+        entry = {"bands": bands_df, "rings_bc": None}
+        _BANDS_CACHE[cache_key] = entry
+    bands_df = entry["bands"]
 
     # One exploded probe: the point's quadtree cell id at every zoom level
     # present in the layer, joined once against the broadcast band table.
@@ -415,7 +448,6 @@ def contains_points(
             + T.column_from_x_col(F.col("x"), zoom).cast("long")
         )
 
-    zoom_list = sorted(by_zoom)
     probe = points.withColumn(
         "_cell", F.explode(F.array(*[cell_expr(z) for z in zoom_list]))
     )
@@ -469,6 +501,15 @@ def contains_points(
 
     interior = j.filter(F.col("_band") == INTERIOR).select(*keep, "poly_id")
     boundary = j.filter(F.col("_band") == BOUNDARY).select(*keep, "x", "y", "poly_id")
+
+    # the rings broadcast is only needed on THIS (Arrow-kernel) path, and
+    # is cached per layer beside the band frame — the old code broadcast
+    # it unconditionally per call and never released it (r03 review)
+    if entry["rings_bc"] is None:
+        entry["rings_bc"] = spark.sparkContext.broadcast(
+            {p.poly_id: p.rings for p in prepared}
+        )
+    bc_rings = entry["rings_bc"]
 
     def exact(batches):
         rings_map = bc_rings.value

@@ -194,10 +194,12 @@ def write_leaflet_page(
         if rows or markers
         else "map.setView([0, 0], 2);"
     )
+    # json.dumps both header strings (like the marker fields): a bare
+    # apostrophe in the attribution would otherwise break the whole page
     script = (
         "var map = L.map('map');\n"
-        f"var tilesUrl='{tile_server_url}';\n"
-        f"var tilesAttrib='{attribution}';\n"
+        f"var tilesUrl={_json.dumps(tile_server_url)};\n"
+        f"var tilesAttrib={_json.dumps(attribution)};\n"
         f"var tileLayer = new L.TileLayer(tilesUrl, {{minZoom: {min_zoom}, "
         f"maxZoom: {max_zoom}, attribution: tilesAttrib}});\n"
         "map.setView([51.505, -0.09], 13);\n"
@@ -691,15 +693,20 @@ def hotspot_gi_star(
     )
     j = occ.crossJoin(F.broadcast(stats))
     xbar = F.col("sx").cast("double") / F.col("n_tot").cast("double")
-    s = F.sqrt(F.col("sxx").cast("double") / F.col("n_tot").cast("double") - xbar * xbar)
+    var = F.col("sxx").cast("double") / F.col("n_tot").cast("double") - xbar * xbar
+    s = F.sqrt(var)
     denom = s * F.sqrt(
         (F.col("n_tot") * F.col("n_i") - F.col("n_i") * F.col("n_i")).cast("double")
         / (F.col("n_tot").cast("double") - F.lit(1.0))
     )
     num = F.col("s_i").cast("double") - xbar * F.col("n_i").cast("double")
-    # zero global variance (every cell equal) ⇒ the statistic is
-    # undefined; emit NULL rather than divide by zero (oracle mirrors)
-    gi = F.when(denom != 0.0, num / denom)
+    # zero-or-negative global variance ⇒ the statistic is undefined;
+    # emit NULL.  The variance guard must test var itself, not the
+    # denominator: float cancellation can land var epsilon-NEGATIVE,
+    # where sqrt gives NaN and `NaN != 0.0` is TRUE in Spark — the old
+    # denom-only guard let gi_star = NaN through (r03 review; the
+    # DuckDB twin would error outright on sqrt of a negative)
+    gi = F.when((var > 0) & (denom != 0.0), num / denom)
     return j.select("gx", "gy", "n", gi.alias("gi_star"))
 
 

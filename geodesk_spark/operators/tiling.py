@@ -194,9 +194,14 @@ def cover_bounds_cols(zoom: int):
 
 
 def cover_cell_col(zoom: int, rr, cc):
-    """Packed cell id zoom·2²⁴ + row·4096 + col (matches tile id packing)."""
+    """Packed cell id zoom·2²⁴ + row·4096 + col (matches tile id packing).
+
+    zoom ≤ 12 only: rows/cols beyond 4095 would silently collide in the
+    12-bit row shift — and this packing is THE single definition behind
+    the exactly-once intersection-cell rule of the big-big joins."""
     from pyspark.sql import functions as F
 
+    assert zoom <= 12, f"cover_cell packing is 12-bit row/col; got zoom={zoom}"
     return F.lit(zoom * (1 << 24)).cast("long") + rr * 4096 + cc
 
 
