@@ -33,6 +33,16 @@ def as_of_join(
     """
     lcols = [c for c in left.columns]
     rpay = [c for c in right.columns if c not in (by, right_ts)]
+    # a right payload column shadowing a left column would emit TWO
+    # output columns with the same name (ambiguous downstream, unwritable
+    # to parquet) — fail loudly up front instead (r03 review); rename on
+    # either input to disambiguate, as DuckDB ASOF's suffixing would
+    clash = sorted(set(rpay) & set(lcols))
+    if clash:
+        raise ValueError(
+            f"as_of_join: right payload column(s) {clash} collide with left "
+            "columns — rename one side before joining"
+        )
 
     lhs = left.select(
         F.col(by),

@@ -51,15 +51,15 @@ def bbox_prefix_values(bbox: tuple[int, int, int, int], zoom: int = 4) -> list[i
 
     minx, miny, maxx, maxy = bbox
     step = 1 << (32 - zoom)
-    cols = range((minx + (1 << 31)) // step, (maxx + (1 << 31)) // step + 1)
-    rows = range(((1 << 31) - 1 - maxy) // step, ((1 << 31) - 1 - miny) // step + 1)
-    out = []
-    for r in rows:
-        for c in cols:
-            x = int(c * step - (1 << 31))
-            y = int((1 << 31) - 1 - r * step)
-            out.append(int(curve.morton_cell(np.array([x]), np.array([y]), zoom)[0]))
-    return sorted(set(out))
+    cols = np.arange((minx + (1 << 31)) // step, (maxx + (1 << 31)) // step + 1, dtype=np.int64)
+    rows = np.arange(((1 << 31) - 1 - maxy) // step, ((1 << 31) - 1 - miny) // step + 1, dtype=np.int64)
+    cc, rr = np.meshgrid(cols, rows)
+    # one vectorized kernel call over all cell corners (was one
+    # single-element call per cell in a nested Python loop — r03 review)
+    xs = cc.ravel() * step - (1 << 31)
+    ys = (1 << 31) - 1 - rr.ravel() * step
+    cells = curve.morton_cell(xs, ys, zoom)
+    return sorted({int(v) for v in cells.tolist()})
 
 
 def bbox_partition_filter(bbox: tuple[int, int, int, int], zoom: int = 4) -> Column:

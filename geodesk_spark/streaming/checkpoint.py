@@ -4,9 +4,14 @@ BASELINE.json north_rule: "resumable from checkpoint with per-partition
 lineage + row-count/throughput metrics".  The reference's analog is the
 double-snapshot GOL store (FreeStore.java:30-61, readers lock one of two
 header snapshots); ours is the Spark-native equivalent: each stage
-writes an atomic parquet snapshot (the _SUCCESS marker is the commit
-point, like the active-snapshot byte) plus a lineage manifest, and a
-re-run skips every stage whose snapshot is already committed.
+writes a parquet snapshot plus a lineage manifest, then COMMITS by
+appending to the snapshot log (an atomic os.replace — the
+active-snapshot-byte analog).  _SUCCESS alone is NOT the commit: a
+version is visible only when both its _SUCCESS marker exists AND the
+log records it, so a crash between the parquet write and the log
+append leaves an orphan directory that a re-run simply supersedes —
+never a "done" stage with no lineage or snapshot id.  A re-run skips
+every stage whose snapshot is already committed.
 
 In production the checkpoint format is an Iceberg table (snapshot ids
 give time travel); no Iceberg catalog ships in this sandbox, so the
@@ -73,11 +78,20 @@ class Pipeline:
         return sorted(out)
 
     def _active_version(self, stage: str) -> int | None:
-        """Highest committed, non-invalidated version."""
+        """Highest committed, non-invalidated version.
+
+        Committed = _SUCCESS present AND recorded in the snapshot log;
+        the log append is the single commit point, so a crash after the
+        parquet write but before the log append leaves an invisible
+        orphan directory (re-run supersedes it), never a half-committed
+        'done' stage (r03 review)."""
+        logged = {e["version"] for e in self.snapshots() if e["stage"] == stage}
         for v in reversed(self._versions(stage)):
             vd = self._version_dir(stage, v)
-            if os.path.exists(os.path.join(vd, "_SUCCESS")) and not os.path.exists(
-                os.path.join(vd, "_INVALIDATED")
+            if (
+                v in logged
+                and os.path.exists(os.path.join(vd, "_SUCCESS"))
+                and not os.path.exists(os.path.join(vd, "_INVALIDATED"))
             ):
                 return v
         return None
@@ -123,11 +137,20 @@ class Pipeline:
         elapsed = time.time() - t0
 
         snap = self.spark.read.parquet(out)
-        per_file = (
-            snap.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
+        # per-partition lineage from the parquet FOOTERS (driver-side,
+        # pyarrow): the old groupBy(input_file_name) rescanned the whole
+        # just-written snapshot purely for metrics (r03 review)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(
+            _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
         )
+        per_file = [
+            {"file": os.path.basename(f), "rows": _pq.ParquetFile(f).metadata.num_rows}
+            for f in files
+        ]
         n_rows = sum(r["rows"] for r in per_file)
         manifest = {
             "stage": name,
@@ -135,9 +158,7 @@ class Pipeline:
             "elapsed_sec": round(elapsed, 3),
             "n_rows": n_rows,
             "rows_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else None,
-            "partitions": [
-                {"file": os.path.basename(r["file"]), "rows": r["rows"]} for r in per_file
-            ],
+            "partitions": per_file,
             "schema": snap.schema.simpleString(),
             "committed_at_unix": int(time.time()),
         }
@@ -205,6 +226,11 @@ def append_stage(p: "Pipeline", name: str, fn) -> int:
     its snapshot_id.  Consumers use ``read_all`` for the full table or
     ``read_incremental(since)`` for exactly the rows committed after a
     known snapshot — the `option("start-snapshot-id", …)` pattern."""
+    if any(e["stage"] == name and e.get("mode") != "append" for e in p.snapshots()):
+        # the reverse of stage()'s guard: appending to a batch stage
+        # would silently flip read() to read_all and union the old batch
+        # snapshot with the append batches (r03 review)
+        raise ValueError(f"{name!r} is a batch stage — use stage()/invalidate()")
     versions = p._versions(name)
     out = p._version_dir(name, (versions[-1] + 1) if versions else 1)
     df = fn(p.spark)

@@ -242,6 +242,40 @@ def test_read_and_guards_on_append_stages(spark, tmp_path):
     assert p.read("ing").count() == 9
     with _pt.raises(ValueError, match="append stage"):
         p.stage("ing", lambda s: s.range(1))
+    # reverse guard: appending to a BATCH stage would silently flip
+    # read() to read_all and union old + new (r03 review)
+    p.stage("batch", lambda s: s.range(3))
+    with _pt.raises(ValueError, match="batch stage"):
+        p.append_stage("batch", lambda s: s.range(3, 5))
+    assert p.read("batch").count() == 3
+
+
+def test_crash_between_write_and_log_is_invisible(spark, tmp_path):
+    """The snapshot-log append is the single commit point: a version dir
+    with _SUCCESS but no log entry (crash between the parquet write and
+    the log append) must be invisible — is_done False, read() raises —
+    and a re-run must supersede it cleanly (r03 review)."""
+    import os
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    root = str(tmp_path / "crash")
+    p = Pipeline(spark, root)
+    # simulate the crash: data written (with _SUCCESS) but never logged
+    orphan = os.path.join(root, "st", "v1")
+    spark.range(7).write.parquet(orphan)
+    assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    assert not p.is_done("st")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no committed snapshot"):
+        p.read("st")
+    # re-run commits a fresh version and reads ONLY it
+    out = p.stage("st", lambda s: s.range(4))
+    assert out.count() == 4
+    assert p.is_done("st")
+    assert p.read("st").count() == 4
+    assert p.lineage("st")["n_rows"] == 4
 
 
 def test_merge_rollup_identity(spark):
