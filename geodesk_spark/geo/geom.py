@@ -35,9 +35,15 @@ _EPS_BOUND = 2.0**16
 def _orient_exact(ox, oy, ax, ay, bx, by) -> np.ndarray:
     out = np.empty(len(ox), dtype=np.int8)
     for i in range(len(ox)):
-        v = (int(ax[i]) - int(ox[i])) * (int(by[i]) - int(oy[i])) - (
-            int(ay[i]) - int(oy[i])
-        ) * (int(bx[i]) - int(ox[i]))
+        # inputs may be segment MIDPOINTS (half-integers from relate()'s
+        # sampling): scale by 2 — sign-invariant — so the int conversion
+        # is exact; bare int() TRUNCATED x.5 to a different point and the
+        # "exact" fallback then evaluated the wrong orientation
+        # (r03 review)
+        o_x, o_y = int(2 * ox[i]), int(2 * oy[i])
+        a_x, a_y = int(2 * ax[i]), int(2 * ay[i])
+        b_x, b_y = int(2 * bx[i]), int(2 * by[i])
+        v = (a_x - o_x) * (b_y - o_y) - (a_y - o_y) * (b_x - o_x)
         out[i] = 0 if v == 0 else (1 if v > 0 else -1)
     return out
 
@@ -145,6 +151,16 @@ def _segs(a) -> np.ndarray:
     return polygon_segments(a) if isinstance(a, list) else line_segments(np.asarray(a, dtype=np.float64))
 
 
+def _seg_key_set(segs: np.ndarray) -> set:
+    """Undirected canonical segment set — the boundary's identity
+    (order- and direction-independent)."""
+    keys = set()
+    for x1, y1, x2, y2 in segs.tolist():
+        p, q = (x1, y1), (x2, y2)
+        keys.add((p, q) if p <= q else (q, p))
+    return keys
+
+
 def _classify_points(xs, ys, rings: list[np.ndarray], segs: np.ndarray):
     """→ (strictly_inside, on_boundary, strictly_outside) bool arrays."""
     inside = pip.points_in_polygon(xs, ys, rings)
@@ -169,6 +185,23 @@ def relate(a, b_rings: list[np.ndarray]) -> dict[str, bool]:
     bsegs = polygon_segments(b_rings)
     bverts = _verts(b_rings)
     a_is_poly = isinstance(a, list)
+
+    # Equal polygons first: sampling cannot see it (every probe lands ON
+    # the boundary, which reads as touches) — but identical boundaries
+    # imply identical even-odd regions, so A == B ⇒ within = contains =
+    # covered_by = True, touches = False (JTS/DE-9IM; r03 review).  The
+    # undirected canonical segment SET is the boundary identity.
+    if a_is_poly and _seg_key_set(asegs) == _seg_key_set(bsegs):
+        return {
+            "intersects": True,
+            "within": True,
+            "contains": True,
+            "covered_by": True,
+            "disjoint": False,
+            "crosses": False,
+            "touches": False,
+            "overlaps": False,
+        }
 
     # A sample points: vertices + segment midpoints (catches bulges).
     sx = np.concatenate([av[:, 0], (asegs[:, 0] + asegs[:, 2]) / 2])

@@ -44,7 +44,13 @@ def assemble_relation_polygons(
     empty geometry, PolygonBuilder.java:208-214).  `valid` stays the
     boolean "a polygon came out".
     """
-    m = members.filter(F.col("role").isin(*roles)).select(
+    m = members
+    if "member_type" in members.columns:
+        # only WAY members carry ring geometry; node/sub-relation members
+        # with an outer/inner role would otherwise join way_nodes by raw
+        # id — and OSM node/way/relation id spaces overlap (r03 review)
+        m = m.filter(F.col("member_type") == "w")
+    m = m.filter(F.col("role").isin(*roles)).select(
         "rel_id", F.col("member_id").alias("way_id")
     )
     verts = way_nodes.join(m, "way_id").select("rel_id", "way_id", "seq", "x", "y")
@@ -133,8 +139,19 @@ def gather_relation_closure(
         adj: dict[int, list[int]] = {}
         for r in edges_df.collect():
             adj.setdefault(r["rel_id"], []).append(r["sub_rel_id"])
+        # roots must be NON-AREA relations only — the distributed path
+        # seeds its frontier from the non-area identity rows, so the
+        # driver BFS expanding from every parent in adj (area ones
+        # included) returned extra rows the two paths disagreed on
+        # (r03 review); membership lookup bounded by |adj|
+        na_roots = {
+            r["rel_id"]
+            for r in non_area.filter(F.col("rel_id").isin(list(adj))).collect()
+        }
         pairs = []
         for root in adj:
+            if root not in na_roots:
+                continue
             seen = {root}
             stack = [root]
             while stack:
@@ -242,13 +259,18 @@ def relation_geometry_collection(
             "member_id",
         )
     )
+    # drop invalid assemblies (no ring formed): the reference's
+    # PolygonBuilder returns an EMPTY geometry there, so the member
+    # contributes nothing — emitting the kernel's placeholder row would
+    # count a phantom 0-vertex Polygon and drag the root bbox to 0
+    # (r03 review)
     area_polys = assemble_relation_polygons(
         members.join(
             F.broadcast(needed_area.select(F.col("member_id").alias("rel_id")).distinct()),
             "rel_id",
         ),
         way_nodes,
-    ).select(
+    ).filter(F.col("valid")).select(
         F.col("rel_id").alias("member_id"),
         F.when(F.col("n_parts") > 1, "MultiPolygon").otherwise("Polygon").alias("gtype"),
         "n_vertices", "minx", "miny", "maxx", "maxy",

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from geodesk_spark.geo import geom, pip
-from geodesk_spark.operators.spatial_join import INTERIOR, PreparedPolygon
+from geodesk_spark.operators.spatial_join import INTERIOR, PreparedPolygon, _cell_ids
 
 # Predicate result when the feature's bbox-tiles are all INTERIOR
 # (strictly inside the polygon): the geometry test can be waived.
@@ -96,6 +96,9 @@ def spatial_predicate_join(
             fminy = pdf["miny"].to_numpy(np.float64)
             fmaxx = pdf["maxx"].to_numpy(np.float64)
             fmaxy = pdf["maxy"].to_numpy(np.float64)
+            # rows' unpacked ring geometry, decoded at most once per
+            # batch however many polygons their bbox overlaps (r03 review)
+            rings_cache: dict[int, list[np.ndarray]] = {}
             outs = []
             for p in polys:
                 cand = (
@@ -116,8 +119,6 @@ def spatial_predicate_join(
                 shift = 32 - p.zoom
                 hits = np.zeros(len(pdf), dtype=bool)
                 if len(idx) > 0:
-                    from geodesk_spark.operators.spatial_join import _cell_ids
-
                     cx0 = (fminx[idx].astype(np.int64) + (1 << 31)) >> shift
                     cx1 = (fmaxx[idx].astype(np.int64) + (1 << 31)) >> shift
                     ry0 = ((1 << 31) - 1 - fmaxy[idx].astype(np.int64)) >> shift
@@ -139,7 +140,11 @@ def spatial_predicate_join(
                         hits[idx[all_interior]] = waive_val
                     # exact kernel for the rest of the candidates
                     for j in idx[~all_interior]:
-                        rings = pip.unpack_rings(pdf["geom"].iloc[j])
+                        j = int(j)
+                        rings = rings_cache.get(j)
+                        if rings is None:
+                            rings = pip.unpack_rings(pdf["geom"].iloc[j])
+                            rings_cache[j] = rings
                         if exact_fn is not None:
                             hits[j] = bool(
                                 exact_fn(rings, pdf["gkind"].iloc[j], p.rings)

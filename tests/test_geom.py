@@ -81,3 +81,29 @@ def test_segments_cross():
     assert geom.segments_cross(a, np.array([[10, 10, 20, 10]], float))  # endpoint touch
     assert not geom.segments_cross(a, np.array([[0, 5, 4, 9]], float))  # parallel offset
     assert geom.segments_cross(a, np.array([[5, 5, 7, 7]], float))  # collinear overlap
+
+
+def test_orient_exact_half_integer_midpoints():
+    """relate() feeds segment MIDPOINTS (half-integers) to the exact
+    fallback; bare int() truncation evaluated a different point
+    (regression, r03 review): (1.5, 1.5) lies ON the line (0,1)-(3,2)."""
+    s = geom.orient_sign([0.0], [1.0], [3.0], [2.0], [1.5], [1.5])[0]
+    assert s == 0
+
+
+def test_relate_identical_polygons():
+    """A == B: within/contains/covered_by True, touches False (JTS
+    DE-9IM) — sampling alone cannot see it (every probe lands on the
+    boundary), so equality is detected via the canonical segment set."""
+    ring = np.array(
+        [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], dtype=np.float64
+    )
+    r = geom.relate([ring], [ring])
+    assert r["within"] and r["contains"] and r["covered_by"] and r["intersects"]
+    assert not r["touches"] and not r["disjoint"] and not r["overlaps"]
+    # same region, reversed winding + rotated start: still equal
+    ring2 = np.array(
+        [[100, 0], [0, 0], [0, 100], [100, 100], [100, 0]], dtype=np.float64
+    )
+    r2 = geom.relate([ring2], [ring])
+    assert r2["within"] and r2["contains"] and not r2["touches"]
