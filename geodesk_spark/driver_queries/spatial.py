@@ -148,7 +148,9 @@ def _q_snap_segments(spark, sf_dir):
     pts = tables.with_derived_points(
         tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
     )
-    segs = tables.with_derived_segments(tables.load(spark, sf_dir, "supplier"), "s_suppkey")
+    segs = tables.with_derived_segments(
+        tables.load_spread(spark, sf_dir, "supplier"), "s_suppkey"
+    )
     out = knn_mod.snap_to_segments(
         pts.select(F.col("c_custkey").alias("key"), "x", "y"),
         segs.select(F.col("s_suppkey").alias("seg_id"), "x1", "y1", "x2", "y2"),

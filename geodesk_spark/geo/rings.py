@@ -83,22 +83,42 @@ def try_assemble_rings(runs: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
         return key(r[-1] if forward else r[0])
 
     def extend(chain: list[tuple[int, bool]], start: tuple, cur: tuple) -> bool:
+        """Iterative backtracking DFS (an explicit frame stack): the
+        recursive form hit Python's recursion limit for rings chained
+        from ~1000+ member runs — common for coastlines and large admin
+        boundaries — crashing the task instead of taking the tolerated-
+        dangling path (r03 review).  Candidates that close the chain
+        back to start are tried first — at a 4-endpoint joint (two
+        touching rings) this picks "my" ring first."""
         if cur == start:
             return True
-        cands = [(j, fwd) for j, fwd in index.get(cur, ()) if not used[j]]
-        # prefer the candidate that closes the chain back to start — at a
-        # 4-endpoint joint (two touching rings) this picks "my" ring first
-        cands.sort(key=lambda c: far(c[0], c[1]) != start)
-        for j, fwd in cands:
-            if budget[0] <= 0:
-                return False
-            budget[0] -= 1
-            used[j] = True
-            chain.append((j, fwd))
-            if extend(chain, start, far(j, fwd)):
-                return True
-            chain.pop()
-            used[j] = False
+
+        def cands_for(c: tuple) -> list[tuple[int, bool]]:
+            cs = [(j, fwd) for j, fwd in index.get(c, ()) if not used[j]]
+            cs.sort(key=lambda x: far(x[0], x[1]) != start)
+            return cs
+
+        stack: list[list] = [[cands_for(cur), 0]]
+        while stack:
+            frame = stack[-1]
+            cands, k = frame
+            if k < len(cands) and budget[0] > 0:
+                frame[1] = k + 1
+                budget[0] -= 1
+                j, fwd = cands[k]
+                used[j] = True
+                chain.append((j, fwd))
+                nxt = far(j, fwd)
+                if nxt == start:
+                    return True
+                stack.append([cands_for(nxt), 0])
+            else:
+                stack.pop()
+                if stack:
+                    # undo the edge that led INTO the popped frame (the
+                    # base frame's incoming edge belongs to the caller)
+                    pj, _pf = chain.pop()
+                    used[pj] = False
         return False
 
     for i in range(len(open_runs)):
@@ -175,6 +195,14 @@ def group_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
             owners = [
                 j for j in range(n) if contains[j, i] and depth[j] % 2 == 0
             ]
+            if not owners:
+                # mutually-crossing (invalid) rings can read as depth-odd
+                # with NO even-depth container: degrade to an own part
+                # like the rest of the fixup tier instead of crashing the
+                # task on min() of an empty list (r03 review)
+                outer_part[i] = len(parts)
+                parts.append([rings[i]])
+                continue
             owner = min(owners, key=lambda j: areas[j])
             parts[outer_part[owner]].append(rings[i])
     return parts

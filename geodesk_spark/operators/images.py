@@ -125,7 +125,15 @@ def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataF
             }
             has_sr = "sr" in pdf.columns
             for i in range(n):
-                pcm = np.frombuffer(bytes(pdf["bytes"].iloc[i]), dtype=np.int16)
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:  # NULL audio column: zero features, no crash
+                    continue
+                b = bytes(blob)
+                if len(b) < 2:
+                    continue
+                # truncated PCM can arrive odd-length — drop the ragged
+                # tail byte instead of crashing frombuffer (r03 review)
+                pcm = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype=np.int16)
                 if len(pcm) == 0:
                     continue
                 # NULL sr arrives as NaN (truthy!) — require a real positive

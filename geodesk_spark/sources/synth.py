@@ -105,7 +105,10 @@ def batch_for_ids(ids: np.ndarray, seed: int = 42, with_bytes: bool = True) -> d
     w = sizes[(_u01(ids, 6, seed) * 3).astype(np.int64)]
     h = sizes[(_u01(ids, 7, seed) * 3).astype(np.int64)]
     fmt = np.where(_u01(ids, 8, seed) < 0.5, "png", "jpeg")
-    image_id = np.char.add("img", np.char.zfill(ids.astype("U12"), 12)).astype(object)
+    # U20 covers full int64 digits: astype("U12") silently TRUNCATED ids
+    # of 13+ digits, colliding image_ids beyond 10^12 rows (r03 review);
+    # unchanged output for every id of ≤12 digits (zfill still pads to 12)
+    image_id = np.char.add("img", np.char.zfill(ids.astype("U20"), 12)).astype(object)
     lon, lat = lonlat_for_ids(ids, seed)
     caption = captions_for_ids(ids, seed)
 

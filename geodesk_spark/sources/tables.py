@@ -134,10 +134,12 @@ def long_segment_delta_exprs(key: str) -> tuple[str, str]:
     return ddx, ddy
 
 
-def with_derived_long_segments(df: DataFrame, key_col: str) -> DataFrame:
-    """x1/y1 (derived point) and x2/y2 = point + long delta, clamped int32."""
+def _with_segments(df: DataFrame, key_col: str, delta_exprs) -> DataFrame:
+    """Shared recipe: x1/y1 = derived point, x2/y2 = point + delta,
+    clamped int32 — the ONE place the clamp and x2/y2 form live (the
+    short and long variants had drifted-prone verbatim copies)."""
     df = with_derived_points(df, key_col)
-    ddx, ddy = long_segment_delta_exprs(key_col)
+    ddx, ddy = delta_exprs(key_col)
     lo, hi = -(1 << 31), (1 << 31) - 1
     return (
         df.withColumn("x1", F.col("x"))
@@ -145,16 +147,13 @@ def with_derived_long_segments(df: DataFrame, key_col: str) -> DataFrame:
         .withColumn("x2", F.expr(f"least(greatest(x + ({ddx}), {lo}), {hi})"))
         .withColumn("y2", F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})"))
     )
+
+
+def with_derived_long_segments(df: DataFrame, key_col: str) -> DataFrame:
+    """x1/y1 (derived point) and x2/y2 = point + long delta, clamped int32."""
+    return _with_segments(df, key_col, long_segment_delta_exprs)
 
 
 def with_derived_segments(df: DataFrame, key_col: str) -> DataFrame:
     """Adds x1/y1 (derived point) and x2/y2 (short offset), clamped int32."""
-    df = with_derived_points(df, key_col)
-    ddx, ddy = segment_delta_exprs(key_col)
-    lo, hi = -(1 << 31), (1 << 31) - 1
-    return (
-        df.withColumn("x1", F.col("x"))
-        .withColumn("y1", F.col("y"))
-        .withColumn("x2", F.expr(f"least(greatest(x + ({ddx}), {lo}), {hi})"))
-        .withColumn("y2", F.expr(f"least(greatest(y + ({ddy}), {lo}), {hi})"))
-    )
+    return _with_segments(df, key_col, segment_delta_exprs)
