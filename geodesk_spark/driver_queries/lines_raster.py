@@ -718,6 +718,105 @@ def _tile_clip_sql() -> str:
     """
 
 
+_OCT_PRIMES = [40503, 58921, 71993, 83417, 15137, 29383, 96179, 47981]
+# direction multipliers (CCW from east): E NE N NW W SW S SE
+_OCT_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+_OCT_MOD, _OCT_BASE = 1 << 26, 1 << 24
+_OCT_MARGIN = 1 << 27  # > max radius 2^26 + 2^24 ⇒ vertices stay int32
+
+
+def _octagon_vertex_exprs(key: str, cx: str = "cx", cy: str = "cy") -> list[tuple[str, str]]:
+    """Eight star-octagon vertices as integer SQL exprs around (cx, cy):
+    per-vertex radius r_i = ((key·P_i) mod 2²⁶) + 2²⁴ along eight compass
+    directions in CCW angular order — star-shaped about the center,
+    hence always a SIMPLE (non-self-intersecting) polygon; all-integer
+    arithmetic is exact in both engines."""
+    out = []
+    for (sx, sy), p in zip(_OCT_DIRS, _OCT_PRIMES):
+        r = f"(((({key}) * {p}) % {_OCT_MOD}) + {_OCT_BASE})"
+        fx = cx if sx == 0 else f"({cx} {'+' if sx > 0 else '-'} {r})"
+        fy = cy if sy == 0 else f"({cy} {'+' if sy > 0 else '-'} {r})"
+        out.append((fx, fy))
+    return out
+
+
+def _q_tile_clip_polygons(spark, sf_dir):
+    """Sutherland–Hodgman clip of star-octagon polygons to the zoom-7
+    tile grid (tiles_sink.clip_polygons_to_tiles): the AREA-feature side
+    of the vector-tile emit clip (tile_clip_segments covers lines) —
+    bbox cover-explode then four chained higher-order half-plane passes,
+    one codegen stage, zero shuffle, output pre-keyed by tile."""
+    from geodesk_spark.operators import tiles_sink
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    o = tables.with_derived_points(o, "o_orderkey")
+    lo, hi = -(1 << 31) + _OCT_MARGIN, (1 << 31) - 1 - _OCT_MARGIN
+    o = o.withColumn("cx", F.expr(f"least(greatest(x, {lo}), {hi})")).withColumn(
+        "cy", F.expr(f"least(greatest(y, {lo}), {hi})")
+    )
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _octagon_vertex_exprs("o_orderkey")
+        ]
+    )
+    polys = o.select(F.col("o_orderkey").alias("pid"), ring.alias("ring"))
+    return tiles_sink.clip_polygons_to_tiles(polys, zoom=XJOIN_ZOOM)
+
+
+def _tile_clip_polygons_sql() -> str:
+    # Clip in TILE-LOCAL coords with CONSTANT half-plane bounds, exactly
+    # like the operator: the ring is built ALREADY SHIFTED by plain
+    # scalar exprs, so the passes compare against 0/extent only and the
+    # float op-order matches the Spark side term for term.
+    from geodesk_spark.operators.tiles_sink import SH_TILE_PASSES, sh_clip_pass_expr
+
+    step = 1 << (32 - XJOIN_ZOOM)
+    cell = tiling.cover_cell_sql(XJOIN_ZOOM, "rr", "cc")
+    lo, hi = -(1 << 31) + _OCT_MARGIN, (1 << 31) - 1 - _OCT_MARGIN
+    verts = _octagon_vertex_exprs("pid")
+    all_vx = ", ".join(vx for vx, _ in verts)
+    all_vy = ", ".join(vy for _, vy in verts)
+    ring = "[" + ", ".join(
+        f"{{'x': cast(({vx}) - txmin as double), 'y': cast(({vy}) - tymin as double)}}"
+        for vx, vy in verts
+    ) + "]"
+    cur = "r"
+    for i, (bound, axis, keep_ge) in enumerate(SH_TILE_PASSES(step), 1):
+        cur = sh_clip_pass_expr(cur, bound, axis, keep_ge, "duckdb", tag=str(i))
+    pass_ctes = [f"p4 as (select pid, cell, {cur} as r4 from ring0)"]
+    return f"""
+      with pts as (select o_orderkey as pid,
+                          {x_expr(lon_expr("o_orderkey"))} as x,
+                          {y_expr(lat_expr("o_orderkey"))} as y
+                   from orders),
+      ctr as (select pid, least(greatest(x, {lo}), {hi}) as cx,
+                     least(greatest(y, {lo}), {hi}) as cy from pts),
+      bb as (select pid, cx, cy,
+               cast(floor((least({all_vx}) + 2147483648) / {step}) as bigint) as cmin,
+               cast(floor((greatest({all_vx}) + 2147483648) / {step}) as bigint) as cmax,
+               cast(floor((2147483647 - greatest({all_vy})) / {step}) as bigint) as rmin,
+               cast(floor((2147483647 - least({all_vy})) / {step}) as bigint) as rmax
+             from ctr),
+      c2 as (select *, unnest(generate_series(cmin, cmax)) as cc from bb),
+      cov as (select *, unnest(generate_series(rmin, rmax)) as rr from c2),
+      rects as (select pid, cx, cy, {cell} as cell,
+                       cc * {step} - 2147483648 as txmin,
+                       2147483647 - rr * {step} - {step} as tymin
+                from cov),
+      ring0 as materialized (select pid, cell, {ring} as r from rects),
+      {", ".join(pass_ctes)}
+      select pid, cell, i as seq,
+             floor(r4[i].x * 1e4 + 0.5) / 1e4 as x,
+             floor(r4[i].y * 1e4 + 0.5) / 1e4 as y
+      from p4, unnest(generate_series(1, len(r4))) as u(i)
+      where len(r4) >= 3
+    """
+
+
 _DP_EPS = 8000
 
 

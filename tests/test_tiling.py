@@ -496,3 +496,167 @@ def test_hotspot_prebinned_matches_points_path(spark):
     b = {(r["gx"], r["gy"]): (r["n"], r["gi_star"])
          for r in tiles_sink.hotspot_gi_star(cells, grid_bits=g, prebinned=True).collect()}
     assert a == b
+
+
+# ------------------------------------------------ polygon clip to tiles (SH)
+
+
+def _sh_pass_py(ring, bound, axis, keep_ge):
+    """Independent Sutherland–Hodgman half-plane pass (plain loops)."""
+    if len(ring) < 3:
+        return []
+    def ins(p):
+        return (p[axis] >= bound) if keep_ge else (p[axis] <= bound)
+    out = []
+    for i in range(len(ring)):
+        s, e = ring[i - 1], ring[i]
+        if ins(s) != ins(e):
+            t = (bound - s[axis]) / (e[axis] - s[axis])
+            ip = (
+                (float(bound), s[1] + t * (e[1] - s[1]))
+                if axis == 0
+                else (s[0] + t * (e[0] - s[0]), float(bound))
+            )
+            out.append(ip)
+        if ins(e):
+            out.append(e)
+    return out
+
+
+def _brute_clip_polygons(rings_by_pid, zoom):
+    """Per (poly, covered tile): shift to tile-local coords, run the four
+    half-plane passes, floor-round to 4 dp — written independently of
+    the operator (scalar loops, index-based axis)."""
+    step = 1 << (32 - zoom)
+    out = {}
+    for pid, ring in rings_by_pid.items():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        cmin = math.floor((min(xs) + 2**31) / step)
+        cmax = math.floor((max(xs) + 2**31) / step)
+        rmin = math.floor((2**31 - 1 - max(ys)) / step)
+        rmax = math.floor((2**31 - 1 - min(ys)) / step)
+        for cc in range(cmin, cmax + 1):
+            for rr in range(rmin, rmax + 1):
+                txmin = cc * step - 2**31
+                tymin = 2**31 - 1 - rr * step - step
+                r = [(x - txmin, y - tymin) for x, y in ring]
+                for bound, axis, keep in (
+                    (0, 0, True), (step, 0, False), (0, 1, True), (step, 1, False)
+                ):
+                    r = _sh_pass_py(r, bound, axis, keep)
+                if len(r) >= 3:
+                    cell = zoom * (1 << 24) + rr * 4096 + cc
+                    out[(pid, cell)] = [
+                        (math.floor(x * 1e4 + 0.5) / 1e4, math.floor(y * 1e4 + 0.5) / 1e4)
+                        for x, y in r
+                    ]
+    return out
+
+
+def _star_octagon(cx, cy, radii):
+    dirs = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    return [
+        (float(cx + sx * r), float(cy + sy * r)) for (sx, sy), r in zip(dirs, radii)
+    ]
+
+
+@pytest.fixture(scope="module")
+def clip_polys(spark):
+    step = 1 << 25  # zoom 7
+    rng = np.random.default_rng(11)
+    rings = {}
+    for pid in range(40):
+        cx = int(rng.integers(-(2**30), 2**30))
+        cy = int(rng.integers(-(2**30), 2**30))
+        radii = [int(r) for r in rng.integers(step // 4, 3 * step, size=8)]
+        rings[pid] = _star_octagon(cx, cy, radii)
+    # hand-picked degenerates: inside one tile; containing whole tiles;
+    # vertex exactly on a tile boundary
+    rings[100] = [(1e6, 1e6), (2e6, 1e6), (2e6, 2e6), (1e6, 2e6)]
+    rings[101] = _star_octagon(0, 0, [4 * step] * 8)
+    rings[102] = [(0.0, 0.0), (float(step), 0.0), (float(step // 2), float(step // 2))]
+    df = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in ring]) for pid, ring in rings.items()],
+        "pid long, ring array<struct<x:double,y:double>>",
+    )
+    return rings, df
+
+
+def test_clip_polygons_matches_bruteforce(spark, clip_polys):
+    from geodesk_spark.operators import tiles_sink
+
+    rings, df = clip_polys
+    rows = tiles_sink.clip_polygons_to_tiles(df, zoom=7).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["pid"], r["cell"]), []).append((r["seq"], r["x"], r["y"]))
+    got = {
+        k: [(x, y) for _, x, y in sorted(v)] for k, v in got.items()
+    }
+    exp = _brute_clip_polygons(rings, 7)
+    assert got == exp
+    assert len(exp) > 200  # plenty of multi-tile polygons
+
+
+def test_clip_polygons_pieces_conserve_area(spark, clip_polys):
+    """Tiles partition the plane, so the clipped pieces' shoelace areas
+    sum back to each polygon's area (4 dp rounding ⇒ loose rel tol)."""
+    from geodesk_spark.operators import tiles_sink
+
+    rings, df = clip_polys
+    rows = tiles_sink.clip_polygons_to_tiles(df, zoom=7).collect()
+    pieces = {}
+    for r in rows:
+        pieces.setdefault(r["pid"], {}).setdefault(r["cell"], []).append(
+            (r["seq"], r["x"], r["y"])
+        )
+
+    def shoelace(ring):
+        n = len(ring)
+        return (
+            sum(
+                ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1]
+                for i in range(n)
+            )
+            / 2.0
+        )
+
+    for pid, ring in rings.items():
+        whole = abs(shoelace(ring))
+        got = sum(
+            abs(shoelace([(x, y) for _, x, y in sorted(v)]))
+            for v in pieces[pid].values()
+        )
+        assert abs(got - whole) <= max(1.0, whole * 1e-9), pid
+
+
+def test_clip_polygons_degenerate_shapes(spark, clip_polys):
+    from geodesk_spark.operators import tiles_sink
+
+    rings, df = clip_polys
+    step = 1 << 25
+    rows = tiles_sink.clip_polygons_to_tiles(df, zoom=7).collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], {}).setdefault(r["cell"], []).append(
+            (r["seq"], r["x"], r["y"])
+        )
+    # pid 100 sits strictly inside one tile: one cell, ring = shifted input
+    assert len(by_pid[100]) == 1
+    ((cell, v),) = by_pid[100].items()
+    assert [(x, y) for _, x, y in sorted(v)] == _brute_clip_polygons(
+        {100: rings[100]}, 7
+    )[(100, cell)]
+    # pid 101 contains interior tiles: those reduce to the exact tile rect
+    full = {
+        tuple(sorted(((0.0, 0.0), (float(step), 0.0), (float(step), float(step)), (0.0, float(step)))))
+    }
+    interior = [
+        v for v in by_pid[101].values()
+        if len(v) == 4 and tuple(sorted((x, y) for _, x, y in v)) in full
+    ]
+    assert len(interior) >= 4
+    # every emitted vertex is inside its tile rect (tile-local frame)
+    for r in rows:
+        assert -1e-9 <= r["x"] <= step + 1e-9 and -1e-9 <= r["y"] <= step + 1e-9
