@@ -22,9 +22,60 @@ from geodesk_spark.driver_queries.common import (
     skew,
     tables,
     tile_expr,
+    tiling,
     x_expr,
     y_expr,
 )
+
+
+# --- S2-style normalized hierarchical cell cover -----------------------------
+# Half-extents 2^14..2^24 keep the z10 boundary ring ≤ ~8 cells/side so
+# the oracle's full-grid enumeration stays small at sf0.01.
+
+def _hc_extent_exprs(key: str) -> tuple[str, str]:
+    dx = f"cast(pow(2.0, 14 + ((({key}) * 37) % 11)) as bigint)"
+    dy = f"cast(pow(2.0, 14 + ((({key}) * 53) % 10)) as bigint)"
+    return dx, dy
+
+
+def _q_hierarchical_cover(spark, sf_dir):
+    """S2-style normalized mixed-level cell cover (operators/tiling.py
+    hierarchical_cover): interior cells emitted at the coarsest
+    containing level, boundary cells refined to z10 — the RegionCoverer
+    covering that feeds index-accelerated range joins; enumeration is
+    boundary strips (O(perimeter)), proven lossless against the
+    oracle's full-grid formulation."""
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
+    dx, dy = _hc_extent_exprs("c_custkey")
+    for name, sql in tables.box_exprs("x", "y", dx, dy).items():
+        df = df.withColumn(name, F.expr(sql))
+    out = tiling.hierarchical_cover(
+        df.select(F.col("c_custkey").alias("key"), "minx", "miny", "maxx", "maxy"),
+        z_min=6,
+        z_max=10,
+    )
+    return out.select(
+        "key",
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tile").cast("bigint").alias("tile"),
+        F.col("full").cast("int").alias("is_full"),
+    )
+
+
+def _hierarchical_cover_sql() -> str:
+    dx, dy = _hc_extent_exprs("key")
+    box = tables.box_exprs("x", "y", dx, dy)
+    cover = tiling.hierarchical_cover_sql("boxes", z_min=6, z_max=10, extra_cols="key")
+    return f"""
+      with pts as (
+        select c_custkey as key,
+               {x_expr(lon_expr('c_custkey'))} as x,
+               {y_expr(lat_expr('c_custkey'))} as y
+        from customer),
+      boxes as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                       {box['miny']} as miny, {box['maxy']} as maxy from pts)
+      {cover}
+    """
 
 def _q_tile_assign(spark, sf_dir):
     """Tile assignment (SURVEY §2.1 tile scan / §1.2): points → z12 tiles,

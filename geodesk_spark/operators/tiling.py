@@ -236,3 +236,153 @@ def cover_bounds_sql(zoom: int) -> dict[str, str]:
 
 def cover_cell_sql(zoom: int, rr: str = "rr", cc: str = "cc") -> str:
     return f"({zoom * (1 << 24)} + {rr} * 4096 + {cc})"
+
+
+# ---------------------------------------------------------------------------
+# S2-style normalized hierarchical cell cover (mixed-level quadtree covering)
+# ---------------------------------------------------------------------------
+
+def hierarchical_cover(
+    df: DataFrame,
+    z_min: int = 4,
+    z_max: int = 12,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+) -> DataFrame:
+    """S2-style NORMALIZED mixed-level cell cover of a bbox: cells fully
+    inside the box are emitted at the coarsest level that contains them;
+    only boundary cells refine, down to ``z_max`` where remaining partial
+    cells are emitted as-is.
+
+    This is the covering that powers index acceleration at scale (S2's
+    ``RegionCoverer``; GeoDesk's tile-pyramid assignment is the 2-level
+    special case, TileIndexWalker.java:251-284): a query geometry covered
+    by O(perimeter) mixed-level cells range-joins against a cell-keyed
+    fact table with interior cells needing NO exact test (``full=true``
+    ≈ the interior-waive verdict of operators/predicates.py).
+
+    Output: input row × cover cell → columns ``zoom`` (int), ``tile``
+    (the (zoom<<24)+(row<<12)+col packing of geo/tile.py, zoom ≤ 12) and
+    ``full`` (boolean: cell entirely inside the bbox).
+
+    Scale shape: per level the candidate enumeration is the BOUNDARY
+    STRIPS of the parent ring only — 2 column strips + 2 row strips,
+    O(perimeter/step) cells — never the full W×H grid (a world-sized
+    bbox at z12 would be 16.7M cells/row; the strips keep it ≤ ~16k).
+    Everything is `sequence`/`explode` + integer column arithmetic in
+    one codegen stage per level; levels union without a shuffle.
+    Exactly-once: a cell is emitted iff it intersects the box, its
+    parent is NOT fully inside, and (it IS fully inside or z = z_max) —
+    so emitted cells partition the set of intersecting z_max cells
+    (tests/test_tiling.py pins this against a recursive reference).
+    """
+    from functools import reduce
+
+    assert 0 <= z_min <= z_max <= 12, "packing is 12-bit row/col (zoom <= 12)"
+    HALF = 1 << 31
+
+    def _bounds(z: int):
+        step = float(1 << (32 - z))
+        c0 = F.floor((F.col(minx).cast("double") + F.lit(float(HALF))) / F.lit(step)).cast("long")
+        c1 = F.floor((F.col(maxx).cast("double") + F.lit(float(HALF))) / F.lit(step)).cast("long")
+        r0 = F.floor((F.lit(float(HALF - 1)) - F.col(maxy).cast("double")) / F.lit(step)).cast("long")
+        r1 = F.floor((F.lit(float(HALF - 1)) - F.col(miny).cast("double")) / F.lit(step)).cast("long")
+        return c0, c1, r0, r1
+
+    def _full(z: int, cc, rr):
+        step = 1 << (32 - z)
+        fx = ((cc * F.lit(step) - F.lit(HALF)) >= F.col(minx).cast("long")) & (
+            ((cc + 1) * F.lit(step) - F.lit(HALF + 1)) <= F.col(maxx).cast("long")
+        )
+        fy = ((F.lit(HALF) - (rr + 1) * F.lit(step)) >= F.col(miny).cast("long")) & (
+            (F.lit(HALF - 1) - rr * F.lit(step)) <= F.col(maxy).cast("long")
+        )
+        return fx & fy
+
+    levels = []
+    for z in range(z_min, z_max + 1):
+        c0, c1, r0, r1 = _bounds(z)
+        lvl = df
+        if z == z_min:
+            strips = F.array(F.struct(c0.alias("clo"), c1.alias("chi"), r0.alias("rlo"), r1.alias("rhi")))
+        else:
+            cp0, cp1 = F.shiftright(c0, 1), F.shiftright(c1, 1)
+            rp0, rp1 = F.shiftright(r0, 1), F.shiftright(r1, 1)
+            l_hi = F.least(c1, cp0 * 2 + 1)
+            r_lo = F.greatest(l_hi + 1, cp1 * 2)
+            t_hi = F.least(r1, rp0 * 2 + 1)
+            b_lo = F.greatest(t_hi + 1, rp1 * 2)
+            mid_lo, mid_hi = l_hi + 1, r_lo - 1
+            strips = F.array(
+                F.struct(c0.alias("clo"), l_hi.alias("chi"), r0.alias("rlo"), r1.alias("rhi")),
+                F.struct(r_lo.alias("clo"), c1.alias("chi"), r0.alias("rlo"), r1.alias("rhi")),
+                F.struct(mid_lo.alias("clo"), mid_hi.alias("chi"), r0.alias("rlo"), t_hi.alias("rhi")),
+                F.struct(mid_lo.alias("clo"), mid_hi.alias("chi"), b_lo.alias("rlo"), r1.alias("rhi")),
+            )
+        lvl = (
+            lvl.withColumn("_st", F.explode(strips))
+            .filter((F.col("_st.clo") <= F.col("_st.chi")) & (F.col("_st.rlo") <= F.col("_st.rhi")))
+            .withColumn("_cc", F.explode(F.sequence(F.col("_st.clo"), F.col("_st.chi"))))
+            .withColumn("_rr", F.explode(F.sequence(F.col("_st.rlo"), F.col("_st.rhi"))))
+        )
+        cc, rr = F.col("_cc"), F.col("_rr")
+        full = _full(z, cc, rr)
+        if z > z_min:
+            # strips bound the ENUMERATION; the exact rule is "parent not
+            # fully inside" (a ring parent can still be full when the box
+            # is tile-aligned — its children must not re-emit)
+            lvl = lvl.filter(~_full(z - 1, F.shiftright(cc, 1), F.shiftright(rr, 1)))
+        if z < z_max:
+            lvl = lvl.filter(full)
+        levels.append(
+            lvl.withColumn("zoom", F.lit(z))
+            .withColumn("tile", (F.lit(z << 24) + rr * 4096 + cc).cast("long"))
+            .withColumn("full", full)
+            .drop("_st", "_cc", "_rr")
+        )
+    return reduce(DataFrame.unionByName, levels)
+
+
+def hierarchical_cover_sql(
+    rel: str,
+    z_min: int = 4,
+    z_max: int = 12,
+    extra_cols: str = "key",
+) -> str:
+    """Independent DuckDB twin of :func:`hierarchical_cover` over a
+    relation with (extra_cols, minx, miny, maxx, maxy): enumerates the
+    FULL intersecting grid per level (no boundary-strip optimization)
+    and applies the per-cell emit rule directly — green parity proves
+    the strip enumeration loses/duplicates nothing."""
+    parts = []
+    for z in range(z_min, z_max + 1):
+        step = 1 << (32 - z)
+        pstep = step * 2
+        fx = f"(cc * {step} - 2147483648 >= minx and (cc + 1) * {step} - 2147483649 <= maxx)"
+        fy = f"(2147483648 - (rr + 1) * {step} >= miny and 2147483647 - rr * {step} <= maxy)"
+        if z == z_min:
+            guard = "true"
+        else:
+            pfx = f"((cc >> 1) * {pstep} - 2147483648 >= minx and ((cc >> 1) + 1) * {pstep} - 2147483649 <= maxx)"
+            pfy = f"(2147483648 - ((rr >> 1) + 1) * {pstep} >= miny and 2147483647 - (rr >> 1) * {pstep} <= maxy)"
+            guard = f"not ({pfx} and {pfy})"
+        emit = f"({fx} and {fy})" if z < z_max else "true"
+        parts.append(f"""
+          select {extra_cols}, {z} as zoom,
+                 cast({z * (1 << 24)} + rr * 4096 + cc as bigint) as tile,
+                 (case when {fx} and {fy} then 1 else 0 end) as is_full
+          from (
+            select *,
+                   unnest(generate_series(
+                       cast(floor((minx + 2147483648.0) / {step}) as bigint),
+                       cast(floor((maxx + 2147483648.0) / {step}) as bigint))) as cc
+            from (
+              select *,
+                     unnest(generate_series(
+                         cast(floor((2147483647.0 - maxy) / {step}) as bigint),
+                         cast(floor((2147483647.0 - miny) / {step}) as bigint))) as rr
+              from {rel}))
+          where {guard} and {emit}""")
+    return " union all ".join(parts)

@@ -660,3 +660,95 @@ def test_clip_polygons_degenerate_shapes(spark, clip_polys):
     # every emitted vertex is inside its tile rect (tile-local frame)
     for r in rows:
         assert -1e-9 <= r["x"] <= step + 1e-9 and -1e-9 <= r["y"] <= step + 1e-9
+
+
+# --- S2-style hierarchical cover ---------------------------------------------
+
+_HC_HALF = 1 << 31
+
+
+def _hc_full(box, z, c, r):
+    minx, miny, maxx, maxy = box
+    step = 1 << (32 - z)
+    return (
+        c * step - _HC_HALF >= minx
+        and (c + 1) * step - _HC_HALF - 1 <= maxx
+        and _HC_HALF - (r + 1) * step >= miny
+        and _HC_HALF - 1 - r * step <= maxy
+    )
+
+
+def _hc_brute(box, z_min, z_max):
+    """Recursive reference cover: subdivide partial cells until full or z_max."""
+    minx, miny, maxx, maxy = box
+    out = set()
+
+    def rec(z, c, r):
+        if _hc_full(box, z, c, r) or z == z_max:
+            out.add((z, (z << 24) + r * 4096 + c, _hc_full(box, z, c, r)))
+            return
+        step = 1 << (32 - z - 1)
+        for cc in (2 * c, 2 * c + 1):
+            for rr in (2 * r, 2 * r + 1):
+                if (
+                    cc * step - _HC_HALF <= maxx
+                    and (cc + 1) * step - _HC_HALF - 1 >= minx
+                    and _HC_HALF - (rr + 1) * step <= maxy
+                    and _HC_HALF - 1 - rr * step >= miny
+                ):
+                    rec(z + 1, cc, rr)
+
+    step = 1 << (32 - z_min)
+    for c in range((minx + _HC_HALF) // step, (maxx + _HC_HALF) // step + 1):
+        for r in range((_HC_HALF - 1 - maxy) // step, (_HC_HALF - 1 - miny) // step + 1):
+            rec(z_min, c, r)
+    return out
+
+
+_HC_BOXES = [
+    (100, -50, 5_000_000, 9_000_000),
+    (-(1 << 31), -(1 << 31), (1 << 31) - 1, (1 << 31) - 1),  # world
+    (0, 0, (1 << 26) - 1, (1 << 26) - 1),  # tile-aligned: full cells ON the parent ring
+    (-(1 << 25), -(1 << 22), (1 << 25) + 12345, (1 << 23)),
+    (7, 7, 7, 7),  # degenerate point box
+    (-(1 << 31), 5, -(1 << 31) + 100, 900000),  # west world edge
+]
+
+
+def test_hierarchical_cover_matches_recursive_reference(spark):
+    rows = [(i,) + b for i, b in enumerate(_HC_BOXES)]
+    df = spark.createDataFrame(rows, "key int, minx long, miny long, maxx long, maxy long")
+    for z_min, z_max in [(4, 8), (4, 4), (6, 10)]:
+        got = tiling.hierarchical_cover(df, z_min, z_max).select("key", "zoom", "tile", "full").collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r.key, set()).add((r.zoom, r.tile, r.full))
+        for i, b in enumerate(_HC_BOXES):
+            assert by_key.get(i, set()) == _hc_brute(b, z_min, z_max), (i, z_min, z_max)
+
+
+def test_hierarchical_cover_partitions_max_zoom_cells(spark):
+    """Exactly-once: expanding every emitted cell to z_max must yield each
+    intersecting z_max cell exactly once (no gaps, no overlaps)."""
+    z_min, z_max = 4, 9
+    box = (-(1 << 27) + 3, -(1 << 24), (1 << 26) + 77777, (1 << 25) - 1)
+    df = spark.createDataFrame([(0,) + box], "key int, minx long, miny long, maxx long, maxy long")
+    got = tiling.hierarchical_cover(df, z_min, z_max).select("zoom", "tile").collect()
+    seen = {}
+    for r in got:
+        z, t = r.zoom, r.tile
+        c, row = t & 4095, (t >> 12) & 4095
+        scale = 1 << (z_max - z)
+        for cc in range(c * scale, (c + 1) * scale):
+            for rr in range(row * scale, (row + 1) * scale):
+                key = (cc, rr)
+                seen[key] = seen.get(key, 0) + 1
+    minx, miny, maxx, maxy = box
+    step = 1 << (32 - z_max)
+    want = {
+        (c, r)
+        for c in range((minx + _HC_HALF) // step, (maxx + _HC_HALF) // step + 1)
+        for r in range((_HC_HALF - 1 - maxy) // step, (_HC_HALF - 1 - miny) // step + 1)
+    }
+    assert set(seen) == want
+    assert all(v == 1 for v in seen.values())
