@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from geodesk_spark.geo import heading as H, mercator, pip, tile as T
 
 
-from geodesk_spark.operators import ann, dedup, images, knn as knn_mod, skew, spatial_join, text, tiling
+from geodesk_spark.operators import ann, crossmodal, dedup, images, knn as knn_mod, skew, spatial_join, text, tiling
 
 
 from geodesk_spark.sources import synth, tables

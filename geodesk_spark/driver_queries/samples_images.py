@@ -334,3 +334,37 @@ def _sql_tile_window_dedup() -> str:
     """
 
 
+
+
+def _q_crossmodal_align(spark, sf_dir):
+    """CLIP-style cross-modal alignment filter (operators/crossmodal.py):
+    image vs caption embeddings joined on the pair id, exact JVM-fold
+    cosine, keep pairs with alignment >= 0.5.  Fixture: the caption
+    embedding equals the image embedding for even labels (aligned) and
+    its reverse for odd labels (a deterministic stand-in for a swapped
+    caption) — the bimodal score distribution a real CLIP filter sees."""
+    from geodesk_spark.operators import crossmodal
+
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    imgs = e.select("vec_id", "embedding")
+    caps = e.select(
+        "vec_id",
+        F.when(F.col("label") % 2 == 0, F.col("embedding"))
+        .otherwise(F.reverse(F.col("embedding")))
+        .alias("embedding"),
+    )
+    return crossmodal.align_filter(imgs, caps, threshold=0.5)
+
+
+def _crossmodal_align_sql() -> str:
+    from geodesk_spark.operators import crossmodal
+
+    align = crossmodal.cosine_align_sql("embeddings", "caps")
+    return f"""
+      with caps as (
+        select vec_id,
+               case when label % 2 = 0 then embedding
+                    else list_reverse(embedding) end as embedding
+        from embeddings)
+      select * from ({align}) where cos_align >= 0.5
+    """
