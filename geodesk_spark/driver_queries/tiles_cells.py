@@ -77,6 +77,59 @@ def _hierarchical_cover_sql() -> str:
       {cover}
     """
 
+# --- hex polyfill of real polygons (H3 center-in-polygon rule) ---------------
+# Per-customer CCW triangle A=(minx,miny) B=(maxx,miny) C=(x,maxy); the
+# strict half-plane tests are the SAME textual expression on both
+# engines (mixed int64/double ops in identical order → identical bits).
+
+_HEXPOLY_SIZE = 1 << 19
+
+
+def _tri_inside_pred() -> str:
+    e1 = "((maxx - minx) * (cy - miny))"
+    e2 = "((x - maxx) * (cy - miny) - (maxy - miny) * (cx - maxx))"
+    e3 = "((minx - x) * (cy - maxy) - (miny - maxy) * (cx - x))"
+    return f"{e1} > 0 and {e2} > 0 and {e3} > 0"
+
+
+def _q_hex_polyfill_polygon(spark, sf_dir):
+    """General H3 polyfill (operators/hexes.polyfill_centers): polyfill
+    the polygon's bbox, keep cells whose CENTER is strictly inside the
+    polygon — H3's center-in rule on a per-row triangle.  All JVM:
+    sequence/explode lattice + half-plane columns; for non-convex
+    polygons the same centers feed the broadcast PIP join instead
+    (tests/test_hexes.py pins that composition)."""
+    from geodesk_spark.operators import hexes
+
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
+    dx, dy = _hc_extent_exprs("c_custkey")
+    for name, sql in tables.box_exprs("x", "y", dx, dy).items():
+        df = df.withColumn(name, F.expr(sql))
+    pf = hexes.polyfill_centers(
+        df.select(F.col("c_custkey").alias("key"), "x", "minx", "miny", "maxx", "maxy"),
+        _HEXPOLY_SIZE,
+    )
+    return pf.filter(F.expr(_tri_inside_pred())).select("key", "hcell")
+
+
+def _hex_polyfill_polygon_sql() -> str:
+    from geodesk_spark.operators import hexes
+
+    dx, dy = _hc_extent_exprs("key")
+    box = tables.box_exprs("x", "y", dx, dy)
+    pf = hexes.polyfill_centers_sql("boxes", _HEXPOLY_SIZE)
+    return f"""
+      with pts as (
+        select c_custkey as key,
+               {x_expr(lon_expr('c_custkey'))} as x,
+               {y_expr(lat_expr('c_custkey'))} as y
+        from customer),
+      boxes as (select key, x, {box['minx']} as minx, {box['maxx']} as maxx,
+                       {box['miny']} as miny, {box['maxy']} as maxy from pts)
+      select key, hcell from ({pf}) where {_tri_inside_pred()}
+    """
+
+
 def _q_tile_assign(spark, sf_dir):
     """Tile assignment (SURVEY §2.1 tile scan / §1.2): points → z12 tiles,
     JVM-side bit arithmetic (geo/tile.py tile_col), grouped count."""

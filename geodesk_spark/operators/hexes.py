@@ -165,3 +165,48 @@ def kring_sql(cell_sql_rel: str, k: int = 1, cell_col: str = "hcell", val_col: s
       select c.{cell_col}, c.{val_col}, r.ring_sum, r.ring_cells
       from cells c join ring r on r.target = c.{cell_col}
     """
+
+
+def polyfill_centers(
+    df: DataFrame,
+    size: int,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+    out: str = "hcell",
+) -> DataFrame:
+    """:func:`polyfill_bbox` + the exact imp-plane CENTER of each emitted
+    cell (``cx``, ``cy`` doubles) — the general H3 polyfill in two steps:
+    polyfill the geometry's bbox, then keep cells whose center passes the
+    point-in-geometry test (H3's center-in-polygon rule).  For convex
+    polygons the test is a few half-plane columns; for arbitrary
+    polygons feed (cx, cy) to the broadcast PIP join
+    (operators/spatial_join.contains_points).
+
+    Center math mirrors geo/hexgrid.hex_center (cx = size·√3·(q + r/2),
+    cy = 1.5·size·r) with the same op order as the SQL twin, so the
+    doubles are bit-identical across engines."""
+    import math
+
+    df = polyfill_bbox(df, size, minx, miny, maxx, maxy, out)
+    q = (F.shiftright(F.col(out), 21) - F.lit(_OFF)).cast("double")
+    r = (F.col(out).bitwiseAND(F.lit((1 << 21) - 1)) - F.lit(_OFF)).cast("double")
+    return df.withColumn(
+        "cx", F.lit(float(size) * math.sqrt(3.0)) * (q + r / F.lit(2.0))
+    ).withColumn("cy", F.lit(1.5 * float(size)) * r)
+
+
+def polyfill_centers_sql(rel: str, size: int, out: str = "hcell") -> str:
+    """DuckDB twin of :func:`polyfill_centers` (same double op order)."""
+    import math
+
+    D = repr(float(size) * math.sqrt(3.0))
+    C = repr(1.5 * float(size))
+    inner = polyfill_sql(rel, size, out)
+    return f"""
+      select *,
+             {D} * ((({out} >> 21) - {_OFF}) + (({out} & {(1 << 21) - 1}) - {_OFF}) / 2.0) as cx,
+             {C} * (({out} & {(1 << 21) - 1}) - {_OFF}) as cy
+      from ({inner})
+    """

@@ -100,3 +100,51 @@ def test_kring_smooth_symmetric_uniform(spark):
     assert interior and all(
         row["ring_sum"] == 21 and row["ring_cells"] == 7 for row in interior
     )
+
+
+def test_polyfill_centers_roundtrip_and_nonconvex_composition(spark):
+    """polyfill_centers: every emitted center maps back to its own cell,
+    and composing centers with an exact ray-cast fills a NON-convex
+    polygon identically to a brute lattice sweep (the general H3
+    polyfill recipe)."""
+    import numpy as np
+
+    from geodesk_spark.geo import hexgrid, pip
+
+    size = 1 << 16
+    # concave "arrow" polygon (closed CCW ring)
+    ring = np.array(
+        [
+            [0.0, 0.0],
+            [900_000.0, 0.0],
+            [450_000.0, 350_000.0],  # notch pulls inward
+            [900_000.0, 800_000.0],
+            [0.0, 800_000.0],
+            [0.0, 0.0],
+        ]
+    )
+    minx, miny = ring[:, 0].min(), ring[:, 1].min()
+    maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+    df = spark.createDataFrame(
+        [(1, int(minx), int(miny), int(maxx), int(maxy))],
+        "key int, minx long, miny long, maxx long, maxy long",
+    )
+    got = hexes.polyfill_centers(df, size).collect()
+    assert got, "bbox polyfill should emit cells"
+    cx = np.array([r.cx for r in got])
+    cy = np.array([r.cy for r in got])
+    # (a) round trip: each center's own hex is the emitted cell
+    assert (hexgrid.hex_cell_id(cx, cy, size) == np.array([r.hcell for r in got])).all()
+    # (b) center-in-polygon composition matches the brute lattice sweep
+    inside = pip.points_in_ring(cx, cy, ring)
+    got_cells = {r.hcell for r, ins in zip(got, inside) if ins}
+    D, C = size * np.sqrt(3.0), 1.5 * size
+    want = set()
+    for rr in range(int(np.ceil(miny / C)), int(np.floor(maxy / C)) + 1):
+        for q in range(
+            int(np.ceil(minx / D - rr * 0.5)), int(np.floor(maxx / D - rr * 0.5)) + 1
+        ):
+            px, py = hexgrid.hex_center(np.array([q]), np.array([rr]), size)
+            if pip.points_in_ring(px, py, ring)[0]:
+                want.add(((q + (1 << 20)) << 21) | (rr + (1 << 20)))
+    assert got_cells == want and len(want) > 20
