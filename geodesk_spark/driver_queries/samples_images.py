@@ -368,3 +368,32 @@ def _crossmodal_align_sql() -> str:
         from embeddings)
       select * from ({align}) where cos_align >= 0.5
     """
+
+
+def _q_image_batch_pack(spark, sf_dir):
+    """Aspect-ratio bucketed batch packing (operators/images.py
+    aspect_bucket_batches): images grouped by rounded aspect so a batch
+    resizes to one shape, packed into fixed batches of 32 via the
+    distributed two-phase prefix rank (no single-task hot bucket).
+    Fixture dims derive from o_orderkey on both engines."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    imgs = o.select(
+        F.col("o_orderkey").alias("image_id"),
+        F.expr("160 + (o_orderkey * 7) % 1280").alias("w"),
+        F.expr("120 + (o_orderkey * 11) % 720").alias("h"),
+    )
+    return images.aspect_bucket_batches(imgs, batch_size=32)
+
+
+_SQL_IMAGE_BATCH_PACK = """
+  with imgs as (
+    select o_orderkey as image_id,
+           160 + (o_orderkey * 7) % 1280 as w,
+           120 + (o_orderkey * 11) % 720 as h
+    from orders),
+  b as (select image_id, h, least((w * 8) // h, 32) as bucket from imgs),
+  r as (select image_id, bucket,
+               row_number() over (partition by bucket order by h desc, image_id) as rank
+        from b)
+  select image_id, bucket, rank, (rank - 1) // 32 as batch_id from r
+"""

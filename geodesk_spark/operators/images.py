@@ -156,3 +156,77 @@ def audio_features(df: DataFrame, frame_ms: int = 25, sr: int = 16_000) -> DataF
         schema="audio_id string, duration_s double, rms double, zcr double, "
         "frame_energy_var double",
     )
+
+
+def aspect_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    w: str = "w",
+    h: str = "h",
+    id_col: str = "image_id",
+    n_aspect_bins: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment — the image-training
+    dataloader primitive: group images whose aspect ratios round to the
+    same bucket (so a batch resizes to one shape without distortion),
+    then deterministically pack each bucket into fixed-size batches.
+
+    bucket = (w·n_aspect_bins) div h (integer, capped at ``max_bucket``,
+    default 4·n_aspect_bins ≈ aspect 4:1); within a bucket rows order by
+    (h desc, id) and batch_id = (rank−1) div batch_size.
+
+    Plan — the same DISTRIBUTED two-phase prefix shape as
+    sampling.pack_sequences (a per-bucket global rank via a naive
+    ``Window.partitionBy(bucket)`` would put each hot bucket — most
+    corpora are ~90 % 4:3/16:9 — on ONE task):
+
+    1. range-repartition + sort on (bucket, h desc, id) — the scalable
+       total order;
+    2. per-partition local ranks (window keyed by partition id AND
+       bucket, so hot buckets stay spread);
+    3. tiny (partition, bucket) counts → driver → broadcast exclusive
+       offsets; global rank = local rank + offset.
+
+    Returns (id, bucket, rank, batch_id); rank is the 1-based position
+    within the bucket, auditable downstream.  Deterministic: depends
+    only on the unique total order, never on partition boundaries.
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    cap = max_bucket if max_bucket is not None else 4 * n_aspect_bins
+    bucket = F.least(
+        F.expr(f"(({w}) * {n_aspect_bins}) div ({h})"), F.lit(cap)
+    ).cast("long")
+    order = [F.col("bucket"), F.col(h).desc(), F.col(id_col)]
+    local = (
+        df.select(id_col, h, bucket.alias("bucket"))
+        .repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid", "bucket").orderBy(F.col(h).desc(), F.col(id_col))
+    # pin the physical layout so the counts job and the output job see
+    # identical partition boundaries
+    local = local.withColumn("_lrk", F.row_number().over(wloc)).localCheckpoint(eager=True)
+    counts = (
+        local.groupBy("_pid", "bucket").agg(F.max("_lrk").alias("_n")).collect()
+    )
+    offs = {}
+    run: dict = {}
+    for r in sorted(counts, key=lambda r: (r["bucket"], r["_pid"])):
+        offs[(r["_pid"], r["bucket"])] = run.get(r["bucket"], 0)
+        run[r["bucket"]] = run.get(r["bucket"], 0) + r["_n"]
+    off_df = spark.createDataFrame(
+        [(p, b, o) for (p, b), o in offs.items()], "_pid int, bucket long, _off long"
+    )
+    out = local.join(F.broadcast(off_df), ["_pid", "bucket"])
+    rank = (F.col("_lrk") + F.col("_off")).alias("rank")
+    return out.select(
+        F.col(id_col),
+        F.col("bucket"),
+        rank,
+        ((F.col("_lrk") + F.col("_off") - 1) / F.lit(batch_size)).cast("long").alias("batch_id"),
+    )

@@ -141,3 +141,41 @@ def test_tag_stats_hand_case(spark):
     assert out["a"]["top_value"] == "x" and out["a"]["top_n"] == 2
     # b: tie between p and q -> lexicographically smallest wins
     assert out["b"]["top_value"] == "p" and out["b"]["n_features"] == 2
+
+
+def test_aspect_bucket_batches_invariants(spark):
+    """Two-phase per-bucket rank: matches a pandas single-node reference,
+    batches fill to exactly batch_size except each bucket's last, and
+    the result is independent of input partitioning."""
+    import pandas as pd
+
+    from geodesk_spark.operators import images
+
+    rows = [(i, 160 + (i * 7) % 1280, 120 + (i * 11) % 720) for i in range(1, 1001)]
+    pdf = pd.DataFrame(rows, columns=["image_id", "w", "h"])
+    pdf["bucket"] = (pdf.w * 8 // pdf.h).clip(upper=32)
+    pdf = pdf.sort_values(["bucket", "h", "image_id"], ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("bucket").cumcount() + 1
+    pdf["batch_id"] = (pdf["rank"] - 1) // 7
+    want = {t.image_id: (t.bucket, t.rank, t.batch_id) for t in pdf.itertuples()}
+
+    for n_part in (1, 5):
+        df = spark.createDataFrame(rows, "image_id long, w long, h long").repartition(n_part)
+        got = {
+            r.image_id: (r.bucket, r.rank, r.batch_id)
+            for r in images.aspect_bucket_batches(df, batch_size=7).collect()
+        }
+        assert got == want, n_part
+
+    out = images.aspect_bucket_batches(
+        spark.createDataFrame(rows, "image_id long, w long, h long"), batch_size=7
+    )
+    sizes = out.groupBy("bucket", "batch_id").count().collect()
+    per_bucket_max = {}
+    for r in sizes:
+        per_bucket_max[r.bucket] = max(per_bucket_max.get(r.bucket, -1), r.batch_id)
+    for r in sizes:
+        if r.batch_id < per_bucket_max[r.bucket]:
+            assert r["count"] == 7, (r.bucket, r.batch_id)
+        else:
+            assert 1 <= r["count"] <= 7
