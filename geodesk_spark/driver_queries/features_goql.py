@@ -539,3 +539,15 @@ def _ann_lsh_sql() -> str:
     """
 
 
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-trigram repetition ratio per document
+    (operators/text.repetition_stats) — the boilerplate/spam signal in
+    the curation filter chain; all JVM higher-order functions."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.repetition_stats(d, n=3)
+
+
+def _repetition_sql() -> str:
+    return text.repetition_stats_sql("documents", n=3)

@@ -388,3 +388,66 @@ def bm25_retrieve_sql(
       select qid, doc_id, score, cast(rnk as int) as rnk
       from r where rnk <= {k}
     """
+
+
+def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Within-document repetition quality metric (the Gopher-style
+    "fraction of duplicate n-grams" filter, public recipe): per doc,
+    the word n-gram count, its distinct count, and the duplicate ratio
+    1 − distinct/total (floor-form 1e6; 0 for docs shorter than n
+    words).  High dup_ratio flags boilerplate/spam for the curation
+    filter chain alongside quality_scores.
+
+    All JVM higher-order functions over the one tokens array — zero
+    shuffles, zero Python: grams via transform(sequence) + element_at,
+    dedup via array_distinct.  Per-row cost is O(len²) only in the
+    degenerate sense of array_distinct's quadratic scan on tiny arrays;
+    docs are bounded by the ingest schema, not the corpus.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    gram_cnt = F.greatest(n_tok - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(gram_cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    grams = F.when(gram_cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+    d = df.withColumn("_g", grams)
+    total = F.size(F.col("_g"))
+    distinct = F.size(F.array_distinct(F.col("_g")))
+    dup = F.when(
+        total > 0,
+        F.floor((F.lit(1.0) - distinct / total) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        dup.alias("dup_ratio"),
+    )
+
+
+def repetition_stats_sql(rel: str = "documents", n: int = 3, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_stats` — same tokenizer (trimmed
+    whitespace split), same gram construction, same floor-form ratio."""
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+      with tk as (
+        select doc_id,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim(lower({text_col})), '\\s+') end as t
+        from {rel}),
+      g as (
+        select doc_id,
+               case when len(t) - {n - 1} > 0
+                    then list_transform(range(1, len(t) - {n - 1} + 1), i -> {joined})
+                    else [] end as grams
+        from tk)
+      select doc_id,
+             len(grams) as n_grams,
+             len(list_distinct(grams)) as n_distinct_grams,
+             case when len(grams) > 0
+                  then floor((1.0 - len(list_distinct(grams)) / cast(len(grams) as double)) * 1e6 + 0.5) / 1e6
+                  else 0.0 end as dup_ratio
+      from g
+    """

@@ -99,3 +99,23 @@ def test_bm25_retrieve_self_rank1(spark):
     assert top["doc_id"] == 1
     got_docs = {r["doc_id"] for r in out}
     assert 4 not in got_docs  # no shared terms -> never a candidate
+
+
+def test_repetition_stats_hand_cases(spark):
+    from geodesk_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),      # 7 trigrams, 3 distinct
+            (2, "all words are unique here friend"),  # 4 trigrams, all distinct
+            (3, "x y"),                     # shorter than n → 0 grams
+            (4, ""),                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.repetition_stats(docs, n=3).collect()}
+    assert (got[1].n_grams, got[1].n_distinct_grams) == (7, 3)
+    assert abs(got[1].dup_ratio - (1 - 3 / 7)) < 2e-6
+    assert (got[2].n_grams, got[2].n_distinct_grams, got[2].dup_ratio) == (4, 4, 0.0)
+    assert (got[3].n_grams, got[3].dup_ratio) == (0, 0.0)
+    assert (got[4].n_grams, got[4].dup_ratio) == (0, 0.0)
