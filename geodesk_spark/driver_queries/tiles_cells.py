@@ -77,6 +77,47 @@ def _hierarchical_cover_sql() -> str:
       {cover}
     """
 
+def _q_cover_join(spark, sf_dir):
+    """Covering join (operators/tiling.cover_join): orders points ×
+    customer boxes THROUGH the hierarchical-cover index — one equi-join
+    on the mixed-level cell id, interior (full) cells skip the exact
+    test, exactly-once with no dedup.  The oracle is the DIRECT
+    containment θ-join, so green proves index path ≡ direct join."""
+    pts = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("pid"), "x", "y")
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "customer"), "c_custkey")
+    dx, dy = _hc_extent_exprs("c_custkey")
+    for name, sql in tables.box_exprs("x", "y", dx, dy).items():
+        df = df.withColumn(name, F.expr(sql))
+    boxes = df.select(F.col("c_custkey").alias("key"), "minx", "miny", "maxx", "maxy")
+    j = tiling.cover_join(pts, boxes, z_min=6, z_max=10)
+    return j.groupBy("key").agg(F.count("*").alias("n_points"))
+
+
+def _cover_join_sql() -> str:
+    dx, dy = _hc_extent_exprs("key")
+    box = tables.box_exprs("x", "y", dx, dy)
+    return f"""
+      with p as (
+        select o_orderkey as pid,
+               {x_expr(lon_expr('o_orderkey'))} as x,
+               {y_expr(lat_expr('o_orderkey'))} as y
+        from orders),
+      cpts as (
+        select c_custkey as key,
+               {x_expr(lon_expr('c_custkey'))} as x,
+               {y_expr(lat_expr('c_custkey'))} as y
+        from customer),
+      boxes as (select key, {box['minx']} as minx, {box['maxx']} as maxx,
+                       {box['miny']} as miny, {box['maxy']} as maxy from cpts)
+      select b.key as key, count(*) as n_points
+      from boxes b join p
+        on p.x between b.minx and b.maxx and p.y between b.miny and b.maxy
+      group by b.key
+    """
+
+
 # --- hex polyfill of real polygons (H3 center-in-polygon rule) ---------------
 # Per-customer CCW triangle A=(minx,miny) B=(maxx,miny) C=(x,maxy); the
 # strict half-plane tests are the SAME textual expression on both

@@ -386,3 +386,55 @@ def hierarchical_cover_sql(
               from {rel}))
           where {guard} and {emit}""")
     return " union all ".join(parts)
+
+
+def cover_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    z_min: int = 6,
+    z_max: int = 10,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Covering join: points × bbox features through the
+    :func:`hierarchical_cover` index instead of a θ-join.
+
+    Each point explodes to its (z_min..z_max) ancestor cells — a fixed
+    ×(levels) fan-out, the S2 covering-join trade — and equi-joins on
+    the packed cell id (zoom lives in the id's high bits, so one join
+    column matches mixed levels).  A point inside a ``full`` cover cell
+    needs NO exact test (the interior-waive fast path — at a real
+    workload's selectivity that is the vast majority of matches); only
+    boundary-cell hits run the bbox comparison.
+
+    Exactly-once by construction: a box's cover cells are disjoint, so
+    a point hits at most one of them — no distinct, no dedup window.
+    Spark plans this as ONE equi-join (broadcast when the cover side is
+    dimension-sized, shuffle hash otherwise) with every expression in
+    whole-stage codegen.
+
+    Returns the joined frame (point cols + box cols + zoom/tile/full);
+    semantically equal to
+    ``points CROSS JOIN boxes WHERE x BETWEEN minx AND maxx AND y
+    BETWEEN miny AND maxy`` (tests/test_tiling.py pins the equality).
+    """
+    cover = hierarchical_cover(boxes, z_min, z_max)
+    ancestors = F.array(
+        *[
+            (
+                F.lit(z << 24)
+                + F.floor((F.lit(float(1 << 31) - 1.0) - F.col(y).cast("double")) / F.lit(float(1 << (32 - z)))).cast("long") * 4096
+                + F.floor((F.col(x).cast("double") + F.lit(float(1 << 31))) / F.lit(float(1 << (32 - z)))).cast("long")
+            )
+            for z in range(z_min, z_max + 1)
+        ]
+    )
+    pts = points.withColumn("tile", F.explode(ancestors))
+    j = pts.join(cover, "tile")
+    exact = (
+        (F.col(x) >= F.col("minx"))
+        & (F.col(x) <= F.col("maxx"))
+        & (F.col(y) >= F.col("miny"))
+        & (F.col(y) <= F.col("maxy"))
+    )
+    return j.filter(F.col("full") | exact)

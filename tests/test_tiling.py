@@ -752,3 +752,32 @@ def test_hierarchical_cover_partitions_max_zoom_cells(spark):
     }
     assert set(seen) == want
     assert all(v == 1 for v in seen.values())
+
+
+def test_cover_join_equals_direct_join_and_exactly_once(spark):
+    import random
+
+    rng = random.Random(3)
+    pts = [(i, rng.randrange(-(1 << 30), 1 << 30), rng.randrange(-(1 << 30), 1 << 30)) for i in range(400)]
+    boxes = []
+    for k in range(25):
+        cx, cy = rng.randrange(-(1 << 29), 1 << 29), rng.randrange(-(1 << 29), 1 << 29)
+        dx, dy = rng.randrange(1 << 18, 1 << 27), rng.randrange(1 << 18, 1 << 27)
+        boxes.append((k, cx - dx, cy - dy, cx + dx, cy + dy))
+    # plant guaranteed hits: points at box centers and exactly on edges
+    pid = 400
+    for k, minx, miny, maxx, maxy in boxes[:10]:
+        pts.append((pid, (minx + maxx) // 2, (miny + maxy) // 2)); pid += 1
+        pts.append((pid, minx, maxy)); pid += 1
+    p = spark.createDataFrame(pts, "pid long, x long, y long")
+    b = spark.createDataFrame(boxes, "key long, minx long, miny long, maxx long, maxy long")
+    got = tiling.cover_join(p, b, z_min=5, z_max=9).select("pid", "key").collect()
+    got_pairs = [(r.pid, r.key) for r in got]
+    want = {
+        (pp[0], bb[0])
+        for pp in pts
+        for bb in boxes
+        if bb[1] <= pp[1] <= bb[3] and bb[2] <= pp[2] <= bb[4]
+    }
+    assert set(got_pairs) == want and want
+    assert len(got_pairs) == len(set(got_pairs))  # exactly-once, no dedup needed
