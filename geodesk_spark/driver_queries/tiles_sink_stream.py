@@ -417,3 +417,83 @@ _SQL_STREAM_STATEFUL = f"""
 """
 
 
+
+
+def _q_snapshot_pruned(spark, sf_dir):
+    """File-level manifest pruning (checkpoint.read_pruned — the Iceberg
+    file-skipping analog, one level finer than zorder_pruned_read's
+    hive-partition pruning): the orders point table committed as a
+    range-sorted snapshot, read back for one x-range through ONLY the
+    files whose footer [min, max] overlaps (the lineage manifest records
+    per-file stats at commit time); must equal the plain range filter."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    df = _derived_orders(spark, sf_dir).select("o_orderkey", "x", "y")
+    tmp = tempfile.mkdtemp(prefix="gds_snappr_")
+    try:
+        p = Pipeline(spark, tmp)
+        p.stage("pts", lambda s: df.repartitionByRange(8, "x"))
+        keep, total = p.pruned_files("pts", "x", RECT[0], RECT[2])
+        assert len(keep) < total, "range-sorted snapshot must prune files"
+        out = p.read_pruned("pts", "x", RECT[0], RECT[2]).select(
+            "o_orderkey", "x", "y"
+        )
+        return out.localCheckpoint()  # materialize before the dir is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _snapshot_pruned_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey, x, y from pts
+      where x >= {RECT[0]} and x <= {RECT[2]}
+    """
+
+
+def _q_snapshot_merge(spark, sf_dir):
+    """MERGE upsert as a copy-on-write snapshot commit
+    (checkpoint.merge_upsert): the top-decile key range arrives as an
+    update batch (y shifted) — matched keys replace, unmatched insert
+    (the base excludes o_orderkey % 7 == 6, so the batch carries both);
+    only key-overlapping files of the range-sorted snapshot are
+    rewritten, the rest hard-link into the new version.  The oracle is
+    the anti-join ∪ updates reformulation."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming.checkpoint import Pipeline, merge_upsert
+
+    full = _derived_orders(spark, sf_dir).select("o_orderkey", "x", "y")
+    thr = full.agg(F.expr("(max(o_orderkey) * 9) div 10").alias("t")).collect()[0]["t"]
+    base = full.filter(F.col("o_orderkey") % 7 != 6)
+    upd = full.filter(F.col("o_orderkey") > thr).select(
+        "o_orderkey", "x", (F.col("y") + F.lit(1_000_000)).alias("y")
+    )
+    tmp = tempfile.mkdtemp(prefix="gds_snapmu_")
+    try:
+        p = Pipeline(spark, tmp)
+        p.stage("tbl", lambda s: base.repartitionByRange(8, "o_orderkey"))
+        merge_upsert(p, "tbl", upd, keys=["o_orderkey"])
+        lin = p.lineage("tbl")
+        assert lin["kept_files"] >= 6, "CoW must link the non-overlapping files"
+        return p.read("tbl").select("o_orderkey", "x", "y").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _snapshot_merge_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      thr as (select (max(o_orderkey) * 9) // 10 as t from pts),
+      base as (select * from pts where o_orderkey % 7 != 6),
+      upd as (select o_orderkey, x, y + 1000000 as y
+              from pts, thr where o_orderkey > t)
+      select o_orderkey, x, y from base
+      where o_orderkey not in (select o_orderkey from upd)
+      union all
+      select o_orderkey, x, y from upd
+    """

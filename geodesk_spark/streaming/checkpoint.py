@@ -19,7 +19,18 @@ parquet + _SUCCESS layout stands in with the same commit semantics.
 
 Lineage manifest per stage (<root>/<stage>/_lineage.json):
   stage, inputs (upstream stage names), elapsed_sec, n_rows,
-  rows_per_sec, per-partition file rows [(file, rows), ...], schema.
+  rows_per_sec, per-partition file entries
+  [{file, rows, bytes, stats: {col: [min, max]}}, ...], schema.
+
+The per-file min/max ``stats`` (read from the parquet footers the
+manifest pass already parses — zero extra I/O) are the Iceberg
+manifest-pruning analog: ``read_pruned`` opens ONLY the files whose
+[min, max] overlaps the predicate range, ``merge_upsert`` rewrites ONLY
+the files whose key range overlaps the update keys (copy-on-write; the
+rest are hard-linked into the new version), and ``compact`` bin-packs
+small files while linking the already-right-sized ones.  At 10^12 rows
+these three are the difference between touching a manifest and touching
+the table.
 """
 
 from __future__ import annotations
@@ -29,6 +40,65 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _file_manifest(files: list[str], base: str) -> list[dict]:
+    """Per-file lineage entries from parquet FOOTERS only (driver-side
+    pyarrow — no Spark job, no data read): row count, byte size, and
+    min/max stats for every top-level primitive column whose footer
+    statistics are present in ALL row groups.  Non-JSON-able and
+    non-finite values are dropped (a missing stat only disables pruning
+    for that column/file, never correctness)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        leaf = {}
+        for i in range(md.num_columns):
+            path = md.schema.column(i).path
+            if "." not in path:
+                leaf[i] = path
+        stats: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for i, name in leaf.items():
+                if name in bad:
+                    continue
+                st = rgm.column(i).statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = st.min, st.max
+                if not all(
+                    isinstance(v, (bool, int, float, str))
+                    and not (isinstance(v, float) and not math.isfinite(v))
+                    for v in (mn, mx)
+                ):
+                    bad.add(name)
+                    continue
+                if name in stats:
+                    stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+                else:
+                    stats[name] = [mn, mx]
+        out.append(
+            {
+                "file": os.path.relpath(f, base),
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(f),
+                "stats": {k: v for k, v in stats.items() if k not in bad},
+            }
+        )
+    return out
+
+
+def _parquet_files(root: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 
 
 class Pipeline:
@@ -140,17 +210,7 @@ class Pipeline:
         # per-partition lineage from the parquet FOOTERS (driver-side,
         # pyarrow): the old groupBy(input_file_name) rescanned the whole
         # just-written snapshot purely for metrics (r03 review)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        files = sorted(
-            _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
-        )
-        per_file = [
-            {"file": os.path.basename(f), "rows": _pq.ParquetFile(f).metadata.num_rows}
-            for f in files
-        ]
+        per_file = _file_manifest(_parquet_files(out), out)
         n_rows = sum(r["rows"] for r in per_file)
         manifest = {
             "stage": name,
@@ -235,7 +295,10 @@ def append_stage(p: "Pipeline", name: str, fn) -> int:
     out = p._version_dir(name, (versions[-1] + 1) if versions else 1)
     df = fn(p.spark)
     df.write.mode("overwrite").parquet(out)
-    n_rows = p.spark.read.parquet(out).count()
+    per_file = _file_manifest(_parquet_files(out), out)
+    n_rows = sum(r["rows"] for r in per_file)
+    with open(os.path.join(out, "_lineage.json"), "w") as f:
+        json.dump({"stage": name, "n_rows": n_rows, "partitions": per_file}, f, indent=1)
     return p._append_snapshot(
         {
             "stage": name,
@@ -265,9 +328,255 @@ def read_incremental(p: "Pipeline", stage: str, since_snapshot_id: int) -> DataF
     return p.spark.read.parquet(*dirs)
 
 
+def pruned_files(
+    p: "Pipeline", stage: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Manifest pruning (the Iceberg file-skipping analog): the relative
+    paths of the active snapshot's files whose footer [min, max] for
+    ``col`` overlaps [lo, hi], plus the total file count.  A file with
+    no recorded stats for ``col`` is conservatively kept.  Driver-side
+    manifest arithmetic only — nothing is scanned."""
+    lin = p.lineage(stage)
+    keep = []
+    for part in lin["partitions"]:
+        st = part.get("stats", {}).get(col)
+        if st is None or not (st[1] < lo or st[0] > hi):
+            keep.append(part["file"])
+    return keep, len(lin["partitions"])
+
+
+def read_pruned(p: "Pipeline", stage: str, col: str, lo, hi) -> DataFrame:
+    """Range read through manifest pruning: open ONLY the overlapping
+    files (file-level skipping — finer than hive-partition pruning,
+    coarser than row-group pushdown, and the only one of the three that
+    never even opens a footer of a skipped file), then apply the exact
+    residual predicate.  Equals ``read(stage).filter(lo <= col <= hi)``
+    by the min/max soundness of the footer stats.  Complements
+    sources/layout.write_zordered: a stage written range- or Z-sorted on
+    ``col`` makes the file ranges disjoint, so the prune rate approaches
+    the selectivity."""
+    residual = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    keep, total = pruned_files(p, stage, col, lo, hi)
+    if not keep:
+        return p.read(stage).where(F.lit(False))
+    vd = p._dir(stage)
+    return (
+        p.spark.read.option("basePath", vd)
+        .parquet(*[os.path.join(vd, rel) for rel in keep])
+        .filter(residual)
+    )
+
+
+def _link_or_copy(src: str, dst: str):
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)  # CoW keep: zero-copy within one filesystem
+    except OSError:
+        import shutil
+
+        shutil.copy2(src, dst)
+
+
+def _flat_or_raise(parts: list[dict], op: str):
+    if any(os.sep in part["file"] for part in parts):
+        raise ValueError(
+            f"{op} does not support hive-partitioned snapshots — run it "
+            "per partition (mixing directory-derived and in-file partition "
+            "columns in one version would corrupt reads)"
+        )
+
+
+def _commit_rewrite(
+    p: "Pipeline",
+    stage: str,
+    out: str,
+    rewritten: DataFrame | None,
+    kept: list[dict],
+    vd_old: str,
+    action: str,
+    extra: dict,
+    n_out_files: int | None = None,
+    prefix: str = "u",
+) -> int:
+    """Shared CoW commit: hard-link ``kept`` files from the old version,
+    write ``rewritten`` (if any) as fresh files, rebuild the manifest
+    (footers only), and commit via the snapshot log append."""
+    t0 = time.time()
+    os.makedirs(out, exist_ok=True)
+    for part in kept:
+        _link_or_copy(
+            os.path.join(vd_old, part["file"]), os.path.join(out, part["file"])
+        )
+    per_file = list(kept)
+    if rewritten is not None:
+        tmp = out + ".data"
+        w = rewritten.coalesce(n_out_files) if n_out_files else rewritten
+        w.write.mode("overwrite").parquet(tmp)
+        new_files = []
+        for f in _parquet_files(tmp):
+            dst = os.path.join(out, f"{prefix}-{os.path.basename(f)}")
+            os.replace(f, dst)
+            new_files.append(dst)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        per_file = kept + _file_manifest(new_files, out)
+    elapsed = time.time() - t0
+    n_rows = sum(r["rows"] for r in per_file)
+    manifest = {
+        "stage": stage,
+        "inputs": [stage],
+        "action": action,
+        "elapsed_sec": round(elapsed, 3),
+        "n_rows": n_rows,
+        "rows_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else None,
+        "partitions": per_file,
+        "schema": p.spark.read.parquet(out).schema.simpleString(),
+        "committed_at_unix": int(time.time()),
+        **extra,
+    }
+    with open(os.path.join(out, "_lineage.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    return p._append_snapshot(
+        {
+            "stage": stage,
+            "version": int(os.path.basename(out)[1:]),
+            "n_rows": n_rows,
+            "committed_at_unix": manifest["committed_at_unix"],
+        }
+    )
+
+
+def merge_upsert(p: "Pipeline", stage: str, updates: DataFrame, keys: list[str]) -> int:
+    """MERGE (upsert) as a copy-on-write snapshot commit — the Iceberg
+    ``MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` analog:
+    rows of ``updates`` REPLACE snapshot rows with equal ``keys`` and
+    are APPENDED otherwise.  Only the files whose footer [min, max] on
+    ``keys[0]`` overlaps an update key are rewritten (affected set =
+    one broadcast manifest join; the driver collects FILE NAMES, never
+    rows); every other file is hard-linked into the new version.  The
+    old snapshot stays readable via its snapshot_id (time travel).
+
+    ``updates`` must be key-unique (Iceberg raises on multiple matches;
+    here a duplicate key would insert duplicate rows) and share the
+    snapshot's column set.  At 10^12 rows with a range/Z-sorted key the
+    rewrite touches ~|updates| worth of files, not the table."""
+    if p._is_append_stage(stage):
+        raise ValueError(f"{stage!r} is an append stage — just append a new batch")
+    v = p._active_version(stage)
+    if v is None:
+        raise ValueError(f"stage {stage!r} has no committed snapshot")
+    vd = p._version_dir(stage, v)
+    parts = p.lineage(stage)["partitions"]
+    _flat_or_raise(parts, "merge_upsert")
+
+    snap_cols = set(p.read(stage).columns)
+    if set(updates.columns) != snap_cols:
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != snapshot {sorted(snap_cols)}"
+        )
+
+    key = keys[0]
+    if parts and all(part.get("stats", {}).get(key) for part in parts):
+        sdf = p.spark.createDataFrame(
+            [(part["file"], part["stats"][key][0], part["stats"][key][1]) for part in parts],
+            ["file", "mn", "mx"],
+        )
+        hit = (
+            updates.select(F.col(key).alias("_k"))
+            .distinct()
+            .join(F.broadcast(sdf), (F.col("_k") >= F.col("mn")) & (F.col("_k") <= F.col("mx")))
+            .select("file")
+            .distinct()
+        )
+        affected = {r["file"] for r in hit.collect()}
+    else:
+        affected = {part["file"] for part in parts}
+
+    kept = [part for part in parts if part["file"] not in affected]
+    cols = p.read(stage).columns
+    if affected:
+        old = p.spark.read.option("basePath", vd).parquet(
+            *[os.path.join(vd, f) for f in sorted(affected)]
+        )
+        rewritten = old.join(updates.select(*keys).distinct(), keys, "left_anti").select(
+            *cols
+        ).unionByName(updates.select(*cols))
+    else:
+        rewritten = updates.select(*cols)
+    out = p._version_dir(stage, p._versions(stage)[-1] + 1)
+    return _commit_rewrite(
+        p,
+        stage,
+        out,
+        rewritten,
+        kept,
+        vd,
+        "merge_upsert",
+        {"rewrote_files": sorted(affected), "kept_files": len(kept)},
+        prefix=f"u{os.path.basename(out)}",
+    )
+
+
+def compact(p: "Pipeline", stage: str, target_bytes: int = 128 << 20) -> int | None:
+    """Bin-packing compaction as a copy-on-write snapshot commit (the
+    Iceberg ``rewrite_data_files`` analog): files smaller than
+    ``target_bytes`` are rewritten into ⌈small_bytes / target⌉ packed
+    files; files already at size are hard-linked untouched.  Same rows,
+    same schema, fewer files — the fix for the small-file problem that
+    incremental appends accumulate (every footer is one driver round
+    trip at plan time; 10^6 tiny files = a planning outage).  Returns
+    the new snapshot_id, or None when fewer than two small files exist
+    (nothing to pack — no empty commit)."""
+    if p._is_append_stage(stage):
+        raise ValueError(
+            f"{stage!r} is an append stage — materialize it into a batch stage first"
+        )
+    v = p._active_version(stage)
+    if v is None:
+        raise ValueError(f"stage {stage!r} has no committed snapshot")
+    vd = p._version_dir(stage, v)
+    parts = p.lineage(stage)["partitions"]
+    _flat_or_raise(parts, "compact")
+
+    sizes = {
+        part["file"]: part.get(
+            "bytes", os.path.getsize(os.path.join(vd, part["file"]))
+        )
+        for part in parts
+    }
+    small = [part for part in parts if sizes[part["file"]] < target_bytes]
+    if len(small) < 2:
+        return None
+    kept = [part for part in parts if sizes[part["file"]] >= target_bytes]
+    total_small = sum(sizes[part["file"]] for part in small)
+    n_out = max(1, -(-total_small // target_bytes))
+    packed = p.spark.read.option("basePath", vd).parquet(
+        *[os.path.join(vd, part["file"]) for part in small]
+    )
+    out = p._version_dir(stage, p._versions(stage)[-1] + 1)
+    return _commit_rewrite(
+        p,
+        stage,
+        out,
+        packed,
+        kept,
+        vd,
+        "compact",
+        {"packed_files": len(small), "kept_files": len(kept)},
+        n_out_files=int(n_out),
+        prefix=f"c{os.path.basename(out)}",
+    )
+
+
 Pipeline.append_stage = append_stage
 Pipeline.read_all = read_all
 Pipeline.read_incremental = read_incremental
+Pipeline.pruned_files = pruned_files
+Pipeline.read_pruned = read_pruned
+Pipeline.merge_upsert = merge_upsert
+Pipeline.compact = compact
 
 
 def merge_rollup(

@@ -309,3 +309,155 @@ def test_merge_rollup_identity(spark):
     )
     exp = {r["k"]: (r["n"], float(r["sv"])) for r in full.collect()}
     assert got == exp
+
+
+def test_file_stats_and_pruned_read(spark, tmp_path):
+    """Iceberg manifest-pruning analog: a range-sorted stage records
+    per-file min/max in the lineage manifest; read_pruned opens only the
+    overlapping files and equals the plain filter exactly."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "pr"))
+
+    def build(s):
+        df = s.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3 % 997).alias("v")
+        )
+        return df.repartitionByRange(8, "k")
+
+    p.stage("pts", build)
+    lin = p.lineage("pts")
+    assert len(lin["partitions"]) == 8
+    for part in lin["partitions"]:
+        assert "k" in part["stats"] and "v" in part["stats"]
+        assert part["bytes"] > 0
+    # range-sorted ⇒ disjoint file ranges ⇒ a 10% slice touches ~1 file
+    keep, total = p.pruned_files("pts", "k", 2000, 2900)
+    assert total == 8 and 1 <= len(keep) <= 2
+
+    got = sorted(r["k"] for r in p.read_pruned("pts", "k", 2000, 2900).collect())
+    want = list(range(2000, 2901))
+    assert got == want
+    # empty range prunes everything but keeps the schema
+    empty = p.read_pruned("pts", "k", -50, -10)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # a column without recorded stats is conservatively unpruned
+    keep_all, _ = p.pruned_files("pts", "nosuch", 0, 1)
+    assert len(keep_all) == total
+
+
+def test_merge_upsert_cow(spark, tmp_path):
+    """merge_upsert = MERGE INTO (matched→replace, unmatched→insert) as
+    a copy-on-write commit: only key-overlapping files are rewritten,
+    the rest are hard-linked; the old snapshot time-travels intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "mu"))
+    p.stage(
+        "tbl",
+        lambda s: s.range(8_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 100).alias("v"))
+        .repartitionByRange(8, "k"),
+    )
+    old_sid = p.snapshots()[-1]["snapshot_id"]
+    old_parts = {part["file"] for part in p.lineage("tbl")["partitions"]}
+
+    # updates confined to k ∈ [7000, 8499]: replaces 7000-7999, inserts 8000-8499
+    upd = spark.range(7_000, 8_500).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    p.merge_upsert("tbl", upd, keys=["k"])
+
+    lin = p.lineage("tbl")
+    assert lin["action"] == "merge_upsert"
+    assert lin["n_rows"] == 8_500
+    # CoW: at most 2 of the 8 range-sorted files overlap the update range
+    assert 1 <= len(lin["rewrote_files"]) <= 2
+    assert lin["kept_files"] >= 6
+
+    cur = p.read("tbl")
+    assert cur.count() == 8_500
+    assert cur.filter((F.col("k") >= 7_000) & (F.col("v") != -1)).count() == 0
+    assert cur.filter((F.col("k") < 7_000) & (F.col("v") == -1)).count() == 0
+    assert (
+        cur.filter(F.col("k") < 7_000).agg(F.sum("v")).collect()[0][0]
+        == sum(i % 100 for i in range(7_000))
+    )
+    # kept files are hard links (same inode), not copies
+    vd_old = p._version_dir("tbl", 1)
+    vd_new = p._version_dir("tbl", 2)
+    kept_rel = old_parts - set(lin["rewrote_files"])
+    assert kept_rel
+    for rel in kept_rel:
+        assert (
+            os.stat(os.path.join(vd_old, rel)).st_ino
+            == os.stat(os.path.join(vd_new, rel)).st_ino
+        )
+    # time travel: the pre-merge snapshot is unchanged
+    assert p.read("tbl", snapshot_id=old_sid).count() == 8_000
+
+    # guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="columns"):
+        p.merge_upsert("tbl", upd.select("k"), keys=["k"])
+    p.append_stage("ap", lambda s: s.range(3))
+    with _pt.raises(ValueError, match="append stage"):
+        p.merge_upsert("ap", upd, keys=["k"])
+
+
+def test_compact_binpack(spark, tmp_path):
+    """compact bin-packs sub-target files into few packed files, links
+    the right-sized ones untouched, and preserves the rows exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "cp"))
+
+    # the incremental-append shape: 15 tiny files + 1 right-sized one
+    def build(s):
+        tiny = (
+            s.range(150)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .repartition(15)
+        )
+        big = (
+            s.range(150, 4_000)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .coalesce(1)
+        )
+        return tiny.unionAll(big)
+
+    p.stage("tbl", build)
+    before = p.lineage("tbl")["partitions"]
+    assert len(before) == 16
+    big_rel = max(before, key=lambda part: part["bytes"])["file"]
+    big_bytes = max(part["bytes"] for part in before)
+
+    # threshold chosen so exactly the one right-sized file is "kept"
+    sid = p.compact("tbl", target_bytes=big_bytes)
+    assert sid is not None
+    lin = p.lineage("tbl")
+    assert lin["action"] == "compact"
+    assert lin["kept_files"] == 1 and lin["packed_files"] == 15
+    assert len(lin["partitions"]) <= 4  # 1 linked + a few packed
+    assert lin["n_rows"] == 4_000
+    # the kept file is a hard link
+    assert (
+        os.stat(os.path.join(p._version_dir("tbl", 1), big_rel)).st_ino
+        == os.stat(os.path.join(p._version_dir("tbl", 2), big_rel)).st_ino
+    )
+    # rows identical
+    got = p.read("tbl").agg(F.sum("k"), F.sum("v")).collect()[0]
+    assert got[0] == sum(range(4_000)) and got[1] == sum(i % 7 for i in range(4_000))
+    # idempotence: everything now ≥ threshold − nothing to pack
+    assert p.compact("tbl", target_bytes=1) is None
