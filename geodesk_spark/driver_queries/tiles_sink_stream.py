@@ -497,3 +497,77 @@ def _snapshot_merge_sql() -> str:
       union all
       select o_orderkey, x, y from upd
     """
+
+
+def _q_tile_mosaic(spark, sf_dir):
+    """Per-tile contact-sheet mosaic (tiles_sink.mosaic_tiles): first
+    grid² images per tile by image_id compose into one PNG per tile via
+    a single-exchange window + applyInPandas (plan-asserted in
+    test_pipeline; pixels golden-checked there).  The manifest counts
+    are the oracle surface — file paths are environment-dependent and
+    excluded, like tile_render_manifest."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import tiles_sink
+
+    pts = _derived_orders(spark, sf_dir).select(
+        F.concat(F.lit("img"), F.col("o_orderkey").cast("string")).alias("image_id"),
+        "x",
+        "y",
+    )
+    pts = pts.filter(
+        (F.col("x") >= 0) & (F.col("x") < (1 << 29))
+        & (F.col("y") >= 0) & (F.col("y") < (1 << 29))
+    )
+    pts = pts.withColumn("tile_z8", T.tile_col(F.col("x"), F.col("y"), 8))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": [
+                        codec.encode(codec.synth_pixels(iid, 24, 16), "png")
+                        for iid in pdf["image_id"]
+                    ],
+                    "tile_z8": pdf["tile_z8"],
+                }
+            )
+
+    imgs = pts.mapInPandas(gen, schema="image_id string, bytes binary, tile_z8 int")
+    tmp = tempfile.mkdtemp(prefix="gds_mosaic_")
+    try:
+        man = tiles_sink.mosaic_tiles(imgs, tmp, tile_col="tile_z8", grid=2, thumb_px=16)
+        return (
+            man.select(
+                F.col("tile").cast("bigint").alias("tile"),
+                "zoom", "col", "row", "n_in_tile", "n_selected",
+            )
+            .orderBy("tile")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _tile_mosaic_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      w as (select 'img' || o_orderkey as image_id, x, y from pts
+            where x >= 0 and x < {1 << 29} and y >= 0 and y < {1 << 29}),
+      t as (select image_id, {tile_expr('x', 'y', 8)} as tile from w),
+      r as (select tile, image_id,
+                   row_number() over (partition by tile order by image_id) as rk,
+                   count(*) over (partition by tile) as n
+            from t)
+      select tile, 8 as zoom,
+             cast(tile % 4096 as int) as col,
+             cast(floor(tile / 4096) % 4096 as int) as row,
+             count(*) as n_in_tile,
+             cast(sum(case when rk <= 4 then 1 else 0 end) as int) as n_selected
+      from r group by tile order by tile
+    """

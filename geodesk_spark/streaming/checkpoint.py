@@ -255,6 +255,10 @@ class Pipeline:
                     raise ValueError(
                         f"snapshot {snapshot_id} belongs to stage {e['stage']!r}"
                     )
+                if e.get("expired"):
+                    raise ValueError(
+                        f"snapshot {snapshot_id} was expired by expire_snapshots"
+                    )
                 return self.spark.read.parquet(self._version_dir(stage, e["version"]))
         raise ValueError(f"unknown snapshot_id {snapshot_id}")
 
@@ -570,6 +574,50 @@ def compact(p: "Pipeline", stage: str, target_bytes: int = 128 << 20) -> int | N
     )
 
 
+def expire_snapshots(
+    p: "Pipeline", stage: str, keep_last: int = 1
+) -> list[int]:
+    """Retire time-travel history (the Iceberg ``expire_snapshots``
+    analog): keep the newest ``keep_last`` committed versions of a batch
+    stage (always including the active one), delete the older version
+    directories, and mark their log entries expired — snapshot ids stay
+    stable, but reading an expired id raises.  CoW-shared files survive
+    untouched: merge_upsert/compact hard-link kept files, so removing an
+    old version drops only ITS directory entries while the live
+    version's links keep the shared inodes alive (the filesystem is the
+    reference counter — exactly Iceberg's reachability rule, files
+    delete only when no surviving snapshot references them).
+
+    Refuses append stages: every committed batch of an append stage IS
+    part of the current table, so none of them is expirable history.
+    Returns the expired snapshot ids."""
+    import shutil
+
+    if p._is_append_stage(stage):
+        raise ValueError(
+            f"{stage!r} is an append stage — its batches are live data, "
+            "not history (materialize into a batch stage to roll up)"
+        )
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = p.snapshots()
+    mine = [e for e in log if e["stage"] == stage and not e.get("expired")]
+    if not mine:
+        raise ValueError(f"stage {stage!r} has no committed snapshot")
+    expire = mine[:-keep_last]
+    expired_ids = []
+    for e in expire:
+        shutil.rmtree(p._version_dir(stage, e["version"]), ignore_errors=True)
+        e["expired"] = True
+        expired_ids.append(e["snapshot_id"])
+    if expired_ids:
+        tmp = p._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, p._log_path)
+    return expired_ids
+
+
 Pipeline.append_stage = append_stage
 Pipeline.read_all = read_all
 Pipeline.read_incremental = read_incremental
@@ -577,6 +625,7 @@ Pipeline.pruned_files = pruned_files
 Pipeline.read_pruned = read_pruned
 Pipeline.merge_upsert = merge_upsert
 Pipeline.compact = compact
+Pipeline.expire_snapshots = expire_snapshots
 
 
 def merge_rollup(

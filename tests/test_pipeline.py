@@ -461,3 +461,94 @@ def test_compact_binpack(spark, tmp_path):
     assert got[0] == sum(range(4_000)) and got[1] == sum(i % 7 for i in range(4_000))
     # idempotence: everything now ≥ threshold − nothing to pack
     assert p.compact("tbl", target_bytes=1) is None
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expire_snapshots keeps the newest versions, deletes the old dirs,
+    and CoW-shared files survive through their links in live versions
+    (the filesystem is the reachability counter)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.streaming.checkpoint import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "ex"))
+    p.stage(
+        "tbl",
+        lambda s: s.range(6_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 11).alias("v"))
+        .repartitionByRange(8, "k"),
+    )
+    sid1 = p.snapshots()[-1]["snapshot_id"]
+    upd = spark.range(5_900, 6_100).select(
+        F.col("id").alias("k"), F.lit(-3).cast("long").alias("v")
+    )
+    p.merge_upsert("tbl", upd, keys=["k"])  # v2 links most v1 files
+
+    expired = p.expire_snapshots("tbl", keep_last=1)
+    assert expired == [sid1]
+    assert not os.path.exists(p._version_dir("tbl", 1))
+    # live version reads fine through its own hard links
+    cur = p.read("tbl")
+    assert cur.count() == 6_100
+    assert cur.filter(F.col("v") == -3).count() == 200
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="expired"):
+        p.read("tbl", snapshot_id=sid1)
+    # idempotent; append stages refuse
+    assert p.expire_snapshots("tbl", keep_last=1) == []
+    p.append_stage("ap", lambda s: s.range(3))
+    with _pt.raises(ValueError, match="append stage"):
+        p.expire_snapshots("ap")
+
+
+def test_mosaic_tiles(spark, tmp_path):
+    """Per-tile mosaic: manifest counts match brute-force, each grid cell
+    is the NN-thumbnail of the expected image (PSNR ≥ 40 vs regenerated
+    source pixels), empty cells stay black, and the window + compose
+    share ONE exchange on the tile key."""
+    df = synth.images_df(spark, 2_000, with_bytes=True, partitions=6)
+    df = tiling.with_point_tiles(tiling.with_imp_coords(df))
+    out = str(tmp_path / "mos")
+    man = tiles_sink.mosaic_tiles(df, out, tile_col="tile_z4", grid=2, thumb_px=32)
+    # one exchange: the rank window and the applyInPandas group co-key
+    plan = man._sc._jvm.PythonSQLUtils.explainString(
+        man._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("+- Exchange") == 1
+    pman = man.toPandas().set_index("tile")
+
+    brute = (
+        df.groupBy("tile_z4").agg(F.count("*").alias("n")).toPandas().set_index("tile_z4")
+    )
+    assert len(pman) == len(brute)
+    for tile, row in pman.iterrows():
+        assert row["n_in_tile"] == brute.loc[tile, "n"]
+        assert row["n_selected"] == min(4, row["n_in_tile"])
+        assert row["mosaic_w"] == 64 and row["mosaic_h"] == 64
+
+    # golden-check the densest tile's pixels
+    tile = int(brute["n"].idxmax())
+    row = pman.loc[tile]
+    mosaic = codec.decode(open(row["path"], "rb").read())
+    assert mosaic.shape == (64, 64, 3)
+    chosen = (
+        df.filter(F.col("tile_z4") == tile)
+        .select("image_id", "w", "h")
+        .toPandas()
+        .sort_values("image_id")
+        .head(4)
+    )
+    for i in range(len(chosen)):
+        iid, w, h = chosen.iloc[i]["image_id"], int(chosen.iloc[i]["w"]), int(chosen.iloc[i]["h"])
+        src = codec.synth_pixels(iid, w, h)
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        want = src[yi][:, xi]
+        got = mosaic[(i // 2) * 32 : (i // 2 + 1) * 32, (i % 2) * 32 : (i % 2 + 1) * 32]
+        assert codec.psnr(want, got) >= 40
+    for i in range(len(chosen), 4):
+        got = mosaic[(i // 2) * 32 : (i // 2 + 1) * 32, (i % 2) * 32 : (i % 2 + 1) * 32]
+        assert (got == 0).all()
