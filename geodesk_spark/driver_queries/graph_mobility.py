@@ -434,3 +434,183 @@ _SQL_SESSIONIZE = f"""
 WSAMPLE_K = 200
 
 
+
+
+# HMM map matching: synthetic Manhattan road grid near the equator plus
+# trajectory points scattered inside it by a portable integer LCG on
+# event_id — every position is within MM_RADIUS of some road, so no
+# lattice column is empty and the unrolled oracle needs no gap handling.
+MM_X0, MM_Y0, MM_S = 100_000_000, 5_000_000, 200_000
+MM_RADIUS, MM_SIGMA, MM_BETA = 1_000.0, 100.0, 100.0
+MM_CANDS, MM_STEPS = 4, 6
+
+
+def _mm_segments() -> list[tuple[int, int, int, int, int]]:
+    segs, sid = [], 0
+    for r in range(5):
+        for c in range(4):
+            segs.append(
+                (sid, MM_X0 + c * MM_S, MM_Y0 + r * MM_S,
+                 MM_X0 + (c + 1) * MM_S, MM_Y0 + r * MM_S)
+            )
+            sid += 1
+    for c in range(5):
+        for r in range(4):
+            segs.append(
+                (sid, MM_X0 + c * MM_S, MM_Y0 + r * MM_S,
+                 MM_X0 + c * MM_S, MM_Y0 + (r + 1) * MM_S)
+            )
+            sid += 1
+    return segs
+
+
+def _mm_points(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = tables.load_spread(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    w = wu.orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wu)
+    )
+    span = 4 * MM_S + 1
+    return ev.filter((F.col("rn") <= MM_STEPS) & (F.col("n") >= MM_STEPS)).select(
+        F.col("user_id").alias("traj_id"),
+        (F.col("rn") - 1).cast("int").alias("seq"),
+        (
+            F.lit(MM_X0)
+            + ((F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647))
+            % F.lit(span)
+        ).alias("x"),
+        (
+            F.lit(MM_Y0)
+            + ((F.col("event_id") * F.lit(69069) + F.lit(1)) % F.lit(2147483647))
+            % F.lit(span)
+        ).alias("y"),
+    )
+
+
+def _q_map_match(spark, sf_dir):
+    """HMM map matching (mobility.map_match, Newson & Krumm 2009): each
+    user's first 6 events become a trajectory inside a synthetic road
+    grid; Viterbi decoding assigns every point the segment maximizing
+    emission (−d²/2σ²) × transition (−|Δpoint−Δproj|/β) along the whole
+    path.  The oracle unrolls the 6-step forward pass + backtrack as
+    chained CTEs (the Lloyd-trainer precedent) with identical float op
+    order, so the decode matches bit-for-bit."""
+    from geodesk_spark.operators import mobility
+
+    pts = _mm_points(spark, sf_dir)
+    segs = spark.createDataFrame(
+        _mm_segments(), "seg_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    out = mobility.map_match(
+        pts, segs, MM_RADIUS, sigma_m=MM_SIGMA, beta_m=MM_BETA, max_cands=MM_CANDS
+    )
+    return out.select("traj_id", "seq", "seg_id")
+
+
+def _map_match_sql() -> str:
+    from geodesk_spark.driver_queries.common import _dist_sql
+
+    span = 4 * MM_S + 1
+    vals = ", ".join(
+        f"({sid}, {x1}, {y1}, {x2}, {y2})" for sid, x1, y1, x2, y2 in _mm_segments()
+    )
+    dpp = _dist_sql("prev.px", "prev.py", "cur.px", "cur.py")
+    dproj = _dist_sql("prev.sx", "prev.sy", "cur.sx", "cur.sy")
+    step = f"prev.score - abs({dpp} - {dproj}) / {MM_BETA!r}"
+    v_ctes = []
+    for t in range(1, MM_STEPS):
+        # the row surviving QUALIFY carries the MAX step value, so
+        # score = step + emis ≡ max_i(score_i + trans_ij) + emis_j; the
+        # prev.seg_id tie-break mirrors np.argmax's first-index rule
+        v_ctes.append(f"""
+      v{t} as (
+        select cur.traj, cur.seg_id, cur.px, cur.py, cur.sx, cur.sy,
+               ({step}) + cur.emis as score,
+               prev.seg_id as bp
+        from (select * from e where seq = {t}) cur
+        join v{t - 1} prev on prev.traj = cur.traj
+        qualify row_number() over (partition by cur.traj, cur.seg_id
+                                   order by ({step}) desc, prev.seg_id) = 1
+      )""")
+    last = MM_STEPS - 1
+    b_ctes = [f"""
+      b{last} as (
+        select traj, seg_id, bp from v{last}
+        qualify row_number() over (partition by traj
+                                   order by score desc, seg_id) = 1
+      )"""]
+    for t in range(last - 1, 0, -1):
+        b_ctes.append(f"""
+      b{t} as (
+        select v.traj, v.seg_id, v.bp
+        from v{t} v join b{t + 1} nxt on v.traj = nxt.traj and v.seg_id = nxt.bp
+      )""")
+    sel = [f"select traj, {t} as seq, seg_id from b{t}" for t in range(1, MM_STEPS)]
+    sel.append("select traj, 0 as seq, bp as seg_id from b1")
+    return f"""
+      with ev as (
+        select user_id, event_id,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rn,
+               count(*) over (partition by user_id) as n
+        from events
+      ),
+      pts as (
+        select user_id as traj, cast(rn - 1 as int) as seq,
+               {MM_X0} + ((event_id * 1103515245 + 12345) % 2147483647) % {span} as px,
+               {MM_Y0} + ((event_id * 69069 + 1) % 2147483647) % {span} as py
+        from ev where rn <= {MM_STEPS} and n >= {MM_STEPS}
+      ),
+      segs as (
+        select seg_id, cast(x1 as bigint) as x1, cast(y1 as bigint) as y1,
+               cast(x2 as bigint) as x2, cast(y2 as bigint) as y2
+        from (values {vals}) raw(seg_id, x1, y1, x2, y2)
+      ),
+      c0 as (
+        select p.traj, p.seq, p.px, p.py, s.seg_id, s.x1, s.y1,
+               (s.x2 - s.x1) as abx, (s.y2 - s.y1) as aby,
+               (p.px - s.x1) as apx, (p.py - s.y1) as apy
+        from pts p cross join segs s
+      ),
+      tt as (
+        select traj, seq, px, py, seg_id, x1, y1, abx, aby,
+               case when (abx * abx + aby * aby) = 0 then 0.0
+                    else least(greatest((apx * abx + apy * aby)
+                                        / (abx * abx + aby * aby), 0.0), 1.0)
+               end as t
+        from c0
+      ),
+      sn as (
+        select traj, seq, px, py, seg_id,
+               x1 + t * abx as sx, y1 + t * aby as sy
+        from tt
+      ),
+      d as (
+        select traj, seq, px, py, seg_id, sx, sy,
+               {_dist_sql('px', 'py', 'sx', 'sy')} as dist_m
+        from sn
+      ),
+      cand as (
+        select * from (
+          select *, row_number() over (partition by traj, seq
+                                       order by dist_m, seg_id) as rk
+          from d where dist_m <= {MM_RADIUS!r}
+        ) where rk <= {MM_CANDS}
+      ),
+      e as (
+        select traj, seq, seg_id, px, py, sx, sy,
+               -(dist_m * dist_m) / {2.0 * MM_SIGMA * MM_SIGMA!r} as emis
+        from cand
+      ),
+      v0 as (
+        select traj, seg_id, px, py, sx, sy, emis as score
+        from e where seq = 0
+      ),
+      {", ".join(v_ctes)},
+      {", ".join(b_ctes)}
+      select traj as traj_id, seq, seg_id
+      from ({" union all ".join(sel)})
+    """

@@ -442,6 +442,61 @@ def distance_join(
     )
 
 
+def segment_candidates(
+    points: DataFrame,
+    segs: DataFrame,
+    meters: float,
+    point_cols: list[str],
+    seg_id: str = "seg_id",
+    slack: float = 1.5,
+) -> DataFrame:
+    """Point × segment candidates within ``meters`` — the shared front
+    half of ``snap_to_segments`` (argmin) and ``mobility.map_match``
+    (HMM lattice).  ``points`` needs (point_cols…, x, y); returns
+    (point_cols…, px, py, seg_id, t, sx, sy, dist_m) with the clamped
+    int64-exact projection and exact Mercator foot distance (expression
+    order documented in snap_to_segments — its oracle mirrors this)."""
+    p = points.select(
+        *point_cols, F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    s = segs.select(
+        seg_id, "x1", "y1", "x2", "y2",
+        F.least("x1", "x2").alias("_sminx"),
+        F.greatest("x1", "x2").alias("_smaxx"),
+        F.least("y1", "y2").alias("_sminy"),
+        F.greatest("y1", "y2").alias("_smaxy"),
+    )
+    delta = mercator.delta_from_meters_col(
+        F.lit(float(meters)), F.col("py")
+    ) * F.lit(float(slack))
+    cand = p.join(
+        F.broadcast(s),
+        (F.col("px") >= F.col("_sminx") - delta)
+        & (F.col("px") <= F.col("_smaxx") + delta)
+        & (F.col("py") >= F.col("_sminy") - delta)
+        & (F.col("py") <= F.col("_smaxy") + delta),
+    )
+    abx, aby = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    apx, apy = F.col("px") - F.col("x1"), F.col("py") - F.col("y1")
+    dot = apx * abx + apy * aby
+    len2 = abx * abx + aby * aby
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
+    )
+    sx = F.col("x1") + t * abx
+    sy = F.col("y1") + t * aby
+    return cand.select(
+        *point_cols,
+        "px",
+        "py",
+        seg_id,
+        t.alias("t"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        mercator.distance_col(F.col("px"), F.col("py"), sx, sy).alias("dist_m"),
+    ).filter(F.col("dist_m") <= meters)
+
+
 def snap_to_segments(
     points: DataFrame,
     segs: DataFrame,
@@ -472,43 +527,9 @@ def snap_to_segments(
     division is the only float step before the distance itself, so an
     oracle mirroring the op order is hash-exact.
     """
-    p = points.select(
-        point_id, F.col("x").alias("px"), F.col("y").alias("py")
-    )
-    s = segs.select(
-        seg_id, "x1", "y1", "x2", "y2",
-        F.least("x1", "x2").alias("_sminx"),
-        F.greatest("x1", "x2").alias("_smaxx"),
-        F.least("y1", "y2").alias("_sminy"),
-        F.greatest("y1", "y2").alias("_smaxy"),
-    )
-    delta = mercator.delta_from_meters_col(
-        F.lit(float(meters)), F.col("py")
-    ) * F.lit(float(slack))
-    cand = p.join(
-        F.broadcast(s),
-        (F.col("px") >= F.col("_sminx") - delta)
-        & (F.col("px") <= F.col("_smaxx") + delta)
-        & (F.col("py") >= F.col("_sminy") - delta)
-        & (F.col("py") <= F.col("_smaxy") + delta),
-    )
-    abx, aby = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
-    apx, apy = F.col("px") - F.col("x1"), F.col("py") - F.col("y1")
-    dot = apx * abx + apy * aby
-    len2 = abx * abx + aby * aby
-    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
-        F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
-    )
-    sx = F.col("x1") + t * abx
-    sy = F.col("y1") + t * aby
-    snapped = cand.select(
-        point_id,
-        seg_id,
-        t.alias("t"),
-        sx.alias("sx"),
-        sy.alias("sy"),
-        mercator.distance_col(F.col("px"), F.col("py"), sx, sy).alias("dist_m"),
-    ).filter(F.col("dist_m") <= meters)
+    snapped = segment_candidates(
+        points, segs, meters, [point_id], seg_id=seg_id, slack=slack
+    ).drop("px", "py")
     w = Window.partitionBy(point_id).orderBy(F.asc("dist_m"), F.asc(seg_id))
     return (
         snapped.withColumn("rnk", F.row_number().over(w))

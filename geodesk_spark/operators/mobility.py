@@ -191,3 +191,105 @@ def staypoints(
             (F.col("end_us") - F.col("start_us")).alias("dwell_us"),
         )
     )
+
+
+def map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    sigma_m: float = 50.0,
+    beta_m: float = 200.0,
+    max_cands: int = 4,
+    traj_col: str = "traj_id",
+    seq_col: str = "seq",
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """HMM map matching (Newson & Krumm 2009, the standard formulation):
+    assign every trajectory point the road segment that maximizes the
+    joint emission × transition likelihood along the whole trajectory —
+    the sequence-aware upgrade of ``knn.snap_to_segments`` (which picks
+    the per-point nearest and zig-zags at intersections).
+
+    - emission(point, seg)  = −dist² / (2·σ²)    (log space, Gaussian GPS noise)
+    - transition(i → j)     = −|d(pₜ₋₁,pₜ) − d(projᵢ,projⱼ)| / β
+      (the straight-line surrogate for route distance — the published
+      simplification when no routable graph is attached)
+
+    ``points`` needs (traj_col, seq_col, x, y); ``segments``
+    (seg_id, x1, y1, x2, y2).  Returns (traj_col, seq_col, seg_id) for
+    every point with ≥1 candidate within ``radius_m``; candidate-less
+    points drop out (their step contributes no lattice column).
+
+    Plan shape: candidates = the snap_to_segments broadcast bbox join
+    (planet-scale road networks: swap in cell-blocked candidates à la
+    ``distance_join``), then a bounded per-point top-``max_cands``
+    window, then ONE ``applyInPandas`` per trajectory for the Viterbi
+    decode — the DP state is inherently per-trajectory, trajectories
+    are bounded (10³-10⁴ points) while the corpus is not, so the
+    trajectory is the correct parallel grain at 10^12 rows.  All float
+    math is plain IEEE doubles in the documented op order, so an
+    unrolled-CTE SQL oracle reproduces the decode bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from geodesk_spark.geo import mercator
+    from geodesk_spark.operators.knn import segment_candidates
+
+    cand = segment_candidates(
+        points, segments, radius_m, [traj_col, seq_col], seg_id=seg_id
+    )
+    w = Window.partitionBy(traj_col, seq_col).orderBy(
+        F.asc("dist_m"), F.asc(seg_id)
+    )
+    cand = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_cands)
+        .drop("_rk", "t")
+    )
+    two_sig2 = 2.0 * sigma_m * sigma_m
+    beta = float(beta_m)
+
+    def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([seq_col, seg_id], kind="mergesort")
+        steps = [g for _, g in pdf.groupby(seq_col, sort=True)]
+        # forward pass
+        emis = [-(g["dist_m"].to_numpy() ** 2) / two_sig2 for g in steps]
+        score = emis[0]
+        bps: list[np.ndarray] = []
+        for t in range(1, len(steps)):
+            prev, cur = steps[t - 1], steps[t]
+            d_pp = mercator.distance(
+                prev["px"].iloc[0], prev["py"].iloc[0],
+                cur["px"].iloc[0], cur["py"].iloc[0],
+            )[()]
+            d_proj = mercator.distance(
+                prev["sx"].to_numpy()[:, None], prev["sy"].to_numpy()[:, None],
+                cur["sx"].to_numpy()[None, :], cur["sy"].to_numpy()[None, :],
+            )
+            tot = score[:, None] + (-np.abs(d_pp - d_proj) / beta)
+            bp = np.argmax(tot, axis=0)
+            bps.append(bp)
+            score = tot[bp, np.arange(tot.shape[1])] + emis[t]
+        # backtrack
+        j = int(np.argmax(score))
+        picks = [j]
+        for bp in reversed(bps):
+            j = int(bp[j])
+            picks.append(j)
+        picks.reverse()
+        return pd.DataFrame(
+            {
+                traj_col: [key[0]] * len(steps),
+                seq_col: [g[seq_col].iloc[0] for g in steps],
+                seg_id: [
+                    steps[t][seg_id].iloc[picks[t]] for t in range(len(steps))
+                ],
+            }
+        )
+
+    fields = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    schema = (
+        f"{traj_col} {fields[traj_col]}, {seq_col} {fields[seq_col]}, "
+        f"{seg_id} {fields[seg_id]}"
+    )
+    return cand.groupBy(traj_col).applyInPandas(decode, schema=schema)

@@ -159,3 +159,100 @@ def test_staypoints_hand_case(spark):
         (1, 10, 10, 3, 0, 100, 100),
         (1, 10, 10, 2, 200, 400, 200),
     ]
+
+
+def test_map_match_matches_path_enumeration(spark):
+    """HMM map matching equals brute-force enumeration of ALL candidate
+    paths (the definitional check), and differs from greedy per-point
+    snapping somewhere (sequence-awareness is real)."""
+    import itertools
+
+    import numpy as np
+
+    from geodesk_spark.geo import mercator
+    from geodesk_spark.operators import mobility
+    from geodesk_spark.operators.knn import segment_candidates
+
+    rng = np.random.default_rng(42)
+    X0, Y0, S = 100_000_000, 5_000_000, 200_000
+    segs = []
+    sid = 0
+    for r in range(5):
+        for c in range(4):
+            segs.append((sid, X0 + c * S, Y0 + r * S, X0 + (c + 1) * S, Y0 + r * S))
+            sid += 1
+    for c in range(5):
+        for r in range(4):
+            segs.append((sid, X0 + c * S, Y0 + r * S, X0 + c * S, Y0 + (r + 1) * S))
+            sid += 1
+    seg_df = spark.createDataFrame(
+        segs, "seg_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    pts = []
+    for traj in range(12):
+        for seq in range(6):
+            pts.append(
+                (
+                    traj,
+                    seq,
+                    int(X0 + rng.integers(0, 4 * S + 1)),
+                    int(Y0 + rng.integers(0, 4 * S + 1)),
+                )
+            )
+    # crafted trajectory: runs along the r=2 horizontal road with one
+    # noisy blip at seq 3 sitting NEARER to a crossing vertical segment —
+    # greedy snapping zig-zags onto it, the HMM's transition term holds
+    # the road (verified by the same enumeration below)
+    for seq in range(6):
+        px, py = X0 + 107_000 + 30_000 * seq, Y0 + 2 * S + 2_000
+        if seq == 3:
+            px, py = X0 + 197_000, Y0 + 2 * S + 5_000
+        pts.append((100, seq, px, py))
+    pts_df = spark.createDataFrame(pts, "traj_id long, seq int, x long, y long")
+
+    RADIUS, SIGMA, BETA, M = 1_000.0, 100.0, 100.0, 4
+    got = (
+        mobility.map_match(
+            pts_df, seg_df, RADIUS, sigma_m=SIGMA, beta_m=BETA, max_cands=M
+        )
+        .toPandas()
+        .sort_values(["traj_id", "seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pts)  # radius covers every grid position
+
+    # independent brute force: same candidates, enumerate every path
+    cands = (
+        segment_candidates(pts_df, seg_df, RADIUS, ["traj_id", "seq"])
+        .toPandas()
+        .sort_values(["traj_id", "seq", "dist_m", "seg_id"])
+    )
+    greedy_diff = 0
+    for traj, tdf in cands.groupby("traj_id"):
+        steps = [
+            g.head(M).reset_index(drop=True) for _, g in tdf.groupby("seq", sort=True)
+        ]
+        best_score, best_path = -np.inf, None
+        for path in itertools.product(*[range(len(g)) for g in steps]):
+            sc = 0.0
+            for t, j in enumerate(path):
+                g = steps[t].iloc[j]
+                sc += -(g["dist_m"] ** 2) / (2 * SIGMA * SIGMA)
+                if t > 0:
+                    p = steps[t - 1].iloc[path[t - 1]]
+                    d_pp = float(
+                        mercator.distance(p["px"], p["py"], g["px"], g["py"])[()]
+                    )
+                    d_proj = float(
+                        mercator.distance(p["sx"], p["sy"], g["sx"], g["sy"])[()]
+                    )
+                    sc += -abs(d_pp - d_proj) / BETA
+            if sc > best_score:
+                best_score, best_path = sc, path
+        want = [int(steps[t].iloc[j]["seg_id"]) for t, j in enumerate(best_path)]
+        have = got[got["traj_id"] == traj].sort_values("seq")["seg_id"].tolist()
+        assert have == want, f"traj {traj}: {have} != {want}"
+        greedy = [int(g.iloc[0]["seg_id"]) for g in steps]  # per-point nearest
+        if greedy != want:
+            greedy_diff += 1
+    assert greedy_diff > 0  # the HMM corrected at least one greedy zig-zag
