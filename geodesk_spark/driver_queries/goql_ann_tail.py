@@ -160,3 +160,16 @@ def _q_kmeans_assign(spark, sf_dir):
     )
 
 
+
+
+def _q_medoid(spark, sf_dir):
+    """Cluster exemplar selection (ann.medoid_per_label): the member
+    vector with the highest total quantized cosine to its label group --
+    pair cosines floor-form quantized to 1e-6 FIRST, then summed as
+    exact integers, so the argmax is bit-deterministic."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.medoid_per_label(e)
+
+
+def _medoid_sql() -> str:
+    return ann.medoid_per_label_sql("embeddings")

@@ -614,3 +614,60 @@ def _map_match_sql() -> str:
       select traj as traj_id, seq, seg_id
       from ({" union all ".join(sel)})
     """
+
+
+HAUS_GRID_BITS = 4
+
+
+HAUS_MAX_POINTS = 8
+
+
+def _q_trajectory_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join (mobility.trajectory_hausdorff_pairs):
+    symmetric discrete Hausdorff distance in meters between candidate
+    user-trajectory pairs (users sharing a z4 cell), each trajectory
+    capped to its first 8 observations; the one-pass side-explode
+    computes both directed distances from a single point-matrix scan."""
+    from geodesk_spark.operators import mobility
+
+    return mobility.trajectory_hausdorff_pairs(
+        _located_events(spark, sf_dir),
+        grid_bits=HAUS_GRID_BITS,
+        max_points=HAUS_MAX_POINTS,
+    )
+
+
+def _trajectory_hausdorff_sql() -> str:
+    from geodesk_spark.driver_queries.common import _dist_sql
+
+    sub = 1 << (32 - HAUS_GRID_BITS)
+    d = _dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      rn as (select user_id as u, x, y,
+                    row_number() over (partition by user_id
+                                       order by ts_us, event_id) as idx
+             from pts),
+      p as (select * from rn where idx <= {HAUS_MAX_POINTS}),
+      cells as (select distinct u,
+                       cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                       cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+                from p),
+      ok as (select gx, gy from cells group by gx, gy having count(*) <= 10000),
+      c2 as (select cells.* from cells join ok using (gx, gy)),
+      pairs as (select distinct a.u as u1, b.u as u2
+                from c2 a join c2 b on a.gx = b.gx and a.gy = b.gy and a.u < b.u),
+      m as (select pr.u1, pr.u2, a.idx as ia, b.idx as ib, {d} as d
+            from pairs pr
+            join p a on a.u = pr.u1
+            join p b on b.u = pr.u2),
+      dab as (select u1, u2, max(md) as h
+              from (select u1, u2, ia, min(d) as md from m group by 1, 2, 3)
+              group by 1, 2),
+      dba as (select u1, u2, max(md) as h
+              from (select u1, u2, ib, min(d) as md from m group by 1, 2, 3)
+              group by 1, 2)
+      select dab.u1, dab.u2,
+             round(greatest(dab.h, dba.h), 3) as hausdorff_m
+      from dab join dba on dab.u1 = dba.u1 and dab.u2 = dba.u2
+    """

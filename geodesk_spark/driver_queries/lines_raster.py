@@ -1038,3 +1038,73 @@ def _sql_box_pred(pred: str, rect=None) -> str:
     """
 
 
+
+
+SOBEL_GRID_BITS = 7
+
+
+def _q_sobel_energy(spark, sf_dir):
+    """Sobel gradient energy of the order-point density raster
+    (tiles_sink.sobel_edge_energy): both 3x3 gradients from ONE
+    stencil-scatter pass, exact integer g2 = Gx^2 + Gy^2 -- the edge
+    layer between blur and vectorize in the raster pipeline."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=SOBEL_GRID_BITS)
+    return tiles_sink.sobel_edge_energy(pix)
+
+
+# taps at SOURCE offsets (scatter form): out(q) += w * n(q - d) -> n at p
+# lands on p + d with weight w; (dx, dy, wx, wy) per distinct offset.
+_SOBEL_TAPS = "(1,1,-1,-1),(1,0,-2,0),(1,-1,-1,1),(-1,1,1,-1),(-1,0,2,0),(-1,-1,1,1),(0,1,0,-2),(0,-1,0,2)"
+
+
+_SQL_SOBEL = f"""
+  with pts as ({{derived}}),
+  pix as (select cast(floor((x + 2147483648) / {1 << (32 - SOBEL_GRID_BITS)}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {1 << (32 - SOBEL_GRID_BITS)}) as bigint) as gy,
+                 count(*) as n
+          from pts group by 1, 2),
+  taps(dx, dy, wx, wy) as (values {_SOBEL_TAPS}),
+  sc as (select gx + dx as gx, gy + dy as gy, n * wx as vx, n * wy as vy
+         from pix cross join taps),
+  g as (select gx, gy, sum(vx) as gxs, sum(vy) as gys from sc group by 1, 2)
+  select gx, gy, cast(gxs * gxs + gys * gys as bigint) as g2 from g
+"""
+
+
+KDE_GRID_BITS = 7
+
+
+KDE_RADIUS = 3
+
+
+def _q_kde_heatmap(spark, sf_dir):
+    """Epanechnikov KDE heatmap (tiles_sink.kde_heatmap_counts) of the
+    order-point raster: circular-support rational kernel, so every
+    weight is an exact integer (center r^2+1, rim 1) and the density
+    raster is bit-identical across partitionings and engines."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=KDE_GRID_BITS)
+    return tiles_sink.kde_heatmap_counts(pix, radius=KDE_RADIUS)
+
+
+_KDE_W = f"{KDE_RADIUS * KDE_RADIUS + 1} - dxs.v * dxs.v - dys.v * dys.v"
+
+
+_SQL_KDE = f"""
+  with pts as ({{derived}}),
+  pix as (select cast(floor((x + 2147483648) / {1 << (32 - KDE_GRID_BITS)}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {1 << (32 - KDE_GRID_BITS)}) as bigint) as gy,
+                 count(*) as n
+          from pts group by 1, 2),
+  offs as (select dxs.v as dx, dys.v as dy, {_KDE_W} as w
+           from (select unnest(generate_series(-{KDE_RADIUS}, {KDE_RADIUS})) as v) dxs
+           cross join (select unnest(generate_series(-{KDE_RADIUS}, {KDE_RADIUS})) as v) dys
+           where {_KDE_W} > 0)
+  select gx + dx as gx, gy + dy as gy, cast(sum(n * w) as bigint) as density
+  from pix cross join offs group by 1, 2
+"""

@@ -555,3 +555,133 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 16, iters: int = 3) -> DataF
     return df.select("vec_id", "embedding").mapInPandas(
         scan, schema="vec_id long, cluster int"
     )
+
+
+def medoid_per_label(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_group: int | None = 4096,
+    seed: str = "42",
+) -> DataFrame:
+    """Cluster exemplar selection: the MEDOID of each label group — the
+    member vector with the highest total cosine similarity to its
+    group — the curation step after clustering (kmeans_assign /
+    dedup_components): pick one real, representative item per
+    cluster/duplicate-group (a centroid is a synthetic vector; a medoid
+    is an actual corpus row you can ship).
+
+    Exactness discipline: each pair's cosine is floor-form quantized to
+    1e-6 units FIRST (bit-identical per the repo's rounding invariant),
+    then summed as an exact INTEGER — so the per-member score is
+    order-free across partitionings and engines, and the argmax (ties →
+    lowest id) is bit-deterministic.
+
+    Scale shape: the label self-join is quadratic in GROUP size, never
+    in the table.  Groups above ``max_group`` are capped to their
+    ``max_group`` md5-ranked members (the sampling-module's portable
+    md5 order, a pure function of (seed, id)) as BOTH the candidate and
+    the reference set — the estimator-on-a-deterministic-sample recipe;
+    at 100 TB pick max_group so cap² stays task-sized.  Pass None to
+    disable.
+
+    Returns (label, medoid_id, n_members, sim_total_q6) with n_members
+    the capped group size and sim_total_q6 the integer sum of quantized
+    cosines to the other members.
+    """
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    if max_group is not None:
+        w = Window.partitionBy("label").orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))), "id"
+        )
+        base = base.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_group
+        ).drop("_rn")
+    a = base.select("label", F.col("id").alias("ida"), F.col("vec").alias("va"))
+    b = base.select("label", F.col("id").alias("idb"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _nrm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+
+    q6 = F.floor(dot / (_nrm(F.col("va")) * _nrm(F.col("vb"))) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scores = (
+        a.join(b, "label")
+        .filter(F.col("ida") != F.col("idb"))
+        .select("label", "ida", q6.alias("q"))
+        .groupBy("label", "ida")
+        .agg(F.sum("q").alias("sim_total_q6"), F.count("*").alias("_n_others"))
+    )
+    top = Window.partitionBy("label").orderBy(F.desc("sim_total_q6"), "ida")
+    return (
+        scores.withColumn("_rk", F.row_number().over(top))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "label",
+            F.col("ida").alias("medoid_id"),
+            (F.col("_n_others") + F.lit(1)).alias("n_members"),
+            "sim_total_q6",
+        )
+    )
+
+
+def medoid_per_label_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_group: int | None = 4096,
+    seed: str = "42",
+) -> str:
+    """DuckDB twin of :func:`medoid_per_label` — same md5 cap order, same
+    ascending cosine folds, same floor-form 1e-6 quantization."""
+    capped = f"select {label_col} as label, {id_col} as id, {vec_col} as vec from {table}"
+    if max_group is not None:
+        capped = f"""
+          select label, id, vec from (
+            select *, row_number() over (
+              partition by label
+              order by md5(concat('{seed}', '|', cast(id as string))), id) as _rn
+            from ({capped})) where _rn <= {max_group}
+        """
+    dot = (
+        "list_sum(list_transform(range(1, len(a.vec) + 1), "
+        "i -> cast(a.vec[i] as double) * cast(b.vec[i] as double)))"
+    )
+
+    def nrm(rel):
+        return (
+            f"sqrt(list_sum(list_transform({rel}.vec, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return f"""
+      with base as ({capped}),
+      pairs as (
+        select a.label as label, a.id as ida,
+               cast(floor({dot} / ({nrm('a')} * {nrm('b')}) * 1e6 + 0.5) as bigint) as q
+        from base a join base b on a.label = b.label and a.id <> b.id),
+      scores as (select label, ida, cast(sum(q) as bigint) as sim_total_q6,
+                        count(*) as n_others
+                 from pairs group by label, ida),
+      rk as (select *, row_number() over (
+               partition by label order by sim_total_q6 desc, ida) as _rk
+             from scores)
+      select label, ida as medoid_id, n_others + 1 as n_members, sim_total_q6
+      from rk where _rk = 1
+    """

@@ -293,3 +293,102 @@ def map_match(
         f"{seg_id} {fields[seg_id]}"
     )
     return cand.groupBy(traj_col).applyInPandas(decode, schema=schema)
+
+
+def trajectory_hausdorff_pairs(
+    located: DataFrame,
+    grid_bits: int = 4,
+    max_points: int = 12,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    max_users_per_cell: int = 10_000,
+) -> DataFrame:
+    """Trajectory-similarity join: symmetric discrete Hausdorff distance
+    (meters, Mercator-scaled) between every candidate pair of user
+    trajectories — the shape-similarity primitive behind route
+    clustering, anomalous-trip detection and trajectory dedup.
+
+    Scale shape (the dedup-banding recipe applied to trajectories):
+    1. Cap each trajectory to its first ``max_points`` observations
+       (row_number per user) — at real scale resample first
+       (geometry_ops.resample_line) so the cap is a uniform sketch, not
+       a prefix; the cap bounds every pair's distance matrix at
+       max_points² rows.
+    2. Candidate pairs = users sharing ≥1 coarse lattice cell
+       (grid_bits), u1 < u2 — trajectories that never come near each
+       other are never compared (Hausdorff ≥ cell distance, so far
+       pairs are dull by construction).  Cells with more than
+       ``max_users_per_cell`` users are excluded from pairing (the
+       colocation_pairs hot-cell rule) so one stadium cell cannot go
+       quadratic.
+    3. ONE point×point join builds each pair's distance matrix; each
+       matrix row then plays BOTH directed roles via a 2-way explode
+       (side 0 = indexed by u1's point, side 1 = by u2's), and
+
+           H(A,B) = max(h_AB, h_BA)
+                  = max over (side, idx) of  min over the other side of d
+
+       collapses to groupBy(pair, side, idx).min → groupBy(pair).max —
+       the symmetric Hausdorff in ONE pass over the matrix, no
+       double-scan of the join.
+
+    All distance math is JVM (mercator.distance_col); the result is
+    round(·, 3) — transcendental output, so engine-native round per the
+    repo's rounding discipline.  Returns (u1, u2, hausdorff_m).
+    """
+    from geodesk_spark.geo import mercator
+
+    w = Window.partitionBy("u").orderBy("_ts", "_ord")
+    pts = (
+        located.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(order_col).alias("_ord"),
+            "x",
+            "y",
+        )
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= max_points)
+        .select("u", "idx", "x", "y")
+    )
+    gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
+    cells = pts.select("u", gx.alias("gx"), gy.alias("gy")).distinct()
+    per_cell = Window.partitionBy("gx", "gy")
+    cells = cells.withColumn("_n", F.count("*").over(per_cell)).filter(
+        F.col("_n") <= max_users_per_cell
+    )
+    pairs = (
+        cells.select("gx", "gy", F.col("u").alias("u1"))
+        .join(cells.select("gx", "gy", F.col("u").alias("u2")), ["gx", "gy"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    a = pts.select(F.col("u").alias("u1"), F.col("idx").alias("ia"),
+                   F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("u").alias("u2"), F.col("idx").alias("ib"),
+                   F.col("x").alias("xb"), F.col("y").alias("yb"))
+    m = (
+        pairs.join(a, "u1")
+        .join(b, "u2")
+        .select(
+            "u1",
+            "u2",
+            mercator.distance_col(
+                F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")
+            ).alias("d"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("side"), F.col("ia").alias("idx")),
+                    F.struct(F.lit(1).alias("side"), F.col("ib").alias("idx")),
+                )
+            ).alias("r"),
+        )
+    )
+    return (
+        m.groupBy("u1", "u2", "r.side", "r.idx")
+        .agg(F.min("d").alias("md"))
+        .groupBy("u1", "u2")
+        .agg(F.round(F.max("md"), 3).alias("hausdorff_m"))
+    )

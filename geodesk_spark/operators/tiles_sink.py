@@ -1016,3 +1016,140 @@ def mosaic_tiles(
             "n_selected int, mosaic_w int, mosaic_h int, path string"
         ),
     )
+
+
+def stencil_filter(
+    pix: DataFrame,
+    kernels: dict[str, list[tuple[int, int, int]]],
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """General integer stencil convolution over a sparse global raster —
+    the non-separable sibling of :func:`box_blur_counts` for the small
+    edge/sharpen kernels of classic image processing (Laplacian, Sobel,
+    Prewitt, emboss) applied to density rasters.
+
+    ``kernels`` maps output-column name → taps ``[(dx, dy, w), ...]``;
+    every kernel is applied in ONE scatter pass: each input cell explodes
+    once per tap of the UNION of tap offsets (each tap row carries all
+    kernel weights for that offset), then one groupBy sums per kernel.
+    out_k(q) = Σ_taps w·n(q − d).  Weights and counts are integers, so
+    sums are exact and order-free — bit-identical across partitionings
+    and engines.  Fan-out = |distinct offsets| (≤9 for 3×3 kernels); at
+    100 TB the shape is identical to box_blur_counts: the groupBy
+    shuffle is the halo exchange, sparsity is free.
+
+    Output support is the dilation of the input support by the tap
+    offsets — cells where every kernel evaluates to 0 but some tap
+    touched them ARE emitted (e.g. a flat Laplacian region), matching
+    the dense-convolution contract.
+    """
+    from pyspark.sql import functions as F
+
+    # one row per distinct offset carrying every kernel's weight there
+    offs: dict[tuple[int, int], dict[str, int]] = {}
+    for name, taps in kernels.items():
+        for dx, dy, w in taps:
+            offs.setdefault((dx, dy), {})[name] = offs.setdefault((dx, dy), {}).get(name, 0) + w
+    names = list(kernels)
+    tap_rows = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                *[F.lit(ws.get(n, 0)).alias(f"w{i}") for i, n in enumerate(names)],
+            )
+            for (dx, dy), ws in sorted(offs.items())
+        ]
+    )
+    t = pix.select(
+        F.col(x_col), F.col(y_col), F.col(val), F.explode(tap_rows).alias("t")
+    )
+    return (
+        t.groupBy(
+            (F.col(x_col) + F.col("t.dx")).alias(x_col),
+            (F.col(y_col) + F.col("t.dy")).alias(y_col),
+        )
+        .agg(
+            *[
+                F.sum(F.col(val) * F.col(f"t.w{i}")).alias(n)
+                for i, n in enumerate(names)
+            ]
+        )
+    )
+
+
+def sobel_edge_energy(
+    pix: DataFrame, x_col: str = "gx", y_col: str = "gy", val: str = "n"
+) -> DataFrame:
+    """Sobel gradient energy of a density raster: g2 = Gx² + Gy² with the
+    standard 3×3 Sobel taps — the edge-detection pass of the raster
+    pipeline (binning → blur → edges → vectorize).  Both gradients come
+    from ONE stencil_filter scatter; the energy is an exact integer
+    (integer taps, integer counts), so the result is bit-reproducible.
+
+    Convention: out(q) = Σ w·n(q − d), i.e. taps are listed at the
+    SOURCE offset they scatter from; the Gx kernel responds to west→east
+    increase, Gy to north→south (raster y grows southward).
+    """
+    from pyspark.sql import functions as F
+
+    gx_taps = [(1, 1, -1), (1, 0, -2), (1, -1, -1), (-1, 1, 1), (-1, 0, 2), (-1, -1, 1)]
+    gy_taps = [(1, 1, -1), (0, 1, -2), (-1, 1, -1), (1, -1, 1), (0, -1, 2), (-1, -1, 1)]
+    g = stencil_filter(pix, {"_gx": gx_taps, "_gy": gy_taps}, x_col, y_col, val)
+    return g.select(
+        x_col,
+        y_col,
+        (F.col("_gx") * F.col("_gx") + F.col("_gy") * F.col("_gy")).alias("g2"),
+    )
+
+
+def kde_heatmap_counts(
+    pix: DataFrame,
+    radius: int,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """Kernel-density heatmap over a sparse pixel-count raster with the
+    Epanechnikov kernel on a circular support: density(q) =
+    Σ_p n(p) · max(0, r² + 1 − d²(p, q)) with d² = dx² + dy² in cell
+    units — the standard KDE heatmap tile layer, chosen over a Gaussian
+    because the kernel is RATIONAL: every weight is an exact integer
+    (center r²+1, rim 1), so partial sums commute and the raster is
+    bit-identical across partitionings and engines (a quantized Gaussian
+    would tie-break differently per libm).
+
+    Fan-out is the circular tap count (~π r²; 29 at r=3) in one
+    explode → one groupBy — the KDE radius is a QUALITY radius, small by
+    design; large smoothing radii belong to the separable
+    box_blur_counts path instead.
+    """
+    from pyspark.sql import functions as F
+
+    r = radius
+    taps = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-r), F.lit(r)),
+                lambda dx: F.transform(
+                    F.sequence(F.lit(-r), F.lit(r)),
+                    lambda dy: F.struct(
+                        dx.alias("dx"),
+                        dy.alias("dy"),
+                        (F.lit(r * r + 1) - dx * dx - dy * dy).alias("w"),
+                    ),
+                ),
+            )
+        ),
+        lambda t: t["w"] > 0,
+    )
+    t = pix.select(F.col(x_col), F.col(y_col), F.col(val), F.explode(taps).alias("t"))
+    return (
+        t.groupBy(
+            (F.col(x_col) + F.col("t.dx")).alias(x_col),
+            (F.col(y_col) + F.col("t.dy")).alias(y_col),
+        )
+        .agg(F.sum(F.col(val) * F.col("t.w")).alias("density"))
+    )

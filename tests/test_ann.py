@@ -149,3 +149,55 @@ def test_kmeans_assign_properties(spark, emb):
     exp = np.argmax((V / n[:, None]) @ C.T, axis=1)
     by_id = dict(zip(pdf["vec_id"], exp))
     assert all(by_id[v] == c for v, c in zip(got["vec_id"], got["cluster"]))
+
+
+def test_medoid_per_label_matches_bruteforce(spark):
+    import hashlib
+    import math
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for vid in range(60):
+        rows.append((vid, [float(v) for v in rng.normal(size=8)], vid % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def brute(members):
+        # members: list of (id, vec as float32-rounded list)
+        best = None
+        for i, vi in members:
+            tot = 0
+            for j, vj in members:
+                if i == j:
+                    continue
+                vi64 = [float(np.float32(x)) for x in vi]
+                vj64 = [float(np.float32(x)) for x in vj]
+                dot = math.fsum(a * b for a, b in zip(vi64, vj64))
+                na = math.sqrt(math.fsum(a * a for a in vi64))
+                nb = math.sqrt(math.fsum(b * b for b in vj64))
+                tot += int(math.floor(dot / (na * nb) * 1e6 + 0.5))
+            key = (-tot, i)
+            if best is None or key < best[0]:
+                best = (key, i, tot, len(members))
+        return best
+
+    got = {
+        r["label"]: (r["medoid_id"], r["sim_total_q6"], r["n_members"])
+        for r in ann.medoid_per_label(df).collect()
+    }
+    groups = {}
+    for vid, vec, lab in rows:
+        groups.setdefault(lab, []).append((vid, vec))
+    for lab, members in groups.items():
+        _, mid, tot, n = brute(members)
+        assert got[lab][0] == mid, (lab, got[lab], mid)
+        assert got[lab][2] == n
+        # fsum vs fold order can differ by ulp inside the floor -> allow 0,
+        # but the sum of ~20 quantized cosines should match exactly in practice
+        assert abs(got[lab][1] - tot) <= 2
+
+    # cap: max_group=5 must restrict the universe to the md5-ranked first 5
+    capped = {
+        r["label"]: r["n_members"]
+        for r in ann.medoid_per_label(df, max_group=5).collect()
+    }
+    assert all(n == 5 for n in capped.values())

@@ -256,3 +256,62 @@ def test_map_match_matches_path_enumeration(spark):
         if greedy != want:
             greedy_diff += 1
     assert greedy_diff > 0  # the HMM corrected at least one greedy zig-zag
+
+
+def test_trajectory_hausdorff_matches_bruteforce(spark):
+    import math
+
+    from geodesk_spark.geo import mercator
+
+    EC, W = mercator.EARTH_CIRCUMFERENCE, mercator.MAP_WIDTH
+    rng = np.random.default_rng(23)
+    g, M = 6, 5
+    centers = [(-(1 << 28), 1 << 27), (1 << 29, -(1 << 28))]
+    rows = []
+    for u in range(8):
+        cx, cy = centers[u % 2]
+        for i in range(7):  # 7 points, cap M=5 must bite
+            rows.append(
+                (
+                    u,
+                    i * 100,
+                    i,
+                    cx + int(rng.integers(-(1 << 26), 1 << 26)),
+                    cy + int(rng.integers(-(1 << 26), 1 << 26)),
+                )
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long, x long, y long")
+    got = {
+        (r["u1"], r["u2"]): r["hausdorff_m"]
+        for r in mobility.trajectory_hausdorff_pairs(
+            df, grid_bits=g, max_points=M
+        ).collect()
+    }
+
+    def dm(p, q):
+        dx, dy = p[0] - q[0], p[1] - q[1]
+        t = (p[1] + q[1]) / 2 * 2 * math.pi / W
+        return math.hypot(dx, dy) * EC / W / ((math.exp(t) + math.exp(-t)) / 2)
+
+    pts = {}
+    for u, ts, eid, x, y in rows:
+        pts.setdefault(u, []).append((ts, eid, x, y))
+    traj = {u: [(x, y) for _, _, x, y in sorted(v)[:M]] for u, v in pts.items()}
+    cells = {
+        u: {(_cell(x, g), _cell_y(y, g)) for x, y in v} for u, v in traj.items()
+    }
+    exp = {}
+    for u1 in traj:
+        for u2 in traj:
+            if u1 < u2 and cells[u1] & cells[u2]:
+                d = [[dm(p, q) for q in traj[u2]] for p in traj[u1]]
+                h = max(
+                    max(min(r) for r in d),
+                    max(min(d[i][j] for i in range(len(d))) for j in range(len(d[0]))),
+                )
+                exp[(u1, u2)] = round(h, 3)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
+    # same-center users must pair; cross-center (>>cell apart) must not
+    assert (0, 2) in got and (1, 3) in got and (0, 1) not in got
