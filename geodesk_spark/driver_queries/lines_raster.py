@@ -1108,3 +1108,58 @@ _SQL_KDE = f"""
   select gx + dx as gx, gy + dy as gy, cast(sum(n * w) as bigint) as density
   from pix cross join offs group by 1, 2
 """
+
+
+HULL_GRID_BITS = 5
+
+
+def _q_convex_hulls(spark, sf_dir):
+    """Per-cell convex hulls (geometry_ops.convex_hull_by_group): Andrew
+    monotone chain per z5 cell of the derived order points -- strict
+    turns, exact python-int cross products.  The oracle re-derives the
+    same vertex SET the independent way: p is a hull vertex iff some
+    other point q has ALL remaining points strictly left of p->q
+    (O(n^3) per group, hugeint-exact), plus singleton groups whole."""
+    from geodesk_spark.operators.geometry_ops import convex_hull_by_group
+
+    df = _derived_orders(spark, sf_dir)
+    sub = 32 - HULL_GRID_BITS
+    side = 1 << HULL_GRID_BITS
+    pts = df.select(
+        (
+            F.shiftright(F.col("x").cast("bigint") + (1 << 31), sub) * side
+            + F.shiftright(F.lit((1 << 31) - 1) - F.col("y").cast("bigint"), sub)
+        ).alias("gid"),
+        "x",
+        "y",
+    )
+    return convex_hull_by_group(pts, group_col="gid").select("gid", "x", "y")
+
+
+def _convex_hulls_sql() -> str:
+    sub = 1 << (32 - HULL_GRID_BITS)
+    side = 1 << HULL_GRID_BITS
+    return f"""
+      with pts as ({{derived}}),
+      d as (select distinct
+              cast(floor((x + 2147483648) / {sub}) as bigint) * {side}
+                + cast(floor((2147483647 - y) / {sub}) as bigint) as gid,
+              x, y
+            from pts),
+      verts as (
+        select distinct a.gid, a.x, a.y
+        from d a join d b
+          on a.gid = b.gid and (a.x <> b.x or a.y <> b.y)
+        where not exists (
+          select 1 from d c
+          where c.gid = a.gid
+            and (c.x <> a.x or c.y <> a.y)
+            and (c.x <> b.x or c.y <> b.y)
+            and cast(b.x - a.x as hugeint) * (c.y - a.y)
+                - cast(b.y - a.y as hugeint) * (c.x - a.x) <= 0)),
+      singles as (select gid, min(x) as x, min(y) as y
+                  from d group by gid having count(*) = 1)
+      select gid, x, y from verts
+      union all
+      select gid, x, y from singles
+    """

@@ -397,3 +397,14 @@ _SQL_IMAGE_BATCH_PACK = """
         from b)
   select image_id, bucket, rank, (rank - 1) // 32 as batch_id from r
 """
+
+
+def _q_images_sharpness(spark, sf_dir):
+    """Laplacian-variance focus scores (images.sharpness) over the
+    synthetic image table -- rows-only at the driver (payload is
+    synthetic binary); the numpy-parity + blur-law invariants are
+    pinned by tests/test_pipeline.py::test_sharpness_numpy_parity_and_blur_law."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.sharpness(imgs).select(
+        "image_id", F.round("sharpness", 4).alias("sharpness")
+    )

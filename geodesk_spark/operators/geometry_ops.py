@@ -326,3 +326,66 @@ def union_area_by_group(
             F.col("union_area").cast("decimal(38,0)").cast("double").alias("union_area"),
         )
     )
+
+
+def convex_hull_by_group(
+    pts: DataFrame,
+    group_col: str = "gid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull (Andrew monotone chain): the footprint
+    summary of a point cluster — coverage polygons per tile/cluster,
+    dissolve precursors, outlier fences.
+
+    Returns hull VERTICES as rows (group, seq, x, y): CCW ring order in
+    map orientation (y up), starting at the lexicographically smallest
+    vertex, closed implicitly (last → first).  STRICT turns — collinear
+    boundary points are dropped, so the vertex set is exactly the
+    extreme points; degenerate groups come back whole (1 point → 1 row,
+    2 points / all-collinear → the 2 extreme rows).
+
+    Scale shape: the chain is the classic per-geometry kernel — ONE
+    applyInPandas over the group partitioning (the only shuffle),
+    O(n log n) per group in exact Python ints (imp deltas square past
+    float53 and int64; object math costs nothing at hull sizes).
+    Duplicate points are dropped before chaining.  Groups are the
+    parallel grain: a single planet-sized group belongs in
+    union_area_by_group / dissolve territory, not here.
+    """
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = sorted({(int(x), int(y)) for x, y in zip(pdf[x_col], pdf[y_col])})
+        if len(p) <= 2:
+            verts = p
+        else:
+            def cross(o, a, b):
+                return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+            lower: list = []
+            for q in p:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+                    lower.pop()
+                lower.append(q)
+            upper: list = []
+            for q in reversed(p):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+                    upper.pop()
+                upper.append(q)
+            verts = lower[:-1] + upper[:-1]
+            if len(verts) < 3:  # all points collinear: keep the two extremes
+                verts = [p[0], p[-1]]
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(verts),
+                "seq": range(len(verts)),
+                x_col: [v[0] for v in verts],
+                y_col: [v[1] for v in verts],
+            }
+        )
+
+    gt = {f.name: f.dataType.simpleString() for f in pts.schema.fields}[group_col]
+    return pts.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
+        hull, schema=f"{group_col} {gt}, seq int, {x_col} long, {y_col} long"
+    )

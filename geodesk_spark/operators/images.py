@@ -230,3 +230,55 @@ def aspect_bucket_batches(
         rank,
         ((F.col("_lrk") + F.col("_off") - 1) / F.lit(batch_size)).cast("long").alias("batch_id"),
     )
+
+
+def sharpness(df: DataFrame) -> DataFrame:
+    """Blur/quality scoring per image: variance of the 4-neighbor
+    Laplacian of the luma plane — the classic cheap focus measure a
+    curation pipeline runs to drop out-of-focus or synthetic-flat
+    images before expensive model scoring.
+
+    lap = 4·L(x,y) − L(x±1,y) − L(x,y±1) on the interior; the score is
+    Var(lap) in float64.  Edge rows/columns are excluded (interior-only
+    stencil), images smaller than 3×3 score 0.0.  Luma = ITU-R BT.601
+    integer-weighted (299·R + 587·G + 114·B) / 1000 kept in float64.
+
+    Shape: one mapInPandas scan over the opaque binary column, numpy
+    per batch — no shuffle, partition-parallel; the decode is the same
+    deterministic codec decode_stats uses (swap for libjpeg in
+    production).  NULL/undecodable bytes score NULL.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            score = np.full(n, np.nan)
+            for i in range(n):
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:
+                    continue
+                try:
+                    px = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                L = (
+                    px[..., 0].astype(np.float64) * 299.0
+                    + px[..., 1].astype(np.float64) * 587.0
+                    + px[..., 2].astype(np.float64) * 114.0
+                ) / 1000.0
+                if L.shape[0] < 3 or L.shape[1] < 3:
+                    score[i] = 0.0
+                    continue
+                lap = (
+                    4.0 * L[1:-1, 1:-1]
+                    - L[:-2, 1:-1]
+                    - L[2:, 1:-1]
+                    - L[1:-1, :-2]
+                    - L[1:-1, 2:]
+                )
+                score[i] = float(lap.var())
+            yield pd.DataFrame({"image_id": pdf["image_id"], "sharpness": score})
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, sharpness double"
+    )

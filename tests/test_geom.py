@@ -107,3 +107,47 @@ def test_relate_identical_polygons():
     )
     r2 = geom.relate([ring2], [ring])
     assert r2["within"] and r2["contains"] and not r2["touches"]
+
+
+def test_convex_hull_by_group(spark):
+    from geodesk_spark.operators.geometry_ops import convex_hull_by_group
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # group 0: random cloud; group 1: square + interior + edge-collinear midpoint;
+    # group 2: single point; group 3: two points; group 4: collinear line w/ dups
+    for _ in range(40):
+        rows.append((0, int(rng.integers(-1000, 1000)), int(rng.integers(-1000, 1000))))
+    rows += [(1, 0, 0), (1, 10, 0), (1, 10, 10), (1, 0, 10), (1, 5, 5), (1, 5, 0)]
+    rows += [(2, 7, 9)]
+    rows += [(3, -5, 2), (3, 4, -3)]
+    rows += [(4, 0, 0), (4, 2, 2), (4, 4, 4), (4, 2, 2)]
+    df = spark.createDataFrame(rows, "gid int, x long, y long")
+    out = convex_hull_by_group(df).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["gid"], []).append((r["seq"], r["x"], r["y"]))
+    for g in by_g:
+        by_g[g] = [(x, y) for _, x, y in sorted(by_g[g])]
+
+    # group 1: exactly the 4 corners, CCW from lexicographic min (0,0)
+    assert by_g[1] == [(0, 0), (10, 0), (10, 10), (0, 10)]
+    assert by_g[2] == [(7, 9)]
+    assert set(by_g[3]) == {(-5, 2), (4, -3)}
+    assert by_g[4] == [(0, 0), (4, 4)]
+
+    # group 0: CCW (positive shoelace), convex (all strict left turns),
+    # and every input point inside-or-on the hull
+    h = by_g[0]
+    n = len(h)
+    assert n >= 3
+    area2 = sum(h[i][0] * h[(i + 1) % n][1] - h[(i + 1) % n][0] * h[i][1] for i in range(n))
+    assert area2 > 0
+    for i in range(n):
+        o, a, b = h[i], h[(i + 1) % n], h[(i + 2) % n]
+        assert (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0]) > 0
+    pts0 = [(x, y) for g_, x, y in rows if g_ == 0]
+    for p in pts0:
+        for i in range(n):
+            a, b = h[i], h[(i + 1) % n]
+            assert (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0

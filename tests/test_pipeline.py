@@ -552,3 +552,34 @@ def test_mosaic_tiles(spark, tmp_path):
     for i in range(len(chosen), 4):
         got = mosaic[(i // 2) * 32 : (i // 2 + 1) * 32, (i % 2) * 32 : (i % 2 + 1) * 32]
         assert (got == 0).all()
+
+
+def test_sharpness_numpy_parity_and_blur_law(spark):
+    """sharpness == direct numpy Laplacian variance on the synth pixels,
+    and a box-blurred copy scores strictly lower than the original."""
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images as im
+    from geodesk_spark.sources import synth
+
+    df = synth.images_df(spark, 24, with_bytes=True)
+    got = {r["image_id"]: r["sharpness"] for r in im.sharpness(df).collect()}
+    rows = df.select("image_id", "bytes", "w", "h").collect()
+    assert len(got) == 24
+    for r in rows:
+        px = codec.decode(bytes(r["bytes"]))
+        L = (px[..., 0] * 299.0 + px[..., 1] * 587.0 + px[..., 2] * 114.0) / 1000.0
+        lap = (
+            4.0 * L[1:-1, 1:-1] - L[:-2, 1:-1] - L[2:, 1:-1] - L[1:-1, :-2] - L[1:-1, 2:]
+        )
+        assert got[r["image_id"]] == pytest.approx(float(lap.var()), rel=1e-12)
+        # blur law: 3x3 box mean smooths the luma -> lower Laplacian variance
+        k = np.ones((3, 3)) / 9.0
+        Lb = np.zeros_like(L)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                Lb += np.roll(np.roll(L, dy, axis=0), dx, axis=1)
+        Lb /= 9.0
+        lb = (
+            4.0 * Lb[1:-1, 1:-1] - Lb[:-2, 1:-1] - Lb[2:, 1:-1] - Lb[1:-1, :-2] - Lb[1:-1, 2:]
+        )
+        assert float(lb.var()) < float(lap.var())
