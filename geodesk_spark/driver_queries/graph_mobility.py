@@ -671,3 +671,79 @@ def _trajectory_hausdorff_sql() -> str:
              round(greatest(dab.h, dba.h), 3) as hausdorff_m
       from dab join dba on dab.u1 = dba.u1 and dab.u2 = dba.u2
     """
+
+
+EMERGE_GRID_BITS = 5
+
+
+EMERGE_BUCKET_US = 86_400_000_000
+
+
+def _q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hotspot analysis: Getis-Ord Gi* of the total event
+    density (tiles_sink.hotspot_gi_star, the SPATIAL half) joined with
+    the per-cell Mann-Kendall trend S over daily buckets
+    (mobility.mann_kendall_cells, the TEMPORAL half) -- the standard
+    space-time 'which cells are hot AND rising' classification.  MK is
+    integer-exact; the oracle derives it INDEPENDENTLY from the dense
+    zero-filled cube (the engine uses the zero-skip identity)."""
+    from geodesk_spark.operators import mobility, tiles_sink
+
+    located = _located_events(spark, sf_dir)
+    hot = tiles_sink.hotspot_gi_star(
+        located.select("x", "y"), grid_bits=EMERGE_GRID_BITS
+    )
+    mk = mobility.mann_kendall_cells(
+        located, grid_bits=EMERGE_GRID_BITS, bucket_us=EMERGE_BUCKET_US
+    )
+    return hot.join(mk, ["gx", "gy"]).select(
+        "gx", "gy", "n", "gi_star", "n_buckets", "mk_s"
+    )
+
+
+def _emerging_hotspots_sql() -> str:
+    sub = 1 << (32 - EMERGE_GRID_BITS)
+    xbar = "(cast(sx as double) / cast(n_tot as double))"
+    var = f"(cast(sxx as double) / cast(n_tot as double) - {xbar} * {xbar})"
+    denom = (
+        f"(sqrt({var}) * sqrt(cast(n_tot * n_i - n_i * n_i as double)"
+        f" / (cast(n_tot as double) - 1.0)))"
+    )
+    gi = (
+        f"case when {var} <= 0.0 then null"
+        f" when {denom} = 0.0 then null"
+        f" else (cast(s_i as double) - {xbar} * cast(n_i as double)) / {denom} end"
+    )
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      stc as (select cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy,
+                     ts_us // {EMERGE_BUCKET_US} as tb,
+                     count(*) as n
+              from pts group by 1, 2, 3),
+      cells as (select gx, gy, sum(n) as n from stc group by 1, 2),
+      nbsum as (select c.gx, c.gy, c.n,
+                       sum(nb.n) as s_i, count(*) as n_i
+                from cells c join cells nb
+                  on nb.gx between c.gx - 1 and c.gx + 1
+                 and nb.gy between c.gy - 1 and c.gy + 1
+                group by c.gx, c.gy, c.n),
+      stats as (select count(*) as n_tot, sum(n) as sx, sum(n * n) as sxx from cells),
+      hot as (select gx, gy, n, {gi} as gi_star from nbsum cross join stats),
+      rng as (select min(tb) as mn, max(tb) as mx from stc),
+      cube as (select c.gx, c.gy, t.tb,
+                      coalesce(s.n, 0) as n0
+               from (select distinct gx, gy from stc) c
+               cross join (select unnest(generate_series(mn, mx)) as tb from rng) t
+               left join stc s on s.gx = c.gx and s.gy = c.gy and s.tb = t.tb),
+      mk as (select a.gx, a.gy,
+                    cast(sum(sign(b.n0 - a.n0)) as bigint) as mk_s
+             from cube a join cube b
+               on a.gx = b.gx and a.gy = b.gy and a.tb < b.tb
+             group by 1, 2),
+      nb2 as (select gx, gy, count(*) as n_buckets from stc group by 1, 2)
+      select hot.gx, hot.gy, hot.n, hot.gi_star, nb2.n_buckets, mk.mk_s
+      from hot
+      join mk on mk.gx = hot.gx and mk.gy = hot.gy
+      join nb2 on nb2.gx = hot.gx and nb2.gy = hot.gy
+    """

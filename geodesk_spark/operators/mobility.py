@@ -392,3 +392,79 @@ def trajectory_hausdorff_pairs(
         .groupBy("u1", "u2")
         .agg(F.round(F.max("md"), 3).alias("hausdorff_m"))
     )
+
+
+def mann_kendall_cells(
+    located: DataFrame,
+    grid_bits: int = 6,
+    bucket_us: int = 86_400_000_000,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend statistic over the bucketed count
+    time series — the TEMPORAL half of emerging-hotspot analysis (is
+    this cell's activity rising or falling, monotone-trend-wise, not
+    just hot right now):
+
+        S = Σ_{i<j} sign(x_j − x_i)
+
+    over ALL buckets of the GLOBAL [min_tb, max_tb] range, where absent
+    (gx, gy, tb) buckets count as x = 0.  Everything is integer-exact
+    (sign sums), so S is bit-identical across partitionings and engines.
+
+    Zero-skip evaluation — the scale trick: materializing the dense
+    cell×bucket cube just to hold zeros is O(cells·T); instead
+    S = S_nz + Σ_t (zeros_before(t) − zeros_after(t)) over the NONZERO
+    buckets only (zero–zero pairs contribute sign(0)=0; a nonzero
+    bucket beats every earlier zero and loses to every later one,
+    counts come free from row_number), so the only quadratic term is
+    the per-cell nonzero-pair join — bounded by the time-range length
+    T, a constant, never by data volume.  One binning shuffle, one
+    bounded self-join, one broadcast min/max row.
+
+    Returns (gx, gy, n_total, n_buckets, mk_s).
+    """
+    gx, gy = _cell_cols(F.col("x"), F.col("y"), grid_bits)
+    stc = (
+        located.select(
+            gx.alias("gx"),
+            gy.alias("gy"),
+            F.expr(f"cast(({ts_col}) as bigint) div {bucket_us}").alias("tb"),
+        )
+        .groupBy("gx", "gy", "tb")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = stc.agg(F.min("tb").alias("mn"), F.max("tb").alias("mx"))
+    a = stc.select("gx", "gy", F.col("tb").alias("ta"), F.col("n").alias("na"))
+    b = stc.select("gx", "gy", F.col("tb").alias("tbb"), F.col("n").alias("nb"))
+    s_nz = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("ta") < F.col("tbb"))
+        .groupBy("gx", "gy")
+        .agg(F.sum(F.signum(F.col("nb") - F.col("na"))).cast("long").alias("s_nz"))
+    )
+    w = Window.partitionBy("gx", "gy").orderBy("tb")
+    cnt = Window.partitionBy("gx", "gy")
+    adj = (
+        stc.withColumn("rn", F.row_number().over(w))
+        .withColumn("nb_cell", F.count("*").over(cnt))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum(
+                (F.col("tb") - F.col("mn") - (F.col("rn") - 1))
+                - (F.col("mx") - F.col("tb") - (F.col("nb_cell") - F.col("rn")))
+            ).alias("adj"),
+            F.sum("n").alias("n_total"),
+            F.max("nb_cell").alias("n_buckets"),
+        )
+    )
+    return (
+        adj.join(s_nz, ["gx", "gy"], "left")
+        .select(
+            "gx",
+            "gy",
+            "n_total",
+            "n_buckets",
+            (F.coalesce(F.col("s_nz"), F.lit(0)) + F.col("adj")).cast("long").alias("mk_s"),
+        )
+    )

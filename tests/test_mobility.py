@@ -315,3 +315,60 @@ def test_trajectory_hausdorff_matches_bruteforce(spark):
         assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
     # same-center users must pair; cross-center (>>cell apart) must not
     assert (0, 2) in got and (1, 3) in got and (0, 1) not in got
+
+
+def test_mann_kendall_cells_matches_zero_fill_bruteforce(spark):
+    rng = np.random.default_rng(41)
+    g, bucket = 8, 1000
+    rows = []
+    for _ in range(300):
+        rows.append(
+            (
+                int(rng.integers(0, 20_000)),                      # ts_us
+                int(rng.integers(-(1 << 28), 1 << 28)) & ~0xFFFFFF,
+                int(rng.integers(-(1 << 28), 1 << 28)) & ~0xFFFFFF,
+            )
+        )
+    df = spark.createDataFrame(rows, "ts_us long, x long, y long")
+    got = {
+        (r["gx"], r["gy"]): (r["n_total"], r["n_buckets"], r["mk_s"])
+        for r in mobility.mann_kendall_cells(df, grid_bits=g, bucket_us=bucket).collect()
+    }
+    # brute force: dense zero-filled series over the GLOBAL bucket range
+    from collections import Counter
+
+    cnt = Counter()
+    for ts, x, y in rows:
+        cnt[(_cell(x, g), _cell_y(y, g), ts // bucket)] += 1
+    tbs = [tb for _, _, tb in cnt]
+    mn, mx = min(tbs), max(tbs)
+    cells = {(cx, cy) for cx, cy, _ in cnt}
+    exp = {}
+    for cx, cy in cells:
+        series = [cnt.get((cx, cy, t), 0) for t in range(mn, mx + 1)]
+        s = sum(
+            (0 if series[j] == series[i] else (1 if series[j] > series[i] else -1))
+            for i in range(len(series))
+            for j in range(i + 1, len(series))
+        )
+        exp[(cx, cy)] = (sum(series), sum(1 for v in series if v), s)
+    assert got == exp
+    # a strictly rising planted cell gets the max possible S
+    rise = [(t * 1000 + k, 1 << 30, 1 << 30) for t in range(5) for k in range(t + 1)]
+    df2 = spark.createDataFrame(rows + rise, "ts_us long, x long, y long")
+    got2 = {
+        (r["gx"], r["gy"]): r["mk_s"]
+        for r in mobility.mann_kendall_cells(df2, grid_bits=g, bucket_us=bucket).collect()
+    }
+    cx, cy = _cell(1 << 30, g), _cell_y(1 << 30, g)
+    T = max(max(tbs), 4) - min(min(tbs), 0) + 1
+    # rising run occupies buckets 0..4 with counts 1..5; rest zeros
+    series = [0] * T
+    for t in range(5):
+        series[t - min(min(tbs), 0)] = t + 1
+    s = sum(
+        (0 if series[j] == series[i] else (1 if series[j] > series[i] else -1))
+        for i in range(T)
+        for j in range(i + 1, T)
+    )
+    assert got2[(cx, cy)] == s
