@@ -747,3 +747,84 @@ def _emerging_hotspots_sql() -> str:
       join mk on mk.gx = hot.gx and mk.gy = hot.gy
       join nb2 on nb2.gx = hot.gx and nb2.gy = hot.gy
     """
+
+
+FRECH_MAX_POINTS = 6
+
+
+def _q_trajectory_frechet(spark, sf_dir):
+    """Order-aware trajectory similarity (mobility.trajectory_frechet_pairs):
+    discrete Frechet (dog-leash) distance between candidate pairs --
+    same cell-blocked matrix machinery as the Hausdorff join, minimax
+    DP per pair in one applyInPandas; oracle = the SAME recurrence
+    unrolled by anti-diagonal as 2M-1 chained CTEs (set-based, no
+    recursion, kernel-independent)."""
+    from geodesk_spark.operators import mobility
+
+    return mobility.trajectory_frechet_pairs(
+        _located_events(spark, sf_dir),
+        grid_bits=HAUS_GRID_BITS,
+        max_points=FRECH_MAX_POINTS,
+    )
+
+
+def _trajectory_frechet_sql() -> str:
+    from geodesk_spark.driver_queries.common import _dist_sql
+
+    sub = 1 << (32 - HAUS_GRID_BITS)
+    d = _dist_sql("a.x", "a.y", "b.x", "b.y")
+    m = FRECH_MAX_POINTS
+    on = (
+        "on {p}.u1 = m.u1 and {p}.u2 = m.u2 "
+        "and {p}.ia = m.ia - {di} and {p}.ib = m.ib - {dj}"
+    )
+    diags = []
+    for k in range(2, 2 * m + 1):
+        if k == 2:
+            diags.append(
+                "c_2 as materialized (select u1, u2, ia, ib, d as c from m where ia + ib = 2)"
+            )
+            continue
+        joins = [
+            f"left join c_{k-1} p1 " + on.format(p="p1", di=1, dj=0),
+            f"left join c_{k-1} p2 " + on.format(p="p2", di=0, dj=1),
+        ]
+        prevs = "p1.c, p2.c"
+        if k >= 4:
+            joins.append(f"left join c_{k-2} p3 " + on.format(p="p3", di=1, dj=1))
+            prevs += ", p3.c"
+        diags.append(
+            f"""c_{k} as materialized (
+        select m.u1, m.u2, m.ia, m.ib,
+               greatest(m.d, least({prevs})) as c
+        from m {' '.join(joins)}
+        where m.ia + m.ib = {k})"""
+        )
+    call = " union all ".join(f"select * from c_{k}" for k in range(2, 2 * m + 1))
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      rn as (select user_id as u, x, y,
+                    row_number() over (partition by user_id
+                                       order by ts_us, event_id) as idx
+             from pts),
+      p as (select * from rn where idx <= {m}),
+      cells as (select distinct u,
+                       cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                       cast(floor((2147483647 - y) / {sub}) as bigint) as gy
+                from p),
+      ok as (select gx, gy from cells group by gx, gy having count(*) <= 10000),
+      c2cells as (select cells.* from cells join ok using (gx, gy)),
+      pairs as (select distinct a.u as u1, b.u as u2
+                from c2cells a join c2cells b
+                  on a.gx = b.gx and a.gy = b.gy and a.u < b.u),
+      m as materialized (select pr.u1, pr.u2, a.idx as ia, b.idx as ib, {d} as d
+            from pairs pr
+            join p a on a.u = pr.u1
+            join p b on b.u = pr.u2),
+      {', '.join(diags)},
+      ext as (select u1, u2, max(ia) as ma, max(ib) as mb from m group by 1, 2),
+      call as ({call})
+      select e.u1, e.u2, round(c.c, 3) as frechet_m
+      from ext e join call c
+        on c.u1 = e.u1 and c.u2 = e.u2 and c.ia = e.ma and c.ib = e.mb
+    """

@@ -337,6 +337,43 @@ def trajectory_hausdorff_pairs(
     round(·, 3) — transcendental output, so engine-native round per the
     repo's rounding discipline.  Returns (u1, u2, hausdorff_m).
     """
+    m = _pair_point_matrix(
+        located, grid_bits, max_points, user_col, ts_col, order_col,
+        max_users_per_cell,
+    ).select(
+        "u1",
+        "u2",
+        "d",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("side"), F.col("ia").alias("idx")),
+                F.struct(F.lit(1).alias("side"), F.col("ib").alias("idx")),
+            )
+        ).alias("r"),
+    )
+    return (
+        m.groupBy("u1", "u2", "r.side", "r.idx")
+        .agg(F.min("d").alias("md"))
+        .groupBy("u1", "u2")
+        .agg(F.round(F.max("md"), 3).alias("hausdorff_m"))
+    )
+
+
+def _pair_point_matrix(
+    located: DataFrame,
+    grid_bits: int,
+    max_points: int,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    max_users_per_cell: int,
+) -> DataFrame:
+    """Shared trajectory-pair machinery (Hausdorff / Fréchet): cap each
+    user's trajectory to its first ``max_points`` observations, block
+    candidate pairs by shared coarse cell (hot-cell capped), and emit
+    each pair's full point×point distance matrix (u1, u2, ia, ib, d)
+    with d in Mercator-scaled meters.  ia/ib are 1-based row_number
+    positions along each trajectory."""
     from geodesk_spark.geo import mercator
 
     w = Window.partitionBy("u").orderBy("_ts", "_ord")
@@ -369,28 +406,84 @@ def trajectory_hausdorff_pairs(
                    F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = pts.select(F.col("u").alias("u2"), F.col("idx").alias("ib"),
                    F.col("x").alias("xb"), F.col("y").alias("yb"))
-    m = (
+    return (
         pairs.join(a, "u1")
         .join(b, "u2")
         .select(
             "u1",
             "u2",
+            "ia",
+            "ib",
             mercator.distance_col(
                 F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")
             ).alias("d"),
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("side"), F.col("ia").alias("idx")),
-                    F.struct(F.lit(1).alias("side"), F.col("ib").alias("idx")),
-                )
-            ).alias("r"),
         )
     )
-    return (
-        m.groupBy("u1", "u2", "r.side", "r.idx")
-        .agg(F.min("d").alias("md"))
-        .groupBy("u1", "u2")
-        .agg(F.round(F.max("md"), 3).alias("hausdorff_m"))
+
+
+def trajectory_frechet_pairs(
+    located: DataFrame,
+    grid_bits: int = 4,
+    max_points: int = 12,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    max_users_per_cell: int = 10_000,
+) -> DataFrame:
+    """Order-AWARE trajectory similarity: discrete Fréchet distance
+    (meters) between candidate trajectory pairs — the dog-leash metric.
+    Hausdorff asks "do the point sets overlap"; Fréchet asks "can the
+    two paths be walked IN ORDER staying close" — the right metric for
+    route equivalence (an out-and-back and a one-way line share a
+    Hausdorff of ~0 but a large Fréchet).
+
+    Candidates and distance matrices come from the same blocked
+    machinery as trajectory_hausdorff_pairs (_pair_point_matrix); the
+    minimax DP
+
+        c[i][j] = max(d[i][j], min(c[i-1][j], c[i-1][j-1], c[i][j-1]))
+
+    runs per pair in ONE applyInPandas over the (u1, u2) grouping — the
+    per-pair kernel grain (matrices are ≤ max_points², constant-sized;
+    the DP is inherently sequential per pair, embarrassingly parallel
+    across pairs).  The oracle unrolls the SAME recurrence by
+    anti-diagonal as 2·max_points−1 chained CTEs — set-based, no
+    recursion, independently proving the kernel.
+
+    Returns (u1, u2, frechet_m) with round(·, 3).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = _pair_point_matrix(
+        located, grid_bits, max_points, user_col, ts_col, order_col,
+        max_users_per_cell,
+    )
+
+    def dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        na = int(pdf["ia"].max())
+        nb = int(pdf["ib"].max())
+        D = np.empty((na, nb), dtype=np.float64)
+        D[pdf["ia"].to_numpy() - 1, pdf["ib"].to_numpy() - 1] = pdf["d"].to_numpy()
+        c = np.empty_like(D)
+        for i in range(na):
+            for j in range(nb):
+                if i == 0 and j == 0:
+                    prev = D[0, 0]
+                elif i == 0:
+                    prev = c[0, j - 1]
+                elif j == 0:
+                    prev = c[i - 1, 0]
+                else:
+                    prev = min(c[i - 1, j], c[i - 1, j - 1], c[i, j - 1])
+                c[i, j] = max(D[i, j], prev)
+        return pd.DataFrame(
+            {"u1": [key[0]], "u2": [key[1]], "frechet_m": [round(c[na - 1, nb - 1], 3)]}
+        )
+
+    f1 = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+    return m.groupBy("u1", "u2").applyInPandas(
+        dp, schema=f"u1 {f1['u1']}, u2 {f1['u2']}, frechet_m double"
     )
 
 

@@ -372,3 +372,74 @@ def test_mann_kendall_cells_matches_zero_fill_bruteforce(spark):
         for j in range(i + 1, T)
     )
     assert got2[(cx, cy)] == s
+
+
+def test_trajectory_frechet_matches_bruteforce(spark):
+    import math
+    from functools import lru_cache
+
+    from geodesk_spark.geo import mercator
+
+    EC, W = mercator.EARTH_CIRCUMFERENCE, mercator.MAP_WIDTH
+    rng = np.random.default_rng(29)
+    g, M = 6, 6
+    centers = [(-(1 << 28), 1 << 27), (1 << 29, -(1 << 28))]
+    rows = []
+    for u in range(8):
+        cx, cy = centers[u % 2]
+        for i in range(8):  # 8 points, cap M=6 must bite
+            rows.append(
+                (
+                    u,
+                    i * 100,
+                    i,
+                    cx + int(rng.integers(-(1 << 26), 1 << 26)),
+                    cy + int(rng.integers(-(1 << 26), 1 << 26)),
+                )
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long, x long, y long")
+    got = {
+        (r["u1"], r["u2"]): r["frechet_m"]
+        for r in mobility.trajectory_frechet_pairs(df, grid_bits=g, max_points=M).collect()
+    }
+
+    def dm(p, q):
+        dx, dy = p[0] - q[0], p[1] - q[1]
+        t = (p[1] + q[1]) / 2 * 2 * math.pi / W
+        return math.hypot(dx, dy) * EC / W / ((math.exp(t) + math.exp(-t)) / 2)
+
+    pts = {}
+    for u, ts, eid, x, y in rows:
+        pts.setdefault(u, []).append((ts, eid, x, y))
+    traj = {u: [(x, y) for _, _, x, y in sorted(v)[:M]] for u, v in pts.items()}
+    cells = {u: {(_cell(x, g), _cell_y(y, g)) for x, y in v} for u, v in traj.items()}
+
+    def frechet(A, B):
+        @lru_cache(maxsize=None)
+        def c(i, j):
+            d = dm(A[i], B[j])
+            if i == 0 and j == 0:
+                return d
+            if i == 0:
+                return max(d, c(0, j - 1))
+            if j == 0:
+                return max(d, c(i - 1, 0))
+            return max(d, min(c(i - 1, j), c(i - 1, j - 1), c(i, j - 1)))
+
+        return c(len(A) - 1, len(B) - 1)
+
+    exp = {}
+    for u1 in traj:
+        for u2 in traj:
+            if u1 < u2 and cells[u1] & cells[u2]:
+                exp[(u1, u2)] = round(frechet(traj[u1], traj[u2]), 3)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
+    # Fréchet >= Hausdorff on every pair (classical inequality)
+    h = {
+        (r["u1"], r["u2"]): r["hausdorff_m"]
+        for r in mobility.trajectory_hausdorff_pairs(df, grid_bits=g, max_points=M).collect()
+    }
+    for k in got:
+        assert got[k] >= h[k] - 1e-9
