@@ -593,3 +593,62 @@ _SQL_SKEW_SALTED = f"""
 """
 
 
+
+
+COMPACT_Z = 7
+
+
+def _q_cell_union_compact(spark, sf_dir):
+    """Minimal-cover normalization (tiling.cell_union_compact, the S2
+    CellUnion.Normalize analog): the z7 tile set covered by the derived
+    order points, compacted bottom-up (complete 4-sibling quartets ->
+    parent, recursively).  Oracle derives the SAME minimal cover by the
+    independent rule 'emit c iff ALL its z7 descendants are present and
+    parent(c) is not full' -- no merge loop."""
+    from geodesk_spark.operators.tiling import cell_union_compact
+
+    df = _derived_orders(spark, sf_dir)
+    sub = 32 - COMPACT_Z
+    tiles = df.select(
+        (
+            F.lit(COMPACT_Z << 24)
+            + F.shiftleft(
+                F.shiftright(F.lit((1 << 31) - 1) - F.col("y").cast("bigint"), sub), 12
+            )
+            + F.shiftright(F.col("x").cast("bigint") + (1 << 31), sub)
+        ).alias("tile")
+    )
+    return cell_union_compact(tiles)
+
+
+def _cell_union_compact_sql() -> str:
+    sub = 1 << (32 - COMPACT_Z)
+    levels = []
+    picks = []
+    for z in range(COMPACT_Z + 1):
+        div = 1 << (COMPACT_Z - z)
+        need = 4 ** (COMPACT_Z - z)
+        levels.append(
+            f"f{z} as (select row // {div} as r, col // {div} as c from c7 "
+            f"group by 1, 2 having count(*) = {need})"
+        )
+        if z == 0:
+            picks.append(
+                f"select cast({z << 24} + r * 4096 + c as bigint) as tile from f0"
+            )
+        else:
+            picks.append(
+                f"""select cast({z << 24} + f{z}.r * 4096 + f{z}.c as bigint) as tile
+                    from f{z} left join f{z-1} p
+                      on p.r = f{z}.r // 2 and p.c = f{z}.c // 2
+                    where p.r is null"""
+            )
+    return f"""
+      with pts as ({{derived}}),
+      c7 as (select distinct
+               cast(floor((2147483647 - y) / {sub}) as bigint) as row,
+               cast(floor((x + 2147483648) / {sub}) as bigint) as col
+             from pts),
+      {', '.join(levels)}
+      {' union all '.join(picks)}
+    """

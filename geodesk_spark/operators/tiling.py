@@ -438,3 +438,104 @@ def cover_join(
         & (F.col(y) <= F.col("maxy"))
     )
     return j.filter(F.col("full") | exact)
+
+
+def cell_union_compact(
+    cells: DataFrame, tile_col: str = "tile", materialize: bool = False
+) -> DataFrame:
+    """Normalize a tile/cell SET into its minimal equivalent cover — the
+    S2 ``CellUnion.Normalize`` analog over the geo/tile.py pyramid
+    ((zoom<<24)|(row<<12)|col packing): dedup, drop cells contained in a
+    coarser cell of the set, and recursively replace every complete
+    4-sibling quartet with its parent.  The compacted set covers
+    exactly the same ground with the fewest cells — what you persist as
+    a region index entry or broadcast as a pruning filter.
+
+    Scale shape: containment removal is ONE explode of each cell's
+    ≤MAX_ZOOM ancestor ids (pure integer columns) + a semi join against
+    the set; the merge is a bounded bottom-up loop (≤ max input zoom
+    rounds).  Each round is a SINGLE pass over the set — a count()
+    window keyed on the level's parent ids, then every complete quartet
+    rewrites to its parent in place — so the lazy plan tower grows
+    linearly in zoom depth (a join/union formulation would reference
+    the running set 3× per round and recompute the base scan
+    exponentially at collect time).  Cell sets are index-sized, so the
+    per-round window shuffle runs on dimension data, never facts.
+    ``materialize=True`` additionally localCheckpoints each round (for
+    very deep pyramids).
+
+    Returns a single ``tile`` column (int), distinct.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(tile_col).cast("long")
+    zoom = F.shiftright(t, 24)
+    row = F.shiftright(t, 12).bitwiseAND(F.lit(0xFFF))
+    col = t.bitwiseAND(F.lit(0xFFF))
+    cur = cells.select(t.alias("tile")).distinct()
+
+    # drop cells contained in a coarser cell of the set: explode ancestors
+    def _shr(v, dz):
+        # v >> dz with a COLUMN shift amount (shiftright needs a literal):
+        # exact for v < 2^53 and dz <= 12 (pow-of-two doubles are exact)
+        return F.floor(v.cast("double") / F.pow(F.lit(2.0), dz.cast("double"))).cast(
+            "long"
+        )
+
+    anc = F.transform(
+        F.sequence(F.lit(1), zoom),
+        lambda dz: (
+            F.shiftleft(zoom - dz, 24)
+            + F.shiftleft(_shr(row, dz), 12)
+            + _shr(col, dz)
+        ),
+    )
+    pairs = cur.select("tile", F.explode(anc).alias("anc"))
+    contained = pairs.join(
+        cur.select(F.col("tile").alias("anc")), "anc", "left_semi"
+    ).select("tile")
+    cur = cur.join(contained, "tile", "left_anti")
+
+    # ONE driver action to bound the loop; each level-z pass then runs
+    # without any further collect — merged parents land at z-1 and are
+    # picked up by the next iteration naturally.
+    z_top = cur.agg(F.max(F.shiftright(F.col("tile"), 24))).collect()[0][0]
+    if z_top is None:
+        return cur
+    cur = cur.localCheckpoint()  # seal the explode/anti-join base once
+    for z_cur in range(int(z_top), 0, -1):
+        z = F.shiftright(F.col("tile"), 24)
+        r = F.shiftright(F.col("tile"), 12).bitwiseAND(F.lit(0xFFF))
+        c = F.col("tile").bitwiseAND(F.lit(0xFFF))
+        parent = (
+            F.shiftleft(z - 1, 24)
+            + F.shiftleft(F.shiftright(r, 1), 12)
+            + F.shiftright(c, 1)
+        )
+        # one window pass: p = parent id for this level's cells (NULL for
+        # other levels); a complete quartet (4 siblings sharing p) rewrites
+        # to p, everything else passes through unchanged.
+        cur = (
+            cur.withColumn("_p", F.when(z == z_cur, parent))
+            # coalesce keeps non-level rows in singleton partitions instead
+            # of one giant NULL partition; a member's tile id can never
+            # equal a level cell's parent id (containment removal + the
+            # no-descendants-under-a-merge invariant), so no collisions.
+            .withColumn(
+                "_n",
+                F.count("_p").over(
+                    Window.partitionBy(F.coalesce("_p", "tile"))
+                ),
+            )
+            .select(
+                F.when(
+                    F.col("_p").isNotNull() & (F.col("_n") == 4), F.col("_p")
+                )
+                .otherwise(F.col("tile"))
+                .alias("tile")
+            )
+            .distinct()
+        )
+        if materialize:
+            cur = cur.localCheckpoint()
+    return cur

@@ -781,3 +781,41 @@ def test_cover_join_equals_direct_join_and_exactly_once(spark):
     }
     assert set(got_pairs) == want and want
     assert len(got_pairs) == len(set(got_pairs))  # exactly-once, no dedup needed
+
+
+def test_cell_union_compact_hand_cases(spark):
+    from geodesk_spark.operators.tiling import cell_union_compact
+
+    def t(z, row, col):
+        return (z << 24) | (row << 12) | col
+
+    # complete quartet at z2 under parent (1,0,0) -> merges; then with its
+    # z1 sibling quartet completed -> recursive merge to the root
+    quartet = [t(2, 0, 0), t(2, 0, 1), t(2, 1, 0), t(2, 1, 1)]
+    rest_z1 = [t(1, 0, 1), t(1, 1, 0), t(1, 1, 1)]
+    # contained cells (redundant): a z3 cell under the quartet, plus a dup
+    noise = [t(3, 0, 0), t(2, 0, 0)]
+    df = spark.createDataFrame(
+        [(v,) for v in quartet + rest_z1 + noise], "tile long"
+    )
+    got = sorted(r["tile"] for r in cell_union_compact(df).collect())
+    assert got == [t(0, 0, 0)]
+
+    # incomplete quartet: nothing merges, contained z4 cell dropped
+    cells = [t(2, 0, 0), t(2, 0, 1), t(2, 1, 0), t(4, 1, 1)]
+    df = spark.createDataFrame([(v,) for v in cells], "tile long")
+    got = sorted(r["tile"] for r in cell_union_compact(df).collect())
+    assert got == sorted([t(2, 0, 0), t(2, 0, 1), t(2, 1, 0)])
+
+    # mixed-level completion: three z2 children + the fourth covered by a
+    # DEEPER complete quartet at z3 -> z3 merges up first, then z2, then z1 stops
+    z3q = [t(3, 2, 2), t(3, 2, 3), t(3, 3, 2), t(3, 3, 3)]  # = t(2,1,1)
+    cells = [t(2, 0, 0), t(2, 0, 1), t(2, 1, 0)] + z3q
+    df = spark.createDataFrame([(v,) for v in cells], "tile long")
+    got = sorted(r["tile"] for r in cell_union_compact(df).collect())
+    assert got == [t(1, 0, 0)]
+
+    # idempotence: compacting the output changes nothing
+    df2 = spark.createDataFrame([(v,) for v in got], "tile long")
+    again = sorted(r["tile"] for r in cell_union_compact(df2).collect())
+    assert again == got
