@@ -238,3 +238,104 @@ def _phash_hamming_sql() -> str:
     """
 
 
+
+
+# --- ring validity (self-intersection detection) ----------------------------
+
+RING_MAX_PTS = 8
+_RING_M = 1 << 25   # localization modulus: vertices land within +/-2^24
+_RING_H = 1 << 24   # of the ring's center -> int64-exact determinants
+_RING_LO = -(1 << 31) + _RING_H
+_RING_HI = (1 << 31) - 1 - _RING_H
+
+
+def _q_ring_validity(spark, sf_dir):
+    """Ring self-intersection pairs (bigjoin.ring_self_intersections, the
+    OGC ST_IsValid bowtie test): per-user rings built from the first 8
+    event points localized into a +/-2^24 window around the first point
+    (keeps every orientation determinant int64-exact in both engines);
+    emits (ring_id, i, j) for every non-adjacent properly-crossing
+    segment pair.  Oracle is cell-free: a direct per-ring quadratic
+    segment self-join with the same exact integer predicate."""
+    from pyspark.sql import Window
+
+    from geodesk_spark.driver_queries.graph_mobility import _located_events
+    from geodesk_spark.operators.bigjoin import ring_self_intersections
+
+    ev = _located_events(spark, sf_dir)
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _clamp(c):
+        return F.greatest(F.least(c, F.lit(_RING_HI)), F.lit(_RING_LO))
+
+    def _loc(c, ctr):
+        return ctr + ((((c - ctr) % _RING_M) + _RING_M) % _RING_M) - _RING_H
+
+    pts = (
+        ev.withColumn("idx", F.row_number().over(wo))
+        .withColumn("cx", _clamp(F.first("x").over(wo)))
+        .withColumn("cy", _clamp(F.first("y").over(wo)))
+        .filter(F.col("idx") <= RING_MAX_PTS)
+        .select(
+            "user_id",
+            "idx",
+            _loc(F.col("x"), F.col("cx")).alias("vx"),
+            _loc(F.col("y"), F.col("cy")).alias("vy"),
+        )
+    )
+    rings = (
+        pts.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "vx", "vy"))).alias("vs"))
+        .filter(F.size("vs") >= 3)
+        .select(
+            F.col("user_id").alias("ring_id"),
+            F.transform("vs", lambda s: s.vx).alias("xs"),
+            F.transform("vs", lambda s: s.vy).alias("ys"),
+        )
+    )
+    return ring_self_intersections(rings)
+
+
+def _ring_validity_sql() -> str:
+    from geodesk_spark.driver_queries.graph_mobility import _EVENTS_LOCATED_SQL
+
+    def loc(c, ctr):
+        return f"{ctr} + (((({c} - {ctr}) % {_RING_M}) + {_RING_M}) % {_RING_M}) - {_RING_H}"
+
+    return f"""
+      with pts as ({_EVENTS_LOCATED_SQL}),
+      rn as (select user_id as u, x, y,
+                    row_number() over (partition by user_id
+                                       order by ts_us, event_id) as idx
+             from pts),
+      p as (select * from rn where idx <= {RING_MAX_PTS}),
+      ctr as (select u, least(greatest(x, {_RING_LO}), {_RING_HI}) as cx,
+                     least(greatest(y, {_RING_LO}), {_RING_HI}) as cy
+              from p where idx = 1),
+      v as (select p.u, p.idx,
+                   {loc('p.x', 'cx')} as vx,
+                   {loc('p.y', 'cy')} as vy,
+                   count(*) over (partition by p.u) as n
+            from p join ctr on ctr.u = p.u),
+      v3 as (select * from v where n >= 3),
+      seg as (select a.u, a.n, a.idx - 1 as i,
+                     a.vx as x1, a.vy as y1, b.vx as x2, b.vy as y2
+              from v3 a join v3 b
+                on b.u = a.u
+               and b.idx = case when a.idx = a.n then 1 else a.idx + 1 end),
+      pr as (select a.u, a.i, b.i as j,
+                    (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) as d1,
+                    (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) as d2,
+                    (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) as d3,
+                    (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) as d4
+             from seg a join seg b
+               on b.u = a.u and b.i > a.i + 1
+              and not (a.i = 0 and b.i = a.n - 1))
+      select u as ring_id, i, j from pr
+      where ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+        and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
+    """

@@ -277,3 +277,98 @@ def crossing_segments_join(
         .filter(F.col("cell") == icell)
         .select(a_id, b_id, "t", "ix", "iy")
     )
+
+
+def ring_self_intersections(
+    rings: DataFrame,
+    id_col: str = "ring_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    zoom: int = 7,
+) -> DataFrame:
+    """Self-intersection (bowtie) detection for closed rings → one row
+    ``(ring_id, i, j)`` per NON-ADJACENT segment pair that properly
+    crosses; empty output ⇔ every ring is simple.  This is the core of
+    OGC ``ST_IsValid`` for polygon rings — GeoDesk assumes valid
+    geometry on ingest (polygon assembly, PolygonBuilder), so this is
+    the validation pass a pipeline runs BEFORE assembly/tiling.
+
+    Input: one row per ring with vertex arrays ``xs``/``ys`` (world
+    ints), implicitly closed — segment k joins vertex k to vertex
+    (k+1) mod n.  Adjacent segments (|i−j| = 1 and the closing pair
+    {0, n−1}) share a vertex by construction and are excluded.
+
+    Scale shape: explode to segments (one JVM transform+explode, no
+    Python), cover each segment's bbox with fixed-``zoom`` cells, and
+    self-join on ``(ring_id, cell)`` — a giant ring parallelizes across
+    its cells instead of hitting one task with an O(n²) pair loop, and
+    each crossing pair surfaces exactly once via the intersection-cell
+    rule of ``crossing_segments_join`` (no distinct).  Orientation
+    tests are exact int64 while segment extents stay < 2²⁸ (the module
+    contract above).
+    """
+    from geodesk_spark.operators.tiling import cover_cell_col, explode_cover
+
+    xs = F.col(xs_col)
+    ys = F.col(ys_col)
+    n = F.size(xs)
+    segs = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.get(xs, i).cast("long").alias("x1"),
+            F.get(ys, i).cast("long").alias("y1"),
+            F.get(xs, (i + 1) % n).cast("long").alias("x2"),
+            F.get(ys, (i + 1) % n).cast("long").alias("y2"),
+        ),
+    )
+    seg = rings.select(
+        F.col(id_col).alias("_rid"), n.alias("_n"), F.explode(segs).alias("s")
+    ).select("_rid", "_n", "s.*")
+    cov = explode_cover(seg, zoom)
+
+    a = cov.select(
+        "_rid",
+        "_n",
+        "cell",
+        F.col("i").alias("i"),
+        *[F.col(c).alias(f"a{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    b = cov.select(
+        "_rid",
+        "cell",
+        F.col("i").alias("j"),
+        *[F.col(c).alias(f"b{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    j = a.join(b, ["_rid", "cell"]).filter(
+        (F.col("j") > F.col("i") + 1)
+        & ~((F.col("i") == 0) & (F.col("j") == F.col("_n") - 1))
+    )
+
+    ax1, ay1, ax2, ay2 = (F.col(f"a{c}") for c in ("x1", "y1", "x2", "y2"))
+    bx1, by1, bx2, by2 = (F.col(f"b{c}") for c in ("x1", "y1", "x2", "y2"))
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    step = 1 << (32 - zoom)
+    t = d1 / (d1 - d2)
+    ix = ax1 + t * (ax2 - ax1)
+    iy = ay1 + t * (ay2 - ay1)
+    icell = cover_cell_col(
+        zoom,
+        F.floor((F.lit(2147483647) - iy) / F.lit(step)),
+        F.floor((ix + F.lit(2147483648)) / F.lit(step)),
+    )
+    return (
+        j.filter(proper)
+        .filter(F.col("cell") == icell)
+        .select(
+            F.col("_rid").alias(id_col),
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+        )
+    )

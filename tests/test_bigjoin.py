@@ -171,3 +171,33 @@ def test_crossing_join_intersection_point_on_both(spark, seg_tables):
         assert min(bx1, bx2) - 1 <= r["ix"] <= max(bx1, bx2) + 1
         assert min(ay1, ay2) - 1 <= r["iy"] <= max(ay1, ay2) + 1
         assert min(by1, by2) - 1 <= r["iy"] <= max(by1, by2) + 1
+
+
+def test_ring_self_intersections_hand_cases(spark):
+    from geodesk_spark.operators.bigjoin import ring_self_intersections
+
+    def ring(rid, pts):
+        return (rid, [p[0] for p in pts], [p[1] for p in pts])
+
+    rows = [
+        # simple square: no crossings
+        ring(1, [(0, 0), (100, 0), (100, 100), (0, 100)]),
+        # bowtie: seg0 (0,0)-(10,10) crosses seg2 (10,0)-(0,10) at (5,5)
+        ring(2, [(0, 0), (10, 10), (10, 0), (0, 10)]),
+        # pentagram (5-point star drawn in strike order): every segment
+        # properly crosses both non-adjacent segments -> 5 pairs
+        ring(3, [(0, 100), (59, -81), (-95, 31), (95, 31), (-59, -81)]),
+        # bowtie spanning many z7 cells (extent 2^26): exactly-once via
+        # the intersection-cell rule, no duplicate pairs
+        ring(4, [(0, 0), (1 << 26, 1 << 26), (1 << 26, 0), (0, 1 << 26)]),
+    ]
+    df = spark.createDataFrame(rows, "ring_id long, xs array<long>, ys array<long>")
+    got = sorted(
+        (r["ring_id"], r["i"], r["j"])
+        for r in ring_self_intersections(df).collect()
+    )
+    assert got == [
+        (2, 0, 2),
+        (3, 0, 2), (3, 0, 3), (3, 1, 3), (3, 1, 4), (3, 2, 4),
+        (4, 0, 2),
+    ]
