@@ -652,3 +652,65 @@ def _cell_union_compact_sql() -> str:
       {', '.join(levels)}
       {' union all '.join(picks)}
     """
+
+
+# --- per-tile label placement -----------------------------------------------
+
+LABEL_ZOOM = 6
+LABEL_K = 8
+LABEL_R = 1 << 23
+
+
+def _q_label_placement(spark, sf_dir):
+    """Per-tile label placement (tiles_sink.label_placement): top-8 order
+    points per z6 tile by o_totalprice, greedy Chebyshev collision
+    suppression at radius 2^23 — the renderer's symbol pass.  Oracle
+    unrolls the greedy as 8 chained CTEs (g_n = g_{n-1} + rank-n rows
+    clear of g_{n-1}); integer distances, bit-exact."""
+    from geodesk_spark.operators.tiles_sink import label_placement
+
+    pts = _derived_orders(spark, sf_dir)
+    return label_placement(
+        pts,
+        "o_totalprice",
+        zoom=LABEL_ZOOM,
+        k=LABEL_K,
+        radius=LABEL_R,
+        id_col="o_orderkey",
+    )
+
+
+def _label_placement_sql() -> str:
+    from geodesk_spark.sources.tables import lat_expr, lon_expr, tile_expr, x_expr, y_expr
+
+    t = tile_expr("x", "y", LABEL_ZOOM)
+    steps = []
+    for n in range(2, LABEL_K + 1):
+        steps.append(
+            f"""g{n} as (
+              select c.* from cand c where c.rn = {n} and not exists (
+                select 1 from g{n-1} p
+                where p.tile = c.tile
+                  and greatest(abs(p.x - c.x), abs(p.y - c.y)) <= {LABEL_R}
+              )
+              union all select * from g{n-1}
+            )"""
+        )
+    return f"""
+      with pts as (
+        select o_orderkey, o_totalprice,
+               {x_expr(lon_expr("o_orderkey"))} as x,
+               {y_expr(lat_expr("o_orderkey"))} as y
+        from orders
+      ),
+      ranked as (
+        select {t} as tile, o_orderkey as fid, x, y,
+               row_number() over (partition by {t}
+                                  order by o_totalprice desc, o_orderkey) as rn
+        from pts
+      ),
+      cand as (select * from ranked where rn <= {LABEL_K}),
+      g1 as (select * from cand where rn = 1),
+      {', '.join(steps)}
+      select tile, fid, rn as rank, x, y from g{LABEL_K}
+    """

@@ -1153,3 +1153,91 @@ def kde_heatmap_counts(
         )
         .agg(F.sum(F.col(val) * F.col("t.w")).alias("density"))
     )
+
+
+def label_placement(
+    points: DataFrame,
+    score_col: str,
+    zoom: int = 6,
+    k: int = 8,
+    radius: int = 1 << 23,
+    id_col: str = "fid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-tile label placement: the renderer primitive that picks which
+    feature labels a tile shows.  Within each ``zoom`` tile, features are
+    ranked by ``score_col`` descending (ties: ``id_col`` ascending) and
+    the top ``k`` candidates run the classic greedy suppression — a
+    candidate is PLACED iff its Chebyshev distance to every
+    already-placed label in the tile exceeds ``radius`` (collision
+    boxes, MapLibre/Mapnik semantics, per-tile like any tiled
+    renderer's symbol pass).
+
+    Scale shape: one window shuffle keyed on the tile (rank + cap to
+    ``k``), then the sequential greedy runs as a pure-JVM
+    ``aggregate`` fold over the ≤k collected candidates — no Python,
+    no per-tile task serialization beyond the bounded fold; tiles are
+    independent.  Integer Chebyshev tests → bit-deterministic output
+    ``(tile, fid, rank, x, y)`` for placed labels only.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    step = 1 << (32 - zoom)
+    tile = (
+        F.lit(zoom << 24)
+        + F.floor((F.lit(2147483647) - F.col(y_col)) / F.lit(step)) * 4096
+        + F.floor((F.col(x_col) + F.lit(2147483648)) / F.lit(step))
+    ).cast("long")
+    w = Window.partitionBy("tile").orderBy(
+        F.col("_score").desc(), F.col("fid").asc()
+    )
+    cand = (
+        points.select(
+            tile.alias("tile"),
+            F.col(id_col).cast("long").alias("fid"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.col(score_col).alias("_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    empty = F.expr(
+        "cast(array() as array<struct<rank:int,fid:bigint,x:bigint,y:bigint>>)"
+    )
+    placed = (
+        cand.groupBy("tile")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "fid", "x", "y"))
+            ).alias("cs")
+        )
+        .select(
+            "tile",
+            F.aggregate(
+                "cs",
+                empty,
+                lambda acc, c: F.when(
+                    F.forall(
+                        acc,
+                        lambda p: F.greatest(
+                            F.abs(p.x - c.x), F.abs(p.y - c.y)
+                        )
+                        > radius,
+                    ),
+                    F.concat(acc, F.array(c)),
+                ).otherwise(acc),
+            ).alias("placed"),
+        )
+        .select("tile", F.explode("placed").alias("p"))
+        .select(
+            "tile",
+            F.col("p.fid").alias("fid"),
+            F.col("p.rank").cast("long").alias("rank"),
+            F.col("p.x").alias("x"),
+            F.col("p.y").alias("y"),
+        )
+    )
+    return placed

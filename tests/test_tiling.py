@@ -819,3 +819,28 @@ def test_cell_union_compact_hand_cases(spark):
     df2 = spark.createDataFrame([(v,) for v in got], "tile long")
     again = sorted(r["tile"] for r in cell_union_compact(df2).collect())
     assert again == got
+
+
+def test_label_placement_greedy_hand_case(spark):
+    from geodesk_spark.operators.tiles_sink import label_placement
+
+    r = 10
+    B = 1 << 20  # base point well inside a z6 tile (origin is a tile corner)
+    rows = [
+        # one z6 tile; score desc = a, b, c, d, e
+        (1, B, B, 100.0),            # a: rank 1, always placed
+        (2, B + r, B, 90.0),         # b: chebyshev(a)=r, NOT > r -> suppressed
+        (3, B + r + 1, B, 80.0),     # c: a at r+1 ok; b was suppressed -> placed
+        (4, B + r + 1, B + r, 70.0), # d: a ok, but c at chebyshev r -> suppressed
+        (5, B - (r + 5), B - (r + 5), 60.0),  # e: clear of a and c -> placed
+        # k-cap: rank 6 would be placeable but k=5 window cuts at e
+        (6, B + 500, B + 500, 50.0),
+        # a second, independent tile (x shifted one z6 step)
+        (7, B + (1 << 26), B, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "fid long, x long, y long, score double")
+    got = sorted(
+        (row["fid"], row["rank"])
+        for row in label_placement(df, "score", zoom=6, k=5, radius=r).collect()
+    )
+    assert got == [(1, 1), (3, 3), (5, 5), (7, 1)]
