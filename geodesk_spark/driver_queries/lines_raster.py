@@ -1163,3 +1163,76 @@ def _convex_hulls_sql() -> str:
       union all
       select gid, x, y from singles
     """
+
+
+CONTOUR_GRID_BITS = 7
+
+
+CONTOUR_LEVEL = 2
+
+
+def _q_contour_segments(spark, sf_dir):
+    """Marching-squares isolines (tiles_sink.contour_segments) of the
+    order-point density raster at threshold CONTOUR_LEVEL: the
+    raster->vector contour layer (heatmap isolines) completing the
+    pipeline blur -> edges -> boundary -> CONTOUR.  Endpoints are one
+    IEEE division each ((t-v1)/(v2-v1)), so doubles hash identically
+    across engines with no rounding."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=CONTOUR_GRID_BITS)
+    return tiles_sink.contour_segments(pix, level=CONTOUR_LEVEL)
+
+
+# the 16-case table as VALUES rows (tl=1 tr=2 br=4 bl=8; edges 0=top
+# 1=right 2=bottom 3=left; saddles 5/10 use the fixed two-segment rule)
+_CONTOUR_CASES_SQL = (
+    "(1,0,0,3),(2,0,0,1),(3,0,3,1),(4,0,1,2),(5,0,0,1),(5,1,2,3),"
+    "(6,0,0,2),(7,0,3,2),(8,0,2,3),(9,0,0,2),(10,0,0,3),(10,1,1,2),"
+    "(11,0,1,2),(12,0,1,3),(13,0,0,1),(14,0,0,3)"
+)
+
+
+def _contour_sql() -> str:
+    lvl = f"{float(CONTOUR_LEVEL):.1f}"
+    sub = 1 << (32 - CONTOUR_GRID_BITS)
+    return f"""
+      with pts as ({{derived}}),
+      pix as (select cast(floor((x + 2147483648) / {sub}) as bigint) as gx,
+                     cast(floor((2147483647 - y) / {sub}) as bigint) as gy,
+                     count(*) as n
+              from pts group by 1, 2),
+      offs(tag, dx, dy) as (values ('tl',0,0),('tr',1,0),('bl',0,1),('br',1,1)),
+      corners as (
+        select gx - dx as bx, gy - dy as by,
+               coalesce(max(case when tag = 'tl' then cast(n as double) end), 0.0) as tl,
+               coalesce(max(case when tag = 'tr' then cast(n as double) end), 0.0) as tr,
+               coalesce(max(case when tag = 'bl' then cast(n as double) end), 0.0) as bl,
+               coalesce(max(case when tag = 'br' then cast(n as double) end), 0.0) as br
+        from pix cross join offs group by 1, 2),
+      c as (select *, cast(tl >= {lvl} as int) + cast(tr >= {lvl} as int) * 2
+                    + cast(br >= {lvl} as int) * 4 + cast(bl >= {lvl} as int) * 8 as case_id
+            from corners),
+      segs(case_id, seg, e1, e2) as (values {_CONTOUR_CASES_SQL}),
+      j as (select * from c join segs using (case_id))
+      select cast(bx as bigint) as bx, cast(by as bigint) as by,
+             cast(case_id as bigint) as case_id, cast(seg as bigint) as seg,
+             case e1 when 0 then bx + ({lvl} - tl) / (tr - tl)
+                     when 1 then bx + 1.0
+                     when 2 then bx + ({lvl} - bl) / (br - bl)
+                     else cast(bx as double) end as x1,
+             case e1 when 0 then cast(by as double)
+                     when 1 then by + ({lvl} - tr) / (br - tr)
+                     when 2 then by + 1.0
+                     else by + ({lvl} - tl) / (bl - tl) end as y1,
+             case e2 when 0 then bx + ({lvl} - tl) / (tr - tl)
+                     when 1 then bx + 1.0
+                     when 2 then bx + ({lvl} - bl) / (br - bl)
+                     else cast(bx as double) end as x2,
+             case e2 when 0 then cast(by as double)
+                     when 1 then by + ({lvl} - tr) / (br - tr)
+                     when 2 then by + 1.0
+                     else by + ({lvl} - tl) / (bl - tl) end as y2
+      from j
+    """

@@ -1241,3 +1241,129 @@ def label_placement(
         )
     )
     return placed
+
+
+# Marching-squares case table: corner bits tl=1, tr=2, br=4, bl=8 (bit set
+# = value >= level, the "inside" half); per case the contour segments as
+# (edge_from, edge_to) with edges 0=top 1=right 2=bottom 3=left.  Saddles
+# (5, 10) use the FIXED rule that separates the two inside corners (no
+# center-average disambiguation) — deterministic by construction.
+_MS_CASES = {
+    1: [(0, 3)],
+    2: [(0, 1)],
+    3: [(3, 1)],
+    4: [(1, 2)],
+    5: [(0, 1), (2, 3)],
+    6: [(0, 2)],
+    7: [(3, 2)],
+    8: [(2, 3)],
+    9: [(0, 2)],
+    10: [(0, 3), (1, 2)],
+    11: [(1, 2)],
+    12: [(1, 3)],
+    13: [(0, 1)],
+    14: [(0, 3)],
+}
+
+
+def contour_segments(
+    raster: DataFrame,
+    level: int,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "n",
+) -> DataFrame:
+    """Marching-squares isoline extraction over a sparse integer raster
+    (e.g. ``grid_counts`` output) — the raster→vector half of tile
+    materialization: density rasters back to contour polylines
+    (choropleth boundaries, heatmap isolines) at threshold ``level``.
+
+    Treats each raster cell value as a lattice SAMPLE; every 2×2 block
+    of samples yields 0–2 contour segments by the 16-case table above,
+    with linear interpolation along crossed edges (``(t−v1)/(v2−v1)``,
+    one IEEE division — bit-identical across engines, no rounding
+    needed).  Absent samples read as 0, and blocks whose four corners
+    are all absent are never materialized: each nonzero sample SCATTERS
+    to the ≤4 blocks that reference it (one explode), then one groupBy
+    pivots the corners — sparse in, sparse out, two JVM shuffle-free…
+    rather: one explode + ONE aggregation shuffle, no Python.
+
+    Output: (bx, by, case_id, seg, x1, y1, x2, y2) in lattice units —
+    (bx, by) is the block's top-left sample; y grows southward (raster
+    frame).  Requires ``level >= 1`` (so all-absent blocks carry no
+    contour).
+    """
+    from pyspark.sql import functions as F
+
+    assert level >= 1, "level must be >= 1 for sparse-block correctness"
+    t = F.lit(float(level))
+    scatter = F.array(
+        *[
+            F.struct(
+                (F.col(gx_col) - dx).alias("bx"),
+                (F.col(gy_col) - dy).alias("by"),
+                F.lit(tag).alias("tag"),
+                F.col(val_col).cast("double").alias("v"),
+            )
+            for tag, (dx, dy) in (
+                ("tl", (0, 0)),
+                ("tr", (1, 0)),
+                ("bl", (0, 1)),
+                ("br", (1, 1)),
+            )
+        ]
+    )
+    corners = (
+        raster.filter(F.col(val_col) >= 1)
+        .select(F.explode(scatter).alias("s"))
+        .select("s.*")
+        .groupBy("bx", "by")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("tag") == tag, F.col("v"))), F.lit(0.0)
+                ).alias(tag)
+                for tag in ("tl", "tr", "bl", "br")
+            ]
+        )
+    )
+    tl, tr, bl, br = (F.col(c) for c in ("tl", "tr", "bl", "br"))
+    case = (
+        (tl >= t).cast("int")
+        + (tr >= t).cast("int") * 2
+        + (br >= t).cast("int") * 4
+        + (bl >= t).cast("int") * 8
+    )
+    rows = [
+        (c, seg, e1, e2)
+        for c, segs in _MS_CASES.items()
+        for seg, (e1, e2) in enumerate(segs)
+    ]
+    spark = raster.sparkSession
+    table = F.broadcast(
+        spark.createDataFrame(rows, "case_id int, seg int, e1 int, e2 int")
+    )
+    j = corners.withColumn("case_id", case).join(table, "case_id")
+
+    bx, by = F.col("bx").cast("double"), F.col("by").cast("double")
+
+    def _pt(edge):
+        # endpoint on the given edge: linear interp between its corners
+        return (
+            F.when(edge == 0, F.struct((bx + (t - tl) / (tr - tl)).alias("x"), by.alias("y")))
+            .when(edge == 1, F.struct((bx + 1).alias("x"), (by + (t - tr) / (br - tr)).alias("y")))
+            .when(edge == 2, F.struct((bx + (t - bl) / (br - bl)).alias("x"), (by + 1).alias("y")))
+            .otherwise(F.struct(bx.alias("x"), (by + (t - tl) / (bl - tl)).alias("y")))
+        )
+    p1 = _pt(F.col("e1"))
+    p2 = _pt(F.col("e2"))
+    return j.select(
+        F.col("bx").cast("long").alias("bx"),
+        F.col("by").cast("long").alias("by"),
+        F.col("case_id").cast("long").alias("case_id"),
+        F.col("seg").cast("long").alias("seg"),
+        p1.x.alias("x1"),
+        p1.y.alias("y1"),
+        p2.x.alias("x2"),
+        p2.y.alias("y2"),
+    )

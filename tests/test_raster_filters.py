@@ -95,3 +95,73 @@ def test_kde_heatmap_matches_dense_epanechnikov(spark):
     assert got1[(0, 0)] == 2 * (r * r + 1)
     assert got1[(3, 0)] == 2
     assert (4, 0) not in got1
+
+
+_MS_CASES = {
+    1: [(0, 3)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(0, 1), (2, 3)], 6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)],
+    9: [(0, 2)], 10: [(0, 3), (1, 2)], 11: [(1, 2)], 12: [(1, 3)],
+    13: [(0, 1)], 14: [(0, 3)],
+}
+
+
+def _brute_contour(pix, level):
+    """Reference marching squares over the sparse raster dict (absent = 0),
+    same fixed saddle rule and same IEEE expressions as the operator."""
+    t = float(level)
+    blocks = set()
+    for (x, y), n in pix.items():
+        if n >= 1:
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                blocks.add((x - dx, y - dy))
+    out = {}
+    for bx, by in blocks:
+        tl = float(pix.get((bx, by), 0))
+        tr = float(pix.get((bx + 1, by), 0))
+        bl = float(pix.get((bx, by + 1), 0))
+        br = float(pix.get((bx + 1, by + 1), 0))
+        case = (tl >= t) + (tr >= t) * 2 + (br >= t) * 4 + (bl >= t) * 8
+        for seg, (e1, e2) in enumerate(_MS_CASES.get(case, [])):
+            def pt(e):
+                if e == 0:
+                    return (bx + (t - tl) / (tr - tl), float(by))
+                if e == 1:
+                    return (bx + 1.0, by + (t - tr) / (br - tr))
+                if e == 2:
+                    return (bx + (t - bl) / (br - bl), by + 1.0)
+                return (float(bx), by + (t - tl) / (bl - tl))
+            out[(bx, by, case, seg)] = pt(e1) + pt(e2)
+    return out
+
+
+def test_contour_segments_matches_brute_marching_squares(spark):
+    rng = np.random.default_rng(23)
+    pix = _sparse(rng, n=60)
+    df = spark.createDataFrame(
+        [(x, y, n) for (x, y), n in pix.items()], "gx long, gy long, n long"
+    )
+    got = {
+        (r["bx"], r["by"], r["case_id"], r["seg"]): (r["x1"], r["y1"], r["x2"], r["y2"])
+        for r in tiles_sink.contour_segments(df, level=4).collect()
+    }
+    exp = _brute_contour(pix, 4)
+    assert got == exp  # bit-exact: same IEEE division, fixed saddle rule
+
+
+def test_contour_single_cell_is_closed_diamond(spark):
+    """An isolated above-level cell yields exactly 4 segments whose
+    endpoints chain into one closed ring around the cell sample."""
+    df = spark.createDataFrame([(5, 5, 8)], "gx long, gy long, n long")
+    rows = tiles_sink.contour_segments(df, level=2).collect()
+    assert len(rows) == 4
+    ends = {}
+    for r in rows:
+        ends.setdefault((r["x1"], r["y1"]), 0)
+        ends.setdefault((r["x2"], r["y2"]), 0)
+        ends[(r["x1"], r["y1"])] += 1
+        ends[(r["x2"], r["y2"])] += 1
+    # closed ring: every endpoint shared by exactly two segments
+    assert len(ends) == 4 and all(v == 2 for v in ends.values())
+    # all endpoints lie strictly inside the 2x2 neighborhood of (5,5)
+    for x, y in ends:
+        assert 4.0 < x < 6.0 and 4.0 < y < 6.0
