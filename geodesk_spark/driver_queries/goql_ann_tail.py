@@ -173,3 +173,67 @@ def _q_medoid(spark, sf_dir):
 
 def _medoid_sql() -> str:
     return ann.medoid_per_label_sql("embeddings")
+
+
+DBSCAN_EPS = 1 << 25
+
+
+DBSCAN_MIN_PTS = 6
+
+
+def _q_dbscan(spark, sf_dir):
+    """Exact DBSCAN (clustering.dbscan) over the derived order points:
+    cell-blocked eps-join, int64 distance test, core/border/noise with
+    the deterministic min-core-id labeling.  eps 2^25 / min_pts 6 gives
+    all three point classes at sf0.01 (core ~2.2k, border ~1.3k, noise
+    ~11.5k over 15k points)."""
+    from geodesk_spark.driver_queries.common import _derived_orders
+    from geodesk_spark.operators import clustering
+
+    df = _derived_orders(spark, sf_dir)
+    return clustering.dbscan(
+        df, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS, id_col="o_orderkey"
+    )
+
+
+def _dbscan_sql() -> str:
+    """Exact mirror: same cell blocking (correctness-preserving, so the
+    oracle may share it), neighbor counts, core rule, then TRUE
+    transitive closure by recursive CTE (no iteration cap — which is
+    what makes the green row prove the Spark side CONVERGED) and the
+    same min-label border rule."""
+    from geodesk_spark.driver_queries.common import _DERIVED_SQL
+
+    eps, mp = DBSCAN_EPS, DBSCAN_MIN_PTS
+    cell = 1 << max((eps - 1).bit_length(), 1)
+    return f"""
+      with recursive pts as ({_DERIVED_SQL}),
+      b as (select o_orderkey as id, cast(x as bigint) as x, cast(y as bigint) as y,
+                   (cast(x as bigint) + 2147483648) // {cell} as cx,
+                   (cast(y as bigint) + 2147483648) // {cell} as cy
+            from pts),
+      offs(dx, dy) as (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+      probe as (select id, x, y, cx + dx as cx, cy + dy as cy from b cross join offs),
+      cand as (select p.id as id_a, q.id as id_b
+               from probe p join b q on p.cx = q.cx and p.cy = q.cy and p.id <> q.id
+               where (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= {eps * eps}),
+      nbr as (select id_a as id, count(*) as n from cand group by 1),
+      core as (select b.id from b join nbr on b.id = nbr.id where nbr.n + 1 >= {mp}),
+      ce as (select c.id_a as a, c.id_b as b from cand c
+             where c.id_a in (select id from core)
+               and c.id_b in (select id from core)),
+      reach(s, t) as (
+        select id, id from core
+        union
+        select r.s, e.b from reach r join ce e on r.t = e.a),
+      clab as (select s as id, min(t) as label from reach group by s),
+      border as (select c.id_a as id, min(cl.label) as label
+                 from cand c join clab cl on c.id_b = cl.id
+                 where c.id_a not in (select id from core)
+                 group by 1)
+      select b.id, cast(coalesce(cl.label, bo.label, -1) as bigint) as label,
+             cast(cl.id is not null as int) as is_core
+      from b
+      left join clab cl on b.id = cl.id
+      left join border bo on b.id = bo.id
+    """

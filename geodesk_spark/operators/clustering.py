@@ -1,0 +1,157 @@
+"""Density clustering: exact distributed DBSCAN over integer point tables.
+
+The missing sibling of the centroid family (ann.kmeans / medoids): cluster
+counts unknown, arbitrary shapes, explicit noise — the standard tool for
+"find the dense places" over check-ins, POIs, or image geotags.  Single-node
+references (scikit-learn, PostGIS ST_ClusterDBSCAN) walk a kd-tree point by
+point; the scale-correct re-expression is the cell-blocking join used by the
+engine's other eps-radius operators (knn.distance_join, mobility.colocation):
+
+1. bin points to an eps-sized power-of-two grid (one cheap projection),
+2. candidate pairs = 3x3 neighbor-cell equi-join (ONE shuffle; the 9-cell
+   cover is exact for cell >= eps, so blocking loses nothing),
+3. exact int64 distance test dx*dx + dy*dy <= eps*eps (no sqrt, no floats),
+4. core points = neighbor count + 1 >= min_pts (DBSCAN counts the point
+   itself),
+5. clusters = connected components over CORE-CORE edges (reusing
+   dedup.connected_components' alternating min-label join — rounds ~ cluster
+   diameter, one vertex-key shuffle per round),
+6. border points attach to their MINIMUM core-neighbor label; everything
+   else is noise (-1).
+
+Classic DBSCAN assigns border points to the first-DISCOVERED cluster —
+scan-order dependent, unreproducible under parallelism.  Taking the minimum
+core label instead makes the output a pure function of the input (the same
+determinism choice PostGIS makes), which is what lets a DuckDB oracle
+value-hash the result.
+
+Reference parity note: the reference engine has no density clustering
+(nearest analog is its tile-subdivision densification, FreeTileSet.java);
+this operator is part of the training-data-pipeline surface (geotag
+cluster discovery / spatial dedup of near-duplicate capture sites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from geodesk_spark.operators import dedup
+
+_SHIFT = 1 << 31  # int32 coordinate -> nonnegative bigint
+
+
+def _cell_bits(eps: int) -> int:
+    """Smallest power-of-two cell side >= eps (3x3 cover then exact)."""
+    bits = max(int(eps) - 1, 1).bit_length()
+    return min(bits, 31)
+
+
+def neighbor_pairs(
+    points: DataFrame,
+    eps: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All ORDERED pairs (id_a, id_b), id_a != id_b, within eps (<=, exact
+    int64).  Each pair appears exactly once per direction: the probe side
+    explodes to its 9 neighbor cells, the build side keys on its own cell,
+    so (a, b) matches only in b's unique home cell."""
+    bits = _cell_bits(eps)
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    base = pts.select(
+        "id",
+        "x",
+        "y",
+        F.shiftright(F.col("x") + _SHIFT, bits).alias("cx"),
+        F.shiftright(F.col("y") + _SHIFT, bits).alias("cy"),
+    )
+    probe = base.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("id_a", "ax", "ay", "c.cx", "c.cy")
+    eps2 = int(eps) * int(eps)
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    return (
+        probe.join(base, ["cx", "cy"])
+        .filter((F.col("id_a") != F.col("id")) & (d2 <= F.lit(eps2)))
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact DBSCAN -> (id, label, is_core); label = the component's
+    smallest core id, border = min core-neighbor label, noise = -1.
+    ``eps`` and the coordinates are integer units (same frame as the rest
+    of the engine); the distance test is <= eps, exact in int64."""
+    pts = points.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(x_col).cast("bigint").alias(x_col),
+        F.col(y_col).cast("bigint").alias(y_col),
+    )
+    pairs = neighbor_pairs(pts, eps, "id", x_col, y_col).cache()
+    nbr = pairs.groupBy("id_a").agg(F.count("*").alias("n"))
+    core = (
+        pts.join(nbr, pts.id == nbr.id_a, "left")
+        .filter(F.coalesce(F.col("n"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+        .cache()
+    )
+    # core-core edges; each unordered edge once (CC symmetrizes internally)
+    ce = (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(ce, "id_a", "id_b", max_iter=max_iter)
+    core_lab = core.join(comp, core.id == comp.doc_id, "left").select(
+        "id", F.coalesce("comp_id", "id").alias("label")
+    )
+    # border: non-core with >= 1 core neighbor -> min core label
+    border = (
+        pairs.join(core_lab.withColumnRenamed("id", "id_b"), "id_b")
+        .join(core.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("label").alias("blabel"))
+    )
+    out = (
+        pts.select("id")
+        .join(core_lab.withColumnRenamed("label", "clabel"), "id", "left")
+        .join(border.withColumnRenamed("id_a", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("clabel", "blabel", F.lit(-1)).cast("bigint").alias("label"),
+            F.col("clabel").isNotNull().cast("int").alias("is_core"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)  # detach from the caches below
+    pairs.unpersist()
+    core.unpersist()
+    return out

@@ -377,6 +377,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     alternating-join CC shape: every round is one shuffle on the vertex
     id, the edge list is reused (cached), and convergence is detected
     with a cheap changed-count aggregate instead of comparing frames.
+
+    Each round's plan references the previous labels TWICE (the edge
+    join and the carry-forward), so lineage would double per round —
+    fine for 2-3 rounds, an exponential analyzed-plan blowup past ~15
+    (first seen on DBSCAN's near-percolation core graphs, where the
+    giant component's diameter is tens of hops).  localCheckpoint per
+    round truncates the lineage to the materialized result, keeping
+    every round's plan O(1); the round output is tiny (one row per
+    vertex), so the extra block write is noise next to the join.
+
+    Those same long-diameter graphs also break pure min-propagation
+    (rounds = diameter).  Each round therefore adds a PATH-HALVING hop
+    — comp ← comp[comp], one self-equi-join, valid because comp[v] is
+    always a same-component vertex id with comp[c] ≤ c — which cuts
+    convergence to ~log(diameter) rounds (the pointer-jumping half of
+    the classic two-phase CC; cf. Kiveris et al.'s large/small-star).
+    At the fixpoint comp is edge-constant and the component minimum
+    labels itself, so the result is identical to pure propagation.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -389,36 +407,40 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         .distinct()
         .withColumn("comp", F.col("id"))
     )
-    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.col("comp").alias("_oldc"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # path-halving hop: comp <- comp[comp] (comp[c] <= c, so the hop
+        # only ever lowers the label; inner join is total because every
+        # comp value is itself a labeled vertex)
+        hop = stepped.select(F.col("id").alias("_jid"), F.col("comp").alias("_jcomp"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(hop, stepped.comp == hop._jid)
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
+                F.col("_jcomp").alias("comp"),
+                (F.col("_jcomp") < F.col("_oldc")).alias("_changed"),
             )
         )
-        new_labels = new_labels.cache()
+        # materialize AND truncate lineage (see docstring: the plan
+        # references `labels` twice, so anything short of a checkpoint
+        # grows the analyzed tree exponentially with the round count)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
-        # the new round is materialized — the previous round's cache is dead
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
     out = labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
-    # final labels must survive the unpersist of their parent: detach the
-    # result from the cached lineage, then release the caches
-    out = out.localCheckpoint(eager=True)
-    if prev_cached is not None:
-        prev_cached.unpersist()
     edges.unpersist()
     return out
 

@@ -1,0 +1,118 @@
+"""Exact DBSCAN vs an O(n^2) union-find brute force with the same
+deterministic labeling rule (component label = min core id, border = min
+core-neighbor label, noise = -1)."""
+
+import numpy as np
+
+from geodesk_spark.operators import clustering
+
+
+def _brute_dbscan(pts, eps, min_pts):
+    ids = sorted(pts)
+    eps2 = eps * eps
+    nbrs = {
+        i: [
+            j
+            for j in ids
+            if j != i
+            and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= eps2
+        ]
+        for i in ids
+    }
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp_min = {}
+    for i in core:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (comp_min[find(i)], 1)
+        else:
+            labs = [comp_min[find(j)] for j in nbrs[i] if j in core]
+            out[i] = (min(labs) if labs else -1, 0)
+    return out
+
+
+def _random_points(seed, n=120, spread=60):
+    """Clustered + uniform mix so all three point classes occur."""
+    rng = np.random.default_rng(seed)
+    pts = {}
+    i = 0
+    for _ in range(5):  # dense blobs
+        cx, cy = rng.integers(-spread, spread, 2)
+        for _ in range(12):
+            pts[i] = (int(cx + rng.integers(-3, 4)), int(cy + rng.integers(-3, 4)))
+            i += 1
+    while i < n:  # sparse background
+        pts[i] = (int(rng.integers(-spread, spread)), int(rng.integers(-spread, spread)))
+        i += 1
+    return pts
+
+
+def test_dbscan_matches_bruteforce(spark):
+    pts = _random_points(31)
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x long, y long"
+    )
+    got = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in clustering.dbscan(df, eps=4, min_pts=4).collect()
+    }
+    assert got == _brute_dbscan(pts, 4, 4)
+    # all three classes actually present in the fixture
+    labs = set(v[0] for v in got.values())
+    assert -1 in labs and len(labs) > 2
+    assert any(c == 0 and l != -1 for l, c in got.values())  # border exists
+
+
+def test_dbscan_minpts1_is_eps_components(spark):
+    """min_pts=1: every point core, clusters = eps-graph components."""
+    pts = {1: (0, 0), 2: (3, 0), 3: (6, 0), 4: (100, 0)}
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x long, y long"
+    )
+    got = {r["id"]: r["label"] for r in clustering.dbscan(df, eps=3, min_pts=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_neighbor_pairs_exact_at_cell_borders(spark):
+    """Pairs straddling cell boundaries at distance exactly eps are kept;
+    one unit farther is dropped (<= semantics, exact int64)."""
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 5, 0), (3, 6, 0), (4, 3, 4)], "id long, x long, y long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in clustering.neighbor_pairs(df, eps=5).collect()
+    }
+    assert (1, 2) in pairs and (2, 1) in pairs  # d = 5 = eps
+    assert (1, 4) in pairs  # 3-4-5 triangle, d = 5
+    assert (1, 3) not in pairs  # d = 6
+    assert (2, 3) in pairs
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-vertex path graph: pure min-propagation needs 200 rounds
+    (far past max_iter); the path-halving hop must close it in ~log."""
+    from geodesk_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["comp_id"] for r in dedup.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(201)}
