@@ -218,7 +218,8 @@ def _dbscan_sql() -> str:
                from probe p join b q on p.cx = q.cx and p.cy = q.cy and p.id <> q.id
                where (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= {eps * eps}),
       nbr as (select id_a as id, count(*) as n from cand group by 1),
-      core as (select b.id from b join nbr on b.id = nbr.id where nbr.n + 1 >= {mp}),
+      core as (select b.id from b left join nbr on b.id = nbr.id
+               where coalesce(nbr.n, 0) + 1 >= {mp}),
       ce as (select c.id_a as a, c.id_b as b from cand c
              where c.id_a in (select id from core)
                and c.id_b in (select id from core)),

@@ -14,8 +14,8 @@ engine's other eps-radius operators (knn.distance_join, mobility.colocation):
 4. core points = neighbor count + 1 >= min_pts (DBSCAN counts the point
    itself),
 5. clusters = connected components over CORE-CORE edges (reusing
-   dedup.connected_components' alternating min-label join — rounds ~ cluster
-   diameter, one vertex-key shuffle per round),
+   dedup.connected_components' min-label + path-halving rounds — ~log of
+   the cluster diameter, two vertex-key joins per round),
 6. border points attach to their MINIMUM core-neighbor label; everything
    else is noise (-1).
 
@@ -40,10 +40,16 @@ from geodesk_spark.operators import dedup
 _SHIFT = 1 << 31  # int32 coordinate -> nonnegative bigint
 
 
+_EPS_MAX = 1 << 30  # |dx| < 2*cell <= 2^31 keeps dx*dx + dy*dy < 2^63
+
+
 def _cell_bits(eps: int) -> int:
-    """Smallest power-of-two cell side >= eps (3x3 cover then exact)."""
-    bits = max(int(eps) - 1, 1).bit_length()
-    return min(bits, 31)
+    """Smallest power-of-two cell side >= eps (3x3 cover then exact).
+    eps is capped at 2^30: past that the candidate deltas could square
+    beyond int64 (and a radius of a quarter world isn't clustering)."""
+    if not 0 < int(eps) <= _EPS_MAX:
+        raise ValueError(f"eps must be in (0, 2^30], got {eps}")
+    return max(int(eps) - 1, 1).bit_length()
 
 
 def neighbor_pairs(
@@ -154,4 +160,5 @@ def dbscan(
     out = out.localCheckpoint(eager=True)  # detach from the caches below
     pairs.unpersist()
     core.unpersist()
+    dedup._release_local_checkpoint(comp)  # spent: out no longer reads it
     return out

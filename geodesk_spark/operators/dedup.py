@@ -364,6 +364,22 @@ def embedding_neardup_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a SPENT localCheckpoint's storage blocks — safe only when the
+    frame is never read again (we release round k−1 after round k is
+    eagerly materialized).  DataFrame.unpersist can't reach checkpoint
+    blocks, so this goes through the LogicalRDD plan leaf; guarded, so
+    on any Spark-internals change it degrades to GC-based cleanup."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
                          max_iter: int = 25) -> DataFrame:
     """Duplicate-group resolution: connected components over near-dup
@@ -371,9 +387,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     comp_id = the component's smallest doc id.
 
     Each round joins current labels across the (symmetrized) edge list
-    and keeps the per-vertex minimum; rounds ≈ graph diameter, and
-    near-dup graphs are unions of small cliques, so 2-3 rounds close
-    almost everything.  At 100 TB scale this is the standard
+    and keeps the per-vertex minimum; with the pointer-jumping hop
+    below, rounds ≈ log(graph diameter), and near-dup graphs are unions
+    of small cliques, so 2-3 rounds close almost everything.  At 100 TB
+    scale this is the standard
     alternating-join CC shape: every round is one shuffle on the vertex
     id, the edge list is reused (cached), and convergence is detected
     with a cheap changed-count aggregate instead of comparing frames.
@@ -407,6 +424,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -437,6 +455,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         # grows the analyzed tree exponentially with the round count)
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
+        # the new round is materialized — the previous round's blocks are
+        # dead (the returned frame references only the FINAL checkpoint)
+        if prev is not None:
+            _release_local_checkpoint(prev)
+        prev = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

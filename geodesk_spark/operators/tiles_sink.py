@@ -1283,10 +1283,11 @@ def contour_segments(
     with linear interpolation along crossed edges (``(t−v1)/(v2−v1)``,
     one IEEE division — bit-identical across engines, no rounding
     needed).  Absent samples read as 0, and blocks whose four corners
-    are all absent are never materialized: each nonzero sample SCATTERS
-    to the ≤4 blocks that reference it (one explode), then one groupBy
-    pivots the corners — sparse in, sparse out, two JVM shuffle-free…
-    rather: one explode + ONE aggregation shuffle, no Python.
+    are all absent are never materialized: each nonzero sample
+    (negative included — Laplacian/Sobel rasters are valid input)
+    SCATTERS to the ≤4 blocks that reference it (one explode), then one
+    groupBy pivots the corners — sparse in, sparse out, one explode +
+    ONE aggregation shuffle, no Python.
 
     Output: (bx, by, case_id, seg, x1, y1, x2, y2) in lattice units —
     (bx, by) is the block's top-left sample; y grows southward (raster
@@ -1314,7 +1315,7 @@ def contour_segments(
         ]
     )
     corners = (
-        raster.filter(F.col(val_col) >= 1)
+        raster.filter(F.col(val_col) != 0)
         .select(F.explode(scatter).alias("s"))
         .select("s.*")
         .groupBy("bx", "by")

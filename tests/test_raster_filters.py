@@ -111,7 +111,7 @@ def _brute_contour(pix, level):
     t = float(level)
     blocks = set()
     for (x, y), n in pix.items():
-        if n >= 1:
+        if n != 0:
             for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
                 blocks.add((x - dx, y - dy))
     out = {}
@@ -165,3 +165,19 @@ def test_contour_single_cell_is_closed_diamond(spark):
     # all endpoints lie strictly inside the 2x2 neighborhood of (5,5)
     for x, y in ends:
         assert 4.0 < x < 6.0 and 4.0 < y < 6.0
+
+
+def test_contour_handles_negative_samples(spark):
+    """Signed rasters (Laplacian/Sobel outputs) are valid input: a
+    negative corner must interpolate as its real value, not as absent."""
+    pix = {(0, 0): 5, (1, 0): -5, (0, 1): -3, (1, 1): 7}
+    df = spark.createDataFrame(
+        [(x, y, n) for (x, y), n in pix.items()], "gx long, gy long, n long"
+    )
+    got = {
+        (r["bx"], r["by"], r["case_id"], r["seg"]): (r["x1"], r["y1"], r["x2"], r["y2"])
+        for r in tiles_sink.contour_segments(df, level=2).collect()
+    }
+    assert got == _brute_contour(pix, 2)
+    # the (0,0) block's top edge crossing: (2-5)/(-5-5) = 0.3 exactly
+    assert any(abs(v[0] - 0.3) < 1e-12 for k, v in got.items() if k[:2] == (0, 0))
