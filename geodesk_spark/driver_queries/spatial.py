@@ -555,3 +555,55 @@ def _idw_sql() -> str:
     """
 
 
+
+
+def _q_tile_diff(spark, sf_dir):
+    """Dirty-tile detection (checkpoint.diff_rollup): diff the z8 tile
+    rollup of the 90% base slice against the full table -- the
+    added/changed tile set is exactly what an incremental re-render
+    touches after the 10% ingest.  Measures compared exactly (count +
+    decimal sum); doubles only in the output projection."""
+    from geodesk_spark.streaming import checkpoint
+
+    df = _derived_orders(spark, sf_dir).withColumn(
+        "tile", T.tile_col(F.col("x"), F.col("y"), 8).cast("bigint")
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"),
+    ]
+    old = df.filter(F.col("o_orderkey") % 10 != 0).groupBy("tile").agg(*aggs)
+    new = df.groupBy("tile").agg(*aggs)
+    d = checkpoint.diff_rollup(old, new, ["tile"], ["n", "sp"])
+    return d.select(
+        "tile",
+        "status",
+        "n_old",
+        "n_new",
+        F.col("sp_old").cast("double").alias("sp_old"),
+        F.col("sp_new").cast("double").alias("sp_new"),
+    )
+
+
+_SQL_TILE_DIFF = f"""
+  with pts as (
+    select o_orderkey, o_totalprice,
+           {x_expr(lon_expr("o_orderkey"))} as x,
+           {y_expr(lat_expr("o_orderkey"))} as y
+    from orders
+  ),
+  t as (select {tile_expr('x', 'y', 8)} as tile, o_orderkey, o_totalprice from pts),
+  o as (select tile, count(*) as n, sum(cast(o_totalprice as decimal(18,2))) as sp
+        from t where o_orderkey % 10 <> 0 group by 1),
+  nn as (select tile, count(*) as n, sum(cast(o_totalprice as decimal(18,2))) as sp
+         from t group by 1)
+  select coalesce(o.tile, nn.tile) as tile,
+         case when o.tile is null then 'added'
+              when nn.tile is null then 'removed'
+              when o.n is distinct from nn.n or o.sp is distinct from nn.sp
+                then 'changed'
+              else 'same' end as status,
+         o.n as n_old, nn.n as n_new,
+         cast(o.sp as double) as sp_old, cast(nn.sp as double) as sp_new
+  from o full outer join nn on o.tile = nn.tile
+"""

@@ -583,3 +583,31 @@ def test_sharpness_numpy_parity_and_blur_law(spark):
             4.0 * Lb[1:-1, 1:-1] - Lb[:-2, 1:-1] - Lb[2:, 1:-1] - Lb[1:-1, :-2] - Lb[1:-1, 2:]
         )
         assert float(lb.var()) < float(lap.var())
+
+
+def test_diff_rollup_all_statuses(spark):
+    """added / removed / changed / same, exact measure compare, nulls on
+    the absent side."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from geodesk_spark.streaming import checkpoint
+
+    old = spark.createDataFrame(
+        [(1, 5, 10), (2, 3, 6), (3, 1, 2)], "tile long, n long, sv long"
+    )
+    new = spark.createDataFrame(
+        [(1, 5, 10), (2, 4, 8), (4, 2, 4)], "tile long, n long, sv long"
+    )
+    got = {
+        r["tile"]: (r["status"], r["n_old"], r["n_new"], r["sv_old"], r["sv_new"])
+        for r in checkpoint.diff_rollup(old, new, ["tile"], ["n", "sv"]).collect()
+    }
+    assert got == {
+        1: ("same", 5, 5, 10, 10),
+        2: ("changed", 3, 4, 6, 8),
+        3: ("removed", 1, None, 2, None),
+        4: ("added", None, 2, None, 4),
+    }
+    # dirty-set consumer view: only non-same keys need re-rendering
+    dirty = sorted(k for k, v in got.items() if v[0] != "same")
+    assert dirty == [2, 3, 4]
