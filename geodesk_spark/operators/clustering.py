@@ -58,21 +58,34 @@ def neighbor_pairs(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    t_col: str | None = None,
+    eps_t: int | None = None,
 ) -> DataFrame:
     """All ORDERED pairs (id_a, id_b), id_a != id_b, within eps (<=, exact
     int64).  Each pair appears exactly once per direction: the probe side
     explodes to its 9 neighbor cells, the build side keys on its own cell,
-    so (a, b) matches only in b's unique home cell."""
+    so (a, b) matches only in b's unique home cell.
+
+    With ``t_col``/``eps_t``, a pair must ALSO satisfy |t_a − t_b| ≤
+    eps_t (integer time units) — the ST-DBSCAN neighborhood (Birant &
+    Kut 2007).  Blocking stays spatial; the time test rides the same
+    join (at dense-cell×long-window scale, add a time band to the join
+    key the same way the cells band space)."""
     bits = _cell_bits(eps)
+    if (t_col is None) != (eps_t is None):
+        raise ValueError("t_col and eps_t must be given together")
+    tcols = [F.col(t_col).cast("bigint").alias("t")] if t_col else []
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("bigint").alias("x"),
         F.col(y_col).cast("bigint").alias("y"),
+        *tcols,
     )
     base = pts.select(
         "id",
         "x",
         "y",
+        *(["t"] if t_col else []),
         F.shiftright(F.col("x") + _SHIFT, bits).alias("cx"),
         F.shiftright(F.col("y") + _SHIFT, bits).alias("cy"),
     )
@@ -80,6 +93,7 @@ def neighbor_pairs(
         F.col("id").alias("id_a"),
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),
+        *([F.col("t").alias("at")] if t_col else []),
         F.explode(
             F.array(
                 *[
@@ -91,14 +105,19 @@ def neighbor_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id_a", "ax", "ay", "c.cx", "c.cy")
+    ).select("id_a", "ax", "ay", *(["at"] if t_col else []), "c.cx", "c.cy")
     eps2 = int(eps) * int(eps)
     d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
         F.col("ay") - F.col("y")
     ) * (F.col("ay") - F.col("y"))
+    cond = (F.col("id_a") != F.col("id")) & (d2 <= F.lit(eps2))
+    if t_col:
+        cond = cond & (
+            F.abs(F.col("at") - F.col("t")) <= F.lit(int(eps_t))
+        )
     return (
         probe.join(base, ["cx", "cy"])
-        .filter((F.col("id_a") != F.col("id")) & (d2 <= F.lit(eps2)))
+        .filter(cond)
         .select("id_a", F.col("id").alias("id_b"))
     )
 
@@ -110,18 +129,23 @@ def dbscan(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    t_col: str | None = None,
+    eps_t: int | None = None,
     max_iter: int = 25,
 ) -> DataFrame:
     """Exact DBSCAN -> (id, label, is_core); label = the component's
     smallest core id, border = min core-neighbor label, noise = -1.
     ``eps`` and the coordinates are integer units (same frame as the rest
-    of the engine); the distance test is <= eps, exact in int64."""
+    of the engine); the distance test is <= eps, exact in int64.
+    ``t_col``/``eps_t`` switch the neighborhood to ST-DBSCAN's space AND
+    time box (see neighbor_pairs); everything downstream is unchanged."""
     pts = points.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(x_col).cast("bigint").alias(x_col),
         F.col(y_col).cast("bigint").alias(y_col),
+        *([F.col(t_col).cast("bigint").alias(t_col)] if t_col else []),
     )
-    pairs = neighbor_pairs(pts, eps, "id", x_col, y_col).cache()
+    pairs = neighbor_pairs(pts, eps, "id", x_col, y_col, t_col, eps_t).cache()
     nbr = pairs.groupBy("id_a").agg(F.count("*").alias("n"))
     core = (
         pts.join(nbr, pts.id == nbr.id_a, "left")

@@ -116,3 +116,70 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["comp_id"] for r in dedup.connected_components(edges).collect()}
     assert got == {i: 0 for i in range(201)}
+
+
+def test_stdbscan_matches_bruteforce(spark):
+    """ST-DBSCAN: the time window must both split spatially-coincident
+    points and keep the spatial semantics intact."""
+    rng = np.random.default_rng(47)
+    pts = {}
+    i = 0
+    for burst_t in (0, 1000, 2000):  # same blob revisited at 3 epochs
+        for _ in range(8):
+            pts[i] = (int(rng.integers(-3, 4)), int(rng.integers(-3, 4)), burst_t + int(rng.integers(0, 50)))
+            i += 1
+    while i < 40:  # scattered background
+        pts[i] = (int(rng.integers(-40, 40)), int(rng.integers(-40, 40)), int(rng.integers(0, 2100)))
+        i += 1
+    eps, eps_t, mp = 4, 100, 4
+    df = spark.createDataFrame(
+        [(k, x, y, t) for k, (x, y, t) in pts.items()], "id long, x long, y long, t long"
+    )
+    got = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in clustering.dbscan(
+            df, eps=eps, min_pts=mp, t_col="t", eps_t=eps_t
+        ).collect()
+    }
+    # brute with the space-time neighborhood
+    ids = sorted(pts)
+    nbrs = {
+        i: [
+            j
+            for j in ids
+            if j != i
+            and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= eps * eps
+            and abs(pts[i][2] - pts[j][2]) <= eps_t
+        ]
+        for i in ids
+    }
+    core = {i for i in ids if len(nbrs[i]) + 1 >= mp}
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp_min = {}
+    for i in core:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    exp = {}
+    for i in ids:
+        if i in core:
+            exp[i] = (comp_min[find(i)], 1)
+        else:
+            labs = [comp_min[find(j)] for j in nbrs[i] if j in core]
+            exp[i] = (min(labs) if labs else -1, 0)
+    assert got == exp
+    # the three temporal bursts of the SAME blob form >= 3 distinct clusters
+    burst_labels = {got[k][0] for k in range(24) if got[k][0] != -1}
+    assert len(burst_labels) >= 3
