@@ -714,3 +714,41 @@ def _label_placement_sql() -> str:
       {', '.join(steps)}
       select tile, fid, rn as rank, x, y from g{LABEL_K}
     """
+
+
+def _q_geojson_points(spark, sf_dir):
+    """Distributed GeoJSON export (geometry_ops.geojson_point_col — the
+    reference's Feature.toGeoJson()/GeoJson.java writer as a pure-JVM
+    string column): precision-7 coordinates rendered through
+    decimal(11,7), the one double->string path byte-identical across
+    engines."""
+    from geodesk_spark.operators import geometry_ops
+
+    df = _derived_orders(spark, sf_dir)
+    geom = geometry_ops.geojson_point_col(F.col("x"), F.col("y"))
+    feature = F.concat(
+        F.lit('{"type":"Feature","id":"node/'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('","geometry":'),
+        geom,
+        F.lit(',"properties":{}}'),
+    )
+    return df.select(F.col("o_orderkey").alias("key"), feature.alias("geojson"))
+
+
+def _geojson_points_sql() -> str:
+    c1 = repr(2 * math.pi / W)
+    c2 = repr(360 / math.pi)
+    lon7 = f"cast(cast(floor(cast(x as double) * 360 / {W!r} * 1e7 + 0.5) / 1e7 as decimal(11,7)) as varchar)"
+    lat7 = (
+        f"cast(cast(floor((atan(exp(cast(y as double) * {c1})) * {c2} - 90) * 1e7 + 0.5) / 1e7"
+        f" as decimal(11,7)) as varchar)"
+    )
+    return f"""
+      with pts as ({_DERIVED_SQL})
+      select o_orderkey as key,
+             '{{"type":"Feature","id":"node/' || cast(o_orderkey as varchar) ||
+             '","geometry":{{"type":"Point","coordinates":[' || {lon7} || ',' ||
+             {lat7} || ']}},"properties":{{}}}}' as geojson
+      from pts
+    """

@@ -92,3 +92,60 @@ def test_unclosed_ring_tolerated():
     layer = geojson.load_polygon_layer(fc)
     rings = pip.unpack_rings(layer[0]["rings"])
     assert np.array_equal(rings[0][0], rings[0][-1])
+
+
+def test_features_to_geojson_strings(spark):
+    """Column-level Feature.toGeoJson(): exact precision-7 coordinates,
+    valid JSON, LineString for linear ways, closed Polygon for areas."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.features import Features
+    from geodesk_spark.geo import mercator
+
+    feats = spark.createDataFrame(
+        [
+            (20, "node", False, {"amenity": "pub"}, 123456789, -98765432),
+            (10, "way", False, {"highway": "primary"}, 0, 0),
+            (12, "way", True, {"building": "yes"}, 0, 0),
+        ],
+        "fid long, ftype string, is_area boolean, tags map<string,string>, x int, y int",
+    )
+    way_nodes = spark.createDataFrame(
+        [
+            (10, 0, 100_000_000, 50_000_000, None),
+            (10, 1, 200_000_000, 60_000_000, None),
+            (12, 0, 0, 0, None),
+            (12, 1, 10_000_000, 0, None),
+            (12, 2, 10_000_000, 10_000_000, None),
+        ],
+        "way_id long, seq int, x int, y int, node_id long",
+    )
+    got = {
+        (r["ftype"], r["fid"]): r["geojson"]
+        for r in Features(feats, way_nodes=way_nodes).to_geojson().collect()
+    }
+    assert len(got) == 3
+    parsed = {k: json.loads(v) for k, v in got.items()}  # all valid JSON
+
+    def p7(x, y):
+        import numpy as np
+
+        lon = float(mercator.lon_precision7_from_x(np.array([float(x)]))[0])
+        lat = float(mercator.lat_precision7_from_y(np.array([float(y)]))[0])
+        return [lon, lat]
+
+    node = parsed[("node", 20)]
+    assert node["geometry"]["type"] == "Point"
+    assert node["geometry"]["coordinates"] == p7(123456789, -98765432)
+    assert node["properties"] == {"amenity": "pub"} and node["id"] == "node/20"
+
+    line = parsed[("way", 10)]["geometry"]
+    assert line["type"] == "LineString"
+    assert line["coordinates"] == [p7(100_000_000, 50_000_000), p7(200_000_000, 60_000_000)]
+
+    poly = parsed[("way", 12)]["geometry"]
+    assert poly["type"] == "Polygon"
+    ring = poly["coordinates"][0]
+    assert ring[0] == ring[-1] == p7(0, 0) and len(ring) == 4  # closed
