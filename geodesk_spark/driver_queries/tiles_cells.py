@@ -752,3 +752,57 @@ def _geojson_points_sql() -> str:
              {lat7} || ']}},"properties":{{}}}}' as geojson
       from pts
     """
+
+
+def _q_wkt_ways(spark, sf_dir):
+    """Distributed WKT export over MULTI-VERTEX geometries: synthetic
+    ways (8 consecutive order keys = one way, every 5th way an area)
+    through geometry_ops.wkt_way_col -- LINESTRING / closed-POLYGON
+    strings, byte-matched against the SQL twin."""
+    from geodesk_spark.operators import geometry_ops
+
+    df = _derived_orders(spark, sf_dir).select(
+        F.expr("o_orderkey div 8").alias("way_id"),
+        (F.col("o_orderkey") % 8).alias("seq"),
+        "x",
+        "y",
+    )
+    pts = df.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_pts")
+    )
+    return pts.select(
+        "way_id",
+        geometry_ops.wkt_way_col(F.col("_pts"), F.col("way_id") % 5 == 0).alias("wkt"),
+    )
+
+
+def _wkt_ways_sql() -> str:
+    c1 = repr(2 * math.pi / W)
+    c2 = repr(360 / math.pi)
+    lon7 = f"cast(cast(floor(cast(x as double) * 360 / {W!r} * 1e7 + 0.5) / 1e7 as decimal(11,7)) as varchar)"
+    lat7 = (
+        f"cast(cast(floor((atan(exp(cast(y as double) * {c1})) * {c2} - 90) * 1e7 + 0.5) / 1e7"
+        f" as decimal(11,7)) as varchar)"
+    )
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      w as (select o_orderkey // 8 as way_id, o_orderkey % 8 as seq, x, y from pts),
+      c as (select way_id, seq, {lon7} || ' ' || {lat7} as pt, x, y from w),
+      agg as (select way_id,
+                     list(pt order by seq) as lpt,
+                     list(x order by seq) as lx,
+                     list(y order by seq) as ly
+              from c group by 1),
+      r as (select way_id,
+                   array_to_string(lpt, ', ') as coords,
+                   lpt[1] as fp,
+                   (lx[1] = lx[-1] and ly[1] = ly[-1]) as closed,
+                   way_id % 5 = 0 as is_area
+            from agg)
+      select way_id,
+             case when is_area then 'POLYGON ((' ||
+                       (case when closed then coords
+                             else coords || ', ' || fp end) || '))'
+                  else 'LINESTRING (' || coords || ')' end as wkt
+      from r
+    """

@@ -337,6 +337,41 @@ class Features:
         )
         return out.select("fid", "ftype", feature.alias("geojson"))
 
+    def to_wkt(self) -> DataFrame:
+        """Per-feature WKT strings (fid, ftype, wkt) — the reference's
+        PLANNED ``Feature.toWkt()`` (Feature.java:239, declared but not
+        yet shipped there); same distributed pure-JVM writer shape as
+        to_geojson."""
+        from geodesk_spark.operators import geometry_ops as _g
+
+        cols = set(self._df.columns)
+        is_area = (
+            F.coalesce(F.col("is_area"), F.lit(False))
+            if "is_area" in cols
+            else F.lit(False)
+        )
+        nodes = self._df.filter(F.col("ftype") == "node").select(
+            "fid",
+            "ftype",
+            _g.wkt_point_col(F.col("x"), F.col("y")).alias("wkt"),
+        )
+        out = nodes
+        if self._way_nodes is not None:
+            pts = self._way_nodes.groupBy("way_id").agg(
+                F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_pts")
+            )
+            ways = (
+                self._df.filter(F.col("ftype") == "way")
+                .join(pts, F.col("fid") == F.col("way_id"))
+                .select(
+                    "fid",
+                    "ftype",
+                    _g.wkt_way_col(F.col("_pts"), is_area).alias("wkt"),
+                )
+            )
+            out = nodes.unionByName(ways)
+        return out
+
     def to_list(self) -> list[Row]:
         return self._df.collect()
 

@@ -449,3 +449,39 @@ def geojson_way_col(pts_col, is_area_col):
     ).otherwise(
         F.concat(F.lit('{"type":"LineString","coordinates":['), coords, F.lit("]}"))
     )
+
+
+def _wkt_pt(x_col, y_col):
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        _coord7_str(mercator.lon_from_x_col(x_col)),
+        F.lit(" "),
+        _coord7_str(mercator.lat_from_y_col(y_col)),
+    )
+
+
+def wkt_point_col(x_col, y_col):
+    """WKT POINT string — the reference's planned ``Feature.toWkt()``
+    (declared, not yet shipped: Feature.java:239); same decimal-rendered
+    precision-7 coordinates as the GeoJSON writer, pure JVM concat."""
+    from pyspark.sql import functions as F
+
+    return F.concat(F.lit("POINT ("), _wkt_pt(x_col, y_col), F.lit(")"))
+
+
+def wkt_way_col(pts_col, is_area_col):
+    """WKT LINESTRING / POLYGON string for an ordered
+    array<struct<x,y>> vertex column; area ways close the ring iff not
+    already closed (the GeoJSON writer's rule)."""
+    from pyspark.sql import functions as F
+
+    coords = F.concat_ws(", ", F.transform(pts_col, lambda p: _wkt_pt(p.x, p.y)))
+    first, last = F.element_at(pts_col, 1), F.element_at(pts_col, -1)
+    already_closed = (first.x == last.x) & (first.y == last.y)
+    ring = F.when(already_closed, coords).otherwise(
+        F.concat(coords, F.lit(", "), _wkt_pt(first.x, first.y))
+    )
+    return F.when(
+        is_area_col, F.concat(F.lit("POLYGON (("), ring, F.lit("))"))
+    ).otherwise(F.concat(F.lit("LINESTRING ("), coords, F.lit(")")))

@@ -149,3 +149,50 @@ def test_features_to_geojson_strings(spark):
     assert poly["type"] == "Polygon"
     ring = poly["coordinates"][0]
     assert ring[0] == ring[-1] == p7(0, 0) and len(ring) == 4  # closed
+
+
+def test_features_to_wkt_strings(spark):
+    """to_wkt: POINT for nodes, LINESTRING for linear ways, closed
+    POLYGON for areas, precision-7 coordinates identical to to_geojson's."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.features import Features
+
+    feats = spark.createDataFrame(
+        [
+            (20, "node", False, {}, 123456789, -98765432),
+            (10, "way", False, {}, 0, 0),
+            (12, "way", True, {}, 0, 0),
+        ],
+        "fid long, ftype string, is_area boolean, tags map<string,string>, x int, y int",
+    )
+    way_nodes = spark.createDataFrame(
+        [
+            (10, 0, 100_000_000, 50_000_000, None),
+            (10, 1, 200_000_000, 60_000_000, None),
+            (12, 0, 0, 0, None),
+            (12, 1, 10_000_000, 0, None),
+            (12, 2, 10_000_000, 10_000_000, None),
+        ],
+        "way_id long, seq int, x int, y int, node_id long",
+    )
+    v = Features(feats, way_nodes=way_nodes)
+    wkt = {(r["ftype"], r["fid"]): r["wkt"] for r in v.to_wkt().collect()}
+    gj = {
+        (r["ftype"], r["fid"]): json.loads(r["geojson"])["geometry"]
+        for r in v.to_geojson().collect()
+    }
+
+    def wkt_coords(s):
+        inner = s[s.index("(") :].strip("()")
+        return [[float(t) for t in p.split()] for p in inner.split(", ")]
+
+    assert wkt[("node", 20)].startswith("POINT (")
+    assert wkt_coords(wkt[("node", 20)]) == [gj[("node", 20)]["coordinates"]]
+    assert wkt[("way", 10)].startswith("LINESTRING (")
+    assert wkt_coords(wkt[("way", 10)]) == gj[("way", 10)]["coordinates"]
+    assert wkt[("way", 12)].startswith("POLYGON ((")
+    ring = wkt_coords(wkt[("way", 12)])
+    assert ring == gj[("way", 12)]["coordinates"][0] and ring[0] == ring[-1]
