@@ -911,3 +911,52 @@ def _stdbscan_sql() -> str:
       left join clab cl on b.id = cl.id
       left join border bo on b.id = bo.id
     """
+
+
+TELEPORT_VMAX = 60.0
+
+
+def _q_teleport(spark, sf_dir):
+    """GPS-cleaning teleport filter (mobility.teleport_flags): per-user
+    consecutive-ping Mercator speed test, flags pings implying more
+    than TELEPORT_VMAX m/s -- the wash step before any trajectory
+    operator."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), STAY_KEY_SPARK
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.teleport_flags(located, vmax_mps=TELEPORT_VMAX)
+
+
+def _teleport_sql() -> str:
+    from geodesk_spark.driver_queries.common import _dist_sql
+
+    dist = _dist_sql("x", "y", "px", "py")
+    return f"""
+      with pts as (
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(STAY_KEY_SQL))} as x,
+               {y_expr(lat_expr(STAY_KEY_SQL))} as y
+        from events
+      ),
+      l as (select user_id, event_id, ts_us, x, y,
+                   lag(x) over w as px, lag(y) over w as py,
+                   lag(ts_us) over w as pts
+            from pts
+            window w as (partition by user_id order by ts_us, event_id))
+      select user_id as user, event_id as id,
+             case when px is null then null else {dist} end as dist_m,
+             coalesce(cast(
+               (case when px is null then null else {dist} end)
+                 > {TELEPORT_VMAX!r} * cast(ts_us - pts as double) / 1e6
+               as int), 0) as is_teleport
+      from l
+    """

@@ -561,3 +561,41 @@ def mann_kendall_cells(
             (F.coalesce(F.col("s_nz"), F.lit(0)) + F.col("adj")).cast("long").alias("mk_s"),
         )
     )
+
+
+def teleport_flags(
+    located: DataFrame,
+    vmax_mps: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """GPS-cleaning outlier detection: flag pings whose implied speed
+    from the user's PREVIOUS ping exceeds ``vmax_mps`` — the standard
+    teleport/multipath filter run before any trajectory operator
+    (staypoints, map matching, OD flows all degrade on raw GPS).
+
+    One window shuffle (per-user lag ordered by ts then id for a
+    deterministic total order); distance is the engine's Mercator
+    meters (mercator.distance_col).  The speed test is expressed
+    MULTIPLICATIVELY — dist_m > vmax · Δt — so a zero-Δt duplicate
+    ping with movement flags cleanly instead of dividing by zero.
+    First ping per user: dist_m null, never flagged.
+
+    Output: (user, id, dist_m, is_teleport) — dist_m raw doubles (both
+    engines compute the identical IEEE expression; no rounding step).
+    """
+    from geodesk_spark.geo import mercator
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    px, py, pts = (F.lag(c).over(w) for c in (x_col, y_col, ts_col))
+    dist = mercator.distance_col(F.col(x_col), F.col(y_col), px, py)
+    budget = F.lit(float(vmax_mps)) * (F.col(ts_col) - pts).cast("double") / F.lit(1e6)
+    return located.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("id"),
+        dist.alias("dist_m"),
+        F.coalesce((dist > budget).cast("int"), F.lit(0)).alias("is_teleport"),
+    )

@@ -443,3 +443,39 @@ def test_trajectory_frechet_matches_bruteforce(spark):
     }
     for k in got:
         assert got[k] >= h[k] - 1e-9
+
+
+def test_teleport_flags_speed_law(spark):
+    """Hand-built trajectory: slow hop unflagged, fast jump flagged,
+    zero-dt duplicate with movement flagged, first ping never flagged."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import mercator
+    from geodesk_spark.operators import mobility
+
+    M = 1_000_000  # ~ meters-scale imp step near the equator
+    rows = [
+        # user 1: t in seconds->us; equatorial so imp~distance scale is uniform
+        (1, 0 * M, 1, 0, 0),
+        (1, 60 * M, 2, 1000, 0),       # tiny hop in 60 s -> slow
+        (1, 120 * M, 3, 50_000_000, 0),  # huge jump in 60 s -> teleport
+        (1, 120 * M, 4, 50_001_000, 0),  # zero-dt duplicate WITH movement -> flagged
+        (2, 0 * M, 9, 7, 7),           # other user's first ping: unflagged
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, x long, y long"
+    )
+    got = {
+        r["id"]: (r["is_teleport"], r["dist_m"])
+        for r in mobility.teleport_flags(df, vmax_mps=60.0).collect()
+    }
+    assert got[1][0] == 0 and got[1][1] is None  # first ping
+    assert got[2][0] == 0
+    assert got[3][0] == 1
+    assert got[4][0] == 1  # zero dt, nonzero move
+    assert got[9][0] == 0 and got[9][1] is None
+    # dist of the 1000-imp hop matches the engine's Mercator meters
+    exp = spark.range(1).select(
+        mercator.distance_col(F.lit(1000), F.lit(0), F.lit(0), F.lit(0)).alias("d")
+    ).collect()[0]["d"]
+    assert got[2][1] == exp
