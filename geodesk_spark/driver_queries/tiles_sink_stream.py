@@ -571,3 +571,74 @@ def _tile_mosaic_sql() -> str:
              cast(sum(case when rk <= 4 then 1 else 0 end) as int) as n_selected
       from r group by tile order by tile
     """
+
+
+def _q_stream_join(spark, sf_dir):
+    """Stream-STREAM interval join (the last Structured Streaming
+    capability in the surface): even-keyed events join odd-keyed events
+    of the same user within [0, 30 min) event time, BOTH sides
+    watermarked, append mode — each matched pair emitted exactly once
+    across micro-batches; the drained log must equal the plain batch
+    interval join (the DuckDB oracle).  The drain watermark is wider
+    than the table's span so nothing drops (the late-drop path is
+    pinned in tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gds_stream_")
+    try:
+        indir = f"{tmp}/in"
+        e.repartition(4).write.mode("overwrite").parquet(indir)
+
+        def side(parity: int, pfx: str):
+            sdf = (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(indir)
+            )
+            return (
+                sdf.filter(F.col("event_id") % 2 == parity)
+                .select(
+                    F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"),
+                )
+                .withWatermark(f"{pfx}_ts", "90 days")
+            )
+
+        j = side(0, "a").join(
+            side(1, "b"),
+            F.expr(
+                "a_user = b_user and b_ts >= a_ts "
+                "and b_ts < a_ts + interval 30 minutes"
+            ),
+            "inner",
+        )
+        pairs = j.select(
+            "a_id",
+            "b_id",
+            (F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))).alias("dt_us"),
+        )
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(pairs, out, ck, "append")
+        return (
+            spark.read.parquet(out)
+            .select("a_id", "b_id", "dt_us")
+            .orderBy("a_id", "b_id")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_JOIN = """
+  with a as (select user_id as u, ts, event_id as a_id from events where event_id % 2 = 0),
+  b as (select user_id as u, ts, event_id as b_id from events where event_id % 2 = 1)
+  select a.a_id, b.b_id, epoch_us(b.ts) - epoch_us(a.ts) as dt_us
+  from a join b on a.u = b.u
+   and b.ts >= a.ts and b.ts < a.ts + interval 30 minutes
+  order by a_id, b_id
+"""
