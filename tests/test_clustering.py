@@ -183,3 +183,16 @@ def test_stdbscan_matches_bruteforce(spark):
     # the three temporal bursts of the SAME blob form >= 3 distinct clusters
     burst_labels = {got[k][0] for k in range(24) if got[k][0] != -1}
     assert len(burst_labels) >= 3
+
+
+def test_dbscan_invariant_under_partitioning_and_order(spark):
+    """Labels are a pure function of the SET of points: reshuffled row
+    order + different partitioning must give identical output (the
+    determinism classic DBSCAN lacks)."""
+    pts = _random_points(71)
+    rows = [(i, x, y) for i, (x, y) in pts.items()]
+    a = spark.createDataFrame(rows, "id long, x long, y long")
+    b = spark.createDataFrame(rows[::-1], "id long, x long, y long").repartition(7)
+    ra = {(r["id"], r["label"], r["is_core"]) for r in clustering.dbscan(a, 4, 4).collect()}
+    rb = {(r["id"], r["label"], r["is_core"]) for r in clustering.dbscan(b, 4, 4).collect()}
+    assert ra == rb
