@@ -736,7 +736,10 @@ def _q_geojson_points(spark, sf_dir):
     return df.select(F.col("o_orderkey").alias("key"), feature.alias("geojson"))
 
 
-def _geojson_points_sql() -> str:
+def _coord7_sql() -> tuple[str, str]:
+    """The byte-identical double->string coordinate render (decimal(11,7)
+    cast chain, CLAUDE.md invariant) — ONE definition for every export
+    oracle, twin of geometry_ops._coord7_str."""
     c1 = repr(2 * math.pi / W)
     c2 = repr(360 / math.pi)
     lon7 = f"cast(cast(floor(cast(x as double) * 360 / {W!r} * 1e7 + 0.5) / 1e7 as decimal(11,7)) as varchar)"
@@ -744,6 +747,11 @@ def _geojson_points_sql() -> str:
         f"cast(cast(floor((atan(exp(cast(y as double) * {c1})) * {c2} - 90) * 1e7 + 0.5) / 1e7"
         f" as decimal(11,7)) as varchar)"
     )
+    return lon7, lat7
+
+
+def _geojson_points_sql() -> str:
+    lon7, lat7 = _coord7_sql()
     return f"""
       with pts as ({_DERIVED_SQL})
       select o_orderkey as key,
@@ -777,13 +785,7 @@ def _q_wkt_ways(spark, sf_dir):
 
 
 def _wkt_ways_sql() -> str:
-    c1 = repr(2 * math.pi / W)
-    c2 = repr(360 / math.pi)
-    lon7 = f"cast(cast(floor(cast(x as double) * 360 / {W!r} * 1e7 + 0.5) / 1e7 as decimal(11,7)) as varchar)"
-    lat7 = (
-        f"cast(cast(floor((atan(exp(cast(y as double) * {c1})) * {c2} - 90) * 1e7 + 0.5) / 1e7"
-        f" as decimal(11,7)) as varchar)"
-    )
+    lon7, lat7 = _coord7_sql()
     return f"""
       with pts as ({_DERIVED_SQL}),
       w as (select o_orderkey // 8 as way_id, o_orderkey % 8 as seq, x, y from pts),

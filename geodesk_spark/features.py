@@ -278,6 +278,41 @@ class Features:
             pd.DataFrame(), out_dir, filename=filename, markers=markers, **page_opts
         )
 
+    def _export_geoms(self, point_fn, way_fn, out_col: str, extra=()) -> DataFrame:
+        """Shared export scaffolding for to_geojson/to_wkt: nodes through
+        ``point_fn(x, y)``, ways through ``way_fn(pts, is_area)`` over the
+        sorted way-node vertex arrays; ``extra`` adds (alias, Column)
+        pass-through columns (e.g. the properties JSON)."""
+        cols = set(self._df.columns)
+        is_area = (
+            F.coalesce(F.col("is_area"), F.lit(False))
+            if "is_area" in cols
+            else F.lit(False)
+        )
+        extra_cols = [c.alias(a) for a, c in extra]
+        nodes = self._df.filter(F.col("ftype") == "node").select(
+            "fid",
+            "ftype",
+            *extra_cols,
+            point_fn(F.col("x"), F.col("y")).alias(out_col),
+        )
+        if self._way_nodes is None:
+            return nodes
+        pts = self._way_nodes.groupBy("way_id").agg(
+            F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_pts")
+        )
+        ways = (
+            self._df.filter(F.col("ftype") == "way")
+            .join(pts, F.col("fid") == F.col("way_id"))
+            .select(
+                "fid",
+                "ftype",
+                *extra_cols,
+                way_fn(F.col("_pts"), is_area).alias(out_col),
+            )
+        )
+        return nodes.unionByName(ways)
+
     def to_geojson(self) -> DataFrame:
         """Per-feature GeoJSON Feature STRINGS as a DataFrame column —
         the reference's ``Feature.toGeoJson()`` (GeoJson.java +
@@ -291,39 +326,17 @@ class Features:
         Returns (fid, ftype, geojson)."""
         from geodesk_spark.operators import geometry_ops as _g
 
-        cols = set(self._df.columns)
-        is_area = (
-            F.coalesce(F.col("is_area"), F.lit(False))
-            if "is_area" in cols
-            else F.lit(False)
-        )
         tags_json = (
             F.coalesce(F.to_json(F.col("tags")), F.lit("{}"))
-            if "tags" in cols
+            if "tags" in self._df.columns
             else F.lit("{}")
         )
-        nodes = self._df.filter(F.col("ftype") == "node").select(
-            "fid",
-            "ftype",
-            tags_json.alias("_props"),
-            _g.geojson_point_col(F.col("x"), F.col("y")).alias("_geom"),
+        out = self._export_geoms(
+            _g.geojson_point_col,
+            _g.geojson_way_col,
+            "_geom",
+            extra=[("_props", tags_json)],
         )
-        out = nodes
-        if self._way_nodes is not None:
-            pts = self._way_nodes.groupBy("way_id").agg(
-                F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_pts")
-            )
-            ways = (
-                self._df.filter(F.col("ftype") == "way")
-                .join(pts, F.col("fid") == F.col("way_id"))
-                .select(
-                    "fid",
-                    "ftype",
-                    tags_json.alias("_props"),
-                    _g.geojson_way_col(F.col("_pts"), is_area).alias("_geom"),
-                )
-            )
-            out = nodes.unionByName(ways)
         feature = F.concat(
             F.lit('{"type":"Feature","id":"'),
             F.col("ftype"),
@@ -344,33 +357,7 @@ class Features:
         to_geojson."""
         from geodesk_spark.operators import geometry_ops as _g
 
-        cols = set(self._df.columns)
-        is_area = (
-            F.coalesce(F.col("is_area"), F.lit(False))
-            if "is_area" in cols
-            else F.lit(False)
-        )
-        nodes = self._df.filter(F.col("ftype") == "node").select(
-            "fid",
-            "ftype",
-            _g.wkt_point_col(F.col("x"), F.col("y")).alias("wkt"),
-        )
-        out = nodes
-        if self._way_nodes is not None:
-            pts = self._way_nodes.groupBy("way_id").agg(
-                F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_pts")
-            )
-            ways = (
-                self._df.filter(F.col("ftype") == "way")
-                .join(pts, F.col("fid") == F.col("way_id"))
-                .select(
-                    "fid",
-                    "ftype",
-                    _g.wkt_way_col(F.col("_pts"), is_area).alias("wkt"),
-                )
-            )
-            out = nodes.unionByName(ways)
-        return out
+        return self._export_geoms(_g.wkt_point_col, _g.wkt_way_col, "wkt")
 
     def to_list(self) -> list[Row]:
         return self._df.collect()

@@ -718,8 +718,10 @@ def kcenter_select(
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(emb_col).alias("e")
     )
-    first = base.orderBy("id").limit(1).collect()[0]
-    selected: list[tuple[int, list]] = [(int(first["id"]), list(first["e"]))]
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame([], "sel_rank long, vec_id long")
+    selected: list[tuple[int, list]] = [(int(first[0]["id"]), list(first[0]["e"]))]
     nrm_v = F.sqrt(
         F.aggregate(
             F.col("e"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
@@ -754,9 +756,11 @@ def kcenter_select(
             .orderBy(F.col("mind").asc(), F.col("id").asc())
             .limit(1)
             .select("id", "e")
-            .collect()[0]
+            .collect()
         )
-        selected.append((int(nxt["id"]), list(nxt["e"])))
+        if not nxt:  # k > distinct rows: return what exists, like the SQL twin
+            break
+        selected.append((int(nxt[0]["id"]), list(nxt[0]["e"])))
     out = df.sparkSession.createDataFrame(
         [(r + 1, i) for r, (i, _) in enumerate(selected)],
         "sel_rank long, vec_id long",

@@ -690,16 +690,30 @@ def diff_rollup(
     from pyspark.sql import functions as F
 
     o = old_rollup.select(
-        *keys,
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
         F.lit(1).alias("_po"),
         *[F.col(m).alias(f"{m}_old") for m in measures],
     )
     n = new_rollup.select(
-        *keys,
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
         F.lit(1).alias("_pn"),
         *[F.col(m).alias(f"{m}_new") for m in measures],
     )
-    j = o.join(n, keys, "full_outer")
+    # null-safe key equality: a null-keyed rollup group (nullable groupBy
+    # column) must compare as ONE key, not split into removed+added
+    cond = None
+    for k in keys:
+        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+            for k in keys
+        ],
+        "_po",
+        "_pn",
+        *[c for m in measures for c in (f"{m}_old", f"{m}_new")],
+    )
     differs = None
     for m in measures:
         d = ~F.col(f"{m}_old").eqNullSafe(F.col(f"{m}_new"))

@@ -245,3 +245,19 @@ def test_kcenter_select_matches_bruteforce(spark):
     # spread law: every selected pair is farther apart than the chosen
     # round's covering radius would allow them to collapse
     assert len({i for _, i in got}) == k
+
+
+def test_kcenter_select_k_exceeds_rows(spark):
+    """k > rows returns every point exactly once (SQL-twin behavior),
+    never an IndexError; empty input -> empty frame."""
+    vecs = {i: [float(v) for v in np.float32([i, 1 - i, 0.5])] for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in ann.kcenter_select(df, k=10).orderBy("sel_rank").collect()
+    ]
+    assert len(got) == 3 and {i for _, i in got} == {0, 1, 2}
+    empty = df.filter("vec_id < 0")
+    assert ann.kcenter_select(empty, k=4).count() == 0

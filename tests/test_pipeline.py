@@ -611,3 +611,17 @@ def test_diff_rollup_all_statuses(spark):
     # dirty-set consumer view: only non-same keys need re-rendering
     dirty = sorted(k for k, v in got.items() if v[0] != "same")
     assert dirty == [2, 3, 4]
+
+
+def test_diff_rollup_null_key_is_one_group(spark):
+    """A null-keyed rollup group (nullable groupBy column) compares as
+    ONE key — 'same'/'changed' — not a removed+added pair."""
+    from geodesk_spark.streaming import checkpoint
+
+    old = spark.createDataFrame([(None, 3), (1, 1)], "k int, n long")
+    new = spark.createDataFrame([(None, 4), (1, 1)], "k int, n long")
+    got = {
+        r["k"]: r["status"]
+        for r in checkpoint.diff_rollup(old, new, ["k"], ["n"]).collect()
+    }
+    assert got == {None: "changed", 1: "same"}
