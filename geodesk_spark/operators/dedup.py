@@ -380,91 +380,107 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star step (Kiveris et al., "Connected
+    Components in MapReduce and Beyond").  ``e`` holds directed edges
+    (src, dst); per node u with neighborhood G(u):
+
+    - large-star: m = min(G(u) U {u}); emit (v, m) for v in G(u), v > u
+    - small-star: over L = {v in G(u): v < u}: m = min(L); emit (v, m)
+      for v in (L U {u}) \ {m}
+
+    Degree-safe shape: per-node minima by groupBy-min, then ONE
+    equi-join back onto the edge list — no collect_set, so a super-node
+    (a boilerplate near-dup hub) never has to fit its neighbor list in
+    a single task.  Alternating the two steps provably converges in
+    O(log^2 n) rounds (O(log n) in practice) to a union of stars
+    centered at each component's minimum id, and the edge list SHRINKS
+    as components contract — late rounds get cheaper, not slower.
+    """
+    if large:
+        nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    else:
+        nbrs = e.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
+        ).distinct()
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("src")).alias("m")  # = _mn for small (dst < src)
+    if large:
+        out = (
+            nbrs.join(mins, "src")
+            .select("dst", m)
+            .filter(F.col("dst") > F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        return out.distinct()
+    out = (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") != F.col("_mn"))
+        .select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
+    )
+    centers = mins.select(F.col("src"), F.col("_mn").alias("dst"))  # dst < src always
+    return out.union(centers).distinct()
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
                          max_iter: int = 25) -> DataFrame:
     """Duplicate-group resolution: connected components over near-dup
-    pairs by iterative min-label propagation — (doc_id, comp_id) with
-    comp_id = the component's smallest doc id.
+    pairs — (doc_id, comp_id) with comp_id = the component's smallest
+    doc id.  Alternating large-star/small-star rounds (_star_round;
+    Kiveris et al.) — the O(log n)-round CC whose per-round work also
+    SHRINKS with the contracting edge list.
 
-    Each round joins current labels across the (symmetrized) edge list
-    and keeps the per-vertex minimum; with the pointer-jumping hop
-    below, rounds ≈ log(graph diameter), and near-dup graphs are unions
-    of small cliques, so 2-3 rounds close almost everything.  At 100 TB
-    scale this is the standard
-    alternating-join CC shape: every round is one shuffle on the vertex
-    id, the edge list is reused (cached), and convergence is detected
-    with a cheap changed-count aggregate instead of comparing frames.
+    History (why not label propagation): the original min-label loop
+    needed diameter-many rounds, and DBSCAN's near-percolation core
+    graphs exposed two failure modes — uncheckpointed lineage doubles
+    per round (the round plan references labels twice → OOM past ~15
+    rounds), and even with per-round localCheckpoint + a path-halving
+    hop the giant component's filament tails converged ~70 vertices a
+    round with per-round wall time inexplicably compounding.  Star
+    contraction replaces the label table entirely: each round is
+    groupBy-min + join over the (shrinking) edge list, convergence is an
+    exact set-equality test (count + anti-join — type-agnostic, doc ids
+    may be strings), and the sf0.1 giant component closes in ~8 rounds.
 
-    Each round's plan references the previous labels TWICE (the edge
-    join and the carry-forward), so lineage would double per round —
-    fine for 2-3 rounds, an exponential analyzed-plan blowup past ~15
-    (first seen on DBSCAN's near-percolation core graphs, where the
-    giant component's diameter is tens of hops).  localCheckpoint per
-    round truncates the lineage to the materialized result, keeping
-    every round's plan O(1); the round output is tiny (one row per
-    vertex), so the extra block write is noise next to the join.
-
-    Those same long-diameter graphs also break pure min-propagation
-    (rounds = diameter).  Each round therefore adds a PATH-HALVING hop
-    — comp ← comp[comp], one self-equi-join, valid because comp[v] is
-    always a same-component vertex id with comp[c] ≤ c — which cuts
-    convergence to ~log(diameter) rounds (the pointer-jumping half of
-    the classic two-phase CC; cf. Kiveris et al.'s large/small-star).
-    At the fixpoint comp is edge-constant and the component minimum
-    labels itself, so the result is identical to pure propagation.
+    Each round still localCheckpoints (lineage truncation) and releases
+    the previous round's blocks (_release_local_checkpoint).
     """
-    edges = (
+    e = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    vertices = (
+        e.select(F.col("src").alias("doc_id"))
+        .union(e.select(F.col("dst").alias("doc_id")))
         .distinct()
-        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     prev = None
+    prev_n = -1
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
+        e = _star_round(_star_round(e, large=True), large=False)
+        e = e.localCheckpoint(eager=True)
+        # exact, type-agnostic fixpoint test (doc ids may be strings):
+        # both rounds are distinct checkpointed sets, so equal count +
+        # empty anti-join <=> the edge set is unchanged
+        n = e.count()
+        converged = (
+            prev is not None
+            and n == prev_n
+            and e.join(prev, ["src", "dst"], "left_anti").isEmpty()
         )
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.col("comp").alias("_oldc"),
-            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-        )
-        # path-halving hop: comp <- comp[comp] (comp[c] <= c, so the hop
-        # only ever lowers the label; inner join is total because every
-        # comp value is itself a labeled vertex)
-        hop = stepped.select(F.col("id").alias("_jid"), F.col("comp").alias("_jcomp"))
-        new_labels = (
-            stepped.join(hop, stepped.comp == hop._jid)
-            .select(
-                "id",
-                F.col("_jcomp").alias("comp"),
-                (F.col("_jcomp") < F.col("_oldc")).alias("_changed"),
-            )
-        )
-        # materialize AND truncate lineage (see docstring: the plan
-        # references `labels` twice, so anything short of a checkpoint
-        # grows the analyzed tree exponentially with the round count)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).count()
-        # the new round is materialized — the previous round's blocks are
-        # dead (the returned frame references only the FINAL checkpoint)
         if prev is not None:
             _release_local_checkpoint(prev)
-        prev = new_labels
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        prev, prev_n = e, n
+        if converged:
             break
-    out = labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
-    edges.unpersist()
+    # fixpoint: e is a union of stars (v, center); centers + isolated
+    # pair-endpoints label themselves
+    out = vertices.join(e, vertices.doc_id == e.src, "left").select(
+        "doc_id", F.coalesce(F.col("dst"), F.col("doc_id")).alias("comp_id")
+    )
     return out
 
 

@@ -196,3 +196,19 @@ def test_dbscan_invariant_under_partitioning_and_order(spark):
     ra = {(r["id"], r["label"], r["is_core"]) for r in clustering.dbscan(a, 4, 4).collect()}
     rb = {(r["id"], r["label"], r["is_core"]) for r in clustering.dbscan(b, 4, 4).collect()}
     assert ra == rb
+
+
+def test_connected_components_string_ids(spark):
+    """Doc ids may be strings (the image pipeline's img… ids): comp_id
+    is the lexicographic min; convergence must not rely on numeric ops."""
+    from geodesk_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [("img_b", "img_a"), ("img_b", "img_c"), ("img_x", "img_y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["comp_id"] for r in dedup.connected_components(edges).collect()}
+    assert got == {
+        "img_a": "img_a", "img_b": "img_a", "img_c": "img_a",
+        "img_x": "img_x", "img_y": "img_x",
+    }
