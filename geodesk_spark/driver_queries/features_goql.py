@@ -400,11 +400,11 @@ _SQL_JACCARD = f"""
 
 
 def _q_dedup_components(spark, sf_dir):
-    """Duplicate-group resolution: iterative min-label connected
-    components over the Jaccard near-dup pairs (dedup.connected_components
-    — each round one shuffle join, convergence by changed-count).  The
-    oracle computes the same components with a recursive CTE transitive
-    closure (tiny graph at sf0.01)."""
+    """Duplicate-group resolution: connected components over the Jaccard
+    near-dup pairs (dedup.connected_components — large/small-star
+    contraction, O(log n) rounds).  The oracle computes the same
+    components with a recursive CTE transitive closure (tiny graph at
+    sf0.01)."""
     d = tables.load_spread(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
     return dedup.connected_components(pairs).orderBy("doc_id")

@@ -14,8 +14,8 @@ engine's other eps-radius operators (knn.distance_join, mobility.colocation):
 4. core points = neighbor count + 1 >= min_pts (DBSCAN counts the point
    itself),
 5. clusters = connected components over CORE-CORE edges (reusing
-   dedup.connected_components' min-label + path-halving rounds — ~log of
-   the cluster diameter, two vertex-key joins per round),
+   dedup.connected_components' large/small-star contraction — O(log n)
+   rounds over a shrinking edge list),
 6. border points attach to their MINIMUM core-neighbor label; everything
    else is noise (-1).
 

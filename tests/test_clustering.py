@@ -107,8 +107,9 @@ def test_neighbor_pairs_exact_at_cell_borders(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 200-vertex path graph: pure min-propagation needs 200 rounds
-    (far past max_iter); the path-halving hop must close it in ~log."""
+    """A 200-vertex path graph: pure min-propagation would need 200
+    rounds (far past max_iter); star contraction must close it in ~log
+    rounds."""
     from geodesk_spark.operators import dedup
 
     edges = spark.createDataFrame(
