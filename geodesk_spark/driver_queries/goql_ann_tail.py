@@ -254,3 +254,55 @@ def _q_kcenter(spark, sf_dir):
 
 def _kcenter_sql() -> str:
     return ann.kcenter_sql("embeddings", k=KCENTER_K)
+
+
+MEDOID_GRID_BITS = 6
+
+
+def _q_geo_medoid(spark, sf_dir):
+    """Canonical capture-site selection (clustering.geo_medoid_per_group):
+    one REAL representative point per z6 cell of the derived orders --
+    exact decimal-integer d2 sums, md5-capped groups, min-id ties."""
+    from geodesk_spark.driver_queries.common import _derived_orders
+    from geodesk_spark.operators import clustering
+
+    df = _derived_orders(spark, sf_dir)
+    sub = 32 - MEDOID_GRID_BITS
+    side = 1 << MEDOID_GRID_BITS
+    pts = df.select(
+        (
+            F.shiftright(F.col("x").cast("bigint") + (1 << 31), sub) * side
+            + F.shiftright(F.lit((1 << 31) - 1) - F.col("y").cast("bigint"), sub)
+        ).alias("gid"),
+        F.col("o_orderkey").alias("id"),
+        "x",
+        "y",
+    )
+    return clustering.geo_medoid_per_group(pts)
+
+
+def _geo_medoid_sql() -> str:
+    from geodesk_spark.driver_queries.common import _DERIVED_SQL
+
+    sub = 1 << (32 - MEDOID_GRID_BITS)
+    side = 1 << MEDOID_GRID_BITS
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      d as (select cast(floor((x + 2147483648) / {sub}) as bigint) * {side}
+                     + cast(floor((2147483647 - y) / {sub}) as bigint) as gid,
+                   o_orderkey as id, x, y
+            from pts),
+      rk as (select *, row_number() over (partition by gid
+                       order by md5(cast(id as varchar)), id) as r from d),
+      c as (select gid, id, x, y from rk where r <= 256),
+      s as (select a.gid, a.id,
+                   sum(cast(a.x - b.x as hugeint) * (a.x - b.x)
+                     + cast(a.y - b.y as hugeint) * (a.y - b.y)) as s
+            from c a join c b on a.gid = b.gid group by 1, 2),
+      best as (select gid, id from (
+                 select gid, id, row_number() over (partition by gid
+                        order by s asc, id asc) as r from s) where r = 1),
+      n as (select gid, count(*) as n_members from d group by 1)
+      select b.gid, b.id as medoid_id, n.n_members
+      from best b join n using (gid)
+    """

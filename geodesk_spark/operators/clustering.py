@@ -33,7 +33,7 @@ cluster discovery / spatial dedup of near-duplicate capture sites).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from geodesk_spark.operators import dedup
 
@@ -186,3 +186,63 @@ def dbscan(
     core.unpersist()
     dedup._release_local_checkpoint(comp)  # spent: out no longer reads it
     return out
+
+
+def geo_medoid_per_group(
+    points: DataFrame,
+    group_col: str = "gid",
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_group: int = 256,
+) -> DataFrame:
+    """Per-group GEOGRAPHIC medoid: the member minimizing the sum of
+    squared integer distances to its group, ties to the smallest id —
+    the canonical-capture-site selection step after spatial dedup (one
+    real representative per DBSCAN cluster / staypoint cell), the
+    spatial sibling of ann.medoid_per_label.
+
+    Exactness: d² terms are products of decimal(19,0)-cast deltas
+    (never bigint overflow — imp deltas square past 2^63) summed as
+    decimal(38,0) — exact integers in both engines (hugeint in the
+    oracle), so the argmin is bit-deterministic with no float anywhere.
+
+    Scale: the self-join is quadratic IN GROUP SIZE only; groups larger
+    than ``max_group`` are capped to a deterministic md5-ranked subset
+    used as BOTH candidate and reference set (the medoid_per_label
+    precedent) so one mega-cluster can't go quadratic.
+    Output: (group, medoid_id, n_members) — n_members pre-cap.
+    """
+    g = points.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("bigint").alias("mid"),
+        F.col(x_col).cast("bigint").alias("mx"),
+        F.col(y_col).cast("bigint").alias("my"),
+    )
+    w = Window.partitionBy("g").orderBy(F.md5(F.col("mid").cast("string")), "mid")
+    sizes = g.groupBy("g").agg(F.count("*").alias("n_members"))
+    capped = (
+        g.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_group)
+        .drop("_rk")
+    )
+    a = capped
+    b = capped.select(
+        F.col("g"), F.col("mx").alias("bx"), F.col("my").alias("by")
+    )
+    dx = (F.col("mx") - F.col("bx")).cast("decimal(19,0)")
+    dy = (F.col("my") - F.col("by")).cast("decimal(19,0)")
+    sums = (
+        a.join(b, "g")
+        .groupBy("g", "mid")
+        .agg(F.sum(dx * dx + dy * dy).alias("_s"))
+    )
+    rk = Window.partitionBy("g").orderBy(F.col("_s").asc(), F.col("mid").asc())
+    best = (
+        sums.withColumn("_r", F.row_number().over(rk))
+        .filter(F.col("_r") == 1)
+        .select("g", F.col("mid").alias("medoid_id"))
+    )
+    return best.join(sizes, "g").select(
+        F.col("g").alias(group_col), "medoid_id", "n_members"
+    )

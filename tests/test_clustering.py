@@ -213,3 +213,38 @@ def test_connected_components_string_ids(spark):
         "img_a": "img_a", "img_b": "img_a", "img_c": "img_a",
         "img_x": "img_x", "img_y": "img_x",
     }
+
+
+def test_geo_medoid_matches_bruteforce(spark):
+    """Exact integer-d2 argmin per group with min-id ties, vs brute."""
+    rng = np.random.default_rng(83)
+    rows = [
+        (int(i % 5), i, int(rng.integers(-1000, 1000)), int(rng.integers(-1000, 1000)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "gid long, id long, x long, y long")
+    got = {
+        r["gid"]: (r["medoid_id"], r["n_members"])
+        for r in clustering.geo_medoid_per_group(df).collect()
+    }
+    groups = {}
+    for g, i, x, y in rows:
+        groups.setdefault(g, []).append((i, x, y))
+    exp = {}
+    for g, mem in groups.items():
+        best = min(
+            mem,
+            key=lambda m: (
+                sum((m[1] - x) ** 2 + (m[2] - y) ** 2 for _, x, y in mem),
+                m[0],
+            ),
+        )
+        exp[g] = (best[0], len(mem))
+    assert got == exp
+    # the md5 cap keeps one mega-group from going quadratic but still
+    # returns a medoid from the capped subset
+    capped = {
+        r["gid"]: r["n_members"]
+        for r in clustering.geo_medoid_per_group(df, max_group=4).collect()
+    }
+    assert set(capped) == set(exp) and all(v == 12 for v in capped.values())
