@@ -72,10 +72,13 @@ ANN_K = 5
 
 def _dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
     # All operands forced to double: the imp deltas squared overflow int64.
+    # cosh via mercator.det_cosh_sql: bit-identical to the engine's
+    # scale()/scale_col() on ANY DuckDB build (libm exp diverges between
+    # builds — the r01/r03 box_area_m2 driver reds).
     dx = f"(cast({x1} as double) - cast({x2} as double))"
     dy = f"(cast({y1} as double) - cast({y2} as double))"
-    t = f"((cast({y1} as double) + cast({y2} as double)) / 2) * 2 * pi() / {W!r}"
-    scale = f"((exp({t}) + exp(-({t}))) / 2)"
+    t = f"(((cast({y1} as double) + cast({y2} as double)) / 2) * 2 * pi() / {W!r})"
+    scale = mercator.det_cosh_sql(t)
     d = f"sqrt({dx} * {dx} + {dy} * {dy})"
     return f"({d} * {EC!r} / {W!r} / {scale})"
 

@@ -525,8 +525,12 @@ def _map_match_sql() -> str:
         # the row surviving QUALIFY carries the MAX step value, so
         # score = step + emis ≡ max_i(score_i + trans_ij) + emis_j; the
         # prev.seg_id tie-break mirrors np.argmax's first-index rule
+        # materialized: each v is referenced twice (v{t+1} and b{t});
+        # without the hint DuckDB re-BINDS the whole chain per reference
+        # — exponential tree growth that OOMs the binder now that
+        # _dist_sql carries the det_cosh polynomial.
         v_ctes.append(f"""
-      v{t} as (
+      v{t} as materialized (
         select cur.traj, cur.seg_id, cur.px, cur.py, cur.sx, cur.sy,
                ({step}) + cur.emis as score,
                prev.seg_id as bp
@@ -600,7 +604,7 @@ def _map_match_sql() -> str:
           from d where dist_m <= {MM_RADIUS!r}
         ) where rk <= {MM_CANDS}
       ),
-      e as (
+      e as materialized (
         select traj, seq, seg_id, px, py, sx, sy,
                -(dist_m * dist_m) / {2.0 * MM_SIGMA * MM_SIGMA!r} as emis
         from cand

@@ -6,6 +6,8 @@ name-reference graph.  See registry.py for the assembled QUERIES."""
 
 from __future__ import annotations
 
+from geodesk_spark.geo import mercator
+
 from geodesk_spark.driver_queries.common import (
     CAIRO_XY,
     DataFrame,
@@ -201,17 +203,20 @@ def _sql_line_within() -> str:
 
 def _q_line_length(spark, sf_dir):
     """length() in meters (StoredWay.java:189-209) over the packed-geometry
-    column; oracle mirrors Mercator.distance op-for-op."""
+    column; oracle mirrors Mercator.distance op-for-op (det_exp cosh);
+    output floor-form-quantized at 4 dp per the float-OUTPUT law."""
     from geodesk_spark.operators import geometry_ops
 
     feats = _segment_features(spark, sf_dir)
-    return geometry_ops.with_length_area(feats).select("fid", "length_m")
+    q4 = F.floor(F.col("length_m") * 1e4 + 0.5).cast("double") / 1e4
+    return geometry_ops.with_length_area(feats).select("fid", q4.alias("length_m"))
 
 
 def _sql_line_length() -> str:
     return f"""
-      with segs as ({_seg_sql_base()})
-      select fid, {_dist_sql('x1', 'y1', 'x2', 'y2')} as length_m from segs
+      with segs as ({_seg_sql_base()}),
+      m as (select fid, {_dist_sql('x1', 'y1', 'x2', 'y2')} as length_m from segs)
+      select fid, cast(floor(length_m * 1e4 + 0.5) as double) / 1e4 as length_m from m
     """
 
 
@@ -854,11 +859,14 @@ def _simplify_dp_sql() -> str:
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid
-    scale² kernel op-for-op (IEEE-identical for the 4-vertex rings)."""
+    scale² kernel op-for-op (cosh via mercator.det_exp, bit-identical on
+    every engine build).  Output floor-form-quantized at 2 dp per the
+    float-OUTPUT law (r01/r03 driver-red insurance)."""
     from geodesk_spark.operators import geometry_ops
 
     feats = _box_features(spark, sf_dir)
-    return geometry_ops.with_length_area(feats).select("fid", "area_m2")
+    q2 = F.floor(F.col("area_m2") * 1e2 + 0.5).cast("double") / 1e2
+    return geometry_ops.with_length_area(feats).select("fid", q2.alias("area_m2"))
 
 
 def _sql_box_area() -> str:
@@ -871,15 +879,16 @@ def _sql_box_area() -> str:
     t4 = f"({d('minx')} * {d('miny')} - {d('minx')} * {d('maxy')})"
     a2 = f"((({t1} + {t2}) + {t3}) + {t4})"
     cy = f"(((({d('miny')} + {d('miny')}) + {d('maxy')}) + {d('maxy')}) / 4.0)"
-    t = f"({cy} * 2 * pi() / {W!r})"
-    scale = f"((exp({t}) + exp(-({t}))) / 2)"
-    s_ = f"({EC!r} / {W!r} / {scale})"
+    # Bind t to a CTE column: det_cosh_sql textually repeats its argument.
+    s_ = f"({EC!r} / {W!r} / {mercator.det_cosh_sql('t')})"
     return f"""
-      with boxes as ({_box_sql_base()})
-      select fid,
-             case when abs({a2}) / 2.0 = 0 then 0.0
-                  else (abs({a2}) / 2.0) * {s_} * {s_} end as area_m2
-      from boxes
+      with boxes as ({_box_sql_base()}),
+      c as (select fid, {a2} as a2, ({cy} * 2 * pi() / {W!r}) as t from boxes),
+      a as (select fid, case when abs(a2) / 2.0 = 0 then 0.0
+                             else (abs(a2) / 2.0) * {s_} * {s_} end as area_m2
+            from c)
+      select fid, cast(floor(area_m2 * 1e2 + 0.5) as double) / 1e2 as area_m2
+      from a
     """
 
 

@@ -84,11 +84,9 @@ def _q_distance(spark, sf_dir):
     return out.select(F.col("o_orderkey").alias("key"))
 
 
-_DELTA_SQL = (
-    f"(cast(2000000.0 as double) * {W!r} / {EC!r} * "
-    f"((exp(cast({CAIRO_XY[1]} as double) * 2 * pi() / {W!r}) + "
-    f"exp(-(cast({CAIRO_XY[1]} as double) * 2 * pi() / {W!r}))) / 2))"
-)
+# Conservative bbox prefilter radius (exactness lives in the _dist_sql
+# predicate); det-scale so it matches the engine's delta bit for bit.
+_DELTA_SQL = repr(float(mercator.delta_from_meters(2_000_000.0, CAIRO_XY[1])[()]))
 
 
 _SQL_DISTANCE = f"""
@@ -171,9 +169,9 @@ def _q_snap_segments(spark, sf_dir):
 
 def _snap_sql() -> str:
     ddx, ddy = tables.segment_delta_exprs("s_suppkey")
-    # delta_from_meters_col(M, py) * slack — same op order as the Column
-    t_s = f"(cast(py as double) * {2 * math.pi / W!r})"
-    scale = f"((exp({t_s}) + exp(-{t_s})) / 2)"
+    # delta_from_meters_col(M, py) * slack — conservative bbox prefilter
+    # (det-scale keeps it aligned with the Column side's widened bbox).
+    scale = mercator.scale_sql("py")
     delta = f"((cast({SNAP_M!r} as double) * {W!r} / {EC!r} * {scale}) * 1.5)"
     return f"""
       with pts as (

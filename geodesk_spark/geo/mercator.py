@@ -85,13 +85,122 @@ def lat_precision7_from_y(y) -> np.ndarray:
     return _java_round(lat_from_y(y) * 1e7) / 1e7
 
 
+# ---------------------------------------------------------------------------
+# Deterministic exp — bit-identical across numpy / Spark / DuckDB.
+#
+# libm exp() differs between engines and BUILDS of the same engine (the
+# r01/r03 box_area_m2 driver-hash reds: green against local DuckDB, red
+# against the driver's).  Every op below — floor, +, -, *, /, ldexp —
+# is exactly specified by IEEE 754, so evaluating the SAME op sequence
+# on any engine yields the SAME bits.  Classic fdlibm shape: k = round
+# (t/ln2), Cody–Waite-exact r = t - k·ln2, degree-13 Taylor Horner
+# (|r| ≤ ln2/2 → remainder r^14/14! < 5e-18), scale by 2^k.
+# Accuracy vs true exp ~1-2 ulp; determinism exact.  Domain |t| ≤ 700
+# (imp latitudes give |t| ≤ π).
+# ---------------------------------------------------------------------------
+
+_LN2_HI = 6.93147180369123816490e-01  # fdlibm split: k*LN2_HI exact, |k| < 2^20
+_LN2_LO = 1.90821492927058770002e-10
+_INV_LN2 = 1.4426950408889634074
+# Horner coefficients for exp(r): 1/13!, 1/12!, …, 1/1!, 1/0!
+_EXP_C = [1.0 / math.factorial(i) for i in range(13, -1, -1)]
+
+
+def det_exp(t) -> np.ndarray:
+    """exp(t) via the deterministic kernel above (numpy form)."""
+    t = np.asarray(t, dtype=np.float64)
+    k = np.floor(t * _INV_LN2 + 0.5)
+    r = (t - k * _LN2_HI) - k * _LN2_LO
+    p = np.full_like(r, _EXP_C[0])
+    for c in _EXP_C[1:]:
+        p = p * r + c
+    return np.ldexp(p, k.astype(np.int32))
+
+
+# cosh is EVEN and the imp-latitude domain is |t| ≤ π, so no range
+# reduction at all: cosh(t) = Σ t^(2n)/(2n)! evaluated as a degree-13
+# Horner polynomial in s = t² (remainder π^28/28! ≈ 2.7e-16; positive
+# decreasing terms keep evaluation error ~1 ulp).  Only + and × — a
+# ~10× smaller expression tree than exp-based cosh, which matters for
+# Spark whole-stage-codegen method-size limits on hot paths.
+_COSH_C = [1.0 / math.factorial(2 * i) for i in range(13, -1, -1)]
+
+
+def det_cosh(t) -> np.ndarray:
+    """cosh(t) for |t| ≤ ~3.2, bit-identical across engines (numpy)."""
+    t = np.asarray(t, dtype=np.float64)
+    s = t * t
+    p = np.full_like(s, _COSH_C[0])
+    for c in _COSH_C[1:]:
+        p = p * s + c
+    return p
+
+
+def det_cosh_col(t_col):
+    """Spark Column twin of det_cosh — same op sequence."""
+    F = _F()
+    s = t_col * t_col
+    p = F.lit(_COSH_C[0])
+    for c in _COSH_C[1:]:
+        p = p * s + F.lit(c)
+    return p
+
+
+def det_exp_col(t_col):
+    """Spark Column twin of det_exp — same op sequence, pure codegen
+    (floor/shiftleft/fma-free arithmetic; no libm exp)."""
+    F = _F()
+    k = F.floor(t_col * _INV_LN2 + 0.5)  # long
+    kd = k.cast("double")
+    r = (t_col - kd * _LN2_HI) - kd * _LN2_LO
+    p = F.lit(_EXP_C[0])
+    for c in _EXP_C[1:]:
+        p = p * r + F.lit(c)
+    # p * 2^k == ldexp(p, k): scaling by an exact power of two is exact.
+    # Shift by |k| so the unmultiplied branch is still well-defined
+    # (vectorized engines may evaluate both CASE arms).
+    two_abs = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.abs(k).cast("int")
+    ).cast("double")
+    return F.when(k >= 0, p * two_abs).otherwise(p / two_abs)
+
+
+def det_exp_sql(t: str) -> str:
+    """DuckDB SQL twin of det_exp over expression ``t`` (keep ``t`` short
+    — it is textually repeated; bind complex exprs to a CTE column
+    first).  Identical op order to the numpy/Column forms."""
+    k = f"floor(({t}) * {_INV_LN2!r} + 0.5)"
+    r = f"((({t}) - {k} * {_LN2_HI!r}) - {k} * {_LN2_LO!r})"
+    p = repr(_EXP_C[0])
+    for c in _EXP_C[1:]:
+        p = f"({p} * {r} + {c!r})"
+    two_abs = f"cast((1::bigint << cast(abs({k}) as int)) as double)"
+    return f"(case when {k} >= 0 then {p} * {two_abs} else {p} / {two_abs} end)"
+
+
+def det_cosh_sql(t: str) -> str:
+    """DuckDB SQL twin of det_cosh over expression ``t`` (repeated
+    textually 2×13 times — bind complex exprs to a CTE column first)."""
+    s = f"(({t}) * ({t}))"
+    p = repr(_COSH_C[0])
+    for c in _COSH_C[1:]:
+        p = f"({p} * {s} + {c!r})"
+    return p
+
+
+def scale_sql(y: str) -> str:
+    """DuckDB SQL twin of scale() over imp-y expression ``y``."""
+    return det_cosh_sql(f"(cast({y} as double) * 2 * pi() / {MAP_WIDTH!r})")
+
+
 def scale(y) -> np.ndarray:
     """Mercator scale factor at projected latitude y.  Mercator.java:128-131.
 
-    cosh computed as (e^t + e^-t)/2 so numpy, Spark SQL, and DuckDB all
-    execute the identical IEEE op sequence (oracle hash-parity)."""
+    cosh computed with det_cosh so numpy, Spark SQL, and DuckDB all
+    produce bit-identical doubles (oracle hash-parity across engine
+    builds; deviation from libm cosh ≤ ~2 ulp)."""
     t = np.asarray(y, dtype=np.float64) * 2 * math.pi / MAP_WIDTH
-    return (np.exp(t) + np.exp(-t)) / 2
+    return det_cosh(t)
 
 
 def meters_at_y(y) -> np.ndarray:
@@ -222,9 +331,10 @@ def lat_from_y_col(y_col):
 
 
 def scale_col(y_col):
-    F = _F()
-    t = y_col.cast("double") * (2 * math.pi / MAP_WIDTH)
-    return (F.exp(t) + F.exp(-t)) / 2  # cosh
+    # cosh via det_cosh: bit-identical to scale()/scale_sql().  The t op
+    # order ((y·2)·π)/W matches the numpy and SQL twins term for term.
+    t = y_col.cast("double") * 2 * math.pi / MAP_WIDTH
+    return det_cosh_col(t)
 
 
 def distance_col(x1, y1, x2, y2):

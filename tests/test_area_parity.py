@@ -14,7 +14,8 @@ I32 = (1 << 31) - 1
 
 
 def _oracle_sql() -> str:
-    """Mirror of __spark_entry__._sql_box_area's arithmetic, op for op."""
+    """Mirror of driver_queries' _sql_box_area arithmetic, op for op
+    (cosh via mercator.det_cosh_sql — bit-identical across engines)."""
     W = mercator.MAP_WIDTH
     EC = mercator.EARTH_CIRCUMFERENCE
     d = lambda c: f"cast({c} as double)"
@@ -24,13 +25,12 @@ def _oracle_sql() -> str:
     t4 = f"({d('minx')} * {d('miny')} - {d('minx')} * {d('maxy')})"
     a2 = f"((({t1} + {t2}) + {t3}) + {t4})"
     cy = f"(((({d('miny')} + {d('miny')}) + {d('maxy')}) + {d('maxy')}) / 4.0)"
-    t = f"({cy} * 2 * pi() / {W!r})"
-    scale = f"((exp({t}) + exp(-({t}))) / 2)"
-    s_ = f"({EC!r} / {W!r} / {scale})"
+    s_ = f"({EC!r} / {W!r} / {mercator.det_cosh_sql('t')})"
     return f"""
-      select fid, case when abs({a2}) / 2.0 = 0 then 0.0
-                  else (abs({a2}) / 2.0) * {s_} * {s_} end as area_m2
-      from boxes order by fid
+      with c as (select fid, {a2} as a2, ({cy} * 2 * pi() / {W!r}) as t from boxes)
+      select fid, case when abs(a2) / 2.0 = 0 then 0.0
+                  else (abs(a2) / 2.0) * {s_} * {s_} end as area_m2
+      from c order by fid
     """
 
 
@@ -67,4 +67,9 @@ def test_box_area_adversarial_parity():
     for i, (minx, miny, maxx, maxy) in enumerate(cases):
         got = _spark_side(minx, miny, maxx, maxy)
         want = float(odf["area_m2"].iloc[i])
-        assert f"{got:.9g}" == f"{want:.9g}", (i, cases[i], got, want)
+        # det_exp makes the two engines BIT-identical, not merely 9-digit
+        # close (the r01/r03 driver env proved 9 digits isn't enough
+        # insurance against a different libm build).
+        assert np.float64(got).view(np.int64) == np.float64(want).view(np.int64), (
+            i, cases[i], got, want,
+        )
