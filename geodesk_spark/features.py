@@ -282,7 +282,13 @@ class Features:
         """Shared export scaffolding for to_geojson/to_wkt: nodes through
         ``point_fn(x, y)``, ways through ``way_fn(pts, is_area)`` over the
         sorted way-node vertex arrays; ``extra`` adds (alias, Column)
-        pass-through columns (e.g. the properties JSON)."""
+        pass-through columns (e.g. the properties JSON).
+
+        Ways with NO way-node rows at all are DROPPED by the inner join
+        below (documented contract: a vertexless way has no renderable
+        geometry; the reference's GOL builder likewise never emits such
+        a feature).  Ways whose vertex array exists but is empty fail
+        loudly inside the writers (raise_error in way_fn)."""
         cols = set(self._df.columns)
         is_area = (
             F.coalesce(F.col("is_area"), F.lit(False))

@@ -744,7 +744,12 @@ def kcenter_select(
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        q = F.floor(dot / (nrm_v * F.lit(nc)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        # greatest(·, 1e-12): a zero-norm vector would make the cosine
+        # NaN→null, and Spark orders nulls FIRST asc while DuckDB puts
+        # them LAST — guard the denominator identically on both engines.
+        q = F.floor(
+            dot / F.greatest(nrm_v * F.lit(nc), F.lit(1e-12)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
         cur = cur.withColumn(
             "mind", F.least(F.coalesce(F.col("mind"), q), q)
         ).localCheckpoint(eager=True)
@@ -786,7 +791,10 @@ def kcenter_sql(table: str = "embeddings", k: int = 6) -> str:
             f"list_sum(list_transform(range(1, len({rel_a}.embedding) + 1), "
             f"i -> cast({rel_a}.embedding[i] as double) * cast({rel_c}.embedding[i] as double)))"
         )
-        return f"cast(floor({dot} / ({nrm(rel_a)} * {nrm(rel_c)}) * 1e6 + 0.5) as bigint)"
+        return (
+            f"cast(floor({dot} / greatest({nrm(rel_a)} * {nrm(rel_c)}, 1e-12) "
+            f"* 1e6 + 0.5) as bigint)"
+        )
 
     parts = [f"s1 as (select vec_id, embedding from {table} order by vec_id limit 1)"]
     for r in range(1, k):

@@ -381,7 +381,7 @@ def _release_local_checkpoint(df: DataFrame) -> None:
 
 
 def _star_round(e: DataFrame, large: bool) -> DataFrame:
-    """One large-star / small-star step (Kiveris et al., "Connected
+    r"""One large-star / small-star step (Kiveris et al., "Connected
     Components in MapReduce and Beyond").  ``e`` holds directed edges
     (src, dst); per node u with neighborhood G(u):
 
@@ -459,6 +459,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     )
     prev = None
     prev_n = -1
+    converged = False
     for _ in range(max_iter):
         e = _star_round(_star_round(e, large=True), large=False)
         e = e.localCheckpoint(eager=True)
@@ -481,6 +482,21 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     out = vertices.join(e, vertices.doc_id == e.src, "left").select(
         "doc_id", F.coalesce(F.col("dst"), F.col("doc_id")).alias("comp_id")
     )
+    if not converged:
+        # max_iter exhausted before the star fixpoint: e need not be a
+        # union of stars, so a vertex could carry several (v, center)
+        # edges — collapse to ONE label per vertex (min keeps the result
+        # deterministic and a valid, if coarser, component refinement)
+        # instead of silently duplicating rows downstream.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within max_iter={max_iter}; "
+            "labels collapsed by min and may split true components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        out = out.groupBy("doc_id").agg(F.min("comp_id").alias("comp_id"))
     return out
 
 

@@ -443,11 +443,16 @@ def geojson_way_col(pts_col, is_area_col):
     ring = F.when(already_closed, coords).otherwise(
         F.concat(coords, F.lit(","), pt(first))
     )
-    return F.when(
+    geom = F.when(
         is_area_col,
         F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}")),
     ).otherwise(
         F.concat(F.lit('{"type":"LineString","coordinates":['), coords, F.lit("]}"))
+    )
+    # Empty vertex arrays would null element_at and silently null the
+    # whole concat — fail loudly instead (malformed way = corrupt input).
+    return F.when(F.size(pts_col) > 0, geom).otherwise(
+        F.raise_error(F.lit("geojson_way_col: way with empty vertex array"))
     )
 
 
@@ -482,6 +487,10 @@ def wkt_way_col(pts_col, is_area_col):
     ring = F.when(already_closed, coords).otherwise(
         F.concat(coords, F.lit(", "), _wkt_pt(first.x, first.y))
     )
-    return F.when(
+    geom = F.when(
         is_area_col, F.concat(F.lit("POLYGON (("), ring, F.lit("))"))
     ).otherwise(F.concat(F.lit("LINESTRING ("), coords, F.lit(")")))
+    # fail loudly on empty vertex arrays (see geojson_way_col)
+    return F.when(F.size(pts_col) > 0, geom).otherwise(
+        F.raise_error(F.lit("wkt_way_col: way with empty vertex array"))
+    )

@@ -261,3 +261,28 @@ def test_kcenter_select_k_exceeds_rows(spark):
     assert len(got) == 3 and {i for _, i in got} == {0, 1, 2}
     empty = df.filter("vec_id < 0")
     assert ann.kcenter_select(empty, k=4).count() == 0
+
+
+def test_kcenter_zero_norm_cross_engine(spark):
+    """ADVICE r03: a zero-norm embedding used to make the quantized
+    cosine NaN→null, and Spark's asc-nulls-FIRST vs DuckDB's nulls-LAST
+    silently broke cross-engine determinism.  With the greatest(·,1e-12)
+    denominator guard the selection must match DuckDB bit for bit."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(97)
+    rows = [(i, [float(np.float32(v)) for v in rng.normal(size=6)]) for i in range(20)]
+    rows[7] = (7, [0.0] * 6)  # degenerate zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in ann.kcenter_select(df, k=6).orderBy("sel_rank").collect()
+    ]
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    want = [tuple(r) for r in con.sql(
+        ann.kcenter_sql("embeddings", k=6) + " order by sel_rank"
+    ).fetchall()]
+    assert got == want
+    assert len({i for _, i in got}) == 6

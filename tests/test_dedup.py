@@ -193,3 +193,26 @@ def test_embedding_neardup_adaptive_tables(spark):
     assert found <= true
     recall = len(found & true) / len(true) if true else 1.0
     assert recall >= 0.9, f"adaptive recall {recall:.2f} below analytic target"
+
+
+def test_connected_components_max_iter_collapse(spark):
+    """ADVICE r03: exhausting max_iter before the star fixpoint must
+    still yield exactly ONE (doc_id, comp_id) row per vertex (collapsed
+    by min + RuntimeWarning), never silent row duplication."""
+    import warnings
+
+    # long path graph: 0-1-2-...-19 — needs several star rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.connected_components(pairs, max_iter=1).collect()
+    rows_per_vertex = {}
+    for r in out:
+        rows_per_vertex[r["doc_id"]] = rows_per_vertex.get(r["doc_id"], 0) + 1
+    assert len(out) == 20
+    assert all(n == 1 for n in rows_per_vertex.values())
+    # converged run: no warning, exact components
+    full = dedup.connected_components(pairs).collect()
+    assert {(r["doc_id"], r["comp_id"]) for r in full} == {(i, 0) for i in range(20)}

@@ -196,3 +196,28 @@ def test_features_to_wkt_strings(spark):
     assert wkt[("way", 12)].startswith("POLYGON ((")
     ring = wkt_coords(wkt[("way", 12)])
     assert ring == gj[("way", 12)]["coordinates"][0] and ring[0] == ring[-1]
+
+
+def test_empty_vertex_way_fails_loudly(spark):
+    """ADVICE r03: a way whose vertex array is EMPTY must raise, not
+    silently emit a null geometry string."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from geodesk_spark.operators import geometry_ops as g
+
+    df = spark.createDataFrame(
+        [(1, [], False)],
+        "fid long, pts array<struct<x:int,y:int>>, is_area boolean",
+    )
+    bad = df.select(g.geojson_way_col(F.col("pts"), F.col("is_area")).alias("s"))
+    with _pytest.raises(Exception, match="empty vertex array"):
+        bad.collect()
+    bad_wkt = df.select(g.wkt_way_col(F.col("pts"), F.col("is_area")).alias("s"))
+    with _pytest.raises(Exception, match="empty vertex array"):
+        bad_wkt.collect()
+    # non-empty ways still render
+    ok = spark.createDataFrame(
+        [(1, [(0, 0), (1000, 0), (1000, 1000)], True)],
+        "fid long, pts array<struct<x:int,y:int>>, is_area boolean",
+    ).select(g.geojson_way_col(F.col("pts"), F.col("is_area")).alias("s"))
+    assert ok.collect()[0]["s"].startswith('{"type":"Polygon"')
