@@ -170,6 +170,181 @@ def query_tile_list(qminx, qminy, qmaxx, qmaxy, zooms=ZOOM_LEVELS) -> list[int]:
     return [t for t, _ in slow_query_tiles(qminx, qminy, qmaxx, qmaxy, zooms)]
 
 
+# ---------------------------------------------------------------------------
+# GOL tile-index walk: serialized-index TIP assignment + walk order
+# (TileIndexWalker.java:58-82 Level.init, :174-305 next()).  TIPs order the
+# physical layout (walk-order clustering), so the storage-layout sort key
+# and the reference's tile enumeration agree record for record.
+# ---------------------------------------------------------------------------
+
+
+def _tile_tree(populated: set[int], zooms) -> tuple[set[int], dict[int, set[int]]]:
+    """Ancestor closure of ``populated`` over the level set + child map.
+    Tiles are packed (z << 24) | (row << 12) | col (Tile.java:34-41)."""
+    zs = sorted(zooms)
+    tree: set[int] = set()
+    children: dict[int, set[int]] = {}
+    for t0 in populated:
+        t = t0
+        z = t >> 24
+        if z not in zs:
+            raise ValueError(f"tile zoom {z} not in level set {zs}")
+        while True:
+            tree.add(t)
+            i = zs.index(z)
+            pz = zs[i - 1] if i else 0
+            dz = z - pz
+            p = (pz << 24) | ((((t >> 12) & 0xFFF) >> dz) << 12) | ((t & 0xFFF) >> dz)
+            children.setdefault(p, set()).add(t)
+            if pz == 0:
+                tree.add(0)
+                break
+            t, z = p, pz
+    return tree, children
+
+
+# Default level set for the serialized walk: the DEFAULT pyramid levels
+# {4,6,8,10,12} plus a zoom-2 bridge, because TileIndexWalker's 64-bit
+# childTileMask defines extents 2/4/8 only (steps 1-3) and the root→4
+# step of the raw default would need a 16×16 grid the reference walker
+# cannot read (gol-tool lays the root out specially; its source is not
+# in the reference repo, so we constrain instead of guessing).
+WALK_ZOOM_LEVELS = (2, *ZOOM_LEVELS)
+
+
+def build_tile_index(populated: set[int], zooms=WALK_ZOOM_LEVELS, page_of=None):
+    """Serialize a GOL-style tile index for a populated-tile set.
+
+    Layout per the walker's reads (TileIndexWalker.java): a tile WITH
+    children gets a record ``[page word][childTileMask (2 words when
+    extent==8, else 1)][one slot per existing child, childNumber
+    ascending]`` (Level.init:80-82 ``pChildEntries = pEntry +
+    (extent==8 ? 12 : 8)``; next():216-217 bit-count slot lookup).  A
+    slot holds the child's page shifted left 2 (flags 00, leaf) or a
+    byte offset to the child's record with flag bit 01 (next():292-300
+    ``pEntry += pageOrPtr ^ 1``).  The root record sits at word 1
+    (start():123 ``root.init(buf, pTileIndex + 4, ...)``), records are
+    appended in walk (pre)order.
+
+    TIP per the walker (next():301): the child-record word index for
+    tiles with children, the parent-slot word index for leaves.
+
+    Steps between levels must be 1-3 (ZoomLevels.zoomSteps:108-109);
+    unlike the reference we also require the root step ≤ 3 — a 64-bit
+    childTileMask cannot express the DEFAULT {4,..} root's 16×16 grid,
+    so root-adjacent levels in this engine start no higher than zoom 3.
+
+    Returns (words, tips): the int32 word array and {tile: TIP}.
+    """
+    zs = sorted(zooms)
+    steps = [zs[0]] + [b - a for a, b in zip(zs, zs[1:])]
+    if not all(1 <= s <= 3 for s in steps):
+        raise ValueError(f"level steps must be 1-3, got {steps} for {zs}")
+    tree, children = _tile_tree(set(populated), zs)
+    page_of = page_of or {}
+    next_page = [1]
+
+    def page(t: int) -> int:
+        if t not in page_of:
+            page_of[t] = next_page[0]
+            next_page[0] += 1
+        return page_of[t]
+
+    words: list[int] = [0]  # word 0: index header (unused by the walker)
+    tips: dict[int, int] = {}
+
+    def emit(t: int, zi: int) -> int:
+        """Append t's record; return its word position."""
+        pos = len(words)
+        step = steps[zi]
+        extent = 1 << step
+        cz = zs[zi]
+        tile_left = (t & 0xFFF) << step
+        tile_top = ((t >> 12) & 0xFFF) << step
+        kids = sorted(
+            children.get(t, ()),
+            key=lambda c: (((c >> 12) & 0xFFF) - tile_top) * extent
+            + ((c & 0xFFF) - tile_left),
+        )
+        mask = 0
+        for c in kids:
+            mask |= 1 << (
+                (((c >> 12) & 0xFFF) - tile_top) * extent + ((c & 0xFFF) - tile_left)
+            )
+        words.append(page(t) << 2)  # the record tile's own page
+        words.append(mask & 0xFFFFFFFF)
+        if extent == 8:
+            words.append((mask >> 32) & 0xFFFFFFFF)
+        slot0 = len(words)
+        words.extend(0 for _ in kids)  # slots, patched below
+        for i, c in enumerate(kids):
+            slot = slot0 + i
+            if children.get(c):
+                rec = emit(c, zi + 1)
+                words[slot] = ((rec - slot) * 4) | 1  # relative byte ptr, flag 01
+                tips[c] = rec
+            else:
+                words[slot] = page(c) << 2  # leaf page, flags 00
+                tips[c] = slot
+        return pos
+
+    root_pos = emit(0, 0)
+    assert root_pos == 1
+    tips[0] = 1
+    return words, tips
+
+
+def tile_index_walk(
+    populated: set[int],
+    qminx: int,
+    qminy: int,
+    qmaxx: int,
+    qmaxy: int,
+    zooms=WALK_ZOOM_LEVELS,
+) -> list[tuple[int, int, int]]:
+    """Enumerate (tile, tip, northwestFlags) for a query bbox in the
+    reference's EXACT walk order (TileIndexWalker.java:174-305):
+    depth-first pre-order — a tile is reported, then its child level is
+    walked to exhaustion before its next sibling — row-major within each
+    level, empty cells skipped via the child mask.  northwestFlags per
+    the dense-bbox rule (next():287-297).  Driver-side control only
+    (the result lists tiles/partitions to scan); never per-row."""
+    zs = sorted(zooms)
+    steps = [zs[0]] + [b - a for a, b in zip(zs, zs[1:])]
+    tree, children = _tile_tree(set(populated), zs)
+    _, tips = build_tile_index(populated, zs)
+    out: list[tuple[int, int, int]] = []
+
+    def visit(parent: int, zi: int) -> None:
+        z = zs[zi]
+        step = steps[zi]
+        extent = 1 << step
+        tile_left = (parent & 0xFFF) << step
+        tile_top = ((parent >> 12) & 0xFFF) << step
+        left = (qminx + (1 << 31)) >> (32 - z)
+        right = (qmaxx + (1 << 31)) >> (32 - z)
+        top = ((1 << 31) - 1 - qmaxy) >> (32 - z)
+        bottom = ((1 << 31) - 1 - qminy) >> (32 - z)
+        c0, c1 = max(left - tile_left, 0), min(right - tile_left, extent - 1)
+        r0, r1 = max(top - tile_top, 0), min(bottom - tile_top, extent - 1)
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                t = (z << 24) | ((tile_top + r) << 12) | (tile_left + c)
+                if t not in tree:
+                    continue
+                top_y = (1 << 31) - 1 - ((tile_top + r) << (32 - z))
+                left_x = ((tile_left + c) << (32 - z)) - (1 << 31)
+                nw = (T.MULTITILE_NORTH if qmaxy > top_y else 0) | (
+                    T.MULTITILE_WEST if qminx < left_x else 0
+                )
+                out.append((t, tips[t], nw))
+                if children.get(t) and zi + 1 < len(zs):
+                    visit(t, zi + 1)
+
+    visit(0, 0)
+    return out
+
+
 # --- shared segment-bbox cell cover (fixed zoom) ----------------------------
 # ONE definition of the cover arithmetic used by the big-big joins and the
 # tile clip (bigjoin.crossing_segments_join, tiles_sink.clip_segments_to_tiles)
