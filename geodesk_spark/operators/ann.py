@@ -139,6 +139,10 @@ def ivf_topk(
     At cluster scale the centroid id is a partition/cluster key, so a
     probe touches nprobe/n_centroids of the data; the codebook is tiny
     and broadcast.  Returns (query_id, vec_id, rank, score).
+
+    Measured recall (near-uniform sf0.001 embeddings, IVF's hard case —
+    no cluster structure): mean recall@10 = 0.79 at nprobe=8/16 (half
+    the lists probed); pinned ≥0.6 by tests/test_ann.py::test_ivf_recall.
     """
     spark = df.sparkSession
     Q, qids = _query_matrix(df, query_ids)
@@ -217,6 +221,11 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 12
 
     At 10^12 scale the bucket column is a partition/cluster key, so the
     candidate read touches (n_planes+1)/2^n_planes of the data.
+
+    Measured recall (near-uniform sf0.001 embeddings): mean recall@10 =
+    0.25 at n_planes=6 while scanning ~11% of the data (≈2.3× what a
+    random scan of the same fraction recalls); pinned vs the random-scan
+    bar by tests/test_ann.py::test_lsh_beats_random_scan.
     """
     spark = df.sparkSession
     Q, qids = _query_matrix(df, query_ids)
@@ -361,6 +370,10 @@ def pq_topk(
     is the stored artifact (32× smaller than float32 at dim 64) and
     rebuilding LUTs per query batch is free — the standard
     billion-scale recipe.  Returns (query_id, vec_id, rank).
+
+    Measured recall (near-uniform sf0.001 embeddings, PQ's worst case):
+    mean recall@10 = 0.09 at m=4/ksub=8 ≈ 4.4× a random scan of k
+    candidates (0.02); pinned ≥3× random by tests/test_ann.py::test_pq_recall.
     """
     spark = df.sparkSession
     books = pq_codebooks(df, m=m, ksub=ksub)

@@ -288,6 +288,11 @@ def embedding_neardup_pairs(
     to 6 decimals so the DuckDB oracle lands on the same side.
     Requires n_tables·sign_dims ≤ vector dimension.
 
+    Measured quality (sf0.01 embeddings, threshold 0.40, sign_dims=4):
+    precision exactly 1.0 (every emitted pair clears the threshold) and
+    recall 0.81 vs the brute all-pairs oracle (48/59 true pairs);
+    pinned ≥0.7 by tests/test_dedup.py::test_embedding_neardup_measured_recall.
+
     RECALL < 1, by design: a qualifying pair whose vectors disagree in
     a sign within EVERY table is never tested (precision is exact —
     every emitted pair truly clears the threshold).  One 4-dim table
