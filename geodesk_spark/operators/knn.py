@@ -72,9 +72,10 @@ def knn(
     points: DataFrame,
     queries: list[tuple[str, float, float]],
     k: int,
-    init_radius_imps: int = 1 << 20,  # one z12 tile
+    init_radius_imps: int | str = "auto",
     id_col: str = "image_id",
     assert_unique_ids: bool = False,
+    n_points: int | None = None,
 ) -> DataFrame:
     """queries: [(query_id, lon, lat), ...] → (query_id, id, dist_m, rank).
 
@@ -103,7 +104,8 @@ def knn(
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
     return knn_join(
-        points, qdf, k, init_radius_imps=init_radius_imps, id_col=id_col
+        points, qdf, k, init_radius_imps=init_radius_imps, id_col=id_col,
+        n_points=n_points,
     ).select("query_id", id_col, "dist_m", "rank")
 
 
@@ -121,15 +123,38 @@ def _guarantee_col(qy_col, radius: int):
     return F_.lit(float(radius)) * mpi
 
 
+def _auto_radius(points: DataFrame, k: int, n_points: int | None = None) -> int:
+    """Density-derived initial window radius (VERDICT r03 #2): size the
+    Chebyshev window so a globally-uniform corpus puts ~6k points inside
+    it — E[pts in (2r)²] = 6k ⇒ r = W·sqrt(6k/n)/2 — so virtually every
+    query completes in ROUND ONE (each extra round is a full fact scan
+    + candidate window).  One column-pruned count() job up front buys
+    that; locally non-uniform data (ocean/polar windows) still escalates
+    through the exact guarantee, so this is a pure schedule heuristic —
+    results are provably exact either way.  Clamped to [1<<18, 1<<28]:
+    the floor keeps dense-city windows from degenerating below cell
+    granularity, the cap keeps a near-empty corpus from starting at a
+    near-world window (escalation reaches the world anyway).
+
+    ``n_points`` skips the count() job when the caller already knows the
+    corpus size (an APPROXIMATE figure is fine — the radius only needs
+    order-of-magnitude density; parquet footer metadata is the free
+    source)."""
+    n = max(n_points if n_points is not None else points.count(), 1)
+    r = int(mercator.MAP_WIDTH * float(np.sqrt(6.0 * k / n)) / 2)
+    return min(max(r, 1 << 18), 1 << 28)
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
     k: int,
-    init_radius_imps: int = 1 << 20,  # one z12 tile
+    init_radius_imps: int | str = "auto",
     id_col: str = "image_id",
     query_id: str = "query_id",
     broadcast_queries: bool = True,
     max_per_axis: int = 32,
+    n_points: int | None = None,
 ) -> DataFrame:
     """Table×table kNN join: exact k nearest ``points`` for EVERY row of
     a DataFrame-sized query side → (id, query_id, dist_m, rank).
@@ -165,6 +190,8 @@ def knn_join(
     ``queries`` must carry (``query_id``, x, y) with imp-space coords;
     ``id_col`` must be unique per point (the tie-break).
     """
+    if init_radius_imps == "auto":
+        init_radius_imps = _auto_radius(points, k, n_points)
     pts = points.select(id_col, "x", "y")
     active = queries.select(
         F.col(query_id).alias("_qid"),
@@ -544,6 +571,7 @@ def idw_interpolate(
     k: int = 8,
     val_col: str = "v",
     id_col: str = "image_id",
+    n_points: int | None = None,
 ) -> DataFrame:
     """Inverse-distance-weighted interpolation at query locations — the
     classic spatial-interpolation consumer of kNN: estimate a field value
@@ -576,7 +604,9 @@ def idw_interpolate(
         for qid, lon, lat in queries
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, x long, y long")
-    nn = knn_join(points, qdf, k, id_col=id_col).select("query_id", id_col, "rank")
+    nn = knn_join(points, qdf, k, id_col=id_col, n_points=n_points).select(
+        "query_id", id_col, "rank"
+    )
     j = (
         points.select(id_col, "x", "y", F.col(val_col).cast("double").alias("v"))
         .join(F.broadcast(nn), id_col)

@@ -21,6 +21,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER (driver-side, milliseconds —
+    no Spark job): the free density hint for knn's auto window radius."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load`` + repartition when the file gives fewer input splits
     than the session has cores.  Small local test files arrive as ONE
