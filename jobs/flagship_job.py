@@ -35,6 +35,16 @@ def main():
     ap.add_argument("--input", default=None, help="existing parquet input (else synthesized)")
     ap.add_argument("--workdir", required=True, help="checkpoint root")
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument(
+        "--layout",
+        choices=["plain", "zorder"],
+        default="plain",
+        help="encode-snapshot layout: zorder = zoom-16 Morton range-partition "
+        "+ in-file sort (measured −24%% scan wall at low parallelism and "
+        "better zstd ratios; enables spatial partition pruning on the "
+        "snapshot via sources/layout.bbox_partition_filter)",
+    )
+    ap.add_argument("--codec", default=None, help="parquet codec for snapshots (e.g. zstd)")
     args = ap.parse_args()
 
     # Import AFTER spark-submit has placed the --py-files zip on sys.path.
@@ -73,8 +83,22 @@ def main():
             return s.read.parquet(args.input)
         return synth.images_df(s, args.rows, with_bytes=False, partitions=args.partitions)
 
+    if args.codec:
+        spark.conf.set("spark.sql.parquet.compression.codec", args.codec)
+
     def encode(s):
-        return tiling.with_point_tiles(tiling.with_imp_coords(pipe.read("ingest")))
+        df = tiling.with_point_tiles(tiling.with_imp_coords(pipe.read("ingest")))
+        if args.layout == "zorder":
+            from geodesk_spark.geo import curve
+
+            zf = curve.morton_cell_col(F.col("x"), F.col("y"), 16).alias("_zfine")
+            df = (
+                df.select("*", zf)
+                .repartitionByRange(args.partitions, "_zfine")
+                .sortWithinPartitions("_zfine")
+                .drop("_zfine")
+            )
+        return df
 
     def joined(s):
         prepared = spatial_join.prepare_layer(synth.polygon_layer())
