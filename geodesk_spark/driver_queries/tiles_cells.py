@@ -808,3 +808,138 @@ def _wkt_ways_sql() -> str:
                   else 'LINESTRING (' || coords || ')' end as wkt
       from r
     """
+
+
+# --- GOL tile-index walk as a driver query (r04) ----------------------------
+
+WALK_ZOOMS = (2, 4, 6)
+
+WALK_BBOX = (-(1 << 30), -(1 << 29), 1 << 30, 1 << 29)
+
+
+def _q_tile_walk(spark, sf_dir):
+    """GOL tile-index walk (TileIndexWalker.java:174-305): the populated
+    z6 tiles of the orders points (bounded, ≤4096 distinct cells —
+    a driver-side dimension read by construction) are serialized into
+    the GOL index layout and walked for a half-world query bbox; rows =
+    (ord, tile, tip, nw) in the reference's depth-first pre-order with
+    TIP word positions.  This is the partition-pruning CONTROL surface
+    (like query_tile_list), not a fact-table operator — the oracle
+    re-derives order, flags, AND the TIP arithmetic independently via
+    recursive CTEs + cumulative record sizes."""
+    from geodesk_spark.operators import tiling
+
+    pts = tables.with_derived_points(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    z = 6
+    cells = (
+        pts.select(
+            (
+                F.lit(z << 24)
+                + (F.shiftright(F.lit((1 << 31) - 1) - F.col("y").cast("long"), 32 - z) * F.lit(1 << 12))
+                + F.shiftright(F.col("x").cast("long") + F.lit(1 << 31), 32 - z)
+            ).alias("t")
+        )
+        .distinct()
+        .collect()
+    )
+    populated = {int(r["t"]) for r in cells}
+    walk = tiling.tile_index_walk(populated, *WALK_BBOX, zooms=WALK_ZOOMS)
+    rows = [(i + 1, t, tip, nw) for i, (t, tip, nw) in enumerate(walk)]
+    return spark.createDataFrame(rows, "ord int, tile long, tip long, nw int")
+
+
+def _tile_walk_sql() -> str:
+    """Independent SQL derivation of the walk: the tree from the same z6
+    cells, pre-order via recursive path arrays, NW flags from the
+    dense-bbox rule, and TIPs from cumulative record sizes in FULL-tree
+    pre-order (records = 1 page word + 1 mask word (extent 4) +
+    one slot per child; leaf TIP = parent record + 2 + child index)."""
+    qminx, qminy, qmaxx, qmaxy = WALK_BBOX
+    zs = WALK_ZOOMS
+    lvl_preds = []
+    for z in zs:
+        left = f"(({qminx}::bigint + 2147483648) >> {32 - z})"
+        right = f"(({qmaxx}::bigint + 2147483648) >> {32 - z})"
+        top = f"((2147483647::bigint - {qmaxy}) >> {32 - z})"
+        bottom = f"((2147483647::bigint - {qminy}) >> {32 - z})"
+        lvl_preds.append(
+            f"when (tile >> 24) = {z} then (tile & 4095) between {left} and {right} "
+            f"and ((tile >> 12) & 4095) between {top} and {bottom}"
+        )
+    in_bbox = "case " + " ".join(lvl_preds) + " else false end"
+    return f"""
+      with recursive pts as ({_DERIVED_SQL}),
+      n6 as (select distinct (6 << 24)
+                    | ((( (2147483647::bigint - y) >> 26 ) :: bigint) << 12)
+                    | (((x + 2147483648) >> 26) :: bigint) as tile
+             from pts),
+      n4 as (select distinct (4 << 24)
+                    | ((((tile >> 12) & 4095) >> 2) << 12)
+                    | ((tile & 4095) >> 2) as tile from n6),
+      n2 as (select distinct (2 << 24)
+                    | ((((tile >> 12) & 4095) >> 2) << 12)
+                    | ((tile & 4095) >> 2) as tile from n4),
+      nodes as (select tile from n2 union select tile from n4 union select tile from n6),
+      edges as (
+        select (4 << 24) | ((((tile >> 12) & 4095) >> 2) << 12) | ((tile & 4095) >> 2) as parent,
+               tile as child from n6
+        union
+        select (2 << 24) | ((((tile >> 12) & 4095) >> 2) << 12) | ((tile & 4095) >> 2) as parent,
+               tile as child from n4
+        union
+        select 0 as parent, tile as child from n2
+      ),
+      -- childNumber within the parent's 4x4 grid (steps of 2)
+      cn as (select parent, child,
+                    (((child >> 12) & 4095) % 4) * 4 + ((child & 4095) % 4) as num
+             from edges),
+      -- FULL-tree pre-order (no bbox): path arrays, lexicographic = walk order
+      full_walk(tile, path) as (
+        select child, [num] from cn where parent = 0
+        union all
+        select c.child, f.path || [c.num]
+        from full_walk f join cn c on c.parent = f.tile
+      ),
+      kids as (select parent, count(*) as n from cn group by 1),
+      -- records: the root (pos 1) + every internal node, in pre-order;
+      -- record size = 1 page word + 1 mask word + n slots (extent 4)
+      recs as (
+        select 0 as tile, cast(null as bigint[]) as path, 0 as ord0,
+               2 + (select n from kids where parent = 0) as size
+        union all
+        select f.tile, f.path, row_number() over (order by f.path) as ord0,
+               2 + k.n as size
+        from full_walk f join kids k on k.parent = f.tile
+      ),
+      rpos as (select tile,
+                      1 + coalesce(sum(size) over (order by ord0
+                            rows between unbounded preceding and 1 preceding), 0) as pos
+               from recs),
+      -- leaf TIP: parent record pos + 2 + index among the parent's children
+      slot as (select c.child as tile,
+                      rp.pos + 2 + (row_number() over (partition by c.parent order by c.num) - 1) as tip
+               from cn c join rpos rp on rp.tile = c.parent
+               where c.child not in (select parent from kids)),
+      tips as (select tile, pos as tip from rpos where tile <> 0
+               union all select tile, tip from slot),
+      visible as (
+        select f.tile, f.path from full_walk f
+        where {in_bbox.replace('tile', 'f.tile')}
+          -- every ancestor must be in bbox range too (the walker prunes
+          -- whole subtrees): enforce by requiring the parent visible
+      ),
+      vis_rec(tile, path) as (
+        select tile, path from visible v
+        where len(v.path) = 1
+        union all
+        select v.tile, v.path from visible v
+        join vis_rec p on len(v.path) = len(p.path) + 1
+                      and v.path[1:len(p.path)] = p.path
+      )
+      select cast(row_number() over (order by v.path) as int) as ord,
+             v.tile,
+             t.tip,
+             cast(case when {qmaxy} > 2147483647 - (((v.tile >> 12) & 4095) << (32 - (v.tile >> 24))) then 128 else 0 end
+                + case when {qminx} < ((v.tile & 4095) << (32 - (v.tile >> 24))) - 2147483648 then 64 else 0 end as int) as nw
+      from vis_rec v join tips t on t.tile = v.tile
+    """
