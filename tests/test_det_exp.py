@@ -106,3 +106,30 @@ def test_det_exp_scalar_identities():
     assert float(M.scale(0)[()]) == 1.0
     y80 = M.y_from_lat(80.0)[()]
     assert float(M.scale(y80)[()]) == pytest.approx(float(M.scale(-y80)[()]))
+
+
+def test_det_cosh_properties():
+    """Property sweep: symmetry (exact — s=t² erases the sign), cosh ≥ 1,
+    monotone in |t|, and NaN/inf propagation."""
+    rng = np.random.default_rng(5)
+    t = rng.uniform(-math.pi, math.pi, 200001)
+    v = M.det_cosh(t)
+    assert np.array_equal(v.view(np.int64), M.det_cosh(-t).view(np.int64))
+    assert (v >= 1.0).all()
+    ts = np.sort(np.abs(t))
+    assert (np.diff(M.det_cosh(ts)) >= 0).all()
+    assert np.isnan(M.det_cosh(np.array([np.nan]))[0])
+
+
+def test_det_exp_hypothesis_bits():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-3.2, max_value=3.2, allow_nan=False))
+    def inner(t):
+        a = float(M.det_exp(t)[()])
+        b = float(M.det_exp(np.array([t]))[0])
+        assert np.float64(a).view(np.int64) == np.float64(b).view(np.int64)
+        assert abs(a / math.exp(t) - 1) < 1e-14
+
+    inner()

@@ -252,3 +252,19 @@ def test_walk_covers_query_tile_list():
         if (t >> 24) in zooms
     }
     assert walked == (dense & tree)
+
+
+def test_walk_step1_levels_and_sparse_bbox():
+    """Step-1 levels (extent 2, 4-bit masks) and a bbox touching nothing."""
+    zooms = (1, 2, 3)
+    pop = {_t(3, 5, 2), _t(3, 0, 7), _t(2, 1, 1)}
+    world = (-I31, -I31, I31 - 1, I31 - 1)
+    got = tiling.tile_index_walk(pop, *world, zooms=zooms)
+    assert got == _java_walk(pop, world, zooms)
+    # a bbox inside an empty quadrant yields nothing
+    empty = tiling.tile_index_walk({_t(3, 7, 7)}, -I31, 0, -1, I31 - 1, zooms=zooms)
+    # tile (3,7,7) is in the south-east; the north-west query bbox sees
+    # only ancestors that overlap it — none, since ancestors of (7,7)
+    # are all in the east half
+    assert empty == _java_walk({_t(3, 7, 7)}, (-I31, 0, -1, I31 - 1), zooms)
+    assert empty == []
