@@ -551,3 +551,18 @@ def _q_repetition(spark, sf_dir):
 
 def _repetition_sql() -> str:
     return text.repetition_stats_sql("documents", n=3)
+
+
+def _q_substring_spans(spark, sf_dir):
+    """Cross-document exact-substring duplication stats
+    (dedup.substring_span_stats): per doc, how many of its 8-token
+    rolling windows appear verbatim in >=2 distinct docs -- the
+    fixed-window re-expression of suffix-array substring dedup (Lee et
+    al. 2022).  One explode -> one window shuffle keyed by md5 span ->
+    one per-doc agg; all JVM."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return dedup.substring_span_stats(d, k=8)
+
+
+def _substring_spans_sql() -> str:
+    return dedup.substring_span_stats_sql("documents", k=8)

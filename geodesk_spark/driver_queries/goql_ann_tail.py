@@ -306,3 +306,17 @@ def _geo_medoid_sql() -> str:
       select b.gid, b.id as medoid_id, n.n_members
       from best b join n using (gid)
     """
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (ann.semdedup_prune): deterministic-Lloyd cluster the
+    embedding table, prune every vector with a smaller-id cluster-mate
+    at quantized cosine >= 0.40 (the corpus's near-dup threshold
+    convention) -- semantic near-duplicates lexical dedup cannot see.
+    Integer-1e-6 threshold compare on both engines."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.semdedup_prune(e, threshold=0.40)
+
+
+def _semdedup_sql() -> str:
+    return ann.semdedup_sql("embeddings", threshold=0.40)

@@ -831,3 +831,154 @@ def kcenter_sql(table: str = "embeddings", k: int = 6) -> str:
         f"select cast({i} as bigint) as sel_rank, vec_id from s{i}" for i in range(1, k + 1)
     )
     return "with " + ",\n      ".join(parts) + f"\n      select sel_rank, vec_id from ({union})"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by k-means cluster + intra-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+def semdedup_prune(
+    df: DataFrame,
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    iters: int = 3,
+    max_group: int | None = 4096,
+    seed: str = "42",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public recipe): cluster the embedding
+    table with the deterministic Lloyd codebook, then inside each cluster
+    prune every vector that has a SMALLER-id cluster-mate with quantized
+    cosine ≥ threshold — semantic near-duplicates that no lexical dedup
+    (minhash/simhash/ngram) can see.  Keeps exactly the min-id member of
+    each qualifying pair; the rule is per-pair (a chain a~b~c keeps a,
+    prunes b and c) — for transitive grouping feed the qualifying pairs
+    to ``dedup.connected_components`` instead.
+
+    Determinism discipline (the medoid precedent): the pair cosine is
+    computed from the RAW vectors (zip_with product → sequential
+    aggregate fold, the proven bit-stable pairing with DuckDB's
+    list_sum), zero-norm guarded via greatest(‖v‖, 1e-12) on BOTH
+    engines, floor-form quantized to integer 1e-6 units FIRST, and the
+    threshold compares in that integer space — so the prune decision is
+    bit-identical across numpy/Spark/DuckDB.
+
+    Scale shape: assignment is one broadcast-codebook Arrow scan
+    (``kmeans_assign``); the self-join is quadratic in CLUSTER size,
+    never in the table — at 100 TB raise ``n_centroids`` so clusters
+    stay task-sized (the paper runs ~10^5 clusters), and ``max_group``
+    caps any runaway cluster to its ``max_group`` md5-ranked members
+    (deterministic portable order; members beyond the cap are KEPT —
+    the cap is an escape valve, not a silent drop).
+
+    Returns (vec_id, cluster, kept) for every input row.
+    """
+    assign = kmeans_assign(df, n_centroids=n_centroids, iters=iters)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(assign.withColumnRenamed("vec_id", "id"), "id")
+    )
+    members = base
+    if max_group is not None:
+        w = Window.partitionBy("cluster").orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))), "id"
+        )
+        members = base.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_group
+        ).drop("_rn")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("vec"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    m = members.withColumn("nrm", nrm)
+    a = m.select("cluster", F.col("id").alias("ida"), F.col("vec").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = m.select("cluster", F.col("id").alias("idb"), F.col("vec").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = F.floor(
+        dot / (F.greatest(F.col("na"), F.lit(1e-12)) * F.greatest(F.col("nb"), F.lit(1e-12)))
+        * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    tau = int(round(threshold * 1e6))
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("q", q)
+        .filter(F.col("q") >= F.lit(tau))
+        .select(F.col("idb").alias("id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        base.join(pruned, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    iters: int = 3,
+    max_group: int | None = 4096,
+    seed: str = "42",
+) -> str:
+    """DuckDB twin of :func:`semdedup_prune`: reuses the IVF trainer +
+    assignment CTEs (``vassign`` — the same algorithm definition as the
+    driver-green kmeans_assign oracle), then mirrors the md5 cap order,
+    the raw-vector sequential-fold cosine with the greatest(‖v‖,1e-12)
+    guard, and the integer-1e-6 threshold compare."""
+    from geodesk_spark.driver_queries.goql_ann_tail import _ann_ivf_sql
+
+    full = _ann_ivf_sql(n_centroids=n_centroids, iters=iters)
+    head = full.split("cand as (")[0].rstrip().rstrip(",")
+    tau = int(round(threshold * 1e6))
+    capped = """
+      memb0 as (
+        select va.vec_id as id, va.c as cluster, e.embedding as vec
+        from vassign va join {table} e on e.vec_id = va.vec_id),"""
+    if max_group is not None:
+        memb = f"""
+      memb as (
+        select id, cluster, vec from (
+          select *, row_number() over (
+            partition by cluster
+            order by md5(concat('{seed}', '|', cast(id as string))), id) as _rn
+          from memb0) where _rn <= {max_group}),"""
+    else:
+        memb = """
+      memb as (select id, cluster, vec from memb0),"""
+    dot = (
+        "list_sum(list_transform(range(1, len(a.vec) + 1), "
+        "i -> cast(a.vec[i] as double) * cast(b.vec[i] as double)))"
+    )
+
+    def nrm(rel: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({rel}.vec, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return f"""{head},{capped.format(table=table)}{memb}
+      pairs as (
+        select a.cluster, a.id as ida, b.id as idb,
+               cast(floor({dot} / (greatest({nrm('a')}, 1e-12)
+                                   * greatest({nrm('b')}, 1e-12)) * 1e6 + 0.5)
+                    as bigint) as q
+        from memb a join memb b on a.cluster = b.cluster and a.id < b.id),
+      pruned as (select distinct idb as id from pairs where q >= {tau})
+      select m.id as vec_id, m.cluster as cluster, (p.id is null) as kept
+      from memb0 m left join pruned p using (id)
+    """

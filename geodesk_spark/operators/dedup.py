@@ -589,3 +589,103 @@ def phash_neardup_pairs(
     return pairs.filter(ham <= max_hamming).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (rolling k-token windows)
+# ---------------------------------------------------------------------------
+
+def substring_span_stats(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """Cross-document EXACT-substring duplication stats: for every doc,
+    how many of its k-token rolling windows also appear verbatim in at
+    least one OTHER document (the scalable fixed-window re-expression of
+    suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public recipe).  The
+    within-doc dual is ``text.repetition_stats``; this one catches
+    boilerplate, licence blocks, and copy-paste contamination ACROSS the
+    corpus, which per-doc filters cannot see.
+
+    Per doc: ``n_spans`` (k-token windows), ``n_dup_spans`` (window
+    occurrences whose md5 key appears under ≥2 distinct doc_ids),
+    ``dup_span_ratio`` = n_dup_spans/n_spans floor-form quantized to
+    1e-6 (0.0 for docs shorter than k tokens — they stay in the output).
+
+    Scale shape: ONE explode (≈n_tokens rows per doc, constant-width md5
+    keys) → ONE window shuffle keyed by span (min≠max doc_id over the
+    key partition decides cross-doc duplication — no join back, no
+    collect_set of doc lists that a hot boilerplate span would blow up)
+    → ONE per-doc aggregation.  All JVM: transform/concat_ws/md5/window;
+    zero Python.  A pathologically hot span key (the same licence header
+    in 10^9 docs) is a single skewed window partition — AQE skew-split
+    handles it, and the aggregate per row is O(1) (min/max only).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    gram_cnt = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(gram_cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
+    )
+    grams = F.when(gram_cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+    ex = df.select("doc_id", F.explode_outer(grams).alias("_gram"))
+    keyed = ex.withColumn(
+        "_key", F.when(F.col("_gram").isNotNull(), F.md5(F.col("_gram")))
+    )
+    w = Window.partitionBy("_key")
+    dup = (
+        F.col("_gram").isNotNull()
+        & (F.min("doc_id").over(w) != F.max("doc_id").over(w))
+    )
+    flagged = keyed.withColumn("_dup", dup)
+    n_spans = F.count(F.col("_gram"))
+    n_dup = F.count_if(F.col("_dup"))
+    ratio = F.when(
+        n_spans > 0,
+        F.floor(n_dup.cast("double") / n_spans * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return flagged.groupBy("doc_id").agg(
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        ratio.alias("dup_span_ratio"),
+    )
+
+
+def substring_span_stats_sql(rel: str = "documents", k: int = 8, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`substring_span_stats`: same tokenizer
+    (trim→lower→whitespace split), same k-token concat_ws grams, same
+    md5 span keys, same min≠max-over-key duplication flag, same
+    floor-form 1e-6 ratio."""
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+      with tk as (
+        select doc_id,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim(lower({text_col})), '\\s+') end as t
+        from {rel}),
+      g as (
+        select doc_id,
+               case when len(t) - {k - 1} > 0
+                    then list_transform(range(1, len(t) - {k - 1} + 1), i -> {joined})
+                    else [] end as grams
+        from tk),
+      ex as (select doc_id, unnest(grams) as gram from g),
+      keyed as (select doc_id, md5(gram) as key from ex),
+      flagged as (
+        select doc_id,
+               (min(doc_id) over (partition by key)
+                <> max(doc_id) over (partition by key)) as dup
+        from keyed),
+      agg as (
+        select doc_id, count(*) as n_spans,
+               count(*) filter (where dup) as n_dup
+        from flagged group by doc_id)
+      select t.doc_id,
+             coalesce(a.n_spans, 0) as n_spans,
+             coalesce(a.n_dup, 0) as n_dup_spans,
+             case when coalesce(a.n_spans, 0) > 0
+                  then floor(cast(a.n_dup as double) / a.n_spans * 1e6 + 0.5) / 1e6
+                  else 0.0 end as dup_span_ratio
+      from tk t left join agg a using (doc_id)
+    """

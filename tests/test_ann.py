@@ -286,3 +286,75 @@ def test_kcenter_zero_norm_cross_engine(spark):
     ).fetchall()]
     assert got == want
     assert len({i for _, i in got}) == 6
+
+
+def test_semdedup_prune_bruteforce(spark):
+    """semdedup: a vector is pruned iff a SMALLER-id cluster-mate has
+    quantized cosine >= tau; verified against a numpy replay on the
+    same deterministic codebook.  Includes a zero-norm row (guarded
+    denominator -> never NaN, deterministically kept or pruned)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(40):
+        v = rng.normal(size=8)
+        rows.append((vid, [float(x) for x in v]))
+    # plant near-duplicates: 100/101 identical, 102/103 scaled copies
+    rows[30] = (30, rows[10][1])
+    rows[31] = (31, [2.0 * x for x in rows[11][1]])
+    rows[32] = (32, [0.0] * 8)  # zero-norm degenerate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.95
+    got = ann.semdedup_prune(df, threshold=thr, n_centroids=4).toPandas()
+    assert len(got) == 40
+    assert not got["kept"].isna().any()
+
+    # numpy replay with the same codebook + same quantized rule
+    C = ann.ivf_centroids(df, n_centroids=4)
+    pdf = df.toPandas().sort_values("vec_id")
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    n = np.linalg.norm(V, axis=1)
+    nz = n.copy()
+    nz[nz == 0] = 1.0
+    clus = np.argmax((V / nz[:, None]) @ C.T, axis=1)
+    tau = int(round(thr * 1e6))
+    pruned = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and clus[i] == clus[j]:
+                g = max(n[i], 1e-12) * max(n[j], 1e-12)
+                q = int(np.floor(float(V[i] @ V[j]) / g * 1e6 + 0.5))
+                if q >= tau:
+                    pruned.add(int(ids[j]))
+    assert pruned, "fixture must exercise the prune path"
+    by_id = dict(zip(got["vec_id"], got["kept"]))
+    assert {v for v, kept in by_id.items() if not kept} == pruned
+    # the planted duplicates landed in their sources' clusters and got pruned
+    assert by_id[30] is False or bool(by_id[30]) is False
+
+
+def test_semdedup_oracle_parity(spark, emb):
+    """Spark semdedup_prune == the DuckDB twin (trainer CTEs + same
+    quantized rule) row-for-row on the real embeddings table."""
+    import duckdb
+
+    got = (
+        ann.semdedup_prune(emb, threshold=0.40)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"create view embeddings as select * from '{SF_DIR}/embeddings.parquet'"
+    )
+    want = (
+        con.sql(ann.semdedup_sql("embeddings", threshold=0.40))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["vec_id"] == want["vec_id"]).all()
+    assert (got["cluster"] == want["cluster"]).all()
+    assert (got["kept"] == want["kept"]).all()
+    assert (~want["kept"]).sum() > 0

@@ -216,3 +216,57 @@ def test_connected_components_max_iter_collapse(spark):
     # converged run: no warning, exact components
     full = dedup.connected_components(pairs).collect()
     assert {(r["doc_id"], r["comp_id"]) for r in full} == {(i, 0) for i in range(20)}
+
+
+def test_substring_span_stats(spark):
+    """Cross-doc k-token span dedup: planted shared spans are counted,
+    short docs stay in the output with zero spans, within-doc repeats
+    alone do NOT count as cross-doc duplication."""
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    docs = [
+        (0, shared + " dog and then some extra words here"),
+        (1, "prefix words first " + shared + " tail tokens"),
+        (2, "totally unrelated content with eight plus distinct words present"),
+        (3, "short doc"),  # < k tokens
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.substring_span_stats(df, k=8).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[3]["n_spans"] == 0 and got[3]["dup_span_ratio"] == 0.0
+    # doc 0: 15 tokens -> 8 spans; exactly 1 (the shared span) is cross-doc
+    assert got[0]["n_spans"] == 8 and got[0]["n_dup_spans"] == 1
+    assert got[1]["n_dup_spans"] == 1
+    assert got[2]["n_dup_spans"] == 0
+    # doc 4 repeats within itself only: all 8-grams identical but single-doc
+    assert got[4]["n_dup_spans"] == 0
+    assert abs(got[0]["dup_span_ratio"] - 0.125) < 1e-9
+
+
+def test_substring_span_stats_oracle_parity(spark):
+    """Spark == DuckDB twin on the real documents table."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        dedup.substring_span_stats(df, k=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = (
+        con.sql(dedup.substring_span_stats_sql("documents", k=8))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_spans", "n_dup_spans"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    assert (got["dup_span_ratio"] == want["dup_span_ratio"]).all()
+    assert (want["n_dup_spans"] > 0).any()
