@@ -846,6 +846,7 @@ def semdedup_prune(
     seed: str = "42",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public recipe): cluster the embedding
     table with the deterministic Lloyd codebook, then inside each cluster
@@ -872,9 +873,17 @@ def semdedup_prune(
     (deterministic portable order; members beyond the cap are KEPT —
     the cap is an escape valve, not a silent drop).
 
+    The assignment subtree is referenced three times (both pair sides +
+    the output join); lazily that recomputes the Arrow scan up to 3×.
+    Cheap here (broadcast codebook, one matmul), but at corpus scale
+    pass ``assign=`` a persisted/checkpointed ``kmeans_assign`` result —
+    it is two integer columns, tiny next to the vectors, and the caller
+    owns its lifetime (no hidden cache leak inside the operator).
+
     Returns (vec_id, cluster, kept) for every input row.
     """
-    assign = kmeans_assign(df, n_centroids=n_centroids, iters=iters)
+    if assign is None:
+        assign = kmeans_assign(df, n_centroids=n_centroids, iters=iters)
     base = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(assign.withColumnRenamed("vec_id", "id"), "id")

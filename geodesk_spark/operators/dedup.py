@@ -621,7 +621,11 @@ def substring_span_stats(df: DataFrame, k: int = 8, text_col: str = "text") -> D
     """
     from pyspark.sql.window import Window
 
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # materialize the token array ONCE per row: the k element_at's inside
+    # the gram lambda must not each re-run the split (k+1 tokenizations
+    # per row is real CPU at corpus scale)
+    d0 = df.select("doc_id", tokens_col(F.lower(F.col(text_col))).alias("_t"))
+    toks = F.col("_t")
     n_tok = F.size(toks)
     gram_cnt = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
     grams = F.transform(
@@ -629,7 +633,7 @@ def substring_span_stats(df: DataFrame, k: int = 8, text_col: str = "text") -> D
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
     )
     grams = F.when(gram_cnt > 0, grams).otherwise(F.array().cast("array<string>"))
-    ex = df.select("doc_id", F.explode_outer(grams).alias("_gram"))
+    ex = d0.select("doc_id", F.explode_outer(grams).alias("_gram"))
     keyed = ex.withColumn(
         "_key", F.when(F.col("_gram").isNotNull(), F.md5(F.col("_gram")))
     )
