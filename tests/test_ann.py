@@ -358,3 +358,18 @@ def test_semdedup_oracle_parity(spark, emb):
     assert (got["cluster"] == want["cluster"]).all()
     assert (got["kept"] == want["kept"]).all()
     assert (~want["kept"]).sum() > 0
+
+
+def test_semdedup_precomputed_assign_identical(spark, emb):
+    """Passing a caller-persisted assignment (the corpus-scale path)
+    yields exactly the default result."""
+    default = (
+        ann.semdedup_prune(emb, threshold=0.40)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pre = ann.kmeans_assign(emb).localCheckpoint()
+    got = (
+        ann.semdedup_prune(emb, threshold=0.40, assign=pre)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got.equals(default)

@@ -270,3 +270,22 @@ def test_substring_span_stats_oracle_parity(spark):
         assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
     assert (got["dup_span_ratio"] == want["dup_span_ratio"]).all()
     assert (want["n_dup_spans"] > 0).any()
+
+
+def test_substring_span_stats_partition_invariance(spark):
+    """Determinism law: the span stats are identical under different
+    partitionings/row orders (the window min/max flag is order-free)."""
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    a = (
+        dedup.substring_span_stats(df.repartition(1), k=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup.substring_span_stats(df.repartition(16, "text"), k=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # structural invariants
+    assert (a["n_dup_spans"] <= a["n_spans"]).all()
+    assert a["dup_span_ratio"].between(0.0, 1.0).all()
