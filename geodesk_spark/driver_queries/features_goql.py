@@ -299,6 +299,35 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM scoring (text.ngram_lm_score): train an
+    add-1-smoothed bigram model on the English subset, score EVERY doc
+    with its average negative log-likelihood — the perplexity-bucket
+    filter of a curation chain.  All float hazards are ln(integer)
+    quantized to integer micro-nats (exact, order-free sums)."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.ngram_lm_score(d, model=d.filter(F.col("lang") == "en"))
+
+
+def _lm_perplexity_sql() -> str:
+    return text.ngram_lm_score_sql(
+        model_rel="(select * from documents where lang = 'en')"
+    )
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (text.dsir_importance): hashed-unigram
+    importance weights toward the English subset, top-25% selected.
+    Broadcast bucket histograms; one fact rollup; integer micro-nat
+    weights so rank/selection are integer-exact across engines."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.dsir_importance(d, d.filter(F.col("lang") == "en"))
+
+
+def _dsir_select_sql() -> str:
+    return text.dsir_importance_sql()
+
+
 def _q_dedup_exact(spark, sf_dir):
     d = tables.load_spread(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)

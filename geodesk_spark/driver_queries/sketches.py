@@ -133,9 +133,9 @@ def _hll_distinct_sql() -> str:
       agg as (select event_type, sum(power(2.0, -rho)) as s, count(*) as ne
               from regs group by event_type)
       select event_type,
-             case when {raw} <= 1280.0 and (512 - ne) > 0
-                  then 512.0 * ln(512.0 / (512 - ne))
-                  else {raw} end as approx_distinct
+             floor((case when {raw} <= 1280.0 and (512 - ne) > 0
+                         then 512.0 * ln(512.0 / (512 - ne))
+                         else {raw} end) * 1e6 + 0.5) / 1e6 as approx_distinct
       from agg
     """
 

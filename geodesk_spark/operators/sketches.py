@@ -116,7 +116,14 @@ def hll_estimate(
         (raw <= 2.5 * m) & (empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
     ).otherwise(raw)
-    return agg.select(*keys, corrected.alias("approx_distinct"))
+    # floor-form output quantization (CLAUDE.md transcendental law): the
+    # small-range branch is m·ln(m/V) — a raw libm ln reaching the
+    # compared output.  ln doesn't amplify like exp and V has ≤ m
+    # distinct values, but a different engine build is one ulp away from
+    # flipping the 9th significant digit; the estimate is ±4.6 % anyway,
+    # so 6 dp is semantically free insurance (box_area_m2 lesson).
+    q6 = F.floor(corrected * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(*keys, q6.alias("approx_distinct"))
 
 
 def hll_error_bound(p: int = 9) -> float:

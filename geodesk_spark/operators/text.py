@@ -451,3 +451,338 @@ def repetition_stats_sql(rel: str = "documents", n: int = 3, text_col: str = "te
                   else 0.0 end as dup_ratio
       from g
     """
+
+
+# --- Corpus-level LM scoring + importance resampling ------------------------
+#
+# Cross-engine float law for this section (CLAUDE.md transcendentals): the
+# ONLY transcendental either operator evaluates is ln() on INTEGER
+# arguments (smoothed counts), floor-quantized to integer MICRO-NATS.
+# Integer micro-nats sum exactly and order-free on both engines (bigint),
+# so the oracle hash cannot drift with partitioning, summation order, or
+# the engine's libm build: ln is evaluated on a bounded-cardinality set of
+# identical integer inputs, and a ≤1-ulp disagreement only matters if that
+# specific integer's ln lands within ~2e-15 of a 5e-7 quantization
+# boundary (~1e-9 per distinct argument).
+
+
+def _qln_micro(c: Column) -> Column:
+    """floor-quantized natural log in integer micro-nats (see section law)."""
+    return F.floor(F.log(c.cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def _qln_micro_sql(expr: str) -> str:
+    return f"cast(floor(ln(cast(({expr}) as double)) * 1e6 + 0.5) as bigint)"
+
+
+def _bigram_events(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, prev, cur) bigram stream with a '<s>' sentinel before the
+    first token — built as 'prev cur' pair strings via a JVM transform
+    over sequence(1, n) (tokens are \\S+ so the space separator is
+    unambiguous), then split back.  Entirely map-side: zero shuffles."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat(
+            F.when(i == 1, F.lit("<s>")).otherwise(
+                F.element_at(toks, (i - F.lit(1)).cast("int"))
+            ),
+            F.lit(" "),
+            F.element_at(toks, i.cast("int")),
+        ),
+    )
+    pairs = F.when(n > 0, pairs).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(pairs).alias("pg"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("pg"), F.lit(" "), F.lit(1)).alias("prev"),
+            F.split_part(F.col("pg"), F.lit(" "), F.lit(2)).alias("cur"),
+        )
+    )
+
+
+_BIGRAM_EVENTS_SQL = r"""
+      select doc_id,
+             split_part(pg, ' ', 1) as prev,
+             split_part(pg, ' ', 2) as cur
+      from (
+        select doc_id,
+               unnest(list_transform(
+                 range(1, len(t) + 1),
+                 i -> (case when i = 1 then '<s>' else t[i - 1] end) || ' ' || t[i]
+               )) as pg
+        from (
+          select doc_id,
+                 case when length(trim({text_col})) = 0 then []
+                      else string_split_regex(trim(lower({text_col})), '\s+') end as t
+          from {rel}
+        )
+      )"""
+
+
+def ngram_lm_score(
+    docs: DataFrame, model: DataFrame | None = None, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style n-gram language-model scoring (Wenzek et al. 2020 score
+    CommonCrawl with a reference-corpus LM and filter by perplexity;
+    public recipe): train an add-1-smoothed BIGRAM model on ``model``
+    (default: the corpus itself), score every doc with its average
+    negative log-likelihood → (doc_id, n_bigrams, nll_micro, avg_nll).
+    Low avg_nll = fluent/typical text; high = gibberish or boilerplate
+    mismatch with the reference distribution — the perplexity bucket of
+    a training-data curation chain.
+
+    P(cur|prev) = (c2+1)/(c1+V): all-integer smoothed counts, so the
+    per-token nll is qln(c1+V) − qln(c2+1) in exact integer micro-nats
+    (section float law above).
+
+    Scale shape — model training is two count aggregations whose OUTPUT
+    is vocab-sized (map-side combine; at 100 TB the bigram vocab is an
+    AQE shuffle join, at dimension scale Spark broadcasts it):
+
+      model: bigrams → groupBy(prev,cur), groupBy(prev)   2 shuffles, small out
+      docs:  bigrams (map-side) ⋈ c2 ⋈ c1                 vocab joins (AQE)
+      → groupBy(doc_id) count/sum(bigint)                 the ONE fact rollup
+      → left join back to docs                            empty docs keep a row
+
+    No driver collect; V reduces to a broadcast 1-row frame.
+    """
+    model = docs if model is None else model
+    me = _bigram_events(model, text_col)
+    c2 = me.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = me.groupBy("prev").agg(F.count("*").alias("c1"))
+    vg = me.agg(F.countDistinct("cur").alias("v"))
+    e = _bigram_events(docs, text_col)
+    scored = (
+        e.join(c2, ["prev", "cur"], "left")
+        .join(c1, ["prev"], "left")
+        .crossJoin(F.broadcast(vg))
+    )
+    nll = _qln_micro(
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    ) - _qln_micro(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum(nll).alias("s")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("nll_micro"),
+            F.when(
+                F.coalesce(F.col("n"), F.lit(0)) > 0,
+                (F.col("s").cast("double") / F.col("n")) / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_nll"),
+        )
+    )
+
+
+def ngram_lm_score_sql(
+    rel: str = "documents", model_rel: str | None = None, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`ngram_lm_score` — same tokenizer, same pair
+    strings, same integer micro-nat arithmetic.  ``model_rel`` may be a
+    parenthesized subquery; default trains on ``rel`` itself."""
+    model_rel = rel if model_rel is None else model_rel
+    ev = _BIGRAM_EVENTS_SQL.format(rel=rel, text_col=text_col)
+    mev = _BIGRAM_EVENTS_SQL.format(rel=model_rel, text_col=text_col)
+    nll = (
+        _qln_micro_sql("coalesce(c1.c1, 0) + v.v")
+        + " - "
+        + _qln_micro_sql("coalesce(c2.c2, 0) + 1")
+    )
+    return f"""
+      with e as ({ev}),
+      me as ({mev}),
+      c2 as (select prev, cur, count(*) as c2 from me group by 1, 2),
+      c1 as (select prev, count(*) as c1 from me group by 1),
+      v as (select count(distinct cur) as v from me),
+      s as (
+        select e.doc_id, {nll} as nll
+        from e left join c2 on e.prev = c2.prev and e.cur = c2.cur
+               left join c1 on e.prev = c1.prev
+               cross join v
+      ),
+      r as (select doc_id, count(*) as n, sum(nll) as s from s group by 1)
+      select d.doc_id,
+             cast(coalesce(r.n, 0) as int) as n_bigrams,
+             cast(coalesce(r.s, 0) as bigint) as nll_micro,
+             case when coalesce(r.n, 0) > 0
+                  then (cast(r.s as double) / r.n) / 1e6
+                  else 0.0 end as avg_nll
+      from {rel} d left join r using (doc_id)
+    """
+
+
+def _hash_bucket_col(col: str, buckets: int) -> Column:
+    """Deterministic token→bucket hash shared with the SQL twin: Horner
+    over the first 6 hex digits of md5 (16^6 = 16.7M ≫ any sane bucket
+    count), mod ``buckets``.  Same md5-as-the-only-hash-primitive rule
+    as dedup.py — identical bytes on Spark and DuckDB."""
+    v = None
+    for i in range(6):
+        d = F.expr(
+            f"position(substring(md5({col}), {i + 1}, 1), '0123456789abcdef') - 1"
+        )
+        v = d if v is None else v * F.lit(16) + d
+    return v % F.lit(buckets)
+
+
+def _hash_bucket_sql(col: str, buckets: int) -> str:
+    v = None
+    for i in range(6):
+        d = f"(strpos('0123456789abcdef', substring(md5({col}), {i + 1}, 1)) - 1)"
+        v = d if v is None else f"({v} * 16 + {d})"
+    return f"({v} % {buckets})"
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    frac: float = 0.25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR;
+    public recipe): hashed unigram bag features, per-doc importance
+    weight Σ_tokens [ln p_target(b) − ln p_raw(b)] with add-1-smoothed
+    bucket distributions, then keep the top ceil(frac·N) docs →
+    (doc_id, n_tokens, weight_micro, avg_weight, rnk, selected).
+    ``target`` is the small in-domain corpus to resample toward (e.g. a
+    curated/English subset); ``docs`` is the raw corpus.
+
+    ln p_t(b) − ln p_r(b) expands to four ln() calls on INTEGER
+    arguments — qln(ct+1) − qln(Nt+B) − qln(cr+1) + qln(Nr+B) — exact
+    integer micro-nats per the section float law.
+
+    Scale shape: both bucket histograms have ≤ ``buckets`` rows →
+    BROADCAST joins; corpus totals are broadcast 1-row frames; the fact
+    side is scanned once with one groupBy(doc_id) rollup.  The final
+    rank is a global integer sort — at test scale one window; at 100 TB
+    replace with the standard two-pass threshold select (sample the
+    weight distribution, broadcast the cut, filter) — the weights
+    themselves are the distributed-safe part and are unchanged.
+    """
+    def events(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.lower(F.col(text_col)))
+        return df.select("doc_id", F.explode(toks).alias("tok")).select(
+            "doc_id", _hash_bucket_col("tok", buckets).alias("b")
+        )
+
+    te, re_ = events(target), events(docs)
+    ct = te.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = re_.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = te.agg(F.count("*").alias("nt"))
+    nr = re_.agg(F.count("*").alias("nr"))
+    scored = (
+        re_.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    w_tok = (
+        _qln_micro(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+        - _qln_micro(F.col("nt") + F.lit(buckets))
+        - _qln_micro(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1))
+        + _qln_micro(F.col("nr") + F.lit(buckets))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum(w_tok).alias("w")
+    )
+    from pyspark.sql import Window
+
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    base = (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("weight_micro"),
+            F.when(
+                F.coalesce(F.col("n"), F.lit(0)) > 0,
+                (F.col("w").cast("double") / F.col("n")) / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_weight"),
+            F.col("n_docs"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "weight_micro",
+        "avg_weight",
+        rk.cast("int").alias("rnk"),
+        (rk <= F.ceil(F.lit(frac) * F.col("n_docs"))).alias("selected"),
+    )
+
+
+_UNIGRAM_EVENTS_SQL = r"""
+      select doc_id, unnest(t) as tok
+      from (
+        select doc_id,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim(lower({text_col})), '\s+') end as t
+        from {rel}
+      )"""
+
+
+def dsir_importance_sql(
+    rel: str = "documents",
+    target_rel: str = "(select * from documents where lang = 'en')",
+    buckets: int = 4096,
+    frac: float = 0.25,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` — same md5-Horner bucket,
+    same integer micro-nat weight, same rank tie-break."""
+    ev = _UNIGRAM_EVENTS_SQL.format(rel=rel, text_col=text_col)
+    tev = _UNIGRAM_EVENTS_SQL.format(rel=target_rel, text_col=text_col)
+    b = _hash_bucket_sql("tok", buckets)
+    w = (
+        _qln_micro_sql("coalesce(ct.ct, 0) + 1")
+        + " - " + _qln_micro_sql(f"nt.nt + {buckets}")
+        + " - " + _qln_micro_sql("coalesce(cr.cr, 0) + 1")
+        + " + " + _qln_micro_sql(f"nr.nr + {buckets}")
+    )
+    return f"""
+      with ev as (select doc_id, {b} as b from ({ev})),
+      tev as (select doc_id, {b} as b from ({tev})),
+      ct as (select b, count(*) as ct from tev group by 1),
+      cr as (select b, count(*) as cr from ev group by 1),
+      nt as (select count(*) as nt from tev),
+      nr as (select count(*) as nr from ev),
+      s as (
+        select ev.doc_id, {w} as w
+        from ev left join ct using (b) left join cr using (b)
+                cross join nt cross join nr
+      ),
+      per as (select doc_id, count(*) as n, sum(w) as w from s group by 1),
+      nd as (select count(*) as n_docs from {rel}),
+      base as (
+        select d.doc_id,
+               cast(coalesce(per.n, 0) as int) as n_tokens,
+               cast(coalesce(per.w, 0) as bigint) as weight_micro,
+               case when coalesce(per.n, 0) > 0
+                    then (cast(per.w as double) / per.n) / 1e6
+                    else 0.0 end as avg_weight,
+               nd.n_docs
+        from {rel} d left join per using (doc_id) cross join nd
+      )
+      select doc_id, n_tokens, weight_micro, avg_weight,
+             cast(row_number() over (order by weight_micro desc, doc_id) as int) as rnk,
+             row_number() over (order by weight_micro desc, doc_id)
+               <= ceil({frac!r} * n_docs) as selected
+      from base
+    """

@@ -119,3 +119,96 @@ def test_repetition_stats_hand_cases(spark):
     assert (got[2].n_grams, got[2].n_distinct_grams, got[2].dup_ratio) == (4, 4, 0.0)
     assert (got[3].n_grams, got[3].dup_ratio) == (0, 0.0)
     assert (got[4].n_grams, got[4].dup_ratio) == (0, 0.0)
+
+
+def _qln(k: int) -> int:
+    # the operator's micro-nat quantizer (floor form) on an integer arg
+    return int(math.floor(math.log(k) * 1e6 + 0.5))
+
+
+def test_ngram_lm_hand_counts(spark):
+    """Self-trained bigram LM on a 2-doc corpus: recompute the smoothed
+    micro-nat NLL by hand from the exact counts."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in text.ngram_lm_score(docs).collect()}
+    # model bigrams: d1: (<s>,a),(a,b),(b,a),(a,b)  d2: (<s>,a),(a,b)
+    # c2: (<s>,a)=2 (a,b)=3 (b,a)=1 ; c1: <s>=2 a=3 b=1 ; V = |{a,b}| = 2
+    nll = lambda c1, c2: _qln(c1 + 2) - _qln(c2 + 1)
+    d1 = nll(2, 2) + nll(3, 3) + nll(1, 1) + nll(3, 3)
+    d2 = nll(2, 2) + nll(3, 3)
+    assert got[1].n_bigrams == 4 and got[1].nll_micro == d1
+    assert got[2].n_bigrams == 2 and got[2].nll_micro == d2
+    assert abs(got[1].avg_nll - (d1 / 4) / 1e6) < 1e-12
+    # more repetitive continuation = lower avg nll than the uniform doc
+    assert got[1].avg_nll < math.log(3) + 1e-6
+
+
+def test_ngram_lm_empty_and_unseen_model(spark):
+    """Empty docs keep a zero row; tokens unseen by a held-out model get
+    the uniform-backoff probability (c2=0, c1=0 -> ln(V))."""
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, ""), (3, "zz")], "doc_id long, text string"
+    )
+    model = docs.filter("doc_id = 1")  # vocab {a}, V=1
+    got = {r.doc_id: r for r in text.ngram_lm_score(docs, model=model).collect()}
+    assert (got[2].n_bigrams, got[2].nll_micro, got[2].avg_nll) == (0, 0, 0.0)
+    # doc 3: one bigram (<s>, zz): c2=0, c1(<s>)=1, V=1 -> qln(2)-qln(1)
+    assert got[3].nll_micro == _qln(2) - _qln(1)
+    assert got[1].n_bigrams == 2
+
+
+def test_dsir_importance_selection(spark):
+    """Docs that look like the target rank above docs that don't; the
+    selected count is exactly ceil(frac*N) and ranks are a permutation."""
+    rows = [(i, "alpha beta gamma delta") for i in range(1, 7)]
+    rows += [(i, "zz yy xx ww vv uu tt ss") for i in range(7, 13)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id <= 6")
+    out = text.dsir_importance(docs, target, buckets=256, frac=0.25).collect()
+    byid = {r.doc_id: r for r in out}
+    assert sorted(r.rnk for r in out) == list(range(1, 13))
+    assert sum(r.selected for r in out) == 3  # ceil(0.25 * 12)
+    # every target-like doc outweighs every out-of-domain doc
+    wmin_in = min(byid[i].weight_micro for i in range(1, 7))
+    wmax_out = max(byid[i].weight_micro for i in range(7, 13))
+    assert wmin_in > wmax_out
+    # identical docs share weight; rank ties break on doc_id
+    assert byid[1].weight_micro == byid[2].weight_micro
+    assert byid[1].rnk < byid[2].rnk
+
+
+def test_dsir_partition_invariance(spark):
+    """Determinism law: weights/ranks identical under repartitioning
+    (integer micro-nat sums are order-free)."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    t = d.filter("lang = 'en'")
+    a = (
+        text.dsir_importance(d.repartition(1), t, buckets=512)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.dsir_importance(d.repartition(16, "text"), t.repartition(5), buckets=512)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_ngram_lm_partition_invariance(spark):
+    """Determinism law: micro-nat NLL sums are order-free, so the LM
+    scores are identical under repartitioning of docs AND model."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    m = d.filter("lang = 'en'")
+    a = (
+        text.ngram_lm_score(d.repartition(1), model=m.repartition(1))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.ngram_lm_score(d.repartition(16, "text"), model=m.repartition(7))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["nll_micro"] >= 0).all()  # add-1 smoothing: c2+1 <= c1+V
