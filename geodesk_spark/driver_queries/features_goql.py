@@ -595,3 +595,17 @@ def _q_substring_spans(spark, sf_dir):
 
 def _substring_spans_sql() -> str:
     return dedup.substring_span_stats_sql("documents", k=8)
+
+
+def _q_remove_spans(spark, sf_dir):
+    """Cross-document exact-substring REMOVAL (dedup.remove_dup_spans):
+    the second half of the Lee et al. 2022 recipe — keep one canonical
+    occurrence of every duplicated 8-token span, cut the rest, emit the
+    cleaned text.  Same one-window-shuffle span frame as the stats op
+    plus a per-doc JVM coverage fold; exact string output."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return dedup.remove_dup_spans(d, k=8)
+
+
+def _remove_spans_sql() -> str:
+    return dedup.remove_dup_spans_sql("documents", k=8)

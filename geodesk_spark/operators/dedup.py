@@ -693,3 +693,134 @@ def substring_span_stats_sql(rel: str = "documents", k: int = 8, text_col: str =
                   else 0.0 end as dup_span_ratio
       from tk t left join agg a using (doc_id)
     """
+
+
+def remove_dup_spans(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """Cross-document exact-substring REMOVAL — the second half of the
+    Lee et al. 2022 recipe that :func:`substring_span_stats` measures:
+    every duplicated k-token span keeps exactly ONE canonical occurrence
+    (the smallest (doc_id, pos) of its md5 key) and is cut from every
+    other document; a token is dropped when ANY removed span covers it.
+    → (doc_id, n_tokens, n_removed, removed_ratio, clean_text).
+    clean_text preserves the original token case (span keys casefold);
+    docs shorter than k tokens pass through whitespace-normalized.
+
+    Scale shape: the span frame is the same ONE explode + ONE
+    window-by-key shuffle as the stats op (row_number picks the
+    canonical occurrence inside the same window pass — no join back);
+    removed span positions then aggregate to a PER-DOC array (bounded
+    by the doc's own token count) and re-join the doc table once.  The
+    final coverage test is a per-row JVM higher-order fold —
+    O(n_tokens × removed_spans) within one document only, never across
+    the corpus.  Zero Python.
+    """
+    from pyspark.sql.window import Window
+
+    d0 = df.select(
+        "doc_id",
+        tokens_col(F.col(text_col)).alias("_t"),
+        tokens_col(F.lower(F.col(text_col))).alias("_tl"),
+    )
+    toks = F.col("_tl")
+    n_tok = F.size(toks)
+    gram_cnt = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(gram_cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
+    )
+    grams = F.when(gram_cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+    sp = d0.select("doc_id", F.posexplode(grams).alias("_p0", "_gram")).select(
+        "doc_id", (F.col("_p0") + F.lit(1)).alias("pos"), F.md5("_gram").alias("_key")
+    )
+    w = Window.partitionBy("_key")
+    wo = Window.partitionBy("_key").orderBy("doc_id", "pos")
+    fl = sp.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("_dup"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    rm = (
+        fl.filter(F.col("_dup") & (F.col("_rn") > 1))
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_rp"))
+    )
+    j = d0.join(rm, "doc_id", "left").withColumn(
+        "_rp", F.coalesce(F.col("_rp"), F.array().cast("array<bigint>"))
+    )
+    covered = lambda q: F.exists(
+        F.col("_rp"), lambda p: (p <= q) & (q <= p + F.lit(k - 1))
+    )
+    kept = F.when(
+        F.size("_t") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("_t"), F.lit(1))),
+            lambda q: ~covered(q),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    j = j.withColumn("_kept", kept)
+    n_removed = F.size("_t") - F.size("_kept")
+    ratio = F.when(
+        F.size("_t") > 0,
+        F.floor(n_removed.cast("double") / F.size("_t") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    clean = F.concat_ws(
+        " ", F.transform(F.col("_kept"), lambda q: F.element_at(F.col("_t"), q.cast("int")))
+    )
+    return j.select(
+        "doc_id",
+        F.size("_t").cast("int").alias("n_tokens"),
+        n_removed.cast("int").alias("n_removed"),
+        ratio.alias("removed_ratio"),
+        clean.alias("clean_text"),
+    )
+
+
+def remove_dup_spans_sql(rel: str = "documents", k: int = 8, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`remove_dup_spans` — same casefolded md5 span
+    keys, same (doc_id, pos) canonical pick, same coverage filter."""
+    joined = " || ' ' || ".join(f"lt[i + {j}]" for j in range(k))
+    return f"""
+      with tk as (
+        select doc_id,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim({text_col}), '\\s+') end as t,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim(lower({text_col})), '\\s+') end as lt
+        from {rel}),
+      sp as (
+        select doc_id,
+               cast(split_part(s, '|', 1) as bigint) as pos,
+               split_part(s, '|', 2) as key
+        from (
+          select doc_id,
+                 unnest(case when len(lt) - {k - 1} > 0
+                             then list_transform(range(1, len(lt) - {k - 1} + 1),
+                                                 i -> cast(i as varchar) || '|' || md5({joined}))
+                             else [] end) as s
+          from tk)),
+      fl as (
+        select doc_id, pos,
+               (min(doc_id) over (partition by key)
+                <> max(doc_id) over (partition by key)) as dup,
+               row_number() over (partition by key order by doc_id, pos) as rn
+        from sp),
+      rm as (select doc_id, list(pos) as rp from fl where dup and rn > 1 group by doc_id),
+      j as (
+        select t.doc_id, t.t, coalesce(rm.rp, []) as rp
+        from tk t left join rm using (doc_id)),
+      kp as (
+        select doc_id, t,
+               list_filter(range(1, len(t) + 1),
+                           q -> len(list_filter(rp, p -> p <= q and q <= p + {k - 1})) = 0) as kept
+        from j)
+      select doc_id,
+             cast(len(t) as int) as n_tokens,
+             cast(len(t) - len(kept) as int) as n_removed,
+             case when len(t) > 0
+                  then floor(cast(len(t) - len(kept) as double) / len(t) * 1e6 + 0.5) / 1e6
+                  else 0.0 end as removed_ratio,
+             coalesce(array_to_string(list_transform(kept, q -> t[q]), ' '), '') as clean_text
+      from kp
+    """

@@ -289,3 +289,60 @@ def test_substring_span_stats_partition_invariance(spark):
     # structural invariants
     assert (a["n_dup_spans"] <= a["n_spans"]).all()
     assert a["dup_span_ratio"].between(0.0, 1.0).all()
+
+
+def test_remove_dup_spans_hand_semantics(spark):
+    """Canonical occurrence (smallest doc_id, pos) survives; every other
+    occurrence of a cross-doc duplicated k-token span is cut; unique
+    text and short docs pass through; case is preserved in clean_text
+    while keys casefold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over lazy dogs tail end"),
+            (2, "the quick brown fox jumps over lazy dogs BUT different"),
+            (3, "totally unique words nothing shared with anyone else here"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.remove_dup_spans(docs, k=8).collect()}
+    # doc 1 holds the canonical occurrence -> untouched, original case
+    assert got[1].n_removed == 0
+    assert got[1].clean_text.startswith("The quick")
+    # doc 2: its first 8 tokens duplicate doc 1's span (casefolded) -> cut
+    assert got[2].n_removed == 8
+    assert got[2].clean_text == "BUT different"
+    assert abs(got[2].removed_ratio - 0.8) < 2e-6
+    # unique + short docs pass through whitespace-normalized
+    assert got[3].n_removed == 0 and got[3].clean_text.startswith("totally")
+    assert got[4].n_tokens == 2 and got[4].n_removed == 0
+
+
+def test_remove_dup_spans_overlap_union(spark):
+    """Overlapping removed spans union their coverage (no double count,
+    no gap): doc 2 repeats a 10-token run of doc 1 -> three overlapping
+    8-grams, 10 tokens removed."""
+    run = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, run + " unique1 tail"), (2, run + " other2 words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.remove_dup_spans(docs, k=8).collect()}
+    assert got[1].n_removed == 0
+    assert got[2].n_removed == 10
+    assert got[2].clean_text == "other2 words"
+
+
+def test_remove_dup_spans_partition_invariance(spark):
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    a = (
+        dedup.remove_dup_spans(df.repartition(1), k=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup.remove_dup_spans(df.repartition(16, "text"), k=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["n_removed"] <= a["n_tokens"]).all()
