@@ -1,0 +1,68 @@
+"""Cross-engine randomized parity fuzz for the round-4 curation ops:
+hypothesis generates small adversarial corpora (token collisions, empty
+docs, ragged whitespace) and each example runs the full Spark operator
+against its DuckDB oracle twin.  Few examples, whole-corpus per example
+(Spark jobs are the cost unit, not rows)."""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from geodesk_spark.operators import dedup, text
+
+TOK = st.text(alphabet="abcde", min_size=1, max_size=3)
+DOC = st.lists(TOK, min_size=0, max_size=30).map(lambda ts: "  ".join(ts))
+CORPUS = st.lists(DOC, min_size=2, max_size=12)
+
+
+def _frames(spark, docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": docs,
+            "lang": ["en" if i % 2 == 0 else "fr" for i in range(len(docs))],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return sdf, con
+
+
+def _assert_match(got, want, keys=("doc_id",)):
+    got = got.toPandas().sort_values(list(keys)).reset_index(drop=True)
+    want = want.df().sort_values(list(keys)).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        ok = (got[c] == want[c]) | (got[c].isna() & want[c].isna())
+        assert ok.all(), (c, got.loc[~ok].head(3), want.loc[~ok].head(3))
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=CORPUS)
+def test_fuzz_ngram_lm_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(
+        text.ngram_lm_score(sdf), con.sql(text.ngram_lm_score_sql())
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=CORPUS)
+def test_fuzz_dsir_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    target = sdf.filter("lang = 'en'")
+    _assert_match(
+        text.dsir_importance(sdf, target, buckets=64),
+        con.sql(text.dsir_importance_sql(buckets=64)),
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=CORPUS)
+def test_fuzz_remove_dup_spans_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(
+        dedup.remove_dup_spans(sdf, k=3),
+        con.sql(dedup.remove_dup_spans_sql(k=3)),
+    )
