@@ -315,6 +315,22 @@ def _lm_perplexity_sql() -> str:
     )
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality split (text.ccnet_quality_buckets):
+    one bigram LM PER LANGUAGE trained in a single keyed pass on the
+    even-doc_id reference half, every doc scored under its own
+    language's model, terciled per language by normalized NLL — the
+    published per-lang perplexity-bucket pipeline end-to-end."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.ccnet_quality_buckets(d, d.filter(F.col("doc_id") % 2 == 0))
+
+
+def _ccnet_buckets_sql() -> str:
+    return text.ccnet_quality_buckets_sql(
+        model_rel="(select * from documents where doc_id % 2 = 0)"
+    )
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (text.dsir_importance): hashed-unigram
     importance weights toward the English subset, top-25% selected.

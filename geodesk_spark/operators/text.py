@@ -475,11 +475,13 @@ def _qln_micro_sql(expr: str) -> str:
     return f"cast(floor(ln(cast(({expr}) as double)) * 1e6 + 0.5) as bigint)"
 
 
-def _bigram_events(df: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, prev, cur) bigram stream with a '<s>' sentinel before the
-    first token — built as 'prev cur' pair strings via a JVM transform
-    over sequence(1, n) (tokens are \\S+ so the space separator is
-    unambiguous), then split back.  Entirely map-side: zero shuffles."""
+def _bigram_events(df: DataFrame, text_col: str, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, prev, cur) bigram stream with a '<s>' sentinel
+    before the first token — built as 'prev cur' pair strings via a JVM
+    transform over sequence(1, n) (tokens are \\S+ so the space separator
+    is unambiguous), then split back.  Entirely map-side: zero shuffles.
+    ``extra`` columns (e.g. a language key for per-group LM training)
+    ride along unchanged."""
     toks = tokens_col(F.lower(F.col(text_col)))
     n = F.size(toks)
     pairs = F.transform(
@@ -494,9 +496,10 @@ def _bigram_events(df: DataFrame, text_col: str) -> DataFrame:
     )
     pairs = F.when(n > 0, pairs).otherwise(F.array().cast("array<string>"))
     return (
-        df.select("doc_id", F.explode(pairs).alias("pg"))
+        df.select("doc_id", *extra, F.explode(pairs).alias("pg"))
         .select(
             "doc_id",
+            *extra,
             F.split_part(F.col("pg"), F.lit(" "), F.lit(1)).alias("prev"),
             F.split_part(F.col("pg"), F.lit(" "), F.lit(2)).alias("cur"),
         )
@@ -617,6 +620,193 @@ def ngram_lm_score_sql(
                   then (cast(r.s as double) / r.n) / 1e6
                   else 0.0 end as avg_nll
       from {rel} d left join r using (doc_id)
+    """
+
+
+_BIGRAM_EVENTS_GROUPED_SQL = r"""
+      select doc_id, {g},
+             split_part(pg, ' ', 1) as prev,
+             split_part(pg, ' ', 2) as cur
+      from (
+        select doc_id, {g},
+               unnest(list_transform(
+                 range(1, len(t) + 1),
+                 i -> (case when i = 1 then '<s>' else t[i - 1] end) || ' ' || t[i]
+               )) as pg
+        from (
+          select doc_id, {g},
+                 case when length(trim({text_col})) = 0 then []
+                      else string_split_regex(trim(lower({text_col})), '\s+') end as t
+          from {rel}
+        )
+      )"""
+
+
+def ngram_lm_score_grouped(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-GROUP CCNet LM scoring — the actual Wenzek et al. 2020 shape:
+    one add-1-smoothed bigram LM per ``group_col`` value (per language),
+    all trained in a SINGLE pass by keying the count aggregations on the
+    group, each doc scored under its own group's model →
+    (doc_id, <group_col>, n_bigrams, nll_micro, avg_nll).
+
+    Docs whose group has no model rows fall back to the uniform
+    distribution over the GLOBAL model vocabulary (c1=c2=0, V=V_all) —
+    the worst-case score, never null.  Same integer micro-nat float law
+    as :func:`ngram_lm_score`.
+
+    Scale shape: identical to the ungrouped op with the group key woven
+    into every aggregation/join — still two vocab-sized count shuffles +
+    one fact rollup; the per-group V table is #groups rows (broadcast).
+    """
+    model = docs if model is None else model
+    g = group_col
+    me = _bigram_events(model, text_col, extra=(g,))
+    c2 = me.groupBy(g, "prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = me.groupBy(g, "prev").agg(F.count("*").alias("c1"))
+    vg = me.groupBy(g).agg(F.countDistinct("cur").alias("vg"))
+    va = me.agg(F.countDistinct("cur").alias("v_all"))
+    e = _bigram_events(docs, text_col, extra=(g,))
+    scored = (
+        e.join(c2, [g, "prev", "cur"], "left")
+        .join(c1, [g, "prev"], "left")
+        .join(F.broadcast(vg), [g], "left")
+        .crossJoin(F.broadcast(va))
+    )
+    v = F.coalesce(F.col("vg"), F.col("v_all"))
+    nll = _qln_micro(
+        F.coalesce(F.col("c1"), F.lit(0)) + v
+    ) - _qln_micro(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum(nll).alias("s")
+    )
+    return (
+        docs.select("doc_id", g)
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            g,
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("nll_micro"),
+            F.when(
+                F.coalesce(F.col("n"), F.lit(0)) > 0,
+                (F.col("s").cast("double") / F.col("n")) / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_nll"),
+        )
+    )
+
+
+def ngram_lm_score_grouped_sql(
+    rel: str = "documents",
+    model_rel: str | None = None,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_lm_score_grouped`."""
+    model_rel = rel if model_rel is None else model_rel
+    g = group_col
+    ev = _BIGRAM_EVENTS_GROUPED_SQL.format(rel=rel, text_col=text_col, g=g)
+    mev = _BIGRAM_EVENTS_GROUPED_SQL.format(rel=model_rel, text_col=text_col, g=g)
+    nll = (
+        _qln_micro_sql("coalesce(c1.c1, 0) + coalesce(vg.vg, va.v_all)")
+        + " - "
+        + _qln_micro_sql("coalesce(c2.c2, 0) + 1")
+    )
+    return f"""
+      with e as ({ev}),
+      me as ({mev}),
+      c2 as (select {g}, prev, cur, count(*) as c2 from me group by 1, 2, 3),
+      c1 as (select {g}, prev, count(*) as c1 from me group by 1, 2),
+      vg as (select {g}, count(distinct cur) as vg from me group by 1),
+      va as (select count(distinct cur) as v_all from me),
+      s as (
+        select e.doc_id, {nll} as nll
+        from e left join c2 on e.{g} = c2.{g} and e.prev = c2.prev and e.cur = c2.cur
+               left join c1 on e.{g} = c1.{g} and e.prev = c1.prev
+               left join vg on e.{g} = vg.{g}
+               cross join va
+      ),
+      r as (select doc_id, count(*) as n, sum(nll) as s from s group by 1)
+      select d.doc_id, d.{g},
+             cast(coalesce(r.n, 0) as int) as n_bigrams,
+             cast(coalesce(r.s, 0) as bigint) as nll_micro,
+             case when coalesce(r.n, 0) > 0
+                  then (cast(r.s as double) / r.n) / 1e6
+                  else 0.0 end as avg_nll
+      from {rel} d left join r using (doc_id)
+    """
+
+
+def ccnet_quality_buckets(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): score every
+    doc under its own language's LM (:func:`ngram_lm_score_grouped`),
+    then tercile per language by normalized NLL — head = most fluent
+    third, tail = most gibberish third.  → (doc_id, <group>, avg_nll,
+    bucket, bucket_name).
+
+    Ordering key = nll_micro/n_bigrams as an IEEE double division of
+    identical integers (bit-identical both engines), ties on doc_id;
+    ntile(3) is integer-exact.  The per-language window is the same
+    global-quantile cut CCNet itself performs per language; at corpus
+    scale replace ntile with sampled per-group quantile thresholds — the
+    scores are the distributed-safe part and are unchanged.
+    """
+    from pyspark.sql import Window
+
+    g = group_col
+    lm = ngram_lm_score_grouped(docs, model, group_col=g, text_col=text_col)
+    key = F.col("nll_micro").cast("double") / F.greatest(
+        F.col("n_bigrams"), F.lit(1)
+    )
+    w = Window.partitionBy(g).orderBy(key.asc(), F.asc("doc_id"))
+    b = F.ntile(3).over(w)
+    return lm.select(
+        "doc_id",
+        g,
+        "avg_nll",
+        b.cast("int").alias("bucket"),
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_name"),
+    )
+
+
+def ccnet_quality_buckets_sql(
+    rel: str = "documents",
+    model_rel: str | None = None,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ccnet_quality_buckets`."""
+    g = group_col
+    inner = ngram_lm_score_grouped_sql(rel, model_rel, group_col=g, text_col=text_col)
+    return f"""
+      with lm as ({inner}),
+      t as (
+        select doc_id, {g}, avg_nll,
+               ntile(3) over (
+                 partition by {g}
+                 order by cast(nll_micro as double) / greatest(n_bigrams, 1),
+                          doc_id
+               ) as bucket
+        from lm)
+      select doc_id, {g}, avg_nll, cast(bucket as int) as bucket,
+             case when bucket = 1 then 'head'
+                  when bucket = 2 then 'middle'
+                  else 'tail' end as bucket_name
+      from t
     """
 
 

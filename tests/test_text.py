@@ -212,3 +212,44 @@ def test_ngram_lm_partition_invariance(spark):
     )
     assert a.equals(b)
     assert (a["nll_micro"] >= 0).all()  # add-1 smoothing: c2+1 <= c1+V
+
+
+def test_ngram_lm_grouped_per_lang_models(spark):
+    """Per-group training: the same text scores differently under its own
+    language's model; a group absent from the model falls back to the
+    uniform global-vocab distribution (never null)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a b", "en"),
+            (3, "x y x y", "fr"),
+            (4, "zz zz", "und"),   # group not in model
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model = docs.filter("lang in ('en', 'fr')")
+    got = {r.doc_id: r for r in text.ngram_lm_score_grouped(docs, model).collect()}
+    # en model: c2(<s>,a)=2, c2(a,b)=3, c2(b,a)=1; c1: <s>=2,a=3,b=1; V_en=2
+    nll = lambda c1, c2, v: _qln(c1 + v) - _qln(c2 + 1)
+    assert got[1].nll_micro == nll(2, 2, 2) + nll(3, 3, 2) + nll(1, 1, 2) + nll(3, 3, 2)
+    # fr model independent: bigrams (<s>,x),(x,y),(y,x),(x,y);
+    # c2: (<s>,x)=1, (x,y)=2, (y,x)=1; c1: <s>=1, x=2, y=1; V_fr=2
+    assert got[3].nll_micro == nll(1, 1, 2) + nll(2, 2, 2) + nll(1, 1, 2) + nll(2, 2, 2)
+    # und: no model rows -> c1=c2=0, V = global distinct cur = |{a,b,x,y}| = 4
+    assert got[4].nll_micro == 2 * (_qln(4) - _qln(1))
+    assert got[4].lang == "und"
+
+
+def test_ccnet_quality_buckets_shape(spark):
+    """Terciles are per-language, deterministic, and ntile-balanced."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    model = d.filter("doc_id % 2 = 0")
+    out = text.ccnet_quality_buckets(d, model).toPandas()
+    assert set(out["bucket_name"]) == {"head", "middle", "tail"}
+    sizes = out.groupby(["lang", "bucket"]).size().unstack()
+    # ntile: bucket sizes within a lang differ by at most 1
+    assert ((sizes.max(axis=1) - sizes.min(axis=1)) <= 1).all()
+    # head is the fluent third: per lang, max(head avg_nll) <= min(tail avg_nll)
+    for lang, grp in out.groupby("lang"):
+        assert grp.loc[grp.bucket == 1, "avg_nll"].max() <= grp.loc[grp.bucket == 3, "avg_nll"].min() + 1e-9
