@@ -38,6 +38,19 @@ def _q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8).select("query_id", "vec_id", "rank")
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite (ann.ivfpq_topk — the FAISS IVFPQ shape): coarse
+    lists restrict the probe, ADC over PQ codes estimates distances;
+    the (cent, codes) table is the stored billion-scale index.  Oracle
+    unrolls BOTH trainers in SQL (ann.ivfpq_topk_sql)."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.ivfpq_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=4)
+
+
+def _ann_ivfpq_sql() -> str:
+    return ann.ivfpq_topk_sql(ANN_QUERY_IDS, k=ANN_K, nprobe=4)
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (ADC scoring over JVM-encoded sub-codes);
     rank-only output, oracle = the same deterministic trainer unrolled in

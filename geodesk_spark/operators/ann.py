@@ -541,6 +541,319 @@ def pq_topk_sql(
     )
 
 
+def _dot_fold_col(emb: str, centroid: np.ndarray) -> "F.Column":
+    """Left-assoc Σ emb[i]·cᵢ as a HIGHER-ORDER-FUNCTION fold: the
+    centroid enters as a constant-folded literal array and zip_with/
+    aggregate compile to a loop, not 64 inlined terms — 16 of these in
+    one projection stays far under janino's method-size/heap limits
+    (the unrolled-expression form OOMed codegen).  aggregate folds left
+    → the exact op ORDER of the SQL twin's sequential list_sum."""
+    cl = F.array(*[F.lit(float(v)) for v in centroid])
+    prod = F.zip_with(F.col(emb), cl, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prod, F.lit(0.0), lambda a, x: a + x)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN composite (Jégou et al.
+    2011, the FAISS IVFPQ index): a coarse quantizer restricts each
+    query to its ``nprobe`` nearest inverted lists, and within them
+    distances are estimated from PQ codes by asymmetric-distance lookup
+    (ADC) — never touching the raw vectors at query time.
+
+    Scale shape: ONE vector-side projection computes BOTH the coarse
+    assignment (argmax of 16 raw-dot columns; normalization cannot
+    change an argmax over a positive scalar, so raw dots are exact and
+    engine-identical) and the m PQ codes (pq_encode's argmin pattern) —
+    at 10^12 vectors that (cent, code0..m) table IS the stored index,
+    ~32× smaller than float32, partitionable by cent so a probe touches
+    nprobe/n_centroids of the data.  Queries arrive as ONE broadcast
+    row each (probe list + m ADC LUTs); scoring is a broadcast join +
+    integer array lookups + one bounded top-k window.  Zero Python on
+    the vector side.  Rank-only output (the PQ-oracle precedent: tiny
+    trainer float diffs between numpy and the SQL-unrolled trainer must
+    not enter the hash).
+
+    Probe lists use a STABLE argsort (ties → lowest centroid index,
+    matching the oracle's `order by dot desc, c asc`).
+    """
+    spark = df.sparkSession
+    C = ivf_centroids(df, n_centroids=n_centroids)
+    books = pq_codebooks(df, m=m, ksub=ksub)
+    Qn, qids = _query_matrix(df, query_ids)
+    Qraw, _ = _query_vectors(df, query_ids)
+    sub = books.shape[2]
+    lut_rows = []
+    for j, qid in enumerate(qids):
+        probes = [int(c) for c in np.argsort(-(C @ Qn[j]), kind="stable")[:nprobe]]
+        q = Qraw[j]
+        luts = []
+        for mi in range(m):
+            qm = q[mi * sub : (mi + 1) * sub]
+            vals = []
+            for c in range(ksub):
+                acc = 0.0
+                for x, y in zip(qm, books[mi, c]):
+                    t = float(x) - float(y)
+                    acc += t * t
+                vals.append(acc)
+            luts.append(vals)
+        lut_rows.append((int(qid), probes, *luts))
+    qdf = spark.createDataFrame(
+        lut_rows,
+        schema="query_id long, probes array<int>, "
+        + ", ".join(f"lut{mi} array<double>" for mi in range(m)),
+    )
+    with_cent = df.select(
+        "vec_id",
+        "embedding",
+        F.array(*[_dot_fold_col("embedding", C[c]) for c in range(n_centroids)]).alias(
+            "cdot"
+        ),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.array_position(F.col("cdot"), F.array_max(F.col("cdot"))) - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    # inline pq_encode with cent riding along — one narrow pipeline, no
+    # fact-side join (same darr-per-Project structure pq_encode proved)
+    darrs = with_cent.select(
+        "vec_id",
+        "cent",
+        *[
+            F.array(
+                *[_subdist_col("embedding", books[mi, c], mi * sub) for c in range(ksub)]
+            ).alias(f"darr{mi}")
+            for mi in range(m)
+        ],
+    )
+    enc = darrs.select(
+        "vec_id",
+        "cent",
+        *[
+            (F.array_position(F.col(f"darr{mi}"), F.array_min(F.col(f"darr{mi}"))) - 1)
+            .cast("int")
+            .alias(f"code{mi}")
+            for mi in range(m)
+        ],
+    )
+    score = None
+    for mi in range(m):
+        t = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        score = t if score is None else score + t
+    cand = (
+        enc.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.array_contains(F.col("probes"), F.col("cent"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "vec_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+def ivfpq_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    sample: int = 2048,
+    dim: int = 64,
+) -> str:
+    """DATA-INDEPENDENT DuckDB twin of :func:`ivfpq_topk`: BOTH trainers
+    (ivf_centroids' normalized Lloyd, pq_codebooks' per-subspace Lloyd —
+    the two already-proven oracle unrollings, IVF CTEs prefixed i* to
+    avoid name collisions) plus the composite probe path: per-query
+    top-nprobe coarse lists (dot desc, c asc), every vector assigned by
+    RAW-dot argmax (bit-identical to the Spark column given identical
+    centroids), ADC scoring inside the probed lists only."""
+    sub = dim // m
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j]))"
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+        )
+
+    parts = [
+        f"""samp as (
+        select row_number() over (order by vec_id) - 1 as rn, embedding as e
+        from embeddings where vec_id % 13 = 0 order by vec_id limit {sample})""",
+        # --- IVF coarse trainer (normalized space), i*-prefixed CTEs ----
+        f"ist as (select greatest(1, count(*) // {n_centroids}) as s from samp)",
+        """isv as (
+        select rn, list_transform(e, x -> cast(x as double) / greatest(
+               sqrt(list_sum(list_transform(e, y -> cast(y as double) * cast(y as double)))),
+               1e-12)) as v
+        from samp)""",
+        f"""ic0 as (
+        select cast(rn // ist.s as int) as c, v from isv, ist
+        where rn % ist.s = 0 and rn // ist.s < {n_centroids})""",
+    ]
+    prev = "ic0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ia{i} as (
+            select rn, v, c from (
+              select s.rn, s.v, c.c,
+                     row_number() over (partition by s.rn
+                         order by {dot('s.v', 'c.v')} desc, c.c asc) as rk
+              from isv s cross join {prev} c) x where rk = 1)"""
+        )
+        parts.append(
+            f"""im{i} as (
+            select c, list(mv order by j) as mv from (
+              select c, j, avg(vj) as mv from (
+                select c, unnest(range(1, len(v) + 1)) as j, unnest(v) as vj
+                from ia{i}) x group by c, j) y group by c)"""
+        )
+        parts.append(
+            f"""ic{i} as (
+            select p.c,
+                   case when m.c is null then p.v
+                        else list_transform(m.mv, x -> x / greatest(
+                             sqrt(list_sum(list_transform(m.mv, y -> y * y))), 1e-12))
+                   end as v
+            from {prev} p left join im{i} m on m.c = p.c)"""
+        )
+        prev = f"ic{i}"
+    icent = prev
+    # --- PQ trainer, encode (pq_topk_sql's proven pattern) --------------
+    parts.append(f"pst as (select greatest(1, count(*) // {ksub}) as s from samp)")
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            f"sv{mi} as (select rn, list_transform(e[{lo}:{hi}],"
+            f" x -> cast(x as double)) as v from samp)"
+        )
+        parts.append(
+            f"""c{mi}_0 as (
+            select cast(rn // pst.s as int) as c, v from sv{mi}, pst
+            where rn % pst.s = 0 and rn // pst.s < {ksub})"""
+        )
+        pprev = f"c{mi}_0"
+        for i in range(1, iters + 1):
+            parts.append(
+                f"""a{mi}_{i} as (
+                select rn, v, c from (
+                  select s.rn, s.v, c.c,
+                         row_number() over (partition by s.rn
+                             order by {l2('s.v', 'c.v')} asc, c.c asc) as rk
+                  from sv{mi} s cross join {pprev} c) x where rk = 1)"""
+            )
+            parts.append(
+                f"""m{mi}_{i} as (
+                select c, list(mv order by j) as mv from (
+                  select c, j, avg(vj) as mv from (
+                    select c, unnest(range(1, len(v) + 1)) as j, unnest(v) as vj
+                    from a{mi}_{i}) x group by c, j) y group by c)"""
+            )
+            parts.append(
+                f"""c{mi}_{i} as (
+                select p.c, case when m.c is null then p.v else m.mv end as v
+                from {pprev} p left join m{mi}_{i} m on m.c = p.c)"""
+            )
+            pprev = f"c{mi}_{i}"
+        parts.append(
+            f"av{mi} as (select vec_id, list_transform(embedding[{lo}:{hi}],"
+            f" x -> cast(x as double)) as v from embeddings)"
+        )
+        parts.append(
+            f"""code{mi} as (
+            select vec_id, c as code from (
+              select a.vec_id, c.c,
+                     row_number() over (partition by a.vec_id
+                         order by {l2('a.v', 'c.v')} asc, c.c asc) as rk
+              from av{mi} a cross join c{mi}_{iters} c) x where rk = 1)"""
+        )
+    ids = ", ".join(str(i) for i in query_ids)
+    # --- composite probe path -------------------------------------------
+    parts.append(
+        f"""nq as (
+        select vec_id as qid,
+               list_transform(embedding, x -> cast(x as double) / (
+                   case when nrm = 0 then 1.0 else nrm end)) as qv
+        from (select vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          y -> cast(y as double) * cast(y as double)))) as nrm
+              from embeddings where vec_id in ({ids})) z)"""
+    )
+    parts.append(
+        f"""probe as (
+        select qid, c from (
+          select nq.qid, c.c,
+                 row_number() over (partition by nq.qid
+                     order by {dot('c.v', 'nq.qv')} desc, c.c asc) as rk
+          from nq cross join {icent} c) x where rk <= {nprobe})"""
+    )
+    parts.append(
+        """rawv as (
+        select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+        from embeddings)"""
+    )
+    parts.append(
+        f"""vassign as (
+        select vec_id, c as cent from (
+          select a.vec_id, c.c,
+                 row_number() over (partition by a.vec_id
+                     order by {dot('a.v', 'c.v')} desc, c.c asc) as rk
+          from rawv a cross join {icent} c) x where rk = 1)"""
+    )
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            f"q{mi} as (select vec_id as qid, list_transform(embedding[{lo}:{hi}],"
+            f" x -> cast(x as double)) as qv from embeddings"
+            f" where vec_id in ({ids}))"
+        )
+    score = " + ".join(f"{l2(f'q{mi}.qv', f'cb{mi}.v')}" for mi in range(m))
+    cb_joins = " ".join(
+        f"join c{mi}_{iters} cb{mi} on cb{mi}.c = code{mi}.code" for mi in range(m)
+    )
+    code_chain = "code0 " + " ".join(
+        f"join code{mi} on code{mi}.vec_id = code0.vec_id" for mi in range(1, m)
+    )
+    q_chain = "q0 " + " ".join(f"join q{mi} on q{mi}.qid = q0.qid" for mi in range(1, m))
+    parts.append(
+        f"""cand as (
+        select q0.qid as query_id, code0.vec_id, {score} as score
+        from {q_chain} join probe p on p.qid = q0.qid
+             cross join {code_chain} {cb_joins}
+             join vassign va on va.vec_id = code0.vec_id
+        where va.cent = p.c and code0.vec_id <> q0.qid)"""
+    )
+    return (
+        "with " + ",\n".join(parts) + f""",
+      r as (select query_id, vec_id,
+                   row_number() over (partition by query_id
+                       order by score asc, vec_id asc) as rank
+            from cand)
+      select query_id, vec_id, cast(rank as int) as rank
+      from r where rank <= {k}
+    """
+    )
+
+
 def kmeans_assign(df: DataFrame, n_centroids: int = 16, iters: int = 3) -> DataFrame:
     """Full-corpus k-means assignment — clustering as a USER-facing op
     (corpus curation: topic buckets, diversity sampling, per-cluster

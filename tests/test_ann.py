@@ -373,3 +373,68 @@ def test_semdedup_precomputed_assign_identical(spark, emb):
         .toPandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert got.equals(default)
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark, emb):
+    """Every returned neighbor's coarse assignment is one of its query's
+    probed lists (recomputed independently in numpy), ranks are a clean
+    1..<=k prefix per query, and no self-matches."""
+    import numpy as np
+
+    qids = [0, 7, 42]
+    out = ann.ivfpq_topk(emb, qids, k=5, nprobe=4).collect()
+    C = ann.ivf_centroids(emb)
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    def probes(qid):
+        q = rows[qid]; n = np.linalg.norm(q); qn = q / (n if n else 1.0)
+        return set(np.argsort(-(C @ qn), kind="stable")[:4].tolist())
+    def cent(v):
+        return int(np.argmax([float(np.sum(v * c)) for c in C]))
+    byq = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        assert cent(rows[r.vec_id]) in probes(r.query_id)
+        byq.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in byq.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfpq_partition_invariance(spark, emb):
+    a = (
+        ann.ivfpq_topk(emb.repartition(1), [0, 7, 42, 123, 321], k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann.ivfpq_topk(emb.repartition(16, "vec_id"), [0, 7, 42, 123, 321], k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_ivfpq_recall_vs_brute(spark, emb):
+    """IVF-PQ recall@5 vs the exact cosine top-5, measured over 25
+    queries.  Near-uniform embeddings are the ADVERSARIAL case for both
+    stages: PQ at m=4/ksub=8 measures ~0.09 alone and the nprobe=4/16
+    restriction multiplies roughly by the probe fraction — so the pin
+    is deliberately weak (≥3× a random k-scan, recall > 0), and the
+    measured value is recorded here and in COVERAGE.md: mean recall@5 ≈
+    0.03-0.05 on this corpus (clusterable real embeddings recover most
+    of it, which is the regime IVF-PQ exists for)."""
+    qids = [int(r.vec_id) for r in
+            emb.filter("vec_id % 20 = 0").select("vec_id").orderBy("vec_id").limit(25).collect()]
+    exact = ann.cosine_topk(emb, qids, k=5).collect()
+    approx = ann.ivfpq_topk(emb, qids, k=5, nprobe=4).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    n = sum(len(v) for v in want.values())
+    hit = sum(len(want[q] & got.get(q, set())) for q in want)
+    recall = hit / n
+    random_baseline = 5 / emb.count()
+    print(f"ivfpq recall@5 = {recall:.3f} over {len(qids)} queries (random {random_baseline:.4f})")
+    assert recall > 0
+    assert recall >= 3 * random_baseline
