@@ -551,6 +551,8 @@ def ngram_lm_score(
       → left join back to docs                            empty docs keep a row
 
     No driver collect; V reduces to a broadcast 1-row frame.
+    ``model`` must contain at least one token (an empty model has V=0
+    and the smoothed probability degenerates to ln(0) → null scores).
     """
     model = docs if model is None else model
     me = _bigram_events(model, text_col)
@@ -662,6 +664,7 @@ def ngram_lm_score_grouped(
     Scale shape: identical to the ungrouped op with the group key woven
     into every aggregation/join — still two vocab-sized count shuffles +
     one fact rollup; the per-group V table is #groups rows (broadcast).
+    ``model`` must contain at least one token (see ngram_lm_score).
     """
     model = docs if model is None else model
     g = group_col
