@@ -90,3 +90,59 @@ def phash64(pixels: np.ndarray) -> int:
     for bit in bits:
         v = (v << 1) | int(bit)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _box_mean_grid(gray: np.ndarray, n: int = 32) -> np.ndarray:
+    """Deterministic n×n box-mean downsample of a 2-D float array.
+
+    When a dimension is smaller than n, falls back to nearest-neighbor
+    index sampling (reduceat needs strictly increasing bin edges) —
+    still fully deterministic.
+    """
+    h, w = gray.shape
+    if h >= n and w >= n:
+        ys = (np.arange(n) * h) // n
+        xs = (np.arange(n) * w) // n
+        blocks = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+        counts = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+        return blocks / counts
+    yi = np.minimum((np.arange(n) * h) // n, h - 1)
+    xi = np.minimum((np.arange(n) * w) // n, w - 1)
+    return gray[np.ix_(yi, xi)].astype(np.float64)
+
+
+_DCT32 = None
+
+
+def _dct32_matrix() -> np.ndarray:
+    """The 32-point DCT-II basis matrix (orthonormal scaling), cached."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None].astype(np.float64)
+        j = np.arange(n)[None, :].astype(np.float64)
+        m = np.cos(np.pi * (2.0 * j + 1.0) * k / (2.0 * n))
+        m[0, :] *= np.sqrt(1.0 / n)
+        m[1:, :] *= np.sqrt(2.0 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash_dct64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic public pHash recipe):
+    luma → 32×32 box-mean → 2-D DCT-II → keep the low-frequency 8×8
+    block → bit k set iff coefficient k exceeds the median of the 63
+    non-DC coefficients.  Signed int64 (two's complement) so the hash
+    rides a Spark `long` column and the Hamming banding in
+    dedup.phash_neardup_pairs applies unchanged.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    g = _box_mean_grid(gray, 32)
+    c = _dct32_matrix()
+    d = c @ g @ c.T
+    block = d[:8, :8].reshape(-1)
+    med = np.median(block[1:])
+    v = 0
+    for bit in block > med:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

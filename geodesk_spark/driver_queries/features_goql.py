@@ -625,3 +625,130 @@ def _q_remove_spans(spark, sf_dir):
 
 def _remove_spans_sql() -> str:
     return dedup.remove_dup_spans_sql("documents", k=8)
+
+
+# --- Corpus-cleaning family (operators/textclean.py) -------------------------
+#
+# The sf documents are single-line word soup, so these queries enrich them
+# DETERMINISTICALLY into multi-line docs with injected PII / boilerplate —
+# the same construction on both engines (regex word-grouping into lines +
+# id-derived footers), so the oracle still exercises the real operators on
+# structured text.  Sentence punctuation comes from word-level rewrites
+# ('value' → 'value.', 'table' → 'table?') so some lines end terminally.
+
+
+def _curated_docs(spark, sf_dir, words_per_line: int):
+    from geodesk_spark.operators import textclean  # noqa: F401 (family home)
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.regexp_replace(t, r"\bvalue\b", "value.")
+    t = F.regexp_replace(t, r"\btable\b", "table?")
+    t = F.regexp_replace(t, rf"((?:\S+ ){{{words_per_line - 1}}}\S+) ", "$1\n")
+    footer = F.concat(
+        F.lit("\ncontact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 now."),
+    )
+    t = F.when(F.col("doc_id") % 3 == 0, F.concat(t, footer)).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit amet."))
+    ).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def _curated_docs_cte(words_per_line: int) -> str:
+    """The DuckDB twin of _curated_docs as a CTE body named fx(doc_id, text)."""
+    return f"""
+      fx as (
+        select doc_id,
+               (case when doc_id % 11 = 0
+                     then base || chr(10) || 'lorem ipsum dolor sit amet.'
+                     else base end) as text
+        from (
+          select doc_id,
+                 (case when doc_id % 3 = 0
+                       then lined || chr(10) || 'contact user' || cast(doc_id as varchar)
+                            || '@mail.example.com or 555-'
+                            || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                            || ' at 10.2.' || cast(doc_id % 256 as varchar) || '.7 now.'
+                       else lined end) as base
+          from (
+            select doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '\\bvalue\\b', 'value.', 'g'),
+                       '\\btable\\b', 'table?', 'g'),
+                     '((?:\\S+ ){{{words_per_line - 1}}}\\S+) ', '\\1' || chr(10), 'g') as lined
+            from documents)))
+    """
+
+
+def _with_fixture(cte: str, inner: str) -> str:
+    """Splice the fx fixture CTE into an oracle that itself starts with
+    WITH: `with A…` → `with fx as (…), A…`."""
+    i = inner.index("with ")
+    return "with " + cte + "," + inner[i + len("with ") :]
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII wash (textclean.pii_scrub): sequential count-then-redact of
+    emails → IPv4s → phone numbers over the line-enriched corpus; pure
+    JVM regexp codegen, no shuffle."""
+    from geodesk_spark.operators import textclean
+
+    return textclean.pii_scrub(_curated_docs(spark, sf_dir, 6))
+
+
+def _pii_scrub_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    return _with_fixture(_curated_docs_cte(6), textclean.pii_scrub_sql("fx"))
+
+
+def _q_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning rules (textclean.c4_line_filter): terminal
+    punctuation + min-words + blocklist over the enriched corpus."""
+    from geodesk_spark.operators import textclean
+
+    return textclean.c4_line_filter(_curated_docs(spark, sf_dir, 6), min_words=3)
+
+
+def _c4_lines_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    return _with_fixture(_curated_docs_cte(6), textclean.c4_line_filter_sql("fx", min_words=3))
+
+
+def _q_dupline_stats(spark, sf_dir):
+    """Gopher duplicate-line fractions (textclean.dupline_stats) over
+    2-word lines (short lines ⇒ natural within-doc duplicates)."""
+    from geodesk_spark.operators import textclean
+
+    return textclean.dupline_stats(_curated_docs(spark, sf_dir, 2))
+
+
+def _dupline_stats_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    return _with_fixture(_curated_docs_cte(2), textclean.dupline_stats_sql("fx"))
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """First BPE merge iteration (textclean.bpe_pair_stats): corpus-wide
+    adjacent-char-pair counts, top-30 — the canonical word-count plan
+    (map-side partial agg; the shuffle carries only distinct pairs)."""
+    from geodesk_spark.operators import textclean
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return textclean.bpe_pair_stats(d, k=30)
+
+
+def _bpe_pairs_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    return textclean.bpe_pair_stats_sql("documents", k=30)

@@ -408,3 +408,65 @@ def _q_images_sharpness(spark, sf_dir):
     return images.sharpness(imgs).select(
         "image_id", F.round("sharpness", 4).alias("sharpness")
     )
+
+
+def _q_image_neardup_e2e(spark, sf_dir):
+    """The image near-dup pipeline from BYTES end-to-end: base corpus ∪
+    planted jpeg-transcoded copies → images.phash_compute (pixels →
+    DCT pHash, ONE scan) → dedup.phash_neardup_pairs with max_hamming=4
+    / 8×8-bit bands (pigeonhole-exact recall at the measured ≤4-bit
+    jpeg drift) → Kiveris connected components → canonical id per
+    image.  Every planted copy must resolve to its source's component
+    (pinned by test_pipeline::test_image_neardup_e2e_resolves_copies).
+    Rows-only at the driver (synthetic payload)."""
+    imgs = synth.images_df(spark, 300, with_bytes=True, partitions=8)
+    victims = imgs.filter(F.substring("image_id", 4, 12).cast("long") % 5 == 0)
+    dups = images.transcode(victims, "jpeg").withColumn(
+        "image_id", F.concat("image_id", F.lit("_d"))
+    )
+    corpus = imgs.select("image_id", "bytes").unionByName(dups)
+    hashed = images.phash_compute(corpus)
+    pairs = dedup.phash_neardup_pairs(
+        hashed, phash_col="phash_dct", max_hamming=4, n_bands=8
+    )
+    comp = dedup.connected_components(pairs, a_col="id_a", b_col="id_b")
+    out = hashed.join(comp.withColumnRenamed("doc_id", "image_id"), "image_id", "left")
+    canonical = F.coalesce("comp_id", F.col("image_id"))
+    return out.select(
+        "image_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("image_id")).alias("is_canonical"),
+    ).orderBy("image_id")
+
+
+def _q_images_color_stats(spark, sf_dir):
+    """LAION-style junk-image filter inputs (images.color_stats): dims,
+    channel means, luma std, 8-bit luma entropy — one mapInPandas scan,
+    rows-only at the driver (synthetic payload); exact numpy parity is
+    pinned by test_pipeline::test_color_stats_parity_and_flat_law."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.color_stats(imgs).select(
+        "image_id", "width", "height",
+        F.round("r_mean", 4).alias("r_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+        F.round("entropy_bits", 4).alias("entropy_bits"),
+    )
+
+
+def _q_images_border_trim(spark, sf_dir):
+    """Constant-border/letterbox crop detection (images.border_trim) —
+    the pre-crop before hashing so padded copies dedup together; exact
+    trim counts pinned by
+    test_pipeline::test_border_trim_padded_blank_and_degenerate."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.border_trim(imgs)
+
+
+def _q_images_phash(spark, sf_dir):
+    """DCT perceptual hashes computed from PIXELS (images.phash_compute,
+    codec.phash_dct64) — the ingest-side producer for the Hamming-banded
+    image dedup; rows-only at the driver (synthetic binary payload); the
+    numpy-parity + jpeg-robustness invariants are pinned by
+    tests/test_pipeline.py::test_phash_compute_parity_and_robustness."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.phash_compute(imgs)

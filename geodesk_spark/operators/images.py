@@ -85,6 +85,26 @@ def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def transcode(df: DataFrame, fmt: str = "jpeg") -> DataFrame:
+    """Re-encode every image to ``fmt`` (decode → encode) — the format-
+    normalization step an ingest pipeline runs before storage tiering.
+    Same mapInPandas shape as :func:`resize`; deterministic codec, so
+    jpeg transcoding is idempotent (requantizing already-quantized
+    pixels is a no-op)."""
+
+    def run(batches):
+        for pdf in batches:
+            blobs = [
+                codec.encode(codec.decode(bytes(pdf["bytes"].iloc[i])), fmt)
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame({"image_id": pdf["image_id"], "bytes": blobs})
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video-frame-sampling stub: the Spark plumbing for a binary video
     column → exploded frame rows.  Real video decode is unavailable in
@@ -281,4 +301,191 @@ def sharpness(df: DataFrame) -> DataFrame:
 
     return df.select("image_id", "bytes").mapInPandas(
         run, schema="image_id string, sharpness double"
+    )
+
+
+def color_stats(df: DataFrame) -> DataFrame:
+    """Per-image color statistics — the LAION/DataComp-style junk-image
+    filter inputs: decoded dims, per-channel means, BT.601 luma standard
+    deviation and 8-bit luma Shannon entropy (bits).  A downstream keep
+    predicate like ``luma_std > 4 AND entropy_bits > 1.5`` drops flat /
+    near-monochrome images (solid placeholders, tracking pixels) before
+    any expensive model scoring.
+
+    One vectorized mapInPandas scan — partition-parallel, no shuffle; at
+    10^12 rows this is pure scan-side map work riding whatever
+    partitioning the ingest produced.  NULL/undecodable bytes emit NULL
+    stats (width/height included) so the row survives for auditing.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            w = np.zeros(n, dtype=np.int32)
+            h = np.zeros(n, dtype=np.int32)
+            stats = np.zeros((n, 5), dtype=np.float64)  # r,g,b,luma_std,entropy
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:
+                    continue
+                try:
+                    px = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                h[i], w[i] = px.shape[:2]
+                f = px.astype(np.float64)
+                stats[i, :3] = f.mean(axis=(0, 1))
+                luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+                stats[i, 3] = luma.std()
+                bins = np.clip(np.floor(luma + 0.5), 0, 255).astype(np.intp)
+                counts = np.bincount(bins.ravel(), minlength=256)
+                p = counts[counts > 0] / bins.size
+                stats[i, 4] = float(-(p * np.log2(p)).sum())
+                ok[i] = True
+            out = pd.DataFrame({"image_id": pdf["image_id"]})
+            out["width"] = pd.array(w, dtype="Int32")
+            out["height"] = pd.array(h, dtype="Int32")
+            for j, c in enumerate(["r_mean", "g_mean", "b_mean", "luma_std", "entropy_bits"]):
+                out[c] = stats[:, j]
+                out.loc[~ok, c] = None
+            out.loc[~ok, "width"] = pd.NA
+            out.loc[~ok, "height"] = pd.NA
+            yield out
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run,
+        schema=(
+            "image_id string, width int, height int, r_mean double, "
+            "g_mean double, b_mean double, luma_std double, entropy_bits double"
+        ),
+    )
+
+
+def border_trim(df: DataFrame, tol: int = 8) -> DataFrame:
+    """Constant-border / letterbox detection: from each edge, count the
+    consecutive pixel lines that are flat (peak-to-peak ≤ ``tol`` across
+    all channels) and color-matched to that edge's outermost line (mean
+    within ``tol``) — the classic pre-crop step image curation runs
+    before hashing/embedding so that letterboxed or padded copies of the
+    same picture dedup together.
+
+    Emits the four trim counts, the crop box (col_lo, row_lo, crop_w,
+    crop_h), the trimmed-area fraction, and ``is_blank`` for images that
+    are one flat color end-to-end (crop degenerates — reported as the
+    full frame with border_frac 1).  One mapInPandas scan, no shuffle;
+    NULL/undecodable bytes emit NULL.
+    """
+
+    def trims(px: np.ndarray) -> tuple[int, int, int, int, bool]:
+        h, w = px.shape[:2]
+        f = px.astype(np.int32)
+
+        def leading(ptp: np.ndarray, mean: np.ndarray, rev: bool) -> int:
+            if rev:
+                ptp, mean = ptp[::-1], mean[::-1]
+            # a line trims iff it is flat AND color-matched to the
+            # outermost line of its edge (mean[0] of the scan order)
+            ok = (ptp <= tol) & (np.abs(mean - mean[0]).max(axis=1) <= tol)
+            bad = ~ok
+            return int(np.argmax(bad)) if bad.any() else len(ok)
+
+        row_ptp = f.max(axis=(1, 2)) - f.min(axis=(1, 2))
+        row_mean = f.mean(axis=1)  # (h, 3)
+        col_ptp = f.max(axis=(0, 2)) - f.min(axis=(0, 2))
+        col_mean = f.mean(axis=0)  # (w, 3)
+        top = leading(row_ptp, row_mean, False)
+        bottom = leading(row_ptp, row_mean, True)
+        left = leading(col_ptp, col_mean, False)
+        right = leading(col_ptp, col_mean, True)
+        # Degenerate crop (opposite-edge runs meeting or crossing — incl.
+        # the one-flat-color image where every run spans the frame):
+        # report as blank with the full frame kept.
+        if h - top - bottom <= 0 or w - left - right <= 0:
+            return 0, 0, 0, 0, True
+        return top, bottom, left, right, False
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cols = np.zeros((n, 8), dtype=np.int32)  # t,b,l,r,row_lo,col_lo,cw,ch
+            frac = np.zeros(n, dtype=np.float64)
+            blank = np.zeros(n, dtype=bool)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:
+                    continue
+                try:
+                    px = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                h, w = px.shape[:2]
+                t, b, l, r, is_blank = trims(px)
+                cw, ch = w - l - r, h - t - b
+                cols[i] = (t, b, l, r, t, l, cw, ch)
+                frac[i] = 1.0 if is_blank else 1.0 - (cw * ch) / (w * h)
+                blank[i] = is_blank
+                ok[i] = True
+            out = pd.DataFrame({"image_id": pdf["image_id"]})
+            names = ["trim_top", "trim_bottom", "trim_left", "trim_right",
+                     "row_lo", "col_lo", "crop_w", "crop_h"]
+            for j, c in enumerate(names):
+                v = pd.array(cols[:, j], dtype="Int32")
+                v[~ok] = pd.NA
+                out[c] = v
+            out["border_frac"] = frac
+            out.loc[~ok, "border_frac"] = None
+            bl = pd.array(blank, dtype="boolean")
+            bl[~ok] = pd.NA
+            out["is_blank"] = bl
+            yield out
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run,
+        schema=(
+            "image_id string, trim_top int, trim_bottom int, trim_left int, "
+            "trim_right int, row_lo int, col_lo int, crop_w int, crop_h int, "
+            "border_frac double, is_blank boolean"
+        ),
+    )
+
+
+def phash_compute(df: DataFrame) -> DataFrame:
+    """Compute the 64-bit DCT perceptual hash (codec.phash_dct64 — the
+    classic public pHash recipe: luma → 32×32 box-mean → 2-D DCT-II →
+    8×8 low-frequency block thresholded at its non-DC median) for every
+    image, from the PIXELS.
+
+    This is the ingest-side producer for dedup.phash_neardup_pairs /
+    image_dedup_pipeline: at 10^12 rows the hash is computed ONCE here
+    (one mapInPandas scan, partition-parallel, no shuffle) and the
+    banded Hamming join never touches bytes again.  Robustness over the
+    deterministic codec: jpeg-requantized copies land within 0-4 Hamming
+    bits (pinned ≤6 in tests — inside the banded-dedup radius) while
+    distinct images stay ≥14 bits apart (pinned ≥8).  NULL/undecodable
+    bytes hash NULL.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            hashes = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:
+                    continue
+                try:
+                    px = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                hashes[i] = codec.phash_dct64(px)
+                ok[i] = True
+            vals = pd.array(hashes, dtype="Int64")  # nullable int64 → Arrow long
+            vals[~ok] = pd.NA
+            yield pd.DataFrame({"image_id": pdf["image_id"], "phash_dct": vals})
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, phash_dct long"
     )

@@ -1,0 +1,256 @@
+"""Corpus-cleaning operators over a `documents(doc_id, text, ...)` table —
+the wash steps a web-scale training-data pipeline runs BEFORE dedup and
+model scoring (not present in the reference; added per the build brief):
+
+- :func:`pii_scrub`       — regex PII detection + typed redaction
+                            (C4 / CCNet-style privacy wash)
+- :func:`c4_line_filter`  — Raffel et al. 2020 line-level cleaning rules
+                            (terminal punctuation, min words, blocklist)
+- :func:`dupline_stats`   — Rae et al. 2021 (Gopher) within-doc duplicate-
+                            line fractions (line + character granularity)
+- :func:`bpe_pair_stats`  — corpus-level adjacent-character-pair counts,
+                            i.e. the first BPE merge-candidate table
+                            (Sennrich et al. 2016 step 1)
+
+Everything is built-in `pyspark.sql.functions` (JVM codegen) — zero Python
+in the hot path, zero shuffles except the single groupBy in
+:func:`bpe_pair_stats` (the canonical word-count shape: map-side partial
+aggregation makes the shuffle carry only distinct pairs per partition).
+
+Cross-engine float law (CLAUDE.md): every emitted ratio is floor-form
+quantized (`floor(x*1e6+0.5)/1e6`) on BOTH engines; the only float op is
+one IEEE-exact division, so oracle hashes cannot drift with libm builds.
+
+Regex portability: the PII patterns use only the Java∩RE2 common subset
+(char classes, bounded repetition, non-capturing groups, `\\b`) — no
+lookaround, no backreferences — so Spark (java.util.regex) and DuckDB
+(RE2) match identically on ASCII text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --- PII patterns (Java ∩ RE2 portable subset) ------------------------------
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+
+# C4's line blocklist (Raffel et al. 2020 §2.2: boilerplate markers).
+C4_BLOCKLIST = ("lorem ipsum", "javascript", "{")
+
+
+def _r6(c: Column) -> Column:
+    """Floor-form 1e6 rounding: cross-engine-exact (CLAUDE.md float law)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect + redact emails, IPv4 addresses and phone-like numbers.
+
+    Sequential semantics (mirrored exactly by :func:`pii_scrub_sql`):
+    emails are counted on the raw text then redacted to ``<EMAIL>``; IPs
+    are counted on the email-redacted text (so digits inside an email
+    never double-count) then redacted to ``<IP>``; phones last, on the
+    doubly-redacted text, to ``<PHONE>``.  Returns per-doc match counts
+    plus the fully redacted ``clean_text``.
+
+    One narrow projection — no shuffle, no Python; regexp_replace and
+    regexp_extract_all are JVM expressions inside whole-stage codegen,
+    so at 10^12 rows this is a pure scan-side map.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0))
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
+def pii_scrub_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scrub` — same patterns, same sequential
+    count-then-redact order; DuckDB needs the explicit 'g' flag where
+    Spark's regexp_replace is global by default.  DuckDB single-quoted
+    strings don't process backslashes, so the patterns embed verbatim."""
+    email = EMAIL_RE
+    return f"""
+      with s0 as (select doc_id, {text_col} as t0 from {rel}),
+      s1 as (select doc_id,
+                    len(regexp_extract_all(t0, '{email}')) as n_emails,
+                    regexp_replace(t0, '{email}', '<EMAIL>', 'g') as t1
+             from s0),
+      s2 as (select doc_id, n_emails,
+                    len(regexp_extract_all(t1, '{IPV4_RE}')) as n_ips,
+                    regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') as t2
+             from s1)
+      select doc_id, n_emails, n_ips,
+             len(regexp_extract_all(t2, '{PHONE_RE}')) as n_phones,
+             regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') as clean_text
+      from s2
+    """
+
+
+def _c4_keep(line: Column, min_words: int) -> Column:
+    """The C4 keep-predicate for one line (shared by op + tests)."""
+    tl = F.trim(line)
+    cond = (F.size(F.split(tl, r"\s+")) >= F.lit(min_words)) & tl.rlike('[.?!"]$')
+    for phrase in C4_BLOCKLIST:
+        cond = cond & ~F.lower(line).contains(phrase)
+    return cond
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text", min_words: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ? ! \"), contain at least
+    ``min_words`` whitespace words, and mention none of the boilerplate
+    blocklist phrases (case-insensitive).  Emits per-doc line counts,
+    the kept-line ratio (floor-form 1e6) and the cleaned text (kept
+    lines re-joined with newlines; '' when nothing survives).
+
+    All array higher-order functions over one split — zero shuffles,
+    zero Python; the filter lambda compiles to codegen'd predicates.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: _c4_keep(l, min_words))
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        _r6(n_kept / F.greatest(n_lines, F.lit(1))).alias("kept_ratio"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )
+
+
+def c4_line_filter_sql(rel: str = "documents", text_col: str = "text", min_words: int = 3) -> str:
+    """DuckDB twin of :func:`c4_line_filter`.  Gotchas mirrored: DuckDB's
+    array_to_string on an empty list is NULL where Spark's concat_ws is
+    '' (coalesce — CLAUDE.md invariant), and the blocklist test runs on
+    the UNtrimmed lowered line exactly like the Spark lambda."""
+    block = " and ".join(
+        f"not contains(lower(x), '{p.replace(chr(39), chr(39) * 2)}')" for p in C4_BLOCKLIST
+    )
+    return f"""
+      with l as (select doc_id, string_split({text_col}, chr(10)) as lines from {rel}),
+      k as (select doc_id, lines,
+                   list_filter(lines, x ->
+                       len(string_split_regex(trim(x), '\\s+')) >= {min_words}
+                       and regexp_matches(trim(x), '[.?!"]$')
+                       and {block}) as kept
+            from l)
+      select doc_id,
+             len(lines) as n_lines,
+             len(kept) as n_kept,
+             floor(len(kept) / greatest(len(lines), 1) * 1e6 + 0.5) / 1e6 as kept_ratio,
+             coalesce(array_to_string(kept, chr(10)), '') as clean_text
+      from k
+    """
+
+
+def dupline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition filters at line granularity (Rae et al. 2021,
+    Table A1): per doc, the number of lines, the number of DUPLICATE
+    line occurrences (occurrences beyond each line's first), and the
+    two fractions Gopher thresholds on — duplicate lines / total lines
+    and characters-in-duplicate-lines / total line characters.
+
+    `chars_dup = Σ len(line) − Σ len(distinct lines)` — both sums are
+    exact integers, so the only float is one final IEEE division per
+    fraction (floor-form quantized).  Zero shuffles, zero Python.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(dlines)
+    chars_total = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    chars_dist = F.aggregate(dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return df.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        _r6(n_dup / F.greatest(n_lines, F.lit(1))).alias("dup_line_frac"),
+        _r6((chars_total - chars_dist) / F.greatest(chars_total, F.lit(1))).alias(
+            "dup_char_frac"
+        ),
+    )
+
+
+def dupline_stats_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`dupline_stats` — list_distinct keeps one
+    occurrence per distinct line just like Spark's array_distinct; the
+    char sums are cast to bigint so both engines subtract exact ints."""
+    return f"""
+      with l as (select doc_id, string_split({text_col}, chr(10)) as lines from {rel}),
+      s as (select doc_id, lines, list_distinct(lines) as dlines from l),
+      c as (select doc_id,
+                   len(lines) as n_lines,
+                   len(lines) - len(dlines) as n_dup_lines,
+                   cast(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) as bigint) as chars_total,
+                   cast(coalesce(list_aggregate(list_transform(dlines, x -> length(x)), 'sum'), 0) as bigint) as chars_dist
+            from s)
+      select doc_id, n_lines, n_dup_lines,
+             floor(n_dup_lines / greatest(n_lines, 1) * 1e6 + 0.5) / 1e6 as dup_line_frac,
+             floor((chars_total - chars_dist) / greatest(chars_total, 1) * 1e6 + 0.5) / 1e6 as dup_char_frac
+      from c
+    """
+
+
+def bpe_pair_stats(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """The first iteration of BPE vocabulary training (Sennrich et al.
+    2016): count every ADJACENT CHARACTER PAIR inside words across the
+    corpus and return the top-``k`` merge candidates, ordered by count
+    desc then pair asc (a total order — `pair` is unique — so the top-k
+    cut is deterministic on both engines).
+
+    Shape at 10^12 rows: one narrow explode (≈ n_chars rows, never
+    materialized — it feeds straight into hash aggregation) and ONE
+    shuffle whose payload is `distinct pairs × partitions` thanks to
+    map-side partial aggregation — the canonical word-count plan.
+    Words shorter than 2 chars are filtered BEFORE the pair transform
+    (Spark's sequence(1, 0) would generate a descending range rather
+    than an empty one — the filter keeps both engines on n ≥ 2).
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: F.length(w) >= 2
+    )
+    w = F.explode(words).alias("w")
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("w")) - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        df.select(w)
+        .select(pairs)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_pair_stats_sql(rel: str = "documents", k: int = 20, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_pair_stats` — range(1, n) is
+    end-exclusive (≡ Spark's inclusive sequence(1, n−1)); substr is
+    1-based on both engines."""
+    return f"""
+      with w as (select unnest(string_split_regex(lower(trim({text_col})), '\\s+')) as w
+                 from {rel}),
+      f as (select w from w where length(w) >= 2),
+      p as (select unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) as pair
+            from f)
+      select pair, cast(count(*) as bigint) as cnt
+      from p group by pair
+      order by cnt desc, pair
+      limit {k}
+    """

@@ -625,3 +625,166 @@ def test_diff_rollup_null_key_is_one_group(spark):
         for r in checkpoint.diff_rollup(old, new, ["k"], ["n"]).collect()
     }
     assert got == {None: "changed", 1: "same"}
+
+
+def test_image_neardup_e2e_resolves_copies(spark):
+    """The bytes→phash→banding→CC pipeline (driver query
+    image_neardup_e2e): every planted jpeg-transcoded copy lands in the
+    SAME component as its source (canonical ids match), and the
+    canonical assignment is total (one row per image, no nulls)."""
+    from geodesk_spark.driver_queries.samples_images import _q_image_neardup_e2e
+
+    rows = _q_image_neardup_e2e(spark, None).collect()
+    canon = {r.image_id: r.canonical_id for r in rows}
+    assert len(rows) == 300 + 60 and all(v is not None for v in canon.values())
+    dups = [i for i in canon if i.endswith("_d")]
+    assert len(dups) == 60
+    for d in dups:
+        assert canon[d] == canon[d[:-2]], d
+
+
+def test_transcode_idempotent_and_shape(spark):
+    """images.transcode: jpeg→jpeg is byte-idempotent over the
+    deterministic codec; png→jpeg changes bytes but preserves dims."""
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    px = codec.synth_pixels("t", 40, 30)
+    rows = [("p", bytearray(codec.encode(px, "png"))),
+            ("j", bytearray(codec.encode(px, "jpeg")))]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: bytes(r.bytes) for r in images.transcode(df, "jpeg").collect()}
+    assert got["j"] == bytes(rows[1][1])  # idempotent
+    assert got["p"] != bytes(rows[0][1])
+    dec = codec.decode(got["p"])
+    assert dec.shape == (30, 40, 3)
+    # and a second jpeg pass is a fixed point of the first
+    assert codec.encode(codec.decode(got["p"]), "jpeg") == got["p"]
+
+
+def test_color_stats_parity_and_flat_law(spark):
+    """images.color_stats: exact numpy parity on synthetic images; a
+    constant image has luma_std 0 and entropy 0 bits; null/undecodable
+    bytes emit NULL stats."""
+    import numpy as np
+    import pandas as pd
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    rows, want = [], {}
+    for i in range(4):
+        iid = f"img_{i}"
+        px = codec.synth_pixels(iid, 80 + 8 * i, 60 + 4 * i)
+        rows.append((iid, bytearray(codec.encode(px, "png"))))
+        f = px.astype(np.float64)
+        luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        bins = np.clip(np.floor(luma + 0.5), 0, 255).astype(np.intp)
+        p = np.bincount(bins.ravel(), minlength=256)
+        p = p[p > 0] / bins.size
+        want[iid] = (
+            px.shape[1], px.shape[0], *f.mean(axis=(0, 1)),
+            luma.std(), float(-(p * np.log2(p)).sum()),
+        )
+    flat = np.full((20, 30, 3), 77, dtype=np.uint8)
+    rows.append(("flat", bytearray(codec.encode(flat, "png"))))
+    rows.append(("bad", bytearray(b"nope")))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r for r in images.color_stats(df).collect()}
+
+    for iid, (w, h, r_, g_, b_, std, ent) in want.items():
+        row = got[iid]
+        assert (row.width, row.height) == (w, h)
+        for name, val in [("r_mean", r_), ("g_mean", g_), ("b_mean", b_),
+                          ("luma_std", std), ("entropy_bits", ent)]:
+            assert getattr(row, name) == pytest.approx(val, abs=1e-12), name
+    assert got["flat"].luma_std == 0.0 and got["flat"].entropy_bits == 0.0
+    for iid in ("bad", "nul"):
+        r = got[iid]
+        assert r.width is None and r.r_mean is None and r.entropy_bits is None
+
+
+def test_border_trim_padded_blank_and_degenerate(spark):
+    """images.border_trim: exact trim counts on a constant-padded image
+    (jpeg-requantized too — constants quantize to constants), is_blank
+    on one-flat-color and on overlapping opposite-edge runs, noisy
+    interiors untouched, NULL on undecodable."""
+    import numpy as np
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    px = codec.synth_pixels("core", 48, 36)
+    padded = np.pad(px, ((5, 3), (7, 2), (0, 0)), constant_values=17)
+    flat = np.full((16, 16, 3), 40, dtype=np.uint8)
+    # opposite-edge overlap: 6 rows, 0-4 one flat color, row 5 another —
+    # top run 5 + bottom run 1 meet → degenerate crop → blank
+    twotone = np.full((6, 20, 3), 10, dtype=np.uint8)
+    twotone[5] = 200
+    rows = [
+        ("padded", bytearray(codec.encode(padded, "png"))),
+        ("padded_jpeg", bytearray(codec.encode(padded, "jpeg"))),
+        ("noisy", bytearray(codec.encode(px, "png"))),
+        ("flat", bytearray(codec.encode(flat, "png"))),
+        ("twotone", bytearray(codec.encode(twotone, "png"))),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r for r in images.border_trim(df).collect()}
+
+    for iid in ("padded", "padded_jpeg"):
+        r = got[iid]
+        assert (r.trim_top, r.trim_bottom, r.trim_left, r.trim_right) == (5, 3, 7, 2)
+        assert (r.row_lo, r.col_lo, r.crop_w, r.crop_h) == (5, 7, 48, 36)
+        assert r.border_frac == pytest.approx(1 - 48 * 36 / (57 * 44))
+        assert r.is_blank is False
+    r = got["noisy"]
+    assert (r.trim_top, r.trim_bottom, r.trim_left, r.trim_right) == (0, 0, 0, 0)
+    assert r.border_frac == 0.0 and r.is_blank is False
+    for iid in ("flat", "twotone"):
+        r = got[iid]
+        assert r.is_blank is True and r.border_frac == 1.0
+        assert (r.trim_top, r.crop_w, r.crop_h) == (
+            0,
+            16 if iid == "flat" else 20,
+            16 if iid == "flat" else 6,
+        )
+    assert got["nul"].crop_w is None and got["nul"].is_blank is None
+
+
+def test_phash_compute_parity_and_robustness(spark):
+    """images.phash_compute: exact numpy parity vs codec.phash_dct64,
+    jpeg-requantized copies stay within a few Hamming bits (measured
+    0-4 over the deterministic codec — well inside the banded-dedup
+    radius), distinct images stay well separated (measured ≥14), and
+    null/undecodable bytes hash NULL."""
+    import pandas as pd
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    ids = [f"img_{i}" for i in range(6)]
+    rows = []
+    for i, iid in enumerate(ids):
+        px = codec.synth_pixels(iid, 96 + 8 * i, 72 + 4 * i)
+        rows.append((iid, bytearray(codec.encode(px, "png"))))
+        rows.append((iid + "_jpeg", bytearray(codec.encode(px, "jpeg"))))
+    rows.append(("bad", bytearray(b"not an image")))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r.phash_dct for r in images.phash_compute(df).collect()}
+
+    assert got["bad"] is None and got["nul"] is None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hams = []
+    for i, iid in enumerate(ids):
+        px = codec.synth_pixels(iid, 96 + 8 * i, 72 + 4 * i)
+        assert got[iid] == codec.phash_dct64(px)  # exact numpy parity
+        assert ham(got[iid + "_jpeg"], got[iid]) <= 6  # requantize-robust
+        for other in ids[:i]:
+            hams.append(ham(got[iid], got[other]))
+    assert min(hams) >= 8  # distinct images stay well apart

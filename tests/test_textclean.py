@@ -1,0 +1,152 @@
+"""Corpus-cleaning operators (operators/textclean.py): hand-computed
+semantics, oracle parity against the module's own DuckDB twins, and
+partition invariance for the one shuffling op."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from geodesk_spark.operators import textclean
+
+
+PII_DOC = (
+    "reach me at alice.smith+spam@mail.example.com or bob@ex.org today, "
+    "server 10.2.47.7 and 192.168.0.1 respond, call 555-0134 or 555 9999 now"
+)
+
+C4_DOC = "\n".join(
+    [
+        "this line is long enough and ends well.",  # kept
+        "too short.",  # < 3 words
+        "no terminal punctuation here at all",  # no punct
+        "contains lorem ipsum filler so it drops.",  # blocklist
+        "function() { return 1; }.",  # '{' blocklist
+        'a quoted ending counts too she said."',  # kept (quote)
+        "is this a question?",  # kept
+    ]
+)
+
+DUP_DOC = "aa bb\ncc\naa bb\ndd\ncc\naa bb"  # 'aa bb'×3, 'cc'×2, 'dd'×1
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_hand(spark):
+    out = textclean.pii_scrub(_pdf(spark, [(1, PII_DOC)])).collect()[0]
+    assert (out.n_emails, out.n_ips, out.n_phones) == (2, 2, 2)
+    assert out.clean_text == (
+        "reach me at <EMAIL> or <EMAIL> today, "
+        "server <IP> and <IP> respond, call <PHONE> or <PHONE> now"
+    )
+
+
+def test_pii_scrub_no_pii_is_identity(spark):
+    doc = "plain words only, nothing sensitive here"
+    out = textclean.pii_scrub(_pdf(spark, [(1, doc)])).collect()[0]
+    assert (out.n_emails, out.n_ips, out.n_phones) == (0, 0, 0)
+    assert out.clean_text == doc
+
+
+def test_c4_line_filter_hand(spark):
+    out = textclean.c4_line_filter(_pdf(spark, [(1, C4_DOC)])).collect()[0]
+    assert out.n_lines == 7
+    assert out.n_kept == 3
+    assert out.clean_text == (
+        "this line is long enough and ends well.\n"
+        'a quoted ending counts too she said."\n'
+        "is this a question?"
+    )
+    assert out.kept_ratio == pytest.approx(3 / 7, abs=1e-6)
+
+
+def test_c4_line_filter_nothing_survives(spark):
+    out = textclean.c4_line_filter(_pdf(spark, [(1, "x\ny z")])).collect()[0]
+    assert (out.n_lines, out.n_kept, out.clean_text) == (2, 0, "")
+
+
+def test_dupline_stats_hand(spark):
+    out = textclean.dupline_stats(_pdf(spark, [(1, DUP_DOC)])).collect()[0]
+    # 6 lines, distinct {aa bb, cc, dd} → 3 duplicate occurrences
+    assert (out.n_lines, out.n_dup_lines) == (6, 3)
+    assert out.dup_line_frac == pytest.approx(0.5, abs=1e-6)
+    # chars: total 5+2+5+2+2+5=21, distinct 5+2+2=9 → dup 12/21
+    assert out.dup_char_frac == pytest.approx(np.floor(12 / 21 * 1e6 + 0.5) / 1e6)
+
+
+def test_bpe_pair_stats_brute(spark):
+    rows = [(i, t) for i, t in enumerate(["abab cd", "aba  xy cd", "zz", "q"])]
+    out = textclean.bpe_pair_stats(_pdf(spark, rows), k=50).collect()
+    got = {(r.pair, r.cnt) for r in out}
+    brute = {}
+    for _, t in rows:
+        for w in t.lower().split():
+            if len(w) < 2:
+                continue
+            for i in range(len(w) - 1):
+                brute[w[i : i + 2]] = brute.get(w[i : i + 2], 0) + 1
+    assert got == set(brute.items())
+    # deterministic order: cnt desc then pair asc
+    assert [(r.cnt, r.pair) for r in out] == sorted(
+        [(r.cnt, r.pair) for r in out], key=lambda x: (-x[0], x[1])
+    )
+
+
+def test_bpe_pair_stats_partition_invariance(spark):
+    rows = [(i, f"word{i} alpha beta{i % 3} gamma") for i in range(40)]
+    a = textclean.bpe_pair_stats(_pdf(spark, rows).repartition(1), k=15).collect()
+    b = textclean.bpe_pair_stats(_pdf(spark, rows).repartition(8), k=15).collect()
+    assert [(r.pair, r.cnt) for r in a] == [(r.pair, r.cnt) for r in b]
+
+
+@pytest.mark.parametrize(
+    "build_spark, build_sql",
+    [
+        (textclean.pii_scrub, textclean.pii_scrub_sql),
+        (textclean.c4_line_filter, textclean.c4_line_filter_sql),
+        (textclean.dupline_stats, textclean.dupline_stats_sql),
+    ],
+)
+def test_oracle_parity_rowwise(spark, build_spark, build_sql):
+    """Each op's DuckDB twin returns identical rows on a mixed fixture
+    (PII + C4 structure + duplicate lines in the same docs)."""
+    rows = [
+        (1, PII_DOC),
+        (2, C4_DOC),
+        (3, DUP_DOC),
+        (4, ""),
+        (5, "one line mentioning bob@ex.org inside a kept sentence."),
+        (6, "dup.\ndup.\nother line is long enough here?\ndup."),
+    ]
+    got = {r["doc_id"]: r for r in map(lambda r: r.asDict(), build_spark(_pdf(spark, rows)).collect())}
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ",".join(f"({i}, ?)" for i, _ in rows)
+        + ") t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    cols = list(next(iter(got.values())).keys())
+    for row in con.execute(build_sql()).fetchall():
+        d = dict(zip([c[0] for c in con.description], row))
+        g = got[d["doc_id"]]
+        for c in cols:
+            if isinstance(d[c], float):
+                assert g[c] == pytest.approx(d[c]), (d["doc_id"], c, g[c], d[c])
+            else:
+                assert g[c] == d[c], (d["doc_id"], c, g[c], d[c])
+
+
+def test_bpe_oracle_parity(spark):
+    rows = [(i, f"alpha bravo{i % 4} charlie delta{i % 2} e") for i in range(30)]
+    got = [(r.pair, r.cnt) for r in textclean.bpe_pair_stats(_pdf(spark, rows), k=12).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ",".join(f"({i}, ?)" for i, _ in rows)
+        + ") t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    want = con.execute(textclean.bpe_pair_stats_sql(k=12)).fetchall()
+    assert got == [(p, c) for p, c in want]
