@@ -738,6 +738,48 @@ def _dupline_stats_sql() -> str:
     return _with_fixture(_curated_docs_cte(2), textclean.dupline_stats_sql("fx"))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher document-level quality rules (textclean.gopher_quality_filter)
+    over the line-enriched corpus, further decorated with bullet lines
+    (doc_id%7) and ellipsis endings (doc_id%5) so every rule exercises —
+    decorations built identically on both engines."""
+    from geodesk_spark.operators import textclean
+
+    d = _curated_docs(spark, sf_dir, 6)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit("\n- alpha item\n* beta item\n- gamma item")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\nthe story continues...\nmore soon…"))
+    ).otherwise(t)
+    return textclean.gopher_quality_filter(
+        d.select("doc_id", t.alias("text")), min_words=20
+    )
+
+
+def _gopher_quality_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    deco = """
+      gx as (
+        select doc_id,
+               (case when doc_id % 5 = 0
+                     then t2 || chr(10) || 'the story continues...' || chr(10) || 'more soon…'
+                     else t2 end) as text
+        from (
+          select doc_id,
+                 (case when doc_id % 7 = 0
+                       then text || chr(10) || '- alpha item' || chr(10) || '* beta item'
+                            || chr(10) || '- gamma item'
+                       else text end) as t2
+          from fx))
+    """
+    inner = textclean.gopher_quality_filter_sql("gx", min_words=20)
+    return _with_fixture(_curated_docs_cte(6) + "," + deco, inner)
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """First BPE merge iteration (textclean.bpe_pair_stats): corpus-wide
     adjacent-char-pair counts, top-30 — the canonical word-count plan

@@ -204,6 +204,148 @@ def dupline_stats_sql(rel: str = "documents", text_col: str = "text") -> str:
     """
 
 
+# Gopher rule G7 (Rae et al. 2021 A1): at least 2 of these must appear.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-level quality rules (Rae et al. 2021,
+    Table A1) as one composite filter: word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ellipses), the fraction
+    of lines starting with a bullet / ending with an ellipsis, the
+    fraction of words containing an alphabetic character, and the
+    required-stopword rule (≥ ``min_stop_hits`` of the 8 canonical
+    English function words present).  Emits every individual metric
+    plus the boolean ``keep`` verdict so a pipeline can both filter and
+    audit the rule that fired.
+
+    Pure Column algebra over two splits (words, lines) — zero shuffles,
+    zero Python, everything inside whole-stage codegen; at 10^12 rows
+    this rides the scan.  Ratios are exact-integer divisions rendered
+    floor-form 1e6 (CLAUDE.md float law); ``keep`` compares the
+    QUANTIZED values, so both engines decide boundary ties identically.
+    """
+    t = F.col(text_col)
+    words = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(t)), r"\s+"))
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    wsafe = F.greatest(n_words, F.lit(1))
+    n_lines_safe = F.greatest(F.size(lines), F.lit(1))
+    char_sum = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mwl = _r6(char_sum / wsafe)
+    n_sym = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, r"#", ""))
+        + F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.|…)"), 0))
+    )
+    sym_ratio = _r6(n_sym / wsafe)
+    bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    bullet_frac = _r6(bullet / n_lines_safe)
+    ellipsis_frac = _r6(ellipsis / n_lines_safe)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"[a-z]")))
+    alpha_frac = _r6(n_alpha / wsafe)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mwl, max_mwl)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_quality_filter_sql(
+    rel: str = "documents",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_filter` — same tokenizer
+    (empty-trim → [] like the Spark branch), same quantization, keep
+    decided on the quantized columns."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+      with tk as (
+        select doc_id, {text_col} as t,
+               case when length(trim({text_col})) = 0 then []
+                    else string_split_regex(trim(lower({text_col})), '\\s+') end as words,
+               string_split({text_col}, chr(10)) as lines
+        from {rel}),
+      m as (
+        select doc_id,
+               len(words) as n_words,
+               greatest(len(words), 1) as wsafe,
+               greatest(len(lines), 1) as lsafe,
+               cast(coalesce(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0) as bigint) as char_sum,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|…)')) as n_sym,
+               len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) as n_bullet,
+               len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) as n_ellipsis,
+               len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) as n_alpha,
+               len(list_filter([{stops}], s -> list_contains(words, s))) as stop_hits
+        from tk),
+      q as (
+        select doc_id, n_words,
+               floor(char_sum / wsafe * 1e6 + 0.5) / 1e6 as mean_word_len,
+               floor(n_sym / wsafe * 1e6 + 0.5) / 1e6 as symbol_ratio,
+               floor(n_bullet / lsafe * 1e6 + 0.5) / 1e6 as bullet_frac,
+               floor(n_ellipsis / lsafe * 1e6 + 0.5) / 1e6 as ellipsis_frac,
+               floor(n_alpha / wsafe * 1e6 + 0.5) / 1e6 as alpha_frac,
+               stop_hits
+        from m)
+      select doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac, stop_hits,
+             (n_words between {min_words} and {max_words}
+              and mean_word_len between {min_mwl} and {max_mwl}
+              and symbol_ratio <= {max_symbol_ratio}
+              and bullet_frac <= {max_bullet_frac}
+              and ellipsis_frac <= {max_ellipsis_frac}
+              and alpha_frac >= {min_alpha_frac}
+              and stop_hits >= {min_stop_hits}) as keep
+      from q
+    """
+
+
 def bpe_pair_stats(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """The first iteration of BPE vocabulary training (Sennrich et al.
     2016): count every ADJACENT CHARACTER PAIR inside words across the

@@ -100,12 +100,51 @@ def test_bpe_pair_stats_partition_invariance(spark):
     assert [(r.pair, r.cnt) for r in a] == [(r.pair, r.cnt) for r in b]
 
 
+GOPHER_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it continues "
+    "to have many plain words of normal length that be just fine with "
+    "everything here because sentences keep flowing along quite nicely "
+    "and nothing looks like spam at all in this very tidy little paragraph of text"
+)
+
+
+def test_gopher_quality_hand(spark):
+    docs = [
+        (1, GOPHER_GOOD),  # keeps: 50+ words, stopwords present
+        (2, "short doc"),  # too few words
+        (3, "\n".join(["- item " + str(i) for i in range(10)])),  # all bullets
+        (4, "### "*30 + GOPHER_GOOD),  # symbol ratio blown
+        (5, ""),  # empty
+    ]
+    out = {r.doc_id: r for r in textclean.gopher_quality_filter(
+        _pdf(spark, docs), min_words=50).collect()}
+    assert out[1].keep is True
+    assert out[1].n_words == len(GOPHER_GOOD.split())
+    assert out[1].alpha_frac == 1.0 and out[1].stop_hits >= 2
+    assert out[2].keep is False and out[2].n_words == 2
+    assert out[3].keep is False and out[3].bullet_frac == 1.0
+    assert out[4].keep is False and out[4].symbol_ratio > 0.1
+    assert out[5].keep is False and out[5].n_words == 0
+
+
+def test_gopher_quality_ellipsis_and_stopword_rules(spark):
+    many_ellipsis = "\n".join(
+        [f"the line number {i} of this document trails away..." for i in range(10)]
+    )
+    no_stops = " ".join(f"zork{i} blarg{i} quux{i}" for i in range(30))
+    out = {r.doc_id: r for r in textclean.gopher_quality_filter(
+        _pdf(spark, [(1, many_ellipsis), (2, no_stops)]), min_words=20).collect()}
+    assert out[1].ellipsis_frac == 1.0 and out[1].keep is False
+    assert out[2].stop_hits == 0 and out[2].keep is False
+
+
 @pytest.mark.parametrize(
     "build_spark, build_sql",
     [
         (textclean.pii_scrub, textclean.pii_scrub_sql),
         (textclean.c4_line_filter, textclean.c4_line_filter_sql),
         (textclean.dupline_stats, textclean.dupline_stats_sql),
+        (textclean.gopher_quality_filter, textclean.gopher_quality_filter_sql),
     ],
 )
 def test_oracle_parity_rowwise(spark, build_spark, build_sql):
