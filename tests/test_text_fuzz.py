@@ -8,11 +8,19 @@ import duckdb
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
-from geodesk_spark.operators import dedup, text
+from geodesk_spark.operators import dedup, text, textclean
 
 TOK = st.text(alphabet="abcde", min_size=1, max_size=3)
 DOC = st.lists(TOK, min_size=0, max_size=30).map(lambda ts: "  ".join(ts))
 CORPUS = st.lists(DOC, min_size=2, max_size=12)
+
+# Structured corpus for the textclean family: lines of punct/symbol-rich
+# tokens (PII fragments, blocklist chars, ellipses, bullets) joined by
+# real newlines — the shapes those operators branch on.
+RTOK = st.text(alphabet="ab.?!#…-*@{5 ", min_size=1, max_size=6)
+LINE = st.lists(RTOK, min_size=0, max_size=6).map(lambda ts: " ".join(ts))
+RDOC = st.lists(LINE, min_size=0, max_size=5).map(lambda ls: "\n".join(ls))
+RCORPUS = st.lists(RDOC, min_size=2, max_size=8)
 
 
 def _frames(spark, docs):
@@ -66,3 +74,51 @@ def test_fuzz_remove_dup_spans_parity(spark, docs):
         dedup.remove_dup_spans(sdf, k=3),
         con.sql(dedup.remove_dup_spans_sql(k=3)),
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=RCORPUS)
+def test_fuzz_pii_scrub_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(textclean.pii_scrub(sdf), con.sql(textclean.pii_scrub_sql()))
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=RCORPUS)
+def test_fuzz_c4_line_filter_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(
+        textclean.c4_line_filter(sdf, min_words=2),
+        con.sql(textclean.c4_line_filter_sql(min_words=2)),
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=RCORPUS)
+def test_fuzz_dupline_stats_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(
+        textclean.dupline_stats(sdf), con.sql(textclean.dupline_stats_sql())
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=RCORPUS)
+def test_fuzz_gopher_quality_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    _assert_match(
+        textclean.gopher_quality_filter(sdf, min_words=2),
+        con.sql(textclean.gopher_quality_filter_sql(min_words=2)),
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=RCORPUS)
+def test_fuzz_bpe_pairs_parity(spark, docs):
+    sdf, con = _frames(spark, docs)
+    got = [
+        (r.pair, r.cnt)
+        for r in textclean.bpe_pair_stats(sdf, k=1000).collect()
+    ]
+    want = con.sql(textclean.bpe_pair_stats_sql(k=1000)).fetchall()
+    assert got == [(p, c) for p, c in want]
