@@ -63,3 +63,43 @@ def test_spark_submit_multi_executor(tmp_path):
     assert m2["matches"] == m1["matches"]
     assert m2["stages"]["ingest"]["n_rows"] == m1["stages"]["ingest"]["n_rows"]
     assert m2["elapsed_sec"] < m1["elapsed_sec"]
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+def test_spark_submit_curation_job(tmp_path):
+    """The curation pipeline (scrub → LSH pairs → CC canon → pack) ships
+    the same way: two real executor JVMs seeing the code only via the
+    zip, every stage committed, dedup conservation law holding."""
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    env = dict(os.environ)
+    env.pop("PYSPARK_DRIVER_PYTHON", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local-cluster[2,4,2048]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", os.path.join(ROOT, "dist", "geodesk_spark.zip"),
+            os.path.join(ROOT, "jobs", "curation_job.py"),
+            "--rows", "20000",
+            "--workdir", str(tmp_path / "cur"),
+            "--partitions", "8",
+            "--budget", "256",
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=ROOT,
+    )
+    assert out.returncode == 0, f"spark-submit failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}"
+    lines = [l for l in out.stdout.splitlines() if l.startswith('{"job": "curation"')]
+    assert lines, f"no metrics line in stdout:\n{out.stdout[-2000:]}"
+    m = json.loads(lines[-1])
+    assert m["executors"] == 2
+    assert m["input_rows"] == 20_000
+    assert m["docs_kept"] + m["dup_docs_removed"] == m["input_rows"]
+    assert 0 < m["docs_kept"] <= m["input_rows"]
+    assert m["n_bins"] > 0 and m["n_tokens_packed"] > 0
+    for s in ("ingest", "scrub", "pairs", "canon", "pack"):
+        assert m["stages"][s]["n_rows"] >= 0
