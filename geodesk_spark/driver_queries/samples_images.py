@@ -439,6 +439,17 @@ def _q_image_neardup_e2e(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def _q_images_augment(spark, sf_dir):
+    """Deterministic per-image augmentation (images.augment_random):
+    op = crc32(id, seed) mod |ops| so a 10^12-row re-run re-derives
+    identical choices with no stored state; byte-exact op parity pinned
+    by test_pipeline::test_augment_parity_involution_and_random_determinism.
+    Rows-only at the driver (synthetic binary payload; bytes dropped
+    from the artifact)."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.augment_random(imgs, seed=42).select("image_id", "aug_op", "w", "h")
+
+
 def _q_images_color_stats(spark, sf_dir):
     """LAION-style junk-image filter inputs (images.color_stats): dims,
     channel means, luma std, 8-bit luma entropy — one mapInPandas scan,

@@ -85,6 +85,100 @@ def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+AUGMENT_OPS = ("identity", "hflip", "vflip", "rot90", "crop08")
+
+
+def _apply_augment(px: np.ndarray, op: str) -> np.ndarray:
+    """One named augmentation on an (h, w, 3) uint8 array — exact array
+    ops, no interpolation, so tests can assert byte-level parity."""
+    if op == "identity":
+        return px
+    if op == "hflip":
+        return px[:, ::-1]
+    if op == "vflip":
+        return px[::-1]
+    if op == "rot90":
+        return np.rot90(px)  # counter-clockwise; dims swap
+    if op == "crop08":  # center crop to 80% (floor), min 1px
+        h, w = px.shape[:2]
+        ch, cw = max(int(h * 0.8), 1), max(int(w * 0.8), 1)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return px[y0 : y0 + ch, x0 : x0 + cw]
+    raise ValueError(f"unknown augment op {op!r}")
+
+
+def augment(df: DataFrame, op: str = "hflip", fmt: str = "png") -> DataFrame:
+    """Apply ONE named augmentation (``identity | hflip | vflip | rot90 |
+    crop08``) to every image: decode → exact array op (flips/rot90/center
+    crop — no interpolation, byte-exact and involution-friendly) →
+    re-encode.  The standard training-time transform expressed as a
+    scan-side mapInPandas pass; compose calls for pipelines."""
+    if op not in AUGMENT_OPS:
+        raise ValueError(f"op must be one of {AUGMENT_OPS}")
+
+    def run(batches):
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for i in range(len(pdf)):
+                px = _apply_augment(codec.decode(bytes(pdf["bytes"].iloc[i])), op)
+                blobs.append(codec.encode(np.ascontiguousarray(px), fmt))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": np.asarray(ws, dtype=np.int32),
+                    "h": np.asarray(hs, dtype=np.int32),
+                    "aug_op": op,
+                }
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int, aug_op string"
+    )
+
+
+def augment_random(df: DataFrame, ops: tuple = AUGMENT_OPS, seed: int = 0,
+                   fmt: str = "png") -> DataFrame:
+    """Per-image deterministic augmentation choice: op index =
+    crc32(image_id ++ seed) % len(ops) — reproducible on any executor
+    with no shared state (the same property codec.synth_pixels uses),
+    so a re-run of a 10^12-row job re-derives identical augmentations
+    without storing the choices."""
+    import zlib
+
+    ops = tuple(ops)
+    for o in ops:
+        if o not in AUGMENT_OPS:
+            raise ValueError(f"op must be one of {AUGMENT_OPS}")
+
+    def run(batches):
+        for pdf in batches:
+            blobs, ws, hs, chosen = [], [], [], []
+            for i in range(len(pdf)):
+                iid = pdf["image_id"].iloc[i]
+                op = ops[zlib.crc32(f"{iid}#{seed}".encode()) % len(ops)]
+                px = _apply_augment(codec.decode(bytes(pdf["bytes"].iloc[i])), op)
+                blobs.append(codec.encode(np.ascontiguousarray(px), fmt))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                chosen.append(op)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": np.asarray(ws, dtype=np.int32),
+                    "h": np.asarray(hs, dtype=np.int32),
+                    "aug_op": chosen,
+                }
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int, aug_op string"
+    )
+
+
 def transcode(df: DataFrame, fmt: str = "jpeg") -> DataFrame:
     """Re-encode every image to ``fmt`` (decode → encode) — the format-
     normalization step an ingest pipeline runs before storage tiering.

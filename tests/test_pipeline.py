@@ -627,6 +627,48 @@ def test_diff_rollup_null_key_is_one_group(spark):
     assert got == {None: "changed", 1: "same"}
 
 
+def test_augment_parity_involution_and_random_determinism(spark):
+    """images.augment: byte-exact numpy parity per op, dims transform
+    correctly (rot90 swaps, crop08 floors), hflip twice is the identity;
+    augment_random picks the same op for the same (id, seed) on every
+    run and spreads across the op set."""
+    import numpy as np
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    px = codec.synth_pixels("a", 50, 40)
+    df = spark.createDataFrame(
+        [("a", bytearray(codec.encode(px, "png")))], "image_id string, bytes binary"
+    )
+    want = {
+        "hflip": px[:, ::-1],
+        "vflip": px[::-1],
+        "rot90": np.rot90(px),
+        "crop08": px[4:36, 5:45],
+    }
+    for op, exp in want.items():
+        row = images.augment(df, op).collect()[0]
+        assert (row.h, row.w) == exp.shape[:2]
+        assert np.array_equal(codec.decode(bytes(row.bytes)), exp), op
+    # involution: hflip twice gives back the original bytes
+    once = images.augment(df, "hflip")
+    twice = images.augment(once.select("image_id", "bytes"), "hflip").collect()[0]
+    assert np.array_equal(codec.decode(bytes(twice.bytes)), px)
+
+    rows = [
+        (f"im{i}", bytearray(codec.encode(codec.synth_pixels(f"im{i}", 32, 32), "png")))
+        for i in range(24)
+    ]
+    big = spark.createDataFrame(rows, "image_id string, bytes binary")
+    a = {r.image_id: r.aug_op for r in images.augment_random(big, seed=7).collect()}
+    b = {r.image_id: r.aug_op for r in images.augment_random(big.repartition(6), seed=7).collect()}
+    assert a == b  # deterministic, partitioning-independent
+    assert len(set(a.values())) >= 3  # spreads across the op set
+    c = {r.image_id: r.aug_op for r in images.augment_random(big, seed=8).collect()}
+    assert a != c  # seed moves the assignment
+
+
 def test_image_neardup_e2e_resolves_copies(spark):
     """The bytes→phash→banding→CC pipeline (driver query
     image_neardup_e2e): every planted jpeg-transcoded copy lands in the
