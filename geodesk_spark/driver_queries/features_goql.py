@@ -738,6 +738,20 @@ def _dupline_stats_sql() -> str:
     return _with_fixture(_curated_docs_cte(2), textclean.dupline_stats_sql("fx"))
 
 
+def _q_bpe_train(spark, sf_dir):
+    """FULL BPE training (textclean.bpe_train): 12 merge rounds over the
+    documents corpus — the corpus is scanned ONCE into a word-count
+    vocab; every round runs on that bounded table (the real BPE scale
+    shape).  Iterative driver-side argmax loop → rows-only at the
+    driver per the contract; exact parity with a pure-Python Sennrich
+    reference is pinned by test_textclean::test_bpe_train_matches_reference."""
+    from geodesk_spark.operators import textclean
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    merges, _ = textclean.bpe_train(d, n_merges=12)
+    return merges.orderBy("rank")
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher document-level quality rules (textclean.gopher_quality_filter)
     over the line-enriched corpus, further decorated with bullet lines

@@ -381,6 +381,99 @@ def bpe_pair_stats(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFr
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """FULL BPE vocabulary training (Sennrich et al. 2016) — the
+    iterative merge loop, not just the first-round pair table.
+
+    Scale shape (how real BPE trainers work, made distributed): the
+    corpus is touched ONCE (word count: one explode into hash agg, one
+    shuffle carrying distinct words).  Every merge round then runs on
+    the VOCABULARY table — bounded by distinct words, not corpus size,
+    so training cost is independent of whether the corpus is 60k rows
+    or 10^12.  Each round: adjacent-pair counts weighted by word
+    frequency (small agg), argmax pair to the driver (ONE row — the
+    same bounded control plane as kcenter/kmeans), then a greedy
+    left-to-right merge applied as a JVM ``aggregate`` fold over each
+    segmentation array (token-exact: a freshly merged token can never
+    re-merge within the round because its string differs from the left
+    element).  The vocab frame is localCheckpoint'ed per round so the
+    plan does not accrete one fold per round (CLAUDE.md iterative-op
+    law).
+
+    Tie-break is total (count desc, then pair lexicographic), so the
+    merge list is deterministic.  Stops early when no pair remains.
+
+    Returns ``(merges, vocab)``: merges = (rank, tok_a, tok_b, merged,
+    cnt); vocab = (word, cnt, seg) with the final segmentation.
+    """
+    words = F.explode(
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    ).alias("word")
+    vocab = (
+        df.select(words)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seg",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair = F.struct(
+            F.element_at("seg", F.col("i")).alias("a"),
+            F.element_at("seg", (F.col("i") + 1).cast("int")).alias("b"),
+        )
+        top = (
+            vocab.filter(F.size("seg") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("seg") - 1)).alias("i"),
+                "seg",
+                "cnt",
+            )
+            .select(pair.alias("p"), "cnt")
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("pcnt"))
+            .orderBy(F.col("pcnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, pcnt = top[0]["p"]["a"], top[0]["p"]["b"], top[0]["pcnt"]
+        m = a + b
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(m)
+        fold = F.aggregate(
+            "seg",
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (t == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+        prev = vocab
+        vocab = vocab.withColumn("seg", fold).localCheckpoint()
+        _release_local_checkpoint(prev)
+        merges.append((rank, a, b, m, int(pcnt)))
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        merges, "rank int, tok_a string, tok_b string, merged string, cnt long"
+    )
+    return mdf, vocab
+
+
 def bpe_pair_stats_sql(rel: str = "documents", k: int = 20, text_col: str = "text") -> str:
     """DuckDB twin of :func:`bpe_pair_stats` — range(1, n) is
     end-exclusive (≡ Spark's inclusive sequence(1, n−1)); substr is

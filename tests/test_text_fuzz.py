@@ -112,6 +112,28 @@ def test_fuzz_gopher_quality_parity(spark, docs):
     )
 
 
+@settings(max_examples=4, deadline=None)
+@given(docs=st.lists(st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                              min_size=0, max_size=6).map(" ".join),
+                     min_size=1, max_size=6))
+def test_fuzz_bpe_train_parity(spark, docs):
+    """bpe_train merge lists + final segmentations match the Python
+    Sennrich reference on adversarial two-letter corpora (maximal
+    overlapping-merge chains)."""
+    from tests.test_textclean import _bpe_reference
+
+    sdf, _ = _frames(spark, docs)
+    from geodesk_spark.operators import textclean as tc
+
+    mdf, vdf = tc.bpe_train(sdf, n_merges=4)
+    got_merges = [(r.rank, r.tok_a, r.tok_b, r.merged, r.cnt)
+                  for r in mdf.orderBy("rank").collect()]
+    want_merges, want_segs, want_vocab = _bpe_reference(docs, 4)
+    assert got_merges == want_merges
+    got = {r.word: (r.cnt, list(r.seg)) for r in vdf.collect()}
+    assert got == {w: (want_vocab[w], want_segs[w]) for w in want_vocab}
+
+
 @settings(max_examples=5, deadline=None)
 @given(docs=RCORPUS)
 def test_fuzz_bpe_pairs_parity(spark, docs):

@@ -177,6 +177,72 @@ def test_oracle_parity_rowwise(spark, build_spark, build_sql):
                 assert g[c] == d[c], (d["doc_id"], c, g[c], d[c])
 
 
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich et al. 2016 trainer: word counts → greedy
+    left-to-right merges, tie-break (count desc, pair lexicographic) —
+    the independent truth for bpe_train."""
+    vocab = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            vocab[w] = vocab.get(w, 0) + 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, c in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, {w: segs[w] for w in vocab}, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train: merge list AND every final word segmentation match the
+    pure-Python Sennrich reference exactly, on a corpus engineered with
+    overlapping-merge chains (aaaa), cross-round remerges (ab+ab→abab)
+    and tie-broken pairs."""
+    texts = [
+        "abab abab cdcd",
+        "aaaa aa a banana",
+        "low lower lowest newest widest",
+        "abab banana aaaa",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    mdf, vdf = textclean.bpe_train(_pdf(spark, rows), n_merges=8)
+    got_merges = [
+        (r.rank, r.tok_a, r.tok_b, r.merged, r.cnt) for r in mdf.orderBy("rank").collect()
+    ]
+    want_merges, want_segs, want_vocab = _bpe_reference(texts, 8)
+    assert got_merges == want_merges
+    got = {r.word: (r.cnt, list(r.seg)) for r in vdf.collect()}
+    assert got == {w: (want_vocab[w], want_segs[w]) for w in want_vocab}
+
+
+def test_bpe_train_stops_when_dry(spark):
+    """Single-char words have no pairs: training stops early with an
+    empty merge list and identity segmentations."""
+    mdf, vdf = textclean.bpe_train(_pdf(spark, [(1, "a b c a")]), n_merges=5)
+    assert mdf.count() == 0
+    assert {r.word: list(r.seg) for r in vdf.collect()} == {
+        "a": ["a"], "b": ["b"], "c": ["c"]
+    }
+
+
 def test_bpe_oracle_parity(spark):
     rows = [(i, f"alpha bravo{i % 4} charlie delta{i % 2} e") for i in range(30)]
     got = [(r.pair, r.cnt) for r in textclean.bpe_pair_stats(_pdf(spark, rows), k=12).collect()]
