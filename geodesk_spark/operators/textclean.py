@@ -474,6 +474,56 @@ def bpe_train(
     return mdf, vocab
 
 
+def bpe_encode(df: DataFrame, merges: list, text_col: str = "text") -> DataFrame:
+    """Tokenize with a trained BPE merge list (the inference half of
+    :func:`bpe_train`): per doc, whitespace words → character tokens →
+    apply every merge in RANK order (greedy left-to-right within each
+    rank, exactly like training) → flat token array + count.
+
+    ``merges`` is the collected (rank, tok_a, tok_b, ...) list from
+    ``bpe_train`` — vocabulary-sized, shipped to executors in the task
+    closure (the broadcast-dim pattern).  Tokenization is inherently
+    per-string sequential, so this is one Arrow-batched mapInPandas
+    scan (the same honest slow-path boundary as the image kernels);
+    everything before and after stays JVM-side.
+    """
+    ranked = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+
+    def seg_word(w: str) -> list:
+        s = list(w)
+        for a, b in ranked:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    import pandas as pd  # local: keep the module JVM-only at import time
+
+    def run(batches):
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                words = (t or "").strip().lower().split()
+                toks.append([p for w in words for p in seg_word(w)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": toks,
+                    "n_tokens": [len(x) for x in toks],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, tokens array<string>, n_tokens int"
+    )
+
+
 def bpe_pair_stats_sql(rel: str = "documents", k: int = 20, text_col: str = "text") -> str:
     """DuckDB twin of :func:`bpe_pair_stats` — range(1, n) is
     end-exclusive (≡ Spark's inclusive sequence(1, n−1)); substr is

@@ -243,6 +243,42 @@ def test_bpe_train_stops_when_dry(spark):
     }
 
 
+def test_bpe_encode_roundtrip_with_training(spark):
+    """bpe_encode with bpe_train's merges: every trained word tokenizes
+    to exactly its final training segmentation (train/inference
+    consistency), doc token arrays are the word-wise concatenation, and
+    UNSEEN words still segment correctly by rank-ordered merges."""
+    texts = ["abab abab cdcd", "aaaa aa a banana", "low lower lowest", ""]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    mdf, vdf = textclean.bpe_train(_pdf(spark, rows), n_merges=6)
+    merges = [(r.rank, r.tok_a, r.tok_b) for r in mdf.collect()]
+    enc = {r.doc_id: list(r.tokens) for r in
+           textclean.bpe_encode(_pdf(spark, rows), merges).collect()}
+    segs = {r.word: list(r.seg) for r in vdf.collect()}
+    for i, t in enumerate(texts):
+        want = [p for w in t.strip().lower().split() for p in segs[w]]
+        assert enc[i] == want, i
+    # unseen word: apply merges by rank via the Python reference
+    ranked = [(a, b) for _, a, b in sorted(merges)]
+
+    def ref(w):
+        s = list(w)
+        for a, b in ranked:
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b); j += 2
+                else:
+                    out.append(s[j]); j += 1
+            s = out
+        return s
+
+    unseen = "ababcdbanana"
+    got = textclean.bpe_encode(
+        _pdf(spark, [(9, unseen)]), merges).collect()[0]
+    assert list(got.tokens) == ref(unseen) and got.n_tokens == len(ref(unseen))
+
+
 def test_bpe_oracle_parity(spark):
     rows = [(i, f"alpha bravo{i % 4} charlie delta{i % 2} e") for i in range(30)]
     got = [(r.pair, r.cnt) for r in textclean.bpe_pair_stats(_pdf(spark, rows), k=12).collect()]
