@@ -156,6 +156,72 @@ _SQL_STREAM_DEDUP = """
 """
 
 
+def _q_stream_pii_wash(spark, sf_dir):
+    """Streaming corpus wash — continuous-ingest curation: the
+    PII-enriched documents fixture drains through textclean.pii_scrub
+    as a STATELESS streaming map (regexp codegen inside each
+    micro-batch; AvailableNow, maxFilesPerTrigger=2), and the appended
+    clean log must aggregate per-language to exactly the batch oracle
+    (doc counts, total redactions, total clean characters — all exact
+    integers).  The shape a 100 TB ingest actually runs: wash-on-arrival
+    with no state store, back-pressure-friendly."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.driver_queries.features_goql import _curated_docs
+    from geodesk_spark.operators import textclean
+    from geodesk_spark.streaming import stream as stream_mod
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    feed = _curated_docs(spark, sf_dir, 6).join(d.select("doc_id", "lang"), "doc_id")
+    tmp = tempfile.mkdtemp(prefix="gds_swash_")
+    try:
+        indir = f"{tmp}/in"
+        feed.repartition(6).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(indir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        washed = textclean.pii_scrub(sdf, keep=("lang",))
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(washed, out, ck, "append")
+        log = spark.read.parquet(out)
+        return (
+            log.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+                .cast("bigint")
+                .alias("n_pii"),
+                F.sum(F.length("clean_text")).cast("bigint").alias("clean_chars"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_pii_wash_sql() -> str:
+    from geodesk_spark.driver_queries.features_goql import (
+        _curated_docs_cte,
+        _with_fixture,
+    )
+    from geodesk_spark.operators import textclean
+
+    inner = f"""
+      with p as ({textclean.pii_scrub_sql('fx')})
+      select d.lang,
+             count(*) as n_docs,
+             cast(sum(p.n_emails + p.n_ips + p.n_phones) as bigint) as n_pii,
+             cast(sum(length(p.clean_text)) as bigint) as clean_chars
+      from p join documents d using (doc_id)
+      group by d.lang order by d.lang
+    """
+    return _with_fixture(_curated_docs_cte(6), inner)
+
+
 def _q_stream_sessions(spark, sf_dir):
     """Streaming session windows (F.session_window, the native streaming
     sessionizer) drained micro-batch-wise in COMPLETE mode must

@@ -45,7 +45,7 @@ def _r6(c: Column) -> Column:
     return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
-def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_scrub(df: DataFrame, text_col: str = "text", keep: tuple = ()) -> DataFrame:
     """Detect + redact emails, IPv4 addresses and phone-like numbers.
 
     Sequential semantics (mirrored exactly by :func:`pii_scrub_sql`):
@@ -68,6 +68,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
     return df.select(
         "doc_id",
+        *keep,
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
