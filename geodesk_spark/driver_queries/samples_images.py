@@ -439,6 +439,95 @@ def _q_image_neardup_e2e(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def _q_stream_image_ingest(spark, sf_dir):
+    """Streaming image ingest with pHash-on-arrival: arrivals (jpeg
+    copies of every 3rd indexed image + fresh unseen images) drain
+    AvailableNow through images.phash_compute inside each micro-batch,
+    band keys derive JVM-side (dedup.hash_band_keys, 8×8-bit — exact
+    recall at Hamming ≤ 4), and ONE stream-static broadcast join
+    against the static index flags arriving near-duplicates with NO
+    state store — the wash-on-arrival shape for a 100 TB image firehose
+    (the index is the only shuffled/broadcast artifact; bytes never
+    leave the arrival scan).  Output per arrival: is_dup, best Hamming,
+    matched index id (lexicographic tie-break, deterministic).
+    Rows-only at the driver (synthetic payload); the planted-copy law
+    is pinned by test_pipeline::test_stream_image_ingest_flags_copies."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming import stream as stream_mod
+
+    base = synth.images_df(spark, 200, with_bytes=True, partitions=4)
+    idx = images.phash_compute(base)
+    idx_bands = (
+        idx.select(
+            F.col("image_id").alias("idx_id"),
+            F.col("phash_dct").alias("idx_ph"),
+            F.explode(dedup.hash_band_keys(F.col("phash_dct"), 8)).alias("band"),
+        )
+        .select("idx_id", "idx_ph", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+        .localCheckpoint()  # pin the index once — stream-static joins re-scan the static side per micro-batch
+    )
+    victims = base.filter(F.substring("image_id", 4, 12).cast("long") % 3 == 0)
+    copies = images.transcode(victims, "jpeg").withColumn(
+        "image_id", F.concat("image_id", F.lit("_d"))
+    )
+    fresh = (
+        synth.images_df(spark, 260, with_bytes=True, partitions=4)
+        .filter(F.substring("image_id", 4, 12).cast("long") >= 200)
+        .select("image_id", "bytes")
+    )
+    arrivals = copies.unionByName(fresh)
+    tmp = tempfile.mkdtemp(prefix="gds_simg_")
+    try:
+        indir = f"{tmp}/in"
+        arrivals.repartition(6).write.mode("overwrite").parquet(indir)
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(indir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        hashed = images.phash_compute(sdf)
+        arr = hashed.select(
+            "image_id",
+            "phash_dct",
+            F.explode(dedup.hash_band_keys(F.col("phash_dct"), 8)).alias("band"),
+        ).select("image_id", "phash_dct", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+        cand = arr.join(F.broadcast(idx_bands), ["bi", "bv"], "left").select(
+            "image_id",
+            "idx_id",
+            F.when(
+                F.col("idx_ph").isNotNull(),
+                F.bit_count(
+                    F.col("phash_dct").bitwiseXOR(F.col("idx_ph"))
+                ),
+            ).alias("ham"),
+        )
+        out, ck = f"{tmp}/out", f"{tmp}/ck"
+        stream_mod.drain_foreach_batch(cand, out, ck, "append")
+        log = spark.read.parquet(out)
+        matches = (
+            log.filter(F.col("ham") <= 4)
+            .groupBy("image_id")
+            .agg(F.min(F.struct("ham", "idx_id")).alias("m"))
+        )
+        return (
+            log.select("image_id")
+            .distinct()
+            .join(matches, "image_id", "left")
+            .select(
+                "image_id",
+                F.col("m").isNotNull().alias("is_dup"),
+                F.col("m.ham").alias("min_ham"),
+                F.col("m.idx_id").alias("match_id"),
+            )
+            .orderBy("image_id")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_images_augment(spark, sf_dir):
     """Deterministic per-image augmentation (images.augment_random):
     op = crc32(id, seed) mod |ops| so a 10^12-row re-run re-derives

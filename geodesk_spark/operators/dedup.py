@@ -505,6 +505,27 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     return out
 
 
+def hash_band_keys(ph: Column, n_bands: int, hash_bits: int = 64) -> Column:
+    """Disjoint band keys for pigeonhole Hamming banding: the
+    ``hash_bits``-wide hash splits into ``n_bands`` equal slices, each
+    emitted as a (bi, bv) struct.  Any pair at Hamming distance <
+    n_bands shares at least one identical band — the exact-recall
+    guarantee both the self-join (:func:`phash_neardup_pairs`) and the
+    stream-static arrival check build on."""
+    assert hash_bits % n_bands == 0
+    width = hash_bits // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(ph, b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def phash_neardup_pairs(
     df: DataFrame,
     id_col: str = "image_id",
@@ -536,19 +557,8 @@ def phash_neardup_pairs(
     """
     # generalizes to any hash width (e.g. hash_bits=16 for simhash16):
     # the pigeonhole bound max_hamming < n_bands holds regardless
-    assert hash_bits % n_bands == 0
-    width = hash_bits // n_bands
-    mask = (1 << width) - 1
     ph = F.col(phash_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bi"),
-                F.shiftrightunsigned(ph, b * width).bitwiseAND(F.lit(mask)).alias("bv"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = hash_band_keys(ph, n_bands, hash_bits)
     exploded = df.select(
         F.col(id_col).alias("id"), ph.alias("ph"), F.explode(bands).alias("band")
     ).select("id", "ph", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))

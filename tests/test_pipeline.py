@@ -627,6 +627,22 @@ def test_diff_rollup_null_key_is_one_group(spark):
     assert got == {None: "changed", 1: "same"}
 
 
+def test_stream_image_ingest_flags_copies(spark):
+    """Streaming pHash-on-arrival (driver query stream_image_ingest):
+    every planted jpeg copy arrives flagged with its source as the
+    match; fresh unseen images pass through unflagged."""
+    from geodesk_spark.driver_queries.samples_images import _q_stream_image_ingest
+
+    rows = _q_stream_image_ingest(spark, None).collect()
+    copies = [r for r in rows if r.image_id.endswith("_d")]
+    fresh = [r for r in rows if not r.image_id.endswith("_d")]
+    assert len(copies) == 67 and len(fresh) == 60
+    for r in copies:
+        assert r.is_dup and r.match_id == r.image_id[:-2], r
+        assert r.min_ham <= 4
+    assert all(not r.is_dup and r.min_ham is None for r in fresh)
+
+
 def test_augment_parity_involution_and_random_determinism(spark):
     """images.augment: byte-exact numpy parity per op, dims transform
     correctly (rot90 swaps, crop08 floors), hflip twice is the identity;
