@@ -333,3 +333,36 @@ def _q_semdedup(spark, sf_dir):
 
 def _semdedup_sql() -> str:
     return ann.semdedup_sql("embeddings", threshold=0.40)
+
+
+def _q_ann_sq8(spark, sf_dir):
+    """Scalar-int8-quantized ANN (ann.sq8_topk): per-vector max-abs/127
+    scale, floor-form codes, INTEGER dot/norm scoring — the 4× smaller
+    stored index.  Pure JVM columns end to end (encode is a codegen'd
+    higher-order projection, scoring a broadcast NLJ + folds); oracle =
+    the identical encode+score arithmetic in SQL, bit-exact because
+    every intermediate is an exact integer (ann.sq8_topk_sql).
+    Measured recall@5 vs float brute force: tests/test_ann.py."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.sq8_topk(e, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _ann_sq8_sql() -> str:
+    return ann.sq8_topk_sql(ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (crossmodal.hard_negatives):
+    per query, the k most-cosine-similar DIFFERENT-label vectors —
+    the CLIP/InfoNCE negatives-selection step.  Broadcast query set,
+    JVM folds, one rank-window shuffle; cos6 floor-form output."""
+    from geodesk_spark.operators import crossmodal
+
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return crossmodal.hard_negatives(e, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _hard_negatives_sql() -> str:
+    from geodesk_spark.operators import crossmodal
+
+    return crossmodal.hard_negatives_sql(ANN_QUERY_IDS, k=ANN_K)

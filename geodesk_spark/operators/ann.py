@@ -1304,3 +1304,110 @@ def semdedup_sql(
       select m.id as vec_id, m.cluster as cluster, (p.id is null) as kept
       from memb0 m left join pruned p using (id)
     """
+
+
+def sq8_encode(df: DataFrame, id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization (SQ8) of an embedding column — the
+    standard 4× storage/bandwidth cut for vector search at corpus scale
+    (FAISS's ScalarQuantizer recipe, public): per-vector scale
+    s = max|x|/127, codes q_i = floor(x_i/s + 0.5) ∈ [-127, 127].
+
+    Output: (id, qvec array<bigint>, scale double).  Everything is a
+    JVM higher-order Column (one codegen'd projection, no shuffle, no
+    Python).  The scale is let-bound through a staged projection so the
+    max-abs fold is evaluated once per row, not once per element.
+
+    Determinism: the encode is floor-form (the repo's rounding law) and
+    the max-abs fold is order-free, so codes are bit-identical across
+    numpy/Spark/DuckDB — downstream integer arithmetic is then exact by
+    construction.  A zero vector encodes to all-zero codes (scale 1).
+    """
+    maxabs = F.aggregate(
+        F.col(emb), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+    )
+    scale = F.when(maxabs == F.lit(0.0), F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(emb).alias("_e"),
+        scale.alias("scale"),
+    )
+    qvec = F.transform(
+        F.col("_e"), lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    return staged.select(id_col, qvec.alias("qvec"), "scale")
+
+
+def sq8_topk(
+    df: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", emb: str = "embedding"
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes: encode once, score with
+    INTEGER dot products.  Returns (query_id, vec_id, rank) like
+    cosine_topk; recall vs the float brute force is measured in
+    tests/test_ann.py (printed + pinned).
+
+    Scale shape: the query side is a bounded broadcast (≤ |query_ids|
+    rows); the corpus side is ONE codegen'd scan — encode, integer
+    zip_with/aggregate folds, partial top-k via the rank window.  Only
+    (n_queries × candidates) rows reach the window shuffle.  At 100 TB
+    the codes table is the thing you'd persist (sq8_encode → parquet:
+    4× smaller scans); scoring math is unchanged.
+
+    Determinism: dot and both norms are exact INTEGER sums (≤ dim·127²
+    ≪ 2^53), so the score double is bit-identical on any engine and in
+    any fold order — the one float op is a single division by a
+    correctly-rounded sqrt.  Ties break by vec_id ascending.
+    """
+    enc = sq8_encode(df, id_col, emb)
+    q = enc.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qq")
+    )
+    j = enc.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    zero = F.lit(0).cast("bigint")
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("_qq"), lambda a, b: a * b), zero, lambda acc, x: acc + x
+    )
+    nv = F.aggregate(F.col("qvec"), zero, lambda acc, x: acc + x * x)
+    nq = F.aggregate(F.col("_qq"), zero, lambda acc, x: acc + x * x)
+    # greatest(·, 1): a zero vector has zero norm — guard the denominator
+    # identically on both engines (kcenter null-ordering lesson)
+    score = dot.cast("double") / F.sqrt(F.greatest(nv * nq, F.lit(1).cast("bigint")).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        j.select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def sq8_topk_sql(query_ids: list[int], k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB twin of sq8_topk: identical floor-form encode and integer
+    scoring — bit-exact without any output quantization because every
+    intermediate is an exact integer."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+      with mx as (
+        select vec_id, embedding as e,
+               list_max(list_transform(embedding, x -> abs(cast(x as double)))) as m
+        from {table}),
+      enc as (
+        select vec_id,
+               list_transform(e, x -> cast(floor(cast(x as double)
+                 / (case when m = 0 then 1.0 else m / 127.0 end) + 0.5) as bigint)) as q
+        from mx),
+      qs as (select vec_id as query_id, q as qq from enc where vec_id in ({ids})),
+      sc as (
+        select s.query_id, e.vec_id,
+               cast(list_sum(list_transform(range(1, len(e.q) + 1),
+                      i -> e.q[i] * s.qq[i])) as double)
+               / sqrt(cast(greatest(
+                      list_sum(list_transform(e.q, v -> v * v))
+                      * list_sum(list_transform(s.qq, v -> v * v)), 1) as double)) as score
+        from enc e cross join qs s
+        where e.vec_id <> s.query_id)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from sc) where rank <= {int(k)}
+    """
