@@ -366,3 +366,21 @@ def _hard_negatives_sql() -> str:
     from geodesk_spark.operators import crossmodal
 
     return crossmodal.hard_negatives_sql(ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_ann_recall_eval(spark, sf_dir):
+    """Distributed index-quality grading (ann.retrieval_eval): the IVF
+    index's top-k graded per query against the exact cosine top-k —
+    recall@k numerator + first-hit rank as exact integers.  Oracle
+    composes the IVF trainer-CTE oracle and the brute-cosine oracle
+    verbatim, so a green row proves index, scorer AND grader at once."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    pred = ann.ivf_topk(e, ANN_QUERY_IDS, k=ANN_K, nprobe=8)
+    truth = ann.cosine_topk(e, ANN_QUERY_IDS, k=ANN_K)
+    return ann.retrieval_eval(pred, truth, k=ANN_K)
+
+
+def _ann_recall_eval_sql() -> str:
+    from geodesk_spark.driver_queries.features_goql import _ann_sql
+
+    return ann.retrieval_eval_sql(_ann_ivf_sql(), _ann_sql(), k=ANN_K)

@@ -1411,3 +1411,59 @@ def sq8_topk_sql(query_ids: list[int], k: int = 5, table: str = "embeddings") ->
                    order by score desc, vec_id asc) as rank
         from sc) where rank <= {int(k)}
     """
+
+
+def retrieval_eval(pred: DataFrame, truth: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query retrieval quality of a ranked candidate list against a
+    ground-truth relevant set — the recall@k / first-hit diagnostic every
+    ANN index deployment needs as a FIRST-CLASS distributed job (measure
+    an index against the exact scorer on the corpus itself, not a toy
+    sample).  ``pred`` is any (query_id, vec_id, rank) index output
+    (lsh/ivf/pq/sq8...), ``truth`` the exact relevant set
+    (query_id, vec_id) — e.g. cosine_topk.
+
+    Output per query: (query_id, n_true, hits, first_hit_rank) — hits is
+    the recall@k NUMERATOR (|pred∩truth| at rank ≤ k), first_hit_rank the
+    MRR numerator's rank (0 when no hit, so downstream reciprocals are a
+    plain ``case``).  Every output is an exact integer → bit-identical
+    cross-engine with no quantization (per-query rows, no cross-query
+    float aggregation — the caller divides).
+
+    Scale shape: both inputs are (n_queries × k)-bounded — dimension-sized
+    by construction no matter the corpus size; two equi-joins on
+    (query_id, vec_id), both broadcastable.  The expensive part is
+    producing pred/truth, not grading them.
+    """
+    p = pred.filter(F.col("rank") <= k).select("query_id", "vec_id", "rank")
+    t = truth.select("query_id", "vec_id")
+    hagg = (
+        p.join(t, ["query_id", "vec_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"), F.min("rank").alias("_f"))
+    )
+    base = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    return base.join(hagg, "query_id", "left").select(
+        "query_id",
+        F.col("_n").cast("long").alias("n_true"),
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hits"),
+        F.coalesce(F.col("_f"), F.lit(0)).cast("long").alias("first_hit_rank"),
+    )
+
+
+def retrieval_eval_sql(pred_sql: str, truth_sql: str, k: int = 5) -> str:
+    """DuckDB twin of retrieval_eval: composes any two oracle SELECTs
+    (each may carry its own WITH — DuckDB accepts nested CTEs) into the
+    same integer metrics.  ``truth`` is referenced twice → materialized
+    (the CLAUDE.md binder law)."""
+    return f"""
+      with pred as materialized ({pred_sql}),
+      truth as materialized ({truth_sql}),
+      h as (select p.query_id, count(*) as hits, min(p.rank) as fhr
+            from pred p join truth t using (query_id, vec_id)
+            where p.rank <= {int(k)} group by p.query_id),
+      b as (select query_id, count(*) as n_true from truth group by query_id)
+      select b.query_id, cast(b.n_true as bigint) as n_true,
+             cast(coalesce(h.hits, 0) as bigint) as hits,
+             cast(coalesce(h.fhr, 0) as bigint) as first_hit_rank
+      from b left join h using (query_id)
+    """

@@ -524,3 +524,35 @@ def test_hard_negatives_ivf_recall(spark, emb):
     frac = nprobe / n_centroids
     print(f"hard_negatives_ivf mean recall@{K}: {np.mean(recalls):.3f} (scan frac {frac})")
     assert np.mean(recalls) >= 0.45, f"IVF hard-negative recall too low: {recalls}"
+
+
+def test_retrieval_eval_hand_case(spark):
+    """Hand-computed metrics: hits counts only rank<=k intersections,
+    first_hit_rank is the smallest hitting rank, no-hit queries emit
+    zeros, and a pred==truth query scores perfect recall."""
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 98, 1), (3, 97, 2),
+         (1, 12, 9)],  # beyond k -> ignored
+        "query_id long, vec_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, vec_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_true"], r["hits"], r["first_hit_rank"])
+        for r in ann.retrieval_eval(pred, truth, k=3).collect()
+    }
+    assert got == {1: (2, 1, 2), 2: (2, 2, 1), 3: (1, 0, 0)}
+
+
+def test_retrieval_eval_perfect_on_self(spark, emb):
+    """Grading the exact scorer against itself: hits == n_true and
+    first_hit_rank == 1 for every query."""
+    truth = ann.cosine_topk(emb, QUERY_IDS, k=K)
+    out = ann.retrieval_eval(truth, truth, k=K).collect()
+    assert len(out) == len(QUERY_IDS)
+    for r in out:
+        assert r["hits"] == r["n_true"] == K and r["first_hit_rank"] == 1
