@@ -570,3 +570,24 @@ def _q_images_phash(spark, sf_dir):
     tests/test_pipeline.py::test_phash_compute_parity_and_robustness."""
     imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
     return images.phash_compute(imgs)
+
+
+def _q_epoch_shard_manifest(spark, sf_dir):
+    """Deterministic epoch shuffle → WebDataset-style shard manifest
+    (sampling.epoch_shards + shard_manifest): a reproducible per-epoch
+    global permutation (md5(seed|epoch|id)) cut into fixed-size shards,
+    audited per shard by row count, payload total, and the order-free
+    id_sum membership fingerprint.  The rank is a distributed two-phase
+    prefix (pack_sequences law) — the oracle's single global row_number
+    proves it equals the total-order semantics."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    assign = sampling.epoch_shards(d, 48, id_col="doc_id", seed="7", epoch=3)
+    return sampling.shard_manifest(assign, d, "n_chars")
+
+
+def _epoch_shard_manifest_sql() -> str:
+    from geodesk_spark.operators import sampling
+
+    return sampling.shard_manifest_sql("documents", 48, "n_chars", seed="7", epoch=3)

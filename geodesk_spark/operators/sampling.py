@@ -199,3 +199,122 @@ def weighted_sample_sql(
         limit {k}
       )
     """
+
+
+def epoch_shards(
+    df: DataFrame,
+    shard_size: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle → fixed-size shard assignment: the
+    WebDataset/tar-shard dataloader layout.  Each epoch is a reproducible
+    global permutation keyed by md5(seed|epoch|id), cut into shards of
+    ``shard_size`` consecutive permuted rows — so every epoch re-mixes
+    the corpus, any worker can recompute its own shard list from
+    (seed, epoch) alone, and a resumed run sees the identical order.
+
+    Output: (id_col, shard_id, pos) — shard ids dense 0..ceil(n/size)−1,
+    pos 0-based within the shard.  All integers.
+
+    Plan — the same DISTRIBUTED two-phase prefix as pack_sequences (a
+    bare global window would move the corpus to one task): range-
+    repartition + sort on (md5 key, id), per-partition local row
+    numbers, per-partition counts → broadcast exclusive offsets.  The
+    permutation depends only on the total order (unique by key, id), so
+    shard assignment is independent of partition boundaries.
+    """
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    order = [F.col("_hk"), F.col(id_col)]
+    local = (
+        df.select(id_col)
+        .withColumn("_hk", key)
+        .repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pin the physical layout so the totals job and the output job see
+    # identical partition boundaries (pack_sequences law)
+    local = local.withColumn("_lrk", F.count(F.lit(1)).over(w)).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid").agg(F.max("_lrk").alias("_t")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    rk0 = F.col("_lrk") + F.col("_off") - F.lit(1)  # 0-based global rank
+    return local.join(F.broadcast(off_df), "_pid").select(
+        id_col,
+        (rk0 / F.lit(int(shard_size))).cast("long").alias("shard_id"),
+        (rk0 % F.lit(int(shard_size))).cast("long").alias("pos"),
+    )
+
+
+def shard_manifest(
+    assign: DataFrame,
+    df: DataFrame,
+    size_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard manifest over an epoch_shards assignment: row count,
+    payload-size total, and the order-free membership fingerprint
+    sum(id) — the audit record a shard WRITER emits next to each tar.
+    One equi-join on id + one agg; all integers."""
+    j = assign.join(df.select(id_col, size_col), id_col)
+    return j.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(size_col).cast("long")).alias("payload_sum"),
+        F.sum(F.col(id_col).cast("long")).alias("id_sum"),
+    )
+
+
+def epoch_shards_sql(
+    table: str,
+    shard_size: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    epoch: int = 0,
+) -> str:
+    """DuckDB twin of epoch_shards — the two-phase prefix collapses to
+    one global row_number over the identical (md5 key, id) order."""
+    key = f"md5(concat('{seed}', '|', '{int(epoch)}', '|', cast({id_col} as varchar)))"
+    return f"""
+      select {id_col},
+             cast((rk - 1) // {int(shard_size)} as bigint) as shard_id,
+             cast((rk - 1) % {int(shard_size)} as bigint) as pos
+      from (select {id_col},
+                   row_number() over (order by {key}, {id_col}) as rk
+            from {table})
+    """
+
+
+def shard_manifest_sql(
+    table: str,
+    shard_size: int,
+    size_col: str,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    epoch: int = 0,
+) -> str:
+    """DuckDB twin of shard_manifest over the epoch_shards twin."""
+    return f"""
+      with a as ({epoch_shards_sql(table, shard_size, id_col, seed, epoch)})
+      select a.shard_id, cast(count(*) as bigint) as n_rows,
+             cast(sum(t.{size_col}) as bigint) as payload_sum,
+             cast(sum(t.{id_col}) as bigint) as id_sum
+      from a join {table} t using ({id_col})
+      group by a.shard_id
+    """

@@ -179,3 +179,49 @@ def test_aspect_bucket_batches_invariants(spark):
             assert r["count"] == 7, (r.bucket, r.batch_id)
         else:
             assert 1 <= r["count"] <= 7
+
+
+def test_epoch_shards_laws(docs):
+    """Pandas-reference parity (exact permutation), dense full shards,
+    partition-layout independence, and epoch sensitivity."""
+    import hashlib
+
+    size = 128
+    out = sampling.epoch_shards(docs, size, id_col="doc_id", seed="s", epoch=1).toPandas()
+    n = out.shape[0]
+    assert n == docs.count()
+
+    # exact reference permutation
+    ids = docs.select("doc_id").toPandas()["doc_id"].tolist()
+    keyed = sorted(ids, key=lambda i: (hashlib.md5(f"s|1|{i}".encode()).hexdigest(), i))
+    ref = {doc: (rk // size, rk % size) for rk, doc in enumerate(keyed)}
+    got = {r.doc_id: (r.shard_id, r.pos) for r in out.itertuples()}
+    assert got == ref
+
+    # dense shards: every shard but the last is exactly full
+    sizes = out.groupby("shard_id").size().sort_index()
+    assert (sizes.iloc[:-1] == size).all() and 0 < sizes.iloc[-1] <= size
+    assert sizes.index.tolist() == list(range((n + size - 1) // size))
+
+    # independent of input partitioning
+    out2 = sampling.epoch_shards(
+        docs.repartition(13), size, id_col="doc_id", seed="s", epoch=1
+    ).toPandas()
+    got2 = {r.doc_id: (r.shard_id, r.pos) for r in out2.itertuples()}
+    assert got2 == ref
+
+    # a different epoch re-mixes
+    out3 = sampling.epoch_shards(docs, size, id_col="doc_id", seed="s", epoch=2).toPandas()
+    got3 = {r.doc_id: (r.shard_id, r.pos) for r in out3.itertuples()}
+    assert got3 != ref
+
+
+def test_shard_manifest_conservation(docs):
+    """Manifest totals must conserve the corpus: Σ n_rows = n,
+    Σ payload_sum = Σ n_tokens, Σ id_sum = Σ doc_id."""
+    assign = sampling.epoch_shards(docs, 256, id_col="doc_id")
+    m = sampling.shard_manifest(assign, docs, "n_tokens").toPandas()
+    src = docs.toPandas()
+    assert m["n_rows"].sum() == len(src)
+    assert m["payload_sum"].sum() == src["n_tokens"].sum()
+    assert m["id_sum"].sum() == src["doc_id"].sum()
