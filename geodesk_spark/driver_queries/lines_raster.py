@@ -1245,3 +1245,84 @@ def _contour_sql() -> str:
                      else by + ({lvl} - tl) / (bl - tl) end as y2
       from j
     """
+
+
+# ---- polygon×polygon overlay (operators/overlay.py) ------------------
+# Small-coordinate deterministic fixtures: star octagons (subjects, from
+# orders) × convex diamonds (zones, from nation) — all-integer vertices,
+# exact as doubles in every engine.
+
+def _ovl_subject_exprs() -> tuple[str, str, list[tuple[str, str]]]:
+    cx = "((o_orderkey * 48271) % 60001 - 30000)"
+    cy = "((o_orderkey * 69621) % 60001 - 30000)"
+    verts = []
+    for (sx, sy), p in zip(_OCT_DIRS, _OCT_PRIMES):
+        r = f"(((o_orderkey * {p}) % 4096) + 2048)"
+        vx = cx if sx == 0 else f"({cx} {'+' if sx > 0 else '-'} {r})"
+        vy = cy if sy == 0 else f"({cy} {'+' if sy > 0 else '-'} {r})"
+        verts.append((vx, vy))
+    return cx, cy, verts
+
+
+def _ovl_clip_exprs() -> list[tuple[str, str]]:
+    cx = "((n_nationkey * 9973) % 50001 - 25000)"
+    cy = "((n_nationkey * 7919) % 50001 - 25000)"
+    w = "(6000 + (n_nationkey % 5) * 1500)"
+    h = "(5000 + (n_nationkey % 4) * 1800)"
+    return [
+        (f"({cx} + {w})", cy),
+        (cx, f"({cy} + {h})"),
+        (f"({cx} - {w})", cy),
+        (cx, f"({cy} - {h})"),
+    ]
+
+
+def _q_overlay_area(spark, sf_dir):
+    """Polygon×polygon overlay intersection area (overlay.overlay_area):
+    star-octagon subjects × convex diamond zones — zones broadcast, one
+    subject scan, chained general half-plane S-H passes + shoelace fold,
+    all JVM (the areal-interpolation primitive; the reference delegates
+    polygon set-ops to JTS, Feature.toGeometry() consumers).  Oracle =
+    the identical pass/fold expressions emitted for DuckDB."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 1")
+    _cx, _cy, verts = _ovl_subject_exprs()
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in verts
+        ]
+    )
+    subj = o.select(F.col("o_orderkey").alias("sid"), ring.alias("ring"))
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_clip_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    return overlay.overlay_area(subj, clip, clip_k=4)
+
+
+def _overlay_area_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    _cx, _cy, verts = _ovl_subject_exprs()
+    s_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}" for vx, vy in verts
+    ) + "]"
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_clip_exprs()
+    ) + "]"
+    subject_sql = f"select o_orderkey as sid, {s_ring} as r from orders where o_orderkey % 4 = 1"
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    return overlay.overlay_area_sql(subject_sql, clip_sql, clip_k=4)

@@ -1,0 +1,247 @@
+"""Polygon×polygon overlay: intersection area between a (large) subject
+polygon layer and a (dimension-sized) CONVEX clip/zone layer — the areal-
+interpolation / land-use-overlay primitive (the reference delegates
+geometry set-ops to JTS, e.g. Feature.toGeometry() consumers; here the
+overlay is a first-class distributed operator).
+
+Spark-first shape: the zone layer broadcasts (zone tables are
+dimension-sized at any corpus scale); the subject layer is scanned ONCE —
+bbox prefilter inside the broadcast nested-loop join, then a chain of
+``clip_k`` Sutherland–Hodgman half-plane passes and one shoelace fold,
+all pure JVM higher-order Columns (zero shuffle, zero Python).
+
+Cross-engine determinism: every pass/fold expression is emitted from the
+SAME generator for Spark and DuckDB with textually identical float op
+order (the tiles_sink.sh_clip_pass_expr law); the chain contains no
+transcendentals — products, sums, and one guarded division per crossing —
+so results are IEEE-bit-identical and the quantized output hash cannot
+drift.  Each pass LET-BINDS its input ring (referenced once), keeping
+chained passes linear in size (the CollapseProject blow-up lesson,
+tiles_sink.py:418-427).
+
+Contract: clip rings must be CONVEX with exactly ``clip_k`` vertices
+(orientation is auto-normalized via the exact shoelace sign).  Subject
+rings may be any SIMPLE polygon; the standard S-H caveat applies — a
+non-convex subject that enters and leaves a zone more than once yields
+one ring with zero-width bridge edges, whose shoelace contributions
+cancel, so the AREA (this operator's output) stays correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _engine_ops(engine: str, tag: str, r: str):
+    """Shared expression-builder kit (mirrors sh_clip_pass_expr)."""
+    rr, s_, e_, v_ = f"rr{tag}", f"s{tag}", f"e{tag}", f"v{tag}"
+    if engine == "spark":
+        s, e = s_, e_
+        rot = f"concat(slice({rr}, size({rr}), 1), slice({rr}, 1, size({rr}) - 1))"
+
+        def struct_(ix, iy):
+            return f"named_struct('x', {ix}, 'y', {iy})"
+
+        def zip_(body):
+            return f"zip_with({rot}, {rr}, ({s_}, {e_}) -> {body})"
+
+        def let_(body):
+            return f"element_at(transform(array({r}), {rr} -> {body}), 1)"
+
+        flt, ln = "filter", "size"
+
+        def arr(items):
+            return f"array({', '.join(items)})"
+
+    else:
+        s, e = f"p{tag}[1]", f"p{tag}[2]"
+        rot = f"list_concat({rr}[-1:], {rr}[:len({rr}) - 1])"
+
+        def struct_(ix, iy):
+            return f"{{'x': {ix}, 'y': {iy}}}"
+
+        def zip_(body):
+            return f"list_transform(list_zip({rot}, {rr}), p{tag} -> {body})"
+
+        def let_(body):
+            return f"(list_transform([{r}], {rr} -> {body}))[1]"
+
+        flt, ln = "list_filter", "len"
+
+        def arr(items):
+            return f"[{', '.join(items)}]"
+
+    return rr, s, e, v_, rot, struct_, zip_, let_, flt, ln, arr
+
+
+def halfplane_pass_expr(
+    r: str, ax: str, ay: str, bx: str, by: str, engine: str, tag: str = ""
+) -> str:
+    """One S-H clip pass against the ARBITRARY half-plane left of the
+    directed edge A→B (CCW clip ⇒ interior), as an expression string
+    over a ring column ``r`` (array<struct<x,y>> double) — the general
+    sibling of tiles_sink.sh_clip_pass_expr (axis-aligned bounds).
+
+    inside(P) = (bx−ax)·(P.y−ay) − (by−ay)·(P.x−ax) ≥ 0; on a crossing
+    edge t = f(s)/(f(s)−f(e)) (denominator nonzero exactly when the
+    inside tests differ, so the division stays under the crossing
+    branch), intersection = s + t·(e−s).  Emission table, let-binding,
+    type-stable 2-slot arrays and the <3-vertex pass-through are
+    identical to the axis-aligned pass.  ``ax``..``by`` are expression
+    strings (column refs / element_at lookups), constant per pass.
+    """
+    rr, s, e, v_, _rot, struct_, zip_, let_, flt, ln, arr = _engine_ops(engine, tag, r)
+
+    def f_of(p):
+        return (
+            f"((({bx}) - ({ax})) * ({p}.y - ({ay}))"
+            f" - (({by}) - ({ay})) * ({p}.x - ({ax})))"
+        )
+
+    fs, fe = f_of(s), f_of(e)
+    ins_s, ins_e = f"({fs} >= 0)", f"({fe} >= 0)"
+    t = f"({fs} / ({fs} - {fe}))"
+    inter = struct_(
+        f"{s}.x + {t} * ({e}.x - {s}.x)",
+        f"{s}.y + {t} * ({e}.y - {s}.y)",
+    )
+    body = arr(
+        [
+            f"case when {ins_s} != {ins_e} then {inter} else null end",
+            f"case when {ins_e} then {e} else null end",
+        ]
+    )
+    clipped = f"{flt}(flatten({zip_(body)}), {v_} -> {v_} is not null)"
+    empty = f"{flt}({rr}, {v_} -> false)"
+    return let_(f"case when {ln}({rr}) >= 3 then {clipped} else {empty} end")
+
+
+def shoelace2_expr(r: str, engine: str, tag: str = "a") -> str:
+    """TWICE the signed ring area as an expression string — the exact
+    shoelace fold Σ (prev.x·cur.y − cur.x·prev.y) in index order,
+    emitted identically for both engines (sum order fixed)."""
+    rr, s, e, _v, _rot, _st, zip_, let_, _flt, _ln, _arr = _engine_ops(engine, tag, r)
+    term = f"{s}.x * {e}.y - {e}.x * {s}.y"
+    if engine == "spark":
+        fold = f"aggregate({zip_(term)}, cast(0.0 as double), (acc{tag}, x{tag}) -> acc{tag} + x{tag})"
+    else:
+        fold = f"coalesce(list_sum({zip_(term)}), 0.0)"
+    return let_(fold)
+
+
+def ccw_ring_expr(r: str, engine: str, tag: str = "n") -> str:
+    """Orientation normalizer: reverse the ring when its signed shoelace
+    area is negative (CW) — exact, since the sign test is on the same
+    IEEE value both engines compute."""
+    sh = shoelace2_expr(r, engine, tag=f"{tag}s")
+    rev = f"reverse({r})" if engine == "spark" else f"list_reverse({r})"
+    return f"case when {sh} < 0 then {rev} else {r} end"
+
+
+def _edge_exprs(cring: str, clip_k: int, engine: str) -> list[tuple[str, str, str, str]]:
+    """(ax, ay, bx, by) expression strings for each directed edge of a
+    clip ring column holding exactly ``clip_k`` vertices (1-based
+    indexing in both engines)."""
+    out = []
+    for i in range(1, clip_k + 1):
+        j = 1 if i == clip_k else i + 1
+        if engine == "spark":
+            a, b = f"element_at({cring}, {i})", f"element_at({cring}, {j})"
+        else:
+            a, b = f"{cring}[{i}]", f"{cring}[{j}]"
+        out.append((f"{a}.x", f"{a}.y", f"{b}.x", f"{b}.y"))
+    return out
+
+
+def overlay_area(
+    subject: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+    s_ring: str = "ring",
+    c_ring: str = "cring",
+    quant: int = 3,
+) -> DataFrame:
+    """Intersection area per (subject, zone) pair — see module docstring.
+
+    Input: ``subject`` (sid, s_ring) with OPEN rings (first vertex not
+    repeated), any simple orientation; ``clip`` (cid, c_ring) CONVEX
+    open rings of exactly ``clip_k`` vertices, any orientation.
+    Output: (sid, cid, inter_area) for pairs with positive area,
+    inter_area floor-form quantized at 10^-quant (both engines emit the
+    identical IEEE double, the quantization is the repo's output law).
+
+    Scale: zones broadcast; subjects stream through one codegen stage.
+    bbox prefilter culls the nested-loop early — only bbox-overlapping
+    pairs pay the clip chain.  At 10^12 subjects the plan is unchanged:
+    scan → broadcast NLJ (bbox) → clip chain → filter, no shuffle.
+    """
+    sxs = F.transform(F.col(s_ring), lambda p: p["x"])
+    sys_ = F.transform(F.col(s_ring), lambda p: p["y"])
+    cxs = F.transform(F.col(c_ring), lambda p: p["x"])
+    cys = F.transform(F.col(c_ring), lambda p: p["y"])
+    s_pre = subject.select(
+        F.col(sid),
+        F.col(s_ring).alias("_sr"),
+        F.array_min(sxs).alias("_sx0"),
+        F.array_max(sxs).alias("_sx1"),
+        F.array_min(sys_).alias("_sy0"),
+        F.array_max(sys_).alias("_sy1"),
+    )
+    c_pre = clip.select(
+        F.col(cid),
+        F.expr(ccw_ring_expr(c_ring, "spark")).alias("_cr"),
+        F.array_min(cxs).alias("_cx0"),
+        F.array_max(cxs).alias("_cx1"),
+        F.array_min(cys).alias("_cy0"),
+        F.array_max(cys).alias("_cy1"),
+    )
+    j = s_pre.crossJoin(F.broadcast(c_pre)).where(
+        (F.col("_sx0") <= F.col("_cx1"))
+        & (F.col("_cx0") <= F.col("_sx1"))
+        & (F.col("_sy0") <= F.col("_cy1"))
+        & (F.col("_cy0") <= F.col("_sy1"))
+    )
+    cur = "_sr"
+    for i, (ax, ay, bx, by) in enumerate(_edge_exprs("_cr", clip_k, "spark"), 1):
+        cur = halfplane_pass_expr(cur, ax, ay, bx, by, "spark", tag=f"o{i}")
+    j = j.withColumn("_rc", F.expr(cur))
+    area = F.expr(f"abs({shoelace2_expr('_rc', 'spark')}) / 2")
+    q = 10 ** int(quant)
+    qarea = F.floor(area * F.lit(float(q)) + F.lit(0.5)) / F.lit(float(q))
+    return (
+        j.filter(F.size(F.col("_rc")) >= 3)
+        .select(sid, cid, qarea.alias("inter_area"))
+        .filter(F.col("inter_area") > 0)
+    )
+
+
+def overlay_area_sql(
+    subject_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+    quant: int = 3,
+) -> str:
+    """DuckDB twin of overlay_area.  ``subject_sql`` yields (sid, r) and
+    ``clip_sql`` yields (cid, cr) as list<struct{x,y}> double columns —
+    the same passes/folds emitted for the duckdb engine, full cross join
+    (the bbox prefilter is a plan optimization, not a semantic one)."""
+    cur = "r"
+    for i, (ax, ay, bx, by) in enumerate(_edge_exprs("cr", clip_k, "duckdb"), 1):
+        cur = halfplane_pass_expr(cur, ax, ay, bx, by, "duckdb", tag=f"o{i}")
+    q = 10 ** int(quant)
+    return f"""
+      with subj as materialized ({subject_sql}),
+      clip0 as materialized ({clip_sql}),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      pairs as (select s.{sid}, c.{cid}, s.r, c.cr from subj s cross join clipn c),
+      clipped as (select {sid}, {cid}, {cur} as rc from pairs),
+      ar as (select {sid}, {cid},
+                    floor(abs({shoelace2_expr('rc', 'duckdb')}) / 2 * {float(q)!r} + 0.5)
+                      / {float(q)!r} as inter_area
+             from clipped where len(rc) >= 3)
+      select {sid}, {cid}, inter_area from ar where inter_area > 0
+    """

@@ -1,0 +1,173 @@
+"""Polygon×polygon overlay intersection area (operators/overlay.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_spark.operators import overlay
+
+
+def _ring(*pts):
+    return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+
+def _sh_clip_numpy(subject, clip_ccw):
+    """Independent pure-Python Sutherland–Hodgman replay (float64)."""
+    out = [tuple(p) for p in subject]
+    k = len(clip_ccw)
+    for i in range(k):
+        ax, ay = clip_ccw[i]
+        bx, by = clip_ccw[(i + 1) % k]
+        if len(out) < 3:
+            return []
+        ring, prev = [], out[-1]
+        for cur in out:
+            fs = (bx - ax) * (prev[1] - ay) - (by - ay) * (prev[0] - ax)
+            fe = (bx - ax) * (cur[1] - ay) - (by - ay) * (cur[0] - ax)
+            if (fs >= 0) != (fe >= 0):
+                t = fs / (fs - fe)
+                ring.append((prev[0] + t * (cur[0] - prev[0]), prev[1] + t * (cur[1] - prev[1])))
+            if fe >= 0:
+                ring.append(cur)
+            prev = cur
+        out = ring
+    return out
+
+
+def _shoelace(ring):
+    if len(ring) < 3:
+        return 0.0
+    a = 0.0
+    prev = ring[-1]
+    for cur in ring:
+        a += prev[0] * cur[1] - cur[0] * prev[1]
+        prev = cur
+    return abs(a) / 2
+
+
+def _grid_area(poly_pred, x0, x1, y0, y1, n=400):
+    """Rasterized area approximation, independent of any clipping code."""
+    xs = np.linspace(x0, x1, n, endpoint=False) + (x1 - x0) / (2 * n)
+    ys = np.linspace(y0, y1, n, endpoint=False) + (y1 - y0) / (2 * n)
+    X, Y = np.meshgrid(xs, ys)
+    frac = poly_pred(X, Y).mean()
+    return frac * (x1 - x0) * (y1 - y0)
+
+
+def _pip(ring):
+    """Even-odd point-in-polygon vectorized over meshgrids."""
+    ring = np.asarray(ring, dtype=float)
+
+    def pred(X, Y):
+        inside = np.zeros(X.shape, dtype=bool)
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            cond = (y1 > Y) != (y2 > Y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x1 + (Y - y1) / (y2 - y1) * (x2 - x1)
+            inside ^= cond & (X < xi)
+        return inside
+
+    return pred
+
+
+def test_overlay_hand_cases(spark):
+    """Exact hand-computable intersections, both subject orientations,
+    CW clip normalization, containment both ways, and disjoint."""
+    subj = spark.createDataFrame(
+        [
+            (1, _ring((0, 0), (10, 0), (10, 10), (0, 10))),
+            (2, _ring((0, 0), (0, 10), (10, 10), (10, 0))),
+            (3, _ring((100, 100), (110, 100), (105, 110))),
+        ],
+        "sid long, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [
+            (10, _ring((2, 2), (6, 2), (6, 6), (2, 6))),
+            (11, _ring((10, 0), (0, 10), (-10, 0), (0, -10))),
+            (12, _ring((2, 2), (2, 6), (6, 6), (6, 2))),
+            (13, _ring((-20, -20), (20, -20), (20, 20), (-20, 20))),
+        ],
+        "cid long, cring array<struct<x:double,y:double>>",
+    )
+    got = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area(subj, clip, clip_k=4).collect()
+    }
+    expect = {}
+    for s in (1, 2):
+        expect.update({(s, 10): 16.0, (s, 11): 50.0, (s, 12): 16.0, (s, 13): 100.0})
+    assert got == expect  # subject 3 disjoint from every zone -> absent
+
+
+def test_overlay_matches_independent_replay(spark):
+    """Random convex subjects × random convex quads: the Spark result
+    must equal an independent pure-Python S-H replay bit-for-bit (same
+    formula order), and track the rasterized area within grid error."""
+    rng = np.random.default_rng(7)
+    subjects, clips, ref = [], [], {}
+    for s in range(12):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        r = rng.uniform(3, 9)
+        cx, cy = rng.uniform(-10, 10, 2)
+        pts = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang]  # convex-ish CCW
+        subjects.append((s, _ring(*pts)))
+    for c in range(6):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+        r = rng.uniform(4, 10)
+        cx, cy = rng.uniform(-8, 8, 2)
+        pts = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang]
+        clips.append((100 + c, _ring(*pts)))
+    for s, sr in subjects:
+        for c, cr in clips:
+            spts = [(p["x"], p["y"]) for p in sr]
+            cpts = [(p["x"], p["y"]) for p in cr]
+            a = _shoelace(_sh_clip_numpy(spts, cpts))
+            a = np.floor(a * 1e3 + 0.5) / 1e3
+            if a > 0:
+                ref[(s, c)] = a
+    subj = spark.createDataFrame(subjects, "sid long, ring array<struct<x:double,y:double>>")
+    clip = spark.createDataFrame(clips, "cid long, cring array<struct<x:double,y:double>>")
+    got = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area(subj, clip, clip_k=4).collect()
+    }
+    assert got == ref
+    # spot-check three pairs against the rasterized truth (clip-code-free)
+    for (s, c), a in list(ref.items())[:3]:
+        sr = dict(subjects)[s]
+        cr = dict(clips)[c]
+        sp, cp = _pip([(p["x"], p["y"]) for p in sr]), _pip([(p["x"], p["y"]) for p in cr])
+        xs = [p["x"] for p in sr] + [p["x"] for p in cr]
+        ys = [p["y"] for p in sr] + [p["y"] for p in cr]
+        approx = _grid_area(
+            lambda X, Y: sp(X, Y) & cp(X, Y), min(xs), max(xs), min(ys), max(ys)
+        )
+        assert a == pytest.approx(approx, rel=0.05)
+
+
+def test_overlay_star_subject_area_law(spark):
+    """Non-convex star subject: S-H emits bridge edges, but their
+    shoelace contributions cancel — the AREA must still match the
+    rasterized truth."""
+    # 8-point star (alternating radius 10 / 4), CCW
+    pts = []
+    for i in range(8):
+        a = 2 * np.pi * i / 8
+        r = 10.0 if i % 2 == 0 else 4.0
+        pts.append((r * np.cos(a), r * np.sin(a)))
+    subj = spark.createDataFrame(
+        [(1, _ring(*pts))], "sid long, ring array<struct<x:double,y:double>>"
+    )
+    clip = spark.createDataFrame(
+        [(10, _ring((0, -12), (12, 0), (0, 12), (-12, 0)))],
+        "cid long, cring array<struct<x:double,y:double>>",
+    )
+    got = overlay.overlay_area(subj, clip, clip_k=4).collect()
+    assert len(got) == 1
+    sp, cp = _pip(pts), _pip([(0, -12), (12, 0), (0, 12), (-12, 0)])
+    approx = _grid_area(lambda X, Y: sp(X, Y) & cp(X, Y), -10, 10, -10, 10, n=600)
+    assert got[0].inter_area == pytest.approx(approx, rel=0.03)
