@@ -1326,3 +1326,59 @@ def _overlay_area_sql() -> str:
     subject_sql = f"select o_orderkey as sid, {s_ring} as r from orders where o_orderkey % 4 = 1"
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     return overlay.overlay_area_sql(subject_sql, clip_sql, clip_k=4)
+
+
+def _q_areal_interpolate(spark, sf_dir):
+    """Areal-weighted interpolation (overlay.areal_interpolate): subject
+    value · intersection-share transferred onto zones; per-pair weights
+    floor-quantized to integer micro-units and summed as bigints (the
+    integer micro-nat law) so zone totals are order-free exact."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 1")
+    _cx, _cy, verts = _ovl_subject_exprs()
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in verts
+        ]
+    )
+    subj = o.select(
+        F.col("o_orderkey").alias("sid"),
+        F.expr("cast(o_orderkey % 97 + 1 as double)").alias("val"),
+        ring.alias("ring"),
+    )
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_clip_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    return overlay.areal_interpolate(subj, clip, clip_k=4, value_col="val")
+
+
+def _areal_interpolate_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    _cx, _cy, verts = _ovl_subject_exprs()
+    s_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}" for vx, vy in verts
+    ) + "]"
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_clip_exprs()
+    ) + "]"
+    subject_sql = (
+        "select o_orderkey as sid, cast(o_orderkey % 97 + 1 as double) as val, "
+        f"{s_ring} as r from orders where o_orderkey % 4 = 1"
+    )
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    return overlay.areal_interpolate_sql(subject_sql, clip_sql, clip_k=4)

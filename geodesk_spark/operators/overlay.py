@@ -245,3 +245,112 @@ def overlay_area_sql(
              from clipped where len(rc) >= 3)
       select {sid}, {cid}, inter_area from ar where inter_area > 0
     """
+
+
+def areal_interpolate(
+    subject: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    value_col: str,
+    sid: str = "sid",
+    cid: str = "cid",
+    s_ring: str = "ring",
+    c_ring: str = "cring",
+) -> DataFrame:
+    """Areal-weighted interpolation — transfer a subject-level quantity
+    onto zones by intersection share (the census/population
+    reaggregation standard): each subject contributes
+    value · area(subject ∩ zone) / area(subject) to every zone it
+    touches.
+
+    Determinism at the aggregate: the per-pair weighted value is
+    floor-quantized to integer MICRO-UNITS and summed as bigints (the
+    CLAUDE.md integer micro-nat law) — the zone sums are order-free and
+    exact, so re-partitioning can never flip a hash.  share and area
+    are transcendental-free IEEE-identical doubles (see overlay_area).
+
+    Output: (cid, n_parts, value_micro_sum) — n_parts the number of
+    contributing subjects, value_micro_sum the zone total in 1e-6
+    units (caller divides for display).  Zero-area subjects are
+    excluded (no defined share).  Same broadcast/zero-shuffle plan as
+    overlay_area plus ONE aggregation shuffle keyed by zone.
+    """
+    sxs = F.transform(F.col(s_ring), lambda p: p["x"])
+    sys_ = F.transform(F.col(s_ring), lambda p: p["y"])
+    cxs = F.transform(F.col(c_ring), lambda p: p["x"])
+    cys = F.transform(F.col(c_ring), lambda p: p["y"])
+    s_pre = subject.select(
+        F.col(sid),
+        F.col(value_col).cast("double").alias("_val"),
+        F.col(s_ring).alias("_sr"),
+        F.array_min(sxs).alias("_sx0"),
+        F.array_max(sxs).alias("_sx1"),
+        F.array_min(sys_).alias("_sy0"),
+        F.array_max(sys_).alias("_sy1"),
+    )
+    c_pre = clip.select(
+        F.col(cid),
+        F.expr(ccw_ring_expr(c_ring, "spark")).alias("_cr"),
+        F.array_min(cxs).alias("_cx0"),
+        F.array_max(cxs).alias("_cx1"),
+        F.array_min(cys).alias("_cy0"),
+        F.array_max(cys).alias("_cy1"),
+    )
+    j = s_pre.crossJoin(F.broadcast(c_pre)).where(
+        (F.col("_sx0") <= F.col("_cx1"))
+        & (F.col("_cx0") <= F.col("_sx1"))
+        & (F.col("_sy0") <= F.col("_cy1"))
+        & (F.col("_cy0") <= F.col("_sy1"))
+    )
+    cur = "_sr"
+    for i, (ax, ay, bx, by) in enumerate(_edge_exprs("_cr", clip_k, "spark"), 1):
+        cur = halfplane_pass_expr(cur, ax, ay, bx, by, "spark", tag=f"o{i}")
+    j = j.withColumn("_rc", F.expr(cur))
+    ia = F.expr(f"abs({shoelace2_expr('_rc', 'spark')}) / 2")
+    sa = F.expr(f"abs({shoelace2_expr('_sr', 'spark', tag='b')}) / 2")
+    micro = F.floor(F.col("_val") * (F.col("_ia") / F.col("_sa")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        j.filter(F.size(F.col("_rc")) >= 3)
+        .select(sid, cid, F.col("_val").alias("_val"), ia.alias("_ia"), sa.alias("_sa"))
+        .filter((F.col("_ia") > 0) & (F.col("_sa") > 0))
+        .select(sid, cid, micro.alias("_m"))
+        .groupBy(cid)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("_m").alias("value_micro_sum"),
+        )
+    )
+
+
+def areal_interpolate_sql(
+    subject_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+) -> str:
+    """DuckDB twin of areal_interpolate — ``subject_sql`` yields
+    (sid, val, r); identical pass/fold/quantize op order."""
+    cur = "r"
+    for i, (ax, ay, bx, by) in enumerate(_edge_exprs("cr", clip_k, "duckdb"), 1):
+        cur = halfplane_pass_expr(cur, ax, ay, bx, by, "duckdb", tag=f"o{i}")
+    return f"""
+      with subj as materialized ({subject_sql}),
+      clip0 as materialized ({clip_sql}),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      pairs as (select s.{sid}, c.{cid}, s.val, s.r, c.cr
+                from subj s cross join clipn c),
+      clipped as (select {sid}, {cid}, val, r, {cur} as rc from pairs),
+      ar as (select {sid}, {cid}, val,
+                    abs({shoelace2_expr('rc', 'duckdb')}) / 2 as ia,
+                    abs({shoelace2_expr('r', 'duckdb', tag='b')}) / 2 as sa
+             from clipped where len(rc) >= 3),
+      mi as (select {cid},
+                    cast(floor(val * (ia / sa) * 1e6 + 0.5) as bigint) as m
+             from ar where ia > 0 and sa > 0)
+      select {cid}, cast(count(*) as bigint) as n_parts,
+             cast(sum(m) as bigint) as value_micro_sum
+      from mi group by {cid}
+    """

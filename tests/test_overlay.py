@@ -171,3 +171,26 @@ def test_overlay_star_subject_area_law(spark):
     sp, cp = _pip(pts), _pip([(0, -12), (12, 0), (0, 12), (-12, 0)])
     approx = _grid_area(lambda X, Y: sp(X, Y) & cp(X, Y), -10, 10, -10, 10, n=600)
     assert got[0].inter_area == pytest.approx(approx, rel=0.03)
+
+
+def test_areal_interpolate_hand_and_conservation(spark):
+    """A subject half inside a zone contributes value/2; a fully-covered
+    subject's contributions across disjoint tiling zones conserve its
+    value to within one micro-unit per pair."""
+    subj = spark.createDataFrame(
+        [(1, 10.0, _ring((0, 0), (10, 0), (10, 10), (0, 10))),
+         (2, 7.0, _ring((20, 0), (24, 0), (24, 4), (20, 4)))],
+        "sid long, v double, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [(100, _ring((-50, -50), (5, -50), (5, 50), (-50, 50))),    # left half of subj 1
+         (101, _ring((5, -50), (60, -50), (60, 50), (5, 50)))],     # right half + all of subj 2
+        "cid long, cring array<struct<x:double,y:double>>",
+    )
+    got = {
+        r.cid: (r.n_parts, r.value_micro_sum)
+        for r in overlay.areal_interpolate(subj, clip, clip_k=4, value_col="v").collect()
+    }
+    assert got == {100: (1, 5_000_000), 101: (2, 5_000_000 + 7_000_000)}
+    total = sum(v for _, v in got.values())
+    assert abs(total - 17_000_000) <= 3  # one micro-unit slack per pair
