@@ -1382,3 +1382,60 @@ def _areal_interpolate_sql() -> str:
     )
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     return overlay.areal_interpolate_sql(subject_sql, clip_sql, clip_k=4)
+
+
+_OVL_SEG_EXPRS = (
+    "((o_orderkey * 48271) % 60001 - 30000)",
+    "((o_orderkey * 69621) % 60001 - 30000)",
+    "((o_orderkey * 48271) % 60001 - 30000 + ((o_orderkey * 104729) % 16001 - 8000))",
+    "((o_orderkey * 69621) % 60001 - 30000 + ((o_orderkey * 130363) % 16001 - 8000))",
+)
+
+
+def _q_zone_line_length(spark, sf_dir):
+    """Per-zone line clip length (overlay.zone_line_length): Cyrus–Beck
+    parametric clipping of segments against convex diamond zones — the
+    road-km-per-district / trajectory-meters-per-geofence primitive.
+    Zones broadcast, one segment scan, zero shuffle; only sqrt (IEEE-
+    correctly-rounded) beyond ±/×, so the quantized length hash cannot
+    drift."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 2")
+    ex1, ey1, ex2, ey2 = _OVL_SEG_EXPRS
+    segs = o.select(
+        F.col("o_orderkey").alias("seg_id"),
+        F.expr(ex1).cast("double").alias("x1"),
+        F.expr(ey1).cast("double").alias("y1"),
+        F.expr(ex2).cast("double").alias("x2"),
+        F.expr(ey2).cast("double").alias("y2"),
+    )
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_clip_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    return overlay.zone_line_length(segs, clip, clip_k=4)
+
+
+def _zone_line_length_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    ex1, ey1, ex2, ey2 = _OVL_SEG_EXPRS
+    segs_sql = (
+        f"select o_orderkey as seg_id, cast({ex1} as double) as x1, "
+        f"cast({ey1} as double) as y1, cast({ex2} as double) as x2, "
+        f"cast({ey2} as double) as y2 from orders where o_orderkey % 4 = 2"
+    )
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_clip_exprs()
+    ) + "]"
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    return overlay.zone_line_length_sql(segs_sql, clip_sql, clip_k=4)

@@ -354,3 +354,156 @@ def areal_interpolate_sql(
              cast(sum(m) as bigint) as value_micro_sum
       from mi group by {cid}
     """
+
+
+def _cyrus_beck_len_expr(
+    x1: str,
+    y1: str,
+    x2: str,
+    y2: str,
+    edges: list[tuple[str, str, str, str]],
+    engine: str,
+    quant: int,
+) -> str:
+    """Cyrus–Beck parametric clip of the segment (x1,y1)→(x2,y2) against
+    the convex CCW polygon given by directed ``edges``, returning ONE
+    expression for the quantized inside-length (identical text for both
+    engines: only +,−,×, one guarded division per edge, greatest/least,
+    CASE, a final sqrt).
+
+    Per edge with f(P) = cross(B−A, P−A) (≥0 inside): f increasing
+    along the segment ⇒ entering at t* = f₀/(f₀−f₁) ⇒ t0 = max(t0,t*);
+    decreasing ⇒ exiting ⇒ t1 = min(t1,t*); constant-outside ⇒ t0 = 2
+    (rejects, since t0>t1).  The division only evaluates under the
+    f₀≠f₁ branches.
+
+    The (t0, t1) state threads through the chain as a per-edge
+    LET-BOUND struct (each state referenced exactly once by the next),
+    so the expression is LINEAR in the edge count — the naive chained
+    form doubles per edge and its 4-edge final length expression
+    (t0/t1 each referenced twice, then collapsed into the filter too)
+    measured ~45 s/94k pairs interpreted vs ~4 s let-bound.
+    """
+
+    def let_(prev: str, var: str, body: str) -> str:
+        if engine == "spark":
+            return f"element_at(transform(array({prev}), {var} -> {body}), 1)"
+        return f"(list_transform([{prev}], {var} -> {body}))[1]"
+
+    def struct_(t0: str, t1: str) -> str:
+        if engine == "spark":
+            return f"named_struct('t0', {t0}, 't1', {t1})"
+        return f"{{'t0': {t0}, 't1': {t1}}}"
+
+    state = struct_("cast(0.0 as double)", "cast(1.0 as double)")
+    for i, (ax, ay, bx, by) in enumerate(edges, 1):
+
+        def f_of(px, py):
+            return (
+                f"((({bx}) - ({ax})) * (({py}) - ({ay}))"
+                f" - (({by}) - ({ay})) * (({px}) - ({ax})))"
+            )
+
+        st = f"st{i}"
+        f0, f1 = f_of(x1, y1), f_of(x2, y2)
+        ts = f"({f0} / ({f0} - {f1}))"
+        t0 = (
+            f"(case when {f0} = {f1} then (case when {f0} < 0 then cast(2.0 as double) "
+            f"else {st}.t0 end) when {f0} < {f1} then greatest({st}.t0, {ts}) "
+            f"else {st}.t0 end)"
+        )
+        t1 = f"(case when {f0} > {f1} then least({st}.t1, {ts}) else {st}.t1 end)"
+        state = let_(state, st, struct_(t0, t1))
+    seglen = (
+        f"sqrt((({x2}) - ({x1})) * (({x2}) - ({x1}))"
+        f" + (({y2}) - ({y1})) * (({y2}) - ({y1})))"
+    )
+    q = float(10 ** int(quant))
+    body = (
+        f"case when stf.t1 > stf.t0 then "
+        f"floor((stf.t1 - stf.t0) * {seglen} * {q!r} + 0.5) / {q!r} "
+        f"else cast(0.0 as double) end"
+    )
+    return let_(state, "stf", body)
+
+
+def zone_line_length(
+    segs: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    sid: str = "seg_id",
+    cid: str = "cid",
+    c_ring: str = "cring",
+    quant: int = 3,
+) -> DataFrame:
+    """Length of each segment INSIDE each convex zone — the line-layer
+    sibling of overlay_area (road-km per district, trajectory-meters per
+    geofence).  Cyrus–Beck parametric clipping: the clipped parameter
+    window [t0, t1] falls out of one chained scalar expression per zone
+    edge; length = (t1−t0)·‖seg‖.
+
+    Input: ``segs`` (sid, x1, y1, x2, y2); ``clip`` (cid, c_ring) as in
+    overlay_area.  Output: (sid, cid, len_in) per pair with positive
+    inside-length, floor-form quantized at 10^-quant.  sqrt is IEEE-
+    correctly-rounded everywhere (CLAUDE.md), everything else is ±/×
+    with one guarded division per edge — bit-identical cross-engine.
+
+    Scale: zones broadcast; segments stream through one codegen stage
+    (bbox prefilter in the NLJ condition, then the t-window chain) —
+    zero shuffle, zero Python, same 10¹²-row shape as overlay_area.
+    """
+    cxs = F.transform(F.col(c_ring), lambda p: p["x"])
+    cys = F.transform(F.col(c_ring), lambda p: p["y"])
+    c_pre = clip.select(
+        F.col(cid),
+        F.expr(ccw_ring_expr(c_ring, "spark")).alias("_cr"),
+        F.array_min(cxs).alias("_cx0"),
+        F.array_max(cxs).alias("_cx1"),
+        F.array_min(cys).alias("_cy0"),
+        F.array_max(cys).alias("_cy1"),
+    )
+    s_pre = segs.select(
+        F.col(sid),
+        F.col("x1").cast("double").alias("_x1"),
+        F.col("y1").cast("double").alias("_y1"),
+        F.col("x2").cast("double").alias("_x2"),
+        F.col("y2").cast("double").alias("_y2"),
+    )
+    j = s_pre.crossJoin(F.broadcast(c_pre)).where(
+        (F.least("_x1", "_x2") <= F.col("_cx1"))
+        & (F.col("_cx0") <= F.greatest("_x1", "_x2"))
+        & (F.least("_y1", "_y2") <= F.col("_cy1"))
+        & (F.col("_cy0") <= F.greatest("_y1", "_y2"))
+    )
+    len_expr = _cyrus_beck_len_expr(
+        "_x1", "_y1", "_x2", "_y2", _edge_exprs("_cr", clip_k, "spark"), "spark", quant
+    )
+    return (
+        j.withColumn("_len", F.expr(len_expr))
+        .filter(F.col("_len") > 0)
+        .select(sid, cid, F.col("_len").alias("len_in"))
+    )
+
+
+def zone_line_length_sql(
+    segs_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "seg_id",
+    cid: str = "cid",
+    quant: int = 3,
+) -> str:
+    """DuckDB twin of zone_line_length — ``segs_sql`` yields
+    (sid, x1, y1, x2, y2 as doubles), ``clip_sql`` yields (cid, cr)."""
+    len_expr = _cyrus_beck_len_expr(
+        "x1", "y1", "x2", "y2", _edge_exprs("cr", clip_k, "duckdb"), "duckdb", quant
+    )
+    return f"""
+      with segs as materialized ({segs_sql}),
+      clip0 as materialized ({clip_sql}),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      pairs as (select s.{sid}, c.{cid}, s.x1, s.y1, s.x2, s.y2, c.cr
+                from segs s cross join clipn c),
+      lens as (select {sid}, {cid}, {len_expr} as len_in from pairs)
+      select {sid}, {cid}, len_in from lens where len_in > 0
+    """

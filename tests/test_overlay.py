@@ -194,3 +194,73 @@ def test_areal_interpolate_hand_and_conservation(spark):
     assert got == {100: (1, 5_000_000), 101: (2, 5_000_000 + 7_000_000)}
     total = sum(v for _, v in got.values())
     assert abs(total - 17_000_000) <= 3  # one micro-unit slack per pair
+
+
+def test_zone_line_length_hand_and_replay(spark):
+    """Hand-computable clip lengths plus bit-exact parity against an
+    independent pure-Python Cyrus-Beck replay on random pairs."""
+    segs = spark.createDataFrame(
+        [(1, -5.0, 5.0, 15.0, 5.0),     # horizontal through the square: inside 10
+         (2, 2.0, 2.0, 8.0, 8.0),       # diagonal fully inside square
+         (3, 50.0, 50.0, 60.0, 60.0),   # disjoint
+         (4, 0.0, -20.0, 0.0, 20.0)],   # vertical through diamond: inside 20
+        "seg_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    clip = spark.createDataFrame(
+        [(10, _ring((0, 0), (10, 0), (10, 10), (0, 10))),
+         (11, _ring((10, 0), (0, 10), (-10, 0), (0, -10)))],
+        "cid long, cring array<struct<x:double,y:double>>",
+    )
+    got = {
+        (r.seg_id, r.cid): r.len_in
+        for r in overlay.zone_line_length(segs, clip, clip_k=4).collect()
+    }
+    assert got[(1, 10)] == 10.0
+    assert got[(2, 10)] == pytest.approx(6 * np.sqrt(2), abs=1e-3)
+    assert (3, 10) not in got and (3, 11) not in got
+    assert got[(4, 11)] == 20.0
+    # seg 1 through the diamond: chord of |x|+|y|<=10 at y=5 -> x in [-5,5] -> 10
+    assert got[(1, 11)] == 10.0
+
+    # random replay parity
+    rng = np.random.default_rng(11)
+    rsegs = [
+        (100 + i, *rng.uniform(-15, 15, 4).tolist()) for i in range(40)
+    ]
+    rdf = spark.createDataFrame(
+        rsegs, "seg_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    cpts = [(10, 0), (0, 10), (-10, 0), (0, -10)]
+
+    def cb_len(x1, y1, x2, y2):
+        t0, t1 = 0.0, 1.0
+        for i in range(4):
+            ax, ay = cpts[i]
+            bx, by = cpts[(i + 1) % 4]
+            f0 = (bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax)
+            f1 = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
+            if f0 == f1:
+                if f0 < 0:
+                    t0 = 2.0
+            elif f0 < f1:
+                t0 = max(t0, f0 / (f0 - f1))
+            else:
+                t1 = min(t1, f0 / (f0 - f1))
+        if t1 <= t0:
+            return 0.0
+        ln = (t1 - t0) * np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        return np.floor(ln * 1e3 + 0.5) / 1e3
+
+    ref = {}
+    for s, x1, y1, x2, y2 in rsegs:
+        ln = cb_len(x1, y1, x2, y2)
+        if ln > 0:
+            ref[(s, 11)] = ln
+    clip1 = spark.createDataFrame(
+        [(11, _ring(*cpts))], "cid long, cring array<struct<x:double,y:double>>"
+    )
+    got2 = {
+        (r.seg_id, r.cid): r.len_in
+        for r in overlay.zone_line_length(rdf, clip1, clip_k=4).collect()
+    }
+    assert got2 == ref
