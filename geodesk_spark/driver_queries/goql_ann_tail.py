@@ -384,3 +384,17 @@ def _ann_recall_eval_sql() -> str:
     from geodesk_spark.driver_queries.features_goql import _ann_sql
 
     return ann.retrieval_eval_sql(_ann_ivf_sql(), _ann_sql(), k=ANN_K)
+
+
+def _q_ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval (ann.two_stage_topk): SQ8 integer shortlist →
+    exact float re-rank on candidates only — the production serving
+    shape where the float vectors are touched for n_queries×shortlist
+    rows instead of the corpus.  Oracle = the SQ8 CTE verbatim + the
+    brute oracle's re-rank op order."""
+    e = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann.two_stage_topk(e, ANN_QUERY_IDS, k=ANN_K, shortlist=32)
+
+
+def _ann_two_stage_sql() -> str:
+    return ann.two_stage_topk_sql(ANN_QUERY_IDS, k=ANN_K, shortlist=32)

@@ -1467,3 +1467,84 @@ def retrieval_eval_sql(pred_sql: str, truth_sql: str, k: int = 5) -> str:
              cast(coalesce(h.fhr, 0) as bigint) as first_hit_rank
       from b left join h using (query_id)
     """
+
+
+def two_stage_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a cheap
+    first pass over the 4× smaller SQ8 integer index shortlists
+    ``shortlist`` candidates per query, then ONLY those rows are
+    re-ranked with the exact float cosine.  At corpus scale the float
+    vectors are touched for n_queries × shortlist rows instead of the
+    whole table (the stored index is the sq8_encode output; the re-rank
+    is a broadcast-candidate lookup join).
+
+    Returns (query_id, vec_id, rank) like cosine_topk.  With
+    shortlist ≥ corpus the result EQUALS the exact scorer (pinned in
+    tests); recall at practical shortlists is measured in
+    tests/test_ann.py.  Determinism: the re-rank fold mirrors the brute
+    oracle's op order term for term; ties break by vec_id.
+    """
+    cand = sq8_topk(df, query_ids, k=shortlist, id_col=id_col, emb=emb).select(
+        "query_id", id_col
+    )
+    v = df.select(F.col(id_col), F.col(emb))
+    cj = v.join(F.broadcast(cand), id_col)
+    q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(emb).alias("_qe")
+    )
+    j = cj.join(F.broadcast(q), "query_id")
+    dot = F.aggregate(
+        F.zip_with(F.col(emb), F.col("_qe"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.col(emb), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    nq = F.aggregate(
+        F.col("_qe"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    score = dot / (F.sqrt(nv) * F.sqrt(nq))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        j.select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def two_stage_topk_sql(
+    query_ids: list[int], k: int = 5, shortlist: int = 32, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of two_stage_topk: the SQ8 shortlist CTE verbatim,
+    then the exact-cosine re-rank with the brute oracle's op order."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+      with cand as materialized ({sq8_topk_sql(query_ids, k=shortlist, table=table)}),
+      q as (select vec_id as query_id, embedding as qe from {table}
+            where vec_id in ({ids})),
+      sc as (
+        select c.query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> cast(e.embedding[i] as double) * cast(q.qe[i] as double)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> cast(x as double) * cast(x as double))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                        x -> cast(x as double) * cast(x as double))))) as score
+        from cand c
+        join {table} e on e.vec_id = c.vec_id
+        join q on q.query_id = c.query_id)
+      select query_id, vec_id, cast(rank as int) as rank from (
+        select query_id, vec_id,
+               row_number() over (partition by query_id
+                   order by score desc, vec_id asc) as rank
+        from sc) where rank <= {int(k)}
+    """

@@ -556,3 +556,29 @@ def test_retrieval_eval_perfect_on_self(spark, emb):
     assert len(out) == len(QUERY_IDS)
     for r in out:
         assert r["hits"] == r["n_true"] == K and r["first_hit_rank"] == 1
+
+
+def test_two_stage_equals_brute_at_full_shortlist(spark, emb):
+    """With shortlist >= corpus the two-stage result must EQUAL the
+    exact scorer (the refine stage sees every candidate)."""
+    n = emb.count()
+    got = ann.two_stage_topk(emb, QUERY_IDS, k=K, shortlist=n).toPandas()
+    exact = ann.cosine_topk(emb, QUERY_IDS, k=K).toPandas()
+    gs = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    es = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert gs[["query_id", "vec_id", "rank"]].equals(es[["query_id", "vec_id", "rank"]])
+
+
+def test_two_stage_recall_at_practical_shortlist(spark, emb):
+    """Measured recall of the SQ8-shortlisted two-stage retrieval vs the
+    exact scorer at shortlist=32 — SQ8's near-perfect ordering makes the
+    refine stage lossless on this corpus (measured 1.0; pinned >= 0.9)."""
+    got = ann.two_stage_topk(emb, QUERY_IDS, k=K, shortlist=32).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    recalls = []
+    for qid in QUERY_IDS:
+        expect = set(_brute(pdf, qid, K))
+        have = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recalls.append(len(expect & have) / K)
+    print(f"two-stage mean recall@{K}: {np.mean(recalls):.3f} ({recalls})")
+    assert np.mean(recalls) >= 0.9
