@@ -964,3 +964,38 @@ def _teleport_sql() -> str:
                as int), 0) as is_teleport
       from l
     """
+
+
+RESAMPLE_STEP_S = 14400.0  # 4 h grid over the ~30-day event window
+
+
+def _q_resample_time(spark, sf_dir):
+    """Temporal trajectory resampling (mobility.resample_time): per-user
+    positions linearly interpolated onto the fixed 4-hour epoch grid —
+    ONE per-user window shuffle + a map-side sequence explode; grid
+    indices by exact int64 division, outputs floor-form 1e-4."""
+    from geodesk_spark.operators import mobility
+
+    ev = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "events"), STAY_KEY_SPARK
+    )
+    located = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "x",
+        "y",
+    )
+    return mobility.resample_time(located, step_s=RESAMPLE_STEP_S)
+
+
+def _resample_time_sql() -> str:
+    from geodesk_spark.operators import mobility
+
+    pts = f"""
+        select user_id, epoch_us(ts) as ts_us, event_id,
+               {x_expr(lon_expr(STAY_KEY_SQL))} as x,
+               {y_expr(lat_expr(STAY_KEY_SQL))} as y
+        from events
+    """
+    return mobility.resample_time_sql(pts, step_s=RESAMPLE_STEP_S)

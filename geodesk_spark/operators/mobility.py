@@ -599,3 +599,107 @@ def teleport_flags(
         dist.alias("dist_m"),
         F.coalesce((dist > budget).cast("int"), F.lit(0)).alias("is_teleport"),
     )
+
+
+def resample_time(
+    located: DataFrame,
+    step_s: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    quant: int = 4,
+) -> DataFrame:
+    """Temporal trajectory resampling: per-user positions linearly
+    interpolated onto a fixed epoch grid — the normalization step
+    before any fixed-rate trajectory analytics (OD flows at uniform
+    cadence, co-location at shared ticks, model features at fixed Δt).
+
+    Semantics: for each consecutive ping pair (prev→cur) in the user's
+    (ts, id)-ordered track, emit every grid tick tk = k·step with
+    prev.ts < tk ≤ cur.ts, positioned at the linear interpolation
+    along the pair.  The half-open interval makes tick ownership
+    unique, so (user, tick) never duplicates; zero-Δt duplicate pings
+    own an empty interval and vanish without any division guard.
+
+    Determinism: grid indices use exact INTEGER division on epoch
+    micros (both engines' int64 `div`); the interpolation factor and
+    coordinates are pure ±/×/÷ on exactly-cast small integers — IEEE
+    bit-identical; outputs floor-form quantized at 10^-quant.
+
+    Scale shape: ONE per-user window shuffle (same order as
+    teleport_flags), then a map-side sequence-explode — fan-out is
+    bounded by track duration / step, never by table size.  Gaps are
+    interpolated across by construction; cap them upstream with
+    teleport_flags / staypoints if long-gap interpolation is unwanted.
+
+    Output: (user, tick_us, x, y).
+    """
+    step_us = int(round(float(step_s) * 1e6))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seg = located.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("_ts"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.lag(x_col).over(w).cast("double").alias("_px"),
+        F.lag(y_col).over(w).cast("double").alias("_py"),
+        F.lag(ts_col).over(w).alias("_pts"),
+    ).filter(F.col("_pts").isNotNull() & (F.col("_ts") > F.col("_pts")))
+    kmin = F.expr(f"_pts div {step_us}") + F.lit(1)
+    kmax = F.expr(f"_ts div {step_us}")
+    seg = (
+        seg.withColumn("_kmin", kmin)
+        .withColumn("_kmax", kmax)
+        .filter(F.col("_kmax") >= F.col("_kmin"))  # sequence(1,0) DESCENDS — guard first
+        .withColumn("_k", F.explode(F.sequence(F.col("_kmin"), F.col("_kmax"))))
+    )
+    tk = F.col("_k") * F.lit(step_us)
+    f = (tk - F.col("_pts")).cast("double") / (F.col("_ts") - F.col("_pts")).cast("double")
+    q = float(10 ** int(quant))
+
+    def r(c):
+        return F.floor(c * F.lit(q) + F.lit(0.5)) / F.lit(q)
+
+    return seg.select(
+        "user",
+        tk.alias("tick_us"),
+        r(F.col("_px") + f * (F.col("_x") - F.col("_px"))).alias("x"),
+        r(F.col("_py") + f * (F.col("_y") - F.col("_py"))).alias("y"),
+    )
+
+
+def resample_time_sql(
+    pts_cte: str,
+    step_s: float = 60.0,
+    quant: int = 4,
+) -> str:
+    """DuckDB twin of resample_time — ``pts_cte`` yields
+    (user_id, ts_us, event_id, x, y); identical op order."""
+    step_us = int(round(float(step_s) * 1e6))
+    q = float(10 ** int(quant))
+    fx = f"(cast(px as double) + f * (cast(x as double) - cast(px as double)))"
+    fy = f"(cast(py as double) + f * (cast(y as double) - cast(py as double)))"
+    return f"""
+      with pts as ({pts_cte}),
+      l as (select user_id, ts_us, x, y,
+                   lag(x) over w as px, lag(y) over w as py,
+                   lag(ts_us) over w as pts
+            from pts
+            window w as (partition by user_id order by ts_us, event_id)),
+      seg as (select * from l where pts is not null and ts_us > pts),
+      ks as (select user_id, ts_us, x, y, px, py, pts,
+                    pts // {step_us} + 1 as kmin, ts_us // {step_us} as kmax
+             from seg
+             where ts_us // {step_us} >= pts // {step_us} + 1),
+      ex as (select *, unnest(generate_series(kmin, kmax)) as k from ks),
+      ip as (select user_id, k * {step_us} as tick_us, x, y, px, py, pts,
+                    cast(k * {step_us} - pts as double)
+                      / cast(ts_us - pts as double) as f
+             from ex)
+      select user_id as user, tick_us,
+             floor({fx} * {q!r} + 0.5) / {q!r} as x,
+             floor({fy} * {q!r} + 0.5) / {q!r} as y
+      from ip
+    """

@@ -479,3 +479,42 @@ def test_teleport_flags_speed_law(spark):
         mercator.distance_col(F.lit(1000), F.lit(0), F.lit(0), F.lit(0)).alias("d")
     ).collect()[0]["d"]
     assert got[2][1] == exp
+
+
+def test_resample_time_hand_track(spark):
+    """Hand-computable interpolation: ticks strictly inside (prev, cur],
+    exact linear positions, zero-dt duplicates vanish, gaps interpolate
+    across, first ping emits nothing."""
+    from geodesk_spark.operators import mobility
+
+    s = 10_000_000  # 10 s grid
+    rows = [
+        # user 1: pings at t=5s (x=0), 25s (x=200), 25s dup, 47s (x=420)
+        (1, 5_000_000, 1, 0.0, 0.0),
+        (1, 25_000_000, 2, 200.0, 40.0),
+        (1, 25_000_000, 3, 200.0, 40.0),
+        (1, 47_000_000, 4, 420.0, 84.0),
+        # user 2: single ping -> nothing
+        (2, 8_000_000, 5, 7.0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, x double, y double"
+    )
+    got = {
+        (r.user, r.tick_us): (r.x, r.y)
+        for r in mobility.resample_time(df, step_s=10.0).collect()
+    }
+    # segment 5s->25s covers ticks 10s, 20s: x = 10·(t-5)/20... x(10)=50, x(20)=150
+    # dup 25s->25s: empty; segment 25s->47s covers 30s, 40s:
+    # x(30) = 200 + (5/22)·220 = 250, x(40) = 200 + (15/22)·220 = 350
+    assert got[(1, 10_000_000)] == (50.0, 10.0)
+    assert got[(1, 20_000_000)] == (150.0, 30.0)
+    assert got[(1, 30_000_000)] == (250.0, 50.0)
+    assert got[(1, 40_000_000)] == (350.0, 70.0)
+    assert len(got) == 4  # nothing else: no tick at 25s? 20s<25s<30s -- none on grid
+    # determinism under repartitioning
+    got2 = {
+        (r.user, r.tick_us): (r.x, r.y)
+        for r in mobility.resample_time(df.repartition(7), step_s=10.0).collect()
+    }
+    assert got2 == got
