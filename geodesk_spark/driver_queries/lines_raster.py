@@ -1439,3 +1439,74 @@ def _zone_line_length_sql() -> str:
     ) + "]"
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     return overlay.zone_line_length_sql(segs_sql, clip_sql, clip_k=4)
+
+
+def _ovl_lzone_exprs() -> list[tuple[str, str]]:
+    """Non-convex L-shaped zones (CCW, 6 vertices) from nation — halves
+    precomputed as integer exprs (NO division: Spark div / DuckDB //
+    disagree in spelling and `/` returns double in both)."""
+    cx = "((n_nationkey * 9973) % 50001 - 25000)"
+    cy = "((n_nationkey * 7919) % 50001 - 25000)"
+    hw = "(3000 + (n_nationkey % 5) * 750)"
+    hh = "(2500 + (n_nationkey % 4) * 900)"
+    return [
+        (cx, cy),
+        (f"({cx} + 2 * {hw})", cy),
+        (f"({cx} + 2 * {hw})", f"({cy} + {hh})"),
+        (f"({cx} + {hw})", f"({cy} + {hh})"),
+        (f"({cx} + {hw})", f"({cy} + 2 * {hh})"),
+        (cx, f"({cy} + 2 * {hh})"),
+    ]
+
+
+def _q_overlay_nonconvex(spark, sf_dir):
+    """General-zone overlay (overlay.overlay_area_general): star-octagon
+    subjects × NON-CONVEX L-shaped zones via signed fan triangulation
+    (1_P = Σ σ_i·1_{T_i}) — each fan triangle is a convex 3-edge clip
+    job, per-triangle micro-areas summed signed as bigints.  Zones
+    normalize to CCW first; the oracle replays the identical fan,
+    signs, clip chain and micro sum in SQL."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 3")
+    _cx, _cy, verts = _ovl_subject_exprs()
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in verts
+        ]
+    )
+    subj = o.select(F.col("o_orderkey").alias("sid"), ring.alias("ring"))
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_lzone_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    out = overlay.overlay_area_general(subj, clip, clip_k=6)
+    return out.select("sid", F.col("cid").cast("long").alias("cid"), "inter_area")
+
+
+def _overlay_nonconvex_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    _cx, _cy, verts = _ovl_subject_exprs()
+    s_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}" for vx, vy in verts
+    ) + "]"
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_lzone_exprs()
+    ) + "]"
+    subject_sql = f"select o_orderkey as sid, {s_ring} as r from orders where o_orderkey % 4 = 3"
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    inner = overlay.overlay_area_general_sql(subject_sql, clip_sql, clip_k=6)
+    return f"select sid, cast(cid as bigint) as cid, inter_area from ({inner})"

@@ -507,3 +507,147 @@ def zone_line_length_sql(
       lens as (select {sid}, {cid}, {len_expr} as len_in from pairs)
       select {sid}, {cid}, len_in from lens where len_in > 0
     """
+
+
+def overlay_area_general(
+    subject: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+    s_ring: str = "ring",
+    c_ring: str = "cring",
+    quant: int = 3,
+) -> DataFrame:
+    """Intersection area where zones may be ARBITRARY SIMPLE polygons
+    (non-convex) — the convexity contract of overlay_area lifted by
+    signed fan triangulation: for a simple polygon P with vertices
+    v1..vk, the indicator decomposes a.e. as 1_P = Σ σ_i·1_{T_i} over
+    the fan triangles T_i = (v1, v_i, v_{i+1}) with σ_i the triangle's
+    orientation sign (the shoelace decomposition).  Hence
+    area(S ∩ P) = Σ σ_i · area(S ∩ T_i), and each T_i is CONVEX — a
+    3-edge job for the existing clip chain.
+
+    Zones explode into (k−2) triangle rows map-side BEFORE the
+    broadcast (zones are dimension-sized; the fact side still streams
+    once through one codegen stage).  Per-triangle quantized areas are
+    summed SIGNED as integer micro-areas (bigint, order-free — the
+    micro-unit law), so the result is partitioning-independent and
+    engine-exact; output re-emitted at 10^-quant.
+
+    Note the output magnitude matches overlay_area on convex zones up
+    to per-triangle quantization (≤ (k−2)·10^-quant) — the general
+    form is its own oracle-pinned contract, not a bit-twin of the
+    convex path.  ``clip_k`` is the EXACT zone vertex count, as before.
+    """
+    # normalize the zone to CCW FIRST (exact shoelace sign): a CW ring
+    # would flip every fan sign and the signed total would come out
+    # negative - orientation-free contract, like the convex path
+    clip_n = clip.select(
+        F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="gn")).alias("_crn")
+    )
+    tris = []
+    for i in range(2, clip_k):
+        tris.append(
+            F.struct(
+                F.lit(i - 1).alias("tix"),
+                F.array(
+                    F.element_at(F.col("_crn"), 1),
+                    F.element_at(F.col("_crn"), i),
+                    F.element_at(F.col("_crn"), i + 1),
+                ).alias("tri"),
+            )
+        )
+    ct = clip_n.select(F.col(cid), F.explode(F.array(*tris)).alias("_t")).select(
+        cid, F.col("_t.tix").alias("_tix"), F.col("_t.tri").alias("_tri")
+    )
+    sgn2 = shoelace2_expr("_tri", "spark", tag="g")
+    ct = ct.withColumn(
+        "_sgn",
+        F.expr(
+            f"case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1 else 0 end"
+        ).cast("long"),
+    ).filter(F.col("_sgn") != 0)
+    pairs = overlay_area(
+        subject,
+        ct.select(
+            F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
+                "_tkey"
+            ),
+            F.col("_tri").alias(c_ring),
+        ),
+        clip_k=3,
+        sid=sid,
+        cid="_tkey",
+        s_ring=s_ring,
+        c_ring=c_ring,
+        quant=quant,
+    )
+    q = 10 ** int(quant)
+    back = ct.select(
+        F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
+            "_tkey"
+        ),
+        F.col(cid),
+        F.col("_sgn"),
+    )
+    # floor-form, NOT a bare cast: Spark's double->bigint cast truncates
+    # while DuckDB's rounds half-even - the one place they disagree
+    micro = (
+        F.floor(F.col("inter_area") * F.lit(float(q)) + F.lit(0.5)).cast("bigint")
+        * F.col("_sgn")
+    )
+    return (
+        pairs.join(F.broadcast(back), "_tkey")
+        .groupBy(sid, cid)
+        .agg(F.sum(micro).alias("_m"))
+        .filter(F.col("_m") > 0)
+        .select(sid, cid, (F.col("_m").cast("double") / F.lit(float(q))).alias("inter_area"))
+    )
+
+
+def overlay_area_general_sql(
+    subject_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+    quant: int = 3,
+) -> str:
+    """DuckDB twin of overlay_area_general: the same fan explode, sign,
+    3-edge clip chain (via overlay_area_sql on the triangle relation),
+    and signed micro-area sum."""
+    q = 10 ** int(quant)
+    sgn2 = shoelace2_expr("tri", "duckdb", tag="g")
+    tri_rel = f"""
+      with clipg0 as materialized ({clip_sql}),
+      clipg as (select {cid}, {ccw_ring_expr('cr', 'duckdb', tag='gn')} as cr
+                from clipg0),
+      fan as (select {cid}, i - 1 as tix, [cr[1], cr[i], cr[i + 1]] as tri
+              from clipg, unnest(generate_series(2, {int(clip_k)} - 1)) as u(i)),
+      sgn as (select {cid}, tix, tri,
+                     case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1
+                          else 0 end as sgn
+              from fan)
+      select concat(cast({cid} as varchar), '#', cast(tix as varchar)) as cid,
+             tri as cr, {cid} as zone_id, sgn
+      from sgn where sgn <> 0
+    """
+    pair_sql = overlay_area_sql(
+        subject_sql,
+        f"select cid, cr from ({tri_rel})",
+        clip_k=3,
+        sid=sid,
+        cid="cid",
+        quant=quant,
+    )
+    return f"""
+      with tk as materialized ({tri_rel}),
+      pr as materialized ({pair_sql})
+      select p.{sid}, t.zone_id as {cid},
+             cast(sum(cast(floor(p.inter_area * {float(q)!r} + 0.5) as bigint)
+                      * t.sgn) as double) / {float(q)!r} as inter_area
+      from pr p join tk t on p.cid = t.cid
+      group by p.{sid}, t.zone_id
+      having sum(cast(floor(p.inter_area * {float(q)!r} + 0.5) as bigint) * t.sgn) > 0
+    """

@@ -264,3 +264,82 @@ def test_zone_line_length_hand_and_replay(spark):
         for r in overlay.zone_line_length(rdf, clip1, clip_k=4).collect()
     }
     assert got2 == ref
+
+
+def test_overlay_general_nonconvex_zone(spark):
+    """Non-convex zones via signed fan triangulation: an L-shaped zone's
+    intersection with squares matches hand values and the rasterized
+    truth; a convex zone matches overlay_area within per-triangle
+    quantization."""
+    # L-shape: 10x10 square minus its top-right 5x5 quadrant, CCW from origin
+    L = [(0, 0), (10, 0), (10, 5), (5, 5), (5, 10), (0, 10)]
+    subj = spark.createDataFrame(
+        [(1, _ring((2, 2), (8, 2), (8, 8), (2, 8))),    # 6x6 square overlapping the notch
+         (2, _ring((6, 6), (9, 6), (9, 9), (6, 9))),    # fully inside the notch -> 0
+         (3, _ring((0, 0), (10, 0), (10, 10), (0, 10)))],  # covers the zone -> 75
+        "sid long, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [(20, _ring(*L))], "cid string, cring array<struct<x:double,y:double>>"
+    )
+    got = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area_general(subj, clip, clip_k=6).collect()
+    }
+    # subject 1: 6x6=36 minus notch overlap [5,8]x[5,8]=9 -> 27
+    assert got[(1, "20")] == 27.0
+    assert (2, "20") not in got
+    assert got[(3, "20")] == 75.0
+
+    # convex-zone agreement with overlay_area (within (k-2) quanta)
+    sq = spark.createDataFrame(
+        [(30, _ring((1, 1), (9, 1), (9, 6), (5, 9), (1, 6)))],  # convex pentagon
+        "cid string, cring array<struct<x:double,y:double>>",
+    )
+    g1 = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area_general(subj, sq, clip_k=5).collect()
+    }
+    g2 = {
+        (r.sid, str(r.cid)): r.inter_area
+        for r in overlay.overlay_area(subj, sq, clip_k=5).collect()
+    }
+    assert set(g1) == set(g2)
+    for k in g1:
+        assert abs(g1[k] - g2[k]) <= 3e-3 + 1e-9, (k, g1[k], g2[k])
+
+    # CW L-shape must give the same areas (orientation-free contract)
+    clip_cw = spark.createDataFrame(
+        [(20, _ring(*reversed(L)))], "cid string, cring array<struct<x:double,y:double>>"
+    )
+    got_cw = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area_general(subj, clip_cw, clip_k=6).collect()
+    }
+    assert got_cw == got
+
+
+def test_overlay_general_negative_fan_signs(spark):
+    """A chevron zone whose fan triangulation from v1 contains a
+    NEGATIVE-sign triangle (the notch): full coverage recovers the exact
+    shoelace area, partial overlaps match the rasterized truth."""
+    CH = [(0, 0), (10, 0), (10, 10), (5, 4), (0, 10)]  # area 70, notch on top
+    subj = spark.createDataFrame(
+        [(1, _ring((0, 0), (10, 0), (10, 10), (0, 10))),   # covers -> 70
+         (2, _ring((4, 5), (6, 5), (6, 9), (4, 9))),       # straddles the notch
+         (3, _ring((4, 8), (6, 8), (6, 9.5), (4, 9.5)))],  # fully in the notch -> 0
+        "sid long, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [(40, _ring(*CH))], "cid string, cring array<struct<x:double,y:double>>"
+    )
+    got = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area_general(subj, clip, clip_k=5).collect()
+    }
+    assert got[(1, "40")] == 70.0
+    assert (3, "40") not in got
+    cp = _pip(CH)
+    sp = _pip([(4, 5), (6, 5), (6, 9), (4, 9)])
+    approx = _grid_area(lambda X, Y: cp(X, Y) & sp(X, Y), 4, 6, 5, 9, n=800)
+    assert got[(2, "40")] == pytest.approx(approx, rel=0.05)
