@@ -1510,3 +1510,53 @@ def _overlay_nonconvex_sql() -> str:
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     inner = overlay.overlay_area_general_sql(subject_sql, clip_sql, clip_k=6)
     return f"select sid, cast(cid as bigint) as cid, inter_area from ({inner})"
+
+
+def _q_zone_line_length_nonconvex(spark, sf_dir):
+    """General-zone line clip length (overlay.zone_line_length_general):
+    segments × NON-CONVEX L-shaped zones — length is a measure, so the
+    signed fan decomposition of overlay_area_general applies verbatim;
+    each term is a convex 3-edge Cyrus–Beck job, micro-lengths summed
+    signed as bigints."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 2")
+    ex1, ey1, ex2, ey2 = _OVL_SEG_EXPRS
+    segs = o.select(
+        F.col("o_orderkey").alias("seg_id"),
+        F.expr(ex1).cast("double").alias("x1"),
+        F.expr(ey1).cast("double").alias("y1"),
+        F.expr(ex2).cast("double").alias("x2"),
+        F.expr(ey2).cast("double").alias("y2"),
+    )
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_lzone_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    out = overlay.zone_line_length_general(segs, clip, clip_k=6)
+    return out.select("seg_id", F.col("cid").cast("long").alias("cid"), "len_in")
+
+
+def _zone_line_length_nonconvex_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    ex1, ey1, ex2, ey2 = _OVL_SEG_EXPRS
+    segs_sql = (
+        f"select o_orderkey as seg_id, cast({ex1} as double) as x1, "
+        f"cast({ey1} as double) as y1, cast({ex2} as double) as x2, "
+        f"cast({ey2} as double) as y2 from orders where o_orderkey % 4 = 2"
+    )
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_lzone_exprs()
+    ) + "]"
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    inner = overlay.zone_line_length_general_sql(segs_sql, clip_sql, clip_k=6)
+    return f"select seg_id, cast(cid as bigint) as cid, len_in from ({inner})"

@@ -651,3 +651,130 @@ def overlay_area_general_sql(
       group by p.{sid}, t.zone_id
       having sum(cast(floor(p.inter_area * {float(q)!r} + 0.5) as bigint) * t.sgn) > 0
     """
+
+
+def zone_line_length_general(
+    segs: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    sid: str = "seg_id",
+    cid: str = "cid",
+    c_ring: str = "cring",
+    quant: int = 3,
+) -> DataFrame:
+    """Per-zone line clip length for ARBITRARY simple (non-convex) zones
+    — the signed fan decomposition again: length is a measure, so
+    len(S ∩ P) = Σ σ_i · len(S ∩ T_i) over the CCW fan triangles
+    exactly as in overlay_area_general; each term is a convex 3-edge
+    Cyrus–Beck job.  Per-triangle micro-lengths sum SIGNED as bigints.
+
+    A segment sliding along a reflex notch boundary contributes ±
+    lengths that cancel to its true inside-length; the sum can only be
+    positive when some part of the segment is interior.  Output:
+    (sid, cid, len_in) for pairs with positive inside-length at
+    10^-quant.
+    """
+    clip_n = clip.select(
+        F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="ln")).alias("_crn")
+    )
+    tris = []
+    for i in range(2, clip_k):
+        tris.append(
+            F.struct(
+                F.lit(i - 1).alias("tix"),
+                F.array(
+                    F.element_at(F.col("_crn"), 1),
+                    F.element_at(F.col("_crn"), i),
+                    F.element_at(F.col("_crn"), i + 1),
+                ).alias("tri"),
+            )
+        )
+    ct = clip_n.select(F.col(cid), F.explode(F.array(*tris)).alias("_t")).select(
+        cid, F.col("_t.tix").alias("_tix"), F.col("_t.tri").alias("_tri")
+    )
+    sgn2 = shoelace2_expr("_tri", "spark", tag="lg")
+    ct = ct.withColumn(
+        "_sgn",
+        F.expr(
+            f"case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1 else 0 end"
+        ).cast("long"),
+    ).filter(F.col("_sgn") != 0)
+    pairs = zone_line_length(
+        segs,
+        ct.select(
+            F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
+                "_tkey"
+            ),
+            F.col("_tri").alias(c_ring),
+        ),
+        clip_k=3,
+        sid=sid,
+        cid="_tkey",
+        c_ring=c_ring,
+        quant=quant,
+    )
+    q = 10 ** int(quant)
+    back = ct.select(
+        F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
+            "_tkey"
+        ),
+        F.col(cid),
+        F.col("_sgn"),
+    )
+    micro = (
+        F.floor(F.col("len_in") * F.lit(float(q)) + F.lit(0.5)).cast("bigint")
+        * F.col("_sgn")
+    )
+    return (
+        pairs.join(F.broadcast(back), "_tkey")
+        .groupBy(sid, cid)
+        .agg(F.sum(micro).alias("_m"))
+        .filter(F.col("_m") > 0)
+        .select(sid, cid, (F.col("_m").cast("double") / F.lit(float(q))).alias("len_in"))
+    )
+
+
+def zone_line_length_general_sql(
+    segs_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "seg_id",
+    cid: str = "cid",
+    quant: int = 3,
+) -> str:
+    """DuckDB twin of zone_line_length_general — the same fan/sign CTEs
+    as overlay_area_general_sql over the Cyrus–Beck pair lengths."""
+    q = 10 ** int(quant)
+    sgn2 = shoelace2_expr("tri", "duckdb", tag="lg")
+    tri_rel = f"""
+      with clipg0 as materialized ({clip_sql}),
+      clipg as (select {cid}, {ccw_ring_expr('cr', 'duckdb', tag='ln')} as cr
+                from clipg0),
+      fan as (select {cid}, i - 1 as tix, [cr[1], cr[i], cr[i + 1]] as tri
+              from clipg, unnest(generate_series(2, {int(clip_k)} - 1)) as u(i)),
+      sgn as (select {cid}, tix, tri,
+                     case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1
+                          else 0 end as sgn
+              from fan)
+      select concat(cast({cid} as varchar), '#', cast(tix as varchar)) as cid,
+             tri as cr, {cid} as zone_id, sgn
+      from sgn where sgn <> 0
+    """
+    pair_sql = zone_line_length_sql(
+        segs_sql,
+        f"select cid, cr from ({tri_rel})",
+        clip_k=3,
+        sid=sid,
+        cid="cid",
+        quant=quant,
+    )
+    return f"""
+      with tk as materialized ({tri_rel}),
+      pr as materialized ({pair_sql})
+      select p.{sid}, t.zone_id as {cid},
+             cast(sum(cast(floor(p.len_in * {float(q)!r} + 0.5) as bigint)
+                      * t.sgn) as double) / {float(q)!r} as len_in
+      from pr p join tk t on p.cid = t.cid
+      group by p.{sid}, t.zone_id
+      having sum(cast(floor(p.len_in * {float(q)!r} + 0.5) as bigint) * t.sgn) > 0
+    """

@@ -343,3 +343,28 @@ def test_overlay_general_negative_fan_signs(spark):
     sp = _pip([(4, 5), (6, 5), (6, 9), (4, 9)])
     approx = _grid_area(lambda X, Y: cp(X, Y) & sp(X, Y), 4, 6, 5, 9, n=800)
     assert got[(2, "40")] == pytest.approx(approx, rel=0.05)
+
+
+def test_zone_line_length_general_nonconvex(spark):
+    """Signed fan decomposition for LINE length: segments through an
+    L-shaped zone's notch count only their interior portions; full
+    coverage of a crossing chord recovers the exact chord length."""
+    L = [(0, 0), (10, 0), (10, 5), (5, 5), (5, 10), (0, 10)]
+    segs = spark.createDataFrame(
+        [(1, -2.0, 2.0, 12.0, 2.0),   # horizontal chord through the base: 10
+         (2, -2.0, 8.0, 12.0, 8.0),   # chord at y=8: only x in [0,5] inside -> 5
+         (3, 7.0, 6.0, 9.0, 9.0),     # fully inside the notch -> absent
+         (4, 2.0, -3.0, 2.0, 13.0)],  # vertical chord at x=2: 10
+        "seg_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    clip = spark.createDataFrame(
+        [(20, _ring(*L))], "cid string, cring array<struct<x:double,y:double>>"
+    )
+    got = {
+        (r.seg_id, r.cid): r.len_in
+        for r in overlay.zone_line_length_general(segs, clip, clip_k=6).collect()
+    }
+    assert got[(1, "20")] == 10.0
+    assert got[(2, "20")] == 5.0
+    assert (3, "20") not in got
+    assert got[(4, "20")] == 10.0
