@@ -137,3 +137,53 @@ def test_fuzz_zone_line_length_engine_parity(spark, seed):
     )
     assert got[["seg_id", "cid"]].values.tolist() == want[["seg_id", "cid"]].values.tolist()
     assert np.array_equal(got["len_in"].values, want["len_in"].values), (got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=SEEDS)
+def test_fuzz_overlay_general_engine_parity(spark, seed):
+    """Random NON-CONVEX zones (star polygons): the general overlay's
+    fan/sign/micro-sum pipeline must agree between engines exactly."""
+    rng = np.random.default_rng(seed + 31337)
+
+    def star_ring(k, cx, cy):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        pts = []
+        for i, a in enumerate(ang):
+            r = rng.integers(6, 12) if i % 2 == 0 else rng.integers(2, 5)
+            pts.append((int(cx + round(r * np.cos(a))), int(cy + round(r * np.sin(a)))))
+        return pts
+
+    subs = [
+        (i, _convex_ring(rng, int(rng.integers(3, 7)), 10, rng.integers(-6, 6), rng.integers(-6, 6)))
+        for i in range(5)
+    ]
+    clips = [(100 + i, star_ring(6, rng.integers(-5, 5), rng.integers(-5, 5))) for i in range(3)]
+    subj = spark.createDataFrame(
+        [(s, [{"x": float(x), "y": float(y)} for x, y in pts]) for s, pts in subs],
+        "sid long, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [(str(c), [{"x": float(x), "y": float(y)} for x, y in pts]) for c, pts in clips],
+        "cid string, cring array<struct<x:double,y:double>>",
+    )
+    got = (
+        overlay.overlay_area_general(subj, clip, clip_k=6)
+        .toPandas()
+        .sort_values(["sid", "cid"])
+        .reset_index(drop=True)
+    )
+    subject_sql = " union all ".join(
+        f"select {s} as sid, {_sql_ring(pts)} as r" for s, pts in subs
+    )
+    clip_sql = " union all ".join(
+        f"select cast({c} as varchar) as cid, {_sql_ring(pts)} as cr" for c, pts in clips
+    )
+    want = (
+        duckdb.sql(overlay.overlay_area_general_sql(subject_sql, clip_sql, clip_k=6))
+        .df()
+        .sort_values(["sid", "cid"])
+        .reset_index(drop=True)
+    )
+    assert got[["sid", "cid"]].values.tolist() == want[["sid", "cid"]].values.tolist()
+    assert np.array_equal(got["inter_area"].values, want["inter_area"].values), (got, want)
