@@ -1560,3 +1560,60 @@ def _zone_line_length_nonconvex_sql() -> str:
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     inner = overlay.zone_line_length_general_sql(segs_sql, clip_sql, clip_k=6)
     return f"select seg_id, cast(cid as bigint) as cid, len_in from ({inner})"
+
+
+def _q_areal_interp_nonconvex(spark, sf_dir):
+    """Areal interpolation onto NON-CONVEX L-shaped zones
+    (overlay.areal_interpolate_general): value · signed-fan intersection
+    share, micro-unit bigint zone totals."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 4 = 3")
+    _cx, _cy, verts = _ovl_subject_exprs()
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in verts
+        ]
+    )
+    subj = o.select(
+        F.col("o_orderkey").alias("sid"),
+        F.expr("cast(o_orderkey % 97 + 1 as double)").alias("val"),
+        ring.alias("ring"),
+    )
+    n = tables.load_spread(spark, sf_dir, "nation")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_lzone_exprs()
+        ]
+    )
+    clip = n.select(F.col("n_nationkey").cast("long").alias("cid"), cring.alias("cring"))
+    out = overlay.areal_interpolate_general(subj, clip, clip_k=6, value_col="val")
+    return out.select(F.col("cid").cast("long").alias("cid"), "n_parts", "value_micro_sum")
+
+
+def _areal_interp_nonconvex_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    _cx, _cy, verts = _ovl_subject_exprs()
+    s_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}" for vx, vy in verts
+    ) + "]"
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_lzone_exprs()
+    ) + "]"
+    subject_sql = (
+        "select o_orderkey as sid, cast(o_orderkey % 97 + 1 as double) as val, "
+        f"{s_ring} as r from orders where o_orderkey % 4 = 3"
+    )
+    clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
+    inner = overlay.areal_interpolate_general_sql(subject_sql, clip_sql, clip_k=6)
+    return f"select cast(cid as bigint) as cid, n_parts, value_micro_sum from ({inner})"

@@ -778,3 +778,72 @@ def zone_line_length_general_sql(
       group by p.{sid}, t.zone_id
       having sum(cast(floor(p.len_in * {float(q)!r} + 0.5) as bigint) * t.sgn) > 0
     """
+
+
+def areal_interpolate_general(
+    subject: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    value_col: str,
+    sid: str = "sid",
+    cid: str = "cid",
+    s_ring: str = "ring",
+    c_ring: str = "cring",
+) -> DataFrame:
+    """Areal-weighted interpolation onto ARBITRARY simple zones — the
+    general sibling of areal_interpolate, built on
+    overlay_area_general's signed intersection areas: contribution =
+    value · (signed micro-area sum) / area(subject), quantized to
+    integer micro-units per (subject, zone) pair and summed as bigints
+    per zone.  Output: (cid, n_parts, value_micro_sum), n_parts the
+    number of positively-contributing subjects.
+    """
+    inter = overlay_area_general(
+        subject, clip, clip_k, sid=sid, cid=cid, s_ring=s_ring, c_ring=c_ring
+    )
+    sa2 = shoelace2_expr(s_ring, "spark", tag="ai")
+    sv = subject.select(
+        F.col(sid),
+        F.col(value_col).cast("double").alias("_val"),
+        F.expr(f"abs({sa2}) / 2").alias("_sa"),
+    ).filter(F.col("_sa") > 0)
+    j = inter.join(sv, sid)
+    micro = F.floor(
+        F.col("_val") * (F.col("inter_area") / F.col("_sa")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.select(sid, cid, micro.alias("_m"))
+        .groupBy(cid)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("_m").alias("value_micro_sum"),
+        )
+    )
+
+
+def areal_interpolate_general_sql(
+    subject_sql: str,
+    clip_sql: str,
+    clip_k: int,
+    sid: str = "sid",
+    cid: str = "cid",
+) -> str:
+    """DuckDB twin of areal_interpolate_general — ``subject_sql`` yields
+    (sid, val, r); composes the general-overlay oracle verbatim."""
+    inner = overlay_area_general_sql(
+        f"select {sid}, r from subj0", clip_sql, clip_k, sid=sid, cid=cid
+    )
+    sa2 = shoelace2_expr("r", "duckdb", tag="ai")
+    return f"""
+      with subj0 as materialized ({subject_sql}),
+      inter as materialized ({inner}),
+      sv as (select {sid}, val, abs({sa2}) / 2 as sa from subj0),
+      mi as (select i.{cid},
+                    cast(floor(s.val * (i.inter_area / s.sa) * 1e6 + 0.5)
+                         as bigint) as m
+             from inter i join sv s using ({sid})
+             where s.sa > 0)
+      select {cid}, cast(count(*) as bigint) as n_parts,
+             cast(sum(m) as bigint) as value_micro_sum
+      from mi group by {cid}
+    """

@@ -368,3 +368,26 @@ def test_zone_line_length_general_nonconvex(spark):
     assert got[(2, "20")] == 5.0
     assert (3, "20") not in got
     assert got[(4, "20")] == 10.0
+
+
+def test_areal_interpolate_general_hand(spark):
+    """General-zone value transfer: a subject half inside an L-zone
+    contributes value/2; zone totals conserve fully-covered subjects."""
+    L = [(0, 0), (10, 0), (10, 5), (5, 5), (5, 10), (0, 10)]
+    subj = spark.createDataFrame(
+        # 4x4 square [1,5]x[1,5]: fully inside the L -> all 8.0
+        # 4x4 square [3,7]x[3,7]: area 16, L-overlap = 16 - [5,7]x[5,7]=4 -> 12 -> 3/4 of 8
+        [(1, 8.0, _ring((1, 1), (5, 1), (5, 5), (1, 5))),
+         (2, 8.0, _ring((3, 3), (7, 3), (7, 7), (3, 7)))],
+        "sid long, v double, ring array<struct<x:double,y:double>>",
+    )
+    clip = spark.createDataFrame(
+        [(20, _ring(*L))], "cid string, cring array<struct<x:double,y:double>>"
+    )
+    got = {
+        r.cid: (r.n_parts, r.value_micro_sum)
+        for r in overlay.areal_interpolate_general(
+            subj, clip, clip_k=6, value_col="v"
+        ).collect()
+    }
+    assert got == {"20": (2, 8_000_000 + 6_000_000)}
