@@ -103,3 +103,39 @@ def test_spark_submit_curation_job(tmp_path):
     assert m["n_bins"] > 0 and m["n_tokens_packed"] > 0
     for s in ("ingest", "scrub", "pairs", "canon", "pack"):
         assert m["stages"][s]["n_rows"] >= 0
+
+
+def test_spark_submit_zonal_job(tmp_path):
+    """The zonal-overlay pipeline ships the same way: two real executor
+    JVMs seeing the code only via the zip, every stage committed, the
+    general (non-convex) overlay running end-to-end on image footprints."""
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    env = dict(os.environ)
+    env.pop("PYSPARK_DRIVER_PYTHON", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local-cluster[2,4,2048]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", os.path.join(ROOT, "dist", "geodesk_spark.zip"),
+            os.path.join(ROOT, "jobs", "zonal_job.py"),
+            "--rows", "20000",
+            "--zones", "48",
+            "--workdir", str(tmp_path / "zon"),
+            "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=ROOT,
+    )
+    assert out.returncode == 0, f"spark-submit failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}"
+    lines = [l for l in out.stdout.splitlines() if l.startswith('{"job": "zonal"')]
+    assert lines, f"no metrics line in stdout:\n{out.stdout[-2000:]}"
+    m = json.loads(lines[-1])
+    assert m["executors"] == 2
+    assert m["input_images"] == 20000 and m["districts"] == 48
+    assert m["overlay_pairs"] > 0 and m["zones_hit"] > 0
+    assert m["zones_hit"] <= 48
