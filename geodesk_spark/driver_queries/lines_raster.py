@@ -1617,3 +1617,75 @@ def _areal_interp_nonconvex_sql() -> str:
     clip_sql = f"select cast(n_nationkey as bigint) as cid, {c_ring} as cr from nation"
     inner = overlay.areal_interpolate_general_sql(subject_sql, clip_sql, clip_k=6)
     return f"select cast(cid as bigint) as cid, n_parts, value_micro_sum from ({inner})"
+
+
+def _ovl_czone_exprs() -> list[tuple[str, str]]:
+    """Convex diamond zones keyed on CUSTOMER — the fact-sized zone side
+    of the big-big overlay (1500 rows at sf0.01, never broadcastable by
+    contract at real scale)."""
+    cx = "((c_custkey * 9973) % 56001 - 28000)"
+    cy = "((c_custkey * 7919) % 56001 - 28000)"
+    w = "(1500 + (c_custkey % 5) * 400)"
+    h = "(1200 + (c_custkey % 4) * 500)"
+    return [
+        (f"({cx} + {w})", cy),
+        (cx, f"({cy} + {h})"),
+        (f"({cx} - {w})", cy),
+        (cx, f"({cy} - {h})"),
+    ]
+
+
+def _q_overlay_big(spark, sf_dir):
+    """Big-big overlay (overlay.overlay_area_big): star-octagon subjects
+    × fact-sized diamond zones (customer), NEITHER side broadcast — both
+    cover their bbox with 8192-unit grid cells, ONE shuffle equi-join on
+    (gx, gy), exactly-once via the NW-intersection-cell rule (no
+    distinct), then the identical clip chain.  Oracle = the broadcast
+    variant's cross-join SQL (bbox-prefiltered for tractability) —
+    a green row proves the blocking rewrite changes the plan, never the
+    answer (the skew_salted_rollup law)."""
+    from geodesk_spark.operators import overlay
+
+    o = tables.load_spread(spark, sf_dir, "orders").filter("o_orderkey % 8 = 1")
+    _cx, _cy, verts = _ovl_subject_exprs()
+    ring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in verts
+        ]
+    )
+    subj = o.select(F.col("o_orderkey").alias("sid"), ring.alias("ring"))
+    c = tables.load_spread(spark, sf_dir, "customer").filter("c_custkey % 8 = 0")
+    cring = F.array(
+        *[
+            F.struct(
+                F.expr(vx).cast("double").alias("x"),
+                F.expr(vy).cast("double").alias("y"),
+            )
+            for vx, vy in _ovl_czone_exprs()
+        ]
+    )
+    clip = c.select(F.col("c_custkey").cast("long").alias("cid"), cring.alias("cring"))
+    return overlay.overlay_area_big(subj, clip, clip_k=4, cell=8192)
+
+
+def _overlay_big_sql() -> str:
+    from geodesk_spark.operators import overlay
+
+    _cx, _cy, verts = _ovl_subject_exprs()
+    s_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}" for vx, vy in verts
+    ) + "]"
+    c_ring = "[" + ", ".join(
+        f"{{'x': cast({vx} as double), 'y': cast({vy} as double)}}"
+        for vx, vy in _ovl_czone_exprs()
+    ) + "]"
+    subject_sql = f"select o_orderkey as sid, {s_ring} as r from orders where o_orderkey % 8 = 1"
+    clip_sql = (
+        f"select cast(c_custkey as bigint) as cid, {c_ring} as cr from customer "
+        "where c_custkey % 8 = 0"
+    )
+    return overlay.overlay_area_sql(subject_sql, clip_sql, clip_k=4, prefilter=True)

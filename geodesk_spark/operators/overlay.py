@@ -224,15 +224,52 @@ def overlay_area_sql(
     sid: str = "sid",
     cid: str = "cid",
     quant: int = 3,
+    prefilter: bool = False,
 ) -> str:
     """DuckDB twin of overlay_area.  ``subject_sql`` yields (sid, r) and
     ``clip_sql`` yields (cid, cr) as list<struct{x,y}> double columns —
     the same passes/folds emitted for the duckdb engine, full cross join
-    (the bbox prefilter is a plan optimization, not a semantic one)."""
+    (the bbox prefilter is a plan optimization, not a semantic one:
+    interior overlap implies bbox overlap, so ``prefilter=True`` never
+    drops a positive-area pair — use it when BOTH sides are fact-sized
+    and the bare cross join would be millions of clip chains)."""
     cur = "r"
     for i, (ax, ay, bx, by) in enumerate(_edge_exprs("cr", clip_k, "duckdb"), 1):
         cur = halfplane_pass_expr(cur, ax, ay, bx, by, "duckdb", tag=f"o{i}")
     q = 10 ** int(quant)
+    if prefilter:
+        bb = (
+            ", list_min(list_transform({r}, p -> p.x)) as {px}x0"
+            ", list_max(list_transform({r}, p -> p.x)) as {px}x1"
+            ", list_min(list_transform({r}, p -> p.y)) as {px}y0"
+            ", list_max(list_transform({r}, p -> p.y)) as {px}y1"
+        )
+        subj_cte = (
+            f"subj as materialized (select {sid}, r"
+            + bb.format(r="r", px="s") + f" from ({subject_sql}))"
+        )
+        clipn_cte = (
+            f"clipn as materialized (select {cid}, cr"
+            + bb.format(r="cr", px="c")
+            + f" from (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr"
+            f" from clip0))"
+        )
+        where = (
+            "where s.sx0 <= c.cx1 and c.cx0 <= s.sx1"
+            " and s.sy0 <= c.cy1 and c.cy0 <= s.sy1"
+        )
+        return f"""
+      with clip0 as materialized ({clip_sql}),
+      {subj_cte},
+      {clipn_cte},
+      pairs as (select s.{sid}, c.{cid}, s.r, c.cr from subj s, clipn c {where}),
+      clipped as (select {sid}, {cid}, {cur} as rc from pairs),
+      ar as (select {sid}, {cid},
+                    floor(abs({shoelace2_expr('rc', 'duckdb')}) / 2 * {float(q)!r} + 0.5)
+                      / {float(q)!r} as inter_area
+             from clipped where len(rc) >= 3)
+      select {sid}, {cid}, inter_area from ar where inter_area > 0
+    """
     return f"""
       with subj as materialized ({subject_sql}),
       clip0 as materialized ({clip_sql}),
@@ -847,3 +884,89 @@ def areal_interpolate_general_sql(
              cast(sum(m) as bigint) as value_micro_sum
       from mi group by {cid}
     """
+
+
+def overlay_area_big(
+    subject: DataFrame,
+    clip: DataFrame,
+    clip_k: int,
+    cell: int,
+    sid: str = "sid",
+    cid: str = "cid",
+    s_ring: str = "ring",
+    c_ring: str = "cring",
+    quant: int = 3,
+) -> DataFrame:
+    """Big-big overlay — when the zone layer is ALSO fact-sized (parcel/
+    building footprints at 10¹² scale) and cannot broadcast: both sides
+    cover their ring bbox with ``cell``-sized grid cells (map-side
+    sequence explode), ONE shuffle equi-join on the (gx, gy) cell key
+    (AQE splits dense-city skew cells), then the identical clip chain.
+
+    Exactly-once with NO distinct-shuffle: a pair sharing k>1 cells
+    keeps only the cell containing the (min-x, min-y) corner of the
+    bbox INTERSECTION — that corner lies in both bboxes, hence in both
+    covers (the crossing_segments_join NW-cell rule generalized to
+    area pairs).  Output and semantics are EXACTLY overlay_area's; the
+    blocking is a plan choice, so the broadcast variant (or a plain
+    cross-join oracle) is its correctness twin.
+
+    The grid key is a plain (gx, gy) int pair — deliberately NOT the
+    engine's packed tile id, whose 12-bit row/col caps zoom at 12;
+    pick ``cell`` ≈ the median zone bbox so fan-out stays O(1) per row.
+    """
+    def pre(df, idc, ring, px):
+        xs = F.transform(F.col(ring), lambda p: p["x"])
+        ys = F.transform(F.col(ring), lambda p: p["y"])
+        out = df.select(
+            F.col(idc),
+            F.col(ring).alias(f"_{px}r"),
+            F.array_min(xs).alias(f"_{px}x0"),
+            F.array_max(xs).alias(f"_{px}x1"),
+            F.array_min(ys).alias(f"_{px}y0"),
+            F.array_max(ys).alias(f"_{px}y1"),
+        )
+        c = F.lit(float(cell))
+        return out.withColumn(
+            "_gx", F.explode(F.sequence(
+                F.floor(F.col(f"_{px}x0") / c).cast("long"),
+                F.floor(F.col(f"_{px}x1") / c).cast("long"),
+            ))
+        ).withColumn(
+            "_gy", F.explode(F.sequence(
+                F.floor(F.col(f"_{px}y0") / c).cast("long"),
+                F.floor(F.col(f"_{px}y1") / c).cast("long"),
+            ))
+        )
+
+    s_pre = pre(subject, sid, s_ring, "s")
+    c_pre = pre(
+        clip.select(
+            F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="bb")).alias(c_ring)
+        ),
+        cid,
+        c_ring,
+        "c",
+    )
+    j = s_pre.join(c_pre, ["_gx", "_gy"]).where(
+        (F.col("_sx0") <= F.col("_cx1"))
+        & (F.col("_cx0") <= F.col("_sx1"))
+        & (F.col("_sy0") <= F.col("_cy1"))
+        & (F.col("_cy0") <= F.col("_sy1"))
+    )
+    c = F.lit(float(cell))
+    nw_gx = F.floor(F.greatest("_sx0", "_cx0") / c).cast("long")
+    nw_gy = F.floor(F.greatest("_sy0", "_cy0") / c).cast("long")
+    j = j.filter((F.col("_gx") == nw_gx) & (F.col("_gy") == nw_gy))
+    cur = "_sr"
+    for i, (ax, ay, bx, by) in enumerate(_edge_exprs("_cr", clip_k, "spark"), 1):
+        cur = halfplane_pass_expr(cur, ax, ay, bx, by, "spark", tag=f"o{i}")
+    j = j.withColumn("_rc", F.expr(cur))
+    area = F.expr(f"abs({shoelace2_expr('_rc', 'spark')}) / 2")
+    q = 10 ** int(quant)
+    qarea = F.floor(area * F.lit(float(q)) + F.lit(0.5)) / F.lit(float(q))
+    return (
+        j.filter(F.size(F.col("_rc")) >= 3)
+        .select(sid, cid, qarea.alias("inter_area"))
+        .filter(F.col("inter_area") > 0)
+    )

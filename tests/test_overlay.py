@@ -391,3 +391,34 @@ def test_areal_interpolate_general_hand(spark):
         ).collect()
     }
     assert got == {"20": (2, 8_000_000 + 6_000_000)}
+
+
+def test_overlay_big_equals_broadcast(spark):
+    """The cell-blocked big-big overlay must return EXACTLY the broadcast
+    variant's rows — same pairs (exactly-once despite multi-cell
+    sharing), same quantized areas — across cell sizes straddling the
+    geometry scale."""
+    rng = np.random.default_rng(23)
+    subs, clips = [], []
+    for s in range(15):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        r = rng.uniform(3, 9)
+        cx, cy = rng.uniform(-30, 30, 2)
+        subs.append((s, _ring(*[(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang])))
+    for c in range(8):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+        r = rng.uniform(4, 10)
+        cx, cy = rng.uniform(-25, 25, 2)
+        clips.append((100 + c, _ring(*[(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang])))
+    subj = spark.createDataFrame(subs, "sid long, ring array<struct<x:double,y:double>>")
+    clip = spark.createDataFrame(clips, "cid long, cring array<struct<x:double,y:double>>")
+    want = sorted(
+        (r.sid, r.cid, r.inter_area)
+        for r in overlay.overlay_area(subj, clip, clip_k=4).collect()
+    )
+    assert want  # fixture sanity: some overlaps exist
+    for cell in (4, 16, 64):  # smaller, comparable, larger than the shapes
+        rows = overlay.overlay_area_big(subj, clip, clip_k=4, cell=cell).collect()
+        got = sorted((r.sid, r.cid, r.inter_area) for r in rows)
+        assert len(rows) == len({(r.sid, r.cid) for r in rows}), f"dups at cell={cell}"
+        assert got == want, f"cell={cell}"
