@@ -591,3 +591,15 @@ def _epoch_shard_manifest_sql() -> str:
     from geodesk_spark.operators import sampling
 
     return sampling.shard_manifest_sql("documents", 48, "n_chars", seed="7", epoch=3)
+
+
+def _q_images_patchify(spark, sf_dir):
+    """ViT-style patch extraction (images.patchify): every image split
+    into 16×16 visual tokens with row-major grid positions — the image
+    tokenizer ahead of sequence packing.  Rows-only at the driver
+    (synthetic binary payload); grid/byte-exactness/stitching laws are
+    pinned by tests/test_pipeline.py::test_patchify_grid_and_reconstruction."""
+    imgs = synth.images_df(spark, 200, with_bytes=True, partitions=8)
+    return images.patchify(imgs, patch=16).select(
+        "image_id", "prow", "pcol", "n_rows", "n_cols"
+    )

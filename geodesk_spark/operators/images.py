@@ -583,3 +583,71 @@ def phash_compute(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(
         run, schema="image_id string, phash_dct long"
     )
+
+
+def patchify(
+    df: DataFrame, patch: int = 16, fmt: str = "png", max_patches: int = 4096
+) -> DataFrame:
+    """ViT-style patch extraction: split every image into a grid of
+    ``patch``×``patch`` tiles with positional metadata — the tokenizer
+    of an image-training pipeline (each output row is one visual token:
+    its bytes plus (row, col) grid position and the grid shape, ready
+    for sequence packing by the sampling operators).
+
+    Semantics: the image is cropped to the largest patch-multiple
+    region anchored at the top-left (the standard ViT behavior —
+    resize-to-multiple upstream with images.resize if edge loss is
+    unwanted); patches emit row-major.  Images smaller than one patch
+    (or undecodable bytes) produce zero rows.  ``max_patches`` guards
+    the fan-out against a pathological mega-image (drop + count
+    upstream if that matters; the cap is a hard error here so data
+    bugs fail loudly rather than silently exploding a partition).
+
+    Scale shape: ONE mapInPandas scan, fan-out (w//patch)·(h//patch)
+    per row — the output is the fact table downstream batching reads;
+    no shuffle.  Patch bytes re-encode with the deterministic codec
+    (swap codec.decode/encode for libjpeg when available).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, prs, pcs, nrs, ncs, blobs = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    px = codec.decode(bytes(pdf["bytes"].iloc[i]))
+                except Exception:
+                    continue
+                nr, nc = px.shape[0] // patch, px.shape[1] // patch
+                if nr == 0 or nc == 0:
+                    continue
+                if nr * nc > max_patches:
+                    raise ValueError(
+                        f"patchify: {nr * nc} patches for image "
+                        f"{pdf['image_id'].iloc[i]!r} exceeds max_patches={max_patches}"
+                    )
+                iid = pdf["image_id"].iloc[i]
+                for r in range(nr):
+                    for c in range(nc):
+                        tile = px[r * patch:(r + 1) * patch, c * patch:(c + 1) * patch]
+                        ids.append(iid)
+                        prs.append(r)
+                        pcs.append(c)
+                        nrs.append(nr)
+                        ncs.append(nc)
+                        blobs.append(codec.encode(np.ascontiguousarray(tile), fmt))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "prow": np.asarray(prs, dtype=np.int32),
+                        "pcol": np.asarray(pcs, dtype=np.int32),
+                        "n_rows": np.asarray(nrs, dtype=np.int32),
+                        "n_cols": np.asarray(ncs, dtype=np.int32),
+                        "bytes": blobs,
+                    }
+                )
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, prow int, pcol int, n_rows int, n_cols int, bytes binary",
+    )

@@ -846,3 +846,42 @@ def test_phash_compute_parity_and_robustness(spark):
         for other in ids[:i]:
             hams.append(ham(got[iid], got[other]))
     assert min(hams) >= 8  # distinct images stay well apart
+
+
+def test_patchify_grid_and_reconstruction(spark):
+    """Patch grid laws: row-major complete grid per image, every patch
+    byte-exact against a local numpy slice of the decoded source, and
+    stitching the patches back reproduces the cropped source region."""
+    import numpy as np
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    df = synth.images_df(spark, 24, with_bytes=True, partitions=3)
+    P = 16
+    out = images.patchify(df, patch=P).toPandas()
+    src = {r["image_id"]: bytes(r["bytes"]) for r in df.collect()}
+    assert set(out["image_id"]) <= set(src)
+    for iid, g in out.groupby("image_id"):
+        px = codec.decode(src[iid])
+        nr, nc = px.shape[0] // P, px.shape[1] // P
+        assert (g["n_rows"] == nr).all() and (g["n_cols"] == nc).all()
+        assert len(g) == nr * nc  # complete grid, exactly once
+        assert sorted(zip(g["prow"], g["pcol"])) == [
+            (r, c) for r in range(nr) for c in range(nc)
+        ]
+        stitched = np.zeros((nr * P, nc * P) + px.shape[2:], dtype=px.dtype)
+        for _, row in g.iterrows():
+            tile = codec.decode(bytes(row["bytes"]))
+            assert tile.shape[:2] == (P, P)
+            expect = px[row["prow"] * P:(row["prow"] + 1) * P,
+                        row["pcol"] * P:(row["pcol"] + 1) * P]
+            assert np.array_equal(tile, expect)
+            stitched[row["prow"] * P:(row["prow"] + 1) * P,
+                     row["pcol"] * P:(row["pcol"] + 1) * P] = tile
+        assert np.array_equal(stitched, px[: nr * P, : nc * P])
+    # images with a dimension under one patch vanish, bad bytes vanish
+    from pyspark.sql import functions as F
+
+    tiny = df.limit(1).select("image_id", F.expr("cast('xx' as binary)").alias("bytes"))
+    assert images.patchify(tiny, patch=P).count() == 0
