@@ -546,6 +546,68 @@ def zone_line_length_sql(
     """
 
 
+def _signed_fan(clip: DataFrame, clip_k: int, cid: str, c_ring: str) -> DataFrame:
+    """CCW-normalize the zone ring (exact shoelace sign — a CW input
+    would flip every fan sign and the signed totals would come out
+    negative) and fan-explode it into its (k−2) triangles with
+    orientation signs.  Returns (cid, _tkey, _sgn, _tri): _tkey is the
+    composite 'cid#tix' key the convex-path call groups by, _sgn ∈
+    {+1, −1} (degenerate zero-area triangles are dropped — they
+    contribute nothing)."""
+    clip_n = clip.select(
+        F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="gn")).alias("_crn")
+    )
+    tris = [
+        F.struct(
+            F.lit(i - 1).alias("tix"),
+            F.array(
+                F.element_at(F.col("_crn"), 1),
+                F.element_at(F.col("_crn"), i),
+                F.element_at(F.col("_crn"), i + 1),
+            ).alias("tri"),
+        )
+        for i in range(2, clip_k)
+    ]
+    ct = clip_n.select(F.col(cid), F.explode(F.array(*tris)).alias("_t")).select(
+        cid, F.col("_t.tix").alias("_tix"), F.col("_t.tri").alias("_tri")
+    )
+    sgn2 = shoelace2_expr("_tri", "spark", tag="g")
+    return (
+        ct.withColumn(
+            "_sgn",
+            F.expr(
+                f"case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1 else 0 end"
+            ).cast("long"),
+        )
+        .filter(F.col("_sgn") != 0)
+        .withColumn(
+            "_tkey",
+            F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")),
+        )
+    )
+
+
+def _signed_micro_sum(
+    pairs: DataFrame, fan: DataFrame, val_col: str, sid: str, cid: str, quant: int
+) -> DataFrame:
+    """Close a signed fan decomposition: join per-triangle results back
+    to their zone + sign, sum as integer micro-units (floor-form, NOT a
+    bare cast — Spark's double→bigint cast truncates where DuckDB's
+    rounds half-even), keep positive totals, re-emit at 10^-quant."""
+    q = float(10 ** int(quant))
+    micro = (
+        F.floor(F.col(val_col) * F.lit(q) + F.lit(0.5)).cast("bigint") * F.col("_sgn")
+    )
+    back = fan.select("_tkey", cid, "_sgn")
+    return (
+        pairs.join(F.broadcast(back), "_tkey")
+        .groupBy(sid, cid)
+        .agg(F.sum(micro).alias("_m"))
+        .filter(F.col("_m") > 0)
+        .select(sid, cid, (F.col("_m").cast("double") / F.lit(q)).alias(val_col))
+    )
+
+
 def overlay_area_general(
     subject: DataFrame,
     clip: DataFrame,
@@ -577,42 +639,10 @@ def overlay_area_general(
     form is its own oracle-pinned contract, not a bit-twin of the
     convex path.  ``clip_k`` is the EXACT zone vertex count, as before.
     """
-    # normalize the zone to CCW FIRST (exact shoelace sign): a CW ring
-    # would flip every fan sign and the signed total would come out
-    # negative - orientation-free contract, like the convex path
-    clip_n = clip.select(
-        F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="gn")).alias("_crn")
-    )
-    tris = []
-    for i in range(2, clip_k):
-        tris.append(
-            F.struct(
-                F.lit(i - 1).alias("tix"),
-                F.array(
-                    F.element_at(F.col("_crn"), 1),
-                    F.element_at(F.col("_crn"), i),
-                    F.element_at(F.col("_crn"), i + 1),
-                ).alias("tri"),
-            )
-        )
-    ct = clip_n.select(F.col(cid), F.explode(F.array(*tris)).alias("_t")).select(
-        cid, F.col("_t.tix").alias("_tix"), F.col("_t.tri").alias("_tri")
-    )
-    sgn2 = shoelace2_expr("_tri", "spark", tag="g")
-    ct = ct.withColumn(
-        "_sgn",
-        F.expr(
-            f"case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1 else 0 end"
-        ).cast("long"),
-    ).filter(F.col("_sgn") != 0)
+    ct = _signed_fan(clip, clip_k, cid, c_ring)
     pairs = overlay_area(
         subject,
-        ct.select(
-            F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
-                "_tkey"
-            ),
-            F.col("_tri").alias(c_ring),
-        ),
+        ct.select("_tkey", F.col("_tri").alias(c_ring)),
         clip_k=3,
         sid=sid,
         cid="_tkey",
@@ -620,27 +650,7 @@ def overlay_area_general(
         c_ring=c_ring,
         quant=quant,
     )
-    q = 10 ** int(quant)
-    back = ct.select(
-        F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
-            "_tkey"
-        ),
-        F.col(cid),
-        F.col("_sgn"),
-    )
-    # floor-form, NOT a bare cast: Spark's double->bigint cast truncates
-    # while DuckDB's rounds half-even - the one place they disagree
-    micro = (
-        F.floor(F.col("inter_area") * F.lit(float(q)) + F.lit(0.5)).cast("bigint")
-        * F.col("_sgn")
-    )
-    return (
-        pairs.join(F.broadcast(back), "_tkey")
-        .groupBy(sid, cid)
-        .agg(F.sum(micro).alias("_m"))
-        .filter(F.col("_m") > 0)
-        .select(sid, cid, (F.col("_m").cast("double") / F.lit(float(q))).alias("inter_area"))
-    )
+    return _signed_micro_sum(pairs, ct, "inter_area", sid, cid, quant)
 
 
 def overlay_area_general_sql(
@@ -711,64 +721,17 @@ def zone_line_length_general(
     (sid, cid, len_in) for pairs with positive inside-length at
     10^-quant.
     """
-    clip_n = clip.select(
-        F.col(cid), F.expr(ccw_ring_expr(c_ring, "spark", tag="ln")).alias("_crn")
-    )
-    tris = []
-    for i in range(2, clip_k):
-        tris.append(
-            F.struct(
-                F.lit(i - 1).alias("tix"),
-                F.array(
-                    F.element_at(F.col("_crn"), 1),
-                    F.element_at(F.col("_crn"), i),
-                    F.element_at(F.col("_crn"), i + 1),
-                ).alias("tri"),
-            )
-        )
-    ct = clip_n.select(F.col(cid), F.explode(F.array(*tris)).alias("_t")).select(
-        cid, F.col("_t.tix").alias("_tix"), F.col("_t.tri").alias("_tri")
-    )
-    sgn2 = shoelace2_expr("_tri", "spark", tag="lg")
-    ct = ct.withColumn(
-        "_sgn",
-        F.expr(
-            f"case when {sgn2} > 0 then 1 when {sgn2} < 0 then -1 else 0 end"
-        ).cast("long"),
-    ).filter(F.col("_sgn") != 0)
+    ct = _signed_fan(clip, clip_k, cid, c_ring)
     pairs = zone_line_length(
         segs,
-        ct.select(
-            F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
-                "_tkey"
-            ),
-            F.col("_tri").alias(c_ring),
-        ),
+        ct.select("_tkey", F.col("_tri").alias(c_ring)),
         clip_k=3,
         sid=sid,
         cid="_tkey",
         c_ring=c_ring,
         quant=quant,
     )
-    q = 10 ** int(quant)
-    back = ct.select(
-        F.concat_ws("#", F.col(cid).cast("string"), F.col("_tix").cast("string")).alias(
-            "_tkey"
-        ),
-        F.col(cid),
-        F.col("_sgn"),
-    )
-    micro = (
-        F.floor(F.col("len_in") * F.lit(float(q)) + F.lit(0.5)).cast("bigint")
-        * F.col("_sgn")
-    )
-    return (
-        pairs.join(F.broadcast(back), "_tkey")
-        .groupBy(sid, cid)
-        .agg(F.sum(micro).alias("_m"))
-        .filter(F.col("_m") > 0)
-        .select(sid, cid, (F.col("_m").cast("double") / F.lit(float(q))).alias("len_in"))
-    )
+    return _signed_micro_sum(pairs, ct, "len_in", sid, cid, quant)
 
 
 def zone_line_length_general_sql(
