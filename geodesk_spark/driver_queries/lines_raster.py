@@ -651,6 +651,59 @@ _SQL_HOTSPOT = f"""
 """
 
 
+def _q_moran(spark, sf_dir):
+    """Moran's I + local LISA over the order-point density raster
+    (tiles_sink.moran_lisa): queen contiguity w_ii=0, exact integer
+    aggregates, fixed-order float formula -- bit-reproducible."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    return tiles_sink.moran_lisa(df, grid_bits=HOTSPOT_GRID_BITS)
+
+
+# shared fixed-order scalars, written ONCE so both uses stay identical
+_MORAN_XBAR = "(cast(sx as double) / cast(n_tot as double))"
+_MORAN_M2 = (
+    f"(cast(sxx as double) / cast(n_tot as double) - {_MORAN_XBAR} * {_MORAN_XBAR})"
+)
+_SQL_MORAN = f"""
+  with pts as ({{derived}}),
+  cells as (select cast(floor((x + 2147483648) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gx,
+                   cast(floor((2147483647 - y) / {1 << (32 - HOTSPOT_GRID_BITS)}) as bigint) as gy,
+                   count(*) as n
+            from pts group by 1, 2),
+  nbsum as (select c.gx, c.gy, c.n,
+                   cast(sum(nb.n) - c.n as bigint) as sp,
+                   cast(count(*) - 1 as bigint) as np
+            from cells c join cells nb
+              on nb.gx between c.gx - 1 and c.gx + 1
+             and nb.gy between c.gy - 1 and c.gy + 1
+            group by c.gx, c.gy, c.n),
+  stats as (select cast(count(*) as bigint) as n_tot,
+                   cast(sum(n) as bigint) as sx,
+                   cast(sum(n * n) as bigint) as sxx,
+                   cast(sum(n * sp) as bigint) as a_xs,
+                   cast(sum(n * np) as bigint) as b_xn,
+                   cast(sum(sp) as bigint) as c_s,
+                   cast(sum(np) as bigint) as w_sum
+            from nbsum)
+  select gx, gy, n,
+         case when {_MORAN_M2} > 0.0
+              then ((cast(n as double) - {_MORAN_XBAR})
+                    * (cast(sp as double) - cast(np as double) * {_MORAN_XBAR}))
+                   / {_MORAN_M2}
+         end as i_local,
+         case when {_MORAN_M2} > 0.0 and w_sum > 0
+              then (cast(n_tot as double)
+                    * (cast(a_xs as double)
+                       - {_MORAN_XBAR} * cast(b_xn + c_s as double)
+                       + {_MORAN_XBAR} * {_MORAN_XBAR} * cast(w_sum as double)))
+                   / (cast(w_sum as double) * (cast(n_tot as double) * {_MORAN_M2}))
+         end as i_global
+  from nbsum cross join stats
+"""
+
+
 def _q_tile_clip(spark, sf_dir):
     """Liang–Barsky clip of corridor segments to the zoom-7 tile grid
     (tiles_sink.clip_segments_to_tiles): the vector-tile emit clip step,

@@ -900,6 +900,91 @@ def hotspot_gi_star(
     return j.select("gx", "gy", "n", gi.alias("gi_star"))
 
 
+def moran_lisa(
+    points: DataFrame, grid_bits: int = 7, prebinned: bool = False
+) -> DataFrame:
+    """Moran's I spatial autocorrelation over the point-density raster —
+    the GLOBAL statistic (is the field clustered at all?) plus the LOCAL
+    per-cell LISA decomposition (Anselin 1995: which cells drive it),
+    the complement of `hotspot_gi_star` (Gi* flags hot/cold magnitude;
+    LISA flags similarity-with-neighbors, so high-high cores AND
+    low-high outliers separate).
+
+    Study region and weights follow the Gi* contract: the OCCUPIED
+    cells of the sparse global lattice, binary queen (3×3) contiguity —
+    but EXCLUDING self (Moran weights have w_ii = 0, unlike Gi*).  With
+    x̄ the global mean, m2 the population variance, S'_i / n'_i the
+    neighbor count-sum / occupied-neighbor count:
+
+        lag_i    = S'_i − n'_i·x̄          (= Σ_j w_ij (x_j − x̄))
+        I_i      = (x_i − x̄) · lag_i / m2                     (LISA)
+        I_global = (N · Σ_i (x_i−x̄)·lag_i) / (W · N·m2),  W = Σ n'_i
+
+    Every aggregate (S'_i, n'_i, N, Σx, Σx², and the global cross terms
+    A=Σ x_i S'_i, B=Σ x_i n'_i, C=Σ S'_i, D=W) is an exact integer;
+    floats enter only in the final fixed-order +/×/÷ expression — no
+    transcendental, so the output is bit-reproducible across engines
+    and partitionings without quantization (same law as Gi*).
+
+    Plan: binning agg (the only fact shuffle) → the same TWO separable
+    rank-1 neighbor passes as Gi* → join back → one global aggregate
+    row broadcast.  Returns (gx, gy, n, i_local, i_global) — i_global
+    repeated per row so one artifact hash pins both statistics.
+    """
+    from pyspark.sql import functions as F
+
+    cells = points if prebinned else grid_counts(points, grid_bits)
+    h = (
+        cells.withColumn("gx", F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1)))
+        .groupBy("gx", "gy")
+        .agg(F.sum("n").alias("sn"), F.count("*").alias("cnt"))
+    )
+    v = (
+        h.withColumn("gy", F.explode(F.sequence(F.col("gy") - 1, F.col("gy") + 1)))
+        .groupBy("gx", "gy")
+        .agg(F.sum("sn").alias("s_i"), F.sum("cnt").alias("n_i"))
+    )
+    # self is always occupied and inside its own 3×3 window: drop it.
+    occ = cells.join(v, ["gx", "gy"]).select(
+        "gx",
+        "gy",
+        "n",
+        (F.col("s_i") - F.col("n")).alias("sp"),
+        (F.col("n_i") - F.lit(1)).alias("np"),
+    )
+    stats = occ.agg(
+        F.count("*").alias("n_tot"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("n") * F.col("sp")).alias("a_xs"),
+        F.sum(F.col("n") * F.col("np")).alias("b_xn"),
+        F.sum("sp").alias("c_s"),
+        F.sum("np").alias("w_sum"),
+    )
+    j = occ.crossJoin(F.broadcast(stats))
+    xbar = F.col("sx").cast("double") / F.col("n_tot").cast("double")
+    m2 = F.col("sxx").cast("double") / F.col("n_tot").cast("double") - xbar * xbar
+    lag = F.col("sp").cast("double") - F.col("np").cast("double") * xbar
+    i_local = F.when(
+        m2 > 0, (F.col("n").cast("double") - xbar) * lag / m2
+    )
+    # Σ_i (x_i−x̄)(S'_i−n'_i x̄) = A − x̄(B+C) + x̄²·D, all-integer inputs
+    num = (
+        F.col("a_xs").cast("double")
+        - xbar * (F.col("b_xn") + F.col("c_s")).cast("double")
+        + xbar * xbar * F.col("w_sum").cast("double")
+    )
+    den = F.col("n_tot").cast("double") * m2
+    i_global = F.when(
+        (m2 > 0) & (F.col("w_sum") > 0),
+        (F.col("n_tot").cast("double") * num)
+        / (F.col("w_sum").cast("double") * den),
+    )
+    return j.select(
+        "gx", "gy", "n", i_local.alias("i_local"), i_global.alias("i_global")
+    )
+
+
 def zonal_stats(
     points: DataFrame, prepared_layer, grid_bits: int = 7, keep_cols=("n",)
 ) -> DataFrame:

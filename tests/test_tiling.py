@@ -441,6 +441,85 @@ def test_hotspot_gi_star_matches_direct(spark):
     assert hot in {(30, 30), (30, 31), (31, 30), (31, 31)}
 
 
+def test_moran_lisa_matches_direct(spark):
+    """Moran's I vs a direct numpy evaluation (queen weights, w_ii=0):
+    a planted hot 2x2 block must be a high-high LISA core, and the
+    global I must be positive (clustered field)."""
+    from geodesk_spark.operators import tiles_sink
+
+    g = 7
+    sub = 32 - g
+    rng = np.random.default_rng(11)
+    counts = {}
+    for _ in range(60):
+        counts[(int(rng.integers(20, 40)), int(rng.integers(20, 40)))] = int(rng.integers(1, 4))
+    for cx in (30, 31):
+        for cy in (30, 31):
+            counts[(cx, cy)] = 25  # hot block
+    rows = []
+    for (cx, cy), n in counts.items():
+        for i in range(n):
+            rows.append((int((cx << sub) - (1 << 31) + i), int((1 << 31) - 1 - (cy << sub) - i)))
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["gx"], r["gy"]): (r["n"], r["i_local"], r["i_global"])
+        for r in tiles_sink.moran_lisa(df, grid_bits=g).collect()
+    }
+    N = len(counts)
+    xs = np.array(list(counts.values()), dtype=np.int64)
+    xbar = float(xs.sum()) / float(N)
+    m2 = float((xs * xs).sum()) / float(N) - xbar * xbar
+    num = w = 0.0
+    exp_local = {}
+    for (cx, cy), n in counts.items():
+        sp = np_ = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nb = counts.get((cx + dx, cy + dy))
+                if nb is not None:
+                    sp += nb
+                    np_ += 1
+        lag = float(sp) - float(np_) * xbar
+        exp_local[(cx, cy)] = (float(n) - xbar) * lag / m2
+        num += (float(n) - xbar) * lag
+        w += np_
+    exp_global = (N * num) / (w * (N * m2))
+    assert set(got) == set(exp_local)
+    for k, e in exp_local.items():
+        assert abs(got[k][1] - e) < 1e-9, (k, got[k], e)
+        assert abs(got[k][2] - exp_global) < 1e-9
+    assert exp_global > 0  # planted cluster => positive autocorrelation
+    # the hot block's cells are high values next to high values:
+    # their LISA must be among the largest positives
+    hot = max(got, key=lambda k: got[k][1])
+    assert hot in {(30, 30), (30, 31), (31, 30), (31, 31)}
+
+
+def test_moran_prebinned_matches_points_path(spark):
+    """prebinned=True over a materialized cells frame must equal the
+    points path bit-for-bit."""
+    from geodesk_spark.operators import tiles_sink
+
+    g = 7
+    sub = 32 - g
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(rng.integers(20, 40)) << sub, int(rng.integers(20, 40)) << sub)
+        for _ in range(200)
+    ]
+    pts = spark.createDataFrame(
+        [(x - (1 << 31), (1 << 31) - 1 - y) for x, y in rows], "x long, y long"
+    )
+    a = {(r["gx"], r["gy"]): (r["n"], r["i_local"], r["i_global"])
+         for r in tiles_sink.moran_lisa(pts, grid_bits=g).collect()}
+    cells = tiles_sink.grid_counts(pts, g)
+    b = {(r["gx"], r["gy"]): (r["n"], r["i_local"], r["i_global"])
+         for r in tiles_sink.moran_lisa(cells, grid_bits=g, prebinned=True).collect()}
+    assert a == b
+
+
 def test_zonal_stats_matches_bruteforce(spark):
     """Zonal stats vs per-cell brute PIP on a small square zone."""
     from geodesk_spark.geo import pip
