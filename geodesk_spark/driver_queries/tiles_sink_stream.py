@@ -110,6 +110,35 @@ def _zorder_read_sql() -> str:
     """
 
 
+STR_NX, STR_NY = 8, 8
+
+
+def _q_str_pack(spark, sf_dir):
+    """STR (Sort-Tile-Recursive) bulk-load packing manifest
+    (sources/layout.str_pack_stats): x-rank slices then per-slice
+    y-rank cells — the distribution-adaptive R-tree packing layout;
+    per-cell count + tight bbox, all exact integers."""
+    from geodesk_spark.sources import layout
+
+    df = _derived_orders(spark, sf_dir).select("o_orderkey", "x", "y")
+    return layout.str_pack_stats(df, STR_NX, STR_NY, id_col="o_orderkey")
+
+
+def _str_pack_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      s as (select o_orderkey, x, y,
+                   ntile({STR_NX}) over (order by x, o_orderkey) as sx
+            from pts),
+      c as (select *, ntile({STR_NY}) over (partition by sx order by y, o_orderkey) as sy
+            from s)
+      select sx, sy, count(*) as n,
+             min(x) as minx, max(x) as maxx,
+             min(y) as miny, max(y) as maxy
+      from c group by sx, sy
+    """
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup parity: the events table plus a
     RE-DELIVERED copy of every third event drains through streaming

@@ -67,6 +67,102 @@ def bbox_partition_filter(bbox: tuple[int, int, int, int], zoom: int = 4) -> Col
     return F.col(f"z{zoom}").isin(bbox_prefix_values(bbox, zoom))
 
 
+def with_str_cells(
+    df: DataFrame, nx: int = 8, ny: int = 8, id_col: str = "id"
+) -> DataFrame:
+    """Sort-Tile-Recursive (STR) packing cells — the classic R-tree
+    bulk-load layout (Leutenegger et al. 1997), the third spatial
+    layout next to Z-order and bucketing: rank rows by x into ``nx``
+    equal SLICES, then rank each slice by y into ``ny`` cells.  Unlike
+    the fixed Morton grid, STR adapts to the DATA distribution — every
+    cell holds ~N/(nx·ny) rows no matter how skewed the field, which is
+    exactly what balances file sizes under city-scale hot spots.
+
+    This is the EXACT path (ntile over total orders, ties broken by
+    ``id_col``): deterministic and engine-portable, used for parity and
+    for bounded inputs (a tile's worth of features, a dimension layer).
+    It requires two global sorts — for the fact-table WRITE path use
+    ``write_str_packed``, which gets the same cells from SAMPLED
+    boundaries with no global sort.
+
+    Adds integer ``sx`` (1..nx), ``sy`` (1..ny).
+    """
+    from pyspark.sql import Window
+
+    sx = F.ntile(nx).over(Window.orderBy(F.col("x"), F.col(id_col)))
+    out = df.select("*", sx.alias("sx"))
+    sy = F.ntile(ny).over(
+        Window.partitionBy("sx").orderBy(F.col("y"), F.col(id_col))
+    )
+    return out.select("*", sy.alias("sy"))
+
+
+def str_pack_stats(
+    df: DataFrame, nx: int = 8, ny: int = 8, id_col: str = "id"
+) -> DataFrame:
+    """Per-STR-cell packing manifest: row count and the cell's tight
+    bbox — the numbers a bulk-loader writes next to each file so a
+    bbox reader can prune (min/max stats ARE the R-tree node rects).
+    All columns exact integers — hash-stable across engines."""
+    return (
+        with_str_cells(df, nx, ny, id_col)
+        .groupBy("sx", "sy")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("minx"),
+            F.max("x").alias("maxx"),
+            F.min("y").alias("miny"),
+            F.max("y").alias("maxy"),
+        )
+    )
+
+
+def write_str_packed(
+    df: DataFrame, path: str, nx: int = 8, ny: int = 8
+) -> None:
+    """STR bulk-load WRITE path at scale: slice boundaries come from
+    ``approx_percentile`` (one sampled aggregate, no global sort), cell
+    assignment is a broadcast-free narrow map against the boundary
+    arrays, and the write hive-partitions by the cell id so a bbox
+    reader opens only intersecting cells.  Two passes over the facts
+    (bounds sample + write), zero wide shuffles besides the final
+    partitioned write — the 100 TB shape.
+    """
+    qs = [i / nx for i in range(1, nx)]
+    [xb] = df.agg(F.percentile_approx("x", qs, 10_000).alias("b")).collect()
+    xbounds = list(xb["b"]) or []
+    sx = F.lit(1)
+    for i, b in enumerate(xbounds):
+        sx = sx + F.when(F.col("x") > F.lit(int(b)), 1).otherwise(0)
+    sliced = df.withColumn("sx", sx)
+    yq = [i / ny for i in range(1, ny)]
+    ybounds = {
+        r["sx"]: list(r["b"])
+        for r in sliced.groupBy("sx")
+        .agg(F.percentile_approx("y", yq, 10_000).alias("b"))
+        .collect()
+    }
+    sy = F.lit(1)
+    for i in range(1, ny):
+        # per-slice boundary lookup compiled to a CASE chain (nx·ny
+        # literals total — tiny), keeping the assignment a narrow map
+        cond = F.lit(False)
+        for s, bs in ybounds.items():
+            if len(bs) >= i:
+                cond = cond | ((F.col("sx") == s) & (F.col("y") > F.lit(int(bs[i - 1]))))
+        sy = sy + F.when(cond, 1).otherwise(0)
+    cells = sliced.withColumn("sy", sy).withColumn(
+        "str_cell", (F.col("sx") * (ny + 1) + F.col("sy")).cast("int")
+    )
+    (
+        cells.repartition(F.col("str_cell"))
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .partitionBy("str_cell")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 16
 ) -> None:

@@ -341,6 +341,107 @@ def test_zorder_layout_prunes_partitions(spark, tmp_path):
     assert got == brute and len(brute) > 50
 
 
+def test_str_pack_cells_invariants(spark):
+    """STR packing invariants vs a direct numpy computation: balanced
+    cells (ntile sizes), non-overlapping slice x-ranges, and in-slice
+    y-ordering — on a SKEWED field (80% of points in one hot corner),
+    where the fixed Morton grid would leave most cells empty."""
+    import numpy as np
+    from geodesk_spark.sources import layout
+
+    rng = np.random.default_rng(17)
+    n = 4_000
+    hot = rng.integers(0, 1 << 24, (int(n * 0.8), 2))
+    cold = rng.integers(-(1 << 30), 1 << 30, (n - len(hot), 2))
+    pts = np.vstack([hot, cold])
+    df = spark.createDataFrame(
+        [(int(i), int(pts[i, 0]), int(pts[i, 1])) for i in range(n)],
+        "id long, x long, y long",
+    )
+    nx = ny = 4
+    rows = layout.with_str_cells(df, nx, ny, id_col="id").collect()
+    assert len(rows) == n
+    # direct: argsort by (x, id) → slices; within slice by (y, id)
+    order = sorted(range(n), key=lambda i: (int(pts[i, 0]), i))
+    base, extra = divmod(n, nx)
+    exp_sx = {}
+    pos = 0
+    for s in range(1, nx + 1):
+        size = base + (1 if s <= extra else 0)
+        for i in order[pos:pos + size]:
+            exp_sx[i] = s
+        pos += size
+    for r in rows:
+        assert exp_sx[r["id"]] == r["sx"], r
+    # balanced: every cell within one row of n/(nx*ny)
+    from collections import Counter
+    sizes = Counter((r["sx"], r["sy"]) for r in rows)
+    assert len(sizes) == nx * ny
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # slice x-ranges may touch only at ties
+    slice_x = {}
+    for r in rows:
+        lo, hi = slice_x.get(r["sx"], (None, None))
+        x = r["x"]
+        slice_x[r["sx"]] = (x if lo is None else min(lo, x),
+                            x if hi is None else max(hi, x))
+    for s in range(1, nx):
+        assert slice_x[s][1] <= slice_x[s + 1][0] + 1  # ties allowed
+    # within a slice, sy respects y order the same way
+    for s in range(1, nx + 1):
+        cell_rows = sorted(
+            (r for r in rows if r["sx"] == s), key=lambda r: (r["y"], r["id"])
+        )
+        seen = [r["sy"] for r in cell_rows]
+        assert seen == sorted(seen)
+
+
+def test_write_str_packed_balances_skew(spark, tmp_path):
+    """The sampled write path must split a hot-corner field into
+    near-equal files (the whole point vs the fixed grid) and a bbox
+    read over the cold region must SKIP the hot cells' files."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geodesk_spark.sources import layout
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    hot = rng.integers(0, 1 << 20, (int(n * 0.8), 2))
+    cold = rng.integers(-(1 << 30), 1 << 30, (n - len(hot), 2))
+    pts = np.vstack([hot, cold])
+    df = spark.createDataFrame(
+        [(int(i), int(pts[i, 0]), int(pts[i, 1])) for i in range(n)],
+        "id long, x long, y long",
+    )
+    path = str(tmp_path / "strpack")
+    layout.write_str_packed(df, path, nx=4, ny=4)
+    ds = spark.read.parquet(path)
+    assert ds.count() == n
+    sizes = {r["str_cell"]: r["n"] for r in
+             ds.groupBy("str_cell").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 16
+    # approx quantile boundaries: no cell more than ~2x the mean
+    assert max(sizes.values()) <= 2 * (n / 16)
+    # per-cell min/max stats act as R-tree rects: a far-corner bbox
+    # intersects only a few cells' rects
+    stats = ds.groupBy("str_cell").agg(
+        F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    ).collect()
+    qx0, qy0, qx1, qy1 = -(1 << 30), -(1 << 30), -(1 << 29), -(1 << 29)
+    touching = [r["str_cell"] for r in stats
+                if r["minx"] <= qx1 and r["maxx"] >= qx0
+                and r["miny"] <= qy1 and r["maxy"] >= qy0]
+    assert 0 < len(touching) <= 4
+    got = ds.filter(F.col("str_cell").isin(touching)).filter(
+        (F.col("x") >= qx0) & (F.col("x") <= qx1)
+        & (F.col("y") >= qy0) & (F.col("y") <= qy1)
+    )
+    brute = {int(i) for i in range(n)
+             if qx0 <= pts[i, 0] <= qx1 and qy0 <= pts[i, 1] <= qy1}
+    assert {r["id"] for r in got.collect()} == brute and len(brute) > 100
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located storage: two tables bucketed on the same key join
     with NO Exchange in the plan — the bucketing replaces the shuffle."""
