@@ -1227,6 +1227,109 @@ def _convex_hulls_sql() -> str:
     """
 
 
+BUFFER_RADIUS_IMPS = 1 << 24
+BUFFER_K = 8
+
+
+def _q_buffer_hull_area(spark, sf_dir):
+    """Minkowski buffer of per-cell hulls (geometry_ops.
+    buffer_convex_by_group): hull -> vertex+k-gon-offset sums -> hull
+    again -> exact shoelace area2.  The k-gon offsets are Python-side
+    integer literals shared with the oracle, so no engine
+    transcendental runs."""
+    from geodesk_spark.operators.geometry_ops import (
+        buffer_convex_by_group,
+        convex_hull_by_group,
+        ring_area2_by_group,
+    )
+
+    df = _derived_orders(spark, sf_dir)
+    sub = 32 - HULL_GRID_BITS
+    side = 1 << HULL_GRID_BITS
+    pts = df.select(
+        (
+            F.shiftright(F.col("x").cast("bigint") + (1 << 31), sub) * side
+            + F.shiftright(F.lit((1 << 31) - 1) - F.col("y").cast("bigint"), sub)
+        ).alias("gid"),
+        "x",
+        "y",
+    )
+    h1 = convex_hull_by_group(pts, group_col="gid")
+    buf = buffer_convex_by_group(h1, BUFFER_RADIUS_IMPS, BUFFER_K, group_col="gid")
+    return ring_area2_by_group(buf, group_col="gid")
+
+
+def _buffer_hull_area_sql() -> str:
+    from geodesk_spark.operators.geometry_ops import kgon_offsets
+
+    sub = 1 << (32 - HULL_GRID_BITS)
+    side = 1 << HULL_GRID_BITS
+    offs = ", ".join(
+        f"({ox}, {oy})" for ox, oy in kgon_offsets(BUFFER_RADIUS_IMPS, BUFFER_K)
+    )
+    # extreme-point hull rule (a is a hull vertex iff some b has every
+    # other c strictly left of a->b), applied twice; ring order without
+    # atan2: half-plane split + exact-double cotangent sort keys
+    return f"""
+      with pts as ({{derived}}),
+      d as (select distinct
+              cast(floor((x + 2147483648) / {sub}) as bigint) * {side}
+                + cast(floor((2147483647 - y) / {sub}) as bigint) as gid,
+              x, y
+            from pts),
+      verts as (
+        select distinct a.gid, a.x, a.y
+        from d a join d b
+          on a.gid = b.gid and (a.x <> b.x or a.y <> b.y)
+        where not exists (
+          select 1 from d c
+          where c.gid = a.gid
+            and (c.x <> a.x or c.y <> a.y)
+            and (c.x <> b.x or c.y <> b.y)
+            and cast(b.x - a.x as hugeint) * (c.y - a.y)
+                - cast(b.y - a.y as hugeint) * (c.x - a.x) <= 0)),
+      singles as (select gid, min(x) as x, min(y) as y
+                  from d group by gid having count(*) = 1),
+      h1 as (select gid, x, y from verts
+             union all select gid, x, y from singles),
+      offs(ox, oy) as (values {offs}),
+      mk as (select distinct gid, x + ox as x, y + oy as y
+             from h1 cross join offs),
+      v2 as (
+        select distinct a.gid, a.x, a.y
+        from mk a join mk b
+          on a.gid = b.gid and (a.x <> b.x or a.y <> b.y)
+        where not exists (
+          select 1 from mk c
+          where c.gid = a.gid
+            and (c.x <> a.x or c.y <> a.y)
+            and (c.x <> b.x or c.y <> b.y)
+            and cast(b.x - a.x as hugeint) * (c.y - a.y)
+                - cast(b.y - a.y as hugeint) * (c.x - a.x) <= 0)),
+      ctr as (select gid, count(*) as m, sum(x) as sx, sum(y) as sy
+              from v2 group by gid),
+      dirs as (select v2.gid, x, y,
+                      x * m - sx as dx, y * m - sy as dy
+               from v2 join ctr on ctr.gid = v2.gid),
+      keyed as (select gid, x, y,
+                       case when dy > 0 or (dy = 0 and dx > 0) then 0 else 1 end as half,
+                       case when dy = 0 then -1e308
+                            else -(cast(dx as double) / cast(dy as double)) end as k2
+                from dirs),
+      ring as (select gid, x, y,
+                      row_number() over (partition by gid order by half, k2, x, y) as seq
+               from keyed),
+      cyc as (select gid, x, y,
+                     coalesce(lead(x) over w, first_value(x) over w) as xn,
+                     coalesce(lead(y) over w, first_value(y) over w) as yn
+              from ring window w as (partition by gid order by seq))
+      select gid, cast(count(*) as bigint) as nv,
+             cast(cast(abs(sum(cast(x as hugeint) * yn - cast(xn as hugeint) * y))
+                       as decimal(38,0)) as double) as area2
+      from cyc group by gid
+    """
+
+
 CONTOUR_GRID_BITS = 7
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from geodesk_spark.geo import mercator, pip
 
@@ -388,6 +388,84 @@ def convex_hull_by_group(
     gt = {f.name: f.dataType.simpleString() for f in pts.schema.fields}[group_col]
     return pts.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
         hull, schema=f"{group_col} {gt}, seq int, {x_col} long, {y_col} long"
+    )
+
+
+def kgon_offsets(radius_imps: int, k: int = 8) -> list:
+    """Integer vertex offsets of the regular k-gon inscribed in the
+    radius — the disc approximation a Minkowski buffer sums with.
+    Computed ONCE driver-side in Python (floor-form rounding) and
+    embedded as literals in BOTH engines' plans, so no engine
+    transcendental ever runs: cross-engine equality holds by
+    construction."""
+    import math
+
+    return [
+        (
+            int(math.floor(radius_imps * math.cos(2 * math.pi * j / k) + 0.5)),
+            int(math.floor(radius_imps * math.sin(2 * math.pi * j / k) + 0.5)),
+        )
+        for j in range(k)
+    ]
+
+
+def buffer_convex_by_group(
+    verts: DataFrame,
+    radius_imps: int,
+    k: int = 8,
+    group_col: str = "gid",
+) -> DataFrame:
+    """BUFFER (positive offset) of a convex ring per group — the GIS
+    staple the reference leaves to callers: grow each footprint by a
+    radius, e.g. a safety corridor around a hull before a containment
+    test.  Exact construction: the Minkowski sum of a convex polygon
+    with a convex k-gon disc is conv{v_i + d_j}, so the buffered ring
+    is just (vertex × offset sums) → convex hull again — every step
+    integer-exact, reusing the hull kernel.
+
+    Input rows (group, x, y) must be vertices of a CONVEX ring (e.g.
+    convex_hull_by_group output; interior points are harmless — the
+    hull absorbs them).  Returns hull-ordered rows (group, seq, x, y),
+    CCW closed implicitly.
+
+    Scale shape: one broadcast cross join against the k-row literal
+    offset table (fact side scanned once, k× explode bounded by k≤32),
+    then the hull's single applyInPandas shuffle — group sizes are
+    hull_size×k, tiny by construction.
+    """
+    offs = kgon_offsets(radius_imps, k)
+    spark = verts.sparkSession
+    off_df = spark.createDataFrame(offs, "ox long, oy long")
+    summed = verts.crossJoin(F.broadcast(off_df)).select(
+        group_col,
+        (F.col("x") + F.col("ox")).alias("x"),
+        (F.col("y") + F.col("oy")).alias("y"),
+    )
+    return convex_hull_by_group(summed, group_col=group_col)
+
+
+def ring_area2_by_group(ring: DataFrame, group_col: str = "gid") -> DataFrame:
+    """Twice the absolute shoelace area of a seq-ordered ring per group,
+    exact: cross terms in decimal(38,0) (imp products square past
+    int64), one window pass for the cyclic successor.  Returns
+    (group, nv, area2) with area2 an exact integer rendered as double
+    (deterministic IEEE narrowing of the same exact value on every
+    engine)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("seq")
+    xn = F.coalesce(F.lead("x").over(w), F.first("x").over(w))
+    yn = F.coalesce(F.lead("y").over(w), F.first("y").over(w))
+    cross = F.col("x").cast("decimal(38,0)") * yn.cast("decimal(38,0)") - xn.cast(
+        "decimal(38,0)"
+    ) * F.col("y").cast("decimal(38,0)")
+    return (
+        ring.select(group_col, "seq", "x", "y", cross.alias("_c"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("nv"),
+            F.abs(F.sum("_c")).cast("decimal(38,0)").cast("double").alias("area2"),
+        )
     )
 
 

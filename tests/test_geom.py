@@ -151,3 +151,61 @@ def test_convex_hull_by_group(spark):
         for i in range(n):
             a, b = h[i], h[(i + 1) % n]
             assert (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+
+
+def test_buffer_convex_closed_forms(spark):
+    """Minkowski buffer vs closed forms: square ⊕ diamond (k=4) is the
+    octagon with area a² + 4ar + 2r²; point ⊕ k-gon is the k-gon; and
+    the k=8 buffer strictly contains the original square."""
+    from geodesk_spark.operators.geometry_ops import (
+        buffer_convex_by_group,
+        kgon_offsets,
+        ring_area2_by_group,
+    )
+
+    a, r = 1000, 100
+    sq = [(1, 0, 0), (1, a, 0), (1, a, a), (1, 0, a)]
+    pt = [(2, 50, -70)]
+    df = spark.createDataFrame(sq + pt, "gid int, x long, y long")
+
+    buf4 = buffer_convex_by_group(df, r, k=4, group_col="gid")
+    got = {r_["gid"]: (r_["nv"], r_["area2"])
+           for r_ in ring_area2_by_group(buf4, "gid").collect()}
+    # k=4 offsets are exactly (±r,0),(0,±r): octagon, 8 verts
+    assert got[1] == (8, float(2 * a * a + 8 * a * r + 4 * r * r))
+    # single point buffered by the diamond: the diamond itself, 2r² area
+    assert got[2] == (4, float(4 * r * r))
+
+    buf8 = buffer_convex_by_group(df.filter("gid = 1"), r, k=8, group_col="gid")
+    ring = sorted((r_["seq"], r_["x"], r_["y"]) for r_ in buf8.collect())
+    verts = [(x, y) for _, x, y in ring]
+    n = len(verts)
+    # contains every square corner strictly (each corner pushed out)
+    for p in [(0, 0), (a, 0), (a, a), (0, a)]:
+        for i in range(n):
+            aa, bb = verts[i], verts[(i + 1) % n]
+            assert (bb[0] - aa[0]) * (p[1] - aa[1]) - (bb[1] - aa[1]) * (p[0] - aa[0]) > 0
+    # area agrees with the direct python Minkowski-hull construction
+    import itertools
+
+    sums = sorted({(x + ox, y + oy) for (_, x, y), (ox, oy)
+                   in itertools.product(sq, kgon_offsets(r, 8))})
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    lo, hi = [], []
+    for q in sums:
+        while len(lo) >= 2 and cross(lo[-2], lo[-1], q) <= 0:
+            lo.pop()
+        lo.append(q)
+    for q in reversed(sums):
+        while len(hi) >= 2 and cross(hi[-2], hi[-1], q) <= 0:
+            hi.pop()
+        hi.append(q)
+    exp = lo[:-1] + hi[:-1]
+    m = len(exp)
+    exp_area2 = abs(sum(exp[i][0] * exp[(i + 1) % m][1]
+                        - exp[(i + 1) % m][0] * exp[i][1] for i in range(m)))
+    [ar] = ring_area2_by_group(buf8, "gid").collect()
+    assert (ar["nv"], ar["area2"]) == (m, float(exp_area2))
