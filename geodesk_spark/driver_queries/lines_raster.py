@@ -1227,6 +1227,85 @@ def _convex_hulls_sql() -> str:
     """
 
 
+NMS_ZOOM = 6
+NMS_K = 10
+NMS_NUM, NMS_DEN = 1, 2  # IoU threshold num/den — exact rational test
+
+
+def _q_nms_boxes(spark, sf_dir):
+    """Greedy per-image NMS (images.nms_boxes) over derived detection
+    boxes: score-ordered suppression with an EXACT integer IoU test
+    (den*inter >= num*union, python-int kernel / hugeint oracle) --
+    the pseudo-label curation step, bit-identical across engines."""
+    from geodesk_spark.operators import images
+
+    b = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    )
+    boxes = b.select(
+        T.tile_col(F.col("x"), F.col("y"), NMS_ZOOM).cast("bigint").alias("image_id"),
+        F.col("o_orderkey").alias("box_id"),
+        ((F.col("o_orderkey") * 7919) % 100000).alias("score"),
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+    )
+    return images.nms_boxes(boxes, NMS_NUM, NMS_DEN, NMS_K)
+
+
+def _nms_sql() -> str:
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    inter = (
+        "cast(greatest(least(c.maxx, p.maxx) - greatest(c.minx, p.minx), 0) as hugeint)"
+        " * cast(greatest(least(c.maxy, p.maxy) - greatest(c.miny, p.miny), 0) as hugeint)"
+    )
+    sup = f"""({NMS_DEN} * ({inter})
+       >= {NMS_NUM} * (cast(c.maxx - c.minx as hugeint) * cast(c.maxy - c.miny as hugeint)
+                     + cast(p.maxx - p.minx as hugeint) * cast(p.maxy - p.miny as hugeint)
+                     - ({inter})))"""
+    # unrolled greedy chain (the map_match Viterbi trick): level i adds
+    # the rank-i box iff no already-kept box suppresses it; every level
+    # is MATERIALIZED -- each is referenced twice and the binder would
+    # otherwise re-expand the chain exponentially (CLAUDE.md law)
+    levels = ["k1 as materialized (select * from cand where rk = 1)"]
+    for i in range(2, NMS_K + 1):
+        levels.append(
+            f"""k{i} as materialized (
+        select * from k{i - 1}
+        union all
+        select c.* from cand c
+        where c.rk = {i} and not exists (
+          select 1 from k{i - 1} p
+          where p.image_id = c.image_id and {sup}))"""
+        )
+    chain = ",\n      ".join(levels)
+    return f"""
+      with pts as ({{derived}}),
+      ext as (select o_orderkey, x, y, {dx} as dx, {dy} as dy from pts),
+      bx as (select {tile_expr('x', 'y', NMS_ZOOM)} as image_id,
+                    o_orderkey as box_id,
+                    (o_orderkey * 7919) % 100000 as score,
+                    {box['minx']} as minx, {box['miny']} as miny,
+                    {box['maxx']} as maxx, {box['maxy']} as maxy
+             from ext),
+      cand as materialized (
+        select * from (
+          select image_id, box_id, score, minx, miny, maxx, maxy,
+                 row_number() over (partition by image_id
+                                    order by score desc, box_id) as rk
+          from bx) t
+        where rk <= {NMS_K}),
+      {chain}
+      select c.image_id, c.box_id, c.score, c.minx, c.miny, c.maxx, c.maxy,
+             cast(c.rk as int) as rk,
+             exists (select 1 from k{NMS_K} p
+                     where p.image_id = c.image_id and p.box_id = c.box_id) as kept
+      from cand c
+    """
+
+
 BUFFER_RADIUS_IMPS = 1 << 24
 BUFFER_K = 8
 

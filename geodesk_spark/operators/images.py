@@ -651,3 +651,65 @@ def patchify(
         run,
         schema="image_id string, prow int, pcol int, n_rows int, n_cols int, bytes binary",
     )
+
+
+def nms_boxes(
+    boxes: DataFrame,
+    iou_num: int = 1,
+    iou_den: int = 2,
+    max_boxes: int = 10,
+    img_col: str = "image_id",
+    id_col: str = "box_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy non-maximum suppression per image — the detection-output
+    curation step a training pipeline runs over pseudo-labels before
+    they become supervision: boxes are visited in score order and kept
+    iff their IoU with every already-kept box stays below
+    ``iou_num/iou_den``.
+
+    The IoU threshold test is EXACT INTEGER arithmetic — suppress iff
+    den·inter ≥ num·union (Python ints in the kernel, hugeint in the
+    SQL oracle; box coordinate products square past int64) — so the
+    kept set is bit-identical across engines with no float anywhere.
+
+    Scale shape: ONE window (per-image top-``max_boxes`` by score,
+    tie-broken on the box id for determinism) caps the sequential
+    grain, then ONE applyInPandas over the image partitioning runs the
+    O(K²) greedy loop per image — K is a constant, images are the
+    parallel grain, nothing quadratic in the table.
+
+    Returns the capped candidates with (rk, kept): downstreams filter
+    ``kept`` for survivors or inspect suppressed rows for diagnostics.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(img_col).orderBy(F.desc(score_col), F.col(id_col))
+    cand = boxes.select(
+        img_col, id_col, score_col, "minx", "miny", "maxx", "maxy"
+    ).withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= max_boxes)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rk")
+        kept_boxes: list = []
+        flags = []
+        for t in pdf.itertuples():
+            x0, y0, x1, y1 = int(t.minx), int(t.miny), int(t.maxx), int(t.maxy)
+            area = (x1 - x0) * (y1 - y0)
+            sup = False
+            for kx0, ky0, kx1, ky1, karea in kept_boxes:
+                iw = min(x1, kx1) - max(x0, kx0)
+                ih = min(y1, ky1) - max(y0, ky0)
+                inter = (iw if iw > 0 else 0) * (ih if ih > 0 else 0)
+                union = area + karea - inter
+                if iou_den * inter >= iou_num * union:
+                    sup = True
+                    break
+            if not sup:
+                kept_boxes.append((x0, y0, x1, y1, area))
+            flags.append(not sup)
+        return pdf.assign(kept=flags)
+
+    gt = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    schema = ", ".join(f"{n} {t}" for n, t in gt.items()) + ", kept boolean"
+    return cand.groupBy(img_col).applyInPandas(run, schema=schema)

