@@ -603,3 +603,106 @@ def _q_images_patchify(spark, sf_dir):
     return images.patchify(imgs, patch=16).select(
         "image_id", "prow", "pcol", "n_rows", "n_cols"
     )
+
+
+ANCHOR_GRID = 4          # 4x4 anchors per image
+ANCHOR_CELL = 1024       # grid cell size on the 4096-px canvas
+ANCHOR_HALF = 192        # anchor half-extent (384x384 anchors)
+ANCHOR_POS = 500_000     # IoU >= 0.5 -> positive
+ANCHOR_NEG = 400_000     # IoU <  0.4 -> negative
+
+
+def _q_anchor_match(spark, sf_dir):
+    """Anchor→gt label assignment (images.anchor_match): argmax-IoU
+    matching with forced best-anchor positives over pixel-scale derived
+    boxes — exact integer micro-IoU (div of bigints), bit-identical
+    labels across engines."""
+    from geodesk_spark.operators import images
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    gts = (
+        o.select(
+            (k % 997).alias("image_id"),
+            k.alias("gt_id"),
+            ((k * 48271) % 3800).alias("minx"),
+            ((k * 69621) % 3800).alias("miny"),
+        )
+        .withColumn("maxx", F.col("minx") + 16 + (F.col("gt_id") * 101) % 240)
+        .withColumn("maxy", F.col("miny") + 16 + (F.col("gt_id") * 103) % 240)
+    )
+    cells = F.sequence(F.lit(0), F.lit(ANCHOR_GRID * ANCHOR_GRID - 1))
+    anchors = (
+        gts.select("image_id")
+        .distinct()
+        .select("image_id", F.explode(cells).alias("_a"))
+        .select("image_id", F.col("_a").cast("long").alias("anchor_id"))
+        .withColumn("_gi", F.expr(f"div(anchor_id, {ANCHOR_GRID})"))
+        .withColumn("_gj", F.expr(f"anchor_id % {ANCHOR_GRID}"))
+        .withColumn(
+            "minx", ANCHOR_CELL // 2 + F.col("_gi") * ANCHOR_CELL - ANCHOR_HALF
+        )
+        .withColumn(
+            "miny", ANCHOR_CELL // 2 + F.col("_gj") * ANCHOR_CELL - ANCHOR_HALF
+        )
+        .withColumn("maxx", F.col("minx") + 2 * ANCHOR_HALF)
+        .withColumn("maxy", F.col("miny") + 2 * ANCHOR_HALF)
+    )
+    return images.anchor_match(anchors, gts, ANCHOR_POS, ANCHOR_NEG)
+
+
+def _anchor_match_sql() -> str:
+    g2 = ANCHOR_GRID * ANCHOR_GRID - 1
+    c0 = ANCHOR_CELL // 2
+    inter = (
+        "greatest(least(a.maxx, g.maxx) - greatest(a.minx, g.minx), 0)"
+        " * greatest(least(a.maxy, g.maxy) - greatest(a.miny, g.miny), 0)"
+    )
+    return f"""
+      with gts as (
+        select o_orderkey % 997 as image_id, o_orderkey as gt_id,
+               (o_orderkey * 48271) % 3800 as minx,
+               (o_orderkey * 69621) % 3800 as miny,
+               (o_orderkey * 48271) % 3800 + 16 + (o_orderkey * 101) % 240 as maxx,
+               (o_orderkey * 69621) % 3800 + 16 + (o_orderkey * 103) % 240 as maxy
+        from orders),
+      anchors as (
+        select i.image_id, u.a as anchor_id,
+               {c0} + (u.a // {ANCHOR_GRID}) * {ANCHOR_CELL} - {ANCHOR_HALF} as minx,
+               {c0} + (u.a % {ANCHOR_GRID}) * {ANCHOR_CELL} - {ANCHOR_HALF} as miny,
+               {c0} + (u.a // {ANCHOR_GRID}) * {ANCHOR_CELL} + {ANCHOR_HALF} as maxx,
+               {c0} + (u.a % {ANCHOR_GRID}) * {ANCHOR_CELL} + {ANCHOR_HALF} as maxy
+        from (select distinct image_id from gts) i,
+             unnest(generate_series(0, {g2})) as u(a)),
+      pairs as (
+        select a.image_id, a.anchor_id, g.gt_id,
+               {inter} as inter,
+               (a.maxx - a.minx) * (a.maxy - a.miny)
+             + (g.maxx - g.minx) * (g.maxy - g.miny) as sum_area
+        from anchors a left join gts g using (image_id)),
+      iou as (
+        select image_id, anchor_id, gt_id,
+               case when gt_id is null or sum_area - inter <= 0 then 0
+                    else (inter * 1000000) // (sum_area - inter) end as iou_micro
+        from pairs),
+      r as (
+        select *,
+               row_number() over (partition by image_id, anchor_id
+                                  order by iou_micro desc, gt_id) as rn,
+               max(iou_micro) over (partition by image_id, gt_id) as gt_max
+        from iou),
+      f as (
+        select *,
+               max(case when gt_id is not null and iou_micro = gt_max
+                             and iou_micro > 0 then 1 else 0 end)
+                 over (partition by image_id, anchor_id) as forced
+        from r)
+      select image_id, anchor_id,
+             case when iou_micro > 0 then gt_id end as gt_id,
+             iou_micro,
+             cast(case when forced = 1 or iou_micro >= {ANCHOR_POS} then 1
+                       when iou_micro < {ANCHOR_NEG} then 0
+                       else -1 end as int) as label
+      from f
+      where rn = 1
+    """

@@ -713,3 +713,108 @@ def nms_boxes(
     gt = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
     schema = ", ".join(f"{n} {t}" for n, t in gt.items()) + ", kept boolean"
     return cand.groupBy(img_col).applyInPandas(run, schema=schema)
+
+
+def anchor_match(
+    anchors: DataFrame,
+    gts: DataFrame,
+    pos_iou_micro: int = 500_000,
+    neg_iou_micro: int = 400_000,
+    img_col: str = "image_id",
+) -> DataFrame:
+    """Anchor→ground-truth label assignment — the matching step that
+    turns curated detection boxes (e.g. ``nms_boxes`` survivors) into
+    per-anchor training targets.  Standard two-rule assigner:
+
+    1. each anchor is matched to its argmax-IoU ground truth
+       (tie → smallest gt_id);
+    2. label = 1 (positive) if that IoU ≥ ``pos_iou_micro``·1e-6,
+       0 (negative) if < ``neg_iou_micro``·1e-6, else -1 (ignore);
+    3. force-matching: every anchor achieving a ground truth's MAX IoU
+       (> 0) is upgraded to positive, so no ground truth goes unmatched
+       even when all its IoUs fall below the positive threshold.  The
+       upgrade touches only the label — the assigned gt stays the
+       anchor's own argmax (ties included, torchvision
+       ``allow_low_quality_matches`` semantics).
+
+    IoU is computed in exact integer MICRO-units: iou_micro =
+    div(inter·10^6, union) over bigint box areas — integral division is
+    identical across engines, so ranks, forced flags, and labels are
+    bit-stable with no float anywhere.  Coordinates must be image-pixel
+    scale (|axis| ≤ 2^21) so inter·10^6 fits int64; imp-scale boxes
+    belong to the spatial operators, not this one.
+
+    Scale shape: ONE equi-join on the image id (anchors × gts is
+    K·M per image, both small constants), then two window passes over
+    the pair frame — per-(image, anchor) argmax and per-(image, gt)
+    max.  Anchors on images with no ground truth survive via the left
+    join and label 0.  100% JVM whole-stage codegen.
+    """
+    from pyspark.sql import Window, functions as F
+
+    a = anchors.select(
+        img_col,
+        "anchor_id",
+        F.col("minx").alias("aminx"),
+        F.col("miny").alias("aminy"),
+        F.col("maxx").alias("amaxx"),
+        F.col("maxy").alias("amaxy"),
+    )
+    g = gts.select(
+        img_col,
+        "gt_id",
+        F.col("minx").alias("gminx"),
+        F.col("miny").alias("gminy"),
+        F.col("maxx").alias("gmaxx"),
+        F.col("maxy").alias("gmaxy"),
+    )
+    iw = F.greatest(
+        F.least("amaxx", "gmaxx") - F.greatest("aminx", "gminx"), F.lit(0)
+    ).cast("long")
+    ih = F.greatest(
+        F.least("amaxy", "gmaxy") - F.greatest("aminy", "gminy"), F.lit(0)
+    ).cast("long")
+    inter = iw * ih
+    area_a = ((F.col("amaxx") - F.col("aminx")) * (F.col("amaxy") - F.col("aminy"))).cast("long")
+    area_g = ((F.col("gmaxx") - F.col("gminx")) * (F.col("gmaxy") - F.col("gminy"))).cast("long")
+    union = area_a + area_g - inter
+    p = a.join(g, img_col, "left").withColumn("_inter", inter).withColumn("_union", union)
+    p = p.withColumn(
+        "iou_micro",
+        F.when(
+            F.col("gt_id").isNull() | (F.col("_union") <= 0), F.lit(0).cast("long")
+        ).otherwise(F.expr("div(_inter * 1000000, _union)")),
+    )
+    w_anchor = Window.partitionBy(img_col, "anchor_id").orderBy(
+        F.desc("iou_micro"), F.asc_nulls_last("gt_id")
+    )
+    w_gt = Window.partitionBy(img_col, "gt_id")
+    p = (
+        p.withColumn("rn", F.row_number().over(w_anchor))
+        .withColumn("gt_max", F.max("iou_micro").over(w_gt))
+        .withColumn(
+            "forced_pair",
+            F.col("gt_id").isNotNull()
+            & (F.col("iou_micro") == F.col("gt_max"))
+            & (F.col("iou_micro") > 0),
+        )
+        .withColumn(
+            "forced",
+            F.max(F.col("forced_pair").cast("int"))
+            .over(Window.partitionBy(img_col, "anchor_id"))
+            == 1,
+        )
+    )
+    best = p.filter(F.col("rn") == 1)
+    label = (
+        F.when(F.col("forced") | (F.col("iou_micro") >= pos_iou_micro), F.lit(1))
+        .when(F.col("iou_micro") < neg_iou_micro, F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+    return best.select(
+        img_col,
+        "anchor_id",
+        F.when(F.col("iou_micro") > 0, F.col("gt_id")).alias("gt_id"),
+        "iou_micro",
+        label.cast("int").alias("label"),
+    )

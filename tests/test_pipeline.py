@@ -954,3 +954,47 @@ def test_nms_boxes_suppressed_cannot_suppress(spark):
         exp[bid] = not sup
     assert out == exp
     assert exp[2] is False and exp[3] is True  # the chain property bites
+
+
+def test_anchor_match_assignment_rules(spark):
+    """Argmax matching, thresholds, forced low-quality matches, and the
+    empty-image left join — each rule on a hand-built scene."""
+    from geodesk_spark.operators import images
+
+    anchors = spark.createDataFrame(
+        [
+            # image 1: a1 overlaps gt 100 well, a2 weakly, a3 not at all
+            (1, 1, 0, 0, 100, 100),
+            (1, 2, 80, 0, 180, 100),
+            (1, 3, 500, 500, 600, 600),
+            # image 2 has no gts at all
+            (2, 1, 0, 0, 100, 100),
+            # image 3: single gt whose best anchor IoU is far below the
+            # positive threshold -> forced positive anyway
+            (3, 1, 0, 0, 1000, 1000),
+        ],
+        "image_id long, anchor_id long, minx long, miny long, maxx long, maxy long",
+    )
+    gts = spark.createDataFrame(
+        [
+            (1, 100, 10, 0, 110, 100),
+            (3, 300, 0, 0, 100, 100),  # IoU vs the big anchor = 1e4/1e6 = 0.01
+        ],
+        "image_id long, gt_id long, minx long, miny long, maxx long, maxy long",
+    )
+    out = {
+        (r["image_id"], r["anchor_id"]): (r["gt_id"], r["iou_micro"], r["label"])
+        for r in images.anchor_match(anchors, gts).collect()
+    }
+    # a1 vs gt100: inter 90*100=9000, union 10000+10000-9000=11000
+    assert out[(1, 1)] == (100, 9000 * 1_000_000 // 11000, 1)
+    # a2 vs gt100: inter 30*100=3000, union 17000 -> 0.176 -> negative,
+    # and NOT forced (a1 holds the gt's max)
+    assert out[(1, 2)] == (100, 3000 * 1_000_000 // 17000, 0)
+    # a3: zero overlap -> null gt, label 0
+    assert out[(1, 3)] == (None, 0, 0)
+    # image with no gts: left join keeps the anchor, label 0
+    assert out[(2, 1)] == (None, 0, 0)
+    # forced: IoU 0.01 < neg threshold but it's the gt's best anchor
+    assert out[(3, 1)] == (300, 10_000, 1)
+    assert len(out) == 5
