@@ -308,3 +308,95 @@ _SQL_EVENTS_HOURLY = """
 """
 
 
+
+
+KMV_K = 64
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV/theta distinct-count registers + estimate per event_type
+    (sketches.kmv_registers/kmv_estimate): the order-statistic sketch —
+    all-integer estimator div((k-1)·2^52, kth_min), bit-stable across
+    engines; < k slots means the count is exact."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    regs = sketches.kmv_registers(e, ["event_type"], "cast(user_id as string)", KMV_K)
+    return sketches.kmv_estimate(regs, ["event_type"], KMV_K)
+
+
+def _kmv_distinct_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    h = sketches.h52_sql("cast(user_id as varchar)")
+    full = sketches.KMV_FULL
+    return f"""
+      with d as (select distinct event_type, {h} as h from events),
+      r as (select event_type, h,
+                   row_number() over (partition by event_type order by h) as slot
+            from d),
+      regs as (select * from r where slot <= {KMV_K})
+      select event_type, count(*) as n_slots, max(h) as kth_h,
+             case when count(*) < {KMV_K} then count(*)
+                  else ({KMV_K - 1} * cast({full} as bigint)) // greatest(max(h), 1)
+             end as est_distinct
+      from regs group by event_type
+    """
+
+
+def _q_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch set composition (sketches.kmv_set_ops): union,
+    intersection, and Jaccard estimates of two user populations from
+    their constant-size register states alone — the composition HLL
+    cannot express.  One row out, every figure integer."""
+    from geodesk_spark.operators import sketches
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    ra = sketches.kmv_registers(
+        e.filter(F.col("event_type") == "click"), [], "cast(user_id as string)", KMV_K
+    )
+    rb = sketches.kmv_registers(
+        e.filter(F.col("event_type") == "view"), [], "cast(user_id as string)", KMV_K
+    )
+    return sketches.kmv_set_ops(ra, rb, KMV_K)
+
+
+def _kmv_set_ops_sql() -> str:
+    from geodesk_spark.operators import sketches
+
+    h = sketches.h52_sql("cast(user_id as varchar)")
+    full = sketches.KMV_FULL
+    k = KMV_K
+    est = lambda n, kth: (
+        f"case when {n} < {k} then {n} "
+        f"else ({k - 1} * cast({full} as bigint)) // greatest({kth}, 1) end"
+    )
+    reg = lambda typ: f"""(
+        select h from (
+          select h, row_number() over (order by h) as slot
+          from (select distinct {h} as h from events where event_type = '{typ}') t)
+        where slot <= {k})"""
+    return f"""
+      with ra as materialized {reg('click')},
+      rb as materialized {reg('view')},
+      ab as (
+        select coalesce(ra.h, rb.h) as h,
+               case when ra.h is not null then 1 else 0 end as in_a,
+               case when rb.h is not null then 1 else 0 end as in_b
+        from ra full outer join rb on ra.h = rb.h),
+      u as (select * from (
+              select h, in_a, in_b, row_number() over (order by h) as slot from ab)
+            where slot <= {k}),
+      ua as (select count(*) as n_union_slots, max(h) as u_kth,
+                    cast(sum(in_a * in_b) as bigint) as common_below_theta from u),
+      ea as (select count(*) as n_a, max(h) as a_kth from ra),
+      eb as (select count(*) as n_b, max(h) as b_kth from rb)
+      select n_a, n_b, n_union_slots, common_below_theta,
+             {est('n_a', 'a_kth')} as est_a,
+             {est('n_b', 'b_kth')} as est_b,
+             {est('n_union_slots', 'u_kth')} as est_union,
+             (common_below_theta * 1000000) // greatest(n_union_slots, 1) as jaccard_micro,
+             (common_below_theta * ({est('n_union_slots', 'u_kth')}))
+               // greatest(n_union_slots, 1) as est_intersect
+      from ua, ea, eb
+    """

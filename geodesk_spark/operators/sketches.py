@@ -278,3 +278,135 @@ def hll_merge(regs: DataFrame, keys: list[str]) -> DataFrame:
     (…, bucket, rho); ``keys`` are columns/Columns of the coarser
     grouping already present on the frame."""
     return regs.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+# --- KMV (k-minimum-values / theta) sketch -----------------------------------
+# HLL merges unions only; the KMV/theta family also supports INTERSECTION
+# and Jaccard estimates over the same register state (Beyer et al. 2007,
+# the Theta-sketch framework).  Registers are the k smallest distinct
+# 52-bit hashes of the value — an order statistic, so they are mergeable
+# (k smallest of a union = k smallest of the concatenated registers) and
+# deterministic given the hash.  Every quantity here is INTEGER: the
+# estimator is div((k-1)·2^52, kth_min) — no float anywhere, so the full
+# register state AND the estimates hash identically across engines.
+# 52 bits (13 md5 hex chars) keep (k-1)·2^52 inside int64 for k ≤ 1023.
+
+KMV_BITS = 52
+KMV_FULL = 1 << KMV_BITS
+
+
+def h52_sql(col: str) -> str:
+    """Portable 52-bit md5 prefix (13 hex chars) — verbatim in DuckDB."""
+    terms = [
+        f"(position(substr(md5({col}), {i + 1}, 1) in '{HEX}') - 1)"
+        f" * cast({16 ** (12 - i)} as bigint)"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmv_registers(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV register state: (keys…, slot, h) = the k smallest
+    distinct h52 hashes, slot = 1-based rank.  Two exchanges: a partial-
+    aggregated distinct on (keys, h), then the per-key rank window —
+    the window input is already ≤ the distinct count, and the state out
+    is ≤ k rows per key.  Merge state from different scans/days by
+    re-ranking the concatenated registers (``kmv_merge``)."""
+    from pyspark.sql import Window
+
+    d = df.select(*keys, F.expr(h52_sql(value_col)).alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return d.withColumn("slot", F.row_number().over(w)).filter(F.col("slot") <= k)
+
+
+def kmv_merge(regs: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Merge register states onto coarser keys: k smallest distinct
+    hashes of the union — exactly ``kmv_registers`` of the concatenated
+    state (order statistics are mergeable; dedup first since the same
+    value may appear in many child states)."""
+    from pyspark.sql import Window
+
+    d = regs.select(*keys, "h").distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return d.withColumn("slot", F.row_number().over(w)).filter(F.col("slot") <= k)
+
+
+def kmv_estimate(regs: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from register state, all-integer:
+    fewer than k slots → the count is EXACT (we saw every hash);
+    otherwise est = div((k−1)·2^52, kth_min) (the classic unbiased KMV
+    estimator, relative error ≈ 1/√(k−2)).  Emits (keys…, n_slots,
+    kth_h, est_distinct) — bigint everywhere, bit-stable."""
+    agg = regs.groupBy(*keys).agg(
+        F.count("*").alias("n_slots"), F.max("h").alias("kth_h")
+    )
+    est = F.when(
+        F.col("n_slots") < k, F.col("n_slots").cast("long")
+    ).otherwise(F.expr(f"div({k - 1} * cast({KMV_FULL} as bigint), greatest(kth_h, 1))"))
+    return agg.select(*keys, "n_slots", "kth_h", est.alias("est_distinct"))
+
+
+def kmv_set_ops(
+    regs_a: DataFrame, regs_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two register
+    states (the theta-sketch composition HLL cannot do):
+
+        K(A∪B) = k smallest of R_A ∪ R_B       (union registers)
+        est_union = KMV estimate of K(A∪B)
+        c = |{h ∈ K(A∪B) : h ∈ R_A ∧ h ∈ R_B}|  (matches below theta)
+        jaccard ≈ c/k'          (k' = |K(A∪B)|, < k when the union is small)
+        est_intersect = div(c · est_union, k')
+
+    One row out: (n_a, n_b, n_union_slots, common_below_theta,
+    est_a, est_b, est_union, est_intersect, jaccard_micro) — all bigint
+    (jaccard in micro-units).  Register frames are ≤ k rows each, so
+    every join here is a broadcast of constant-size state."""
+    from pyspark.sql import Window
+
+    a = regs_a.select("h").withColumn("in_a", F.lit(1))
+    b = regs_b.select("h").withColumn("in_b", F.lit(1))
+    both = a.join(b, "h", "full").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    u = both.withColumn("slot", F.row_number().over(w)).filter(F.col("slot") <= k)
+
+    def est_expr(n, kth):
+        return (
+            F.when(F.col(n) < k, F.col(n).cast("long")).otherwise(
+                F.expr(f"div({k - 1} * cast({KMV_FULL} as bigint), greatest({kth}, 1))")
+            )
+        )
+
+    ua = u.agg(
+        F.count("*").alias("n_union_slots"),
+        F.max("h").alias("u_kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("common_below_theta"),
+    )
+    ea = regs_a.agg(F.count("*").alias("n_a"), F.max("h").alias("a_kth"))
+    eb = regs_b.agg(F.count("*").alias("n_b"), F.max("h").alias("b_kth"))
+    row = ua.crossJoin(ea).crossJoin(eb)
+    est_union = est_expr("n_union_slots", "u_kth")
+    return row.select(
+        "n_a",
+        "n_b",
+        "n_union_slots",
+        "common_below_theta",
+        est_expr("n_a", "a_kth").alias("est_a"),
+        est_expr("n_b", "b_kth").alias("est_b"),
+        est_union.alias("est_union"),
+        F.expr("div(common_below_theta * 1000000, greatest(n_union_slots, 1))").alias(
+            "jaccard_micro"
+        ),
+        F.expr(
+            f"div(common_below_theta * "
+            f"(case when n_union_slots < {k} then n_union_slots "
+            f" else div({k - 1} * cast({KMV_FULL} as bigint), greatest(u_kth, 1)) end), "
+            f"greatest(n_union_slots, 1))"
+        ).alias("est_intersect"),
+    )

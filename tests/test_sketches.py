@@ -193,3 +193,79 @@ def test_hll_merge_equals_direct(spark):
         for r in sketches.hll_registers(df, ["coarse"], "v", p=5).collect()
     }
     assert merged == direct
+
+
+# --- KMV / theta sketch -------------------------------------------------------
+
+
+def _py_kmv(values, k=64):
+    hs = sorted({int(hashlib.md5(v.encode()).hexdigest()[:13], 16) for v in values})
+    return hs[:k]
+
+
+def test_kmv_registers_match_python_reference(spark, ids_df):
+    regs = sketches.kmv_registers(ids_df, ["grp"], "v", k=64).collect()
+    got = [r["h"] for r in sorted(regs, key=lambda r: r["slot"])]
+    assert got == _py_kmv([f"id_{i}" for i in range(5000)])
+
+
+def test_kmv_registers_invariant_to_partitioning(spark, ids_df):
+    a = sketches.kmv_registers(ids_df.repartition(1), ["grp"], "v").collect()
+    b = sketches.kmv_registers(ids_df.repartition(17), ["grp"], "v").collect()
+    assert sorted((r["slot"], r["h"]) for r in a) == sorted(
+        (r["slot"], r["h"]) for r in b
+    )
+
+
+def test_kmv_estimate_error_bound_and_exact_small(spark, ids_df):
+    k = 64
+    regs = sketches.kmv_registers(ids_df, ["grp"], "v", k)
+    est = sketches.kmv_estimate(regs, ["grp"], k).collect()[0]
+    # full registers: classic estimator, rel error ~ 1/sqrt(k-2) -> 5 sigma
+    assert est["n_slots"] == k
+    assert abs(est["est_distinct"] - 5000) / 5000 < 5 / (k - 2) ** 0.5
+    # below k distinct: exact
+    small = spark.createDataFrame(
+        [(f"s_{i}", "g") for i in range(40)], "v string, grp string"
+    )
+    regs_s = sketches.kmv_registers(small, ["grp"], "v", k)
+    est_s = sketches.kmv_estimate(regs_s, ["grp"], k).collect()[0]
+    assert est_s["n_slots"] == 40 and est_s["est_distinct"] == 40
+
+
+def test_kmv_merge_equals_direct(spark, ids_df):
+    """k smallest of a union == re-rank of concatenated registers."""
+    half1 = ids_df.filter(F.col("v") < "id_3")      # lexicographic split
+    half2 = ids_df.filter(~(F.col("v") < "id_3"))
+    r1 = sketches.kmv_registers(half1, ["grp"], "v")
+    r2 = sketches.kmv_registers(half2, ["grp"], "v")
+    merged = sketches.kmv_merge(r1.unionByName(r2), ["grp"]).collect()
+    direct = sketches.kmv_registers(ids_df, ["grp"], "v").collect()
+    assert sorted((r["slot"], r["h"]) for r in merged) == sorted(
+        (r["slot"], r["h"]) for r in direct
+    )
+
+
+def test_kmv_set_ops_exact_on_small_sets(spark):
+    """Union below k slots -> union, intersection, and Jaccard all EXACT."""
+    a = spark.createDataFrame([(f"u_{i}",) for i in range(30)], "v string")
+    b = spark.createDataFrame([(f"u_{i}",) for i in range(20, 50)], "v string")
+    ra = sketches.kmv_registers(a, [], "v", k=64)
+    rb = sketches.kmv_registers(b, [], "v", k=64)
+    row = sketches.kmv_set_ops(ra, rb, k=64).collect()[0]
+    assert row["est_a"] == 30 and row["est_b"] == 30
+    assert row["est_union"] == 50
+    assert row["est_intersect"] == 10
+    assert row["jaccard_micro"] == 10 * 1_000_000 // 50
+
+
+def test_kmv_set_ops_estimate_large(spark):
+    """Full registers: intersection estimate lands within 5 sigma."""
+    a = spark.createDataFrame([(f"x_{i}",) for i in range(4000)], "v string")
+    b = spark.createDataFrame([(f"x_{i}",) for i in range(2000, 6000)], "v string")
+    ra = sketches.kmv_registers(a, [], "v", k=256)
+    rb = sketches.kmv_registers(b, [], "v", k=256)
+    row = sketches.kmv_set_ops(ra, rb, k=256).collect()[0]
+    assert abs(row["est_union"] - 6000) / 6000 < 5 / (256 - 2) ** 0.5
+    # intersection: 2000 true; KMV intersection has higher variance
+    assert 1000 < row["est_intersect"] < 3200
