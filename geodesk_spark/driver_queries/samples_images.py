@@ -706,3 +706,86 @@ def _anchor_match_sql() -> str:
       from f
       where rn = 1
     """
+
+
+MOSAIC_EPOCH = 1
+MOSAIC_BUCKETS = 64
+MOSAIC_CANVAS = 1024
+
+
+def _mosaic_parts(spark, sf_dir):
+    """Shared derivation: per-image dims + in-bounds boxes (box extents
+    stay inside (w, h) by construction so the remap is total)."""
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    img = k % 997
+    w = F.lit(640) + (img * 31) % 640
+    h = F.lit(480) + (img * 37) % 480
+    boxes = (
+        o.select(
+            img.alias("image_id"),
+            k.alias("box_id"),
+            ((k * 48271) % (w - 64)).alias("minx"),
+            ((k * 69621) % (h - 64)).alias("miny"),
+            (16 + (k * 101) % 48).alias("_bw"),
+            (16 + (k * 103) % 48).alias("_bh"),
+        )
+        .withColumn("maxx", F.col("minx") + F.col("_bw"))
+        .withColumn("maxy", F.col("miny") + F.col("_bh"))
+        .drop("_bw", "_bh")
+    )
+    dims = (
+        boxes.select("image_id")
+        .distinct()
+        .withColumn("w", F.lit(640) + (F.col("image_id") * 31) % 640)
+        .withColumn("h", F.lit(480) + (F.col("image_id") * 37) % 480)
+    )
+    return boxes, dims
+
+
+def _q_mosaic_boxes(spark, sf_dir):
+    """4-image mosaic augmentation, box side (images.mosaic_assign +
+    mosaic_box_remap): deterministic per-epoch grouping (bucketed rank
+    windows — no global sort) and exact-integer box rescaling onto the
+    2x2 canvas, bit-identical across engines."""
+    from geodesk_spark.operators import images
+
+    boxes, dims = _mosaic_parts(spark, sf_dir)
+    assign = images.mosaic_assign(dims, MOSAIC_EPOCH, MOSAIC_BUCKETS)
+    return images.mosaic_box_remap(assign, boxes, dims, MOSAIC_CANVAS)
+
+
+def _mosaic_boxes_sql() -> str:
+    from geodesk_spark.operators import images
+
+    half = MOSAIC_CANVAS // 2
+    assign = images.mosaic_assign_sql(
+        "select image_id from dims", MOSAIC_EPOCH, MOSAIC_BUCKETS
+    )
+    return f"""
+      with boxes as (
+        select o_orderkey % 997 as image_id, o_orderkey as box_id,
+               (o_orderkey * 48271) % (640 + ((o_orderkey % 997) * 31) % 640 - 64) as minx,
+               (o_orderkey * 69621) % (480 + ((o_orderkey % 997) * 37) % 480 - 64) as miny,
+               16 + (o_orderkey * 101) % 48 as bw,
+               16 + (o_orderkey * 103) % 48 as bh
+        from orders),
+      dims as (
+        select image_id,
+               640 + (image_id * 31) % 640 as w,
+               480 + (image_id * 37) % 480 as h
+        from (select distinct image_id from boxes) i),
+      assign as ({assign}),
+      j as (
+        select a.sample_id, a.quadrant, b.image_id, b.box_id,
+               (a.quadrant % 2) * {half} + (b.minx * {half}) // d.w as minx,
+               (a.quadrant // 2) * {half} + (b.miny * {half}) // d.h as miny,
+               (a.quadrant % 2) * {half} + ((b.minx + b.bw) * {half}) // d.w as maxx,
+               (a.quadrant // 2) * {half} + ((b.miny + b.bh) * {half}) // d.h as maxy
+        from boxes b
+        join assign a using (image_id)
+        join dims d using (image_id))
+      select sample_id, quadrant, image_id, box_id, minx, miny, maxx, maxy
+      from j
+      where maxx > minx and maxy > miny
+    """

@@ -818,3 +818,107 @@ def anchor_match(
         "iou_micro",
         label.cast("int").alias("label"),
     )
+
+
+def mosaic_assign(
+    imgs: DataFrame,
+    epoch: int,
+    n_buckets: int = 1024,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Deterministic 4-image mosaic grouping for detection-training
+    augmentation: every epoch reshuffles which four images share a
+    mosaic sample, with no RNG state — the grouping is a pure function
+    of (epoch, image_id).
+
+    Scale shape: images hash into ``n_buckets`` independent buckets
+    (md5 of "epoch:id"), each bucket ranks its members locally, and
+    consecutive rank-quads become samples — the rank window partitions
+    on the bucket, so there is NO global sort; size n_buckets ≈ n/4096
+    and each window partition stays ~constant.  Bucket tails that can't
+    fill a quad (< 4 images) are dropped — at most 3 images per bucket
+    per epoch, different ones each epoch.
+
+    Output: (image_id, sample_id, quadrant 0-3).  sample_id =
+    bucket·2^40 + quad-index — unique and stable for the epoch.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from geodesk_spark.operators.sketches import h52_sql
+
+    h = h52_sql(f"concat('{epoch}', ':', cast({id_col} as string))")
+    d = imgs.select(id_col).withColumn("_h", F.expr(h)).withColumn(
+        "_bucket", F.col("_h") % n_buckets
+    )
+    w = Window.partitionBy("_bucket").orderBy("_h", id_col)
+    d = d.withColumn("_idx", F.row_number().over(w) - 1)
+    d = d.withColumn("_quad", F.expr("div(_idx, 4)")).withColumn(
+        "quadrant", (F.col("_idx") % 4).cast("int")
+    )
+    full = Window.partitionBy("_bucket", "_quad")
+    d = d.withColumn("_n", F.count("*").over(full)).filter(F.col("_n") == 4)
+    sample = F.col("_bucket") * F.lit(1 << 40).cast("long") + F.col("_quad")
+    return d.select(id_col, sample.alias("sample_id"), "quadrant")
+
+
+def mosaic_assign_sql(
+    imgs_sql: str, epoch: int, n_buckets: int = 1024, id_col: str = "image_id"
+) -> str:
+    """DuckDB twin of ``mosaic_assign`` over subquery ``imgs_sql``
+    (columns: at least ``id_col``) — identical hash, windows, drops."""
+    from geodesk_spark.operators.sketches import h52_sql
+
+    h = h52_sql(f"concat('{epoch}', ':', cast({id_col} as varchar))")
+    return f"""
+      select {id_col},
+             _bucket * cast({1 << 40} as bigint) + (_idx // 4) as sample_id,
+             cast(_idx % 4 as int) as quadrant
+      from (
+        select {id_col}, _bucket, _idx,
+               count(*) over (partition by _bucket, _idx // 4) as _n
+        from (
+          select {id_col}, _h, _h % {n_buckets} as _bucket,
+                 row_number() over (partition by _h % {n_buckets}
+                                    order by _h, {id_col}) - 1 as _idx
+          from (select {id_col}, {h} as _h from ({imgs_sql}) s) t) r) q
+      where _n = 4
+    """
+
+
+def mosaic_box_remap(
+    assign: DataFrame,
+    boxes: DataFrame,
+    dims: DataFrame,
+    canvas: int = 1024,
+    img_col: str = "image_id",
+) -> DataFrame:
+    """Remap per-image boxes onto the 2×2 mosaic canvas: each quadrant
+    image scales to canvas/2 and lands at its quadrant corner; box
+    corners transform by EXACT integer floor division
+    (off + div(coord·half, dim)), so remapped boxes are bit-identical
+    across engines.  Boxes that collapse to zero width/height under the
+    scale are dropped (their supervision signal is gone).
+
+    ``dims`` carries (image_id, w, h); joins are equi-joins on the
+    image id — at scale both sides partition by it, one shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    half = canvas // 2
+    j = boxes.join(assign, img_col).join(dims, img_col)
+    qx = (F.col("quadrant") % 2).cast("long") * half
+    qy = F.expr("div(quadrant, 2)").cast("long") * half
+    nminx = qx + F.expr(f"div(minx * {half}, w)")
+    nmaxx = qx + F.expr(f"div(maxx * {half}, w)")
+    nminy = qy + F.expr(f"div(miny * {half}, h)")
+    nmaxy = qy + F.expr(f"div(maxy * {half}, h)")
+    return j.select(
+        "sample_id",
+        "quadrant",
+        img_col,
+        "box_id",
+        nminx.alias("minx"),
+        nminy.alias("miny"),
+        nmaxx.alias("maxx"),
+        nmaxy.alias("maxy"),
+    ).filter((F.col("maxx") > F.col("minx")) & (F.col("maxy") > F.col("miny")))

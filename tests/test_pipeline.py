@@ -998,3 +998,56 @@ def test_anchor_match_assignment_rules(spark):
     # forced: IoU 0.01 < neg threshold but it's the gt's best anchor
     assert out[(3, 1)] == (300, 10_000, 1)
     assert len(out) == 5
+
+
+def test_mosaic_assign_properties(spark):
+    """Quads of exactly 4, unique quadrants, epoch reshuffles, and
+    partitioning invariance."""
+    from geodesk_spark.operators import images
+
+    imgs = spark.createDataFrame([(i,) for i in range(403)], "image_id long")
+    a1 = images.mosaic_assign(imgs, epoch=1, n_buckets=8).collect()
+    by_sample = {}
+    for r in a1:
+        by_sample.setdefault(r["sample_id"], []).append(r["quadrant"])
+    assert by_sample and all(sorted(q) == [0, 1, 2, 3] for q in by_sample.values())
+    # every surviving image appears exactly once
+    ids = [r["image_id"] for r in a1]
+    assert len(ids) == len(set(ids)) and len(ids) == 4 * len(by_sample)
+    # <= 3 dropped per bucket
+    assert 403 - len(ids) <= 3 * 8
+    # epoch changes the grouping
+    a2 = images.mosaic_assign(imgs, epoch=2, n_buckets=8).collect()
+    g1 = {r["image_id"]: r["sample_id"] in {} or r["sample_id"] for r in a1}
+    g2 = {r["image_id"]: r["sample_id"] for r in a2}
+    common = set(g1) & set(g2)
+    assert any(g1[i] != g2[i] for i in common)
+    # partitioning invariance
+    a1b = images.mosaic_assign(imgs.repartition(13), epoch=1, n_buckets=8).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a1b))
+
+
+def test_mosaic_box_remap_exact(spark):
+    """Box corners transform by exact integer floor division; collapsed
+    boxes drop."""
+    from geodesk_spark.operators import images
+
+    assign = spark.createDataFrame(
+        [(1, 100, 0), (2, 100, 3)], "image_id long, sample_id long, quadrant int"
+    )
+    dims = spark.createDataFrame([(1, 640, 480), (2, 1000, 1000)],
+                                 "image_id long, w int, h int")
+    boxes = spark.createDataFrame(
+        [(1, 10, 64, 48, 320, 240),   # q0: scales by 512/640, 512/480
+         (2, 20, 0, 0, 1, 1),         # q3: 1px box collapses -> dropped
+         (2, 21, 500, 500, 1000, 1000)],
+        "image_id long, box_id long, minx long, miny long, maxx long, maxy long",
+    )
+    out = {r["box_id"]: r for r in
+           images.mosaic_box_remap(assign, boxes, dims, canvas=1024).collect()}
+    assert set(out) == {10, 21}
+    r = out[10]
+    assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (
+        64 * 512 // 640, 48 * 512 // 480, 320 * 512 // 640, 240 * 512 // 480)
+    r = out[21]  # quadrant 3 offsets (512, 512); 500*512//1000 = 256
+    assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (768, 768, 1024, 1024)
