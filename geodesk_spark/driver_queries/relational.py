@@ -175,3 +175,49 @@ def _group_quantiles_sql() -> str:
     return stats.group_quantiles_sql("events", "event_type", "value", "event_id")
 
 
+
+
+DECAY_HALF_LIFE_US = 7 * 24 * 3600 * 1_000_000  # one week
+
+
+def _q_decayed_rollup(spark, sf_dir):
+    """Half-life-decayed event scores per event_type
+    (relational.decay_buckets/decay_estimate): ages bucket into integer
+    half-life units, weights 2^-b apply only at read time — the state
+    is exact integer sums (order-free, mergeable), the float-free form
+    of the usual order-dependent exp-decay fold.  now = max(ts) over
+    the table, so the query is deterministic at any scale."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    now = e.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_now"))
+    ev = e.crossJoin(F.broadcast(now))
+    state = relational.decay_buckets(
+        ev, ["event_type"], F.col("_now"), DECAY_HALF_LIFE_US, value_col="value"
+    )
+    return relational.decay_estimate(state, ["event_type"])
+
+
+def _decayed_rollup_sql() -> str:
+    hl = DECAY_HALF_LIFE_US
+    return f"""
+      with ev as (
+        select event_type,
+               (select max(epoch_us(ts)) from events) - epoch_us(ts) as age_us,
+               cast(floor(value * 1e6 + 0.5) as bigint) as vm
+        from events),
+      state as (
+        select event_type, cast(age_us // {hl} as int) as bucket,
+               count(*) as n, sum(vm) as value_micro
+        from ev
+        where age_us >= 0 and age_us < {hl} * 40
+        group by 1, 2)
+      select event_type,
+             cast(sum(n) as bigint) as n_events,
+             cast(sum((n * 1000000) // cast(pow(2.0, bucket) as bigint)) as bigint)
+               as decayed_count_micro,
+             cast(sum(cast(value_micro as bigint)
+                      // cast(pow(2.0, bucket) as bigint)) as bigint)
+               as decayed_value_micro
+      from state group by event_type
+    """

@@ -221,3 +221,77 @@ def geofence_transitions(
         F.col(fence_col).alias("fence"),
         kind.alias("kind"),
     )
+
+
+# --- exponential time-decay rollups (exact integer half-life weights) --------
+
+
+def decay_buckets(
+    events: DataFrame,
+    keys: list[str],
+    now_us: "Column | int",
+    half_life_us: int,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    max_buckets: int = 40,
+) -> DataFrame:
+    """Mergeable register state for half-life-decayed aggregates: events
+    group into integer AGE BUCKETS b = div(now − ts, half_life) and the
+    state is the per-(key, bucket) exact count + micro-unit value sum.
+    2^-b weighting happens only at read time (``decay_estimate``), so
+    the state merges across partitions/scans/days by plain addition —
+    the float-free analog of the usual exp(−λ·age) fold, which is
+    order-dependent in IEEE arithmetic and non-deterministic under
+    Spark's unordered aggregation.
+
+    Ages beyond ``max_buckets`` half-lives (weight < 2^-40 ≈ 1e-12) and
+    events from the future are dropped.  Values quantize floor-form to
+    micro-units (the float-output law).  One partial-aggregated
+    groupBy — shuffle volume is O(keys × max_buckets)."""
+    now = F.lit(now_us).cast("long") if isinstance(now_us, int) else now_us
+    age = now - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = events.withColumn("age_us", age).filter(
+        (F.col("age_us") >= 0)
+        & (F.col("age_us") < half_life_us * max_buckets)
+    )
+    d = d.withColumn("bucket", F.expr(f"div(age_us, {half_life_us})").cast("int"))
+    val = (
+        F.lit(0).cast("long")
+        if value_col is None
+        else F.expr(f"cast(floor({value_col} * 1e6 + 0.5) as bigint)")
+    )
+    return (
+        d.withColumn("_vm", val)
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("n"), F.sum("_vm").alias("value_micro"))
+    )
+
+
+def decay_estimate(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read the decayed aggregates off the bucket state: each bucket
+    contributes div(x·10^6, 2^b) (counts) / div(x, 2^b) (micro values)
+    — one floor division per bucket, then an exact integer sum, so the
+    result is bit-stable and within max_buckets micro-units of the real
+    geometric weighting.  Emits (keys…, n_events, decayed_count_micro,
+    decayed_value_micro)."""
+    c = F.expr("div(n * 1000000, cast(pow(2.0, bucket) as bigint))")
+    v = F.expr("div(value_micro, cast(pow(2.0, bucket) as bigint))")
+    return (
+        state.withColumn("_c", c)
+        .withColumn("_v", v)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("_c").alias("decayed_count_micro"),
+            F.sum("_v").alias("decayed_value_micro"),
+        )
+    )
+
+
+def decay_merge(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge bucket states from different scans/shards/days: plain
+    per-(key, bucket) addition (the whole point of keeping weights out
+    of the state)."""
+    return states.groupBy(*keys, "bucket").agg(
+        F.sum("n").alias("n"), F.sum("value_micro").alias("value_micro")
+    )
