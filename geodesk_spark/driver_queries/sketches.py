@@ -400,3 +400,27 @@ def _kmv_set_ops_sql() -> str:
                // greatest(n_union_slots, 1) as est_intersect
       from ua, ea, eb
     """
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """CMS-filtered exact heavy hitters (sketches.heavy_hitters): the
+    constant-size sketch prunes the exact groupBy to candidate rows
+    only — lossless for true hitters since CMS never under-counts, so
+    the oracle is a plain GROUP BY ... HAVING.  Threshold = n//143 + 1
+    (~0.7% of the table), integer-derived on both engines."""
+    from geodesk_spark.operators import sketches
+
+    t = tables.parquet_rows(sf_dir, "events") // 143 + 1
+    e = tables.load_spread(spark, sf_dir, "events")
+    return sketches.heavy_hitters(
+        e, "cast(user_id as string)", t
+    ).select(F.col("value").alias("user_id"), "n_exact")
+
+
+def _heavy_hitters_sql() -> str:
+    return """
+      select cast(user_id as varchar) as user_id, count(*) as n_exact
+      from events
+      group by 1
+      having count(*) >= (select count(*) // 143 + 1 from events)
+    """

@@ -410,3 +410,46 @@ def kmv_set_ops(
             f"greatest(n_union_slots, 1))"
         ).alias("est_intersect"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Exact heavy hitters (values with ≥ ``threshold`` occurrences)
+    without a full-cardinality shuffle — the two-pass sketch-prune
+    pattern for frequent-items at 10^12 rows:
+
+    pass 1 builds the constant-size CMS register table (map-side
+    combined, ≤ d·w rows); pass 2 re-scans, reads each row's estimate
+    by d BROADCAST register-slice joins (no explode, no re-group), and
+    only rows with est ≥ threshold enter the exact groupBy.  CMS never
+    under-counts, so est ≥ exact ≥ threshold — the prune is LOSSLESS
+    for true hitters and the output is exactly
+    {v : exact_count(v) ≥ threshold}; only collision-inflated light
+    values cost exact-count work (tune w·d to the key skew).
+
+    Emits (value, n_exact) — an oracle can verify with a plain
+    GROUP BY … HAVING, no sketch replay needed.
+    """
+    regs = cms_registers(df, [], value_col, w, d)
+    est = df.select(F.expr(value_col).alias("value"))
+    hashes = cms_hash_sqls("value", w, d)  # same salts ⇒ same registers
+    for j in range(d):
+        rj = regs.filter(F.col("j") == j).select(
+            F.col("col").alias(f"_c{j}"), F.col("cnt").alias(f"_n{j}")
+        )
+        est = est.withColumn(f"_h{j}", F.expr(hashes[j]).cast("int")).join(
+            F.broadcast(rj), F.col(f"_h{j}") == F.col(f"_c{j}"), "left"
+        )
+    depth_counts = [F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")) for j in range(d)]
+    est_min = depth_counts[0] if d == 1 else F.least(*depth_counts)
+    cand = est.withColumn("_est", est_min).filter(F.col("_est") >= threshold)
+    return (
+        cand.groupBy("value")
+        .agg(F.count("*").alias("n_exact"))
+        .filter(F.col("n_exact") >= threshold)
+    )

@@ -269,3 +269,22 @@ def test_kmv_set_ops_estimate_large(spark):
     assert abs(row["est_union"] - 6000) / 6000 < 5 / (256 - 2) ** 0.5
     # intersection: 2000 true; KMV intersection has higher variance
     assert 1000 < row["est_intersect"] < 3200
+
+
+def test_heavy_hitters_exact_and_lossless(spark):
+    """Output == plain exact HAVING regardless of the sketch prune, and
+    the prune is lossless even with a tiny (collision-heavy) sketch."""
+    rows = (
+        [("hot",)] * 50 + [("warm",)] * 10 + [(f"cold_{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    got = {r["value"]: r["n_exact"]
+           for r in sketches.heavy_hitters(df, "v", 10).collect()}
+    assert got == {"hot": 50, "warm": 10}
+    # tiny sketch: massive collisions inflate estimates but can only ADD
+    # candidates, never drop hitters
+    got_tiny = {r["value"]: r["n_exact"]
+                for r in sketches.heavy_hitters(df, "v", 10, w=4, d=1).collect()}
+    assert got_tiny == {"hot": 50, "warm": 10}
+    # threshold above every count -> empty
+    assert sketches.heavy_hitters(df, "v", 51).count() == 0
