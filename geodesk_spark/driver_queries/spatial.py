@@ -611,3 +611,134 @@ _SQL_TILE_DIFF = f"""
          cast(o.sp as double) as sp_old, cast(nn.sp as double) as sp_new
   from o full outer join nn on o.tile = nn.tile
 """
+
+
+RM_ROUTES = 4
+RM_SNAP_M = 3_000_000.0  # 3000 km: routes cluster near 4 base areas
+
+
+def _q_route_measure(spark, sf_dir):
+    """Linear referencing (knn.route_measure): snap customers to the
+    nearest route segment within 3000 km, then the distance ALONG the
+    route — bigint micro-meter prefix sums (exact under any
+    association; DuckDB window sums tree-reduce) + det_cosh lengths, so
+    every emitted integer is engine-independent.  Routes are derived
+    random-walk polylines (steps ±2^20 imps keep every dot product
+    int64-exact; vertices clamp to the int32 world box)."""
+    from pyspark.sql import Window
+
+    pts = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+    ).select(F.col("c_custkey").alias("key"), "x", "y")
+    sp = tables.load_spread(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    sp = sp.select(
+        "s_suppkey",
+        (k % RM_ROUTES).alias("route_id"),
+        ((k * 104729) % 2097152 - 1048576).alias("ddx"),
+        ((k * 130363) % 2097152 - 1048576).alias("ddy"),
+    )
+    w = Window.partitionBy("route_id").orderBy("s_suppkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    clamp = lambda c: F.least(
+        F.greatest(c, F.lit(-(1 << 31)).cast("long")),
+        F.lit((1 << 31) - 1).cast("long"),
+    )
+    sp = (
+        sp.withColumn("_bx", F.expr(x_expr(lon_expr("route_id"))))
+        .withColumn("_by", F.expr(y_expr(lat_expr("route_id"))))
+        .withColumn("vx", clamp(F.col("_bx") + F.sum("ddx").over(wc)))
+        .withColumn("vy", clamp(F.col("_by") + F.sum("ddy").over(wc)))
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+    )
+    segs = (
+        sp.withColumn("x2", F.lead("vx").over(w))
+        .withColumn("y2", F.lead("vy").over(w))
+        .filter(F.col("x2").isNotNull())
+        .select(
+            "route_id", "seq",
+            F.col("vx").alias("x1"), F.col("vy").alias("y1"), "x2", "y2",
+        )
+    )
+    out = knn_mod.route_measure(pts, segs, RM_SNAP_M, point_id="key")
+    return out.select(
+        "key", "route_id", "seq", "t_micro",
+        F.round("dist_m", 4).alias("dist_m"),  # transcendental: ties measure-zero
+        "measure_um",
+    )
+
+
+def _route_measure_sql() -> str:
+    scale = mercator.scale_sql("py")
+    delta = f"((cast({RM_SNAP_M!r} as double) * {W!r} / {EC!r} * {scale}) * 1.5)"
+    clamp = lambda c: f"least(greatest({c}, -2147483648), 2147483647)"
+    return f"""
+      with pts as (
+        select c_custkey as key,
+               {x_expr(lon_expr("c_custkey"))} as px,
+               {y_expr(lat_expr("c_custkey"))} as py
+        from customer),
+      sp0 as (
+        select s_suppkey, s_suppkey % {RM_ROUTES} as route_id,
+               (s_suppkey * 104729) % 2097152 - 1048576 as ddx,
+               (s_suppkey * 130363) % 2097152 - 1048576 as ddy
+        from supplier),
+      sp as (
+        select s_suppkey, route_id,
+               {clamp(f"{x_expr(lon_expr('route_id'))} + cast(sum(ddx) over wc as bigint)")} as vx,
+               {clamp(f"{y_expr(lat_expr('route_id'))} + cast(sum(ddy) over wc as bigint)")} as vy,
+               cast(row_number() over w as bigint) as seq
+        from sp0
+        window w as (partition by route_id order by s_suppkey),
+               wc as (partition by route_id order by s_suppkey
+                      rows between unbounded preceding and current row)),
+      segs0 as (
+        select route_id, seq, vx as x1, vy as y1,
+               lead(vx) over w as x2, lead(vy) over w as y2
+        from sp
+        window w as (partition by route_id order by seq)),
+      segs1 as (select * from segs0 where x2 is not null),
+      segs as (
+        select *,
+               cast(floor({_dist_sql('x1', 'y1', 'x2', 'y2')} * 1e6 + 0.5) as bigint)
+                 as len_um,
+               route_id * cast({1 << 20} as bigint) + seq as seg_id
+        from segs1),
+      pref as (
+        select *,
+               cast(coalesce(sum(len_um) over (partition by route_id order by seq
+                          rows between unbounded preceding and 1 preceding),
+                        0) as bigint) as prefix_um
+        from segs),
+      cand as (
+        select key, seg_id, px, py, x1, y1, x2, y2,
+               (x2 - x1) as abx, (y2 - y1) as aby,
+               (px - x1) as apx, (py - y1) as apy
+        from pts, pref
+        where px >= least(x1, x2) - {delta} and px <= greatest(x1, x2) + {delta}
+          and py >= least(y1, y2) - {delta} and py <= greatest(y1, y2) + {delta}),
+      tt as (
+        select key, seg_id, px, py, x1, y1, abx, aby,
+               case when (abx * abx + aby * aby) = 0 then 0.0
+                    else least(greatest((apx * abx + apy * aby)
+                                        / (abx * abx + aby * aby), 0.0), 1.0)
+               end as t
+        from cand),
+      sn as (
+        select key, seg_id, t, x1 + t * abx as sx, y1 + t * aby as sy, px, py
+        from tt),
+      d as (
+        select key, seg_id, t, sx, sy,
+               {_dist_sql('px', 'py', 'sx', 'sy')} as dist_m
+        from sn),
+      r as (
+        select *, row_number() over
+                 (partition by key order by dist_m asc, seg_id asc) as rnk
+        from d where dist_m <= {RM_SNAP_M!r})
+      select r.key, p.route_id, p.seq,
+             cast(floor(r.t * 1e6 + 0.5) as bigint) as t_micro,
+             round(r.dist_m, 4) as dist_m,
+             p.prefix_um + cast(floor(r.t * p.len_um + 0.5) as bigint) as measure_um
+      from r join pref p using (seg_id)
+      where r.rnk = 1
+    """

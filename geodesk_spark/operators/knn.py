@@ -637,3 +637,83 @@ def idw_interpolate(
             F.size("ss").alias("n_samples"),
         )
     )
+
+
+def route_measure(
+    points: DataFrame,
+    route_segs: DataFrame,
+    meters: float,
+    point_id: str = "pid",
+    route_col: str = "route_id",
+    seq_col: str = "seq",
+    slack: float = 1.5,
+) -> DataFrame:
+    """Linear referencing: locate each point ALONG its nearest route —
+    the step after map matching that turns snapped positions into
+    route-relative measures (km-posts, progress along a trajectory,
+    offset joins between datasets referenced to the same network).
+
+    ``route_segs`` carries (route_id, seq, x1, y1, x2, y2) with seq
+    ordering the segments along the route (seq < 2^20).  Each point
+    snaps to the globally nearest segment within ``meters``
+    (snap_to_segments machinery: one broadcast join + one bounded
+    window), then
+
+        measure_um = prefix_um(route, seq) + floor(t · len_um + 0.5)
+
+    where len_um is the segment's Mercator length floor-quantized to
+    integer MICRO-METERS and prefix_um its exclusive running sum.  The
+    prefix sum is over BIGINTS — exact under any association, so
+    engines whose window sums tree-reduce (DuckDB) agree bit-for-bit
+    with Spark's sequential fold; a float prefix here would be the
+    ln-sum mistake from the transcendental law.  t quantizes to
+    micro-units.  Lengths use det_cosh scale (bit-identical libm-free
+    cosh), so every emitted integer is engine-independent.
+
+    Returns (point_id, route_id, seq, t_micro, dist_m, measure_um);
+    dist_m is raw — callers quantize at the output boundary.
+    """
+    from geodesk_spark.geo import mercator
+
+    len_m = mercator.distance_col(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    w = (
+        Window.partitionBy(route_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    segs = (
+        route_segs.withColumn("_len_m", len_m)
+        .withColumn("len_um", F.expr("cast(floor(_len_m * 1e6 + 0.5) as bigint)"))
+        .withColumn(
+            "prefix_um",
+            F.coalesce(F.sum("len_um").over(w), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "seg_id",
+            F.col(route_col).cast("long") * F.lit(1 << 20).cast("long") + F.col(seq_col),
+        )
+    )
+    snapped = snap_to_segments(
+        points,
+        segs.select("seg_id", "x1", "y1", "x2", "y2"),
+        meters,
+        point_id=point_id,
+        seg_id="seg_id",
+        slack=slack,
+    )
+    j = snapped.join(
+        F.broadcast(segs.select("seg_id", route_col, seq_col, "len_um", "prefix_um")),
+        "seg_id",
+    )
+    t_micro = F.expr("cast(floor(t * 1e6 + 0.5) as bigint)")
+    measure = F.col("prefix_um") + F.expr("cast(floor(t * len_um + 0.5) as bigint)")
+    return j.select(
+        point_id,
+        route_col,
+        seq_col,
+        t_micro.alias("t_micro"),
+        "dist_m",
+        measure.alias("measure_um"),
+    )

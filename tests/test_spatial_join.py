@@ -359,3 +359,34 @@ def test_idw_exact_hit_dominates(spark):
     df = spark.createDataFrame(rows, "image_id string, x long, y long, val double")
     [r] = knn_mod.idw_interpolate(df, [("q", lon, lat)], k=5, val_col="val").collect()
     assert abs(r["idw_value"] - 500.0) < 1e-3
+
+
+def test_route_measure_along_polyline(spark):
+    """Measures accumulate exactly along an equatorial 3-segment route;
+    points at a shared vertex tie-break to the lower seq segment."""
+    from geodesk_spark.operators import knn as knn_mod
+
+    # 3 equal segments along the equator (y=0): scale=cosh(0)=1, so
+    # meters-per-imp is the exact constant EC/W.
+    L = 1 << 20
+    segs = spark.createDataFrame(
+        [(7, 1, 0, 0, L, 0), (7, 2, L, 0, 2 * L, 0), (7, 3, 2 * L, 0, 3 * L, 0)],
+        "route_id long, seq long, x1 long, y1 long, x2 long, y2 long",
+    )
+    pts = spark.createDataFrame(
+        [(1, L // 2, 1000),    # mid segment 1
+         (2, L, -1000),        # exactly at the shared vertex of seq 1/2
+         (3, 3 * L, 0)],       # route end
+        "key long, x long, y long",
+    )
+    out = {r["key"]: r for r in
+           knn_mod.route_measure(pts, segs, 100_000.0, point_id="key").collect()}
+    from geodesk_spark.geo import mercator
+    seg_m = float(mercator.distance(0, 0, L, 0)[()])
+    seg_um = int(seg_m * 1e6 + 0.5)
+    assert out[1]["seq"] == 1 and out[1]["t_micro"] == 500_000
+    assert out[1]["measure_um"] == int(0.5 * seg_um + 0.5)
+    # vertex tie: dist equal on seq 1 (t=1) and seq 2 (t=0) -> lower seg_id
+    assert out[2]["seq"] == 1 and out[2]["t_micro"] == 1_000_000
+    assert out[2]["measure_um"] == seg_um
+    assert out[3]["seq"] == 3 and out[3]["measure_um"] == 3 * seg_um
