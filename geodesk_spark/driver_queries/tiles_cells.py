@@ -359,6 +359,43 @@ def _hex_kring_sql() -> str:
     return hexes.kring_sql(rel, k=1)
 
 
+S2_LEVEL = 10  # 1024x1024 leaf cells per face (~10 km at the equator)
+
+
+def _q_s2_cells(spark, sf_dir):
+    """S2-analog cube-face Hilbert cells (geo/s2cell.py) — the second
+    index family the build target names ("H3/S2 cells").  Sphere coords
+    come from deterministic trig kernels (integer quadrant reduction +
+    Taylor Horner sin/cos; tanh/sech from det_sinh/det_cosh — zero libm
+    on either engine), so face/i/j/cell are bit-identical integers on
+    any engine build; pure JVM Columns, no UDF, one scan."""
+    from geodesk_spark.geo import s2cell
+
+    df = _derived_orders(spark, sf_dir)
+    return (
+        s2cell.s2_cell_cols(df, "x", "y", S2_LEVEL)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            "s2_face",
+            "s2_i",
+            "s2_j",
+            "s2_cell",
+        )
+        .orderBy("key")
+    )
+
+
+def _s2_cells_sql() -> str:
+    from geodesk_spark.geo import s2cell
+
+    ctes, final = s2cell.s2_sql("x", "y", S2_LEVEL)
+    return f"""
+      with __s2_input__ as ({_DERIVED_SQL}), {ctes}
+      select o_orderkey as key, s2_face, s2_i, s2_j, s2_cell
+      from ({final}) t order by key
+    """
+
+
 def _q_hex_polyfill(spark, sf_dir):
     """H3-polyfill analog (operators/hexes.polyfill_bbox): every derived
     bbox → the hex cells whose centers it contains (H3's
