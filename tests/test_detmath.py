@@ -1,0 +1,152 @@
+"""Deterministic ln/atanh/atan2 (geo/detmath.py): numpy kernel, Spark
+Column builder, and DuckDB SQL twin must be BIT-identical, and accurate
+to ~2 ulp of libm — the inverse-direction counterpart of test_det_exp.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geodesk_spark.geo import detmath as D
+
+
+def _ln_grid() -> np.ndarray:
+    # wide dynamic range + ladder boundaries (exact powers of two and
+    # their √2 fold points) + values just above/below them
+    pows = np.array([2.0**k for k in range(-64, 65, 4)])
+    folds = pows * math.sqrt(2.0)
+    return np.concatenate(
+        [
+            np.geomspace(2.0**-64, 2.0**64, 30001),
+            pows,
+            folds,
+            np.nextafter(pows, np.inf),
+            np.nextafter(pows, 0),
+            np.array([1.0, 2.0, 0.5, math.e, 1e-9, 1e9]),
+        ]
+    )
+
+
+def _at_grid() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(17)
+    y = np.concatenate(
+        [
+            rng.normal(0, 1e3, 20000),
+            np.array([0.0, -0.0, 1.0, -1.0, 0.4142135623730951, 1e300, -1e300, 1e-300]),
+        ]
+    )
+    x = np.concatenate(
+        [
+            rng.normal(0, 1e3, 20000),
+            np.array([1.0, 1.0, 0.0, -0.0, 1.0, -1e300, 1e300, -1e-300]),
+        ]
+    )
+    # boundary-octant pairs: |y| == |x|·tan(π/8) territory
+    t = np.linspace(-math.pi, math.pi, 1000)
+    return np.concatenate([y, np.sin(t)]), np.concatenate([x, np.cos(t)])
+
+
+def test_det_ln_accuracy_vs_libm():
+    xs = _ln_grid()
+    rel = np.abs(D.det_ln(xs) - np.log(xs))
+    # absolute near ln≈0, relative elsewhere
+    scale = np.maximum(np.abs(np.log(xs)), 1.0)
+    assert (rel / scale).max() < 5e-16
+
+
+def test_det_atanh_accuracy():
+    z = np.linspace(-0.999, 0.999, 100001)
+    err = np.abs(D.det_atanh(z) - np.arctanh(z))
+    assert (err / np.maximum(np.abs(np.arctanh(z)), 1.0)).max() < 1e-15
+
+
+def test_det_atan2_accuracy_vs_libm():
+    y, x = _at_grid()
+    err = np.abs(D.det_atan2(y, x) - np.arctan2(y, x))
+    assert err.max() < 1e-15
+    # quadrant anchors
+    assert D.det_atan2(np.array([0.0]), np.array([-1.0]))[0] == math.pi
+    assert D.det_atan2(np.array([-0.0]), np.array([1.0]))[0] == 0.0
+    assert abs(D.det_atan2(np.array([1.0]), np.array([0.0]))[0] - math.pi / 2) < 1e-16
+
+
+def test_det_ln_duckdb_bit_identical():
+    xs = _ln_grid()
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"x": xs}))
+    ctes, expr = D.det_ln_sql("x", "a", "g")
+    got = con.sql(f"with {ctes} select {expr} as v from ln_a_fin").df()["v"].to_numpy()
+    assert np.array_equal(D.det_ln(xs).view(np.int64), got.view(np.int64))
+
+
+def test_det_atan2_duckdb_bit_identical():
+    y, x = _at_grid()
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"y": y, "x": x}))
+    ctes, expr = D.det_atan2_sql("y", "x", "a", "g")
+    got = con.sql(f"with {ctes} select {expr} as v from at2_a_fin").df()["v"].to_numpy()
+    assert np.array_equal(D.det_atan2(y, x).view(np.int64), got.view(np.int64))
+
+
+def test_det_atanh_duckdb_bit_identical():
+    z = np.linspace(-0.9999, 0.9999, 20001)
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"z": z}))
+    ctes, expr = D.det_atanh_sql("z", "a", "g")
+    got = con.sql(f"with {ctes} select {expr} as v from ln_a_fin").df()["v"].to_numpy()
+    assert np.array_equal(D.det_atanh(z).view(np.int64), got.view(np.int64))
+
+
+def test_det_ln_atan2_spark_bit_identical(spark):
+    xs = _ln_grid()[::10]
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    got = (
+        D.det_ln_cols(df, F.col("x"), "v").select("v").toPandas()["v"].to_numpy()
+    )
+    assert np.array_equal(D.det_ln(xs).view(np.int64), got.view(np.int64))
+
+    y, x = _at_grid()
+    y, x = y[::5], x[::5]
+    df2 = spark.createDataFrame(pd.DataFrame({"y": y, "x": x}))
+    got2 = (
+        D.det_atan2_cols(df2, F.col("y"), F.col("x"), "v")
+        .select("v")
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    assert np.array_equal(D.det_atan2(y, x).view(np.int64), got2.view(np.int64))
+
+    z = np.linspace(-0.9999, 0.9999, 2001)
+    df3 = spark.createDataFrame(pd.DataFrame({"z": z}))
+    got3 = (
+        D.det_atanh_cols(df3, F.col("z"), "v").select("v").toPandas()["v"].to_numpy()
+    )
+    assert np.array_equal(D.det_atanh(z).view(np.int64), got3.view(np.int64))
+
+
+def test_det_math_hypothesis_bits():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=1e-18, max_value=1e18))
+    def inner_ln(x):
+        a = float(D.det_ln(x)[()])
+        assert abs(a - math.log(x)) <= 5e-16 * max(abs(math.log(x)), 1.0)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(min_value=-1e9, max_value=1e9),
+        st.floats(min_value=-1e9, max_value=1e9),
+    )
+    def inner_at2(y, x):
+        a = float(D.det_atan2(y, x)[()])
+        # +0.0 mirrors the kernel's signed-zero normalization (see
+        # det_atan2 docstring — the zero's sign bit isn't cross-engine
+        # stable, so the kernel erases it on every engine identically)
+        assert abs(a - math.atan2(y + 0.0, x + 0.0)) < 1e-15
+
+    inner_ln()
+    inner_at2()
