@@ -396,6 +396,58 @@ def _s2_cells_sql() -> str:
     """
 
 
+def _s2_small_box_exprs() -> tuple[str, str]:
+    # half-extents 2^14..2^21: up to ~4 S2-level-10 cells per side, so
+    # the polyfill covers 1..~30 cells/box (the hex_polyfill scale)
+    dx = "cast(pow(2.0, 14 + ((o_orderkey * 37) % 8)) as bigint)"
+    dy = "cast(pow(2.0, 14 + ((o_orderkey * 53) % 7)) as bigint)"
+    return dx, dy
+
+
+def _q_s2_polyfill(spark, sf_dir):
+    """S2 polyfill (operators/s2cover.py): every derived bbox → the
+    level-10 cube-face cells whose CENTER it contains (H3's polyfill
+    rule), rolled up per box.  Candidates come from a forward-sampled
+    ij envelope; the keep filter runs the deterministic INVERSE
+    transform (det_atan2/det_atanh — geo/detmath.py), so the kept set
+    is bit-identical integers on any engine build.  The build side of
+    an S2-bucketed spatial join."""
+    from geodesk_spark.operators import s2cover
+
+    dx, dy = _s2_small_box_exprs()
+    df = tables.with_derived_points(tables.load_spread(spark, sf_dir, "orders"), "o_orderkey")
+    box = tables.box_exprs("x", "y", dx, dy)
+    boxes = df.select(
+        F.col("o_orderkey").alias("fid"),
+        F.expr(box["minx"]).alias("minx"),
+        F.expr(box["miny"]).alias("miny"),
+        F.expr(box["maxx"]).alias("maxx"),
+        F.expr(box["maxy"]).alias("maxy"),
+    )
+    cells = s2cover.polyfill_bbox(boxes, S2_LEVEL)
+    return cells.groupBy("fid").agg(
+        F.count("*").alias("n_cells"),
+        F.min("s2_cell").alias("min_cell"),
+        F.max("s2_cell").alias("max_cell"),
+    )
+
+
+def _s2_polyfill_sql() -> str:
+    from geodesk_spark.operators import s2cover
+
+    dx, dy = _s2_small_box_exprs()
+    box = tables.box_exprs("x", "y", dx, dy)
+    rel = f"""(
+      select o_orderkey as fid, {box['minx']} as minx, {box['miny']} as miny,
+             {box['maxx']} as maxx, {box['maxy']} as maxy
+      from (({_DERIVED_SQL})) pts)"""
+    return f"""
+      select fid, count(*) as n_cells, min(s2_cell) as min_cell,
+             max(s2_cell) as max_cell
+      from ({s2cover.polyfill_sql(rel, S2_LEVEL)}) pf group by fid
+    """
+
+
 def _q_hex_polyfill(spark, sf_dir):
     """H3-polyfill analog (operators/hexes.polyfill_bbox): every derived
     bbox → the hex cells whose centers it contains (H3's

@@ -163,6 +163,60 @@ def _hilbert_d(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
     return d
 
 
+def uv_from_st(s) -> np.ndarray:
+    """Inverse quadratic st->uv (published S2 model): s >= 1/2 ->
+    (4s^2-1)/3, else (1-4(1-s)^2)/3.  Pure +/x/÷ — deterministic."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (4.0 * s * s - 1.0) / 3.0,
+        (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0,
+    )
+
+
+def xyz_from_face_uv(face, u, v):
+    """Unnormalized cube point from (face, u, v) — exact inverse of
+    face_uv's per-face division table (S2 face convention)."""
+    face = np.asarray(face)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    X = np.select([face == 0, face == 1, face == 2, face == 3, face == 4], [one, -u, -u, -one, v], v)
+    Y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4], [u, one, -v, -v, -one], u)
+    Z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4], [v, v, one, -u, -u], -one)
+    return X, Y, Z
+
+
+# sin(lat) clamp: atanh(1) is infinite (the pole is outside the
+# mercator map); 1 - 2^-32 caps |t| ~ 11.4, inside det_ln's domain.
+_SINLAT_MAX = 1.0 - 2.0**-32
+_INV_RAD = 2.0**31 / math.pi  # radians -> imps (one constant, one multiply)
+_IMP_MAX = (1 << 31) - 1
+
+
+def cell_center_imps(face, i, j, level: int):
+    """Mercator-imp center of cell (face, i, j) — the deterministic
+    INVERSE of s2_cell, built on det_atan2/det_atanh (geo/detmath.py).
+    Centers are integer imps (floor(v+0.5) law), so downstream
+    comparisons are exact.  Latitudes past the mercator domain (polar
+    cells) clamp to the map edge."""
+    from geodesk_spark.geo import detmath
+
+    n = float(1 << level)
+    s = (np.asarray(i, dtype=np.float64) + 0.5) / n  # exact dyadic
+    t = (np.asarray(j, dtype=np.float64) + 0.5) / n
+    X, Y, Z = xyz_from_face_uv(face, uv_from_st(s), uv_from_st(t))
+    theta = detmath.det_atan2(Y, X)
+    cx = np.floor(theta * _INV_RAD + 0.5)
+    cx = np.where(cx > _IMP_MAX, cx - 4294967296.0, cx).astype(np.int64)  # theta=pi wraps
+    sinlat = Z / np.sqrt(X * X + Y * Y + Z * Z)
+    sinlat = np.minimum(np.maximum(sinlat, -_SINLAT_MAX), _SINLAT_MAX)
+    tm = detmath.det_atanh(sinlat)
+    cy = np.floor(tm * _INV_RAD + 0.5)
+    cy = np.minimum(np.maximum(cy, -float(_IMP_MAX) - 1), float(_IMP_MAX)).astype(np.int64)
+    return cx, cy
+
+
 def s2_cell(x, y, level: int):
     """(face, i, j, cell) at `level` for mercator-imp points (numpy).
 
@@ -417,3 +471,180 @@ def _ij_sql(s: str, n: int) -> str:
 # mercator._COSH_C, re-exported for the SQL twin above so the oracle
 # cosh chain is literally the same coefficients.
 _COSH_SQL_C = mercator._COSH_C
+
+
+# --- Inverse (cell -> center imps), Column + SQL forms -----------------------
+
+
+def hilbert_from_ij_cols(df, i_col: str, j_col: str, level: int, out: str):
+    """Add `out` = face-local Hilbert distance of integer columns
+    (i_col, j_col) — the candidate-cell id path of the polyfill (same
+    rotation recurrence as s2_cell_cols' inline loop).  `out` must not
+    collide with the scratch names (_hx/_hy/_hd/...)."""
+    assert out not in {"_hx", "_hy", "_hd", "_rx", "_ry", "_hxf", "_hyf", "_hx2", "_hy2"}
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("_hx", F.col(i_col).cast("long")).withColumn(
+        "_hy", F.col(j_col).cast("long")
+    )
+    df = df.withColumn("_hd", F.lit(0).cast("long"))
+    s = 1 << (level - 1) if level > 0 else 0
+    while s > 0:
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        df = df.withColumn("_rx", rx.cast("long")).withColumn("_ry", ry.cast("long"))
+        df = df.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s * s).cast("long")
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+        )
+        flip = (F.col("_ry") == 0) & (F.col("_rx") == 1)
+        swap = F.col("_ry") == 0
+        xf = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        yf = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        df = df.withColumn("_hxf", xf).withColumn("_hyf", yf)
+        df = df.withColumn(
+            "_hx2", F.when(swap, F.col("_hyf")).otherwise(F.col("_hxf"))
+        ).withColumn("_hy2", F.when(swap, F.col("_hxf")).otherwise(F.col("_hyf")))
+        df = df.withColumn("_hx", F.col("_hx2")).withColumn("_hy", F.col("_hy2"))
+        s >>= 1
+    df = df.withColumn(out, F.col("_hd"))
+    return df.drop("_hx", "_hy", "_hd", "_rx", "_ry", "_hxf", "_hyf", "_hx2", "_hy2")
+
+
+def hilbert_from_ij_sql(src: str, i_col: str, j_col: str, level: int) -> tuple[str, str]:
+    """(ctes, last_cte): Hilbert distance `hd` from integer columns of
+    `src` — chained-CTE twin of hilbert_from_ij_cols."""
+    ctes = [
+        f"hij0 as (select *, cast({i_col} as bigint) as hx, "
+        f"cast({j_col} as bigint) as hy, cast(0 as bigint) as hd from {src})"
+    ]
+    lvl = "hij0"
+    s = 1 << (level - 1) if level > 0 else 0
+    k = 0
+    while s > 0:
+        prev, k = lvl, k + 1
+        lvl = f"hij{k}"
+        ctes.append(
+            f"{lvl} as (select * exclude (hx, hy, hd, rx, ry), "
+            f"hd + {s * s} * xor(3 * rx, ry) as hd, "
+            f"case when ry = 0 then (case when rx = 1 then {s - 1} - hy else hy end) "
+            f"else hx end as hx, "
+            f"case when ry = 0 then (case when rx = 1 then {s - 1} - hx else hx end) "
+            f"else hy end as hy "
+            f"from (select *, "
+            f"case when (hx & {s}) > 0 then 1 else 0 end as rx, "
+            f"case when (hy & {s}) > 0 then 1 else 0 end as ry from {prev}))"
+        )
+        s >>= 1
+    return ", ".join(ctes), lvl
+
+
+def cell_center_cols(df, face_col: str, i_col: str, j_col: str, level: int,
+                     out_x: str = "cx", out_y: str = "cy"):
+    """Add integer-imp center columns for cells (face, i, j) — Column
+    twin of cell_center_imps (bound-column det_atan2/det_atanh)."""
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import detmath
+
+    n = float(1 << level)
+    df = df.withColumn("_cs", (F.col(i_col).cast("double") + F.lit(0.5)) / F.lit(n))
+    df = df.withColumn("_ct", (F.col(j_col).cast("double") + F.lit(0.5)) / F.lit(n))
+
+    def uv(col):
+        return F.when(
+            col >= 0.5, (F.lit(4.0) * col * col - F.lit(1.0)) / F.lit(3.0)
+        ).otherwise(
+            (F.lit(1.0) - F.lit(4.0) * (F.lit(1.0) - col) * (F.lit(1.0) - col))
+            / F.lit(3.0)
+        )
+
+    df = df.withColumn("_cu", uv(F.col("_cs"))).withColumn("_cv", uv(F.col("_ct")))
+    fc = F.col(face_col)
+    u, v = F.col("_cu"), F.col("_cv")
+    one = F.lit(1.0)
+    df = df.withColumn(
+        "_px",
+        F.when(fc == 0, one).when(fc == 1, -u).when(fc == 2, -u)
+        .when(fc == 3, -one).when(fc == 4, v).otherwise(v),
+    )
+    df = df.withColumn(
+        "_py",
+        F.when(fc == 0, u).when(fc == 1, one).when(fc == 2, -v)
+        .when(fc == 3, -v).when(fc == 4, -one).otherwise(u),
+    )
+    df = df.withColumn(
+        "_pz",
+        F.when(fc == 0, v).when(fc == 1, v).when(fc == 2, one)
+        .when(fc == 3, -u).when(fc == 4, -u).otherwise(-one),
+    )
+    df = detmath.det_atan2_cols(df, F.col("_py"), F.col("_px"), "_th")
+    cx = F.floor(F.col("_th") * F.lit(_INV_RAD) + F.lit(0.5))
+    df = df.withColumn(
+        out_x,
+        F.when(cx > _IMP_MAX, cx - F.lit(4294967296.0)).otherwise(cx).cast("long"),
+    )
+    sl = F.col("_pz") / F.sqrt(
+        F.col("_px") * F.col("_px")
+        + F.col("_py") * F.col("_py")
+        + F.col("_pz") * F.col("_pz")
+    )
+    df = df.withColumn(
+        "_sl", F.least(F.greatest(sl, F.lit(-_SINLAT_MAX)), F.lit(_SINLAT_MAX))
+    )
+    df = detmath.det_atanh_cols(df, F.col("_sl"), "_tm")
+    cy = F.floor(F.col("_tm") * F.lit(_INV_RAD) + F.lit(0.5))
+    df = df.withColumn(
+        out_y,
+        F.least(
+            F.greatest(cy, F.lit(float(-_IMP_MAX - 1))), F.lit(float(_IMP_MAX))
+        ).cast("long"),
+    )
+    return df.drop("_cs", "_ct", "_cu", "_cv", "_px", "_py", "_pz", "_th", "_sl", "_tm")
+
+
+def cell_center_sql(src: str, face_col: str, i_col: str, j_col: str,
+                    level: int) -> tuple[str, str]:
+    """(ctes, last_cte): integer-imp centers `cx`, `cy` for cells of
+    `src` — chained-CTE twin of cell_center_imps (det_atan2/det_atanh
+    ladders inside)."""
+    from geodesk_spark.geo import detmath
+
+    n = float(1 << level)
+    uv = lambda c: (
+        f"(case when {c} >= 0.5 then (4.0 * {c} * {c} - 1.0) / 3.0 "
+        f"else (1.0 - 4.0 * (1.0 - {c}) * (1.0 - {c})) / 3.0 end)"
+    )
+    ctes = [
+        f"cc0 as (select *, (cast({i_col} as double) + 0.5) / {n!r} as c_s, "
+        f"(cast({j_col} as double) + 0.5) / {n!r} as c_t from {src})",
+        f"cc1 as (select *, {uv('c_s')} as c_u, {uv('c_t')} as c_v from cc0)",
+        f"cc2 as (select *, "
+        f"case {face_col} when 0 then 1.0 when 1 then -c_u when 2 then -c_u "
+        f"when 3 then -1.0 when 4 then c_v else c_v end as px, "
+        f"case {face_col} when 0 then c_u when 1 then 1.0 when 2 then -c_v "
+        f"when 3 then -c_v when 4 then -1.0 else c_u end as py, "
+        f"case {face_col} when 0 then c_v when 1 then c_v when 2 then 1.0 "
+        f"when 3 then -c_u when 4 then -c_u else -1.0 end as pz from cc1)",
+    ]
+    at_ctes, at_expr = detmath.det_atan2_sql("py", "px", "cc", "cc2")
+    ctes.append(at_ctes)
+    ctes.append(
+        f"cc3 as (select *, {at_expr} as c_th, "
+        f"least(greatest(pz / sqrt(px * px + py * py + pz * pz), "
+        f"{-_SINLAT_MAX!r}), {_SINLAT_MAX!r}) as c_sl from at2_cc_fin)"
+    )
+    ath_ctes, ath_expr = detmath.det_atanh_sql("c_sl", "cc", "cc3")
+    ctes.append(ath_ctes)
+    ctes.append(
+        f"cc4 as (select *, "
+        f"cast(case when floor(c_th * {_INV_RAD!r} + 0.5) > {_IMP_MAX} then "
+        f"floor(c_th * {_INV_RAD!r} + 0.5) - 4294967296.0 "
+        f"else floor(c_th * {_INV_RAD!r} + 0.5) end as bigint) as cx, "
+        f"cast(least(greatest(floor({ath_expr} * {_INV_RAD!r} + 0.5), "
+        f"{float(-_IMP_MAX - 1)!r}), {float(_IMP_MAX)!r}) as bigint) as cy "
+        f"from ln_cc_fin)"
+    )
+    return ", ".join(ctes), "cc4"
