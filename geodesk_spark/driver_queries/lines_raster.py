@@ -1136,6 +1136,36 @@ _SQL_SOBEL = f"""
 """
 
 
+TERRAIN_GRID_BITS = 7
+
+
+TERRAIN_CELL = 4.0
+
+
+def _q_terrain_hillshade(spark, sf_dir):
+    """Horn slope / aspect / hillshade over the order-point density-DEM
+    (terrain.slope_aspect_hillshade): integer Sobel/Horn gradients from
+    ONE stencil scatter, aspect via det_atan2 on the integer gradients,
+    sun constants host-side — the terrain-derivative layer of the
+    raster pipeline, floor-quantized at 1e6 per the float-output law."""
+    from geodesk_spark.operators import terrain, tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=TERRAIN_GRID_BITS)
+    return terrain.slope_aspect_hillshade(pix, cell=TERRAIN_CELL)
+
+
+def _terrain_sql() -> str:
+    from geodesk_spark.operators import terrain
+
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    pix_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                 count(*) as n
+          from ({_DERIVED_SQL}) pts group by 1, 2"""
+    return terrain.slope_aspect_hillshade_sql(pix_rel, cell=TERRAIN_CELL)
+
+
 KDE_GRID_BITS = 7
 
 

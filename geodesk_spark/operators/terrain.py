@@ -1,0 +1,171 @@
+"""Terrain analysis over sparse rasters: Horn slope / aspect / hillshade.
+
+The raster family's derivative layer (reference analog: the MapMaker
+raster pipeline, util/MapMaker.java:24-120, has no terrain pass — this
+is an engine extension in the zonal/stencil family beside
+tiles_sink.sobel_edge_energy): given a sparse integer "elevation"
+raster (any z per cell — a density-DEM from grid_counts, a decoded
+DEM tile, an aggregated pixel stat), produce per cell
+
+- ``slope_pct``  — 100·|∇z| (Horn 3×3 gradient, the Sobel kernel),
+- ``aspect_deg`` — downhill compass direction, [0, 360) clockwise from
+  north, −1 on flat cells,
+- ``hillshade``  — the standard illumination model
+  255·(cos Z·cos S + sin Z·sin S·cos(Az − aspect)) for a sun at
+  (azimuth, altitude), clamped at 0.
+
+Determinism (the oracle-parity contract, CLAUDE.md float law):
+
+- gradients are exact INTEGERS from one stencil_filter scatter pass;
+- sun constants (cos/sin of zenith and azimuth) are HOST-side Python
+  literals injected identically into both engines;
+- aspect runs the integer gradients through detmath.det_atan2 (pure
+  +/×/÷ — bit-identical on every libm) and an if-branch instead of a
+  mod (Spark pmod vs DuckDB % differ on negatives);
+- everything else is +/×/÷/sqrt (IEEE-correctly-rounded everywhere) in
+  textually mirrored op order, floor-form-quantized at 1e6.
+
+100 TB shape: identical to sobel_edge_energy — one explode(≤8 taps) →
+one groupBy(cell) shuffle; the trig ladder is ~40 extra projection
+nodes per row inside whole-stage codegen, no UDF, no second shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from geodesk_spark.geo import detmath
+from geodesk_spark.operators import tiles_sink
+
+# Horn/Sobel taps in stencil scatter form: out(q) = Σ w·z(q − d)
+_GX_TAPS = [(1, 1, -1), (1, 0, -2), (1, -1, -1), (-1, 1, 1), (-1, 0, 2), (-1, -1, 1)]
+_GY_TAPS = [(1, 1, -1), (0, 1, -2), (-1, 1, -1), (1, -1, 1), (0, -1, 2), (-1, -1, 1)]
+
+_DEG = 180.0 / math.pi
+
+
+def _sun_constants(azimuth_deg: float, altitude_deg: float) -> tuple[float, float, float]:
+    """(cos_zenith, bx, by) with hs = 255·(cosZ + bx·p + by·q)/√(1+p²+q²).
+
+    Derivation: aspect = atan2(q, −p), cos(aspect) = −p/m, sin(aspect) =
+    q/m, sin S = m/√(1+m²), so sinZ·sinS·cos(Az − aspect) =
+    sinZ·(cosAz·(−p) + sinAz·q)/√(1+p²+q²).  Computed host-side ONCE —
+    the same 3 double literals reach Spark and DuckDB.
+    """
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+    return math.cos(zen), -math.sin(zen) * math.cos(az), math.sin(zen) * math.sin(az)
+
+
+def slope_aspect_hillshade(
+    dem: DataFrame,
+    cell: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """(gx, gy, slope_pct, aspect_deg, hillshade) per raster cell.
+
+    ``dem`` holds sparse integer cells (x_col, y_col, val); absent
+    neighbors read as 0 (sparse-raster convention shared with
+    sobel_edge_energy — at the support boundary the gradients are
+    boundary gradients, not NULLs).
+    """
+    c8 = 8.0 * cell
+    cosz, bx, by = _sun_constants(azimuth_deg, altitude_deg)
+    g = tiles_sink.stencil_filter(
+        dem, {"gxn": _GX_TAPS, "gyn": _GY_TAPS}, x_col, y_col, val
+    )
+    g = g.withColumn("_p", F.col("gxn").cast("double") / F.lit(c8)).withColumn(
+        "_q", F.col("gyn").cast("double") / F.lit(c8)
+    )
+    g = g.withColumn("_m2", F.col("_p") * F.col("_p") + F.col("_q") * F.col("_q"))
+    g = detmath.det_atan2_cols(
+        g, F.col("gyn").cast("double"), (-F.col("gxn")).cast("double"), "_ar"
+    )
+    deg = F.col("_ar") * F.lit(_DEG)
+    aspect = F.when(
+        (F.col("gxn") == 0) & (F.col("gyn") == 0), F.lit(-1.0)
+    ).otherwise(
+        _quant6(
+            F.when(deg <= F.lit(90.0), F.lit(90.0) - deg).otherwise(
+                F.lit(450.0) - deg
+            )
+        )
+    )
+    slope = _quant6(F.lit(100.0) * F.sqrt(F.col("_m2")))
+    hs = (
+        F.lit(255.0)
+        * (F.lit(cosz) + (F.lit(bx) * F.col("_p") + F.lit(by) * F.col("_q")))
+        / F.sqrt(F.lit(1.0) + F.col("_m2"))
+    )
+    hillshade = _quant6(F.greatest(hs, F.lit(0.0)))
+    return g.select(
+        x_col,
+        y_col,
+        slope.alias("slope_pct"),
+        aspect.alias("aspect_deg"),
+        hillshade.alias("hillshade"),
+    )
+
+
+def _quant6(col):
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+
+
+_TAPS_SQL = ",".join(
+    # union of offsets with both kernels' weights, sorted like stencil_filter
+    f"({dx},{dy},{wx},{wy})"
+    for (dx, dy), (wx, wy) in sorted(
+        {
+            (d[0], d[1]): (
+                next((w for a, b, w in _GX_TAPS if (a, b) == (d[0], d[1])), 0),
+                next((w for a, b, w in _GY_TAPS if (a, b) == (d[0], d[1])), 0),
+            )
+            for d in {(t[0], t[1]) for t in _GX_TAPS + _GY_TAPS}
+        }.items()
+    )
+)
+
+
+def slope_aspect_hillshade_sql(
+    pix_rel: str,
+    cell: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> str:
+    """DuckDB twin over ``pix_rel`` (gx, gy, n) — same scatter, same
+    det_atan2 ladder, same mirrored float op order."""
+    c8 = 8.0 * cell
+    cosz, bx, by = _sun_constants(azimuth_deg, altitude_deg)
+    at2_ctes, at2 = detmath.det_atan2_sql(
+        "cast(gyn as double)", "cast(-gxn as double)", "ter", "grad2"
+    )
+    q6 = lambda e: f"cast(floor(({e}) * 1e6 + 0.5) as double) / 1e6"
+    deg = f"(ar * {_DEG!r})"
+    aspect = (
+        f"case when gxn = 0 and gyn = 0 then -1.0 else "
+        f"{q6(f'case when {deg} <= 90.0 then 90.0 - {deg} else 450.0 - {deg} end')} end"
+    )
+    hs = f"255.0 * ({cosz!r} + ({bx!r} * p + {by!r} * q)) / sqrt(1.0 + m2)"
+    return f"""
+      with pix as ({pix_rel}),
+      taps(dx, dy, wx, wy) as (values {_TAPS_SQL}),
+      sc as (select gx + dx as gx, gy + dy as gy, n * wx as vx, n * wy as vy
+             from pix cross join taps),
+      grad as (select gx, gy, sum(vx) as gxn, sum(vy) as gyn from sc group by 1, 2),
+      grad2 as (select *, cast(gxn as double) / {c8!r} as p,
+                          cast(gyn as double) / {c8!r} as q from grad),
+      {at2_ctes},
+      m as (select gx, gy, gxn, gyn, p, q, p * p + q * q as m2, {at2} as ar
+            from at2_ter_fin)
+      select gx, gy,
+             {q6('100.0 * sqrt(m2)')} as slope_pct,
+             {aspect} as aspect_deg,
+             {q6(f'greatest({hs}, 0.0)')} as hillshade
+      from m
+    """
