@@ -146,3 +146,29 @@ def phash_dct64(pixels: np.ndarray) -> int:
     for bit in block > med:
         v = (v << 1) | int(bit)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def whash64(pixels: np.ndarray) -> int:
+    """64-bit Haar wavelet hash (the public wHash recipe, e.g. the
+    `imagehash` library): luma → 32×32 box-mean → 2 levels of the 2-D
+    Haar DWT (each level halves the grid by 2×2 block averaging, the LL
+    band) → the 8×8 LL approximation thresholded at its MEDIAN.
+
+    Complements the DCT pHash: the Haar LL band is a pure local
+    average, so wHash is more tolerant of high-frequency noise (jpeg
+    ringing, sharpening) and less tolerant of global contrast shifts —
+    running BOTH and unioning the banded pairs is the standard
+    near-dup-recall booster.  Deterministic: block averages are fixed
+    +/÷ op order, no libm.  Signed int64 like phash_dct64 so
+    dedup.phash_neardup_pairs' Hamming banding applies unchanged.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    g = _box_mean_grid(gray, 32)
+    for _ in range(2):  # Haar LL: 2x2 block average, fixed summation order
+        g = ((g[0::2, 0::2] + g[0::2, 1::2]) + (g[1::2, 0::2] + g[1::2, 1::2])) / 4.0
+    block = g.reshape(-1)
+    med = np.median(block)
+    v = 0
+    for bit in block > med:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

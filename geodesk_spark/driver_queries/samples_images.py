@@ -572,6 +572,17 @@ def _q_images_phash(spark, sf_dir):
     return images.phash_compute(imgs)
 
 
+def _q_images_whash(spark, sf_dir):
+    """Haar wavelet hashes from PIXELS (images.whash_compute,
+    codec.whash64 — the public wHash recipe): the noise-tolerant sibling
+    of the DCT pHash; same signed-long surface so the Hamming banding
+    applies unchanged; rows-only at the driver (synthetic payload); the
+    numpy-parity + independent-Haar + jpeg-robustness invariants are
+    pinned by test_pipeline::test_whash_compute_parity_and_robustness."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.whash_compute(imgs)
+
+
 def _q_epoch_shard_manifest(spark, sf_dir):
     """Deterministic epoch shuffle → WebDataset-style shard manifest
     (sampling.epoch_shards + shard_manifest): a reproducible per-epoch

@@ -560,7 +560,20 @@ def phash_compute(df: DataFrame) -> DataFrame:
     distinct images stay ≥14 bits apart (pinned ≥8).  NULL/undecodable
     bytes hash NULL.
     """
+    return _hash_compute(df, codec.phash_dct64, "phash_dct")
 
+
+def whash_compute(df: DataFrame) -> DataFrame:
+    """64-bit Haar wavelet hash from PIXELS (codec.whash64) — the
+    high-frequency-noise-tolerant sibling of phash_compute; same scan
+    shape, same signed-long output so the Hamming banding
+    (dedup.phash_neardup_pairs) applies unchanged.  Running both hashes
+    and unioning the banded pairs is the standard recall booster for
+    image near-dup."""
+    return _hash_compute(df, codec.whash64, "whash_haar")
+
+
+def _hash_compute(df: DataFrame, kernel, out_col: str) -> DataFrame:
     def run(batches):
         for pdf in batches:
             n = len(pdf)
@@ -574,14 +587,14 @@ def phash_compute(df: DataFrame) -> DataFrame:
                     px = codec.decode(bytes(blob))
                 except Exception:
                     continue
-                hashes[i] = codec.phash_dct64(px)
+                hashes[i] = kernel(px)
                 ok[i] = True
             vals = pd.array(hashes, dtype="Int64")  # nullable int64 → Arrow long
             vals[~ok] = pd.NA
-            yield pd.DataFrame({"image_id": pdf["image_id"], "phash_dct": vals})
+            yield pd.DataFrame({"image_id": pdf["image_id"], out_col: vals})
 
     return df.select("image_id", "bytes").mapInPandas(
-        run, schema="image_id string, phash_dct long"
+        run, schema=f"image_id string, {out_col} long"
     )
 
 

@@ -848,6 +848,80 @@ def test_phash_compute_parity_and_robustness(spark):
     assert min(hams) >= 8  # distinct images stay well apart
 
 
+def test_whash_compute_parity_and_robustness(spark):
+    """images.whash_compute: exact numpy parity vs codec.whash64, an
+    independent straight-loop Haar reimplementation agrees bit-for-bit,
+    jpeg-requantized copies stay within the banded-dedup radius, and
+    distinct images stay separated."""
+    import numpy as np
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    def whash_independent(px):
+        gray = px.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        g = np.zeros((32, 32))
+        ys = [(i * h) // 32 for i in range(33)]
+        xs = [(j * w) // 32 for j in range(33)]
+        for i in range(32):
+            for j in range(32):
+                g[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        for _ in range(2):
+            n = g.shape[0] // 2
+            ll = np.zeros((n, n))
+            for i in range(n):
+                for j in range(n):
+                    ll[i, j] = (
+                        (g[2 * i, 2 * j] + g[2 * i, 2 * j + 1])
+                        + (g[2 * i + 1, 2 * j] + g[2 * i + 1, 2 * j + 1])
+                    ) / 4.0
+            g = ll
+        bits = g.reshape(-1) > np.median(g.reshape(-1))
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # Structurally DISTINCT images (coarse random blocks): canonical
+    # wHash hashes the Haar LL band, so the shared-ramp synth_pixels
+    # corpus is wHash-degenerate by design (all ramps hash alike — that
+    # is the operator's documented contrast-structure sensitivity, why
+    # it complements rather than replaces pHash).  Block images carry
+    # per-id LL structure, which is what wHash discriminates.
+    def block_pixels(i, w, h):
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(f"blk_{i}".encode()) & 0xFFFFFFFF)
+        coarse = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        return np.repeat(np.repeat(coarse, (h + 7) // 8, axis=0), (w + 7) // 8, axis=1)[
+            :h, :w
+        ]
+
+    ids = [f"img_{i}" for i in range(6)]
+    pxs = {iid: block_pixels(i, 96 + 8 * i, 72 + 4 * i) for i, iid in enumerate(ids)}
+    rows = []
+    for iid in ids:
+        rows.append((iid, bytearray(codec.encode(pxs[iid], "png"))))
+        rows.append((iid + "_jpeg", bytearray(codec.encode(pxs[iid], "jpeg"))))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r.whash_haar for r in images.whash_compute(df).collect()}
+
+    assert got["nul"] is None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hams = []
+    for i, iid in enumerate(ids):
+        assert got[iid] == codec.whash64(pxs[iid]) == whash_independent(pxs[iid])
+        assert ham(got[iid + "_jpeg"], got[iid]) <= 6  # requantize-robust
+        for other in ids[:i]:
+            hams.append(ham(got[iid], got[other]))
+    assert min(hams) >= 8  # structurally distinct images stay apart
+
+
 def test_patchify_grid_and_reconstruction(spark):
     """Patch grid laws: row-major complete grid per image, every patch
     byte-exact against a local numpy slice of the decoded source, and
