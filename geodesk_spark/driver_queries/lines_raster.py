@@ -608,6 +608,50 @@ def _dissolve_sql() -> str:
     """
 
 
+GWR_GRID_BITS = 6
+
+
+_GWR_XV = "(o_orderkey * 48271) % 1000"
+
+
+def _q_gwr_local(spark, sf_dir):
+    """Geographically weighted regression (stats.gwr_local): per-cell
+    Epanechnikov-weighted local OLS of order price (integer cents) on a
+    synthetic covariate — the local-relationship map of spatial stats
+    (Brunsdon et al. 1996).  Decimal-exact sums end-to-end; only the two
+    closed-form divisions are float, floor-quantized at 1e6."""
+    from geodesk_spark.operators import stats
+
+    df = _derived_orders_price(spark, sf_dir)
+    return stats.gwr_local(df, grid_bits=GWR_GRID_BITS, radius=2)
+
+
+def _derived_orders_price(spark, sf_dir):
+    o = tables.load_spread(spark, sf_dir, "orders")
+    df = tables.with_derived_points(o, "o_orderkey")
+    k = F.col("o_orderkey").cast("long")
+    # price cents via the floor form: double→bigint bare casts TRUNCATE
+    # on Spark but ROUND on DuckDB (CLAUDE.md law)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return df.select(
+        "x",
+        "y",
+        ((k * 48271) % 1000).alias("xv"),
+        cents.alias("yv"),
+    )
+
+
+def _gwr_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    pts_rel = f"""select {x_expr(lon_expr("o_orderkey"))} as x,
+             {y_expr(lat_expr("o_orderkey"))} as y,
+             {_GWR_XV} as xv,
+             cast(floor(o_totalprice * 100 + 0.5) as bigint) as yv
+      from orders"""
+    return stats.gwr_local_sql(pts_rel, grid_bits=GWR_GRID_BITS, radius=2)
+
+
 HOTSPOT_GRID_BITS = 7
 
 

@@ -153,3 +153,151 @@ def group_linreg_sql(
                    * {float(m)!r} + 0.5) / {float(m)!r} as intercept
       from s
     """
+
+
+def _epanechnikov_taps(radius: int) -> list[tuple[int, int, int]]:
+    """Integer Epanechnikov cell taps: w = r²+1−(dx²+dy²) where positive
+    (the KDE kernel of tiles_sink.kde_heatmap_counts — RATIONAL so every
+    weight is an exact integer and weighted sums stay order-free)."""
+    r = radius
+    return [
+        (dx, dy, r * r + 1 - dx * dx - dy * dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if r * r + 1 - dx * dx - dy * dy > 0
+    ]
+
+
+def gwr_local(
+    points: DataFrame,
+    grid_bits: int,
+    radius: int = 2,
+    x_col: str = "xv",
+    y_col: str = "yv",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Geographically weighted regression, the grid flavor (GWR-lite):
+    a LOCAL OLS slope/intercept of ``y_col`` on ``x_col`` per raster
+    cell, kernel-weighted over the cell's neighborhood — the classic
+    local-relationship map (how does price sensitivity vary across the
+    city?) of spatial statistics (Brunsdon, Fotheringham & Charlton
+    1996), re-expressed for a cluster.
+
+    Exactness contract (cross-engine): per-cell partial sums (n, Σx,
+    Σy, Σx², Σxy) accumulate in decimal(38,0) from INTEGER inputs;
+    the Epanechnikov kernel weights are exact integers, so the
+    neighborhood-weighted sums are exact too; the only floats are the
+    closed-form divisions at the very end, in mirrored op order,
+    floor-quantized at 10^-out_scale.
+
+    100 TB shape: ONE groupBy(cell) over the fact table (map-side
+    partial combine), then the ≤(2r+1)² tap scatter runs over the CELL
+    table (orders of magnitude smaller), one more groupBy — the same
+    halo-exchange shape as the KDE/stencil rasters; no UDF anywhere.
+
+    → (gx, gy, n_eff, slope, intercept); NULL slope/intercept where the
+    weighted covariate is locally constant (den = 0).
+    """
+    sub = 32 - grid_bits
+    xs = F.col("x").cast("bigint") + (1 << 31)
+    yd = F.lit((1 << 31) - 1) - F.col("y").cast("bigint")
+    xv = F.col(x_col).cast("decimal(38,0)")
+    yv = F.col(y_col).cast("decimal(38,0)")
+    cells = (
+        points.select(
+            F.shiftright(xs, sub).alias("gx"),
+            F.shiftright(yd, sub).alias("gy"),
+            xv.alias("_x"),
+            yv.alias("_y"),
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("_x").alias("sx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        )
+    )
+    taps = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w"))
+            for dx, dy, w in _epanechnikov_taps(radius)
+        ]
+    )
+    w = F.col("t.w").cast("decimal(38,0)")
+    nb = (
+        cells.select("*", F.explode(taps).alias("t"))
+        .groupBy(
+            (F.col("gx") + F.col("t.dx")).alias("gx"),
+            (F.col("gy") + F.col("t.dy")).alias("gy"),
+        )
+        .agg(
+            F.sum(w * F.col("n")).alias("swn"),
+            F.sum(w * F.col("sx")).alias("swx"),
+            F.sum(w * F.col("sy")).alias("swy"),
+            F.sum(w * F.col("sxx")).alias("swxx"),
+            F.sum(w * F.col("sxy")).alias("swxy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("swn") * d("swxy") - d("swx") * d("swy")
+    den = d("swn") * d("swxx") - d("swx") * d("swx")
+    slope = num / F.nullif(den, F.lit(0.0))
+    intercept = (d("swy") - slope * d("swx")) / d("swn")
+    m = float(10 ** out_scale)
+    r_ = lambda c: F.floor(c * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
+    return nb.select(
+        "gx",
+        "gy",
+        F.col("swn").cast("bigint").alias("n_eff"),
+        r_(slope).alias("slope"),
+        r_(intercept).alias("intercept"),
+    )
+
+
+def gwr_local_sql(
+    pts_rel: str,
+    grid_bits: int,
+    radius: int = 2,
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of gwr_local over ``pts_rel`` (x, y, xv, yv) — same
+    decimal accumulation, same tap table, same mirrored float order."""
+    step = 1 << (32 - grid_bits)
+    taps = ",".join(f"({dx},{dy},{w})" for dx, dy, w in _epanechnikov_taps(radius))
+    m = float(10 ** out_scale)
+    q = lambda e: f"cast(floor(({e}) * {m!r} + 0.5) as double) / {m!r}"
+    return f"""
+      with pts as ({pts_rel}),
+      cells as (
+        select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+               cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+               cast(count(*) as decimal(38,0)) as n,
+               sum(cast(xv as decimal(38,0))) as sx,
+               sum(cast(yv as decimal(38,0))) as sy,
+               sum(cast(xv as decimal(38,0)) * cast(xv as decimal(38,0))) as sxx,
+               sum(cast(xv as decimal(38,0)) * cast(yv as decimal(38,0))) as sxy
+        from pts group by 1, 2),
+      taps(dx, dy, w) as (values {taps}),
+      nb as (
+        select gx + dx as gx, gy + dy as gy,
+               sum(cast(w as decimal(38,0)) * n) as swn,
+               sum(cast(w as decimal(38,0)) * sx) as swx,
+               sum(cast(w as decimal(38,0)) * sy) as swy,
+               sum(cast(w as decimal(38,0)) * sxx) as swxx,
+               sum(cast(w as decimal(38,0)) * sxy) as swxy
+        from cells cross join taps group by 1, 2),
+      s as (
+        select gx, gy, swn,
+               (cast(swn as double) * cast(swxy as double)
+                - cast(swx as double) * cast(swy as double))
+               / nullif(cast(swn as double) * cast(swxx as double)
+                        - cast(swx as double) * cast(swx as double), 0.0) as slope,
+               swx, swy
+        from nb)
+      select gx, gy, cast(swn as bigint) as n_eff,
+             {q('slope')} as slope,
+             {q('(cast(swy as double) - slope * cast(swx as double)) / cast(swn as double)')} as intercept
+      from s
+    """
