@@ -77,6 +77,70 @@ def _sssp_sql() -> str:
     return graph_mod.sssp_rounds_sql(_SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS)
 
 
+ISO_THRESHOLDS = [60, 150, 300]
+
+
+def _q_isochrone(spark, sf_dir):
+    """Isochrone reachability polygons (graph.isochrone_bands): SSSP
+    over the interaction graph → cumulative cost bands → convex hull
+    per band (exact integer cross products).  Node coordinates come
+    from the same derived-point recipe keyed on the node id, so the
+    whole chain is integer-deterministic end-to-end."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    ev = tables.load_spread(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") % 500) + 1000).alias("dst"),
+        (F.lit(1) + F.col("event_id") % 97).alias("w"),
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    dist = graph_mod.sssp_rounds(
+        e, SSSP_SOURCES, rounds=SSSP_ROUNDS, materialize=False
+    )
+    nodes = tables.with_derived_points(dist.select("node"), "node").select(
+        "node", "x", "y"
+    )
+    return graph_mod.isochrone_bands(dist, nodes, ISO_THRESHOLDS).select(
+        "band", "x", "y"
+    )
+
+
+def _isochrone_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    sssp = graph_mod.sssp_rounds_sql(_SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS)
+    bands = ",".join(f"({t})" for t in ISO_THRESHOLDS)
+    return f"""
+      with d as ({sssp}),
+      nd as (select node, dist,
+                    {x_expr(lon_expr("node"))} as x,
+                    {y_expr(lat_expr("node"))} as y
+             from d),
+      bands(band) as (values {bands}),
+      bp as (select distinct cast(band as bigint) as band, x, y
+             from nd join bands on nd.dist <= bands.band),
+      verts as (
+        select distinct a.band, a.x, a.y
+        from bp a join bp b
+          on a.band = b.band and (a.x <> b.x or a.y <> b.y)
+        where not exists (
+          select 1 from bp c
+          where c.band = a.band
+            and (c.x <> a.x or c.y <> a.y)
+            and (c.x <> b.x or c.y <> b.y)
+            and cast(b.x - a.x as hugeint) * (c.y - a.y)
+                - cast(b.y - a.y as hugeint) * (c.x - a.x) <= 0)),
+      singles as (select band, min(x) as x, min(y) as y
+                  from bp group by band having count(*) = 1)
+      select band, x, y from verts
+      union all
+      select band, x, y from singles
+    """
+
+
 GEOFENCES = [
     ("A", -(1 << 30), -(1 << 29), -(1 << 28), (1 << 29)),
     ("B", 0, 0, (1 << 29), (1 << 30)),

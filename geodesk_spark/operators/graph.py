@@ -365,3 +365,40 @@ def sssp_rounds_sql(edges_cte: str, sources: list, rounds: int = 6) -> str:
             f"from d{i-1} join e on e.src = d{i-1}.node) u group by node)"
         )
     return "with " + ",\n".join(parts) + f"\nselect node, dist from d{rounds}"
+
+
+def isochrone_bands(
+    dist: DataFrame,
+    nodes: DataFrame,
+    thresholds: list[int],
+    node_col: str = "node",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Isochrone reachability polygons: for each cost threshold t the
+    convex hull of every node reachable within dist ≤ t — the
+    "where can I get in 10/20/30 minutes" map, the standard consumer of
+    a road-network SSSP (bands are CUMULATIVE: the t₂ polygon contains
+    the t₁ polygon, so rendering back-to-front needs no erase step).
+
+    Compose: graph.sssp_rounds → join node coordinates → band explode →
+    geometry_ops.convex_hull_by_group.  All integer inputs; the hull's
+    cross products are exact python ints — bit-deterministic.
+
+    Scale shape: the band explode fans each reached node out ≤
+    |thresholds| times (a handful), then ONE hull shuffle grouped by
+    band; the SSSP dominates end-to-end cost, as it should.
+
+    → (band, seq, x, y) hull-ordered CCW rings, one row per hull vertex.
+    """
+    from geodesk_spark.operators.geometry_ops import convex_hull_by_group
+
+    t_arr = F.array(*[F.lit(int(t)).cast("long") for t in sorted(thresholds)])
+    j = dist.join(nodes, dist[node_col] == nodes[node_col]).select(
+        dist[dist_col].alias("_d"), nodes["x"], nodes["y"]
+    )
+    bands = j.select(
+        F.explode(F.filter(t_arr, lambda t: t >= F.col("_d"))).alias("band"),
+        "x",
+        "y",
+    )
+    return convex_hull_by_group(bands, group_col="band")

@@ -314,3 +314,38 @@ def test_geofence_transitions_hand_case(spark):
         (4, 100, None, "A", "enter"),
         (4, 100, "A", None, "exit"),
     ]
+
+
+def test_isochrone_bands_cumulative_hulls(spark):
+    """Isochrone laws on a planted star graph: cumulative bands (every
+    t1-reached node inside the t2 point set), hull vertices subset of
+    the band's points, and the outer band's hull contains the inner
+    band's points (convexity + cumulativity)."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    # star: source 0 at center, spokes at cost 10 (ring A) and 100 (ring B)
+    coords = {0: (0, 0)}
+    edges = []
+    ring_a = [(50, 0), (0, 50), (-50, 0), (0, -50)]
+    ring_b = [(900, 900), (-900, 900), (-900, -900), (900, -900)]
+    for i, (x, y) in enumerate(ring_a, start=1):
+        coords[i] = (x, y)
+        edges.append((0, i, 10))
+        edges.append((i, 0, 10))
+    for i, (x, y) in enumerate(ring_b, start=10):
+        coords[i] = (x, y)
+        edges.append((0, i, 100))
+        edges.append((i, 0, 100))
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nodes = spark.createDataFrame(
+        [(n, x, y) for n, (x, y) in coords.items()], "node long, x long, y long"
+    )
+    dist = graph_mod.sssp_rounds(e, [0], rounds=3, materialize=False)
+    hulls = graph_mod.isochrone_bands(dist, nodes, [20, 200]).collect()
+    by_band = {}
+    for r in hulls:
+        by_band.setdefault(r.band, []).append((r.x, r.y))
+    # inner band: center + ring A -> hull is the 4 ring-A points
+    assert sorted(by_band[20]) == sorted(ring_a)
+    # outer band: cumulative -> hull is ring B (ring A strictly inside)
+    assert sorted(by_band[200]) == sorted(ring_b)
