@@ -315,6 +315,20 @@ def _lm_perplexity_sql() -> str:
     )
 
 
+def _q_doremi_weights(spark, sf_dir):
+    """Domain mixture reweighting, DoReMi-lite (text.doremi_reweight;
+    Xie et al. 2023, static-loss collapse): per-source excess bigram-LM
+    loss in integer micro-nats → ONE det_exp softmax → bigint-rounded
+    weight_ppm + target sample counts.  Every output column is an exact
+    integer, so the row hashes identically on any engine build."""
+    d = tables.load_spread(spark, sf_dir, "documents")
+    return text.doremi_reweight(d, domain_col="source")
+
+
+def _doremi_sql() -> str:
+    return text.doremi_reweight_sql(domain_col="source")
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality split (text.ccnet_quality_buckets):
     one bigram LM PER LANGUAGE trained in a single keyed pass on the

@@ -979,3 +979,122 @@ def dsir_importance_sql(
                <= ceil({frac!r} * n_docs) as selected
       from base
     """
+
+
+def doremi_reweight(
+    docs: DataFrame,
+    domain_col: str = "source",
+    eta: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain mixture reweighting — DoReMi-lite (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", static-loss collapse): upweight domains whose
+    reference-LM EXCESS loss is high, i.e. the domains the reference
+    model fits worst, then emit per-domain target sample counts for the
+    resampled mix.  Full DoReMi alternates proxy-model training with
+    exponentiated-gradient weight updates; with a FIXED per-domain loss
+    the EG recursion w ← w·exp(η·excess) collapses algebraically to the
+    single softmax-style reweight computed here (documented honestly —
+    the proxy retrain loop needs a trainer, not a query engine).
+
+    Loss = the corpus-trained bigram LM's average NLL per domain, in
+    exact integer MICRO-NATS (ngram_lm_score's law: every ln takes an
+    integer argument, sums are order-free bigints).  The only
+    transcendental is ONE det_exp per domain row (bit-identical on
+    every engine build); normalization uses max (order-free) then pure
+    bigint rounding arithmetic, so every output column is an exact
+    integer and the whole result hashes identically cross-engine.
+
+    100 TB shape: the LM train + score is the existing two-shuffle
+    ngram_lm_score pass; the domain rollup is ONE groupBy over the
+    per-doc scores; the softmax runs on the DOMAIN table (a handful of
+    rows) via unbounded windows — no collect, no driver math.
+
+    → (domain, n_docs, n_bigrams, avg_nll_micro, excess_micro,
+       weight_ppm, target_docs), one row per domain.
+    """
+    from pyspark.sql import Window
+
+    from geodesk_spark.geo import mercator
+
+    scored = ngram_lm_score(docs, text_col=text_col)
+    j = scored.join(
+        docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
+    ).filter(F.col("n_bigrams") > 0)
+    dom = j.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_bigrams").cast("long")).alias("nb"),
+        F.sum("nll_micro").alias("nll"),
+    )
+    w = Window.partitionBy()
+    avg_dom = F.expr("nll div nb")
+    avg_glob = F.expr("gnll div gnb")
+    dom = (
+        dom.withColumn("gnll", F.sum("nll").over(w))
+        .withColumn("gnb", F.sum("nb").over(w))
+        .withColumn("avg_nll_micro", avg_dom)
+        .withColumn("excess_micro", F.greatest(avg_dom - avg_glob, F.lit(0).cast("long")))
+    )
+    c = eta / 1e6
+    wexp = mercator.det_exp_col(F.col("excess_micro").cast("double") * F.lit(c))
+    dom = dom.withColumn("_we", wexp).withColumn("_wm", F.max("_we").over(w))
+    ppm = F.floor(F.col("_we") / F.col("_wm") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    dom = dom.withColumn("_ppm", ppm).withColumn("_s", F.sum("_ppm").over(w))
+    dom = dom.withColumn("_ntot", F.sum("n_docs").over(w))
+    weight_ppm = F.expr("(_ppm * 2000000 + _s) div (2 * _s)")
+    dom = dom.withColumn("weight_ppm", weight_ppm)
+    target = F.expr("(weight_ppm * _ntot * 2 + 1000000) div 2000000")
+    return dom.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.col("avg_nll_micro").cast("long").alias("avg_nll_micro"),
+        F.col("excess_micro").cast("long").alias("excess_micro"),
+        F.col("weight_ppm").cast("long").alias("weight_ppm"),
+        target.cast("long").alias("target_docs"),
+    )
+
+
+def doremi_reweight_sql(
+    rel: str = "documents",
+    domain_col: str = "source",
+    eta: float = 1.0,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`doremi_reweight` — same micro-nat LM chain,
+    same det_exp, same max-normalized bigint rounding."""
+    from geodesk_spark.geo import mercator
+
+    c = eta / 1e6
+    scored = ngram_lm_score_sql(rel, text_col=text_col)
+    wexp = mercator.det_exp_sql(f"(cast(excess_micro as double) * {c!r})")
+    return f"""
+      with sc as ({scored}),
+      jd as (select sc.doc_id, sc.n_bigrams, sc.nll_micro, d.{domain_col} as domain
+             from sc join {rel} d using (doc_id) where sc.n_bigrams > 0),
+      dom as (select domain, count(*) as n_docs,
+                     sum(cast(n_bigrams as bigint)) as nb,
+                     sum(nll_micro) as nll
+              from jd group by domain),
+      g as (select *,
+                   nll // nb as avg_nll_micro,
+                   greatest(nll // nb - (sum(nll) over ()) // (sum(nb) over ()),
+                            0) as excess_micro,
+                   sum(n_docs) over () as ntot
+            from dom),
+      e as (select *, {wexp} as we from g),
+      n as (select *,
+                   cast(floor(we / (max(we) over ()) * 1e6 + 0.5) as bigint) as ppm
+            from e),
+      s as (select *, sum(ppm) over () as s from n),
+      f as (select *, (ppm * 2000000 + s) // (2 * s) as weight_ppm from s)
+      select domain,
+             cast(n_docs as bigint) as n_docs,
+             cast(nb as bigint) as n_bigrams,
+             cast(avg_nll_micro as bigint) as avg_nll_micro,
+             cast(excess_micro as bigint) as excess_micro,
+             cast(weight_ppm as bigint) as weight_ppm,
+             cast((weight_ppm * ntot * 2 + 1000000) // 2000000 as bigint) as target_docs
+      from f
+    """

@@ -253,3 +253,34 @@ def test_ccnet_quality_buckets_shape(spark):
     # head is the fluent third: per lang, max(head avg_nll) <= min(tail avg_nll)
     for lang, grp in out.groupby("lang"):
         assert grp.loc[grp.bucket == 1, "avg_nll"].max() <= grp.loc[grp.bucket == 3, "avg_nll"].min() + 1e-9
+
+
+def test_doremi_reweight_upweights_hard_domain(spark):
+    """DoReMi-lite laws: the high-excess (gibberish) domain gets the max
+    weight, weights are an exact-integer near-partition of 1e6 (bigint
+    rounding: |sum - 1e6| bounded by #domains), target docs track
+    weights, and all outputs are integers."""
+    from geodesk_spark.operators import text as text_mod
+
+    rows = []
+    did = 0
+    for i in range(60):  # fluent/typical domain: repeated common bigrams
+        rows.append((did, "the cat sat on the mat and the dog sat too", "easy"))
+        did += 1
+    for i in range(60):  # medium: semi-regular
+        rows.append((did, f"alpha beta gamma delta epsilon zeta {i % 7}", "mid"))
+        did += 1
+    for i in range(60):  # hard: unique gibberish bigrams every doc
+        rows.append((did, f"zzq{i}x wfp{i*7}y qqj{i*13}z vvk{i*29}w", "hard"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in text_mod.doremi_reweight(df).collect()}
+    assert set(out) == {"easy", "mid", "hard"}
+    assert out["hard"].weight_ppm == max(r.weight_ppm for r in out.values())
+    assert out["hard"].excess_micro > 0 and out["easy"].excess_micro == 0
+    s = sum(r.weight_ppm for r in out.values())
+    assert abs(s - 1_000_000) <= len(out)
+    ntot = sum(r.n_docs for r in out.values())
+    for r in out.values():
+        assert isinstance(r.weight_ppm, int) and isinstance(r.target_docs, int)
+        assert abs(r.target_docs - r.weight_ppm * ntot / 1e6) <= 1
