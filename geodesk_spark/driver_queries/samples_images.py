@@ -233,6 +233,33 @@ def _q_images_decode(spark, sf_dir):
     )
 
 
+def _q_images_verify_reference(spark, sf_dir):
+    """Per-row reference verification (images.verify_against_reference —
+    the BASELINE acceptance invariant as a distributed job): jpeg
+    pipeline output vs the original table, PSNR≥40 + caption equality +
+    dims equality per row, with planted caption corruptions and dropped
+    rows so every failure mode has verdict rows; rows-only at the
+    driver (binary payload); laws pinned by
+    test_pipeline::test_verify_against_reference_verdicts."""
+    base = synth.images_df(spark, 400, with_bytes=True, partitions=8)
+    ref = base.select("image_id", "bytes", "caption", "w", "h")
+    out = images.transcode(base, "jpeg").drop("w", "h")
+    ours = (
+        out.join(base.select("image_id", "caption", "w", "h"), "image_id")
+        .withColumn(
+            "caption",
+            F.when(
+                F.abs(F.hash("image_id")) % 89 == 0,
+                F.concat(F.col("caption"), F.lit(" CORRUPTED")),
+            ).otherwise(F.col("caption")),
+        )
+        .filter(F.abs(F.hash("image_id")) % 97 != 0)
+    )
+    return images.verify_against_reference(
+        ours, ref, psnr_min=40.0, extra_equal=("w", "h")
+    )
+
+
 def _q_images_flagship(spark, sf_dir):
     """Flagship: synthetic image table → imp encode → tile → three-band PIP
     join against the polygon layer → per-tile match counts."""

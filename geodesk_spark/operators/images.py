@@ -935,3 +935,108 @@ def mosaic_box_remap(
         nmaxx.alias("maxx"),
         nmaxy.alias("maxy"),
     ).filter((F.col("maxx") > F.col("minx")) & (F.col("maxy") > F.col("miny")))
+
+
+def verify_against_reference(
+    ours: DataFrame,
+    reference: DataFrame,
+    psnr_min: float = 40.0,
+    extra_equal: tuple = (),
+) -> DataFrame:
+    """Per-row pipeline-output verification against a reference table —
+    the BASELINE acceptance invariant as a DISTRIBUTED job: for every
+    image_id present in either table, decoded-pixel PSNR ≥ psnr_min
+    (allclose for lossy codecs), caption string equality, plus exact
+    equality on any ``extra_equal`` columns (e.g. a tile assignment).
+
+    Row verdicts, not a global boolean: the point of running this at
+    10^12 rows is the per-row failure LIST (which ids, which invariant)
+    — a summary assert hides exactly what you need for triage.  Rows
+    missing from either side fail with status 'missing_ours' /
+    'missing_ref' (an outer join; silent drops are themselves a
+    pipeline bug this operator must catch).
+
+    Scale shape: ONE equi-join shuffle on image_id, then one Arrow pass
+    decoding both payloads per matched row; emit-all with a boolean
+    `ok` so the caller filters failures without a second scan.
+
+    → (image_id, status, psnr_db, psnr_ok, caption_match,
+       extras_match, ok).
+    """
+    from pyspark.sql import functions as F
+
+    sel = ["image_id", "bytes", "caption", *extra_equal]
+    a = ours.select(*sel).alias("a")
+    b = reference.select(*sel).alias("b")
+    j = a.join(b, F.col("a.image_id") == F.col("b.image_id"), "full_outer").select(
+        F.coalesce(F.col("a.image_id"), F.col("b.image_id")).alias("image_id"),
+        F.col("a.image_id").isNotNull().alias("_in_a"),
+        F.col("b.image_id").isNotNull().alias("_in_b"),
+        F.col("a.bytes").alias("_ba"),
+        F.col("b.bytes").alias("_bb"),
+        (F.col("a.caption") == F.col("b.caption")).alias("caption_match"),
+        *[
+            F.when(
+                F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(True)
+            ).otherwise(F.lit(False)).alias(f"_eq_{c}")
+            for c in extra_equal
+        ],
+    )
+    extras = (
+        F.array_min(F.array(*[F.col(f"_eq_{c}") for c in extra_equal]))
+        if extra_equal
+        else F.lit(True)
+    )
+    j = j.withColumn("extras_match", extras)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            psnr = np.full(n, np.nan)
+            for i in range(n):
+                ba, bb = pdf["_ba"].iloc[i], pdf["_bb"].iloc[i]
+                if ba is None or bb is None:
+                    continue
+                try:
+                    pa = codec.decode(bytes(ba))
+                    pb = codec.decode(bytes(bb))
+                except Exception:
+                    psnr[i] = 0.0
+                    continue
+                if pa.shape != pb.shape:
+                    psnr[i] = 0.0
+                else:
+                    psnr[i] = min(codec.psnr(pa, pb), 99.0)
+            out = pdf[["image_id", "_in_a", "_in_b", "caption_match", "extras_match"]].copy()
+            out["psnr_db"] = psnr
+            yield out
+
+    dec = j.mapInPandas(
+        run,
+        schema=(
+            "image_id string, _in_a boolean, _in_b boolean, "
+            "caption_match boolean, extras_match boolean, psnr_db double"
+        ),
+    )
+    status = (
+        F.when(~F.col("_in_a"), F.lit("missing_ours"))
+        .when(~F.col("_in_b"), F.lit("missing_ref"))
+        .otherwise(F.lit("compared"))
+    )
+    psnr_ok = F.col("psnr_db") >= F.lit(psnr_min)
+    ok = (
+        F.col("_in_a")
+        & F.col("_in_b")
+        & psnr_ok
+        & F.coalesce(F.col("caption_match"), F.lit(False))
+        & F.col("extras_match")
+    )
+    return dec.select(
+        "image_id",
+        status.alias("status"),
+        F.round("psnr_db", 2).alias("psnr_db"),
+        psnr_ok.alias("psnr_ok"),
+        "caption_match",
+        "extras_match",
+        ok.alias("ok"),
+    )

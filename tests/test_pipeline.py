@@ -1125,3 +1125,47 @@ def test_mosaic_box_remap_exact(spark):
         64 * 512 // 640, 48 * 512 // 480, 320 * 512 // 640, 240 * 512 // 480)
     r = out[21]  # quadrant 3 offsets (512, 512); 500*512//1000 = 256
     assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (768, 768, 1024, 1024)
+
+
+def test_verify_against_reference_verdicts(spark):
+    """Every failure mode of the per-row reference check gets the right
+    verdict: clean jpeg rows pass (PSNR>=40, captions equal), corrupted
+    caption fails caption_match only, byte-garbage fails psnr, missing
+    rows on either side get missing_* status, dims mismatch fails
+    extras_match."""
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    def row(iid, w, h, fmt="png", caption=None):
+        px = codec.synth_pixels(iid, w, h)
+        return (iid, bytearray(codec.encode(px, fmt)), caption or f"cap {iid}", w, h)
+
+    ref_rows = [row(f"img_{i}", 64, 48) for i in range(8)]
+    ours_rows = [row(f"img_{i}", 64, 48, fmt="jpeg") for i in range(8)]
+    # plant: corrupted caption on img_2; garbage bytes on img_3;
+    # wrong dims metadata on img_4; img_5 missing from ours; extra_9
+    # only in ours
+    ours_rows[2] = (ours_rows[2][0], ours_rows[2][1], "WRONG", 64, 48)
+    ours_rows[3] = (ours_rows[3][0], bytearray(b"junk"), ours_rows[3][2], 64, 48)
+    ours_rows[4] = (ours_rows[4][0], ours_rows[4][1], ours_rows[4][2], 99, 48)
+    del ours_rows[5]
+    ours_rows.append(row("extra_9", 32, 32))
+    schema = "image_id string, bytes binary, caption string, w int, h int"
+    ours = spark.createDataFrame(ours_rows, schema)
+    ref = spark.createDataFrame(ref_rows, schema)
+    res = {
+        r.image_id: r
+        for r in images.verify_against_reference(
+            ours, ref, extra_equal=("w", "h")
+        ).collect()
+    }
+    assert len(res) == 9
+    for i in (0, 1, 6, 7):
+        r = res[f"img_{i}"]
+        assert r.status == "compared" and r.ok and r.psnr_ok and r.caption_match
+        assert r.psnr_db >= 40.0
+    assert res["img_2"].psnr_ok and not res["img_2"].caption_match and not res["img_2"].ok
+    assert not res["img_3"].psnr_ok and not res["img_3"].ok
+    assert res["img_4"].caption_match and not res["img_4"].extras_match and not res["img_4"].ok
+    assert res["img_5"].status == "missing_ours" and not res["img_5"].ok
+    assert res["extra_9"].status == "missing_ref" and not res["extra_9"].ok
