@@ -436,6 +436,38 @@ def _linreg_sql() -> str:
     )
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Per-user Theil–Sen robust trend (stats.theil_sen): the
+    median-of-pairwise-slopes drift detector that shrugs off the wild
+    outliers OLS chases — the robust sibling of linreg_user_trend on
+    the same event stream.  Pairwise slopes are single IEEE divisions
+    of exact integers; medians are order statistics — deterministic
+    end-to-end."""
+    from geodesk_spark.operators import stats
+
+    e = tables.load_spread(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("grp"),
+        (F.col("event_id") % 997).alias("x"),
+        # planted linear signal + bounded noise + sparse huge outliers
+        (
+            F.col("event_id") % 997 * 7
+            + (F.col("event_id") * 48271) % 41
+            + F.when(F.col("event_id") % 97 == 0, F.lit(100000)).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    return stats.theil_sen(e, "grp", "x", "y", cap=120)
+
+
+def _theil_sen_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    rel = """(select user_id % 50 as grp, event_id % 997 as x,
+              event_id % 997 * 7 + (event_id * 48271) % 41
+              + case when event_id % 97 = 0 then 100000 else 0 end as y
+              from events) t"""
+    return stats.theil_sen_sql(rel, "grp", cap=120)
+
+
 def _q_tag_stats(spark, sf_dir):
     """taginfo-style key statistics over the GOQL feature view
     (operators/tags.tag_stats): per key — feature count, distinct

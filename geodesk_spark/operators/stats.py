@@ -301,3 +301,139 @@ def gwr_local_sql(
              {q('(cast(swy as double) - slope * cast(swx as double)) / cast(swn as double)')} as intercept
       from s
     """
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    cap: int = 200,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend (Theil 1950 / Sen 1968): slope =
+    the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
+    the median residual at that slope — the breakdown-resistant sibling
+    of group_linreg (one wild outlier moves OLS arbitrarily; Theil–Sen
+    tolerates ~29% contamination).  The standard robust drift detector
+    for sensor/telemetry groups.
+
+    Determinism: inputs are INTEGERS; every pairwise slope is one IEEE
+    division of exact integers (identical doubles everywhere); the
+    median is an order statistic — if the median index lands inside a
+    run of equal doubles the selected VALUE is unchanged by tie order,
+    and the even-m case averages two doubles (exact same rounding on
+    both engines).  Outputs floor-form-quantized.
+
+    Scale shape: groups capped at ``cap`` rows (deterministic first-by
+    (x, y) order) so the pairwise explode is bounded at cap²/2 per
+    group — the medoid/hausdorff guard; one self-join shuffle + two
+    window passes on the PAIR table.  Groups with no valid pair (all x
+    equal) are absent from the output (documented).
+
+    → (group, n_pts, n_pairs, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    wcap = Window.partitionBy(group_col).orderBy(F.col("_x").asc(), F.col("_y").asc())
+    base = (
+        df.select(group_col, F.col(x_col).cast("long").alias("_x"), F.col(y_col).cast("long").alias("_y"))
+        .withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= cap)
+    )
+    npts = base.groupBy(group_col).agg(F.count("*").alias("n_pts"))
+    a = base.select(g.alias("_g"), F.col("_x").alias("x1"), F.col("_y").alias("y1"), F.col("_rn").alias("r1"))
+    b = base.select(g.alias("_g2"), F.col("_x").alias("x2"), F.col("_y").alias("y2"), F.col("_rn").alias("r2"))
+    pairs = (
+        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("r1") < F.col("r2")))
+        .filter(F.col("x1") != F.col("x2"))
+        .select(
+            F.col("_g").alias(group_col),
+            ((F.col("y2") - F.col("y1")).cast("double") / (F.col("x2") - F.col("x1")).cast("double")).alias("_s"),
+        )
+    )
+    wm = Window.partitionBy(group_col).orderBy(F.col("_s").asc())
+    ranked = pairs.withColumn("_r", F.row_number().over(wm)).withColumn(
+        "_m", F.count("*").over(Window.partitionBy(group_col))
+    )
+    med = (
+        ranked.filter(
+            (F.col("_r") == F.expr("(_m + 1) div 2")) | (F.col("_r") == F.expr("_m div 2 + 1"))
+        )
+        .groupBy(group_col)
+        .agg(F.avg("_s").alias("_slope"), F.max("_m").alias("n_pairs"))
+    )
+    res = base.join(med, group_col).select(
+        group_col,
+        "n_pairs",
+        "_slope",
+        (F.col("_y").cast("double") - F.col("_slope") * F.col("_x").cast("double")).alias("_e"),
+    )
+    wr = Window.partitionBy(group_col).orderBy(F.col("_e").asc())
+    rres = res.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_m", F.count("*").over(Window.partitionBy(group_col))
+    )
+    out = (
+        rres.filter(
+            (F.col("_r") == F.expr("(_m + 1) div 2")) | (F.col("_r") == F.expr("_m div 2 + 1"))
+        )
+        .groupBy(group_col, "n_pairs", "_slope")
+        .agg(F.avg("_e").alias("_icept"))
+    )
+    m = float(10 ** out_scale)
+    q = lambda c: F.floor(c * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
+    return out.join(npts, group_col).select(
+        group_col,
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        q(F.col("_slope")).alias("slope"),
+        q(F.col("_icept")).alias("intercept"),
+    )
+
+
+def theil_sen_sql(
+    rel: str,
+    group_col: str = "grp",
+    cap: int = 200,
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`theil_sen` over ``rel`` (group, x, y) —
+    same cap order, same IEEE slope division, same median positions."""
+    m = float(10 ** out_scale)
+    q = lambda e: f"cast(floor(({e}) * {m!r} + 0.5) as double) / {m!r}"
+    g = group_col
+    return f"""
+      with src as (select {g}, cast(x as bigint) as x, cast(y as bigint) as y from {rel}),
+      capd as (select * from (
+                 select *, row_number() over (partition by {g} order by x asc, y asc) as rn
+                 from src) z where rn <= {cap}),
+      np as (select {g}, count(*) as n_pts from capd group by {g}),
+      pairs as (
+        select a.{g},
+               cast(b.y - a.y as double) / cast(b.x - a.x as double) as s
+        from capd a join capd b on a.{g} = b.{g} and a.rn < b.rn
+        where a.x <> b.x),
+      rk as (select {g}, s,
+                    row_number() over (partition by {g} order by s asc) as r,
+                    count(*) over (partition by {g}) as m
+             from pairs),
+      med as (select {g}, avg(s) as slope, max(m) as n_pairs
+              from rk where r = (m + 1) // 2 or r = m // 2 + 1
+              group by {g}),
+      res as (select c.{g}, med.n_pairs, med.slope,
+                     cast(c.y as double) - med.slope * cast(c.x as double) as e
+              from capd c join med on c.{g} = med.{g}),
+      rr as (select {g}, n_pairs, slope, e,
+                    row_number() over (partition by {g} order by e asc) as r,
+                    count(*) over (partition by {g}) as m
+             from res),
+      ic as (select {g}, n_pairs, slope, avg(e) as icept
+             from rr where r = (m + 1) // 2 or r = m // 2 + 1
+             group by {g}, n_pairs, slope)
+      select ic.{g}, cast(np.n_pts as bigint) as n_pts,
+             cast(ic.n_pairs as bigint) as n_pairs,
+             {q('ic.slope')} as slope,
+             {q('ic.icept')} as intercept
+      from ic join np on ic.{g} = np.{g}
+    """

@@ -33,3 +33,50 @@ def test_decay_rollup_exact_and_mergeable(spark):
                                   value_col="value")
     merged = relational.decay_merge(s1.unionByName(s2), ["k"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, st.collect()))
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """Theil–Sen recovers the planted slope where OLS is dragged by the
+    outliers, and matches an independent numpy median-of-slopes oracle."""
+    import numpy as np
+
+    from geodesk_spark.operators import stats
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for g in range(4):
+        slope = [3, -2, 0, 7][g]
+        for i in range(40):
+            x = int(i * 5 + (g * 13) % 7)
+            y = slope * x + 100 * g + int(rng.integers(-3, 4))
+            if i >= 37:
+                y += 50_000  # wild HIGH-LEVERAGE outliers (top of x range)
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "grp long, x long, y long")
+    got = {r.grp: r for r in stats.theil_sen(df, "grp", cap=200).collect()}
+    ols = {r[0]: r for r in stats.group_linreg(df, "grp", "x", "y").collect()}
+
+    def brute(g):
+        pts = sorted((x, y) for gg, x, y in rows if gg == g)
+        sl = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 != x1
+        )
+        m = len(sl)
+        med = sl[(m - 1) // 2] if m % 2 else (sl[m // 2 - 1] + sl[m // 2]) / 2
+        res = sorted(y - med * x for x, y in pts)
+        k = len(res)
+        ic = res[(k - 1) // 2] if k % 2 else (res[k // 2 - 1] + res[k // 2]) / 2
+        return med, ic
+
+    for g in range(4):
+        true_slope = [3, -2, 0, 7][g]
+        bs, bi = brute(g)
+        assert abs(got[g].slope - bs) < 1e-5, (g, got[g].slope, bs)
+        assert abs(got[g].intercept - bi) < 1e-4
+        # robust: within noise of truth; OLS dragged far off by outliers
+        assert abs(got[g].slope - true_slope) < 0.5
+        assert abs(ols[g].slope - true_slope) > 2.0
+        assert got[g].n_pts == 40
