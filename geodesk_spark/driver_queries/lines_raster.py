@@ -608,6 +608,46 @@ def _dissolve_sql() -> str:
     """
 
 
+def _q_great_circle(spark, sf_dir):
+    """True sphere geodesic between derived point pairs
+    (geo/geodesic.great_circle_cols): unit-sphere vectors via the
+    Gudermannian det-kernels, half-chord asin via det_atan2 — the
+    continent-scale complement of the reference's planar mercator
+    distance, bit-identical on every engine build (no libm anywhere in
+    the chain).  Output floor-quantized at cm."""
+    from geodesk_spark.geo import geodesic
+
+    df = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).withColumn("k2", (F.col("o_orderkey") * 2654435761) % 1000000007)
+    df = df.withColumn("x2", F.expr(x_expr(lon_expr("k2")))).withColumn(
+        "y2", F.expr(y_expr(lat_expr("k2")))
+    )
+    df = geodesic.great_circle_cols(
+        df, F.col("x"), F.col("y"), F.col("x2"), F.col("y2"), "gc_m"
+    )
+    q2 = F.floor(F.col("gc_m") * 1e2 + 0.5).cast("double") / 1e2
+    return df.select(F.col("o_orderkey").alias("fid"), q2.alias("gc_m"))
+
+
+def _great_circle_sql() -> str:
+    from geodesk_spark.geo import geodesic
+
+    pts = f"""select o_orderkey as fid,
+             {x_expr(lon_expr("o_orderkey"))} as x,
+             {y_expr(lat_expr("o_orderkey"))} as y,
+             {x_expr(lon_expr("k2"))} as x2,
+             {y_expr(lat_expr("k2"))} as y2
+      from (select *, (o_orderkey * 2654435761) % 1000000007 as k2 from orders) o"""
+    ctes, val = geodesic.great_circle_sql("x", "y", "x2", "y2", "gq", "pts")
+    return f"""
+      with pts as ({pts}),
+      {ctes}
+      select fid, cast(floor(({val}) * 1e2 + 0.5) as double) / 1e2 as gc_m
+      from at2_gq_fin
+    """
+
+
 GWR_GRID_BITS = 6
 
 

@@ -1,0 +1,175 @@
+"""Great-circle (geodesic) distance from mercator imps, libm-free.
+
+The reference's ``distance()`` is PLANAR: Euclidean imps scaled at the
+segment mid-latitude (Mercator.java:256-264; geo/mercator.distance) —
+exact GeoDesk parity, but it degrades on continent-scale separations
+where the local scale factor stops being representative.  This module
+adds the true sphere geodesic as an engine extension, built from the
+same deterministic kernel set as the S2 transform so the result is
+bit-identical on numpy, Spark and DuckDB:
+
+- unit-sphere vectors via the Gudermannian (s2cell.sphere_from_imps:
+  det_sincos of longitude imps with exact quadrant reduction,
+  det_sinh/det_cosh of the mercator parameter — no atan/exp/sin libm);
+- chord length between the two unit vectors (pure +/×/sqrt);
+- central angle by the numerically-stable half-chord form
+  θ = 2·asin(c/2), with asin(h) = atan2(h, √(1−h²)) on
+  detmath.det_atan2 — exact near 0 where acos(dot) loses 8 digits;
+- meters = θ · R with R = EARTH_CIRCUMFERENCE / 2π (one host literal).
+
+All Column math is whole-stage-codegen (no UDF); the SQL twin binds
+every intermediate to a CTE column in the same op order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from geodesk_spark.geo import detmath, mercator
+from geodesk_spark.geo.s2cell import (
+    IMP_TO_RAD,
+    _COS_C,
+    _Q_HALF,
+    _Q_STEP,
+    _SIN_C,
+    _SINH_C,
+    _horner_col,
+    _horner_sql,
+    sphere_from_imps,
+)
+
+# meters per radian of central angle (2R = C/π folded into ONE constant
+# so the final multiply is a single rounding on every engine)
+_M_PER_2RAD = mercator.EARTH_CIRCUMFERENCE / (2.0 * math.pi) * 2.0
+
+
+def great_circle_m(x1, y1, x2, y2) -> np.ndarray:
+    """Geodesic meters between imp points (numpy form)."""
+    ax, ay, az = sphere_from_imps(x1, y1)
+    bx, by, bz = sphere_from_imps(x2, y2)
+    dx, dy, dz = ax - bx, ay - by, az - bz
+    h = np.sqrt((dx * dx + dy * dy) + dz * dz) * 0.5
+    w = np.sqrt(np.maximum(1.0 - h * h, 0.0))
+    return detmath.det_atan2(h, w) * _M_PER_2RAD
+
+
+def _sphere_cols(df, x_col, y_col, tag: str):
+    """Add ``{tag}sx/{tag}sy/{tag}sz`` unit-sphere columns — the
+    longitude/Gudermannian ladder of s2cell.s2_cell_cols with
+    per-call-unique temp names so two points fit in one frame."""
+    from pyspark.sql import functions as F
+
+    t = tag
+    xd = x_col.cast("double")
+    q = F.floor((xd + F.lit(_Q_HALF)) / F.lit(_Q_STEP)).cast("double")
+    df = df.withColumn(t + "r", (xd - q * F.lit(_Q_STEP)) * F.lit(IMP_TO_RAD))
+    df = df.withColumn(t + "m", ((q.cast("long") + F.lit(4)) % 4))
+    df = df.withColumn(t + "s", F.col(t + "r") * F.col(t + "r"))
+    df = df.withColumn(t + "sr", F.col(t + "r") * _horner_col(F.col(t + "s"), _SIN_C))
+    df = df.withColumn(t + "cr", _horner_col(F.col(t + "s"), _COS_C))
+    m = F.col(t + "m")
+    df = df.withColumn(
+        t + "sl",
+        F.when(m == 0, F.col(t + "sr"))
+        .when(m == 1, F.col(t + "cr"))
+        .when(m == 2, -F.col(t + "sr"))
+        .otherwise(-F.col(t + "cr")),
+    )
+    df = df.withColumn(
+        t + "cl",
+        F.when(m == 0, F.col(t + "cr"))
+        .when(m == 1, -F.col(t + "sr"))
+        .when(m == 2, -F.col(t + "cr"))
+        .otherwise(F.col(t + "sr")),
+    )
+    df = df.withColumn(t + "t", y_col.cast("double") * F.lit(IMP_TO_RAD))
+    df = df.withColumn(t + "ts", F.col(t + "t") * F.col(t + "t"))
+    df = df.withColumn(t + "ch", mercator.det_cosh_col(F.col(t + "t")))
+    df = df.withColumn(
+        t + "sh", F.col(t + "t") * _horner_col(F.col(t + "ts"), _SINH_C)
+    )
+    df = df.withColumn(t + "sx", F.col(t + "cl") / F.col(t + "ch"))
+    df = df.withColumn(t + "sy", F.col(t + "sl") / F.col(t + "ch"))
+    df = df.withColumn(t + "sz", F.col(t + "sh") / F.col(t + "ch"))
+    return df.drop(
+        t + "r", t + "m", t + "s", t + "sr", t + "cr", t + "sl", t + "cl",
+        t + "t", t + "ts", t + "ch", t + "sh",
+    )
+
+
+def great_circle_cols(df, x1, y1, x2, y2, out: str, tag: str = "_gc"):
+    """Add ``out`` = geodesic meters between (x1, y1) and (x2, y2)
+    imp Columns — same op order as :func:`great_circle_m`."""
+    from pyspark.sql import functions as F
+
+    t = tag
+    df = _sphere_cols(df, x1, y1, t + "a")
+    df = _sphere_cols(df, x2, y2, t + "b")
+    dx = F.col(t + "asx") - F.col(t + "bsx")
+    dy = F.col(t + "asy") - F.col(t + "bsy")
+    dz = F.col(t + "asz") - F.col(t + "bsz")
+    df = df.withColumn(
+        t + "h", F.sqrt((dx * dx + dy * dy) + dz * dz) * F.lit(0.5)
+    )
+    w = F.sqrt(F.greatest(F.lit(1.0) - F.col(t + "h") * F.col(t + "h"), F.lit(0.0)))
+    df = detmath.det_atan2_cols(df, F.col(t + "h"), w, t + "th", tag=t + "_at2")
+    df = df.withColumn(out, F.col(t + "th") * F.lit(_M_PER_2RAD))
+    return df.drop(
+        *[t + p + c for p in ("a", "b") for c in ("sx", "sy", "sz")],
+        t + "h",
+        t + "th",
+    )
+
+
+def _sphere_sql(x_sql: str, y_sql: str, tag: str, src: str) -> tuple[str, str]:
+    """(ctes, last_cte): bind {tag}sx/{tag}sy/{tag}sz over ``src``."""
+    t = tag
+    from geodesk_spark.geo.mercator import det_cosh_sql
+
+    ctes = [
+        f"gc{t}0 as (select *, "
+        f"floor((cast({x_sql} as double) + {_Q_HALF!r}) / {_Q_STEP!r}) as {t}q, "
+        f"cast({y_sql} as double) * {IMP_TO_RAD!r} as {t}t from {src})",
+        f"gc{t}1 as (select *, "
+        f"(cast({x_sql} as double) - {t}q * {_Q_STEP!r}) * {IMP_TO_RAD!r} as {t}r, "
+        f"(cast({t}q as bigint) + 4) % 4 as {t}m, {t}t * {t}t as {t}ts from gc{t}0)",
+        f"gc{t}2 as (select *, {t}r * {t}r as {t}s from gc{t}1)",
+        f"gc{t}3 as (select *, {t}r * {_horner_sql(f'{t}s', _SIN_C)} as {t}sr, "
+        f"{_horner_sql(f'{t}s', _COS_C)} as {t}cr, "
+        f"{det_cosh_sql(f'{t}t')} as {t}ch, "
+        f"{t}t * {_horner_sql(f'{t}ts', _SINH_C)} as {t}sh from gc{t}2)",
+        f"gc{t}4 as (select *, "
+        f"case when {t}m = 0 then {t}sr when {t}m = 1 then {t}cr "
+        f"when {t}m = 2 then -{t}sr else -{t}cr end as {t}sl, "
+        f"case when {t}m = 0 then {t}cr when {t}m = 1 then -{t}sr "
+        f"when {t}m = 2 then -{t}cr else {t}sr end as {t}cl from gc{t}3)",
+        f"gc{t}5 as (select *, {t}cl / {t}ch as {t}sx, {t}sl / {t}ch as {t}sy, "
+        f"{t}sh / {t}ch as {t}sz from gc{t}4)",
+    ]
+    return ", ".join(ctes), f"gc{t}5"
+
+
+def great_circle_sql(
+    x1: str, y1: str, x2: str, y2: str, tag: str, src: str
+) -> tuple[str, str]:
+    """(ctes, value_expr) — DuckDB twin of :func:`great_circle_cols`
+    over relation ``src``; select the value FROM CTE ``at2_{tag}_fin``
+    (the det_atan2 ladder's terminal)."""
+    t = tag
+    ca, la = _sphere_sql(x1, y1, t + "a", src)
+    cb, lb = _sphere_sql(x2, y2, t + "b", la)
+    h = (
+        f"sqrt((({t}asx - {t}bsx) * ({t}asx - {t}bsx) "
+        f"+ ({t}asy - {t}bsy) * ({t}asy - {t}bsy)) "
+        f"+ ({t}asz - {t}bsz) * ({t}asz - {t}bsz)) * 0.5"
+    )
+    hc = f"gc{t}h as (select *, {h} as {t}h from {lb})"
+    at2_ctes, at2 = detmath.det_atan2_sql(
+        f"{t}h",
+        f"sqrt(greatest(1.0 - {t}h * {t}h, 0.0))",
+        t,
+        f"gc{t}h",
+    )
+    return ", ".join([ca, cb, hc, at2_ctes]), f"({at2} * {_M_PER_2RAD!r})"

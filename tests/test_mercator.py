@@ -152,3 +152,41 @@ def test_expand_envelope_cols_match_numpy(spark):
     for (minx, miny, maxx, maxy), r in zip(rows, got):
         want = M.expand_envelope(minx, miny, maxx, maxy, 1000.0)
         assert (r.c0, r.c1, r.c2, r.c3) == want
+
+
+def test_great_circle_matches_libm_haversine():
+    """geodesic.great_circle_m vs a straight libm haversine on random
+    points: ≤2e-14 relative (the det kernels are ~1 ulp), plus meridian
+    and equator closed forms."""
+    import math
+
+    import numpy as np
+
+    from geodesk_spark.geo import geodesic, mercator
+
+    rng = np.random.default_rng(5)
+    lon1, lat1 = rng.uniform(-180, 180, 500), rng.uniform(-85, 85, 500)
+    lon2, lat2 = rng.uniform(-180, 180, 500), rng.uniform(-85, 85, 500)
+    x1, y1 = mercator.x_from_lon(lon1), mercator.y_from_lat(lat1)
+    x2, y2 = mercator.x_from_lon(lon2), mercator.y_from_lat(lat2)
+    got = geodesic.great_circle_m(x1, y1, x2, y2)
+    R = mercator.EARTH_CIRCUMFERENCE / (2 * math.pi)
+    # haversine on the imp-quantized coordinates (imps round the input)
+    la1 = 2 * np.arctan(np.exp(np.asarray(y1, float) * math.pi / 2**31)) - math.pi / 2
+    la2 = 2 * np.arctan(np.exp(np.asarray(y2, float) * math.pi / 2**31)) - math.pi / 2
+    dl = (np.asarray(x2, float) - np.asarray(x1, float)) * math.pi / 2**31
+    a = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dl / 2) ** 2
+    ref = 2 * R * np.arcsin(np.minimum(np.sqrt(a), 1.0))
+    rel = np.abs(got - ref) / np.maximum(ref, 1.0)
+    assert rel.max() < 2e-14
+
+    # quarter meridian: equator -> pole-ish (85°) along one meridian
+    xq = mercator.x_from_lon(np.array([10.0, 10.0]))
+    yq = mercator.y_from_lat(np.array([0.0, 45.0]))
+    d45 = geodesic.great_circle_m(xq[:1], yq[:1], xq[1:], yq[1:])[0]
+    assert abs(d45 - R * math.pi / 4) < 50  # imp quantization ~ meters
+    # equator arc: 90° of longitude at lat 0 = quarter circumference
+    xe = mercator.x_from_lon(np.array([0.0, 90.0]))
+    ye = mercator.y_from_lat(np.array([0.0, 0.0]))
+    de = geodesic.great_circle_m(xe[:1], ye[:1], xe[1:], ye[1:])[0]
+    assert abs(de - mercator.EARTH_CIRCUMFERENCE / 4) < 50
