@@ -260,6 +260,24 @@ def _q_images_verify_reference(spark, sf_dir):
     )
 
 
+def _q_cdc_neardup(spark, sf_dir):
+    """Byte-level CDC near-dup (dedup.cdc_neardup_pairs — FastCDC-style
+    Gear chunking, Xia et al. 2016): shifted/prefixed binary copies
+    share re-synchronized chunk fingerprints; planted prefixed copies
+    of every 10th image must pair with their originals.  Rows-only at
+    the driver (binary payload); the shift-robustness law is pinned by
+    test_dedup::test_cdc_chunks_shift_robust."""
+    from geodesk_spark.operators import dedup as dd
+
+    base = synth.images_df(spark, 300, with_bytes=True, partitions=8)
+    copies = base.filter(F.abs(F.hash("image_id")) % 10 == 0).select(
+        F.concat(F.lit("copy_"), F.col("image_id")).alias("image_id"),
+        F.concat(F.lit(b"PREFIX-EDIT"), F.col("bytes")).alias("bytes"),
+    )
+    corpus = base.select("image_id", "bytes").unionByName(copies)
+    return dd.cdc_neardup_pairs(corpus, min_jaccard=0.4)
+
+
 def _q_images_flagship(spark, sf_dir):
     """Flagship: synthetic image table → imp encode → tile → three-band PIP
     join against the polygon layer → per-tile match counts."""

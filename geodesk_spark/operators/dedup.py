@@ -834,3 +834,146 @@ def remove_dup_spans_sql(rel: str = "documents", k: int = 8, text_col: str = "te
              coalesce(array_to_string(list_transform(kept, q -> t[q]), ' '), '') as clean_text
       from kp
     """
+
+
+# --- content-defined chunking (byte-level near-dup) --------------------------
+
+_CDC_W = 16  # rolling window bytes (weights 2^0..2^15)
+
+
+def _gear_table(seed: int = 9) -> "np.ndarray":
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 62, size=256, dtype=np.int64).astype(np.uint64)
+
+
+def cdc_chunk_fps(blob: bytes, avg_bits: int = 9, min_size: int = 64) -> list:
+    """Content-defined chunk fingerprints of one blob (host kernel).
+
+    Gear-style rolling hash (the FastCDC family, Xia et al. 2016 —
+    public recipe): H(i) = Σ_{k<16} gear[b(i−k)]·2^k computed as a
+    VECTORIZED shift-correlation (uint64 wraparound is the modulus), a
+    boundary wherever (H & (2^avg_bits − 1)) == 0 → expected chunk size
+    2^avg_bits; a ``min_size`` guard drops boundaries that would make a
+    runt chunk.  Fingerprint per chunk = crc32 of its bytes, salted
+    with the chunk LENGTH (cheap second dimension).
+
+    The CDC property fixed-size blocking lacks: INSERTING bytes only
+    perturbs the chunks that contain the edit — every later boundary
+    re-synchronizes, so shifted copies still share most fingerprints.
+    """
+    import zlib
+
+    import numpy as np
+
+    b = np.frombuffer(blob, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return []
+    g = _GEAR[b.astype(np.int64)]
+    H = np.zeros(n, dtype=np.uint64)
+    for k in range(_CDC_W):
+        H[k:] += g[: n - k if k else n] << np.uint64(k)
+    mask = np.uint64((1 << avg_bits) - 1)
+    cut = np.flatnonzero((H[_CDC_W:] & mask) == 0) + _CDC_W
+    bounds = [0]
+    for c in cut:
+        if c - bounds[-1] >= min_size:
+            bounds.append(int(c))
+    if bounds[-1] != n:
+        bounds.append(n)
+    out = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(
+            (zlib.crc32(blob[lo:hi]) << 20) ^ (hi - lo)
+        )
+    return out
+
+
+_GEAR = _gear_table()
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    avg_bits: int = 9,
+    min_size: int = 64,
+) -> DataFrame:
+    """(id, chunk_fp, n_chunks) rows — one per content-defined chunk of
+    each blob (cdc_chunk_fps in one Arrow scan; the ingest-side
+    producer for byte-level near-dup).  NULL blobs yield no rows."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps, ncs = [], [], []
+            for i in range(len(pdf)):
+                blob = pdf[bytes_col].iloc[i]
+                if blob is None:
+                    continue
+                f = cdc_chunk_fps(bytes(blob), avg_bits, min_size)
+                ids.extend([pdf[id_col].iloc[i]] * len(f))
+                fps.extend(f)
+                ncs.extend([len(f)] * len(f))
+            yield pd.DataFrame({id_col: ids, "chunk_fp": fps, "n_chunks": ncs})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        run, schema=f"{id_col} string, chunk_fp long, n_chunks int"
+    )
+
+
+def cdc_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    min_jaccard: float = 0.5,
+    avg_bits: int = 9,
+    min_size: int = 64,
+    fp_cap: int = 1000,
+) -> DataFrame:
+    """Byte-level near-duplicate pairs by shared content-defined chunks
+    — the binary-payload sibling of ngram_jaccard_pairs (catches
+    shifted/concatenated/partially-edited binary copies that neither
+    exact hashing nor fixed-offset blocking can, because CDC boundaries
+    re-synchronize after an edit).
+
+    Shape: cdc_chunks scan → inverted index on chunk_fp with the
+    standard df-cap (``fp_cap`` drops degenerate fingerprints — e.g. a
+    run of zero bytes shared by everything) → in-bucket pair counts →
+    Jaccard over chunk multisets (distinct fps per doc).  One shuffle
+    on chunk_fp, one on the pair key.
+
+    → (id_a, id_b, shared, n_a, n_b, jaccard) with id_a < id_b.
+    """
+    ch = cdc_chunks(df, id_col, bytes_col, avg_bits, min_size).select(
+        F.col(id_col).alias("_id"), "chunk_fp"
+    ).distinct()
+    sizes = ch.groupBy("_id").agg(F.count("*").alias("_n"))
+    hot = ch.groupBy("chunk_fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") > fp_cap
+    )
+    idx = ch.join(F.broadcast(hot), "chunk_fp", "left_anti")
+    a = idx.select(F.col("_id").alias("id_a"), "chunk_fp")
+    b = idx.select(F.col("_id").alias("id_b"), "chunk_fp")
+    pairs = (
+        a.join(b, "chunk_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    j = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    return j.select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")

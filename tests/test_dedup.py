@@ -346,3 +346,36 @@ def test_remove_dup_spans_partition_invariance(spark):
     )
     assert a.equals(b)
     assert (a["n_removed"] <= a["n_tokens"]).all()
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC law: inserting bytes near the start of a blob leaves the
+    bulk of chunk fingerprints intact (boundaries re-synchronize),
+    while fixed-offset blocking would lose every block after the edit;
+    distinct random blobs share ~no chunks; pairs detect the planted
+    shifted copy."""
+    import numpy as np
+
+    from geodesk_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=20_000, dtype=np.uint8).tobytes()
+    shifted = b"INSERTED-PREFIX-BYTES!" + base  # edit at the front
+    other = rng.integers(0, 256, size=20_000, dtype=np.uint8).tobytes()
+
+    fa = set(dd.cdc_chunk_fps(base))
+    fb = set(dd.cdc_chunk_fps(shifted))
+    fo = set(dd.cdc_chunk_fps(other))
+    assert len(fa) > 15  # ~2^9-byte chunks over 20 kB
+    shared = len(fa & fb) / len(fa | fb)
+    assert shared > 0.8, shared  # re-synchronized after the edit
+    assert len(fa & fo) / len(fa | fo) < 0.05  # distinct blobs disjoint
+
+    df = spark.createDataFrame(
+        [("a", bytearray(base)), ("b", bytearray(shifted)), ("c", bytearray(other)),
+         ("n", None)],
+        "image_id string, bytes binary",
+    )
+    pairs = dd.cdc_neardup_pairs(df, min_jaccard=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("a", "b")]
+    assert pairs[0].jaccard > 0.8
