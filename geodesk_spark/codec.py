@@ -148,6 +148,35 @@ def phash_dct64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def dhash64(pixels: "np.ndarray") -> int:
+    """64-bit difference hash (the public dHash recipe): luma → 9×8
+    box-mean → bit k set iff cell (r, c+1) > cell (r, c) — horizontal
+    GRADIENT signs, the most edit-robust of the classic hash trio
+    (aHash/codec.phash64, DCT pHash, wHash): immune to global
+    brightness/contrast shifts that flip aHash and wHash bits, cheaper
+    than the DCT.  Same signed-int64 surface as its siblings, so the
+    Hamming banding in dedup.phash_neardup_pairs applies unchanged.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # 8 rows x 9 cols of block means (one extra column for the diffs)
+    if h >= 8 and w >= 9:
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        blocks = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+        counts = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+        g = blocks / counts
+    else:
+        yi = np.minimum((np.arange(8) * h) // 8, h - 1)
+        xi = np.minimum((np.arange(9) * w) // 9, w - 1)
+        g = gray[np.ix_(yi, xi)]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def whash64(pixels: np.ndarray) -> int:
     """64-bit Haar wavelet hash (the public wHash recipe, e.g. the
     `imagehash` library): luma → 32×32 box-mean → 2 levels of the 2-D

@@ -260,6 +260,17 @@ def _q_images_verify_reference(spark, sf_dir):
     )
 
 
+def _q_images_hashes(spark, sf_dir):
+    """All three perceptual hashes in ONE decode pass
+    (images.hashes_compute — pHash DCT + wHash Haar + dHash gradient):
+    the union-recall producer; at 10^12 rows the decode dominates, so
+    the trio must not cost three scans.  Rows-only at the driver;
+    parity + the gradient-sign invariance law pinned by
+    test_pipeline::test_hashes_compute_single_pass_parity."""
+    imgs = synth.images_df(spark, 500, with_bytes=True, partitions=8)
+    return images.hashes_compute(imgs)
+
+
 def _q_cdc_neardup(spark, sf_dir):
     """Byte-level CDC near-dup (dedup.cdc_neardup_pairs — FastCDC-style
     Gear chunking, Xia et al. 2016): shifted/prefixed binary copies

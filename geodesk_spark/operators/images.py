@@ -573,6 +573,43 @@ def whash_compute(df: DataFrame) -> DataFrame:
     return _hash_compute(df, codec.whash64, "whash_haar")
 
 
+def hashes_compute(df: DataFrame) -> DataFrame:
+    """ALL three perceptual hashes (DCT pHash, Haar wHash, gradient
+    dHash) in ONE decode pass — at 10^12 rows the decode dominates, so
+    the union-recall recipe (band each hash, union the candidate pairs)
+    must not cost three scans.  → (image_id, phash_dct, whash_haar,
+    dhash_grad), NULL on undecodable bytes."""
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: np.zeros(n, dtype=np.int64) for k in ("p", "w", "d")}
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                blob = pdf["bytes"].iloc[i]
+                if blob is None:
+                    continue
+                try:
+                    px = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                cols["p"][i] = codec.phash_dct64(px)
+                cols["w"][i] = codec.whash64(px)
+                cols["d"][i] = codec.dhash64(px)
+                ok[i] = True
+            out = {"image_id": pdf["image_id"]}
+            for k, name in (("p", "phash_dct"), ("w", "whash_haar"), ("d", "dhash_grad")):
+                v = pd.array(cols[k], dtype="Int64")
+                v[~ok] = pd.NA
+                out[name] = v
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, phash_dct long, whash_haar long, dhash_grad long",
+    )
+
+
 def _hash_compute(df: DataFrame, kernel, out_col: str) -> DataFrame:
     def run(batches):
         for pdf in batches:

@@ -1169,3 +1169,35 @@ def test_verify_against_reference_verdicts(spark):
     assert res["img_4"].caption_match and not res["img_4"].extras_match and not res["img_4"].ok
     assert res["img_5"].status == "missing_ours" and not res["img_5"].ok
     assert res["extra_9"].status == "missing_ref" and not res["extra_9"].ok
+
+
+def test_hashes_compute_single_pass_parity(spark):
+    """hashes_compute == the three single-hash kernels, one decode pass;
+    dHash is invariant to a global brightness shift (the gradient-sign
+    law) where aHash-style thresholds flip."""
+    import numpy as np
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import images
+
+    rows = []
+    pxs = {}
+    rng = np.random.default_rng(31)
+    for i in range(5):
+        iid = f"h_{i}"
+        coarse = rng.integers(0, 200, size=(8, 9, 3), dtype=np.uint8)
+        px = np.repeat(np.repeat(coarse, 12, axis=0), 12, axis=1)
+        pxs[iid] = px
+        rows.append((iid, bytearray(codec.encode(px, "png"))))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r for r in images.hashes_compute(df).collect()}
+    assert got["nul"].phash_dct is None and got["nul"].dhash_grad is None
+    for iid, px in pxs.items():
+        assert got[iid].phash_dct == codec.phash_dct64(px)
+        assert got[iid].whash_haar == codec.whash64(px)
+        assert got[iid].dhash_grad == codec.dhash64(px)
+    # gradient-sign invariance: +40 brightness (clipped-free range)
+    px = pxs["h_0"]
+    assert codec.dhash64(np.minimum(px.astype(np.int32) + 40, 255).astype(np.uint8)) \
+        == codec.dhash64(px)
