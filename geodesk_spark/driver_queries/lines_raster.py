@@ -608,6 +608,44 @@ def _dissolve_sql() -> str:
     """
 
 
+WDJ_DELTA = 40_000_000  # ~0.37 m-deg of imps; planar window semantics
+
+
+def _q_within_distance_join(spark, sf_dir):
+    """Big-big within-distance join (bigjoin.within_distance_join):
+    order points × customer points within a planar imp radius — grid +
+    3×3 halo replication on ONE side, exact INTEGER dx²+dy²≤δ² decision
+    in decimal (zero float), each pair exactly once; dist_m emitted via
+    the mercator law, floor-quantized at cm."""
+    from geodesk_spark.operators import bigjoin
+
+    o = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.col("o_orderkey").alias("id"), "x", "y")
+    c = tables.with_derived_points(
+        tables.load_spread(spark, sf_dir, "customer"), "c_custkey"
+    ).select(F.col("c_custkey").alias("id"), "x", "y")
+    j = bigjoin.within_distance_join(o, c, WDJ_DELTA)
+    q2 = F.floor(F.col("dist_m") * 1e2 + 0.5).cast("double") / 1e2
+    return j.select("id_a", "id_b", q2.alias("dist_m"))
+
+
+def _within_distance_join_sql() -> str:
+    d = WDJ_DELTA
+    dist = _dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+      with a as (select o_orderkey as id, {x_expr(lon_expr("o_orderkey"))} as x,
+                        {y_expr(lat_expr("o_orderkey"))} as y from orders),
+      b as (select c_custkey as id, {x_expr(lon_expr("c_custkey"))} as x,
+                   {y_expr(lat_expr("c_custkey"))} as y from customer)
+      select a.id as id_a, b.id as id_b,
+             cast(floor(({dist}) * 1e2 + 0.5) as double) / 1e2 as dist_m
+      from a join b
+        on cast(a.x - b.x as hugeint) * (a.x - b.x)
+           + cast(a.y - b.y as hugeint) * (a.y - b.y) <= cast({d} as hugeint) * {d}
+    """
+
+
 def _q_great_circle(spark, sf_dir):
     """True sphere geodesic between derived point pairs
     (geo/geodesic.great_circle_cols): unit-sphere vectors via the

@@ -372,3 +372,91 @@ def ring_self_intersections(
             F.col("j").cast("long").alias("j"),
         )
     )
+
+
+def within_distance_join(
+    a: DataFrame,
+    b: DataFrame,
+    delta_imps: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Big-big within-distance join: every (a, b) pair with EUCLIDEAN
+    imp distance ≤ ``delta_imps`` — BOTH sides table-sized, no
+    broadcast.  The missing cell of the join matrix beside
+    knn.distance_join (table×dimension broadcast, meters semantics),
+    knn.knn_join (table×table kNN) and contains_points_big (big-big
+    PIP).
+
+    Radius semantics are PLANAR IMPS — the reference's own window
+    semantics (Box.java:421 deltaFromMeters builds an imp box, then the
+    exact test runs in projected space).  A global METERS radius has no
+    single safe grid at planetary latitude spread (the imp radius grows
+    as sec(lat): 20 km at ±80° is ~2^30 imps — one world-cell); for
+    meters semantics use the per-target broadcast knn.distance_join,
+    which sizes its window at each target's own latitude.  The output
+    carries ``dist_m`` (mercator meters at the pair mid-latitude) so a
+    per-pair meters filter composes on top where latitudes are bounded.
+
+    Shape (the canonical spatial-join halo exchange): grid zoom = the
+    largest with cell edge ≥ delta (host-derived from the parameter
+    alone), side A keyed by its own cell, side B replicated to its 3×3
+    neighborhood (factor 9, ONE side), equi-join on the packed cell id,
+    exact INTEGER predicate dx² + dy² ≤ δ² in decimal(38,0) — zero
+    float in the decision, bit-deterministic everywhere.  One shuffle
+    per side; uniform cells, so no skew beyond true data skew; each
+    qualifying pair lands EXACTLY once (A cells are unique per row).
+
+    Inputs: ``a`` (id, x, y) and ``b`` (id, x, y) in imps.
+    → (id_a, id_b, dist_m).
+    """
+    from geodesk_spark.geo import mercator
+
+    delta_imps = int(delta_imps)
+    zoom = 0
+    while zoom < 20 and (1 << (32 - (zoom + 1))) >= delta_imps:
+        zoom += 1
+    step = 1 << (32 - zoom)
+    side = 1 << zoom
+
+    def cx(x):
+        return F.floor((x.cast("double") + F.lit(2.0**31)) / F.lit(float(step))).cast("long")
+
+    def cy(y):
+        return F.floor((F.lit(float(2**31 - 1)) - y.cast("double")) / F.lit(float(step))).cast("long")
+
+    aa = a.select(
+        F.col("id").alias(id_a),
+        F.col("x").alias("_ax"),
+        F.col("y").alias("_ay"),
+        (cx(F.col("x")) * F.lit(side + 2) + cy(F.col("y"))).alias("_cell"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("_o")
+    bb = (
+        b.select(
+            F.col("id").alias(id_b),
+            F.col("x").alias("_bx"),
+            F.col("y").alias("_by"),
+            cx(F.col("x")).alias("_cx"),
+            cy(F.col("y")).alias("_cy"),
+            off,
+        )
+        .select(
+            id_b,
+            "_bx",
+            "_by",
+            (
+                (F.col("_cx") + F.col("_o") % 3 - 1) * F.lit(side + 2)
+                + (F.col("_cy") + F.expr("_o div 3") % 3 - 1)
+            ).cast("long").alias("_cell"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    dx = dec(F.col("_ax")) - dec(F.col("_bx"))
+    dy = dec(F.col("_ay")) - dec(F.col("_by"))
+    d = mercator.distance_col(F.col("_ax"), F.col("_ay"), F.col("_bx"), F.col("_by"))
+    return (
+        aa.join(bb, "_cell")
+        .filter(dx * dx + dy * dy <= F.lit(delta_imps).cast("decimal(38,0)") * F.lit(delta_imps).cast("decimal(38,0)"))
+        .select(id_a, id_b, d.alias("dist_m"))
+    )

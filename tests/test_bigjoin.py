@@ -201,3 +201,33 @@ def test_ring_self_intersections_hand_cases(spark):
         (3, 0, 2), (3, 0, 3), (3, 1, 3), (3, 1, 4), (3, 2, 4),
         (4, 0, 2),
     ]
+
+
+def test_within_distance_join_exact_pairs(spark):
+    """Big-big within-distance join == brute-force O(n²) on planted
+    points, including pairs straddling cell boundaries and the exact
+    integer boundary case (dist == delta kept, delta+1 dropped)."""
+    import numpy as np
+
+    from geodesk_spark.operators import bigjoin
+
+    rng = np.random.default_rng(13)
+    delta = 50_000_000
+    axy = [(i, int(rng.integers(-2e9, 2e9)), int(rng.integers(-2e9, 2e9))) for i in range(150)]
+    bxy = [(i, int(rng.integers(-2e9, 2e9)), int(rng.integers(-2e9, 2e9))) for i in range(150)]
+    # planted: boundary-exact pair (id 900: dx=delta, dy=0) and just-outside
+    axy.append((900, 1_000_000_000, 0))
+    bxy.append((900, 1_000_000_000 + delta, 0))
+    axy.append((901, -1_000_000_000, 0))
+    bxy.append((901, -1_000_000_000 + delta + 1, 0))
+    a = spark.createDataFrame(axy, "id long, x long, y long")
+    b = spark.createDataFrame(bxy, "id long, x long, y long")
+    got = {(r.id_a, r.id_b) for r in bigjoin.within_distance_join(a, b, delta).collect()}
+    exp = {
+        (ia, ib)
+        for ia, xa, ya in axy
+        for ib, xb, yb in bxy
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= delta * delta
+    }
+    assert got == exp
+    assert (900, 900) in got and (901, 901) not in got
