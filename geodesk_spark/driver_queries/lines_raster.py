@@ -1288,6 +1288,42 @@ def _terrain_sql() -> str:
     return terrain.slope_aspect_hillshade_sql(pix_rel, cell=TERRAIN_CELL)
 
 
+VS_RADIUS = 10
+
+
+VS_HEIGHT = 40
+
+
+def _vs_observer() -> tuple[int, int]:
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    return (CAIRO_XY[0] + (1 << 31)) // step, ((1 << 31) - 1 - CAIRO_XY[1]) // step
+
+
+def _q_viewshed(spark, sf_dir):
+    """Viewshed over the order-density DEM (terrain.viewshed): exact
+    integer line-of-sight — shared-parameter ray samples make the
+    blocking test a pure integer cross-multiplication, zero trig/
+    division; two shuffles (sample join + target rollup)."""
+    from geodesk_spark.operators import terrain, tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=TERRAIN_GRID_BITS)
+    ox, oy = _vs_observer()
+    return terrain.viewshed(pix, ox, oy, VS_HEIGHT, VS_RADIUS)
+
+
+def _viewshed_sql() -> str:
+    from geodesk_spark.operators import terrain
+
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    pix_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                 count(*) as n
+          from ({_DERIVED_SQL}) pts group by 1, 2"""
+    ox, oy = _vs_observer()
+    return terrain.viewshed_sql(pix_rel, ox, oy, VS_HEIGHT, VS_RADIUS)
+
+
 KDE_GRID_BITS = 7
 
 

@@ -169,3 +169,115 @@ def slope_aspect_hillshade_sql(
              {q6(f'greatest({hs}, 0.0)')} as hillshade
       from m
     """
+
+
+def viewshed(
+    dem: DataFrame,
+    ox: int,
+    oy: int,
+    observer_height: int,
+    radius: int,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """Viewshed: which cells within ``radius`` (Chebyshev) of the
+    observer at cell (ox, oy) are VISIBLE over the terrain — the
+    classic line-of-sight raster analysis, exact and distributed.
+
+    Integer-exact visibility with no trig and no division: ray samples
+    between observer and target are taken at the shared parameter
+    k/n (n = Chebyshev distance), so the along-ray distance of sample
+    k is exactly (k/n)·d_target and the blocking test
+    angle_k ≥ angle_target cross-multiplies to the PURE INTEGER
+    comparison (z_k − oz)·n ≥ (z_t − oz)·k — bit-identical everywhere.
+    Sample cell indices use floor(v + 0.5) on an exact small-integer
+    double ratio (the repo's rounding law; integer div would split
+    between Spark truncation and DuckDB flooring on negatives).
+
+    Sparse-DEM convention: absent cells read elevation 0 (shared with
+    slope_aspect_hillshade / sobel).  A sample at grazing angle BLOCKS
+    (≥, the conservative standard).  The observer cell itself and its
+    8 neighbors are always visible (no samples strictly between).
+
+    Scale shape: targets×samples explode is bounded by radius per
+    target (O(R³) rows per observer, R a small analysis constant), then
+    ONE left equi-join against the DEM on the sample cell and ONE
+    groupBy(target) — the same two-shuffle budget as the stencil ops.
+
+    → (gx, gy, z, visible).
+    """
+    oz_row = dem.filter((F.col(x_col) == ox) & (F.col(y_col) == oy)).select(val).collect()
+    oz = int(oz_row[0][0] if oz_row else 0) + int(observer_height)
+    t = dem.filter(
+        (F.abs(F.col(x_col) - ox) <= radius) & (F.abs(F.col(y_col) - oy) <= radius)
+    ).select(
+        F.col(x_col).alias("tx"), F.col(y_col).alias("ty"), F.col(val).alias("tz")
+    )
+    n = F.greatest(F.abs(F.col("tx") - ox), F.abs(F.col("ty") - oy))
+    t = t.withColumn("_n", n)
+    # filter BEFORE the explode: Spark's sequence(1, n-1) infers a
+    # DESCENDING step for n <= 1 (yielding bogus k=0/-1 samples and a
+    # k*dx/0 division) instead of an empty array
+    s = t.filter(F.col("_n") > 1).withColumn(
+        "_k", F.explode(F.sequence(F.lit(1), F.col("_n") - 1))
+    )
+    # sample cell: ox + round(k*dx/n) via floor(+0.5) on an exact ratio
+    def samp(o, tc):
+        v = (F.col("_k") * (F.col(tc) - o)).cast("double") / F.col("_n").cast("double")
+        return F.lit(o) + F.floor(v + F.lit(0.5)).cast("long")
+
+    s = s.withColumn("_sx", samp(ox, "tx")).withColumn("_sy", samp(oy, "ty"))
+    d = dem.select(
+        F.col(x_col).alias("_sx"), F.col(y_col).alias("_sy"), F.col(val).alias("_sz")
+    )
+    s = s.join(d, ["_sx", "_sy"], "left").withColumn(
+        "_sz", F.coalesce(F.col("_sz"), F.lit(0))
+    )
+    blocked = (
+        s.filter(
+            (F.col("_sz") - F.lit(oz)) * F.col("_n")
+            >= (F.col("tz") - F.lit(oz)) * F.col("_k")
+        )
+        .select("tx", "ty")
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    out = t.join(blocked, ["tx", "ty"], "left")
+    return out.select(
+        F.col("tx").alias(x_col),
+        F.col("ty").alias(y_col),
+        F.col("tz").cast("long").alias("z"),
+        F.coalesce(F.col("_blocked"), F.lit(False)).__invert__().alias("visible"),
+    )
+
+
+def viewshed_sql(
+    pix_rel: str, ox: int, oy: int, observer_height: int, radius: int
+) -> str:
+    """DuckDB twin of :func:`viewshed` over ``pix_rel`` (gx, gy, n)."""
+    return f"""
+      with pix as ({pix_rel}),
+      ozc as (select coalesce(max(n), 0) + {observer_height} as oz
+              from pix where gx = {ox} and gy = {oy}),
+      t as (select gx as tx, gy as ty, n as tz,
+                   greatest(abs(gx - {ox}), abs(gy - {oy})) as nn
+            from pix
+            where abs(gx - {ox}) <= {radius} and abs(gy - {oy}) <= {radius}),
+      s as (select *, unnest(generate_series(1, cast(nn - 1 as bigint))) as k
+            from t where nn > 1),
+      sc as (select *,
+               {ox} + cast(floor(cast(k * (tx - {ox}) as double)
+                                 / cast(nn as double) + 0.5) as bigint) as sx,
+               {oy} + cast(floor(cast(k * (ty - {oy}) as double)
+                                 / cast(nn as double) + 0.5) as bigint) as sy
+             from s),
+      sj as (select sc.*, coalesce(p.n, 0) as sz
+             from sc left join pix p on p.gx = sc.sx and p.gy = sc.sy),
+      blocked as (select distinct tx, ty from sj, ozc
+                  where (sz - oz) * nn >= (tz - oz) * k),
+      tt as (select t.tx, t.ty, t.tz from t)
+      select tt.tx as gx, tt.ty as gy, cast(tt.tz as bigint) as z,
+             b.tx is null as visible
+      from tt left join blocked b on b.tx = tt.tx and b.ty = tt.ty
+    """

@@ -85,3 +85,47 @@ def test_terrain_flat_region(spark):
         assert r.slope_pct == 0.0
         assert r.aspect_deg == -1.0
         assert r.hillshade == want_hs
+
+
+def test_viewshed_planted_wall(spark):
+    """Line-of-sight laws on a planted terrain: a tall wall east of the
+    observer hides the cells behind it, the gap row stays visible, high
+    towers behind the wall peek over it, and everything west (flat) is
+    visible.  Cross-checked against an independent float-angle brute."""
+    import math
+
+    from geodesk_spark.operators import terrain
+
+    rows = []
+    # flat plain z=10 on [-8..8]^2, observer at origin height +5
+    for gx in range(-8, 9):
+        for gy in range(-8, 9):
+            z = 10
+            if gx == 3 and gy != 5:
+                z = 100  # wall at x=3 with a gap at gy=5
+            if gx == 6 and gy == 0:
+                z = 400  # tower peeking over the wall
+            rows.append((gx, gy, z))
+    dem = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = {(r.gx, r.gy): r.visible for r in terrain.viewshed(dem, 0, 0, 5, 8).collect()}
+
+    zmap = {(gx, gy): z for gx, gy, z in rows}
+
+    def brute(tx, ty, tz, oz=15):
+        # independent replay of the exact integer rule
+        n = max(abs(tx), abs(ty))
+        for k in range(1, n):
+            sx = math.floor(k * tx / n + 0.5)
+            sy = math.floor(k * ty / n + 0.5)
+            if (zmap.get((sx, sy), 0) - oz) * n >= (tz - oz) * k:
+                return False
+        return True
+
+    for (gx, gy), vis in got.items():
+        assert vis == brute(gx, gy, zmap[(gx, gy)]), (gx, gy)
+    # spot laws
+    assert got[(-5, 0)] is True            # flat west: visible
+    assert got[(3, 0)] is True             # the wall itself is visible
+    assert got[(5, 0)] is False            # plain behind the wall: hidden
+    assert got[(6, 0)] is True             # tall tower peeks over
+    assert got[(3, 5)] is True             # the wall-gap cell: visible
