@@ -1324,6 +1324,32 @@ def _viewshed_sql() -> str:
     return terrain.viewshed_sql(pix_rel, ox, oy, VS_HEIGHT, VS_RADIUS)
 
 
+CD_ROUNDS = 10
+
+
+def _q_cost_distance(spark, sf_dir):
+    """Cost-distance spreading (terrain.cost_distance): minimum
+    accumulated friction from the observer cell over the 8-neighbor
+    grid — integer chamfer weights (5/7 ≈ 1/√2 scale) through the
+    bounded-round SSSP machinery; all integers, exact minima."""
+    from geodesk_spark.operators import terrain, tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=TERRAIN_GRID_BITS)
+    return terrain.cost_distance(pix, [_vs_observer()], rounds=CD_ROUNDS)
+
+
+def _cost_distance_sql() -> str:
+    from geodesk_spark.operators import terrain
+
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    pix_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                 count(*) as n
+          from ({_DERIVED_SQL}) pts group by 1, 2"""
+    return terrain.cost_distance_sql(pix_rel, [_vs_observer()], rounds=CD_ROUNDS)
+
+
 KDE_GRID_BITS = 7
 
 

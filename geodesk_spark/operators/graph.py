@@ -302,8 +302,6 @@ def sssp_rounds(
         e = e.cache()
     dist = spark.createDataFrame([(s, 0) for s in sources], f"node long, dist long").distinct()
     frontier = dist
-    if materialize:
-        dist = dist.cache()
     for _ in range(rounds):
         cand = (
             frontier.join(e, frontier.node == e._src)
@@ -318,31 +316,38 @@ def sssp_rounds(
             dist.select(F.col("node"), F.col("dist").alias("old")), "node", "left"
         ).filter(F.col("old").isNull() | (F.col("dist") < F.col("old"))).select("node", "dist")
         if materialize:
-            merged = merged.cache()
-            new_frontier = new_frontier.cache()
+            # localCheckpoint, NOT cache: the round plan references
+            # `dist` twice (carry + delta probe), so a cached-but-lazy
+            # lineage still DOUBLES the analyzed plan per round —
+            # exponential analysis OOM past ~8 rounds (the CLAUDE.md
+            # iterative-plan law, re-hit by terrain.cost_distance at
+            # rounds=10).  Checkpointing truncates the plan to a scan
+            # of the materialized blocks; spent rounds are released
+            # explicitly (unpersist can't reach checkpoint blocks).
+            from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+            merged = merged.localCheckpoint(eager=True)
+            new_frontier = new_frontier.localCheckpoint(eager=True)
             if new_frontier.count() == 0:
-                new_frontier.unpersist()
-                dist.unpersist()
+                _release_local_checkpoint(new_frontier)
                 if frontier is not dist:
-                    frontier.unpersist()
+                    _release_local_checkpoint(frontier)
+                _release_local_checkpoint(dist)
                 dist = merged
                 break
-            dist.unpersist()
             if frontier is not dist:
-                frontier.unpersist()  # the previous round's delta
+                _release_local_checkpoint(frontier)  # previous delta
+            _release_local_checkpoint(dist)
         dist, frontier = merged, new_frontier
     if materialize:
         e.unpersist()
         # round budget exhausted without an empty frontier: the last
-        # round's cached delta is not the returned frame — release it
-        # (the early-exit branch already does)
+        # round's delta is not the returned frame — release it (the
+        # early-exit branch already does)
         if frontier is not dist:
-            frontier.unpersist()
-        # detach the result before releasing its own cache (r03 review:
-        # returning the cached frame pinned it for the session lifetime)
-        dist_out = dist.localCheckpoint(eager=True)
-        dist.unpersist()
-        return dist_out
+            from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+            _release_local_checkpoint(frontier)
     return dist
 
 
@@ -352,13 +357,17 @@ def sssp_rounds_sql(edges_cte: str, sources: list, rounds: int = 6) -> str:
     the same ≤r-hop minimum, so it also proves the delta-frontier
     optimization changes nothing."""
     src_rows = " union all ".join(f"select cast({s} as bigint) as node, cast(0 as bigint) as dist" for s in sources)
+    # every d_{i-1} is referenced TWICE per round (carry + relax) and e
+    # once — without `as materialized` DuckDB's binder re-expands each
+    # reference, so the tree doubles per round (exponential past ~6
+    # rounds; the CLAUDE.md CTE law, rediscovered via cost_distance)
     parts = [
-        f"e as ({edges_cte})",
-        f"d0 as (select distinct node, dist from ({src_rows}) s)",
+        f"e as materialized ({edges_cte})",
+        f"d0 as materialized (select distinct node, dist from ({src_rows}) s)",
     ]
     for i in range(1, rounds + 1):
         parts.append(
-            f"d{i} as (select node, min(dist) as dist from ("
+            f"d{i} as materialized (select node, min(dist) as dist from ("
             f"select node, dist from d{i-1} "
             f"union all "
             f"select e.dst as node, d{i-1}.dist + e.w as dist "

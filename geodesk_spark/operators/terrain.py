@@ -281,3 +281,105 @@ def viewshed_sql(
              b.tx is null as visible
       from tt left join blocked b on b.tx = tt.tx and b.ty = tt.ty
     """
+
+
+# 8-neighborhood offsets with integer "distance weight" ×5: straight
+# moves cost 5, diagonal 7 (7/5 ≈ √2 — the classic integer chamfer
+# approximation, exact arithmetic on every engine)
+_D8 = [
+    (1, 0, 5), (-1, 0, 5), (0, 1, 5), (0, -1, 5),
+    (1, 1, 7), (1, -1, 7), (-1, 1, 7), (-1, -1, 7),
+]
+
+
+def cost_distance(
+    cost: DataFrame,
+    sources: list[tuple[int, int]],
+    rounds: int = 12,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """Cost-distance spreading (the GIS cost-surface accumulation): the
+    minimum accumulated cost from any source cell to every raster cell,
+    moving over the 8-neighborhood — wildfire/noise/access spreading
+    over a friction surface, re-expressed as bounded-round SSSP over
+    the implicit grid graph (graph.sssp_rounds — the delta-frontier
+    Bellman-Ford whose round budget makes the ≤r-hop minimum exact and
+    race-free).
+
+    Grid edges are built by one tap explode + self-join on the CELL
+    table (cells exist only where the surface has support — sparse in,
+    sparse out); the edge weight is the integer chamfer form
+    w(a→b) = move·(cost_a + cost_b) with straight moves ×5 and
+    diagonals ×7 (7/5 ≈ √2) — all integers, so the accumulated minima
+    are exact and order-free.  Cell ids pack as (gx+2^20)·2^21 +
+    (gy+2^20).
+
+    → (gx, gy, dist) for every cell reached within ``rounds`` hops.
+    """
+    from geodesk_spark.operators import graph as graph_mod
+
+    pk = lambda x, y: (x + F.lit(1 << 20)) * F.lit(1 << 21) + (y + F.lit(1 << 20))
+    c = cost.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"), F.col(val).alias("_c")
+    )
+    taps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(m).alias("m"))
+                for dx, dy, m in _D8
+            ]
+        )
+    ).alias("t")
+    half = c.select("_x", "_y", "_c", taps).select(
+        pk(F.col("_x"), F.col("_y")).alias("src"),
+        (F.col("_x") + F.col("t.dx")).alias("_nx"),
+        (F.col("_y") + F.col("t.dy")).alias("_ny"),
+        "_c",
+        F.col("t.m").alias("_m"),
+    )
+    nb = c.select(pk(F.col("_x"), F.col("_y")).alias("dst"), F.col("_x").alias("_nx"),
+                  F.col("_y").alias("_ny"), F.col("_c").alias("_c2"))
+    edges = half.join(nb, ["_nx", "_ny"]).select(
+        "src", "dst", (F.col("_m") * (F.col("_c") + F.col("_c2"))).alias("w")
+    )
+    srcs = [((x + (1 << 20)) << 21) + (y + (1 << 20)) for x, y in sources]
+    # materialize=True: the lazy join tower references each round's
+    # frame twice, doubling the analyzed plan per round — fatal past
+    # ~6 rounds (the CLAUDE.md iterative-plan law); the per-round
+    # cache/checkpoint path is the scale shape here
+    d = graph_mod.sssp_rounds(edges, srcs, rounds=rounds, materialize=True)
+    return d.select(
+        (F.expr("node div 2097152") - F.lit(1 << 20)).alias(x_col),
+        (F.col("node") % F.lit(1 << 21) - F.lit(1 << 20)).alias(y_col),
+        F.col("dist"),
+    )
+
+
+def cost_distance_sql(
+    pix_rel: str, sources: list[tuple[int, int]], rounds: int = 12
+) -> str:
+    """DuckDB twin of :func:`cost_distance` over ``pix_rel`` (gx, gy, n)."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    taps = ",".join(f"({dx},{dy},{m})" for dx, dy, m in _D8)
+    edges = f"""
+      with pix as ({pix_rel}),
+      taps(dx, dy, m) as (values {taps}),
+      h as (select (gx + 1048576) * 2097152 + (gy + 1048576) as src,
+                   gx + dx as nx, gy + dy as ny, n as c, m
+            from pix cross join taps)
+      select h.src, (p.gx + 1048576) * 2097152 + (p.gy + 1048576) as dst,
+             h.m * (h.c + p.n) as w
+      from h join pix p on p.gx = h.nx and p.gy = h.ny
+    """
+    srcs = [((x + (1 << 20)) << 21) + (y + (1 << 20)) for x, y in sources]
+    inner = graph_mod.sssp_rounds_sql(f"({edges})", srcs, rounds=rounds)
+    return f"""
+      with d as ({inner})
+      select cast(node // 2097152 - 1048576 as bigint) as gx,
+             cast(node % 2097152 - 1048576 as bigint) as gy,
+             dist
+      from d
+    """

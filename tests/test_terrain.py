@@ -129,3 +129,53 @@ def test_viewshed_planted_wall(spark):
     assert got[(5, 0)] is False            # plain behind the wall: hidden
     assert got[(6, 0)] is True             # tall tower peeks over
     assert got[(3, 5)] is True             # the wall-gap cell: visible
+
+
+def test_cost_distance_planted_barrier(spark):
+    """Cost spreading on a planted friction surface: a cheap corridor
+    beats the direct expensive route; exact chamfer arithmetic matches
+    an independent Dijkstra."""
+    from geodesk_spark.operators import terrain
+
+    # 9x9 grid: friction 1 everywhere, a high-friction wall at x=2
+    # (cost 100) with a cheap gap at (2, 7)
+    rows = []
+    for gx in range(9):
+        for gy in range(9):
+            c = 1
+            if gx == 2 and gy != 7:
+                c = 100
+            rows.append((gx, gy, c))
+    cost = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = {(r.gx, r.gy): r.dist for r in terrain.cost_distance(cost, [(0, 0)], rounds=16).collect()}
+
+    cm = {(gx, gy): c for gx, gy, c in rows}
+    d8 = [(1, 0, 5), (-1, 0, 5), (0, 1, 5), (0, -1, 5),
+          (1, 1, 7), (1, -1, 7), (-1, 1, 7), (-1, -1, 7)]
+
+    def dijkstra(src, max_hops):
+        # bounded-hop minimum (the operator's exact semantics)
+        dist = {src: 0}
+        frontier = {src: 0}
+        for _ in range(max_hops):
+            nxt = {}
+            for (cx, cy), dv in frontier.items():
+                for dx, dy, m in d8:
+                    q = (cx + dx, cy + dy)
+                    if q not in cm:
+                        continue
+                    nd = dv + m * (cm[(cx, cy)] + cm[q])
+                    if nd < dist.get(q, 1 << 60):
+                        dist[q] = nd
+                        nxt[q] = nd
+            frontier = nxt
+            if not frontier:
+                break
+        return dist
+
+    exp = dijkstra((0, 0), 16)
+    assert got == exp
+    # the planted law: reaching (4, 0) goes around via the gap, so its
+    # cost exceeds the naive straight-line lower bound through the wall
+    straight = 5 * (1 + 100) + 5 * (100 + 1) + 5 * (1 + 1) * 2
+    assert got[(4, 0)] < straight  # the corridor detour wins
