@@ -1350,6 +1350,34 @@ def _cost_distance_sql() -> str:
     return terrain.cost_distance_sql(pix_rel, [_vs_observer()], rounds=CD_ROUNDS)
 
 
+FLOW_ROUNDS = 8
+
+
+def _q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation over the order-density DEM
+    (terrain.d8_flow_direction + flow_accumulation): steepest-descent
+    drains by exact cross-multiplied integer drops (chamfer 5/7 move
+    lengths), then the bounded-round upstream count — the hydrology
+    pair, all integer arithmetic, one join + rollup per round with
+    checkpointed lineage."""
+    from geodesk_spark.operators import terrain, tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=TERRAIN_GRID_BITS)
+    return terrain.flow_accumulation(pix, rounds=FLOW_ROUNDS)
+
+
+def _flow_accumulation_sql() -> str:
+    from geodesk_spark.operators import terrain
+
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    pix_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                 count(*) as n
+          from ({_DERIVED_SQL}) pts group by 1, 2"""
+    return terrain.flow_accumulation_sql(pix_rel, rounds=FLOW_ROUNDS)
+
+
 KDE_GRID_BITS = 7
 
 

@@ -383,3 +383,169 @@ def cost_distance_sql(
              dist
       from d
     """
+
+
+def d8_flow_direction(
+    dem: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """D8 flow direction (the hydrology standard): each cell drains to
+    its steepest-descent neighbor among the 8, or is a SINK (no lower
+    neighbor).  Exact integer steepness: drop/movelen compares by
+    cross-multiplication — with move lengths 5 (straight) and 7
+    (diagonal, the chamfer pair), drop₁/m₁ > drop₂/m₂ ⟺ the integer
+    keys 35·drop/m = {7·drop, 5·drop} compare directly; ties break by
+    the fixed direction index (E,W,S,N,SE,NE,SW,NW order below), so
+    the result is bit-deterministic.  Absent neighbors read z = 0 (the
+    sparse convention) — border cells drain off-support.
+
+    One tap explode + ONE left join on the neighbor cell + one
+    groupBy(cell) max — the stencil budget.
+
+    → (gx, gy, dir, to_gx, to_gy, is_sink); dir ∈ 0..7, −1 for sinks.
+    """
+    c = dem.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"), F.col(val).alias("_z"))
+    taps = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"), F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"), F.lit(35 // m).alias("kk"),
+                )
+                for i, (dx, dy, m) in enumerate(_D8)
+            ]
+        )
+    ).alias("t")
+    s = c.select("_x", "_y", "_z", taps).select(
+        "_x", "_y", "_z",
+        F.col("t.i").alias("_i"), F.col("t.kk").alias("_kk"),
+        (F.col("_x") + F.col("t.dx")).alias("_nx"),
+        (F.col("_y") + F.col("t.dy")).alias("_ny"),
+    )
+    nz = c.select(F.col("_x").alias("_nx"), F.col("_y").alias("_ny"), F.col("_z").alias("_nz"))
+    s = s.join(nz, ["_nx", "_ny"], "left").withColumn("_nz", F.coalesce(F.col("_nz"), F.lit(0)))
+    # one packed ordering integer (steepness key ×8 + direction
+    # tie-break) — DuckDB's arg_max cannot order by a struct, so both
+    # engines rank by the same scalar
+    key = ((F.col("_z") - F.col("_nz")) * F.col("_kk")) * F.lit(8) + (F.lit(7) - F.col("_i"))
+    best = (
+        s.withColumn("_key", key)
+        .filter((F.col("_z") - F.col("_nz")) * F.col("_kk") > 0)  # strictly downhill
+        .groupBy("_x", "_y")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_key"),
+                    F.col("_nx").alias("bx"), F.col("_ny").alias("by"),
+                    F.col("_i").alias("bi"),
+                )
+            ).alias("_b")
+        )
+    )
+    out = c.join(best, ["_x", "_y"], "left")
+    return out.select(
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        F.coalesce(F.col("_b.bi"), F.lit(-1)).cast("int").alias("dir"),
+        F.col("_b.bx").alias("to_gx"),
+        F.col("_b.by").alias("to_gy"),
+        F.col("_b.bi").isNull().alias("is_sink"),
+    )
+
+
+def flow_accumulation(
+    dem: DataFrame,
+    rounds: int = 8,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """D8 flow accumulation, bounded-round: acc(c) = cells whose flow
+    path reaches c within ``rounds`` hops (including itself) — exact,
+    because D8 gives every cell ONE outflow, so upstream paths are
+    unique and the recursion acc ← 1 + Σ_parents acc counts each
+    upstream cell exactly once per hop depth.  The bounded round count
+    is the same well-definedness contract as graph.sssp_rounds; rounds
+    ≥ the longest flow chain makes it the true accumulation.
+
+    Per round ONE equi-join on the flow edge + a rollup, with
+    localCheckpoint lineage truncation (the iterative-plan law).
+
+    → (gx, gy, acc).
+    """
+    from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+    fd = d8_flow_direction(dem, x_col, y_col, val)
+    cells = fd.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    edges = fd.filter(~F.col("is_sink")).select(
+        F.col(x_col).alias("_sx"), F.col(y_col).alias("_sy"),
+        F.col("to_gx").alias("_tx"), F.col("to_gy").alias("_ty"),
+    )
+    # keep only edges whose target exists (border outflow leaves the map)
+    edges = edges.join(
+        cells.select(F.col("_x").alias("_tx"), F.col("_y").alias("_ty")), ["_tx", "_ty"]
+    ).localCheckpoint(eager=True)
+    acc = cells.withColumn("acc", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        up = (
+            edges.join(
+                acc.select(F.col("_x").alias("_sx"), F.col("_y").alias("_sy"), "acc"),
+                ["_sx", "_sy"],
+            )
+            .groupBy(F.col("_tx").alias("_x"), F.col("_ty").alias("_y"))
+            .agg(F.sum("acc").alias("_in"))
+        )
+        nxt = (
+            cells.join(up, ["_x", "_y"], "left")
+            .withColumn("acc", F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+            .select("_x", "_y", "acc")
+        ).localCheckpoint(eager=True)
+        _release_local_checkpoint(acc)
+        acc = nxt
+    _release_local_checkpoint(edges)
+    return acc.select(
+        F.col("_x").alias(x_col), F.col("_y").alias(y_col), F.col("acc").cast("long").alias("acc")
+    )
+
+
+def flow_accumulation_sql(pix_rel: str, rounds: int = 8) -> str:
+    """DuckDB twin of d8_flow_direction + flow_accumulation (one query:
+    direction derivation inline, accumulation as materialized unrolled
+    CTEs — the binder re-expands unmaterialized multi-referenced CTEs
+    exponentially, the CLAUDE.md law)."""
+    taps = ",".join(
+        f"({i},{dx},{dy},{35 // m})" for i, (dx, dy, m) in enumerate(_D8)
+    )
+    parts = [
+        f"pix as materialized ({pix_rel})",
+        f"taps(i, dx, dy, kk) as (values {taps})",
+        """s as (select p.gx as x, p.gy as y, p.n as z, t.i, t.kk,
+                       p.gx + t.dx as nx, p.gy + t.dy as ny
+                from pix p cross join taps t)""",
+        """sj as (select s.*, coalesce(q.n, 0) as nz
+                 from s left join pix q on q.gx = s.nx and q.gy = s.ny)""",
+        """best as materialized (
+             select x, y, arg_max(i, (z - nz) * kk * 8 + 7 - i) as bi,
+                    arg_max(nx, (z - nz) * kk * 8 + 7 - i) as bx,
+                    arg_max(ny, (z - nz) * kk * 8 + 7 - i) as by
+             from sj where (z - nz) * kk > 0 group by x, y)""",
+        """edges as materialized (
+             select b.x as sx, b.y as sy, b.bx as tx, b.by as ty
+             from best b join pix p on p.gx = b.bx and p.gy = b.by)""",
+        "a0 as materialized (select gx as x, gy as y, cast(1 as bigint) as acc from pix)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""a{k} as materialized (
+              select c.x, c.y, cast(1 + coalesce(u.s, 0) as bigint) as acc
+              from a0 c left join (
+                select e.tx as x, e.ty as y, sum(a.acc) as s
+                from edges e join a{k-1} a on a.x = e.sx and a.y = e.sy
+                group by e.tx, e.ty) u on u.x = c.x and u.y = c.y)"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect x as gx, y as gy, acc from a{rounds}"
+    )

@@ -179,3 +179,43 @@ def test_cost_distance_planted_barrier(spark):
     # cost exceeds the naive straight-line lower bound through the wall
     straight = 5 * (1 + 100) + 5 * (100 + 1) + 5 * (1 + 1) * 2
     assert got[(4, 0)] < straight  # the corridor detour wins
+
+
+def test_d8_flow_and_accumulation_valley(spark):
+    """Hydrology laws on a planted V-valley: every cell's D8 direction
+    is the steepest-descent neighbor (independent replay of the exact
+    cross-multiplied rule), the valley floor accumulates the hillsides,
+    and accumulation grows monotonically downstream along the floor."""
+    from geodesk_spark.operators import terrain
+
+    # V-valley: z = |gx - 4| * 10 + (7 - gy)  -> drains toward x=4,
+    # then down-gy along the floor
+    rows = [(gx, gy, abs(gx - 4) * 10 + (7 - gy)) for gx in range(9) for gy in range(8)]
+    dem = spark.createDataFrame(rows, "gx long, gy long, n long")
+    fd = {(r.gx, r.gy): r for r in terrain.d8_flow_direction(dem).collect()}
+    acc = {(r.gx, r.gy): r.acc for r in terrain.flow_accumulation(dem, rounds=16).collect()}
+
+    zmap = {(gx, gy): z for gx, gy, z in rows}
+    d8 = [(1, 0, 5), (-1, 0, 5), (0, 1, 5), (0, -1, 5),
+          (1, 1, 7), (1, -1, 7), (-1, 1, 7), (-1, -1, 7)]
+
+    for (gx, gy), r in fd.items():
+        z = zmap[(gx, gy)]
+        best = None
+        for i, (dx, dy, m) in enumerate(d8):
+            drop = z - zmap.get((gx + dx, gy + dy), 0)
+            k = drop * (35 // m)
+            if k > 0 and (best is None or k * 8 + (7 - i) > best[0]):
+                best = (k * 8 + (7 - i), i)
+        if best is None:
+            assert r.is_sink and r.dir == -1, (gx, gy)
+        else:
+            assert (not r.is_sink) and r.dir == best[1], (gx, gy, r.dir, best)
+
+    # floor cell (4, 7) is the global low point: it accumulates a large
+    # basin; ridge-top cells accumulate only themselves
+    assert acc[(4, 7)] > 20
+    assert acc[(0, 0)] == 1 and acc[(8, 0)] == 1
+    # monotone growth down the valley floor
+    floor = [acc[(4, gy)] for gy in range(8)]
+    assert all(a < b for a, b in zip(floor, floor[1:]))
