@@ -329,6 +329,34 @@ def _doremi_sql() -> str:
     return text.doremi_reweight_sql(domain_col="source")
 
 
+BUDGET_TOTAL = 8000
+
+
+def _q_budget_allocation(spark, sf_dir):
+    """Capped mixture-budget allocation (sampling.budget_allocate —
+    integer water-filling with Hamilton largest-remainder rounds) over
+    the DoReMi domain weights, capped by each domain's actual supply:
+    the step that turns mixture WEIGHTS into an executable sampling
+    plan (naive w·N targets overshoot small domains).  All integers."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    dom = text.doremi_reweight(d, domain_col="source").select(
+        "domain", "weight_ppm", F.col("n_docs").alias("cap")
+    )
+    return sampling.budget_allocate(dom, total=BUDGET_TOTAL)
+
+
+def _budget_allocation_sql() -> str:
+    from geodesk_spark.operators import sampling
+
+    rel = (
+        f"(select domain, weight_ppm, n_docs as cap from "
+        f"({text.doremi_reweight_sql(domain_col='source')}) dz)"
+    )
+    return sampling.budget_allocate_sql(rel, total=BUDGET_TOTAL)
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality split (text.ccnet_quality_buckets):
     one bigram LM PER LANGUAGE trained in a single keyed pass on the

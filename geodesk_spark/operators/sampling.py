@@ -318,3 +318,130 @@ def shard_manifest_sql(
       from a join {table} t using ({id_col})
       group by a.shard_id
     """
+
+
+def budget_allocate(
+    domains: DataFrame,
+    total: int,
+    rounds: int = 8,
+    key_col: str = "domain",
+    weight_col: str = "weight_ppm",
+    cap_col: str = "cap",
+) -> DataFrame:
+    """Capped proportional budget allocation — integer water-filling:
+    split ``total`` units across domains proportionally to
+    ``weight_col``, never exceeding ``cap_col`` (supply), redistributing
+    the surplus of capped domains among the uncapped ones.  The missing
+    step between mixture WEIGHTS (doremi_reweight, sample_mix) and an
+    executable sampling plan: a naive target = w·N can exceed a small
+    domain's supply, silently shrinking the corpus.
+
+    Exact integer arithmetic throughout (Hamilton largest-remainder
+    apportionment per round): base = floor(B·w/S) with the leftover
+    B − Σbase (< #uncapped) granted +1 by remainder rank
+    ((B·w) mod S descending, key ascending) — then domains over their
+    cap clamp, leave the pool, and the next round re-apportions the
+    freed budget.  ≤ ``rounds`` window passes over the DOMAIN table (a
+    handful of rows; each round caps ≥ 1 domain or is the fixpoint, so
+    rounds ≥ #domains is always exact).  No collect, no floats.
+
+    → (key, weight, cap, alloc) with Σ alloc = min(total, Σ caps) once
+    the fixpoint is reached within ``rounds``.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    d = domains.select(
+        F.col(key_col).alias("_k"),
+        F.col(weight_col).cast("long").alias("_w"),
+        F.col(cap_col).cast("long").alias("_cap"),
+    )
+    d = d.withColumn("_alloc", F.lit(0).cast("long")).withColumn(
+        "_fixed", F.lit(False)
+    )
+    for _ in range(rounds):
+        live_w = F.when(~F.col("_fixed"), F.col("_w")).otherwise(F.lit(0))
+        d = d.withColumn("_S", F.sum(live_w).over(w_all)).withColumn(
+            "_B", F.lit(int(total)) - F.sum(F.when(F.col("_fixed"), F.col("_alloc")).otherwise(F.lit(0))).over(w_all)
+        )
+        # greatest(_S, 1): vectorized engines may evaluate both CASE
+        # arms, so the divisor must be safe even when the pool is empty
+        base = F.expr("(_B * _w) div greatest(_S, 1)")
+        rem = F.expr("(_B * _w) % greatest(_S, 1)")
+        d = d.withColumn(
+            "_base", F.when(~F.col("_fixed") & (F.col("_S") > 0), base).otherwise(F.lit(0))
+        ).withColumn(
+            "_rem", F.when(~F.col("_fixed") & (F.col("_S") > 0), rem).otherwise(F.lit(-1))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy().orderBy(F.col("_rem").desc(), F.col("_k").asc())
+        )
+        leftover = F.col("_B") - F.sum("_base").over(w_all)
+        d = d.withColumn(
+            "_try",
+            F.col("_base")
+            + F.when((~F.col("_fixed")) & (rk <= leftover), F.lit(1)).otherwise(F.lit(0)),
+        )
+        d = d.withColumn(
+            "_alloc",
+            F.when(F.col("_fixed"), F.col("_alloc")).otherwise(
+                F.least(F.col("_try"), F.col("_cap"))
+            ),
+        ).withColumn(
+            "_fixed", F.col("_fixed") | (F.col("_try") >= F.col("_cap"))
+        )
+        d = d.select("_k", "_w", "_cap", "_alloc", "_fixed")
+    return d.select(
+        F.col("_k").alias(key_col),
+        F.col("_w").alias(weight_col),
+        F.col("_cap").alias(cap_col),
+        F.col("_alloc").cast("long").alias("alloc"),
+    )
+
+
+def budget_allocate_sql(
+    rel: str,
+    total: int,
+    rounds: int = 8,
+    key_col: str = "domain",
+    weight_col: str = "weight_ppm",
+    cap_col: str = "cap",
+) -> str:
+    """DuckDB twin of :func:`budget_allocate` over ``rel``
+    (key, weight, cap) — unrolled materialized rounds."""
+    parts = [
+        f"""d0 as materialized (
+          select {key_col} as k, cast({weight_col} as bigint) as w,
+                 cast({cap_col} as bigint) as cap,
+                 cast(0 as bigint) as alloc, false as fixed
+          from {rel})"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"d{i-1}"
+        parts.append(
+            f"""d{i} as materialized (
+              with s as (select *,
+                       sum(case when not fixed then w else 0 end) over () as S,
+                       {int(total)} - sum(case when fixed then alloc else 0 end) over () as B
+                     from {p}),
+              b as (select *,
+                       case when not fixed and S > 0 then (B * w) // greatest(S, 1) else 0 end as base,
+                       case when not fixed and S > 0 then (B * w) % greatest(S, 1) else -1 end as rem
+                    from s),
+              r as (select *,
+                       row_number() over (order by rem desc, k asc) as rk,
+                       B - sum(base) over () as leftover
+                    from b),
+              t as (select *,
+                       base + (case when not fixed and rk <= leftover then 1 else 0 end) as try_
+                    from r)
+              select k, w, cap,
+                     case when fixed then alloc else least(try_, cap) end as alloc,
+                     fixed or try_ >= cap as fixed
+              from t)"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect k as {key_col}, w as {weight_col}, cap as {cap_col}, "
+        f"cast(alloc as bigint) as alloc from d{rounds}"
+    )

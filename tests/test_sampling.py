@@ -225,3 +225,50 @@ def test_shard_manifest_conservation(docs):
     assert m["n_rows"].sum() == len(src)
     assert m["payload_sum"].sum() == src["n_tokens"].sum()
     assert m["id_sum"].sum() == src["doc_id"].sum()
+
+
+def test_budget_allocate_water_filling(spark):
+    """Water-filling laws: proportionality when nothing caps, exact cap
+    + surplus redistribution when a small domain saturates, Σalloc =
+    min(total, Σcaps), and parity with an independent host replay."""
+    from geodesk_spark.operators import sampling
+
+    rows = [("a", 500_000, 10_000), ("b", 300_000, 200), ("c", 200_000, 10_000)]
+    dom = spark.createDataFrame(rows, "domain string, weight_ppm long, cap long")
+    got = {r.domain: r.alloc for r in
+           sampling.budget_allocate(dom, total=5000, rounds=6).collect()}
+
+    def replay(rows, total, rounds):
+        st = {k: {"w": w, "cap": c, "alloc": 0, "fixed": False} for k, w, c in rows}
+        for _ in range(rounds):
+            S = sum(v["w"] for v in st.values() if not v["fixed"])
+            B = total - sum(v["alloc"] for v in st.values() if v["fixed"])
+            base, rem = {}, {}
+            for k, v in st.items():
+                live = (not v["fixed"]) and S > 0
+                base[k] = (B * v["w"]) // max(S, 1) if live else 0
+                rem[k] = (B * v["w"]) % max(S, 1) if live else -1
+            leftover = B - sum(base.values())
+            order = sorted(st, key=lambda k: (-rem[k], k))
+            plus = {k: 1 if (not st[k]["fixed"]) and order.index(k) < leftover else 0
+                    for k in st}
+            for k, v in st.items():
+                if not v["fixed"]:
+                    t = base[k] + plus[k]
+                    v["alloc"] = min(t, v["cap"])
+                    if t >= v["cap"]:
+                        v["fixed"] = True
+        return {k: v["alloc"] for k, v in st.items()}
+
+    exp = replay(rows, 5000, 6)
+    assert got == exp
+    # b saturates (fair share 1500 > cap 200); surplus flows to a and c
+    assert got["b"] == 200
+    assert sum(got.values()) == 5000
+    # a:c keep the 5:2 ratio on the remaining 4800 (within rounding)
+    assert abs(got["a"] * 2 - got["c"] * 5) <= 7
+
+    # total above aggregate supply: everything caps
+    got2 = {r.domain: r.alloc for r in
+            sampling.budget_allocate(dom, total=50_000, rounds=6).collect()}
+    assert got2 == {"a": 10_000, "b": 200, "c": 10_000}
