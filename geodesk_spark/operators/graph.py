@@ -296,6 +296,8 @@ def sssp_rounds(
 
     Returns (node, dist).
     """
+    from geodesk_spark.operators.dedup import _release_local_checkpoint
+
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(w).alias("_w"))
     if materialize:
@@ -324,8 +326,6 @@ def sssp_rounds(
             # rounds=10).  Checkpointing truncates the plan to a scan
             # of the materialized blocks; spent rounds are released
             # explicitly (unpersist can't reach checkpoint blocks).
-            from geodesk_spark.operators.dedup import _release_local_checkpoint
-
             merged = merged.localCheckpoint(eager=True)
             new_frontier = new_frontier.localCheckpoint(eager=True)
             if new_frontier.count() == 0:
@@ -345,8 +345,6 @@ def sssp_rounds(
         # round's delta is not the returned frame — release it (the
         # early-exit branch already does)
         if frontier is not dist:
-            from geodesk_spark.operators.dedup import _release_local_checkpoint
-
             _release_local_checkpoint(frontier)
     return dist
 
