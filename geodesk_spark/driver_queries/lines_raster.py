@@ -1378,6 +1378,33 @@ def _flow_accumulation_sql() -> str:
     return terrain.flow_accumulation_sql(pix_rel, rounds=FLOW_ROUNDS)
 
 
+WATERSHED_ROUNDS = 6
+
+
+def _q_watershed(spark, sf_dir):
+    """Watershed basin labeling over the order-density DEM
+    (terrain.watershed_basins): D8 steepest-descent pointers contracted
+    by pointer doubling — 6 rounds resolve flow paths up to 64 cells —
+    so every cell carries its terminal (sink / border-outflow) cell as
+    the basin id.  All integer, one self-join per round."""
+    from geodesk_spark.operators import terrain, tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=TERRAIN_GRID_BITS)
+    return terrain.watershed_basins(pix, rounds=WATERSHED_ROUNDS)
+
+
+def _watershed_sql() -> str:
+    from geodesk_spark.operators import terrain
+
+    step = 1 << (32 - TERRAIN_GRID_BITS)
+    pix_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+                 count(*) as n
+          from ({_DERIVED_SQL}) pts group by 1, 2"""
+    return terrain.watershed_basins_sql(pix_rel, rounds=WATERSHED_ROUNDS)
+
+
 KDE_GRID_BITS = 7
 
 

@@ -510,15 +510,14 @@ def flow_accumulation(
     )
 
 
-def flow_accumulation_sql(pix_rel: str, rounds: int = 8) -> str:
-    """DuckDB twin of d8_flow_direction + flow_accumulation (one query:
-    direction derivation inline, accumulation as materialized unrolled
-    CTEs — the binder re-expands unmaterialized multi-referenced CTEs
-    exponentially, the CLAUDE.md law)."""
+def _d8_edges_sql_parts(pix_rel: str) -> list[str]:
+    """Shared CTE prefix (pix → taps → steepest-descent `edges`) for
+    the D8-derived oracles — textually identical to what
+    flow_accumulation_sql always emitted, factored for watershed."""
     taps = ",".join(
         f"({i},{dx},{dy},{35 // m})" for i, (dx, dy, m) in enumerate(_D8)
     )
-    parts = [
+    return [
         f"pix as materialized ({pix_rel})",
         f"taps(i, dx, dy, kk) as (values {taps})",
         """s as (select p.gx as x, p.gy as y, p.n as z, t.i, t.kk,
@@ -534,6 +533,15 @@ def flow_accumulation_sql(pix_rel: str, rounds: int = 8) -> str:
         """edges as materialized (
              select b.x as sx, b.y as sy, b.bx as tx, b.by as ty
              from best b join pix p on p.gx = b.bx and p.gy = b.by)""",
+    ]
+
+
+def flow_accumulation_sql(pix_rel: str, rounds: int = 8) -> str:
+    """DuckDB twin of d8_flow_direction + flow_accumulation (one query:
+    direction derivation inline, accumulation as materialized unrolled
+    CTEs — the binder re-expands unmaterialized multi-referenced CTEs
+    exponentially, the CLAUDE.md law)."""
+    parts = _d8_edges_sql_parts(pix_rel) + [
         "a0 as materialized (select gx as x, gy as y, cast(1 as bigint) as acc from pix)",
     ]
     for k in range(1, rounds + 1):
@@ -548,4 +556,98 @@ def flow_accumulation_sql(pix_rel: str, rounds: int = 8) -> str:
     return (
         "with " + ",\n".join(parts)
         + f"\nselect x as gx, y as gy, acc from a{rounds}"
+    )
+
+
+def watershed_basins(
+    dem: DataFrame,
+    rounds: int = 6,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val: str = "n",
+) -> DataFrame:
+    """Watershed (drainage-basin) labeling: every cell is labeled by the
+    TERMINAL cell its D8 flow path reaches — a sink (no lower neighbor)
+    or a border cell that drains off-support.  The terminal cell IS the
+    basin id, so basins need no separate relabeling pass.
+
+    D8 gives each cell exactly ONE outflow, so the flow graph is a
+    functional forest and POINTER DOUBLING applies: with ptr₀(c) = the
+    flow target (terminals point to themselves), each round replaces
+    ptr ← ptr∘ptr, resolving chains up to 2^rounds hops — ``rounds`` = 6
+    covers any flow path ≤ 64 cells, and the fixpoint is stable because
+    terminals are self-loops (extra rounds are no-ops).  Same
+    bounded-round well-definedness contract as graph.sssp_rounds.
+
+    Per round ONE self equi-join on the pointer key, localCheckpoint
+    lineage truncation per the iterative-plan law (the round plan
+    references the previous frame twice).  O(log chain) rounds vs the
+    O(chain) a hop-at-a-time walk would need — the same exponential
+    contraction idea as dedup's star-contraction CC, specialized to
+    out-degree-1 graphs where no min-reduction is needed.
+
+    → (gx, gy, bx, by): (bx, by) = basin terminal cell.
+    """
+    from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+    fd = d8_flow_direction(dem, x_col, y_col, val)
+    cells = fd.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    edges = fd.filter(~F.col("is_sink")).select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col("to_gx").alias("_tx"), F.col("to_gy").alias("_ty"),
+    )
+    # off-support targets terminate the path at the border cell itself
+    edges = edges.join(
+        cells.select(F.col("_x").alias("_tx"), F.col("_y").alias("_ty")), ["_tx", "_ty"]
+    )
+    ptr = (
+        cells.join(edges, ["_x", "_y"], "left")
+        .select(
+            "_x", "_y",
+            F.coalesce(F.col("_tx"), F.col("_x")).alias("_px"),
+            F.coalesce(F.col("_ty"), F.col("_y")).alias("_py"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        hop = ptr.select(
+            F.col("_x").alias("_px"), F.col("_y").alias("_py"),
+            F.col("_px").alias("_qx"), F.col("_py").alias("_qy"),
+        )
+        nxt = (
+            ptr.join(hop, ["_px", "_py"])
+            .select(
+                "_x", "_y",
+                F.col("_qx").alias("_px"), F.col("_qy").alias("_py"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(ptr)
+        ptr = nxt
+    return ptr.select(
+        F.col("_x").alias(x_col), F.col("_y").alias(y_col),
+        F.col("_px").alias("bx"), F.col("_py").alias("by"),
+    )
+
+
+def watershed_basins_sql(pix_rel: str, rounds: int = 6) -> str:
+    """DuckDB twin of watershed_basins: the shared D8 `edges` prefix,
+    then ``rounds`` materialized pointer-doubling CTEs (each level is
+    self-joined — referenced twice — hence materialized, the CLAUDE.md
+    binder law)."""
+    parts = _d8_edges_sql_parts(pix_rel) + [
+        """p0 as materialized (
+             select c.gx as x, c.gy as y,
+                    coalesce(e.tx, c.gx) as px, coalesce(e.ty, c.gy) as py
+             from pix c left join edges e on e.sx = c.gx and e.sy = c.gy)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""p{k} as materialized (
+              select a.x, a.y, b.px, b.py
+              from p{k-1} a join p{k-1} b on b.x = a.px and b.y = a.py)"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect x as gx, y as gy, px as bx, py as by from p{rounds}"
     )

@@ -219,3 +219,43 @@ def test_d8_flow_and_accumulation_valley(spark):
     # monotone growth down the valley floor
     floor = [acc[(4, gy)] for gy in range(8)]
     assert all(a < b for a, b in zip(floor, floor[1:]))
+
+
+def test_watershed_basins_valley(spark):
+    """Watershed pointer-doubling on the planted V-valley: basin labels
+    equal a slow Python walk of the D8 pointers to the terminal cell,
+    and hillside cells on either side of the valley land in the floor
+    outlet's basin."""
+    from geodesk_spark.operators import terrain
+
+    rows = [(gx, gy, abs(gx - 4) * 10 + (7 - gy)) for gx in range(9) for gy in range(8)]
+    dem = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = {(r.gx, r.gy): (r.bx, r.by)
+           for r in terrain.watershed_basins(dem, rounds=6).collect()}
+
+    fd = {(r.gx, r.gy): r for r in terrain.d8_flow_direction(dem).collect()}
+    support = set(fd)
+
+    def walk(c):
+        seen = 0
+        while True:
+            r = fd[c]
+            nxt = (r.to_gx, r.to_gy)
+            if r.is_sink or nxt not in support:
+                return c
+            c = nxt
+            seen += 1
+            assert seen < 100, "cycle in D8 forest"
+
+    exp = {c: walk(c) for c in support}
+    assert got == exp
+    # terminals are fixpoints (pointer doubling converged)
+    for c, t in got.items():
+        assert got[t] == t, (c, t)
+    # planted facts: the floor's low end (4, 7) is a sink (z = 0, and
+    # off-support neighbors also read 0 — no STRICT drop), the floor
+    # column and the diagonal hillside chain drain into it, while a
+    # border corner with z > 0 drains off-support and is its own basin
+    assert all(got[(4, gy)] == (4, 7) for gy in range(1, 8))
+    assert got[(1, 1)] == (4, 7)
+    assert got[(0, 0)] == (0, 0)
