@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from geodesk_spark.driver_queries.common import (
     F,
+    _DERIVED_SQL,
+    _derived_orders,
     _part_features,
     lat_expr,
     lon_expr,
@@ -466,6 +468,30 @@ def _theil_sen_sql() -> str:
               + case when event_id % 97 = 0 then 100000 else 0 end as y
               from events) t"""
     return stats.theil_sen_sql(rel, "grp", cap=120)
+
+
+RIPLEY_RADII = (1 << 21, 1 << 23, 1 << 25, 1 << 27)
+
+
+def _q_ripley(spark, sf_dir):
+    """Ripley's K pair-count table (stats.ripley_pair_counts) over the
+    derived order points: exact unordered pair counts within each radius
+    via ONE grid-blocked halo self-join + ONE conditional aggregation —
+    the point-pattern clustering statistic, all integer, K-normalization
+    left as the driver-side scalar it is."""
+    from geodesk_spark.operators import stats
+
+    pts = _derived_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"), "x", "y"
+    )
+    return stats.ripley_pair_counts(pts, RIPLEY_RADII)
+
+
+def _ripley_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    rel = f"select o_orderkey as id, x, y from ({_DERIVED_SQL}) p"
+    return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
 def _q_tag_stats(spark, sf_dir):

@@ -437,3 +437,151 @@ def theil_sen_sql(
              {q('ic.icept')} as intercept
       from ic join np on ic.{g} = np.{g}
     """
+
+
+def ripley_pair_counts(
+    pts: DataFrame,
+    radii_imps: tuple[int, ...],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points_per_cell: int = 100_000,
+) -> DataFrame:
+    """Ripley's K / pair-correlation core: for each radius r in
+    ``radii_imps`` (ascending imps), the EXACT count of unordered point
+    pairs with 0 < d² ≤ r² — the integer heart of the K-function
+    (K̂(r) = A·2·pairs(r)/(n(n−1)) is a driver-side scalar normalization
+    over these counts; published form: Ripley 1976).
+
+    Grid-blocked all-pairs-within-r: cell size = the smallest power of
+    two ≥ max(radii), ONE side of the self-join replicates into its 3×3
+    halo (pair distance ≤ r ≤ cell ⇒ the partner's replica lands in the
+    home cell exactly once), ``id1 < id2`` picks each unordered pair on
+    exactly one side — no distinct, no double count.  One shuffle
+    equi-join on the cell key; candidate work is quadratic only in
+    per-cell counts, and a degenerate cell is guarded by
+    ``max_points_per_cell`` (the LSH bucket-cap rule — capped cells are
+    excluded loudly by contract, not silently exploded).
+
+    Per-radius counts come from ONE conditional aggregation over the
+    ≤ max-radius pair set (no per-radius rescan), unpivoted to
+    (r_imp, pairs) rows — all integers, bit-identical cross-engine.
+    Empty pair sets still emit one row per radius (pairs = 0).
+    """
+    radii = sorted(int(r) for r in radii_imps)
+    assert radii and radii[0] > 0
+    step = 1 << max(int(r) - 1 for r in radii).bit_length()
+    cx = F.floor((F.col(x_col) + F.lit(2147483648.0)) / F.lit(float(step))).cast("long")
+    cy = F.floor((F.lit(2147483647.0) - F.col(y_col)) / F.lit(float(step))).cast("long")
+    c = pts.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    ncell = Window.partitionBy("_cx", "_cy")
+    c = c.withColumn("_n", F.count("*").over(ncell)).filter(
+        F.col("_n") <= max_points_per_cell
+    )
+    halo = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("h")
+    rep = c.select("_id", "_x", "_y", "_cx", "_cy", halo).select(
+        F.col("_id").alias("_id2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+        (F.col("_cx") + F.col("h.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("h.dy")).alias("_cy"),
+    )
+    maxr2 = radii[-1] * radii[-1]
+    d2 = (F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2")) + (
+        F.col("_y") - F.col("_y2")
+    ) * (F.col("_y") - F.col("_y2"))
+    pairs = (
+        c.join(rep, ["_cx", "_cy"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(d2.alias("_d2"))
+        .filter((F.col("_d2") > 0) & (F.col("_d2") <= F.lit(maxr2)))
+    )
+    agg = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_d2") <= F.lit(r * r), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r_imp"),
+                    F.col(f"_c{i}").alias("pairs"),
+                )
+                for i, r in enumerate(radii)
+            ]
+        )
+    ).alias("t")
+    return agg.select(rows).select("t.r_imp", "t.pairs")
+
+
+def ripley_pair_counts_sql(
+    pts_rel: str,
+    radii_imps: tuple[int, ...],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points_per_cell: int = 100_000,
+) -> str:
+    """DuckDB twin of ripley_pair_counts — same grid, same halo
+    replication, same conditional aggregation (the per-radius scalar
+    CTE is referenced once per radius, hence materialized)."""
+    radii = sorted(int(r) for r in radii_imps)
+    step = 1 << max(int(r) - 1 for r in radii).bit_length()
+    maxr2 = radii[-1] * radii[-1]
+    halo = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    cnt_cols = ",\n               ".join(
+        f"coalesce(sum(case when d2 <= {r * r} then 1 else 0 end), 0) as c{i}"
+        for i, r in enumerate(radii)
+    )
+    unpivot = "\n      union all\n      ".join(
+        f"select cast({r} as bigint) as r_imp, cast(c{i} as bigint) as pairs from agg"
+        for i, r in enumerate(radii)
+    )
+    return f"""
+      with src as ({pts_rel}),
+      c as materialized (
+        select * from (
+          select {id_col} as id, cast({x_col} as bigint) as x,
+                 cast({y_col} as bigint) as y,
+                 cast(floor(({x_col} + 2147483648.0) / {float(step)!r}) as bigint) as cx,
+                 cast(floor((2147483647.0 - {y_col}) / {float(step)!r}) as bigint) as cy,
+                 count(*) over (partition by
+                   cast(floor(({x_col} + 2147483648.0) / {float(step)!r}) as bigint),
+                   cast(floor((2147483647.0 - {y_col}) / {float(step)!r}) as bigint)) as n
+          from src) t
+        where n <= {max_points_per_cell}),
+      rep as (select id as id2, x as x2, y as y2,
+                     cx + dx as cx, cy + dy as cy
+              from c cross join (values {halo}) h(dx, dy)),
+      pr as (select (a.x - b.x2) * (a.x - b.x2)
+                  + (a.y - b.y2) * (a.y - b.y2) as d2
+             from c a join rep b on a.cx = b.cx and a.cy = b.cy
+                                and a.id < b.id2
+             where (a.x - b.x2) * (a.x - b.x2)
+                 + (a.y - b.y2) * (a.y - b.y2) > 0
+               and (a.x - b.x2) * (a.x - b.x2)
+                 + (a.y - b.y2) * (a.y - b.y2) <= {maxr2}),
+      agg as materialized (
+        select {cnt_cols} from pr)
+      {unpivot}
+    """
