@@ -1575,6 +1575,97 @@ def _nms_sql() -> str:
     """
 
 
+SLICE_TILE, SLICE_STRIDE = 512, 448
+SLICE_IMAGES = 400
+SLICE_K = 12
+_M31 = 2147483648
+
+
+def _q_slice_detect_nms(spark, sf_dir):
+    """SAHI-style sliced detection pipeline (images.slice_grid +
+    nms_boxes): large images explode into overlapping tile windows, a
+    deterministic stand-in detector emits per-slice boxes (MINSTD LCG
+    of the slice key — the honest fake for model inference, keeping the
+    remap + suppression plumbing real), slice-local boxes remap to
+    GLOBAL pixel coords clipped to their window, and one greedy
+    integer-IoU NMS per image fuses the overlap duplicates — the
+    slicing inference recipe (Akyon et al. 2022) as one declarative
+    plan.  ≤ slices²·3 boxes per image, applyInPandas only at the
+    final per-image K² suppression."""
+    from geodesk_spark.operators import images
+
+    ids = (
+        tables.load_spread(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % SLICE_IMAGES).alias("image_id"))
+        .distinct()
+    )
+    imgs = ids.select(
+        "image_id",
+        (F.lit(640) + (F.col("image_id") % 5) * 224).alias("w"),
+        (F.lit(512) + (F.col("image_id") % 7) * 160).alias("h"),
+    )
+    sl = images.slice_grid(imgs, SLICE_TILE, SLICE_STRIDE)
+    det = sl.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    )
+    b = (
+        F.col("image_id") * 1009
+        + F.col("six") * 101
+        + F.col("siy") * 211
+        + F.col("j") * 9973
+    ) % F.lit(_M31)
+    det = det.withColumn("_a1", (b * 48271) % F.lit(_M31))
+    det = det.withColumn("_a2", (F.col("_a1") * 48271) % F.lit(_M31))
+    det = det.withColumn("_a3", (F.col("_a2") * 48271) % F.lit(_M31))
+    lx = F.col("_a1") % F.greatest(F.col("sw") - 32, F.lit(1))
+    ly = F.col("_a2") % F.greatest(F.col("sh") - 32, F.lit(1))
+    bw = F.lit(24) + F.col("_a1") % 120
+    bh = F.lit(24) + F.col("_a2") % 120
+    boxes = det.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        ((F.col("six") * 100 + F.col("siy")) * 10 + F.col("j"))
+        .cast("long")
+        .alias("box_id"),
+        (F.col("_a3") % 100000).cast("long").alias("score"),
+        (F.col("sx") + lx).cast("long").alias("minx"),
+        (F.col("sy") + ly).cast("long").alias("miny"),
+        (F.col("sx") + F.least(lx + bw, F.col("sw"))).cast("long").alias("maxx"),
+        (F.col("sy") + F.least(ly + bh, F.col("sh"))).cast("long").alias("maxy"),
+    )
+    return images.nms_boxes(boxes, NMS_NUM, NMS_DEN, SLICE_K)
+
+
+def _slice_detect_nms_sql() -> str:
+    from geodesk_spark.operators import images
+
+    imgs_rel = f"""select image_id,
+             640 + (image_id % 5) * 224 as w,
+             512 + (image_id % 7) * 160 as h
+      from (select distinct o_orderkey % {SLICE_IMAGES} as image_id from orders) t"""
+    slices = images.slice_grid_sql(imgs_rel, SLICE_TILE, SLICE_STRIDE)
+    cand = f"""
+      with sl as ({slices}),
+      det as (select sl.*, j,
+                ((image_id * 1009 + six * 101 + siy * 211 + j * 9973) % {_M31}
+                 * 48271) % {_M31} as a1
+              from sl cross join (values (1),(2),(3)) jj(j)),
+      det2 as (select *, (a1 * 48271) % {_M31} as a2 from det),
+      det3 as (select *, (a2 * 48271) % {_M31} as a3 from det2),
+      bx as (select
+               cast(image_id as bigint) as image_id,
+               cast((six * 100 + siy) * 10 + j as bigint) as box_id,
+               cast(a3 % 100000 as bigint) as score,
+               cast(sx + a1 % greatest(sw - 32, 1) as bigint) as minx,
+               cast(sy + a2 % greatest(sh - 32, 1) as bigint) as miny,
+               cast(sx + least(a1 % greatest(sw - 32, 1) + 24 + a1 % 120, sw)
+                    as bigint) as maxx,
+               cast(sy + least(a2 % greatest(sh - 32, 1) + 24 + a2 % 120, sh)
+                    as bigint) as maxy
+             from det3)
+      select * from bx"""
+    return images.nms_boxes_sql(cand, NMS_NUM, NMS_DEN, SLICE_K)
+
+
 BUFFER_RADIUS_IMPS = 1 << 24
 BUFFER_K = 8
 

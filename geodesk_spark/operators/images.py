@@ -1077,3 +1077,126 @@ def verify_against_reference(
         "extras_match",
         ok.alias("ok"),
     )
+
+
+def slice_grid(
+    df: DataFrame,
+    tile: int = 512,
+    stride: int = 448,
+    max_slices_axis: int = 8,
+    img_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """SAHI-style overlapped slicing grid (Akyon et al. 2022 — slice a
+    large image into overlapping windows so a fixed-input detector sees
+    every object at usable resolution): per image, slice origins at
+    i·stride along each axis for i < ceil(dim/stride), each slice
+    covering [origin, min(origin+tile, dim)) — interior slices are
+    tile×tile with (tile−stride) overlap, edge slices clamp.
+
+    Engine-agnostic explode: a STATIC 0..max_slices_axis−1 index array
+    filtered by the per-image slice count (both engines expand the same
+    literal table — no lateral generate_series semantics to match).
+    ≤ max_slices_axis² slice rows per image, all integer arithmetic.
+
+    → (image_id, w, h, six, siy, sx, sy, sw, sh).
+    """
+    from pyspark.sql import functions as F
+
+    nx = F.ceil(F.col(w_col) / F.lit(stride))
+    ny = F.ceil(F.col(h_col) / F.lit(stride))
+    idx = F.array(*[F.lit(i) for i in range(max_slices_axis)])
+    s = (
+        df.select(img_col, w_col, h_col, nx.alias("_nx"), ny.alias("_ny"))
+        .select("*", F.explode(idx).alias("six"))
+        .filter(F.col("six") < F.col("_nx"))
+        .select("*", F.explode(idx).alias("siy"))
+        .filter(F.col("siy") < F.col("_ny"))
+    )
+    sx = F.col("six") * F.lit(stride)
+    sy = F.col("siy") * F.lit(stride)
+    return s.select(
+        img_col,
+        w_col,
+        h_col,
+        "six",
+        "siy",
+        sx.alias("sx"),
+        sy.alias("sy"),
+        (F.least(sx + F.lit(tile), F.col(w_col)) - sx).alias("sw"),
+        (F.least(sy + F.lit(tile), F.col(h_col)) - sy).alias("sh"),
+    )
+
+
+def slice_grid_sql(
+    imgs_rel: str,
+    tile: int = 512,
+    stride: int = 448,
+    max_slices_axis: int = 8,
+) -> str:
+    """DuckDB twin of slice_grid over ``imgs_rel`` (image_id, w, h) —
+    the same static index table crossed + filtered."""
+    idx = ",".join(f"({i})" for i in range(max_slices_axis))
+    return f"""
+      select i.image_id, i.w, i.h, a.six, b.siy,
+             a.six * {stride} as sx, b.siy * {stride} as sy,
+             least(a.six * {stride} + {tile}, i.w) - a.six * {stride} as sw,
+             least(b.siy * {stride} + {tile}, i.h) - b.siy * {stride} as sh
+      from ({imgs_rel}) i
+      cross join (values {idx}) a(six)
+      cross join (values {idx}) b(siy)
+      where a.six < ceil(cast(i.w as double) / {stride})
+        and b.siy < ceil(cast(i.h as double) / {stride})
+    """
+
+
+def nms_boxes_sql(
+    cand_rel: str,
+    iou_num: int = 1,
+    iou_den: int = 2,
+    max_boxes: int = 10,
+) -> str:
+    """DuckDB twin of nms_boxes over any candidates relation
+    (image_id, box_id, score, minx, miny, maxx, maxy): the unrolled
+    greedy chain — level i admits the rank-i box iff no already-kept
+    box suppresses it; every level MATERIALIZED (each is referenced
+    twice; the binder would re-expand an unmaterialized chain
+    exponentially).  hugeint IoU products (box coordinate products
+    square past int64), same integer suppression rule as the kernel.
+    """
+    inter = (
+        "cast(greatest(least(c.maxx, p.maxx) - greatest(c.minx, p.minx), 0) as hugeint)"
+        " * cast(greatest(least(c.maxy, p.maxy) - greatest(c.miny, p.miny), 0) as hugeint)"
+    )
+    sup = f"""({iou_den} * ({inter})
+       >= {iou_num} * (cast(c.maxx - c.minx as hugeint) * cast(c.maxy - c.miny as hugeint)
+                     + cast(p.maxx - p.minx as hugeint) * cast(p.maxy - p.miny as hugeint)
+                     - ({inter})))"""
+    levels = ["k1 as materialized (select * from cand where rk = 1)"]
+    for i in range(2, max_boxes + 1):
+        levels.append(
+            f"""k{i} as materialized (
+        select * from k{i - 1}
+        union all
+        select c.* from cand c
+        where c.rk = {i} and not exists (
+          select 1 from k{i - 1} p
+          where p.image_id = c.image_id and {sup}))"""
+        )
+    chain = ",\n      ".join(levels)
+    return f"""
+      with cand as materialized (
+        select * from (
+          select image_id, box_id, score, minx, miny, maxx, maxy,
+                 row_number() over (partition by image_id
+                                    order by score desc, box_id) as rk
+          from ({cand_rel}) src) t
+        where rk <= {max_boxes}),
+      {chain}
+      select c.image_id, c.box_id, c.score, c.minx, c.miny, c.maxx, c.maxy,
+             cast(c.rk as int) as rk,
+             exists (select 1 from k{max_boxes} p
+                     where p.image_id = c.image_id and p.box_id = c.box_id) as kept
+      from cand c
+    """
