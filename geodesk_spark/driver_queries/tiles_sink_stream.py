@@ -594,6 +594,57 @@ def _snapshot_merge_sql() -> str:
     """
 
 
+def _q_snapshot_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE (checkpoint.delete_where): two deletes
+    commit POSITION-DELETE vectors — zero data files rewritten, proven
+    in-query by inode equality of every hard-linked file — and read()
+    applies the union'd vector as one broadcast anti-join; the oracle
+    is the residual filter.  rewrite_deletes then materializes and
+    must serve the identical live set (asserted in-query)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geodesk_spark.streaming.checkpoint import (
+        Pipeline,
+        delete_where,
+        rewrite_deletes,
+    )
+
+    full = _derived_orders(spark, sf_dir).select("o_orderkey", "x", "y")
+    thr = full.agg(F.expr("(max(o_orderkey) * 9) div 10").alias("t")).collect()[0]["t"]
+    tmp = tempfile.mkdtemp(prefix="gds_snapmor_")
+    try:
+        p = Pipeline(spark, tmp)
+        p.stage("tbl", lambda s: full.repartitionByRange(8, "o_orderkey"))
+        inos = {
+            part["file"]: os.stat(os.path.join(p._dir("tbl"), part["file"])).st_ino
+            for part in p.lineage("tbl")["partitions"]
+        }
+        delete_where(p, "tbl", F.col("o_orderkey") % 13 == 5)
+        delete_where(p, "tbl", F.col("o_orderkey") > F.lit(thr))
+        vd = p._dir("tbl")
+        for f, ino in inos.items():
+            assert os.stat(os.path.join(vd, f)).st_ino == ino, "MoR must not rewrite data"
+        live = p.read("tbl").select("o_orderkey", "x", "y")
+        n_live = live.count()
+        rewrite_deletes(p, "tbl")
+        assert not os.path.isdir(os.path.join(p._dir("tbl"), "_deletes"))
+        assert p.read("tbl").count() == n_live, "materialize must preserve the live set"
+        return live.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _snapshot_mor_delete_sql() -> str:
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      thr as (select (max(o_orderkey) * 9) // 10 as t from pts)
+      select o_orderkey, x, y from pts, thr
+      where not (o_orderkey % 13 = 5) and not (o_orderkey > t)
+    """
+
+
 def _q_tile_mosaic(spark, sf_dir):
     """Per-tile contact-sheet mosaic (tiles_sink.mosaic_tiles): first
     grid² images per tile by image_id compose into one PNG per tile via

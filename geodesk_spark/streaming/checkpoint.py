@@ -242,13 +242,15 @@ class Pipeline:
     def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
         """Current snapshot (append stages: union of ALL committed
         batches — Iceberg table-read semantics), or time-travel to a
-        specific snapshot_id."""
+        specific snapshot_id.  A version carrying a position-delete
+        vector (``delete_where``) is served MERGE-ON-READ: the delete
+        rows anti-join out at scan time."""
         if snapshot_id is None:
             if self._is_append_stage(stage):
                 return self.read_all(stage)
             if self._active_version(stage) is None:
                 raise ValueError(f"stage {stage!r} has no committed snapshot")
-            return self.spark.read.parquet(self._dir(stage))
+            return _apply_deletes(self.spark, self._dir(stage))
         for e in self.snapshots():
             if e["snapshot_id"] == snapshot_id:
                 if e["stage"] != stage:
@@ -259,7 +261,9 @@ class Pipeline:
                     raise ValueError(
                         f"snapshot {snapshot_id} was expired by expire_snapshots"
                     )
-                return self.spark.read.parquet(self._version_dir(stage, e["version"]))
+                return _apply_deletes(
+                    self.spark, self._version_dir(stage, e["version"])
+                )
         raise ValueError(f"unknown snapshot_id {snapshot_id}")
 
     def invalidate(self, stage: str):
@@ -364,10 +368,151 @@ def read_pruned(p: "Pipeline", stage: str, col: str, lo, hi) -> DataFrame:
     if not keep:
         return p.read(stage).where(F.lit(False))
     vd = p._dir(stage)
-    return (
-        p.spark.read.option("basePath", vd)
-        .parquet(*[os.path.join(vd, rel) for rel in keep])
-        .filter(residual)
+    # merge-on-read aware: a pending position-delete vector applies to
+    # the pruned scan exactly as to the full one
+    return _apply_deletes(p.spark, vd, keep).filter(residual)
+
+
+def _deletes_dir(vd: str) -> str:
+    # leading underscore: Spark's parquet reader treats the directory as
+    # hidden, so plain spark.read.parquet(vd) never sees delete rows
+    return os.path.join(vd, "_deletes")
+
+
+def _read_with_pos(spark: SparkSession, vd: str, files: list[str] | None = None):
+    """Data rows of a version plus (_f, _pos) identity from the parquet
+    reader's hidden ``_metadata`` columns — file NAME (versions are
+    flat by the _flat_or_raise contract) and physical row index.  Row
+    indexes are positions inside the physical file, so hard-linked CoW
+    copies keep every delete vector valid across versions."""
+    paths = [os.path.join(vd, f) for f in files] if files is not None else [vd]
+    df = spark.read.option("basePath", vd).parquet(*paths)
+    return df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_f"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+
+
+def _apply_deletes(
+    spark: SparkSession, vd: str, files: list[str] | None = None
+) -> DataFrame:
+    """Merge-on-read scan of a version dir: plain parquet read when no
+    delete vector exists; otherwise ONE broadcast anti-join on
+    (file, pos).  The broadcast is bounded by the delete count — the
+    contract mirrors Iceberg's: large accumulated vectors are
+    materialized away by ``rewrite_deletes``."""
+    ddir = _deletes_dir(vd)
+    if not os.path.isdir(ddir):
+        paths = [os.path.join(vd, f) for f in files] if files is not None else [vd]
+        return spark.read.option("basePath", vd).parquet(*paths)
+    data = _read_with_pos(spark, vd, files)
+    dels = spark.read.parquet(ddir).select(
+        F.col("file").alias("_f"), F.col("pos").alias("_pos")
+    )
+    cols = [c for c in data.columns if c not in ("_f", "_pos")]
+    return data.join(F.broadcast(dels), ["_f", "_pos"], "left_anti").select(*cols)
+
+
+def _no_pending_deletes_or_raise(vd: str, op: str):
+    if os.path.isdir(_deletes_dir(vd)):
+        raise ValueError(
+            f"{op} on a snapshot with pending position deletes would "
+            "resurrect deleted rows — run rewrite_deletes first"
+        )
+
+
+def delete_where(p: "Pipeline", stage: str, predicate) -> int:
+    """Iceberg-v2-style MERGE-ON-READ DELETE: rows matching ``predicate``
+    (a Column or SQL string) are recorded as a POSITION-DELETE vector —
+    (file, pos) pairs from the scan's hidden ``_metadata`` columns —
+    in a new snapshot whose data files are ALL hard-linked unchanged.
+    No data bytes are rewritten; ``read`` applies the vector with one
+    broadcast anti-join.  Deleting again unions with the inherited
+    vector.  At 10^12 rows this turns a delete from an O(affected
+    files) rewrite into an O(deleted rows) manifest write — the
+    write-cheap/read-taxed half of the trade; ``rewrite_deletes``
+    is the materialize half (Iceberg's rewrite_position_delete_files).
+
+    Returns the new snapshot_id."""
+    if p._is_append_stage(stage):
+        raise ValueError(f"{stage!r} is an append stage — rewrite it into a batch stage")
+    v = p._active_version(stage)
+    if v is None:
+        raise ValueError(f"stage {stage!r} has no committed snapshot")
+    vd = p._version_dir(stage, v)
+    parts = p.lineage(stage)["partitions"]
+    _flat_or_raise(parts, "delete_where")
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    new_dels = (
+        _read_with_pos(p.spark, vd)
+        .filter(cond)
+        .select(F.col("_f").alias("file"), F.col("_pos").alias("pos"))
+    )
+    old_ddir = _deletes_dir(vd)
+    if os.path.isdir(old_ddir):
+        new_dels = new_dels.unionByName(
+            p.spark.read.parquet(old_ddir).select("file", "pos")
+        ).distinct()
+
+    out = p._version_dir(stage, p._versions(stage)[-1] + 1)
+    os.makedirs(out, exist_ok=True)
+    new_dels.coalesce(1).write.mode("overwrite").parquet(_deletes_dir(out))
+    n_deleted = sum(
+        r["rows"]
+        for r in _file_manifest(_parquet_files(_deletes_dir(out)), _deletes_dir(out))
+    )
+    return _commit_rewrite(
+        p,
+        stage,
+        out,
+        None,
+        list(parts),
+        vd,
+        "delete_where",
+        {
+            "delete_files": [
+                os.path.relpath(f, out) for f in _parquet_files(_deletes_dir(out))
+            ],
+            "n_deleted_total": n_deleted,
+            "n_rows_live": sum(r["rows"] for r in parts) - n_deleted,
+        },
+    )
+
+
+def rewrite_deletes(p: "Pipeline", stage: str) -> int | None:
+    """Materialize pending position deletes (MoR → CoW, the Iceberg
+    rewrite_position_delete_files + rewrite_data_files pair): ONLY the
+    files named in the delete vector are rewritten without their
+    deleted positions; untouched files hard-link through.  The new
+    snapshot carries no ``_deletes`` — reads go back to plain scans.
+    Returns the new snapshot_id, or None when no deletes are pending."""
+    v = p._active_version(stage)
+    if v is None:
+        raise ValueError(f"stage {stage!r} has no committed snapshot")
+    vd = p._version_dir(stage, v)
+    if not os.path.isdir(_deletes_dir(vd)):
+        return None
+    parts = p.lineage(stage)["partitions"]
+    _flat_or_raise(parts, "rewrite_deletes")
+    dels = p.spark.read.parquet(_deletes_dir(vd))
+    affected = {r["file"] for r in dels.select("file").distinct().collect()}
+    kept = [part for part in parts if part["file"] not in affected]
+    rewritten = None
+    if affected:
+        rewritten = _apply_deletes(p.spark, vd, sorted(affected))
+    out = p._version_dir(stage, p._versions(stage)[-1] + 1)
+    return _commit_rewrite(
+        p,
+        stage,
+        out,
+        rewritten,
+        kept,
+        vd,
+        "rewrite_deletes",
+        {"rewrote_files": sorted(affected), "kept_files": len(kept)},
+        prefix=f"d{os.path.basename(out)}",
     )
 
 
@@ -472,6 +617,7 @@ def merge_upsert(p: "Pipeline", stage: str, updates: DataFrame, keys: list[str])
     if v is None:
         raise ValueError(f"stage {stage!r} has no committed snapshot")
     vd = p._version_dir(stage, v)
+    _no_pending_deletes_or_raise(vd, "merge_upsert")
     parts = p.lineage(stage)["partitions"]
     _flat_or_raise(parts, "merge_upsert")
 
@@ -541,6 +687,7 @@ def compact(p: "Pipeline", stage: str, target_bytes: int = 128 << 20) -> int | N
     if v is None:
         raise ValueError(f"stage {stage!r} has no committed snapshot")
     vd = p._version_dir(stage, v)
+    _no_pending_deletes_or_raise(vd, "compact")
     parts = p.lineage(stage)["partitions"]
     _flat_or_raise(parts, "compact")
 

@@ -1201,3 +1201,74 @@ def test_hashes_compute_single_pass_parity(spark):
     px = pxs["h_0"]
     assert codec.dhash64(np.minimum(px.astype(np.int32) + 40, 255).astype(np.uint8)) \
         == codec.dhash64(px)
+
+
+def test_merge_on_read_position_deletes(spark, tmp_path):
+    """Iceberg-v2-style MoR DELETE: delete vectors apply at read time
+    with zero data-file rewrites; time travel still sees the old rows;
+    rewrite_deletes materializes back to plain scans; CoW ops refuse
+    while deletes are pending."""
+    from geodesk_spark.streaming import checkpoint as cp
+
+    root = str(tmp_path / "mor")
+    p = Pipeline(spark, root)
+
+    def gen(s):
+        return (
+            s.range(0, 10_000, 1, 4)
+            .select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        )
+
+    p.stage("base", gen)
+    s0 = p.snapshots()[-1]["snapshot_id"]
+    v1 = p._version_dir("base", 1)
+    files_v1 = {f: os.stat(os.path.join(v1, f)).st_ino
+                for f in (part["file"] for part in p.lineage("base")["partitions"])}
+    assert len(files_v1) == 4
+
+    # MoR delete: no data file rewritten (hard links preserve inodes)
+    cp.delete_where(p, "base", "v = 13")
+    v2 = p._dir("base")
+    assert os.path.isdir(os.path.join(v2, "_deletes"))
+    for f, ino in files_v1.items():
+        assert os.stat(os.path.join(v2, f)).st_ino == ino
+    live = p.read("base")
+    assert live.filter("v = 13").count() == 0
+    expect_deleted = 10_000 // 97 + (1 if 13 < 10_000 % 97 else 0)
+    assert live.count() == 10_000 - expect_deleted
+    lin = p.lineage("base")
+    assert lin["n_deleted_total"] == expect_deleted
+    assert lin["n_rows_live"] == 10_000 - expect_deleted
+
+    # time travel: the pre-delete snapshot still serves every row
+    assert p.read("base", snapshot_id=s0).count() == 10_000
+
+    # second delete unions with the inherited vector
+    cp.delete_where(p, "base", F.col("k") < 50)
+    live2 = p.read("base")
+    assert live2.filter("v = 13").count() == 0
+    assert live2.filter("k < 50").count() == 0
+
+    # pruned read applies the vector too
+    pr = cp.read_pruned(p, "base", "k", 0, 99)
+    assert pr.count() == live2.filter("k <= 99").count()
+
+    # CoW ops refuse while deletes pend
+    ups = spark.range(1).select(F.lit(1).alias("k"), F.lit(0).alias("v"))
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        cp.merge_upsert(p, "base", ups, ["k"])
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        cp.compact(p, "base")
+
+    # materialize: no _deletes left, same live rows, plain read again
+    before = {(r.k, r.v) for r in live2.collect()}
+    sid = cp.rewrite_deletes(p, "base")
+    assert sid is not None
+    vd = p._dir("base")
+    assert not os.path.isdir(os.path.join(vd, "_deletes"))
+    after = {(r.k, r.v) for r in p.read("base").collect()}
+    assert after == before
+    # idempotent when nothing pends
+    assert cp.rewrite_deletes(p, "base") is None
+    # and CoW ops work again
+    assert cp.merge_upsert(p, "base", ups, ["k"]) > 0
