@@ -1405,6 +1405,31 @@ def _watershed_sql() -> str:
     return terrain.watershed_basins_sql(pix_rel, rounds=WATERSHED_ROUNDS)
 
 
+MORPH_GRID_BITS = 8
+
+
+def _q_morphology_close(spark, sf_dir):
+    """Morphological closing of the order-density mask
+    (tiles_sink.morphology_mask): cells with ≥1 point dilate then erode
+    with the 3×3 box — pinholes inside dense regions fill, support
+    edges survive unchanged; two scatter+rollup passes, all integer."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=MORPH_GRID_BITS)
+    return tiles_sink.morphology_mask(pix, op="close", radius=1)
+
+
+def _morphology_close_sql() -> str:
+    from geodesk_spark.operators import tiles_sink
+
+    step = 1 << (32 - MORPH_GRID_BITS)
+    mask_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy
+          from ({_DERIVED_SQL}) pts"""
+    return tiles_sink.morphology_mask_sql(mask_rel, op="close", radius=1)
+
+
 KDE_GRID_BITS = 7
 
 

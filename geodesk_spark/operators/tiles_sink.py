@@ -1453,3 +1453,91 @@ def contour_segments(
         p2.x.alias("x2"),
         p2.y.alias("y2"),
     )
+
+
+def morphology_mask(
+    mask: DataFrame,
+    op: str = "close",
+    radius: int = 1,
+    x_col: str = "gx",
+    y_col: str = "gy",
+) -> DataFrame:
+    """Binary morphology over a sparse cell mask — dilate / erode /
+    open / close with a (2r+1)² box structuring element, the classic
+    mask-cleanup ops (fill pinholes, drop speckle, bridge hairline
+    gaps) applied to global rasters (vision's morphology = GIS's
+    focal any/all).
+
+    Set formulation rides the stencil scatter: each present cell
+    scatters into its SE box, and the per-cell hit COUNT decides
+    membership — dilation keeps count ≥ 1 (touched at all), erosion
+    keeps count = (2r+1)² (every SE neighbor present; the center is in
+    its own SE, so erosion output ⊆ input support).  Opening =
+    erode∘dilate, closing = dilate∘erode — each pass is ONE explode +
+    ONE groupBy(cell) shuffle over integer counts, exact and
+    order-free; compound ops are two passes.
+
+    → (gx, gy) member cells of the result mask.
+    """
+    from pyspark.sql import functions as F
+
+    se = [(dx, dy) for dx in range(-radius, radius + 1)
+          for dy in range(-radius, radius + 1)]
+    full = len(se)
+    taps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in se
+            ]
+        )
+    ).alias("t")
+
+    def _pass(m: DataFrame, thresh: int) -> DataFrame:
+        sc = m.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"), taps)
+        return (
+            sc.groupBy(
+                (F.col("_x") + F.col("t.dx")).alias(x_col),
+                (F.col("_y") + F.col("t.dy")).alias(y_col),
+            )
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= thresh)
+            .select(x_col, y_col)
+        )
+
+    m = mask.select(x_col, y_col).distinct()
+    if op == "dilate":
+        return _pass(m, 1)
+    if op == "erode":
+        return _pass(m, full)
+    if op == "close":
+        return _pass(_pass(m, 1), full)
+    if op == "open":
+        return _pass(_pass(m, full), 1)
+    raise ValueError(f"unknown morphology op {op!r}")
+
+
+def morphology_mask_sql(mask_rel: str, op: str = "close", radius: int = 1) -> str:
+    """DuckDB twin of morphology_mask over ``mask_rel`` (gx, gy)."""
+    se = ",".join(
+        f"({dx},{dy})"
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    )
+    full = (2 * radius + 1) ** 2
+
+    def _pass(rel: str, thresh: int) -> str:
+        return f"""select gx + dx as gx, gy + dy as gy
+           from ({rel}) m cross join (values {se}) t(dx, dy)
+           group by 1, 2 having count(*) >= {thresh}"""
+
+    base = f"select distinct gx, gy from ({mask_rel}) src"
+    if op == "dilate":
+        return _pass(base, 1)
+    if op == "erode":
+        return _pass(base, full)
+    if op == "close":
+        return _pass(_pass(base, 1), full)
+    if op == "open":
+        return _pass(_pass(base, full), 1)
+    raise ValueError(f"unknown morphology op {op!r}")

@@ -181,3 +181,38 @@ def test_contour_handles_negative_samples(spark):
     assert got == _brute_contour(pix, 2)
     # the (0,0) block's top edge crossing: (2-5)/(-5-5) = 0.3 exactly
     assert any(abs(v[0] - 0.3) < 1e-12 for k, v in got.items() if k[:2] == (0, 0))
+
+
+def test_morphology_laws_and_replay(spark):
+    """Morphology on a planted mask: slow set replay + the algebraic
+    laws (extensive closing, anti-extensive opening, pinhole fill,
+    speckle removal)."""
+    from geodesk_spark.operators import tiles_sink
+
+    # 8x8 block with a 1-cell pinhole + an isolated speckle far away
+    block = {(x, y) for x in range(8) for y in range(8)} - {(4, 4)}
+    mask = sorted(block | {(20, 20)})
+    df = spark.createDataFrame(mask, "gx long, gy long")
+
+    def run(op):
+        return {(r.gx, r.gy)
+                for r in tiles_sink.morphology_mask(df, op=op, radius=1).collect()}
+
+    src = set(mask)
+    se = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def dil(s):
+        return {(x + dx, y + dy) for (x, y) in s for dx, dy in se}
+
+    def ero(s):
+        return {(x, y) for (x, y) in dil(s)  # candidate support
+                if all((x + dx, y + dy) in s for dx, dy in se)}
+
+    assert run("dilate") == dil(src)
+    assert run("erode") == ero(src)
+    close, open_ = run("close"), run("open")
+    assert close == ero(dil(src)) and open_ == dil(ero(src))
+    assert close >= src and open_ <= src       # extensive / anti-extensive
+    assert (4, 4) in close                     # pinhole filled
+    assert (20, 20) not in open_               # speckle removed
+    assert (20, 20) in close                   # closing keeps isolated cells
