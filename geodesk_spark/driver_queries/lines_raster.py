@@ -1430,6 +1430,31 @@ def _morphology_close_sql() -> str:
     return tiles_sink.morphology_mask_sql(mask_rel, op="close", radius=1)
 
 
+BLOB_GRID_BITS = 10
+
+
+def _q_raster_blobs(spark, sf_dir):
+    """Blob (connected-component) labeling of the order-density mask at
+    a fine grid (tiles_sink.label_blobs): 8-connected patches resolve by
+    star contraction, per-blob size + bbox — island/patch detection on
+    rasters, the raster twin of vision's CCL."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    pix = tiles_sink.grid_counts(df, grid_bits=BLOB_GRID_BITS)
+    return tiles_sink.label_blobs(pix, connectivity=8)
+
+
+def _raster_blobs_sql() -> str:
+    from geodesk_spark.operators import tiles_sink
+
+    step = 1 << (32 - BLOB_GRID_BITS)
+    mask_rel = f"""select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+                 cast(floor((2147483647 - y) / {step}) as bigint) as gy
+          from ({_DERIVED_SQL}) pts"""
+    return tiles_sink.label_blobs_sql(mask_rel, connectivity=8)
+
+
 KDE_GRID_BITS = 7
 
 

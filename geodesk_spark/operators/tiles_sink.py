@@ -1541,3 +1541,96 @@ def morphology_mask_sql(mask_rel: str, op: str = "close", radius: int = 1) -> st
     if op == "open":
         return _pass(_pass(base, full), 1)
     raise ValueError(f"unknown morphology op {op!r}")
+
+
+def label_blobs(
+    mask: DataFrame,
+    connectivity: int = 8,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected-component (blob) labeling of a sparse cell mask — the
+    raster twin of vision's CCL and GIS's region grouping (island /
+    patch detection): every maximal 4- or 8-connected cell group gets
+    one label and its blob statistics.
+
+    Cells pack to one bigint key (gx·2³² + gy — grid coords must be
+    non-negative, the grid_counts contract); adjacency edges come from
+    ONE scatter over the HALF offset set (right/down[/diagonals] —
+    each undirected neighbor pair materializes exactly once) + ONE
+    equi-join against the mask; components resolve via dedup's
+    large/small-star contraction (O(log n) rounds on a shrinking edge
+    list — the same machinery as duplicate-group CC, so planet-sized
+    blobs at 100 TB follow the proven path).  Isolated cells label
+    themselves.  Blob id = the component's smallest packed key, i.e.
+    its lexicographically first (gx, gy) cell — deterministic.
+
+    → (blob_id, n_cells, gx0, gy0, gx1, gy1) per blob.
+    """
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.operators.dedup import connected_components
+
+    offs = {8: [(1, 0), (0, 1), (1, 1), (1, -1)], 4: [(1, 0), (0, 1)]}[connectivity]
+    cells = mask.select(
+        F.col(x_col).cast("long").alias("_x"), F.col(y_col).cast("long").alias("_y")
+    ).distinct()
+    key = (F.col("_x") * F.lit(1 << 32) + F.col("_y")).alias("_k")
+    c = cells.select("_x", "_y", key)
+    taps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offs
+            ]
+        )
+    ).alias("t")
+    probe = c.select("_k", "_x", "_y", taps).select(
+        F.col("_k").alias("_ka"),
+        (F.col("_x") + F.col("t.dx")).alias("_x"),
+        (F.col("_y") + F.col("t.dy")).alias("_y"),
+    )
+    edges = probe.join(c, ["_x", "_y"]).select("_ka", F.col("_k").alias("_kb"))
+    lab = connected_components(edges, "_ka", "_kb", max_iter=max_rounds)
+    labeled = c.join(lab, c._k == lab.doc_id, "left").select(
+        "_x", "_y", F.coalesce(F.col("comp_id"), F.col("_k")).alias("blob_id")
+    )
+    return labeled.groupBy("blob_id").agg(
+        F.count("*").alias("n_cells"),
+        F.min("_x").alias("gx0"),
+        F.min("_y").alias("gy0"),
+        F.max("_x").alias("gx1"),
+        F.max("_y").alias("gy1"),
+    )
+
+
+def label_blobs_sql(mask_rel: str, connectivity: int = 8) -> str:
+    """DuckDB twin of label_blobs: TRUE transitive closure by recursive
+    CTE over the same half-offset edge set (min-reachable-key label —
+    which is exactly the star-contraction fixpoint label), so a green
+    row also proves the Spark side CONVERGED."""
+    offs = {8: [(1, 0), (0, 1), (1, 1), (1, -1)], 4: [(1, 0), (0, 1)]}[connectivity]
+    half = ",".join(f"({dx},{dy})" for dx, dy in offs)
+    return f"""
+      with recursive c as materialized (
+        select distinct cast(gx as bigint) as x, cast(gy as bigint) as y,
+               cast(gx as bigint) * 4294967296 + cast(gy as bigint) as k
+        from ({mask_rel}) src),
+      e0 as (select a.k as ka, b.k as kb
+             from c a cross join (values {half}) t(dx, dy)
+             join c b on b.x = a.x + t.dx and b.y = a.y + t.dy),
+      e as materialized (
+        select ka, kb from e0 union select kb, ka from e0),
+      reach(s, t) as (
+        select k, k from c
+        union
+        select r.s, e.kb from reach r join e on r.t = e.ka),
+      lab as (select s as k, min(t) as blob_id from reach group by s)
+      select l.blob_id,
+             cast(count(*) as bigint) as n_cells,
+             min(c.x) as gx0, min(c.y) as gy0,
+             max(c.x) as gx1, max(c.y) as gy1
+      from c join lab l on l.k = c.k
+      group by l.blob_id
+    """

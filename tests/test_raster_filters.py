@@ -216,3 +216,43 @@ def test_morphology_laws_and_replay(spark):
     assert (4, 4) in close                     # pinhole filled
     assert (20, 20) not in open_               # speckle removed
     assert (20, 20) in close                   # closing keeps isolated cells
+
+
+def test_label_blobs_planted(spark):
+    """CCL on planted masks: 8-conn merges diagonal chains, 4-conn
+    splits them; blob ids are the lexicographically first cell; stats
+    match a slow flood fill."""
+    from geodesk_spark.operators import tiles_sink
+
+    cells = [(1, 1), (1, 2), (2, 2), (3, 3), (10, 10), (11, 11), (20, 5)]
+    df = spark.createDataFrame(cells, "gx long, gy long")
+
+    def flood(conn):
+        offs = ([(1, 0), (0, 1), (1, 1), (1, -1)] if conn == 8
+                else [(1, 0), (0, 1)])
+        offs = offs + [(-dx, -dy) for dx, dy in offs]
+        left = set(cells)
+        blobs = []
+        while left:
+            seed = min(left)
+            comp, frontier = {seed}, [seed]
+            while frontier:
+                x, y = frontier.pop()
+                for dx, dy in offs:
+                    q = (x + dx, y + dy)
+                    if q in left and q not in comp:
+                        comp.add(q)
+                        frontier.append(q)
+            left -= comp
+            xs = [c[0] for c in comp]
+            ys = [c[1] for c in comp]
+            blobs.append((min(comp)[0] * (1 << 32) + min(comp)[1], len(comp),
+                          min(xs), min(ys), max(xs), max(ys)))
+        return sorted(blobs)
+
+    for conn in (8, 4):
+        got = sorted(
+            (r.blob_id, r.n_cells, r.gx0, r.gy0, r.gx1, r.gy1)
+            for r in tiles_sink.label_blobs(df, connectivity=conn).collect()
+        )
+        assert got == flood(conn), conn
