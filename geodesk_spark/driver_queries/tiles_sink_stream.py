@@ -594,6 +594,85 @@ def _snapshot_merge_sql() -> str:
     """
 
 
+OVERVIEW_ZOOM = 6
+OVERVIEW_LEVELS = 2
+
+
+def _q_overview_pyramid(spark, sf_dir):
+    """Image-overview pyramid build (tiles_sink.overview_pyramid — the
+    gdaladdo recipe riding the reference's quad-tile zoomed_out
+    algebra): one synthetic image per occupied z6 tile, two overview
+    levels composed from 2×2 children by exact integer box-mean; the
+    per-zoom manifest rollup is the oracle surface (pure tile
+    arithmetic), pixels are golden-checked in pytest."""
+    import shutil
+    import tempfile
+
+    from geodesk_spark import codec
+    from geodesk_spark.operators import tiles_sink
+
+    pts = _derived_orders(spark, sf_dir)
+    tiles = pts.select(
+        T.tile_col(F.col("x"), F.col("y"), OVERVIEW_ZOOM).alias("tile")
+    ).distinct()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tile": pdf["tile"],
+                    "bytes": [
+                        codec.encode(codec.synth_pixels(f"t{t}", 16, 16), "png")
+                        for t in pdf["tile"]
+                    ],
+                }
+            )
+
+    imgs = tiles.mapInPandas(gen, schema="tile int, bytes binary")
+    tmp = tempfile.mkdtemp(prefix="gds_ovr_")
+    try:
+        man = tiles_sink.overview_pyramid(
+            imgs, tmp, base_zoom=OVERVIEW_ZOOM, levels=OVERVIEW_LEVELS, tile_px=16
+        )
+        return (
+            man.groupBy("zoom")
+            .agg(
+                F.count("*").alias("n_tiles"),
+                F.sum("n_children").cast("long").alias("n_children_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _overview_pyramid_sql() -> str:
+    z = OVERVIEW_ZOOM
+    t6 = f"select distinct {tile_expr('x', 'y', z)} as t from pts"
+    # parent tile ids: rebuild from col//2, row//2 at the parent zoom
+    def parent(rel: str, child_zoom: int) -> str:
+        zz = child_zoom - 1
+        return f"""select distinct ({zz} * 16777216 + ((t // 4096) % 4096) // 2 * 4096
+                    + (t % 4096) // 2) as t
+             from ({rel}) c"""
+
+    t5 = parent(t6, z)
+    t4 = parent(t5, z - 1)
+    return f"""
+      with pts as ({_DERIVED_SQL}),
+      t6 as materialized ({t6}),
+      t5 as materialized ({t5}),
+      t4 as materialized ({t4})
+      select {z - 1} as zoom, (select count(*) from t5) as n_tiles,
+             (select count(*) from t6) as n_children_total
+      union all
+      select {z - 2} as zoom, (select count(*) from t4) as n_tiles,
+             (select count(*) from t5) as n_children_total
+    """
+
+
 def _q_snapshot_mor_delete(spark, sf_dir):
     """Merge-on-read DELETE (checkpoint.delete_where): two deletes
     commit POSITION-DELETE vectors — zero data files rewritten, proven

@@ -1634,3 +1634,104 @@ def label_blobs_sql(mask_rel: str, connectivity: int = 8) -> str:
       from c join lab l on l.k = c.k
       group by l.blob_id
     """
+
+
+def overview_pyramid(
+    base_imgs: DataFrame,
+    out_dir: str,
+    base_zoom: int,
+    levels: int,
+    tile_px: int = 64,
+) -> DataFrame:
+    """Overview (image-pyramid) build — the gdaladdo / gdal2tiles
+    recipe that every tile-served imagery stack runs after ingest:
+    level z−1 tiles are composed from their ≤4 level-z children, each
+    child box-downsampled 2× into its quadrant (col&1, row&1), absent
+    children left black; repeat for ``levels`` levels.  This IS the
+    reference's quad-tile pyramid (geo/tile zoomed_out algebra) with an
+    image payload riding it.
+
+    Input: (tile, bytes) at ``base_zoom``, each blob a tile_px²
+    image.  Per level ONE groupBy(parent) + applyInPandas compose —
+    4 decodes + 1 encode per parent task, images never move twice in a
+    level; level count is log₂ and each level shrinks the table 4×, so
+    the whole pyramid costs ~⅓ extra over the base scan (the geometric
+    series), the same budget as raster overviews anywhere.
+
+    2×-downsample is the exact integer mean of each 2×2 pixel block
+    (floor division — deterministic, no float), so pytest can replay
+    pixels bit-for-bit through the deterministic codec.
+
+    Returns the manifest: (zoom, tile, n_children, path) for every
+    written overview tile, all levels unioned.
+    """
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import tile as T
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def compose_level(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = int(key[0])
+        z = int(T.zoom_of(parent)[()])
+        pc = int(T.column_of(parent)[()])
+        pr = int(T.row_of(parent)[()])
+        half = tile_px // 2
+        out = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        for t, blob in zip(pdf["_ctile"], pdf["bytes"]):
+            t = int(t)
+            qx = (int(T.column_of(t)[()]) & 1) * half
+            qy = (int(T.row_of(t)[()]) & 1) * half
+            px = codec.decode(blob)
+            # exact integer 2x2 box mean (floor) — deterministic
+            p = px[: half * 2, : half * 2].astype(np.uint16)
+            ds = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+            out[qy : qy + half, qx : qx + half] = ds.astype(np.uint8)
+        tdir = os.path.join(out_dir, str(z), str(pc))
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, f"{pr}.png")
+        with open(path, "wb") as f:
+            f.write(codec.encode(out, "png"))
+        return pd.DataFrame(
+            {
+                "zoom": [z],
+                "tile": [parent],
+                "n_children": [len(pdf)],
+                "path": [path],
+            }
+        )
+
+    cur = base_imgs.select(F.col("tile").alias("_ctile"), "bytes")
+    manifests = []
+    for lvl in range(levels):
+        z = base_zoom - lvl
+        parent = T.zoomed_out_col(F.col("_ctile"), z - 1, z)
+        lvl_out = (
+            cur.withColumn("_ptile", parent)
+            .groupBy("_ptile")
+            .applyInPandas(
+                compose_level, schema="zoom int, tile int, n_children int, path string"
+            )
+            .localCheckpoint(eager=True)  # materialize: next level reads these files
+        )
+        manifests.append(lvl_out)
+        # next level reads the just-written overview tiles back through
+        # a distributed scan of the manifest (paths are on shared
+        # storage by contract) — no driver-side byte shuttling
+        cur = lvl_out.select(
+            F.col("tile").alias("_ctile"), F.col("path").alias("_path")
+        ).mapInPandas(_read_tiles_batch, schema="_ctile int, bytes binary")
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _read_tiles_batch(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "_ctile": pdf["_ctile"],
+                "bytes": [open(p, "rb").read() for p in pdf["_path"]],
+            }
+        )

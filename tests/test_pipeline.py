@@ -1272,3 +1272,54 @@ def test_merge_on_read_position_deletes(spark, tmp_path):
     assert cp.rewrite_deletes(p, "base") is None
     # and CoW ops work again
     assert cp.merge_upsert(p, "base", ups, ["k"]) > 0
+
+
+def test_overview_pyramid_pixels(spark, tmp_path):
+    """Overview build replays bit-exact: parents compose their 2×2
+    children with the exact integer box-mean into the right quadrants,
+    across two levels."""
+    from geodesk_spark.geo import tile as T
+    from geodesk_spark.operators import tiles_sink
+
+    base = []
+    for c in range(100, 104):
+        for r in range(200, 204):
+            t = int(T.from_col_row_zoom(c, r, 10)[()])
+            px = codec.synth_pixels(f"t{c}_{r}", 64, 64)
+            base.append((t, bytearray(codec.encode(px, "png"))))
+    df = spark.createDataFrame(base, "tile int, bytes binary")
+    man = tiles_sink.overview_pyramid(
+        df, str(tmp_path / "ovr"), base_zoom=10, levels=2, tile_px=64
+    ).collect()
+    by_zoom = {}
+    for r in man:
+        by_zoom.setdefault(r.zoom, []).append(r)
+    assert sorted(r.n_children for r in by_zoom[9]) == [4, 4, 4, 4]
+    assert [r.n_children for r in by_zoom[8]] == [4]
+
+    def ds(px):
+        p = px.astype(np.uint16)
+        return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+                ).astype(np.uint8)
+
+    # level 1: the (50, 100) parent holds children (100..101, 200..201)
+    exp = np.zeros((64, 64, 3), np.uint8)
+    kids = {}
+    for (c, r) in [(100, 200), (101, 200), (100, 201), (101, 201)]:
+        kids[(c, r)] = ds(codec.synth_pixels(f"t{c}_{r}", 64, 64))
+        exp[(r & 1) * 32:(r & 1) * 32 + 32, (c & 1) * 32:(c & 1) * 32 + 32] = kids[(c, r)]
+    p9 = [r for r in by_zoom[9]
+          if int(T.column_of(r.tile)[()]) == 50 and int(T.row_of(r.tile)[()]) == 100][0]
+    got = codec.decode(open(p9.path, "rb").read())
+    assert np.array_equal(got, exp)
+
+    # level 2 replays the downsample of level 1's composites
+    l9 = {}
+    for r in by_zoom[9]:
+        c, rr = int(T.column_of(r.tile)[()]), int(T.row_of(r.tile)[()])
+        l9[(c, rr)] = codec.decode(open(r.path, "rb").read())
+    exp8 = np.zeros((64, 64, 3), np.uint8)
+    for (c, rr), px in l9.items():
+        exp8[(rr & 1) * 32:(rr & 1) * 32 + 32, (c & 1) * 32:(c & 1) * 32 + 32] = ds(px)
+    got8 = codec.decode(open(by_zoom[8][0].path, "rb").read())
+    assert np.array_equal(got8, exp8)
