@@ -594,6 +594,26 @@ def _snapshot_merge_sql() -> str:
     """
 
 
+BALANCE_ZOOM = 6
+
+
+def _q_tile_balance(spark, sf_dir):
+    """Geographic-balance audit (tiling.tile_balance_audit): tile-grid
+    entropy in exact integer micro-nats + the exact integer Gini
+    numerator over per-tile counts — the pre-training spread check,
+    one fact rollup + one bounded window."""
+    from geodesk_spark.operators import tiling
+
+    pts = _derived_orders(spark, sf_dir)
+    return tiling.tile_balance_audit(pts, BALANCE_ZOOM)
+
+
+def _tile_balance_sql() -> str:
+    from geodesk_spark.operators import tiling
+
+    return tiling.tile_balance_audit_sql(_DERIVED_SQL, BALANCE_ZOOM)
+
+
 OVERVIEW_ZOOM = 6
 OVERVIEW_LEVELS = 2
 

@@ -714,3 +714,84 @@ def cell_union_compact(
         if materialize:
             cur = cur.localCheckpoint()
     return cur
+
+
+def tile_balance_audit(
+    points: DataFrame,
+    zoom: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Geographic-balance audit of a corpus — the curation statistic a
+    10^12-image pool needs before training: how evenly does the data
+    spread over the tile grid?  One row with
+
+    - ``n_tiles`` (occupied), ``n_total`` (points),
+    - ``entropy_micronats`` — Shannon entropy of the tile distribution
+      H = ln N − Σ nᵢ·ln nᵢ / N in integer micro-nats: each ln takes an
+      INTEGER argument and floor-quantizes to bigint (the CLAUDE.md
+      integer-ln law), the weighted sum is exact, and the single final
+      division is floor integer division — bit-identical cross-engine.
+      max-entropy uniform spread ⇒ ln n_tiles; one hot tile ⇒ → 0.
+    - ``gini_num`` — the EXACT integer numerator Σ (2i−K−1)·n₍ᵢ₎ of the
+      Gini coefficient over ascending per-tile counts (i 1-based,
+      ties broken by tile id); G = gini_num / (K·N) is the caller's
+      one float division.
+
+    Shape: one groupBy(tile) shuffle over facts, then ONE window + agg
+    over the K tile-rollup rows (bounded by 4^zoom, never by the fact
+    table) — the audit costs a rollup regardless of corpus size.
+    """
+    from geodesk_spark.operators.text import _qln_micro
+    from pyspark.sql import Window
+
+    counts = (
+        points.select(T.tile_col(F.col(x_col), F.col(y_col), zoom).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("n", "tile")
+    ranked = counts.withColumn("_i", F.row_number().over(w)).withColumn(
+        "_k", F.count("*").over(Window.partitionBy())
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("n") * _qln_micro(F.col("n"))).alias("_s1"),
+        F.sum((F.lit(2) * F.col("_i") - F.col("_k") - 1) * F.col("n")).alias(
+            "gini_num"
+        ),
+    )
+    num = (_qln_micro(F.col("n_total")) * F.col("n_total") - F.col("_s1")).alias("_num")
+    return agg.select("n_tiles", "n_total", num, "gini_num").select(
+        "n_tiles",
+        "n_total",
+        # bigint `div` (positive numerator ⇒ floor), matching DuckDB's
+        # `//` exactly — NEVER float-divide then cast (the rounding law)
+        F.expr("_num div n_total").cast("bigint").alias("entropy_micronats"),
+        F.col("gini_num").cast("bigint").alias("gini_num"),
+    )
+
+
+def tile_balance_audit_sql(pts_rel: str, zoom: int) -> str:
+    """DuckDB twin of tile_balance_audit (same integer-ln + exact-Gini
+    formulation) over ``pts_rel`` (x, y)."""
+    from geodesk_spark.operators.text import _qln_micro_sql
+    from geodesk_spark.sources.tables import tile_expr
+
+    return f"""
+      with c as (select {tile_expr('x', 'y', zoom)} as tile, count(*) as n
+                 from ({pts_rel}) p group by 1),
+      r as (select n, row_number() over (order by n, tile) as i,
+                   count(*) over () as k
+            from c),
+      a as (select count(*) as n_tiles, sum(n) as n_total,
+                   sum(n * {_qln_micro_sql('n')}) as s1,
+                   sum((2 * i - k - 1) * n) as gini_num
+            from r)
+      select n_tiles, n_total,
+             cast(({_qln_micro_sql('n_total')} * n_total - s1) // n_total
+                  as bigint) as entropy_micronats,
+             cast(gini_num as bigint) as gini_num
+      from a
+    """

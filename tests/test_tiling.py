@@ -923,3 +923,48 @@ def test_label_placement_greedy_hand_case(spark):
         for row in label_placement(df, "score", zoom=6, k=5, radius=r).collect()
     )
     assert got == [(1, 1), (3, 3), (5, 5), (7, 1)]
+
+
+def test_tile_balance_audit_laws(spark):
+    """Balance audit on planted distributions: uniform spread maximizes
+    entropy (= ln K) with Gini 0; a single hot tile gives entropy 0 and
+    the exact replay Gini numerator; values match a slow Python
+    replay."""
+    import math
+
+    from geodesk_spark.operators import tiling
+
+    W = 1 << 28  # z4-ish tile pitch in imps
+
+    def pts(counts):
+        # counts: list of per-tile point counts; tile i centered apart
+        rows = []
+        for i, n in enumerate(counts):
+            for j in range(n):
+                rows.append((i * W - (1 << 30), j % 7 - (1 << 30)))
+        return spark.createDataFrame(rows, "x long, y long")
+
+    def audit(counts):
+        r = tiling.tile_balance_audit(pts(counts), zoom=4).collect()[0]
+        return r.n_tiles, r.n_total, r.entropy_micronats, r.gini_num
+
+    def replay(counts):
+        ns = sorted(counts)
+        K, N = len(ns), sum(ns)
+        qln = lambda v: math.floor(math.log(v) * 1e6 + 0.5)
+        s1 = sum(n * qln(n) for n in ns)
+        ent = (qln(N) * N - s1) // N
+        gini = sum((2 * (i + 1) - K - 1) * n for i, n in enumerate(ns))
+        return K, N, ent, gini
+
+    uniform = [40] * 8
+    hot = [320]
+    skewed = [5, 10, 20, 40, 80, 165]
+    for counts in (uniform, hot, skewed):
+        assert audit(counts) == replay(counts), counts
+    # uniform: H = ln 8 (quantization-exact: N·qln terms cancel), G = 0
+    _, _, ent_u, gini_u = audit(uniform)
+    assert gini_u == 0
+    assert abs(ent_u - math.floor(math.log(8) * 1e6 + 0.5)) <= 1
+    # hot: single tile → zero entropy
+    assert audit(hot)[2] == 0
