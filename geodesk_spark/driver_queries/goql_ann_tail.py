@@ -321,6 +321,25 @@ def _geo_medoid_sql() -> str:
     """
 
 
+def _q_pca_project(spark, sf_dir):
+    """All-integer PCA projection (ann.pca_project): exact integer
+    Gram → fixed-point power iteration with exact Gram–Schmidt
+    deflation (driver-side Python bigints) → integer scores; the
+    oracle replays the SAME iteration as hugeint CTEs, so the green
+    row proves the trainer end-to-end (the IVF-trainer discipline).
+    No float exists anywhere in the pipeline."""
+    from geodesk_spark.operators import ann as ann_mod
+
+    emb = tables.load_spread(spark, sf_dir, "embeddings")
+    return ann_mod.pca_project(emb)
+
+
+def _pca_project_sql() -> str:
+    from geodesk_spark.operators import ann as ann_mod
+
+    return ann_mod.pca_project_sql()
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (ann.semdedup_prune): deterministic-Lloyd cluster the
     embedding table, prune every vector with a smaller-id cluster-mate

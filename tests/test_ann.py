@@ -582,3 +582,45 @@ def test_two_stage_recall_at_practical_shortlist(spark, emb):
         recalls.append(len(expect & have) / K)
     print(f"two-stage mean recall@{K}: {np.mean(recalls):.3f} ({recalls})")
     assert np.mean(recalls) >= 0.9
+
+
+def test_pca_project_recovers_planted_axes(spark):
+    """Integer PCA on a PLANTED anisotropic corpus: scores correlate
+    ≈1 with numpy-SVD principal scores (the eigengap here is large, so
+    6 power iterations converge), components come out orthogonal, and
+    the all-integer pipeline is deterministic across partitionings."""
+    import numpy as np
+
+    from geodesk_spark.operators import ann as ann_mod
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    # strong planted spectrum: axis 0 var 100x, axis 1 var 25x the noise
+    A = rng.normal(size=(n, dim)) * 0.05
+    A[:, 0] += rng.normal(size=n) * 2.0
+    A[:, 1] += rng.normal(size=n) * 1.0
+    # rotate so the planted axes are not coordinate-aligned
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    X = (A @ Q).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.c0, r.c1)
+           for r in ann_mod.pca_project(df, dim=dim, k=2).collect()}
+    c0 = np.array([got[i][0] for i in range(n)], dtype=float)
+    c1 = np.array([got[i][1] for i in range(n)], dtype=float)
+
+    Xq = np.floor(X.astype(np.float64) * (1 << 20) + 0.5)
+    Xc = Xq - Xq.mean(0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    t0, t1 = Xc @ Vt[0], Xc @ Vt[1]
+    assert abs(np.corrcoef(c0, t0)[0, 1]) > 0.999
+    assert abs(np.corrcoef(c1, t1)[0, 1]) > 0.99
+    # deflation produced (near-)orthogonal scores: cos angle ~ 0
+    cos = abs(c0 @ c1) / (np.linalg.norm(c0) * np.linalg.norm(c1))
+    assert cos < 0.05
+    # determinism across partitionings (order-free integer sums)
+    got8 = {r.vec_id: (r.c0, r.c1)
+            for r in ann_mod.pca_project(df.repartition(8), dim=dim, k=2).collect()}
+    assert got8 == got
