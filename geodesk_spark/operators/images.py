@@ -1200,3 +1200,76 @@ def nms_boxes_sql(
                      where p.image_id = c.image_id and p.box_id = c.box_id) as kept
       from cand c
     """
+
+
+def letterbox_boxes(
+    imgs: DataFrame,
+    boxes: DataFrame,
+    out: int = 640,
+    img_col: str = "image_id",
+) -> DataFrame:
+    """Letterbox geometry remap (the YOLO input recipe): each image
+    scales by the rational out/max(w, h) to fit an out×out canvas and
+    centers with symmetric padding; its boxes remap with the SAME
+    rational — x' = (x·out) div max(w, h) + pad_x — so the geometry is
+    EXACT INTEGER end-to-end (no float scale, no round-trip drift;
+    positive-operand integer division floors identically in Spark
+    `div`, DuckDB `//`, and Python).  The pixel-side resize is
+    images.resize; this op is the label-side twin every detection
+    pipeline needs to keep supervision aligned with the letterboxed
+    tensor.
+
+    One broadcast-sized equi-join (dims are a dimension table of the
+    image catalog) + pure codegen arithmetic.
+
+    → boxes' columns + (lminx, lminy, lmaxx, lmaxy, pad_x, pad_y,
+    scale_den) with scale = out/scale_den.
+    """
+    from pyspark.sql import functions as F
+
+    dims = imgs.select(
+        img_col,
+        F.col("w").cast("long").alias("_w"),
+        F.col("h").cast("long").alias("_h"),
+    )
+    j = boxes.join(F.broadcast(dims), img_col)
+    den = F.greatest(F.col("_w"), F.col("_h"))
+    # integer `div` throughout (nonneg operands ⇒ floor, = DuckDB //)
+    pad_x = F.expr(f"({out} - (_w * {out}) div greatest(_w, _h)) div 2")
+    pad_y = F.expr(f"({out} - (_h * {out}) div greatest(_w, _h)) div 2")
+    remx = lambda c: F.expr(f"({c} * {out}) div greatest(_w, _h)") + pad_x
+    remy = lambda c: F.expr(f"({c} * {out}) div greatest(_w, _h)") + pad_y
+    return j.select(
+        *boxes.columns,
+        remx("minx").cast("long").alias("lminx"),
+        remy("miny").cast("long").alias("lminy"),
+        remx("maxx").cast("long").alias("lmaxx"),
+        remy("maxy").cast("long").alias("lmaxy"),
+        pad_x.alias("pad_x"),
+        pad_y.alias("pad_y"),
+        den.cast("long").alias("scale_den"),
+    )
+
+
+def letterbox_boxes_sql(
+    imgs_rel: str, boxes_rel: str, out: int = 640
+) -> str:
+    """DuckDB twin of letterbox_boxes (same integer rational remap)."""
+    return f"""
+      with d as (select image_id, cast(w as bigint) as w, cast(h as bigint) as h
+                 from ({imgs_rel}) i),
+      b as ({boxes_rel})
+      select b.*,
+             (b.minx * {out}) // greatest(d.w, d.h)
+               + ({out} - (d.w * {out}) // greatest(d.w, d.h)) // 2 as lminx,
+             (b.miny * {out}) // greatest(d.w, d.h)
+               + ({out} - (d.h * {out}) // greatest(d.w, d.h)) // 2 as lminy,
+             (b.maxx * {out}) // greatest(d.w, d.h)
+               + ({out} - (d.w * {out}) // greatest(d.w, d.h)) // 2 as lmaxx,
+             (b.maxy * {out}) // greatest(d.w, d.h)
+               + ({out} - (d.h * {out}) // greatest(d.w, d.h)) // 2 as lmaxy,
+             ({out} - (d.w * {out}) // greatest(d.w, d.h)) // 2 as pad_x,
+             ({out} - (d.h * {out}) // greatest(d.w, d.h)) // 2 as pad_y,
+             greatest(d.w, d.h) as scale_den
+      from b join d on d.image_id = b.image_id
+    """

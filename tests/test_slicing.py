@@ -66,3 +66,42 @@ def test_sliced_nms_suppression_laws(spark):
         for r in rows:
             if not r.kept:
                 assert any(p.rk < r.rk and iou_sup(r, p) for p in kept), (img, r.box_id)
+
+
+def test_letterbox_boxes_geometry(spark):
+    """Letterbox remap laws: remapped boxes live inside the canvas,
+    padding is symmetric per axis, aspect is preserved through the
+    rational scale, and a square image maps corner-to-corner."""
+    from geodesk_spark.operators import images
+
+    imgs = spark.createDataFrame(
+        [(1, 1000, 500), (2, 500, 1000), (3, 640, 640), (4, 33, 777)],
+        "image_id long, w long, h long",
+    )
+    boxes = spark.createDataFrame(
+        [(1, 10, 0, 0, 1000, 500),      # full image 1
+         (2, 20, 100, 200, 300, 900),
+         (3, 30, 0, 0, 640, 640),       # full square image
+         (4, 40, 0, 0, 33, 777)],
+        "image_id long, box_id long, minx long, miny long, maxx long, maxy long",
+    )
+    out = {r.box_id: r for r in images.letterbox_boxes(imgs, boxes, out=640).collect()}
+
+    for r in out.values():
+        assert 0 <= r.lminx <= r.lmaxx <= 640
+        assert 0 <= r.lminy <= r.lmaxy <= 640
+    # image 1 (1000x500): scale 640/1000, sh=320, pad_y=(640-320)//2=160
+    r = out[10]
+    assert (r.pad_x, r.pad_y, r.scale_den) == (0, 160, 1000)
+    assert (r.lminx, r.lminy, r.lmaxx, r.lmaxy) == (0, 160, 640, 160 + 320)
+    # square image: identity + zero padding
+    r = out[30]
+    assert (r.pad_x, r.pad_y) == (0, 0)
+    assert (r.lminx, r.lminy, r.lmaxx, r.lmaxy) == (0, 0, 640, 640)
+    # exact replay of the rational arithmetic for the interior box
+    r = out[20]
+    den = 1000
+    ex = lambda v: (v * 640) // den
+    pad_x = (640 - (500 * 640) // den) // 2
+    assert (r.lminx, r.lmaxx) == (ex(100) + pad_x, ex(300) + pad_x)
+    assert (r.lminy, r.lmaxy) == (ex(200), ex(900))
