@@ -1031,6 +1031,33 @@ def _simplify_dp_sql() -> str:
     return geometry_ops.simplify_lines_dp_sql(_DP_VERTS_SQL, eps=_DP_EPS)
 
 
+CHAIKIN_ROUNDS = 2
+
+
+def _q_chaikin(spark, sf_dir):
+    """Chaikin corner-cut smoothing (geometry_ops.chaikin_smooth): two
+    rounds of exact-quarter B-spline refinement over the same synthetic
+    polylines DP simplifies — the generalization pair's other half;
+    sign-safe offset floor division keeps both engines bit-identical."""
+    from geodesk_spark.operators import geometry_ops
+
+    o = tables.load_spread(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    verts = o.select(
+        (k % 100).alias("line_id"),
+        k.alias("seq"),
+        ((k * 48271) % 60001 - 30000).alias("x"),
+        ((k * 69621) % 60001 - 30000).alias("y"),
+    )
+    return geometry_ops.chaikin_smooth(verts, rounds=CHAIKIN_ROUNDS)
+
+
+def _chaikin_sql() -> str:
+    from geodesk_spark.operators import geometry_ops
+
+    return geometry_ops.chaikin_smooth_sql(_DP_VERTS_SQL, rounds=CHAIKIN_ROUNDS)
+
+
 def _q_box_area(spark, sf_dir):
     """area() m² (StoredFeature.java:473-479, Mercator.java:256-264) over
     the packed-geometry column; oracle mirrors the shoelace + centroid

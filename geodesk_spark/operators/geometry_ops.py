@@ -572,3 +572,119 @@ def wkt_way_col(pts_col, is_area_col):
     return F.when(F.size(pts_col) > 0, geom).otherwise(
         F.raise_error(F.lit("wkt_way_col: way with empty vertex array"))
     )
+
+
+CHAIKIN_OFF = 1 << 31
+
+
+def chaikin_smooth(
+    verts: DataFrame,
+    rounds: int = 1,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Chaikin corner-cutting smoothing — the generalization sibling of
+    Douglas–Peucker (DP removes detail, Chaikin rounds it): every round
+    replaces each interior edge (Pᵢ, Pᵢ₊₁) with the quarter points
+    Q = (3Pᵢ + Pᵢ₊₁)/4 and R = (Pᵢ + 3Pᵢ₊₁)/4, keeping the endpoints;
+    the limit curve is the quadratic B-spline.
+
+    Exact quarters with the sign-safe floor: coordinates are imps
+    (signed), and Spark's `div` TRUNCATES where DuckDB's `//` floors —
+    so both engines compute floor((3a + b + 4·2³¹) div 4) − 2³¹
+    (offset makes operands nonnegative, where the two semantics agree;
+    the repo's double→bigint law in integer-division form).
+
+    Per round: ONE window lead() (reusing the per-line partitioning) +
+    one 2-struct explode — rows double per round, the B-spline
+    refinement budget.  Output (line_col, seq, x, y) with a dense new
+    seq; endpoints preserved.
+    """
+    from pyspark.sql import Window, functions as F
+
+    OFF4 = 4 * CHAIKIN_OFF
+    cur = verts.select(
+        F.col(line_col).alias("_l"), F.col(seq_col).alias("_s"),
+        F.col("x").cast("long").alias("_x"), F.col("y").cast("long").alias("_y"),
+    )
+    for _ in range(rounds):
+        w = Window.partitionBy("_l").orderBy("_s")
+        e = cur.select(
+            "_l", "_s", "_x", "_y",
+            F.lead("_x").over(w).alias("_nx"),
+            F.lead("_y").over(w).alias("_ny"),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy("_l")).alias("_cnt"),
+        )
+        q = lambda a, b: F.expr(f"((3 * {a} + {b} + {OFF4}) div 4) - {CHAIKIN_OFF}")
+        mids = e.filter(F.col("_nx").isNotNull()).select(
+            "_l",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("_s") * 2 + 1).alias("_s"),
+                        q("_x", "_nx").alias("_x"),
+                        q("_y", "_ny").alias("_y"),
+                    ),
+                    F.struct(
+                        (F.col("_s") * 2 + 2).alias("_s"),
+                        q("_nx", "_x").alias("_x"),
+                        q("_ny", "_y").alias("_y"),
+                    ),
+                )
+            ).alias("_p"),
+        ).select("_l", "_p._s", "_p._x", "_p._y")
+        ends = e.filter((F.col("_rn") == 1) | (F.col("_rn") == F.col("_cnt"))).select(
+            "_l",
+            F.when(F.col("_rn") == 1, F.col("_s") * 2)
+            .otherwise(F.col("_s") * 2 + 3)
+            .alias("_s"),
+            "_x",
+            "_y",
+        )
+        cur = mids.unionByName(ends)
+    w2 = Window.partitionBy("_l").orderBy("_s")
+    return cur.select(
+        F.col("_l").alias(line_col),
+        (F.row_number().over(w2) - 1).alias(seq_col),
+        F.col("_x").alias("x"),
+        F.col("_y").alias("y"),
+    )
+
+
+def chaikin_smooth_sql(verts_rel: str, rounds: int = 1) -> str:
+    """DuckDB twin of chaikin_smooth over ``verts_rel``
+    (line_id, seq, x, y) — same offset floor-division quarters."""
+    OFF4 = 4 * CHAIKIN_OFF
+
+    def q(a: str, b: str) -> str:
+        return f"((3 * {a} + {b} + {OFF4}) // 4) - {CHAIKIN_OFF}"
+
+    parts = [f"c0 as (select line_id as l, seq as s, cast(x as bigint) as x, "
+             f"cast(y as bigint) as y from ({verts_rel}) src)"]
+    for r in range(1, rounds + 1):
+        prev, cur = f"c{r-1}", f"c{r}"
+        parts.append(f"""e{r} as materialized (
+          select l, s, x, y,
+                 lead(x) over (partition by l order by s) as nx,
+                 lead(y) over (partition by l order by s) as ny,
+                 row_number() over (partition by l order by s) as rn,
+                 count(*) over (partition by l) as cnt
+          from {prev})""")
+        parts.append(f"""{cur} as (
+          select l, s * 2 + 1 as s, {q('x', 'nx')} as x, {q('y', 'ny')} as y
+          from e{r} where nx is not null
+          union all
+          select l, s * 2 + 2, {q('nx', 'x')}, {q('ny', 'y')}
+          from e{r} where nx is not null
+          union all
+          select l, case when rn = 1 then s * 2 else s * 2 + 3 end, x, y
+          from e{r} where rn = 1 or rn = cnt)""")
+    return (
+        "with " + ",\n".join(parts)
+        + f"""
+      select l as line_id,
+             row_number() over (partition by l order by s) - 1 as seq, x, y
+      from c{rounds}
+    """
+    )

@@ -209,3 +209,51 @@ def test_buffer_convex_closed_forms(spark):
                         - exp[(i + 1) % m][0] * exp[i][1] for i in range(m)))
     [ar] = ring_area2_by_group(buf8, "gid").collect()
     assert (ar["nv"], ar["area2"]) == (m, float(exp_area2))
+
+
+def test_chaikin_smooth_replay(spark):
+    """Chaikin laws on a planted right-angle polyline: exact quarter
+    replay (incl. negative coords through the offset floor), endpoint
+    preservation, row doubling, and corner rounding (turn angles
+    shrink)."""
+    from geodesk_spark.operators import geometry_ops
+
+    pts = [(-1000, -1000), (0, 1000), (1000, -1000), (2001, 999)]
+    verts = spark.createDataFrame(
+        [(7, i, x, y) for i, (x, y) in enumerate(pts)],
+        "line_id long, seq long, x long, y long",
+    )
+
+    def replay(ps):
+        out = [ps[0]]
+        q = lambda a, b: ((3 * a + b + (1 << 33)) // 4) - (1 << 31)
+        for (x1, y1), (x2, y2) in zip(ps, ps[1:]):
+            out.append((q(x1, x2), q(y1, y2)))
+            out.append((q(x2, x1), q(y2, y1)))
+        out.append(ps[-1])
+        return out
+
+    exp1 = replay(pts)
+    got1 = [(r.x, r.y) for r in
+            geometry_ops.chaikin_smooth(verts, rounds=1).orderBy("seq").collect()]
+    assert got1 == exp1
+    got2 = [(r.x, r.y) for r in
+            geometry_ops.chaikin_smooth(verts, rounds=2).orderBy("seq").collect()]
+    assert got2 == replay(exp1)
+    # endpoints survive; interior count = 2·edges per round
+    assert got2[0] == pts[0] and got2[-1] == pts[-1]
+    assert len(got1) == 2 + 2 * (len(pts) - 1)
+
+    import math
+    def max_turn(ps):
+        worst = 0.0
+        for a, b, c in zip(ps, ps[1:], ps[2:]):
+            v1 = (b[0] - a[0], b[1] - a[1])
+            v2 = (c[0] - b[0], c[1] - b[1])
+            dot = v1[0] * v2[0] + v1[1] * v2[1]
+            n = math.hypot(*v1) * math.hypot(*v2)
+            worst = max(worst, math.acos(max(-1.0, min(1.0, dot / n))))
+        return worst
+
+    assert max_turn(got1) < max_turn(pts)
+    assert max_turn(got2) < max_turn(got1)
