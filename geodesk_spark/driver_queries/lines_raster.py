@@ -1031,6 +1031,60 @@ def _simplify_dp_sql() -> str:
     return geometry_ops.simplify_lines_dp_sql(_DP_VERTS_SQL, eps=_DP_EPS)
 
 
+SAMPLE_POLY_N = 200
+SAMPLE_POLY_R = 4000
+SAMPLE_POLY_K = 3
+
+
+def _q_poly_samples(spark, sf_dir):
+    """Deterministic area-weighted interior sampling (geometry_ops.
+    sample_points_in_polygons) over synthetic convex octagon zones
+    (CCW k-gon offsets shared as host literals): fan-triangle pick by
+    cumulative exact area + LCG barycentric placement — reproducible
+    label-augmentation points, no RNG state, no rejection."""
+    from geodesk_spark.operators.geometry_ops import (
+        kgon_offsets,
+        sample_points_in_polygons,
+    )
+
+    offs = kgon_offsets(SAMPLE_POLY_R, 8)
+    polys = (
+        tables.load_spread(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % SAMPLE_POLY_N).alias("p"))
+        .distinct()
+    )
+    oarr = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for j, (ox, oy) in enumerate(offs)
+        ]
+    )
+    rings = polys.select("p", F.explode(oarr).alias("o")).select(
+        F.col("p").alias("poly_id"),
+        F.col("o.j").alias("seq"),
+        ((F.col("p") * 48271) % 60001 - 30000 + F.col("o.ox")).alias("x"),
+        ((F.col("p") * 69621) % 60001 - 30000 + F.col("o.oy")).alias("y"),
+    )
+    return sample_points_in_polygons(rings, k=SAMPLE_POLY_K)
+
+
+def _poly_samples_sql() -> str:
+    from geodesk_spark.operators.geometry_ops import (
+        kgon_offsets,
+        sample_points_in_polygons_sql,
+    )
+
+    offs = kgon_offsets(SAMPLE_POLY_R, 8)
+    vals = ",".join(f"({j},{ox},{oy})" for j, (ox, oy) in enumerate(offs))
+    rings = f"""
+      select p as poly_id, j as seq,
+             (p * 48271) % 60001 - 30000 + ox as x,
+             (p * 69621) % 60001 - 30000 + oy as y
+      from (select distinct o_orderkey % {SAMPLE_POLY_N} as p from orders) t
+      cross join (values {vals}) o(j, ox, oy)"""
+    return sample_points_in_polygons_sql(rings, k=SAMPLE_POLY_K)
+
+
 CHAIKIN_ROUNDS = 2
 
 

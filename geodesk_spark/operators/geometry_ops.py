@@ -688,3 +688,169 @@ def chaikin_smooth_sql(verts_rel: str, rounds: int = 1) -> str:
       from c{rounds}
     """
     )
+
+
+SAMPLE_BARY_S = 1 << 20
+_SAMPLE_M31 = 2147483648
+
+
+def sample_points_in_polygons(
+    rings: DataFrame,
+    k: int = 4,
+    poly_col: str = "poly_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Deterministic area-weighted interior point sampling for CONVEX
+    polygons (hull outputs, cells, footprints) — the label-augmentation
+    generator: k reproducible points per polygon, uniformly by area, no
+    rejection loop, no RNG state.
+
+    Classic triangle-fan sampling made exact-integer: fan triangles
+    (v₀, vᵢ, vᵢ₊₁) carry positive doubled areas (CCW convex ring, the
+    convex_hull_by_group contract); a MINSTD LCG of (poly, sample)
+    picks the triangle by cumulative-area range, two more LCG draws
+    give barycentric (u, v) at scale 2²⁰ with the u+v>S fold; the point
+    is a + (u·(b−a) + v·(c−a)) over S via the sign-safe OFFSET floor
+    division.  The rational pre-round point is exactly inside the
+    closed triangle; flooring moves < 1 imp, so samples lie within one
+    imp of the polygon (and strictly inside for any polygon thicker
+    than a lattice cell).
+
+    Shape: one window pass builds fan triangles + cumulative areas
+    (per-poly partitioning), samples explode k-wide from the poly
+    list, and ONE equi-join on poly (filtered by the cum range — fan
+    size × k candidates per poly, never cross-poly) places them.
+    Degenerate polygons (< 3 vertices or zero area) yield no samples.
+
+    → (poly_col, sample_id, px, py).
+    """
+    from pyspark.sql import Window, functions as F
+
+    S = SAMPLE_BARY_S
+    M = _SAMPLE_M31
+    OFF = CHAIKIN_OFF
+    OFFS = OFF * S
+
+    w = Window.partitionBy("_p").orderBy("_s")
+    v = rings.select(
+        F.col(poly_col).alias("_p"), F.col(seq_col).alias("_s"),
+        F.col("x").cast("long").alias("_x"), F.col("y").cast("long").alias("_y"),
+    )
+    e = v.select(
+        "_p", "_x", "_y",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count("*").over(Window.partitionBy("_p")).alias("_cnt"),
+        F.first("_x").over(w).alias("_ax"),
+        F.first("_y").over(w).alias("_ay"),
+        F.lead("_x").over(w).alias("_cx"),
+        F.lead("_y").over(w).alias("_cy"),
+    )
+    tri = e.filter(
+        (F.col("_rn") >= 1) & (F.col("_rn") <= F.col("_cnt") - 2)
+    ).select(
+        "_p",
+        F.col("_rn").alias("_ti"),
+        "_ax", "_ay",
+        F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+        "_cx", "_cy",
+        (
+            (F.col("_x") - F.col("_ax")) * (F.col("_cy") - F.col("_ay"))
+            - (F.col("_y") - F.col("_ay")) * (F.col("_cx") - F.col("_ax"))
+        ).alias("_a2"),
+    )
+    wt = Window.partitionBy("_p").orderBy("_ti")
+    tri = tri.withColumn("_hi", F.sum("_a2").over(wt)).withColumn(
+        "_lo", F.col("_hi") - F.col("_a2")
+    ).withColumn("_tot", F.sum("_a2").over(Window.partitionBy("_p")))
+    tri = tri.filter(F.col("_tot") > 0)
+
+    polys = tri.select("_p", "_tot").distinct()
+    samples = polys.select(
+        "_p", "_tot", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("_i")
+    )
+    h0 = ((F.col("_p") % M) * 2654435761 + F.col("_i") * 40503) % M
+    h1 = (h0 * 48271) % M
+    h2 = (h1 * 48271) % M
+    h3 = (h2 * 48271) % M
+    samples = samples.select(
+        "_p", "_i",
+        (h1 % F.col("_tot")).alias("_r"),
+        (h2 % F.lit(S + 1)).alias("_u"),
+        (h3 % F.lit(S + 1)).alias("_v"),
+    ).withColumn(
+        "_uf",
+        F.when(F.col("_u") + F.col("_v") > S, F.lit(S) - F.col("_u")).otherwise(
+            F.col("_u")
+        ),
+    ).withColumn(
+        "_vf",
+        F.when(F.col("_u") + F.col("_v") > S, F.lit(S) - F.col("_v")).otherwise(
+            F.col("_v")
+        ),
+    )
+    j = samples.join(tri, "_p").filter(
+        (F.col("_r") >= F.col("_lo")) & (F.col("_r") < F.col("_hi"))
+    )
+    px = F.expr(
+        f"((_ax * {S} + _uf * (_bx - _ax) + _vf * (_cx - _ax) + {OFFS}) div {S})"
+        f" - {OFF}"
+    )
+    py = F.expr(
+        f"((_ay * {S} + _uf * (_by - _ay) + _vf * (_cy - _ay) + {OFFS}) div {S})"
+        f" - {OFF}"
+    )
+    return j.select(
+        F.col("_p").alias(poly_col),
+        F.col("_i").alias("sample_id"),
+        px.cast("long").alias("px"),
+        py.cast("long").alias("py"),
+    )
+
+
+def sample_points_in_polygons_sql(rings_rel: str, k: int = 4) -> str:
+    """DuckDB twin of sample_points_in_polygons over ``rings_rel``
+    (poly_id, seq, x, y)."""
+    S = SAMPLE_BARY_S
+    M = _SAMPLE_M31
+    OFF = CHAIKIN_OFF
+    OFFS = OFF * S
+    ks = ",".join(f"({i})" for i in range(1, k + 1))
+    return f"""
+      with v as (select poly_id as p, seq as s,
+                        cast(x as bigint) as x, cast(y as bigint) as y
+                 from ({rings_rel}) src),
+      e as (select p, x, y,
+                   row_number() over (partition by p order by s) - 1 as rn,
+                   count(*) over (partition by p) as cnt,
+                   first_value(x) over (partition by p order by s) as ax,
+                   first_value(y) over (partition by p order by s) as ay,
+                   lead(x) over (partition by p order by s) as cx,
+                   lead(y) over (partition by p order by s) as cy
+            from v),
+      tri0 as (select p, rn as ti, ax, ay, x as bx, y as by, cx, cy,
+                      (x - ax) * (cy - ay) - (y - ay) * (cx - ax) as a2
+               from e where rn >= 1 and rn <= cnt - 2),
+      tri as materialized (
+        select *, sum(a2) over (partition by p order by ti) as hi,
+               sum(a2) over (partition by p order by ti) - a2 as lo,
+               sum(a2) over (partition by p) as tot
+        from tri0),
+      polys as (select distinct p, tot from tri where tot > 0),
+      sam0 as (select p, tot, i,
+                      (((p % {M}) * 2654435761 + i * 40503) % {M} * 48271) % {M} as h1
+               from polys cross join (values {ks}) kk(i)),
+      sam1 as (select p, i, h1 % tot as r, (h1 * 48271) % {M} as h2 from sam0),
+      sam2 as (select p, i, r, h2 % {S + 1} as u,
+                      ((h2 * 48271) % {M}) % {S + 1} as v
+               from sam1),
+      sam as (select p, i, r,
+                     case when u + v > {S} then {S} - u else u end as uf,
+                     case when u + v > {S} then {S} - v else v end as vf
+              from sam2)
+      select t.p as poly_id, s.i as sample_id,
+             ((t.ax * {S} + s.uf * (t.bx - t.ax) + s.vf * (t.cx - t.ax)
+               + {OFFS}) // {S}) - {OFF} as px,
+             ((t.ay * {S} + s.uf * (t.by - t.ay) + s.vf * (t.cy - t.ay)
+               + {OFFS}) // {S}) - {OFF} as py
+      from sam s join tri t on t.p = s.p and s.r >= t.lo and s.r < t.hi
+    """
