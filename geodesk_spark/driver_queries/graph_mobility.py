@@ -494,6 +494,35 @@ def _ripley_sql() -> str:
     return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
+VARIOGRAM_LAGS = (1 << 22, 1 << 24, 1 << 26, 1 << 27)
+
+
+def _q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (stats.semivariogram): per lag bin the
+    exact integer pair count and Σ(Δz)² over the derived order points
+    with an integer value channel — the kriging precursor, one halo
+    self-join + one conditional aggregation."""
+    from geodesk_spark.operators import stats
+
+    pts = _derived_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        "x",
+        "y",
+        (F.col("o_orderkey") % 1000).alias("v"),
+    )
+    return stats.semivariogram(pts, VARIOGRAM_LAGS)
+
+
+def _semivariogram_sql() -> str:
+    from geodesk_spark.operators import stats
+
+    rel = (
+        f"select o_orderkey as id, x, y, o_orderkey % 1000 as v "
+        f"from ({_DERIVED_SQL}) p"
+    )
+    return stats.semivariogram_sql(rel, VARIOGRAM_LAGS)
+
+
 def _q_tag_stats(spark, sf_dir):
     """taginfo-style key statistics over the GOQL feature view
     (operators/tags.tag_stats): per key — feature count, distinct

@@ -585,3 +585,158 @@ def ripley_pair_counts_sql(
         select {cnt_cols} from pr)
       {unpivot}
     """
+
+
+def semivariogram(
+    pts: DataFrame,
+    lags_imps: tuple[int, ...],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    val_col: str = "v",
+    max_points_per_cell: int = 100_000,
+) -> DataFrame:
+    """Empirical semivariogram — the kriging precursor (Matheron 1963):
+    per distance-lag bin h, the EXACT integer pair count N(h) and sum
+    Σ(zᵢ−zⱼ)² over unordered pairs with lag_{k-1} < d ≤ lag_k (first
+    bin starts at 0 exclusive); γ̂(h) = sum_sq / (2·N(h)) is the
+    caller's one division.  Values must be integers (quantize upstream
+    per the float law).
+
+    Same grid-blocked halo self-join as ripley_pair_counts — cell =
+    pow2 ≥ max lag, 3×3 halo on one side, id<id2 exactly-once pairing,
+    per-cell cap guard — plus ONE conditional aggregation unpivoted to
+    (lag_imp, n_pairs, sum_sq) rows.  All bigint, bit-identical
+    cross-engine; empty bins emit zeros.
+    """
+    lags = sorted(int(r) for r in lags_imps)
+    assert lags and lags[0] > 0
+    step = 1 << max(int(r) - 1 for r in lags).bit_length()
+    cx = F.floor((F.col(x_col) + F.lit(2147483648.0)) / F.lit(float(step))).cast("long")
+    cy = F.floor((F.lit(2147483647.0) - F.col(y_col)) / F.lit(float(step))).cast("long")
+    c = pts.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(val_col).cast("long").alias("_v"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    ncell = Window.partitionBy("_cx", "_cy")
+    c = c.withColumn("_n", F.count("*").over(ncell)).filter(
+        F.col("_n") <= max_points_per_cell
+    )
+    halo = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("h")
+    rep = c.select("_id", "_x", "_y", "_v", "_cx", "_cy", halo).select(
+        F.col("_id").alias("_id2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+        F.col("_v").alias("_v2"),
+        (F.col("_cx") + F.col("h.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("h.dy")).alias("_cy"),
+    )
+    maxr2 = lags[-1] * lags[-1]
+    d2 = (F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2")) + (
+        F.col("_y") - F.col("_y2")
+    ) * (F.col("_y") - F.col("_y2"))
+    dv = F.col("_v") - F.col("_v2")
+    pairs = (
+        c.join(rep, ["_cx", "_cy"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(d2.alias("_d2"), (dv * dv).alias("_q"))
+        .filter((F.col("_d2") > 0) & (F.col("_d2") <= F.lit(maxr2)))
+    )
+    bounds = [0] + lags
+    aggs = []
+    for i, r in enumerate(lags):
+        lo2, hi2 = bounds[i] * bounds[i], r * r
+        inbin = (F.col("_d2") > lo2) & (F.col("_d2") <= hi2)
+        aggs.append(
+            F.coalesce(F.sum(F.when(inbin, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_n{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(inbin, F.col("_q")).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_s{i}")
+        )
+    agg = pairs.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("lag_imp"),
+                    F.col(f"_n{i}").alias("n_pairs"),
+                    F.col(f"_s{i}").alias("sum_sq"),
+                )
+                for i, r in enumerate(lags)
+            ]
+        )
+    ).alias("t")
+    return agg.select(rows).select("t.lag_imp", "t.n_pairs", "t.sum_sq")
+
+
+def semivariogram_sql(
+    pts_rel: str,
+    lags_imps: tuple[int, ...],
+    max_points_per_cell: int = 100_000,
+) -> str:
+    """DuckDB twin of semivariogram over ``pts_rel`` (id, x, y, v)."""
+    lags = sorted(int(r) for r in lags_imps)
+    step = 1 << max(int(r) - 1 for r in lags).bit_length()
+    maxr2 = lags[-1] * lags[-1]
+    halo = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    bounds = [0] + lags
+    cols = []
+    for i, r in enumerate(lags):
+        lo2, hi2 = bounds[i] * bounds[i], r * r
+        cols.append(
+            f"coalesce(sum(case when d2 > {lo2} and d2 <= {hi2} then 1 else 0 end), 0) as n{i}"
+        )
+        cols.append(
+            f"coalesce(sum(case when d2 > {lo2} and d2 <= {hi2} then q else 0 end), 0) as s{i}"
+        )
+    cnt_cols = ",\n               ".join(cols)
+    unpivot = "\n      union all\n      ".join(
+        f"select cast({r} as bigint) as lag_imp, cast(n{i} as bigint) as n_pairs, "
+        f"cast(s{i} as bigint) as sum_sq from agg"
+        for i, r in enumerate(lags)
+    )
+    return f"""
+      with src as ({pts_rel}),
+      c as materialized (
+        select * from (
+          select id, cast(x as bigint) as x, cast(y as bigint) as y,
+                 cast(v as bigint) as v,
+                 cast(floor((x + 2147483648.0) / {float(step)!r}) as bigint) as cx,
+                 cast(floor((2147483647.0 - y) / {float(step)!r}) as bigint) as cy,
+                 count(*) over (partition by
+                   cast(floor((x + 2147483648.0) / {float(step)!r}) as bigint),
+                   cast(floor((2147483647.0 - y) / {float(step)!r}) as bigint)) as n
+          from src) t
+        where n <= {max_points_per_cell}),
+      rep as (select id as id2, x as x2, y as y2, v as v2,
+                     cx + dx as cx, cy + dy as cy
+              from c cross join (values {halo}) h(dx, dy)),
+      pr as (select (a.x - b.x2) * (a.x - b.x2)
+                  + (a.y - b.y2) * (a.y - b.y2) as d2,
+                    (a.v - b.v2) * (a.v - b.v2) as q
+             from c a join rep b on a.cx = b.cx and a.cy = b.cy
+                                and a.id < b.id2
+             where (a.x - b.x2) * (a.x - b.x2)
+                 + (a.y - b.y2) * (a.y - b.y2) > 0
+               and (a.x - b.x2) * (a.x - b.x2)
+                 + (a.y - b.y2) * (a.y - b.y2) <= {maxr2}),
+      agg as materialized (
+        select {cnt_cols} from pr)
+      {unpivot}
+    """

@@ -50,3 +50,32 @@ def test_ripley_cell_cap_guard(spark):
               ).collect()}
     assert all(capped[r] <= full[r] for r in RADII)
     assert capped[64] < full[64]
+
+
+def test_semivariogram_matches_brute(spark):
+    """Semivariogram bins vs a brute O(n²) replay, including binning
+    edges (lo exclusive / hi inclusive) and the zero-bin contract."""
+    pdf = _corpus()
+    pdf = pdf.assign(v=(pdf.id * 37) % 211)
+    got = {int(r.lag_imp): (int(r.n_pairs), int(r.sum_sq))
+           for r in stats.semivariogram(
+               spark.createDataFrame(pdf), RADII).collect()}
+
+    xs = pdf.x.values.astype(np.int64)
+    ys = pdf.y.values.astype(np.int64)
+    vs = pdf.v.values.astype(np.int64)
+    bounds = [0] + list(RADII)
+    exp = {r: [0, 0] for r in RADII}
+    for i in range(len(pdf)):
+        d2 = (xs[i + 1:] - xs[i]) ** 2 + (ys[i + 1:] - ys[i]) ** 2
+        q = (vs[i + 1:] - vs[i]) ** 2
+        for b, r in enumerate(RADII):
+            m = (d2 > bounds[b] ** 2) & (d2 <= r * r) & (d2 > 0)
+            exp[r][0] += int(m.sum())
+            exp[r][1] += int(q[m].sum())
+    assert got == {r: tuple(v) for r, v in exp.items()}
+    # bins partition the pair set: bin counts sum to the ripley count
+    rip = {int(r.r_imp): int(r.pairs)
+           for r in stats.ripley_pair_counts(
+               spark.createDataFrame(pdf), RADII).collect()}
+    assert sum(v[0] for v in got.values()) == rip[RADII[-1]]
