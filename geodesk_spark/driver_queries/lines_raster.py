@@ -557,6 +557,52 @@ _SQL_VECTORIZE_EDGES = f"""
 """
 
 
+FOOT_GRID_BITS = 8
+FOOT_THRESHOLD = 2
+
+
+def _q_concave_footprint(spark, sf_dir):
+    """Concave footprint extraction — the alpha-shape-style pipeline a
+    coverage map needs: density mask (cells with ≥2 points) →
+    morphological CLOSING (pinholes and hairline gaps seal, so the
+    outline follows the data's concave shape instead of fragmenting) →
+    boundary vectorization (tiles_sink.cells_boundary_edges, the
+    marching-squares winding contract).  Three composed operators, all
+    integer; two scatter rollups + one edge-key rollup."""
+    from geodesk_spark.operators import tiles_sink
+
+    df = _derived_orders(spark, sf_dir)
+    mask = tiles_sink.grid_counts(df, grid_bits=FOOT_GRID_BITS).filter(
+        F.col("n") >= FOOT_THRESHOLD
+    )
+    closed = tiles_sink.morphology_mask(mask, op="close", radius=1)
+    return tiles_sink.cells_boundary_edges(closed)
+
+
+def _concave_footprint_sql() -> str:
+    from geodesk_spark.operators import tiles_sink
+
+    step = 1 << (32 - FOOT_GRID_BITS)
+    mask_rel = f"""select gx, gy from (
+        select cast(floor((x + 2147483648) / {step}) as bigint) as gx,
+               cast(floor((2147483647 - y) / {step}) as bigint) as gy,
+               count(*) as n
+        from ({_DERIVED_SQL}) pts group by 1, 2) c where n >= {FOOT_THRESHOLD}"""
+    closed = tiles_sink.morphology_mask_sql(mask_rel, op="close", radius=1)
+    return f"""
+      with inside as ({closed}),
+      dirs(dx, dy, x1o, y1o, x2o, y2o) as (values
+        (0, -1, 0, 0, 1, 0), (1, 0, 1, 0, 1, 1),
+        (0, 1, 1, 1, 0, 1), (-1, 0, 0, 1, 0, 0)),
+      cand as (select i.gx, i.gy, d.* from inside i cross join dirs d),
+      edges as (select c.* from cand c
+                left join inside nb on nb.gx = c.gx + c.dx and nb.gy = c.gy + c.dy
+                where nb.gx is null)
+      select gx + x1o as x1, gy + y1o as y1, gx + x2o as x2, gy + y2o as y2
+      from edges
+    """
+
+
 DISSOLVE_ZOOM = 5
 
 

@@ -794,6 +794,17 @@ def vectorize_boundary_edges(
         .filter(F.col("n") >= threshold)
         .select("gx", "gy")
     )
+    return cells_boundary_edges(inside)
+
+
+def cells_boundary_edges(inside: DataFrame) -> DataFrame:
+    """Boundary edges of an arbitrary cell MASK (gx, gy) — the inside-set
+    half of vectorize_boundary_edges, factored so any mask producer
+    (thresholded raster, morphology output, blob member set) can
+    vectorize its footprint with the same exactly-once edge-key rollup
+    and winding contract."""
+    from pyspark.sql import functions as F
+
     # canonical edge key: horizontal edge of cell (gx,gy) at its N side
     # = S side of (gx,gy-1) → key (gx, gy, h); vertical W side = E side
     # of (gx-1,gy) → key (gx, gy, v).

@@ -256,3 +256,31 @@ def test_label_blobs_planted(spark):
             for r in tiles_sink.label_blobs(df, connectivity=conn).collect()
         )
         assert got == flood(conn), conn
+
+
+def test_concave_footprint_closed_loops(spark):
+    """Composition law: boundary edges of a CLOSED mask form closed
+    directed loops — every vertex's out-degree equals its in-degree —
+    and closing first never leaves the pinhole's boundary behind."""
+    from collections import Counter
+
+    from geodesk_spark.operators import tiles_sink
+
+    block = [(x, y) for x in range(6) for y in range(6) if (x, y) != (3, 3)]
+    df = spark.createDataFrame(block, "gx long, gy long")
+
+    raw = tiles_sink.cells_boundary_edges(df).collect()
+    closed = tiles_sink.cells_boundary_edges(
+        tiles_sink.morphology_mask(df, op="close", radius=1)
+    ).collect()
+
+    def degrees_balanced(edges):
+        outs = Counter((e.x1, e.y1) for e in edges)
+        ins = Counter((e.x2, e.y2) for e in edges)
+        return outs == ins
+
+    assert degrees_balanced(raw) and degrees_balanced(closed)
+    # raw mask has the outer ring + the pinhole ring; closing seals the
+    # pinhole, leaving strictly fewer boundary edges (just the outline)
+    assert len(closed) < len(raw)
+    assert len(closed) == 24  # 6x6 outline = 4 * 6 unit edges
