@@ -494,6 +494,85 @@ def _ripley_sql() -> str:
     return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
+SPREAD_EPS = 1 << 24
+SPREAD_ROUNDS = 3
+
+
+def _q_label_spread(spark, sf_dir):
+    """Label spreading (graph.label_spread): 5% seed labels flow over
+    the eps-neighbor graph of the derived points by exact integer
+    majority votes (packed arg-max, ties to the smallest label) — the
+    pseudo-labeling curation step, one join + two rollups per round."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    pts = _derived_orders(spark, sf_dir)
+    nodes = pts.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.col("o_orderkey") % 7).alias("label"),
+    )
+    step = float(SPREAD_EPS)
+    cx = F.floor((F.col("x") + F.lit(2147483648.0)) / F.lit(step)).cast("long")
+    cy = F.floor((F.lit(2147483647.0) - F.col("y")) / F.lit(step)).cast("long")
+    c = pts.select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("x").cast("long").alias("_x"),
+        F.col("y").cast("long").alias("_y"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    halo = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("h")
+    rep = c.select("_id", "_x", "_y", "_cx", "_cy", halo).select(
+        F.col("_id").alias("_id2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+        (F.col("_cx") + F.col("h.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("h.dy")).alias("_cy"),
+    )
+    d2 = (F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2")) + (
+        F.col("_y") - F.col("_y2")
+    ) * (F.col("_y") - F.col("_y2"))
+    edges = (
+        c.join(rep, ["_cx", "_cy"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .filter((d2 > 0) & (d2 <= F.lit(SPREAD_EPS * SPREAD_EPS)))
+        .select(F.col("_id").alias("a"), F.col("_id2").alias("b"))
+    )
+    return graph_mod.label_spread(nodes, edges, rounds=SPREAD_ROUNDS)
+
+
+def _label_spread_sql() -> str:
+    from geodesk_spark.operators import graph as graph_mod
+
+    step = float(SPREAD_EPS)
+    nodes_rel = f"""select o_orderkey as id,
+             case when o_orderkey % 20 = 0 then o_orderkey % 7 end as label
+      from ({_DERIVED_SQL}) p"""
+    halo = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    edges_rel = f"""
+      with src as ({_DERIVED_SQL}),
+      c as materialized (
+        select o_orderkey as id, cast(x as bigint) as x, cast(y as bigint) as y,
+               cast(floor((x + 2147483648.0) / {step!r}) as bigint) as cx,
+               cast(floor((2147483647.0 - y) / {step!r}) as bigint) as cy
+        from src),
+      rep as (select id as id2, x as x2, y as y2, cx + dx as cx, cy + dy as cy
+              from c cross join (values {halo}) h(dx, dy))
+      select a.id as a, b.id2 as b
+      from c a join rep b on a.cx = b.cx and a.cy = b.cy and a.id < b.id2
+      where (a.x - b.x2) * (a.x - b.x2) + (a.y - b.y2) * (a.y - b.y2) > 0
+        and (a.x - b.x2) * (a.x - b.x2) + (a.y - b.y2) * (a.y - b.y2)
+            <= {SPREAD_EPS * SPREAD_EPS}"""
+    return graph_mod.label_spread_sql(nodes_rel, edges_rel, rounds=SPREAD_ROUNDS)
+
+
 VARIOGRAM_LAGS = (1 << 22, 1 << 24, 1 << 26, 1 << 27)
 
 

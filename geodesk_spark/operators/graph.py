@@ -409,3 +409,123 @@ def isochrone_bands(
         "y",
     )
     return convex_hull_by_group(bands, group_col="band")
+
+
+def label_spread(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    max_label: int = 1 << 20,
+    id_col: str = "id",
+    label_col: str = "label",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Semi-supervised label spreading over a neighbor graph — the
+    pseudo-labeling step of a curation pipeline (seed labels flow to
+    unlabeled neighbors; Zhu & Ghahramani's label propagation in its
+    deterministic hard-vote form): per round, every still-unlabeled
+    node adopts the MAJORITY label among its labeled neighbors, ties
+    broken toward the smallest label; seeds never change; nodes
+    labeled in round t vote from round t+1.
+
+    Exact integers end-to-end: votes are counts, and the winner is
+    arg-max of ONE packed ordering integer cnt·(max_label+1) − label
+    (same scalar both engines — DuckDB arg_max can't order structs,
+    the d8_flow_direction trick).  Labels must be ints in
+    [0, max_label].
+
+    Per round ONE equi-join (symmetrized edges × current labels) + one
+    groupBy(node, label) + one arg-max rollup, with localCheckpoint
+    lineage truncation (the iterative-plan law).  ``rounds`` bounds the
+    propagation radius exactly like sssp_rounds.
+
+    → (id, label, seeded) — label NULL if never reached.
+    """
+    from geodesk_spark.operators.dedup import _release_local_checkpoint
+
+    e = edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))).filter(
+        F.col("_a") != F.col("_b")
+    ).distinct().localCheckpoint(eager=True)
+    L = max_label + 1
+    lab = nodes.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_lab"),
+        F.col(label_col).isNotNull().alias("seeded"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                lab.filter(F.col("_lab").isNotNull()).select(
+                    F.col("_id").alias("_a"), F.col("_lab")
+                ),
+                "_a",
+            )
+            .groupBy(F.col("_b").alias("_id"), "_lab")
+            .agg(F.count("*").alias("_cnt"))
+            .groupBy("_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("_cnt") * F.lit(L) - F.col("_lab")).alias("_key"),
+                        F.col("_lab").alias("_win"),
+                    )
+                ).alias("_m")
+            )
+            .select("_id", F.col("_m._win").alias("_new"))
+        )
+        nxt = (
+            lab.join(votes, "_id", "left")
+            .select(
+                "_id",
+                F.coalesce(F.col("_lab"), F.col("_new")).alias("_lab"),
+                "seeded",
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(lab)
+        lab = nxt
+    _release_local_checkpoint(sym)
+    return lab.select(
+        F.col("_id").alias(id_col), F.col("_lab").alias(label_col), "seeded"
+    )
+
+
+def label_spread_sql(
+    nodes_rel: str,
+    edges_rel: str,
+    rounds: int = 3,
+    max_label: int = 1 << 20,
+) -> str:
+    """DuckDB twin of label_spread over ``nodes_rel`` (id, label) and
+    ``edges_rel`` (a, b) — rounds unrolled as materialized CTEs, the
+    same packed arg-max."""
+    L = max_label + 1
+    parts = [
+        f"n0 as materialized (select id, cast(label as bigint) as lab, "
+        f"label is not null as seeded from ({nodes_rel}) nsrc)",
+        f"""e0 as (select a, b from ({edges_rel}) esrc),
+      sym as materialized (
+        select distinct a, b from (
+          select a, b from e0 union all select b, a from e0) u
+        where a <> b)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} as materialized (
+          select b as id, arg_max(lab, cnt * {L} - lab) as new
+          from (select s.b, l.lab, count(*) as cnt
+                from sym s join n{r-1} l on l.id = s.a and l.lab is not null
+                group by 1, 2) t
+          group by b)"""
+        )
+        parts.append(
+            f"""n{r} as materialized (
+          select n.id, coalesce(n.lab, v.new) as lab, n.seeded
+          from n{r-1} n left join v{r} v on v.id = n.id)"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect id, lab as label, seeded from n{rounds}"
+    )

@@ -349,3 +349,38 @@ def test_isochrone_bands_cumulative_hulls(spark):
     assert sorted(by_band[20]) == sorted(ring_a)
     # outer band: cumulative -> hull is ring B (ring A strictly inside)
     assert sorted(by_band[200]) == sorted(ring_b)
+
+
+def test_label_spread_chain(spark):
+    """Label spreading on a planted path + triangle: hop-bounded
+    propagation, seed immutability, majority with smallest-label ties,
+    unreachable stays NULL."""
+    from geodesk_spark.operators import graph as graph_mod
+
+    # path 1-2-3-4-5 seeded at 1; triangle 10-11-12 with two seeds
+    # (3 and 5) voting on 12; isolated 99 unseeded
+    nodes = spark.createDataFrame(
+        [(1, 4), (2, None), (3, None), (4, None), (5, None),
+         (10, 3), (11, 5), (12, None), (99, None)],
+        "id long, label int",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12)],
+        "a long, b long",
+    )
+
+    def run(rounds):
+        return {r.id: r.label
+                for r in graph_mod.label_spread(nodes, edges, rounds=rounds).collect()}
+
+    g1 = run(1)
+    assert g1[2] == 4 and g1[3] is None          # one hop only
+    assert g1[12] == 3                           # tie 3 vs 5 -> smallest
+    assert g1[10] == 3 and g1[11] == 5           # seeds immutable
+    g3 = run(3)
+    assert g3[4] == 4 and g3[5] is None          # 3 hops reach node 4
+    assert g3[99] is None                        # isolated never labeled
+    # seeded flags
+    seeded = {r.id: r.seeded
+              for r in graph_mod.label_spread(nodes, edges, rounds=1).collect()}
+    assert seeded[1] and not seeded[2]
