@@ -594,6 +594,31 @@ def _snapshot_merge_sql() -> str:
     """
 
 
+DP_ZOOM = 6
+DP_EPS = 0.5
+DP_SEED = 42
+
+
+def _q_dp_tile_counts(spark, sf_dir):
+    """Differentially-private tile histogram (tiling.dp_noisy_tile_counts):
+    discrete-Laplace (geometric-mechanism) noise at eps=0.5 added to
+    per-tile counts through a host-literal inverse-CDF range table and
+    a seeded LCG draw — a reproducible privacy release, one rollup +
+    one broadcast range join, zero engine transcendentals."""
+    from geodesk_spark.operators import tiling
+
+    pts = _derived_orders(spark, sf_dir)
+    return tiling.dp_noisy_tile_counts(pts, DP_ZOOM, eps=DP_EPS, seed=DP_SEED)
+
+
+def _dp_tile_counts_sql() -> str:
+    from geodesk_spark.operators import tiling
+
+    return tiling.dp_noisy_tile_counts_sql(
+        _DERIVED_SQL, DP_ZOOM, eps=DP_EPS, seed=DP_SEED
+    )
+
+
 BALANCE_ZOOM = 6
 
 

@@ -795,3 +795,111 @@ def tile_balance_audit_sql(pts_rel: str, zoom: int) -> str:
              cast(gini_num as bigint) as gini_num
       from a
     """
+
+
+_DP_M31 = 2147483648
+
+
+def _dp_laplace_table(eps: float) -> list[tuple[int, int, int]]:
+    """Inverse-CDF table for the DISCRETE Laplace distribution
+    P(k) ∝ e^(−eps·|k|): rows (k, lo, hi) with [lo, hi) cumulative
+    ranges scaled to 2³¹, support clamped where the tail falls below
+    one part in 2³¹ (the clamp mass folds into the end buckets).
+    Computed HOST-side once — the same integer literals reach Spark
+    and DuckDB, so no engine evaluates a transcendental (the
+    _sun_constants discipline)."""
+    import math
+
+    p = math.exp(-eps)
+    K = int(math.ceil(math.log(2.0 ** 31) / eps))
+    w = [p ** abs(k) for k in range(-K, K + 1)]
+    tot = sum(w)
+    rows = []
+    cum = 0.0
+    lo = 0
+    for i, k in enumerate(range(-K, K + 1)):
+        cum += w[i]
+        hi = _DP_M31 if i == 2 * K else int(math.floor(cum / tot * _DP_M31))
+        if hi > lo:
+            rows.append((k, lo, hi))
+            lo = hi
+    return rows
+
+
+def dp_noisy_tile_counts(
+    points: DataFrame,
+    zoom: int,
+    eps: float = 0.5,
+    seed: int = 42,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Differentially-private tile histogram — the location-privacy
+    release every geo data product needs before publishing density:
+    per-tile counts + discrete-Laplace noise at privacy budget ``eps``
+    (the geometric mechanism — Ghosh/Roughgarden/Sundararajan's
+    universally-optimal integer mechanism for counts).
+
+    DETERMINISTIC noise (reproducible releases, exact cross-engine
+    parity): the mechanism's inverse CDF becomes a host-literal
+    (k, lo, hi) range table; a MINSTD LCG of (tile, seed) draws
+    u ∈ [0, 2³¹) and ONE broadcast range join picks the noise value.
+    Determinism is a *release artifact* property — rerunning the same
+    release is idempotent, while a new release uses a new ``seed``
+    (standard practice: the seed is part of the release's privacy
+    accounting, one draw per (tile, seed)).
+
+    One fact rollup + one broadcast join over ≤ 2·ceil(31·ln2/eps)+1
+    literal rows; noisy counts clamp at 0 (post-processing, free).
+
+    → (tile, n, noise, noisy_n).
+    """
+    table = _dp_laplace_table(eps)
+    counts = (
+        points.select(T.tile_col(F.col(x_col), F.col(y_col), zoom).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"))
+    )
+    # seed is diffused through a full multiplicative round of its own —
+    # a bare "+ seed" moves u by only 48271·Δseed, far below the CDF
+    # bucket width, so adjacent seeds would reuse the same noise
+    h0 = (
+        (F.col("tile") % _DP_M31) * 48271 + F.lit((seed * 2654435761) % _DP_M31)
+    ) % _DP_M31
+    u = (h0 * 48271) % _DP_M31
+    counts = counts.withColumn("_u", u)
+    spark = points.sparkSession
+    tbl = spark.createDataFrame(table, "k long, lo long, hi long")
+    out = counts.join(
+        F.broadcast(tbl), (F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi"))
+    )
+    return out.select(
+        "tile",
+        "n",
+        F.col("k").alias("noise"),
+        F.greatest(F.col("n") + F.col("k"), F.lit(0)).alias("noisy_n"),
+    )
+
+
+def dp_noisy_tile_counts_sql(
+    pts_rel: str, zoom: int, eps: float = 0.5, seed: int = 42
+) -> str:
+    """DuckDB twin of dp_noisy_tile_counts (same literal table, LCG,
+    range join)."""
+    from geodesk_spark.sources.tables import tile_expr
+
+    table = _dp_laplace_table(eps)
+    vals = ",".join(f"({k},{lo},{hi})" for k, lo, hi in table)
+    return f"""
+      with c as (select {tile_expr('x', 'y', zoom)} as tile, count(*) as n
+                 from ({pts_rel}) p group by 1),
+      u as (select tile, n,
+                   (((tile % {_DP_M31}) * 48271
+                     + {(seed * 2654435761) % _DP_M31}) % {_DP_M31} * 48271)
+                     % {_DP_M31} as u
+            from c)
+      select u.tile, u.n, t.k as noise,
+             greatest(u.n + t.k, 0) as noisy_n
+      from u join (values {vals}) t(k, lo, hi)
+        on u.u >= t.lo and u.u < t.hi
+    """

@@ -968,3 +968,45 @@ def test_tile_balance_audit_laws(spark):
     assert abs(ent_u - math.floor(math.log(8) * 1e6 + 0.5)) <= 1
     # hot: single tile → zero entropy
     assert audit(hot)[2] == 0
+
+
+def test_dp_noisy_tile_counts(spark):
+    """Geometric-mechanism release laws: deterministic per (tile, seed),
+    different under a new seed, the noise distribution matches the
+    inverse-CDF table replayed in Python, and noisy counts clamp at 0."""
+    from geodesk_spark.operators.tiling import (
+        _DP_M31,
+        _dp_laplace_table,
+        dp_noisy_tile_counts,
+    )
+
+    W = 1 << 28
+    rows = [(i % 50 * W - (1 << 30), (i * 13) % 7 - (1 << 30))
+            for i in range(600)]
+    pts = spark.createDataFrame(rows, "x long, y long")
+    a = {r.tile: (r.n, r.noise, r.noisy_n)
+         for r in dp_noisy_tile_counts(pts, zoom=4, eps=0.5, seed=1).collect()}
+    b = {r.tile: (r.n, r.noise, r.noisy_n)
+         for r in dp_noisy_tile_counts(pts, zoom=4, eps=0.5, seed=1).collect()}
+    c = {r.tile: r.noise
+         for r in dp_noisy_tile_counts(pts, zoom=4, eps=0.5, seed=2).collect()}
+    assert a == b                       # reproducible release
+    assert any(a[t][1] != c[t] for t in a)  # new seed -> new draws
+
+    table = _dp_laplace_table(0.5)
+
+    def draw(tile, seed):
+        u = (((tile % _DP_M31) * 48271 + seed * 2654435761 % _DP_M31)
+             % _DP_M31 * 48271) % _DP_M31
+        for k, lo, hi in table:
+            if lo <= u < hi:
+                return k
+        raise AssertionError("u outside table")
+
+    for t, (n, noise, noisy) in a.items():
+        assert noise == draw(t, 1)
+        assert noisy == max(n + noise, 0)
+    # the table is a partition of [0, 2^31)
+    assert table[0][1] == 0 and table[-1][2] == _DP_M31
+    for (_, _, h1), (_, l2, _) in zip(table, table[1:]):
+        assert h1 == l2
