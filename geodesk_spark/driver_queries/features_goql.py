@@ -187,6 +187,61 @@ _SQL_GOQL_UNION = """
 """
 
 
+FUZZY_COMMON_MIN = 20
+FUZZY_RARE_MAX = 2
+FUZZY_MIN_LEN = 4
+
+
+def _q_fuzzy_vocab(spark, sf_dir):
+    """Typo-candidate join (text.fuzzy_vocab_match — SymSpell symmetric
+    deletes): rare corpus words (freq ≤ 2, len ≥ 4) fuzzy-match the
+    common lexicon (freq ≥ 20) at edit distance ≤ 1 through ONE
+    deletion-variant equi-join + the levenshtein builtin confirm."""
+    from geodesk_spark.operators import text as text_mod
+
+    docs = tables.load_spread(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    lex = words.filter(F.col("f") >= FUZZY_COMMON_MIN).select("word")
+    # the synthetic corpus is typo-free (a genuine rare-vs-common join
+    # is vacuous), so the rare side is a DETERMINISTIC typo generator
+    # over the lexicon: delete the ((7·len) mod len)+1-th char —
+    # guaranteeing every typo has an ed=1 suggestion to recover
+    rare = (
+        lex.filter(F.length("word") >= FUZZY_MIN_LEN + 1)
+        .select(
+            F.expr(
+                "substr(word, 1, (7 * length(word)) % length(word)) || "
+                "substr(word, (7 * length(word)) % length(word) + 2)"
+            ).alias("word")
+        )
+        .distinct()
+    )
+    return text_mod.fuzzy_vocab_match(rare, lex)
+
+
+def _fuzzy_vocab_sql() -> str:
+    from geodesk_spark.operators import text as text_mod
+
+    words = r"""select word, count(*) as f
+      from (select unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) as word
+            from documents) w
+      group by 1"""
+    lex = f"select word from ({words}) b where f >= {FUZZY_COMMON_MIN}"
+    rare = f"""select distinct
+        substr(word, 1, (7 * length(word)) % length(word)) ||
+        substr(word, (7 * length(word)) % length(word) + 2) as word
+      from ({lex}) lx where length(word) >= {FUZZY_MIN_LEN + 1}"""
+    return text_mod.fuzzy_vocab_match_sql(rare, lex)
+
+
 def _q_token_count(spark, sf_dir):
     d = tables.load_spread(spark, sf_dir, "documents")
     return text.token_count(d).select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))

@@ -1098,3 +1098,73 @@ def doremi_reweight_sql(
              cast((weight_ppm * ntot * 2 + 1000000) // 2000000 as bigint) as target_docs
       from f
     """
+
+
+def fuzzy_vocab_match(
+    rare: DataFrame,
+    lexicon: DataFrame,
+    word_col: str = "word",
+    lex_col: str = "word",
+    max_len: int = 24,
+) -> DataFrame:
+    """Typo-correction candidate join at corpus scale — SymSpell's
+    symmetric-delete blocking (Garbe's algorithm, the standard
+    spell-candidate index): two words are within edit distance 1 iff
+    their single-deletion neighborhoods intersect (equal / insert /
+    delete / substitute all leave a shared variant), so the quadratic
+    fuzzy join becomes ONE equi-join on deletion variants.
+
+    Each side explodes into len+1 variants (the word + every
+    one-char deletion — built-in substr/concat, no UDF), candidates
+    equi-join on the variant, then the exact ``levenshtein`` built-in
+    (present and integer-identical in Spark and DuckDB) confirms
+    ed ≤ 1 and dedups multi-variant hits.  Words longer than
+    ``max_len`` are dropped (fan-out bound: ≤ max_len+1 variants per
+    word — the LSH band-cap discipline).
+
+    → (word, suggestion, ed) distinct pairs, ed ∈ {0, 1}.
+    """
+    def variants(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = F.col(col)
+        d = df.filter(F.length(w) <= max_len).select(w.alias(out))
+        idx = F.explode(F.sequence(F.lit(0), F.length(F.col(out)))).alias("_i")
+        return d.select(out, idx).select(
+            out,
+            F.expr(
+                f"case when _i = 0 then {out} "
+                f"else substr({out}, 1, _i - 1) || substr({out}, _i + 1) end"
+            ).alias("_v"),
+        )
+
+    rv = variants(rare, word_col, "word")
+    lv = variants(lexicon, lex_col, "suggestion")
+    cand = rv.join(lv, rv._v == lv._v).select("word", "suggestion").distinct()
+    ed = F.levenshtein(F.col("word"), F.col("suggestion"))
+    return cand.filter(ed <= 1).select(
+        "word", "suggestion", ed.cast("int").alias("ed")
+    )
+
+
+def fuzzy_vocab_match_sql(
+    rare_rel: str, lex_rel: str, max_len: int = 24
+) -> str:
+    """DuckDB twin of fuzzy_vocab_match (same deletion variants +
+    levenshtein confirm)."""
+    def var(rel: str, out: str) -> str:
+        return f"""
+          select {out}, case when i = 0 then {out}
+                 else substr({out}, 1, i - 1) || substr({out}, i + 1) end as v
+          from (select word as {out} from ({rel}) s0
+                where length(word) <= {max_len}) s,
+               unnest(range(0, length({out}) + 1)) t(i)"""
+
+    return f"""
+      with rv as ({var(rare_rel, 'word')}),
+      lv as ({var(lex_rel, 'suggestion')}),
+      cand as (select distinct word, suggestion
+               from rv join lv on rv.v = lv.v)
+      select word, suggestion,
+             cast(levenshtein(word, suggestion) as int) as ed
+      from cand
+      where levenshtein(word, suggestion) <= 1
+    """

@@ -284,3 +284,33 @@ def test_doremi_reweight_upweights_hard_domain(spark):
     for r in out.values():
         assert isinstance(r.weight_ppm, int) and isinstance(r.target_docs, int)
         assert abs(r.target_docs - r.weight_ppm * ntot / 1e6) <= 1
+
+
+def test_fuzzy_vocab_match_complete_ed1(spark):
+    """SymSpell deletion blocking finds EXACTLY the Levenshtein-≤1
+    pairs (insert/delete/substitute/equal) — brute-force verified —
+    and transpositions (ed=2) stay out."""
+    from geodesk_spark.operators import text as text_mod
+
+    rare = ["helo", "wrold", "pythn", "zzz", "exactly", "sspark", "spork"]
+    lex = ["hello", "world", "python", "exactly", "spark", "cat"]
+    got = {(r.word, r.suggestion, r.ed)
+           for r in text_mod.fuzzy_vocab_match(
+               spark.createDataFrame([(w,) for w in rare], "word string"),
+               spark.createDataFrame([(w,) for w in lex], "word string"),
+           ).collect()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    exp = {(a, b, lev(a, b)) for a in rare for b in lex if lev(a, b) <= 1}
+    assert got == exp
+    assert ("wrold", "world", 2) not in got        # transposition is ed 2
+    assert ("sspark", "spark", 1) in got           # insertion
+    assert ("spork", "spark", 1) in got            # substitution
