@@ -494,6 +494,30 @@ def _ripley_sql() -> str:
     return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000
+
+
+def _q_funnel(spark, sf_dir):
+    """First-touch funnel (relational.funnel_conversion): the
+    view→click→purchase chain per user, each step strictly after the
+    previous match, completion within 6h of the anchor — k−1 user-key
+    min-joins over dimension-sized step rollups, exact integer
+    microseconds end-to-end."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.funnel_conversion(e, FUNNEL_STEPS, FUNNEL_WITHIN_US)
+
+
+def _funnel_sql() -> str:
+    from geodesk_spark.operators import relational
+
+    return relational.funnel_conversion_sql(
+        "select user_id, event_type, ts from events", FUNNEL_STEPS, FUNNEL_WITHIN_US
+    )
+
+
 SPREAD_EPS = 1 << 24
 SPREAD_ROUNDS = 3
 

@@ -295,3 +295,106 @@ def decay_merge(states: DataFrame, keys: list[str]) -> DataFrame:
     return states.groupBy(*keys, "bucket").agg(
         F.sum("n").alias("n"), F.sum("value_micro").alias("value_micro")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    within_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel analysis — the product-analytics staple: per
+    user, greedily match the ordered step sequence (each step strictly
+    after the previous match; the whole chain within ``within_us``
+    microseconds of the FIRST step), then roll up users per step.
+
+    First-touch semantics (the common default): step 1 anchors at its
+    EARLIEST occurrence; each later step takes its earliest occurrence
+    after the previous match; the window constraint applies to the
+    completed chain.  A user abandoning early counts toward every step
+    reached.  Deterministic — min() over integer microsecond
+    timestamps, no window ordering ambiguity.
+
+    Shape: k−1 broadcast-sized equi-joins on the user key — each step
+    frame is a per-user min rollup (≤ |users| rows), so the fact table
+    is scanned once per step type filter and everything downstream is
+    dimension-sized.  At 10^12 events the per-step rollups are the only
+    shuffles, all on the same user key (co-partitioned by AQE).
+
+    → (step, step_name, users) — one row per funnel step, users
+    descending down the funnel.
+    """
+    # integer microseconds since epoch: unix_micros is exact (DuckDB
+    # twin: epoch_us) — a bare cast-to-long would truncate to SECONDS
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        # parquet timestamps load as TIMESTAMP_NTZ here; unix_micros
+        # wants TIMESTAMP — the ntz→ltz cast is a wall-clock reinterpret
+        # under the session's UTC timezone, identical to DuckDB epoch_us
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts"),
+    )
+    cur = (
+        ev.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_m1"))
+        .select("_u", F.col("_m1").alias("_anchor"), F.col("_m1").alias("_prev"))
+    )
+    counts = [("1", steps[0], cur)]
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("_t") == st)
+            .join(cur, "_u")
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy("_u", "_anchor")
+            .agg(F.min("_ts").alias("_prev"))
+            .select("_u", "_anchor", "_prev")
+        )
+        if i == len(steps):
+            nxt = nxt.filter(F.col("_prev") - F.col("_anchor") <= within_us)
+        counts.append((str(i), st, nxt))
+        cur = nxt
+    frames = [
+        df.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit(int(idx)).alias("step"), F.lit(name).alias("step_name"), "users"
+        )
+        for idx, name, df in counts
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def funnel_conversion_sql(
+    events_rel: str, steps: list[str], within_us: int
+) -> str:
+    """DuckDB twin of funnel_conversion (same greedy min-join chain)."""
+    parts = [
+        f"""ev as materialized (
+      select user_id as u, event_type as t, epoch_us(ts) as ts
+      from ({events_rel}) e)""",
+        f"""s1 as materialized (
+      select u, min(ts) as anchor, min(ts) as prev
+      from ev where t = '{steps[0]}' group by u)""",
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        within = (
+            f" having min(e.ts) - s.anchor <= {within_us}"
+            if i == len(steps)
+            else ""
+        )
+        parts.append(
+            f"""s{i} as materialized (
+      select s.u, s.anchor, min(e.ts) as prev
+      from ev e join s{i-1} s on e.u = s.u and e.t = '{st}' and e.ts > s.prev
+      group by s.u, s.anchor{within})"""
+        )
+    sel = "\n      union all\n      ".join(
+        f"select {i} as step, '{st}' as step_name, "
+        f"cast((select count(*) from s{i}) as bigint) as users"
+        for i, st in enumerate(steps, start=1)
+    )
+    return "with " + ",\n".join(parts) + f"\n      {sel}"

@@ -80,3 +80,39 @@ def test_theil_sen_robust_to_outliers(spark):
         assert abs(got[g].slope - true_slope) < 0.5
         assert abs(ols[g].slope - true_slope) > 2.0
         assert got[g].n_pts == 40
+
+
+def test_funnel_conversion_semantics(spark):
+    """First-touch funnel on planted sequences: strict ordering, the
+    anchor window, greedy (earliest) matching, and monotone step
+    counts."""
+    import datetime as dt
+
+    from geodesk_spark.operators import relational
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, minutes):
+        return (u, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: full conversion inside the window
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: purchase BEFORE click -> stops at click
+        ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),
+        # u3: converts but outside the 30-minute window
+        ev(3, "view", 0), ev(3, "click", 10), ev(3, "purchase", 60),
+        # u4: view only
+        ev(4, "view", 0),
+        # u5: greedy anchor at t=0; purchase at 25 still inside window
+        ev(5, "view", 0), ev(5, "view", 22), ev(5, "click", 24),
+        ev(5, "purchase", 25),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step_name: r.users
+           for r in relational.funnel_conversion(
+               df, ["view", "click", "purchase"], 30 * 60 * 1_000_000
+           ).collect()}
+    assert out == {"view": 5, "click": 4, "purchase": 2}
+    # steps are monotone non-increasing by construction
+    assert out["view"] >= out["click"] >= out["purchase"]
