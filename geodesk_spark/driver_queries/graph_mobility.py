@@ -494,6 +494,27 @@ def _ripley_sql() -> str:
     return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
+COHORT_BUCKET_US = 7 * 86_400 * 1_000_000
+
+
+def _q_cohort(spark, sf_dir):
+    """Cohort retention (relational.cohort_retention): weekly first-seen
+    cohorts × active-age cells over the event stream — one fact rollup,
+    one user-key join, exact integer epochs."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.cohort_retention(e, COHORT_BUCKET_US)
+
+
+def _cohort_sql() -> str:
+    from geodesk_spark.operators import relational
+
+    return relational.cohort_retention_sql(
+        "select user_id, ts from events", COHORT_BUCKET_US
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000
 

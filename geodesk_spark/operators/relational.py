@@ -398,3 +398,62 @@ def funnel_conversion_sql(
         for i, st in enumerate(steps, start=1)
     )
     return "with " + ",\n".join(parts) + f"\n      {sel}"
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_us: int = 7 * 86_400 * 1_000_000,
+    max_age: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention — the other product-analytics staple beside the
+    funnel: users cohort by their FIRST-seen time bucket (week by
+    default), and cell (cohort, age) counts the cohort's users active
+    ``age`` buckets later.  All exact integers: microsecond epochs
+    bucket by floor division (nonneg ⇒ Spark div = DuckDB //), ages cap
+    at ``max_age``.
+
+    Shape: one per-user min rollup (first touch), one broadcast-sized
+    join back on the user key, one distinct + rollup — the fact table
+    is scanned once; every later frame is user- or cell-sized.  Age 0
+    is the cohort size itself, so retention = users / users@age0 is the
+    caller's division.
+
+    → (cohort_bucket, age, users).
+    """
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}"
+        ).alias("_b"),
+    )
+    first = ev.groupBy("_u").agg(F.min("_b").alias("_c"))
+    cells = (
+        ev.join(first, "_u")
+        .select("_u", "_c", (F.col("_b") - F.col("_c")).alias("_age"))
+        .filter(F.col("_age") <= max_age)
+        .distinct()
+    )
+    return (
+        cells.groupBy(F.col("_c").alias("cohort_bucket"), F.col("_age").alias("age"))
+        .agg(F.count("*").cast("long").alias("users"))
+    )
+
+
+def cohort_retention_sql(
+    events_rel: str,
+    bucket_us: int = 7 * 86_400 * 1_000_000,
+    max_age: int = 8,
+) -> str:
+    """DuckDB twin of cohort_retention."""
+    return f"""
+      with ev as (select user_id as u, epoch_us(ts) // {bucket_us} as b
+                  from ({events_rel}) e),
+      first as (select u, min(b) as c from ev group by u),
+      cells as (select distinct ev.u, f.c, ev.b - f.c as age
+                from ev join first f on f.u = ev.u
+                where ev.b - f.c <= {max_age})
+      select c as cohort_bucket, age, cast(count(*) as bigint) as users
+      from cells group by 1, 2
+    """

@@ -116,3 +116,35 @@ def test_funnel_conversion_semantics(spark):
     assert out == {"view": 5, "click": 4, "purchase": 2}
     # steps are monotone non-increasing by construction
     assert out["view"] >= out["click"] >= out["purchase"]
+
+
+def test_cohort_retention_planted(spark):
+    """Cohort cells on planted activity: first-touch assigns the
+    cohort, distinct-per-bucket dedups bursts, max_age caps, and age-0
+    equals the cohort size."""
+    import datetime as dt
+
+    from geodesk_spark.operators import relational
+
+    t0 = dt.datetime(2026, 1, 5)  # anchor
+    day = dt.timedelta(days=1)
+    rows = []
+    # cohort A (bucket of t0): users 1, 2; user 1 returns weeks 1 and 2,
+    # user 2 only week 2 (twice — must dedup)
+    rows += [(1, t0), (1, t0 + 7 * day), (1, t0 + 14 * day)]
+    rows += [(2, t0 + 1 * day), (2, t0 + 14 * day), (2, t0 + 15 * day)]
+    # cohort B (next week): user 3, never returns
+    rows += [(3, t0 + 8 * day)]
+    # user 4: returns far beyond max_age -> capped away
+    rows += [(4, t0), (4, t0 + 700 * day)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {}
+    for r in relational.cohort_retention(df, 7 * 86_400 * 1_000_000, max_age=8).collect():
+        out[(r.cohort_bucket, r.age)] = r.users
+    cohorts = sorted({c for c, _ in out})
+    a, b = cohorts[0], cohorts[1]
+    assert out[(a, 0)] == 3            # users 1, 2, 4
+    assert out[(a, 1)] == 1            # user 1
+    assert out[(a, 2)] == 2            # users 1, 2 (dedup'd burst)
+    assert out[(b, 0)] == 1            # user 3
+    assert all(age <= 8 for (_, age) in out)
