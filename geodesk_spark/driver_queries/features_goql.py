@@ -571,6 +571,28 @@ def _dedup_components_sql() -> str:
     return _SQL_DEDUP_COMPONENTS_TEMPLATE.format(jacc=_SQL_JACCARD)
 
 
+def _q_leakage_split(spark, sf_dir):
+    """Leakage-safe split assignment (sampling.leakage_safe_split):
+    near-dup components from the Jaccard pipeline hash AS GROUPS into
+    train/val/test, so no duplicate pair straddles a split — the Lee
+    et al. decontamination protocol as one left join + codegen."""
+    from geodesk_spark.operators import sampling
+
+    d = tables.load_spread(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=JACCARD_DF_CAP)
+    comp = dedup.connected_components(pairs)
+    return sampling.leakage_safe_split(d.select("doc_id"), comp)
+
+
+def _leakage_split_sql() -> str:
+    from geodesk_spark.operators import sampling
+
+    comps = _SQL_DEDUP_COMPONENTS_TEMPLATE.format(jacc=_SQL_JACCARD)
+    return sampling.leakage_safe_split_sql(
+        "select doc_id from documents", comps
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     e = tables.load_spread(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(e, threshold=0.40, sign_dims=4)

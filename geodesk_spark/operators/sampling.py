@@ -445,3 +445,89 @@ def budget_allocate_sql(
         + f"\nselect k as {key_col}, w as {weight_col}, cap as {cap_col}, "
         f"cast(alloc as bigint) as alloc from d{rounds}"
     )
+
+
+_SPLIT_M31 = 2147483648
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    fractions: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+    id_col: str = "doc_id",
+    comp_col: str = "comp_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment — the split rule a dedup'd
+    corpus must use: hashing DOCUMENTS scatters near-duplicates across
+    splits (test contamination); hashing the duplicate COMPONENT sends
+    every member of a near-dup group to the SAME split (the Lee et al.
+    deduplication-paper protocol).  Docs without a component row are
+    singletons (component = themselves).
+
+    Deterministic: a seeded MINSTD LCG of the component id picks a
+    bucket in [0, 100); cumulative integer ``fractions`` cut the
+    buckets.  One left join (components are dedup output, typically
+    ≪ corpus) + pure codegen arithmetic — no RNG state, reruns are
+    byte-stable, and a re-release reseeds explicitly.
+
+    → (doc_id, comp_id, split).
+    """
+    assert sum(fractions) == 100 and len(fractions) == len(names)
+    comp = components.select(
+        F.col(id_col).alias("_id"), F.col(comp_col).alias("_c")
+    )
+    base = docs.select(F.col(id_col).alias("_id")).join(comp, "_id", "left")
+    c = F.coalesce(F.col("_c"), F.col("_id"))
+    h0 = ((c % _SPLIT_M31) * 48271 + F.lit((seed * 2654435761) % _SPLIT_M31)) % _SPLIT_M31
+    b = ((h0 * 48271) % _SPLIT_M31) % 100
+    cuts = []
+    acc = 0
+    for f_ in fractions:
+        acc += f_
+        cuts.append(acc)
+    # nested whens lowest-cut-first: first matching band wins
+    expr = F.lit(None).cast("string")
+    prev_cut = 0
+    for name, cut in zip(names, cuts):
+        expr = F.when((b >= prev_cut) & (b < cut), F.lit(name)).otherwise(expr)
+        prev_cut = cut
+    return base.select(
+        F.col("_id").alias(id_col),
+        c.alias(comp_col),
+        expr.alias("split"),
+    )
+
+
+def leakage_safe_split_sql(
+    docs_rel: str,
+    components_rel: str,
+    fractions: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of leakage_safe_split."""
+    M = _SPLIT_M31
+    cuts = []
+    acc = 0
+    for f_ in fractions:
+        acc += f_
+        cuts.append(acc)
+    cases = []
+    prev = 0
+    for name, cut in zip(names, cuts):
+        cases.append(f"when b >= {prev} and b < {cut} then '{name}'")
+        prev = cut
+    case = "case " + " ".join(cases) + " end"
+    return f"""
+      with d as (select doc_id from ({docs_rel}) dd),
+      comp as (select doc_id, comp_id from ({components_rel}) cc),
+      j as (select d.doc_id, coalesce(comp.comp_id, d.doc_id) as comp_id
+            from d left join comp on comp.doc_id = d.doc_id),
+      h as (select doc_id, comp_id,
+                   (((comp_id % {M}) * 48271 + {(seed * 2654435761) % M})
+                     % {M} * 48271) % {M} % 100 as b
+            from j)
+      select doc_id, comp_id, {case} as split from h
+    """

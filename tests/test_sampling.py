@@ -272,3 +272,38 @@ def test_budget_allocate_water_filling(spark):
     got2 = {r.domain: r.alloc for r in
             sampling.budget_allocate(dom, total=50_000, rounds=6).collect()}
     assert got2 == {"a": 10_000, "b": 200, "c": 10_000}
+
+
+def test_leakage_safe_split(spark):
+    """Split laws: all members of a component share a split, singletons
+    hash on their own id, fractions are respected in aggregate, reruns
+    are identical, and reseeding moves assignments."""
+    from geodesk_spark.operators import sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    comp = spark.createDataFrame(
+        [(i, (i // 10) * 10) for i in range(0, 1000)],  # groups of 10
+        "doc_id long, comp_id long",
+    )
+    out = sampling.leakage_safe_split(docs, comp).collect()
+    assert len(out) == 2000
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.comp_id, set()).add(r.split)
+    # every component maps to exactly one split (incl. singleton docs)
+    assert all(len(v) == 1 for v in by_comp.values())
+    # grouped docs carry their group id; ungrouped docs self-compose
+    comp_of = {r.doc_id: r.comp_id for r in out}
+    assert comp_of[7] == 0 and comp_of[1500] == 1500
+    # aggregate fractions within tolerance (hash uniformity)
+    from collections import Counter
+    frac = Counter(r.split for r in out)
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert frac["train"] + frac["val"] + frac["test"] == 2000
+    # deterministic rerun; reseed changes some assignment
+    again = {(r.doc_id, r.split) for r in
+             sampling.leakage_safe_split(docs, comp).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
+    reseeded = {r.doc_id: r.split for r in
+                sampling.leakage_safe_split(docs, comp, seed=7).collect()}
+    assert any(reseeded[r.doc_id] != r.split for r in out)
