@@ -1131,6 +1131,70 @@ def _poly_samples_sql() -> str:
     return sample_points_in_polygons_sql(rings, k=SAMPLE_POLY_K)
 
 
+def _q_crop_boxes(spark, sf_dir):
+    """Detection random-crop augmentation (images.crop_boxes): one
+    seeded 3/4-size crop per image, boxes clipped + shifted, dropped
+    under 1/4 visibility by the cross-multiplied exact test — epoch
+    geometry reproducible bit-for-bit."""
+    from geodesk_spark.operators import images
+
+    ids = (
+        tables.load_spread(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % SLICE_IMAGES).alias("image_id"))
+        .distinct()
+    )
+    imgs = ids.select(
+        "image_id",
+        (F.lit(640) + (F.col("image_id") % 5) * 224).alias("w"),
+        (F.lit(512) + (F.col("image_id") % 7) * 160).alias("h"),
+    )
+    b = tables.with_derived_boxes(
+        tables.load_spread(spark, sf_dir, "orders"), "o_orderkey"
+    )
+    boxes = b.select(
+        (F.col("o_orderkey") % SLICE_IMAGES).alias("image_id"),
+        F.col("o_orderkey").alias("box_id"),
+        ((F.col("o_orderkey") * 7919) % 100000).alias("score"),
+        (F.pmod(F.col("minx"), F.lit(500))).cast("long").alias("minx"),
+        (F.pmod(F.col("miny"), F.lit(400))).cast("long").alias("miny"),
+        (F.pmod(F.col("minx"), F.lit(500)) + 1 + F.pmod(F.col("maxx"), F.lit(100)))
+        .cast("long")
+        .alias("maxx"),
+        (F.pmod(F.col("miny"), F.lit(400)) + 1 + F.pmod(F.col("maxy"), F.lit(100)))
+        .cast("long")
+        .alias("maxy"),
+    )
+    return images.crop_boxes(imgs, boxes)
+
+
+def _crop_boxes_sql() -> str:
+    from geodesk_spark.operators import images
+
+    dx, dy = tables.half_extent_exprs("o_orderkey")
+    box = tables.box_exprs("x", "y", "dx", "dy")
+    imgs_rel = f"""select image_id,
+             640 + (image_id % 5) * 224 as w,
+             512 + (image_id % 7) * 160 as h
+      from (select distinct o_orderkey % {SLICE_IMAGES} as image_id from orders) t"""
+    pm = lambda e, m: f"((({e}) % {m} + {m}) % {m})"
+    boxes_rel = f"""
+      with pts as ({{derived}}),
+      ext as (select o_orderkey, x, y, {dx} as dx, {dy} as dy from pts),
+      bx0 as (select o_orderkey % {SLICE_IMAGES} as image_id,
+                     o_orderkey as box_id,
+                     (o_orderkey * 7919) % 100000 as score,
+                     {box['minx']} as rminx, {box['miny']} as rminy,
+                     {box['maxx']} as rmaxx, {box['maxy']} as rmaxy
+              from ext)
+      select image_id, box_id, score,
+             {pm('rminx', 500)} as minx,
+             {pm('rminy', 400)} as miny,
+             {pm('rminx', 500)} + 1 + {pm('rmaxx', 100)} as maxx,
+             {pm('rminy', 400)} + 1 + {pm('rmaxy', 100)} as maxy
+      from bx0"""
+    return images.crop_boxes_sql(imgs_rel, boxes_rel)
+
+
 CHAIKIN_ROUNDS = 2
 
 

@@ -1273,3 +1273,121 @@ def letterbox_boxes_sql(
              greatest(d.w, d.h) as scale_den
       from b join d on d.image_id = b.image_id
     """
+
+
+def crop_boxes(
+    imgs: DataFrame,
+    boxes: DataFrame,
+    crop_num: int = 3,
+    crop_den: int = 4,
+    vis_num: int = 1,
+    vis_den: int = 4,
+    seed: int = 0,
+    img_col: str = "image_id",
+) -> DataFrame:
+    """Deterministic random-crop augmentation for detection labels —
+    the geometry half of RandomSizedCrop: each image gets ONE seeded
+    crop window of size (w·crop_num/crop_den, h·crop_num/crop_den) at
+    an LCG-chosen offset; boxes clip to the window, shift to crop
+    coords, and survive only if the visible area keeps at least
+    vis_num/vis_den of the original (the min-visibility rule that
+    drops mostly-cut-off objects from supervision).
+
+    Every decision is exact integer arithmetic: crop dims by positive
+    floor division, offsets by LCG mod the slack, clipping by
+    greatest/least, and the visibility test cross-multiplied
+    (vis_den·clip_area ≥ vis_num·orig_area) — no float, bit-identical
+    reruns; a new ``seed`` is a new epoch's augmentation.
+
+    One broadcast dim join + codegen; the pixel-side crop is
+    images.resize-family work, this keeps the labels aligned.
+
+    → surviving boxes: boxes' columns + (cminx, cminy, cmaxx, cmaxy,
+    crop_x, crop_y, crop_w, crop_h).
+    """
+    from pyspark.sql import functions as F
+
+    M = 2147483648
+    dims = imgs.select(
+        img_col,
+        F.col("w").cast("long").alias("_w"),
+        F.col("h").cast("long").alias("_h"),
+    )
+    cw = F.expr(f"(_w * {crop_num}) div {crop_den}")
+    ch = F.expr(f"(_h * {crop_num}) div {crop_den}")
+    h0 = (
+        (F.col(img_col) % M) * 48271 + F.lit((seed * 2654435761) % M)
+    ) % M
+    h1 = (h0 * 48271) % M
+    h2 = (h1 * 48271) % M
+    d = dims.select(
+        img_col,
+        "_w",
+        "_h",
+        cw.alias("_cw"),
+        ch.alias("_ch"),
+        (h1 % F.greatest(F.col("_w") - cw + 1, F.lit(1))).alias("_cx"),
+        (h2 % F.greatest(F.col("_h") - ch + 1, F.lit(1))).alias("_cy"),
+    )
+    j = boxes.join(F.broadcast(d), img_col)
+    ix0 = F.greatest(F.col("minx"), F.col("_cx"))
+    iy0 = F.greatest(F.col("miny"), F.col("_cy"))
+    ix1 = F.least(F.col("maxx"), F.col("_cx") + F.col("_cw"))
+    iy1 = F.least(F.col("maxy"), F.col("_cy") + F.col("_ch"))
+    vis = F.greatest(ix1 - ix0, F.lit(0)) * F.greatest(iy1 - iy0, F.lit(0))
+    orig = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+    keep = (vis * vis_den >= orig * vis_num) & (vis > 0)
+    return j.filter(keep).select(
+        *boxes.columns,
+        (ix0 - F.col("_cx")).alias("cminx"),
+        (iy0 - F.col("_cy")).alias("cminy"),
+        (ix1 - F.col("_cx")).alias("cmaxx"),
+        (iy1 - F.col("_cy")).alias("cmaxy"),
+        F.col("_cx").alias("crop_x"),
+        F.col("_cy").alias("crop_y"),
+        F.col("_cw").alias("crop_w"),
+        F.col("_ch").alias("crop_h"),
+    )
+
+
+def crop_boxes_sql(
+    imgs_rel: str,
+    boxes_rel: str,
+    crop_num: int = 3,
+    crop_den: int = 4,
+    vis_num: int = 1,
+    vis_den: int = 4,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of crop_boxes."""
+    M = 2147483648
+    return f"""
+      with dm as (select image_id, cast(w as bigint) as w, cast(h as bigint) as h
+                  from ({imgs_rel}) i),
+      d0 as (select image_id, w, h,
+                    (w * {crop_num}) // {crop_den} as cw,
+                    (h * {crop_num}) // {crop_den} as ch,
+                    (((image_id % {M}) * 48271 + {(seed * 2654435761) % M})
+                      % {M} * 48271) % {M} as h1
+             from dm),
+      d as (select image_id, w, h, cw, ch,
+                   h1 % greatest(w - cw + 1, 1) as cx,
+                   ((h1 * 48271) % {M}) % greatest(h - ch + 1, 1) as cy
+            from d0),
+      b as ({boxes_rel}),
+      j as (select b.*, d.cx, d.cy, d.cw, d.ch,
+                   greatest(b.minx, d.cx) as ix0,
+                   greatest(b.miny, d.cy) as iy0,
+                   least(b.maxx, d.cx + d.cw) as ix1,
+                   least(b.maxy, d.cy + d.ch) as iy1
+            from b join d on d.image_id = b.image_id),
+      v as (select *, greatest(ix1 - ix0, 0) * greatest(iy1 - iy0, 0) as vis,
+                   (maxx - minx) * (maxy - miny) as orig
+            from j)
+      select image_id, box_id, score, minx, miny, maxx, maxy,
+             ix0 - cx as cminx, iy0 - cy as cminy,
+             ix1 - cx as cmaxx, iy1 - cy as cmaxy,
+             cx as crop_x, cy as crop_y, cw as crop_w, ch as crop_h
+      from v
+      where vis * {vis_den} >= orig * {vis_num} and vis > 0
+    """

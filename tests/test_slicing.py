@@ -105,3 +105,37 @@ def test_letterbox_boxes_geometry(spark):
     pad_x = (640 - (500 * 640) // den) // 2
     assert (r.lminx, r.lmaxx) == (ex(100) + pad_x, ex(300) + pad_x)
     assert (r.lminy, r.lmaxy) == (ex(200), ex(900))
+
+
+def test_crop_boxes_laws(spark):
+    """Crop-augmentation laws: surviving boxes sit inside the crop
+    window, visibility ≥ 1/4 of the original (cross-multiplied exact),
+    fully-inside boxes survive unchanged (shifted), fully-outside boxes
+    drop, reruns are byte-stable, and reseeding moves windows."""
+    from geodesk_spark.operators import images
+
+    imgs = spark.createDataFrame([(1, 800, 800)], "image_id long, w long, h long")
+    # crop is 600x600 at a seeded offset within [0, 200]²
+    boxes = spark.createDataFrame(
+        [(1, 1, 300, 300, 400, 400),       # deep interior — must survive
+         (1, 2, 790, 790, 800, 800),       # far corner — may drop
+         (1, 3, 0, 0, 800, 800)],          # whole image: vis = 9/16 ≥ 1/4
+        "image_id long, box_id long, minx long, miny long, maxx long, maxy long",
+    )
+    out = {r.box_id: r for r in images.crop_boxes(imgs, boxes).collect()}
+    assert 1 in out and 3 in out
+    r = out[1]
+    assert 0 <= r.cminx <= r.cmaxx <= r.crop_w
+    assert 0 <= r.cminy <= r.cmaxy <= r.crop_h
+    assert (r.cmaxx - r.cminx, r.cmaxy - r.cminy) == (100, 100)  # uncut
+    r3 = out[3]
+    vis = (r3.cmaxx - r3.cminx) * (r3.cmaxy - r3.cminy)
+    assert vis == r3.crop_w * r3.crop_h                      # clipped to window
+    assert vis * 4 >= 800 * 800 * 1                          # visibility rule
+    # determinism + reseed
+    a = {(r.box_id, r.cminx, r.cminy) for r in images.crop_boxes(imgs, boxes).collect()}
+    b = {(r.box_id, r.cminx, r.cminy) for r in images.crop_boxes(imgs, boxes).collect()}
+    assert a == b
+    c = {r.box_id: (r.crop_x, r.crop_y)
+         for r in images.crop_boxes(imgs, boxes, seed=9).collect()}
+    assert c[1] != (out[1].crop_x, out[1].crop_y)
