@@ -494,6 +494,42 @@ def _ripley_sql() -> str:
     return stats.ripley_pair_counts_sql(rel, RIPLEY_RADII)
 
 
+def _q_event_transitions(spark, sf_dir):
+    """Event-type transition counts (relational.event_transitions):
+    one per-user lead window over exact microseconds + one rollup."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.event_transitions(e)
+
+
+def _event_transitions_sql() -> str:
+    from geodesk_spark.operators import relational
+
+    return relational.event_transitions_sql(
+        "select user_id, event_id, ts, event_type from events"
+    )
+
+
+def _q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain
+    (relational.event_markov_stationary): exact integer fixed-point
+    power iteration on the transition counts — no float anywhere; the
+    oracle unrolls the identical iteration as hugeint CTEs."""
+    from geodesk_spark.operators import relational
+
+    e = tables.load_spread(spark, sf_dir, "events")
+    return relational.event_markov_stationary(e)
+
+
+def _markov_stationary_sql() -> str:
+    from geodesk_spark.operators import relational
+
+    return relational.event_markov_stationary_sql(
+        "select user_id, event_id, ts, event_type from events"
+    )
+
+
 COHORT_BUCKET_US = 7 * 86_400 * 1_000_000
 
 

@@ -457,3 +457,134 @@ def cohort_retention_sql(
       select c as cohort_bucket, age, cast(count(*) as bigint) as users
       from cells group by 1, 2
     """
+
+
+def event_markov_stationary(
+    events: DataFrame,
+    iters: int = 12,
+    scale: int = 1 << 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-type Markov chain: per-user consecutive-event transition
+    counts (exact integers, ONE window pass) and the chain's stationary
+    distribution — "where does a user's session settle" — by
+    fixed-point power iteration on the INTEGER count matrix (πP = π;
+    row-stochastic normalization and the iteration both run in exact
+    fixed-point arithmetic, the pca_project discipline, so the result
+    is bit-identical cross-engine with no float anywhere).
+
+    Iteration in scaled integers: π′(j) = Σᵢ π(i)·C(i,j)·S div R(i)
+    (R(i) = row total — the div happens per TERM on nonneg operands,
+    floor on both engines), renormalized each round to Σ = S by
+    largest-remainder... simpler: rescale by max; after ``iters``
+    rounds report π at scale S by one final rescale.  The state space
+    is |event types| (tiny); everything after the one fact-table
+    window pass is driver/dimension-sized.
+
+    → (state, stat_micro) with stat_micro ∈ [0, S] summing ≈ S, plus
+    the transition counts as (state, next_state, n) rows via the
+    companion ``event_transitions``.
+    """
+    trans = event_transitions(events, user_col, ts_col, order_col, type_col)
+    rows = trans.collect()
+    states = sorted({r.state for r in rows} | {r.next_state for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    C = [[0] * k for _ in range(k)]
+    for r in rows:
+        C[idx[r.state]][idx[r.next_state]] = r.n
+    R = [max(sum(row), 1) for row in C]
+    S = scale
+    pi = [S] * k
+    for _ in range(iters):
+        nxt = [0] * k
+        for i in range(k):
+            for j in range(k):
+                nxt[j] += (pi[i] * C[i][j] * S) // R[i]
+        m = max(nxt) if any(nxt) else 1
+        pi = [(v * S) // m for v in nxt]
+    tot = sum(pi) or 1
+    out = [(states[i], (pi[i] * S) // tot) for i in range(k)]
+    spark = events.sparkSession
+    return spark.createDataFrame(out, "state string, stat_micro long")
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Consecutive-event transition counts per (state, next_state) —
+    one per-user window (lead over exact microseconds, order-column
+    tie-break) + one rollup."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(order_col)
+    )
+    pairs = events.select(
+        F.col(type_col).alias("state"),
+        F.lead(type_col).over(w).alias("next_state"),
+    ).filter(F.col("next_state").isNotNull())
+    return pairs.groupBy("state", "next_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def event_transitions_sql(events_rel: str) -> str:
+    """DuckDB twin of event_transitions."""
+    return f"""
+      with p as (select event_type as state,
+                        lead(event_type) over (partition by user_id
+                          order by epoch_us(ts), event_id) as next_state
+                 from ({events_rel}) e)
+      select state, next_state, cast(count(*) as bigint) as n
+      from p where next_state is not null
+      group by 1, 2
+    """
+
+
+def event_markov_stationary_sql(
+    events_rel: str, iters: int = 12, scale: int = 1 << 20
+) -> str:
+    """DuckDB twin of event_markov_stationary: the same fixed-point
+    iteration unrolled as materialized hugeint CTEs over the integer
+    count matrix (trainer-in-the-oracle)."""
+    S = scale
+    parts = [
+        f"tr as materialized ({event_transitions_sql(events_rel)})",
+        """states as materialized (
+          select state from tr union select next_state from tr)""",
+        """rt as materialized (
+          select s.state, greatest(coalesce((select sum(n) from tr
+                                             where tr.state = s.state), 0), 1) as r
+          from states s)""",
+        f"p0 as (select state, cast({S} as hugeint) as v from states)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""n{t} as materialized (
+          select s.state,
+                 coalesce((select sum((p.v * tr.n * {S}) // rt.r)
+                           from p{t-1} p
+                           join tr on tr.next_state = s.state and tr.state = p.state
+                           join rt on rt.state = p.state), 0) as v
+          from states s)"""
+        )
+        parts.append(
+            f"""p{t} as materialized (
+          select state,
+                 (v * {S}) // greatest((select max(v) from n{t}), 1) as v
+          from n{t})"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"""
+      select state, cast((v * {S}) // greatest((select sum(v) from p{iters}), 1)
+                         as bigint) as stat_micro
+      from p{iters}
+    """
+    )

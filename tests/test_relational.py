@@ -148,3 +148,41 @@ def test_cohort_retention_planted(spark):
     assert out[(a, 2)] == 2            # users 1, 2 (dedup'd burst)
     assert out[(b, 0)] == 1            # user 3
     assert all(age <= 8 for (_, age) in out)
+
+
+def test_event_markov_stationary(spark):
+    """Stationary distribution on a planted 2-state chain with known
+    π: P(a→b) = 1, P(b→a) = 1/2 ⇒ π = (1/3, 2/3); the integer
+    fixed-point lands within quantization of the closed form, and an
+    absorbing state takes all mass."""
+    import datetime as dt
+
+    from geodesk_spark.operators import relational
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def seq(u, types):
+        return [(u, i, t0 + dt.timedelta(minutes=i), ty)
+                for i, ty in enumerate(types)]
+
+    # long alternating walk a b b a b b ... realizes P(a→b)=1, P(b→a)=1/2
+    walk = []
+    pat = ["a", "b", "b"] * 40
+    walk += seq(1, pat)
+    df = spark.createDataFrame(
+        walk, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.state: r.stat_micro
+           for r in relational.event_markov_stationary(df).collect()}
+    S = 1 << 20
+    assert abs(out["a"] / S - 1 / 3) < 0.02
+    assert abs(out["b"] / S - 2 / 3) < 0.02
+
+    # absorbing state: c -> c forever
+    ab = seq(2, ["a", "c"] + ["c"] * 30)
+    df2 = spark.createDataFrame(
+        ab, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out2 = {r.state: r.stat_micro
+            for r in relational.event_markov_stationary(df2).collect()}
+    assert out2["c"] > 0.95 * S and out2["a"] < 0.05 * S
