@@ -692,6 +692,38 @@ def _within_distance_join_sql() -> str:
     """
 
 
+DEST_BEARING = 37.0
+
+
+def _q_geodesic_destination(spark, sf_dir):
+    """Forward geodesic (geodesic.destination_point): each derived
+    point travels a per-row distance at a fixed bearing on the true
+    sphere — det-kernel trig end-to-end (sincos quadrant ladder,
+    det_atan2, det_atanh), integer imp outputs, bit-identical on any
+    engine build; wraps the antimeridian and clamps at the map edge."""
+    from geodesk_spark.geo import geodesic
+
+    pts = _derived_orders(spark, sf_dir)
+    pts = pts.withColumn(
+        "dist_m", (F.col("o_orderkey") % 2000).cast("double") * 1000.0
+    )
+    out = geodesic.destination_cols(
+        pts, F.col("x"), F.col("y"), F.col("dist_m"), DEST_BEARING,
+        "dx_imp", "dy_imp",
+    )
+    return out.select("o_orderkey", "dx_imp", "dy_imp")
+
+
+def _geodesic_destination_sql() -> str:
+    from geodesk_spark.geo import geodesic
+
+    src = f"(select o_orderkey, x, y, cast(o_orderkey % 2000 as double) * 1000.0 as dist_m from ({_DERIVED_SQL}) p)"
+    ctes, fin, xe, ye = geodesic.destination_sql(
+        "x", "y", "dist_m", DEST_BEARING, "g", src
+    )
+    return f"with {ctes} select o_orderkey, {xe} as dx_imp, {ye} as dy_imp from {fin}"
+
+
 def _q_great_circle(spark, sf_dir):
     """True sphere geodesic between derived point pairs
     (geo/geodesic.great_circle_cols): unit-sphere vectors via the

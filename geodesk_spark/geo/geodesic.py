@@ -173,3 +173,161 @@ def great_circle_sql(
         f"gc{t}h",
     )
     return ", ".join([ca, cb, hc, at2_ctes]), f"({at2} * {_M_PER_2RAD!r})"
+
+
+# -- destination point (the FORWARD geodesic problem) -----------------------
+
+_M_PER_RAD = _M_PER_2RAD / 2.0
+_Z_CLAMP = math.tanh(math.pi)  # |sin lat| at the mercator y = ±2^31 edge
+_IMP_MAX = (1 << 31) - 1
+
+
+def destination_point(x, y, bearing_deg: float, dist_m) -> tuple[np.ndarray, np.ndarray]:
+    """Great-circle DESTINATION (the forward geodesic: start, bearing,
+    distance → end) — the navigation complement of great_circle_m,
+    libm-free and bit-identical across engines like the rest of the
+    det-kernel suite.
+
+    Formulation on unit vectors (avoids every spherical-trig edge
+    case): with start P from sphere_from_imps and c = √(Px²+Py²)
+    (= cos φ, > 0.08 everywhere on the Mercator range), the local
+    frame is east = (−Py, Px, 0)/c, north = (−Pz·Px, −Pz·Py, c·c)/c;
+    D = cos δ·P + sin δ·(cos θ·north + sin θ·east).  Bearing sin/cos
+    are HOST literals (the _sun_constants discipline); δ = dist/R
+    reuses det_sincos_imp's exact quadrant reduction by rescaling to
+    imp angle units (distances are capped below half the great circle,
+    |δ| < π, by contract).  Back to imps: λ via det_atan2, the
+    Mercator y via det_atanh(sin φ) (y = R·atanh·(2³¹/π)), Dz clamped
+    to ±tanh(π) (the y = ±2³¹ map edge) and outputs floor(v+0.5)
+    integer imps clamped to int32.
+
+    → (x_imp, y_imp) int64 numpy arrays.
+    """
+    from geodesk_spark.geo.s2cell import det_sincos_imp
+
+    th = math.radians(bearing_deg)
+    st, ct = math.sin(th), math.cos(th)
+    px, py, pz = sphere_from_imps(x, y)
+    c = np.sqrt(px * px + py * py)
+    u = np.asarray(dist_m, dtype=np.float64) * (1.0 / _M_PER_RAD) / IMP_TO_RAD
+    sd, cd = det_sincos_imp(u)
+    dx = cd * px + sd * (ct * (-pz * px / c) + st * (-py / c))
+    dy = cd * py + sd * (ct * (-pz * py / c) + st * (px / c))
+    dz = cd * pz + sd * (ct * c)
+    lam = detmath.det_atan2(dy, dx)
+    zc = np.minimum(np.maximum(dz, -_Z_CLAMP), _Z_CLAMP)
+    yv = detmath.det_atanh(zc)
+    xi = np.floor(lam / IMP_TO_RAD + 0.5)
+    yi = np.floor(yv / IMP_TO_RAD + 0.5)
+    xi = np.minimum(np.maximum(xi, -_IMP_MAX - 1), _IMP_MAX).astype(np.int64)
+    yi = np.minimum(np.maximum(yi, -_IMP_MAX - 1), _IMP_MAX).astype(np.int64)
+    return xi, yi
+
+
+def destination_cols(df, x_col, y_col, dist_col, bearing_deg: float,
+                     out_x: str, out_y: str, tag: str = "_dst"):
+    """Column twin of :func:`destination_point` (same op order)."""
+    from pyspark.sql import functions as F
+
+    t = tag
+    th = math.radians(bearing_deg)
+    st, ct = math.sin(th), math.cos(th)
+    df = _sphere_cols(df, x_col, y_col, t + "p")
+    px, py, pz = F.col(t + "psx"), F.col(t + "psy"), F.col(t + "psz")
+    df = df.withColumn(t + "c", F.sqrt(px * px + py * py))
+    u = dist_col.cast("double") * F.lit((1.0 / _M_PER_RAD) / IMP_TO_RAD)
+    # det_sincos_imp ladder over the distance angle
+    q = F.floor((u + F.lit(_Q_HALF)) / F.lit(_Q_STEP)).cast("double")
+    df = df.withColumn(t + "r", (u - q * F.lit(_Q_STEP)) * F.lit(IMP_TO_RAD))
+    df = df.withColumn(t + "m", ((q.cast("long") + F.lit(4)) % 4))
+    df = df.withColumn(t + "s", F.col(t + "r") * F.col(t + "r"))
+    df = df.withColumn(t + "sr", F.col(t + "r") * _horner_col(F.col(t + "s"), _SIN_C))
+    df = df.withColumn(t + "cr", _horner_col(F.col(t + "s"), _COS_C))
+    m = F.col(t + "m")
+    df = df.withColumn(
+        t + "sd",
+        F.when(m == 0, F.col(t + "sr")).when(m == 1, F.col(t + "cr"))
+        .when(m == 2, -F.col(t + "sr")).otherwise(-F.col(t + "cr")),
+    )
+    df = df.withColumn(
+        t + "cd",
+        F.when(m == 0, F.col(t + "cr")).when(m == 1, -F.col(t + "sr"))
+        .when(m == 2, -F.col(t + "cr")).otherwise(F.col(t + "sr")),
+    )
+    cc, sd, cd = F.col(t + "c"), F.col(t + "sd"), F.col(t + "cd")
+    df = df.withColumn(
+        t + "dx", cd * px + sd * (F.lit(ct) * (-pz * px / cc) + F.lit(st) * (-py / cc))
+    )
+    df = df.withColumn(
+        t + "dy", cd * py + sd * (F.lit(ct) * (-pz * py / cc) + F.lit(st) * (px / cc))
+    )
+    df = df.withColumn(t + "dz", cd * pz + sd * (F.lit(ct) * cc))
+    df = detmath.det_atan2_cols(df, F.col(t + "dy"), F.col(t + "dx"), t + "lam",
+                                tag=t + "_at2")
+    zc = F.least(F.greatest(F.col(t + "dz"), F.lit(-_Z_CLAMP)), F.lit(_Z_CLAMP))
+    df = detmath.det_atanh_cols(df, zc, t + "yv", tag=t + "_ath")
+    xi = F.floor(F.col(t + "lam") / F.lit(IMP_TO_RAD) + F.lit(0.5))
+    yi = F.floor(F.col(t + "yv") / F.lit(IMP_TO_RAD) + F.lit(0.5))
+    clamp = lambda col: F.least(
+        F.greatest(col, F.lit(float(-_IMP_MAX - 1))), F.lit(float(_IMP_MAX))
+    ).cast("long")
+    df = df.withColumn(out_x, clamp(xi)).withColumn(out_y, clamp(yi))
+    return df.drop(
+        *[t + "p" + c for c in ("sx", "sy", "sz")],
+        t + "c", t + "r", t + "m", t + "s", t + "sr", t + "cr", t + "sd",
+        t + "cd", t + "dx", t + "dy", t + "dz", t + "lam", t + "yv",
+    )
+
+
+def destination_sql(
+    x_sql: str, y_sql: str, dist_sql: str, bearing_deg: float, tag: str, src: str
+) -> tuple[str, str, str, str]:
+    """DuckDB twin: returns (ctes, final_cte, x_expr, y_expr) — select
+    the two exprs FROM the final cte."""
+    from geodesk_spark.geo import detmath as dm
+
+    t = tag
+    th = math.radians(bearing_deg)
+    st, ct = math.sin(th), math.cos(th)
+    sph_ctes, sph_last = _sphere_sql(x_sql, y_sql, t + "p", src)
+    scale = (1.0 / _M_PER_RAD) / IMP_TO_RAD
+    ctes = [
+        sph_ctes,
+        f"""ds{t}0 as (select *, sqrt({t}psx * {t}psx + {t}psy * {t}psy) as {t}c,
+           cast({dist_sql} as double) * {scale!r} as {t}u from {sph_last})""",
+        f"""ds{t}1 as (select *, floor(({t}u + {_Q_HALF!r}) / {_Q_STEP!r}) as {t}q
+           from ds{t}0)""",
+        f"""ds{t}2 as (select *, ({t}u - {t}q * {_Q_STEP!r}) * {IMP_TO_RAD!r} as {t}r,
+           (cast({t}q as bigint) + 4) % 4 as {t}m from ds{t}1)""",
+        f"ds{t}3 as (select *, {t}r * {t}r as {t}s from ds{t}2)",
+        f"""ds{t}4 as (select *, {t}r * {_horner_sql(f'{t}s', _SIN_C)} as {t}sr,
+           {_horner_sql(f'{t}s', _COS_C)} as {t}cr from ds{t}3)""",
+        f"""ds{t}5 as (select *,
+           case when {t}m = 0 then {t}sr when {t}m = 1 then {t}cr
+                when {t}m = 2 then -{t}sr else -{t}cr end as {t}sd,
+           case when {t}m = 0 then {t}cr when {t}m = 1 then -{t}sr
+                when {t}m = 2 then -{t}cr else {t}sr end as {t}cd from ds{t}4)""",
+        f"""ds{t}6 as (select *,
+           {t}cd * {t}psx + {t}sd * ({ct!r} * (-{t}psz * {t}psx / {t}c)
+                                     + {st!r} * (-{t}psy / {t}c)) as {t}dx,
+           {t}cd * {t}psy + {t}sd * ({ct!r} * (-{t}psz * {t}psy / {t}c)
+                                     + {st!r} * ({t}psx / {t}c)) as {t}dy,
+           {t}cd * {t}psz + {t}sd * ({ct!r} * {t}c) as {t}dz from ds{t}5)""",
+    ]
+    at2_ctes, at2 = dm.det_atan2_sql(f"{t}dy", f"{t}dx", t + "a2", f"ds{t}6")
+    ctes.append(at2_ctes)
+    zc = f"least(greatest({t}dz, {-_Z_CLAMP!r}), {_Z_CLAMP!r})"
+    ath_ctes, ath = dm.det_atanh_sql(zc, t + "ah", f"at2_{t}a2_fin")
+    ctes.append(ath_ctes)
+    final = f"ds{t}f"
+    ctes.append(
+        f"""{final} as (select *,
+        cast(least(greatest(floor(({at2}) / {IMP_TO_RAD!r} + 0.5),
+                            {float(-_IMP_MAX - 1)!r}), {float(_IMP_MAX)!r}) as bigint)
+          as {t}xi,
+        cast(least(greatest(floor(({ath}) / {IMP_TO_RAD!r} + 0.5),
+                            {float(-_IMP_MAX - 1)!r}), {float(_IMP_MAX)!r}) as bigint)
+          as {t}yi
+        from ln_{t}ah_fin)"""
+    )
+    return ", ".join(ctes), final, f"{t}xi", f"{t}yi"

@@ -150,3 +150,44 @@ def test_det_math_hypothesis_bits():
 
     inner_ln()
     inner_at2()
+
+
+def test_destination_point_laws(spark):
+    """Forward-geodesic laws: round-trip through great_circle_m
+    recovers the distance to sub-meter accuracy; bearing 0 moves north
+    (y up, x fixed); bearing 90 along the equator moves east by d/R
+    radians; antipodal-capped distances stay finite; numpy, Column and
+    SQL agree bit-for-bit (the suite's det contract)."""
+    import numpy as np
+
+    from geodesk_spark.geo import geodesic, mercator
+
+    xs = np.array([0, 500_000_000, -1_000_000_000, 2_000_000_000], float)
+    ys = np.array([0, 300_000_000, -800_000_000, 1_500_000_000], float)
+    d = np.array([1000.0, 50_000.0, 500_000.0, 2_000_000.0])
+    xi, yi = geodesic.destination_point(xs, ys, 37.0, d)
+    back = geodesic.great_circle_m(xs, ys, xi.astype(float), yi.astype(float))
+    assert np.all(np.abs(back - d) < 1.0)
+
+    # north: x unchanged (within the 1-imp floor), y strictly up
+    xn, yn = geodesic.destination_point(xs[:1], ys[:1], 0.0, d[:1])
+    assert abs(int(xn[0])) <= 1 and yn[0] > 0
+    # east along the equator: dx = d/R in imp angle units
+    xe, ye = geodesic.destination_point(
+        np.array([0.0]), np.array([0.0]), 90.0, np.array([111_194.9])
+    )
+    expect = 111_194.9 / (mercator.EARTH_CIRCUMFERENCE / (2 * np.pi))
+    assert abs(xe[0] * (np.pi / 2**31) - expect) < 1e-6
+    assert abs(int(ye[0])) <= 1
+
+    # engine parity (Column vs numpy)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"id": range(4), "x": xs.astype(np.int64),
+                        "y": ys.astype(np.int64), "dist_m": d})
+    out = geodesic.destination_cols(
+        spark.createDataFrame(pdf), F.col("x"), F.col("y"),
+        F.col("dist_m"), 37.0, "dx_imp", "dy_imp",
+    ).select("id", "dx_imp", "dy_imp").toPandas().sort_values("id")
+    assert list(out.dx_imp) == list(xi) and list(out.dy_imp) == list(yi)
