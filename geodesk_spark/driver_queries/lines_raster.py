@@ -692,6 +692,70 @@ def _within_distance_join_sql() -> str:
     """
 
 
+SLERP_FRACS = (0.25, 0.5, 0.75)
+
+
+def _q_gc_interpolate(spark, sf_dir):
+    """Great-circle route densification (geodesic.intermediate_cols):
+    OD pairs between consecutive derived points sampled at 1/4, 1/2,
+    3/4 — slerp on the det-kernel suite (stable half-chord angle,
+    degenerate pairs interpolate to the start), integer imp outputs."""
+    from geodesk_spark.geo import geodesic
+
+    pts = _derived_orders(spark, sf_dir)
+    od = pts.select(
+        F.col("o_orderkey").alias("k"), "x", "y",
+        (F.col("o_orderkey") % 999).alias("grp"),
+    )
+    # one OD pair per group: the min-key row on each side (min-struct
+    # rollup keeps the join 1:1 — 999 pairs, not 56 per group)
+    def rep(side, xn, yn):
+        return (
+            side.groupBy("grp")
+            .agg(F.min(F.struct("k", "x", "y")).alias("_r"))
+            .select("grp", F.col("_r.x").alias(xn), F.col("_r.y").alias(yn))
+        )
+
+    a = rep(od.filter(F.col("k") % 2 == 0), "x1", "y1")
+    b = rep(od.filter(F.col("k") % 2 == 1), "x2", "y2")
+    pairs = a.join(b, "grp")
+    out = None
+    for i, f_ in enumerate(SLERP_FRACS):
+        d = geodesic.intermediate_cols(
+            pairs, F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+            f_, "mx", "my", tag=f"_sl{i}",
+        ).select(
+            "grp", F.lit(int(f_ * 100)).alias("frac_pct"), "mx", "my"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _gc_interpolate_sql() -> str:
+    from geodesk_spark.geo import geodesic
+
+    base = f"""(select a.grp, a.x1, a.y1, b.x2, b.y2 from
+      (select grp, arg_min(x, k) as x1, arg_min(y, k) as y1 from
+        (select o_orderkey % 999 as grp, o_orderkey as k, x, y
+         from ({_DERIVED_SQL}) p where o_orderkey % 2 = 0) aa group by grp) a
+      join
+      (select grp, arg_min(x, k) as x2, arg_min(y, k) as y2 from
+        (select o_orderkey % 999 as grp, o_orderkey as k, x, y
+         from ({_DERIVED_SQL}) p where o_orderkey % 2 = 1) bb group by grp) b
+      using (grp))"""
+    parts = []
+    for i, f_ in enumerate(SLERP_FRACS):
+        ctes, fin, xe, ye = geodesic.intermediate_sql(
+            "x1", "y1", "x2", "y2", f_, f"g{i}", base
+        )
+        parts.append(
+            f"""select grp, {int(f_ * 100)} as frac_pct,
+               {xe} as mx, {ye} as my
+             from (with {ctes} select * from {fin}) t{i}"""
+        )
+    return "\n      union all\n      ".join(parts)
+
+
 DEST_BEARING = 37.0
 
 

@@ -331,3 +331,212 @@ def destination_sql(
         from ln_{t}ah_fin)"""
     )
     return ", ".join(ctes), final, f"{t}xi", f"{t}yi"
+
+
+# -- great-circle interpolation (slerp route densification) -----------------
+
+
+def intermediate_points(x1, y1, x2, y2, fracs) -> tuple[np.ndarray, np.ndarray]:
+    """Points along the great circle from A to B at fractions ``fracs``
+    (numpy; broadcasting over points × one fraction at a time is the
+    caller's loop) — classic slerp D = (sin((1−f)θ)·A + sin(fθ)·B)/sin θ
+    with θ from the same stable half-chord det_atan2 as great_circle_m;
+    a degenerate pair (θ ≈ 0, sin θ < 1e−12) interpolates to A (the
+    deterministic branch, mirrored in both engine forms).  Inverse
+    projection identical to destination_point.
+
+    → (x_imps[len(fracs), n], y_imps[len(fracs), n]) int64.
+    """
+    from geodesk_spark.geo.s2cell import det_sincos_imp
+
+    ax, ay, az = sphere_from_imps(x1, y1)
+    bx, by, bz = sphere_from_imps(x2, y2)
+    dx, dy, dz = ax - bx, ay - by, az - bz
+    h = np.sqrt((dx * dx + dy * dy) + dz * dz) * 0.5
+    w = np.sqrt(np.maximum(1.0 - h * h, 0.0))
+    th = detmath.det_atan2(h, w) * 2.0
+    sth = 2.0 * h * w  # sin θ = 2 sin(θ/2) cos(θ/2) — pure ×, no libm
+    deg = sth < 1e-12
+    sths = np.where(deg, 1.0, sth)
+    xs_out, ys_out = [], []
+    for f in fracs:
+        ua = (1.0 - f) * th / IMP_TO_RAD
+        ub = f * th / IMP_TO_RAD
+        sa, _ = det_sincos_imp(ua)
+        sb, _ = det_sincos_imp(ub)
+        px = (sa * ax + sb * bx) / sths
+        py = (sa * ay + sb * by) / sths
+        pz = (sa * az + sb * bz) / sths
+        px = np.where(deg, ax, px)
+        py = np.where(deg, ay, py)
+        pz = np.where(deg, az, pz)
+        lam = detmath.det_atan2(py, px)
+        zc = np.minimum(np.maximum(pz, -_Z_CLAMP), _Z_CLAMP)
+        yv = detmath.det_atanh(zc)
+        xi = np.floor(lam / IMP_TO_RAD + 0.5)
+        yi = np.floor(yv / IMP_TO_RAD + 0.5)
+        xs_out.append(np.minimum(np.maximum(xi, -_IMP_MAX - 1), _IMP_MAX).astype(np.int64))
+        ys_out.append(np.minimum(np.maximum(yi, -_IMP_MAX - 1), _IMP_MAX).astype(np.int64))
+    return np.stack(xs_out), np.stack(ys_out)
+
+
+def intermediate_cols(df, x1, y1, x2, y2, frac: float,
+                      out_x: str, out_y: str, tag: str = "_sl"):
+    """Column twin of :func:`intermediate_points` for ONE fraction
+    (densification explodes fractions query-side and calls per value —
+    each call is a pure codegen chain, no UDF)."""
+    from pyspark.sql import functions as F
+
+    t = tag
+    f_ = float(frac)
+    df = _sphere_cols(df, x1, y1, t + "a")
+    df = _sphere_cols(df, x2, y2, t + "b")
+    axc, ayc, azc = F.col(t + "asx"), F.col(t + "asy"), F.col(t + "asz")
+    bxc, byc, bzc = F.col(t + "bsx"), F.col(t + "bsy"), F.col(t + "bsz")
+    ddx, ddy, ddz = axc - bxc, ayc - byc, azc - bzc
+    df = df.withColumn(t + "h", F.sqrt((ddx * ddx + ddy * ddy) + ddz * ddz) * F.lit(0.5))
+    df = df.withColumn(
+        t + "w",
+        F.sqrt(F.greatest(F.lit(1.0) - F.col(t + "h") * F.col(t + "h"), F.lit(0.0))),
+    )
+    df = detmath.det_atan2_cols(df, F.col(t + "h"), F.col(t + "w"), t + "th2",
+                                tag=t + "_t")
+    df = df.withColumn(t + "th", F.col(t + "th2") * F.lit(2.0))
+    df = df.withColumn(t + "sth", F.lit(2.0) * F.col(t + "h") * F.col(t + "w"))
+    df = df.withColumn(t + "deg", F.col(t + "sth") < F.lit(1e-12))
+    df = df.withColumn(
+        t + "sths", F.when(F.col(t + "deg"), F.lit(1.0)).otherwise(F.col(t + "sth"))
+    )
+
+    def sin_of(u_col, sub: str):
+        d = df_holder[0]
+        q = F.floor((u_col + F.lit(_Q_HALF)) / F.lit(_Q_STEP)).cast("double")
+        d = d.withColumn(sub + "r", (u_col - q * F.lit(_Q_STEP)) * F.lit(IMP_TO_RAD))
+        d = d.withColumn(sub + "m", ((q.cast("long") + F.lit(4)) % 4))
+        d = d.withColumn(sub + "s", F.col(sub + "r") * F.col(sub + "r"))
+        d = d.withColumn(
+            sub + "sr", F.col(sub + "r") * _horner_col(F.col(sub + "s"), _SIN_C)
+        )
+        d = d.withColumn(sub + "cr", _horner_col(F.col(sub + "s"), _COS_C))
+        m = F.col(sub + "m")
+        d = d.withColumn(
+            sub + "v",
+            F.when(m == 0, F.col(sub + "sr")).when(m == 1, F.col(sub + "cr"))
+            .when(m == 2, -F.col(sub + "sr")).otherwise(-F.col(sub + "cr")),
+        )
+        df_holder[0] = d.drop(sub + "r", sub + "m", sub + "s", sub + "sr", sub + "cr")
+
+    df_holder = [df]
+    sin_of(F.col(t + "th") * F.lit((1.0 - f_) / IMP_TO_RAD), t + "sa")
+    sin_of(F.col(t + "th") * F.lit(f_ / IMP_TO_RAD), t + "sb")
+    df = df_holder[0]
+    sa, sb = F.col(t + "sav"), F.col(t + "sbv")
+    px = (sa * axc + sb * bxc) / F.col(t + "sths")
+    py = (sa * ayc + sb * byc) / F.col(t + "sths")
+    pz = (sa * azc + sb * bzc) / F.col(t + "sths")
+    df = df.withColumn(t + "px", F.when(F.col(t + "deg"), axc).otherwise(px))
+    df = df.withColumn(t + "py", F.when(F.col(t + "deg"), ayc).otherwise(py))
+    df = df.withColumn(t + "pz", F.when(F.col(t + "deg"), azc).otherwise(pz))
+    df = detmath.det_atan2_cols(df, F.col(t + "py"), F.col(t + "px"), t + "lam",
+                                tag=t + "_a2")
+    zc = F.least(F.greatest(F.col(t + "pz"), F.lit(-_Z_CLAMP)), F.lit(_Z_CLAMP))
+    df = detmath.det_atanh_cols(df, zc, t + "yv", tag=t + "_ah")
+    clamp = lambda col: F.least(
+        F.greatest(F.floor(col / F.lit(IMP_TO_RAD) + F.lit(0.5)),
+                   F.lit(float(-_IMP_MAX - 1))),
+        F.lit(float(_IMP_MAX)),
+    ).cast("long")
+    df = df.withColumn(out_x, clamp(F.col(t + "lam")))
+    df = df.withColumn(out_y, clamp(F.col(t + "yv")))
+    return df.drop(
+        *[t + p + c for p in ("a", "b") for c in ("sx", "sy", "sz")],
+        t + "h", t + "w", t + "th2", t + "th", t + "sth", t + "deg", t + "sths",
+        t + "sav", t + "sbv", t + "px", t + "py", t + "pz", t + "lam", t + "yv",
+    )
+
+
+def intermediate_sql(
+    x1: str, y1: str, x2: str, y2: str, frac: float, tag: str, src: str
+) -> tuple[str, str, str, str]:
+    """DuckDB twin for ONE fraction: (ctes, final_cte, x_expr, y_expr)."""
+    from geodesk_spark.geo import detmath as dm
+
+    t = tag
+    f_ = float(frac)
+    ca, la = _sphere_sql(x1, y1, t + "a", src)
+    cb, lb = _sphere_sql(x2, y2, t + "b", la)
+    ctes = [ca, cb]
+    ctes.append(
+        f"""sl{t}0 as (select *,
+        sqrt((({t}asx - {t}bsx) * ({t}asx - {t}bsx)
+            + ({t}asy - {t}bsy) * ({t}asy - {t}bsy))
+            + ({t}asz - {t}bsz) * ({t}asz - {t}bsz)) * 0.5 as {t}h from {lb})"""
+    )
+    ctes.append(
+        f"""sl{t}1 as (select *,
+        sqrt(greatest(1.0 - {t}h * {t}h, 0.0)) as {t}w from sl{t}0)"""
+    )
+    a2c, a2e = dm.det_atan2_sql(f"{t}h", f"{t}w", t + "t", f"sl{t}1")
+    ctes.append(a2c)
+    ctes.append(
+        f"""sl{t}2 as (select *, ({a2e}) * 2.0 as {t}th,
+        2.0 * {t}h * {t}w as {t}sth from at2_{t}t_fin)"""
+    )
+    ctes.append(
+        f"""sl{t}3 as (select *, {t}sth < 1e-12 as {t}deg,
+        case when {t}sth < 1e-12 then 1.0 else {t}sth end as {t}sths from sl{t}2)"""
+    )
+
+    def sin_of(u_sql: str, sub: str, prev: str) -> str:
+        ctes.append(
+            f"""{sub}0 as (select *, floor((({u_sql}) + {_Q_HALF!r}) / {_Q_STEP!r})
+            as {sub}q from {prev})"""
+        )
+        ctes.append(
+            f"""{sub}1 as (select *, (({u_sql}) - {sub}q * {_Q_STEP!r})
+            * {IMP_TO_RAD!r} as {sub}r,
+            (cast({sub}q as bigint) + 4) % 4 as {sub}m from {sub}0)"""
+        )
+        ctes.append(f"{sub}2 as (select *, {sub}r * {sub}r as {sub}s from {sub}1)")
+        ctes.append(
+            f"""{sub}3 as (select *,
+            {sub}r * {_horner_sql(f'{sub}s', _SIN_C)} as {sub}sr,
+            {_horner_sql(f'{sub}s', _COS_C)} as {sub}cr from {sub}2)"""
+        )
+        ctes.append(
+            f"""{sub}4 as (select *,
+            case when {sub}m = 0 then {sub}sr when {sub}m = 1 then {sub}cr
+                 when {sub}m = 2 then -{sub}sr else -{sub}cr end as {sub}v
+            from {sub}3)"""
+        )
+        return f"{sub}4"
+
+    p1 = sin_of(f"{t}th * {(1.0 - f_) / IMP_TO_RAD!r}", f"sl{t}sa", f"sl{t}3")
+    p2 = sin_of(f"{t}th * {f_ / IMP_TO_RAD!r}", f"sl{t}sb", p1)
+    ctes.append(
+        f"""sl{t}4 as (select *,
+        case when {t}deg then {t}asx
+             else (sl{t}sav * {t}asx + sl{t}sbv * {t}bsx) / {t}sths end as {t}px,
+        case when {t}deg then {t}asy
+             else (sl{t}sav * {t}asy + sl{t}sbv * {t}bsy) / {t}sths end as {t}py,
+        case when {t}deg then {t}asz
+             else (sl{t}sav * {t}asz + sl{t}sbv * {t}bsz) / {t}sths end as {t}pz
+        from {p2})"""
+    )
+    a2c2, a2e2 = dm.det_atan2_sql(f"{t}py", f"{t}px", t + "l", f"sl{t}4")
+    ctes.append(a2c2)
+    zc = f"least(greatest({t}pz, {-_Z_CLAMP!r}), {_Z_CLAMP!r})"
+    ahc, ahe = dm.det_atanh_sql(zc, t + "y", f"at2_{t}l_fin")
+    ctes.append(ahc)
+    final = f"sl{t}f"
+    ctes.append(
+        f"""{final} as (select *,
+        cast(least(greatest(floor(({a2e2}) / {IMP_TO_RAD!r} + 0.5),
+                            {float(-_IMP_MAX - 1)!r}), {float(_IMP_MAX)!r}) as bigint)
+          as {t}xi,
+        cast(least(greatest(floor(({ahe}) / {IMP_TO_RAD!r} + 0.5),
+                            {float(-_IMP_MAX - 1)!r}), {float(_IMP_MAX)!r}) as bigint)
+          as {t}yi
+        from ln_{t}y_fin)"""
+    )
+    return ", ".join(ctes), final, f"{t}xi", f"{t}yi"

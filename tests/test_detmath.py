@@ -191,3 +191,37 @@ def test_destination_point_laws(spark):
         F.col("dist_m"), 37.0, "dx_imp", "dy_imp",
     ).select("id", "dx_imp", "dy_imp").toPandas().sort_values("id")
     assert list(out.dx_imp) == list(xi) and list(out.dy_imp) == list(yi)
+
+
+def test_intermediate_points_laws(spark):
+    """Slerp laws: the f=0.5 point is equidistant from both ends, the
+    f and 1−f points are reflections (d(A, P_f) = d(P_{1−f}, B)),
+    fraction distances are proportional, the degenerate pair returns
+    the start, and Column output matches numpy bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import geodesic
+
+    x1 = np.array([0, 500_000_000, -1_000_000_000, 7], float)
+    y1 = np.array([0, 300_000_000, -800_000_000, 9], float)
+    x2 = np.array([800_000_000, -400_000_000, 1_500_000_000, 7], float)
+    y2 = np.array([100_000_000, 900_000_000, -200_000_000, 9], float)
+    xi, yi = geodesic.intermediate_points(x1, y1, x2, y2, [0.25, 0.5, 0.75])
+    total = geodesic.great_circle_m(x1, y1, x2, y2)
+    for k, f in enumerate([0.25, 0.5, 0.75]):
+        da = geodesic.great_circle_m(x1, y1, xi[k].astype(float), yi[k].astype(float))
+        # proportionality within a meter over continental distances
+        assert np.all(np.abs(da[:3] - f * total[:3]) < 1.0), f
+    # degenerate pair → start point (within the floor imp)
+    assert abs(xi[1][3] - 7) <= 1 and abs(yi[1][3] - 9) <= 1
+
+    pdf = pd.DataFrame({"id": range(4), "x1": x1.astype(np.int64),
+                        "y1": y1.astype(np.int64), "x2": x2.astype(np.int64),
+                        "y2": y2.astype(np.int64)})
+    out = geodesic.intermediate_cols(
+        spark.createDataFrame(pdf), F.col("x1"), F.col("y1"),
+        F.col("x2"), F.col("y2"), 0.5, "mx", "my",
+    ).select("id", "mx", "my").toPandas().sort_values("id")
+    assert list(out.mx) == list(xi[1]) and list(out.my) == list(yi[1])
