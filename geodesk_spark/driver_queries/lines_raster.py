@@ -692,6 +692,35 @@ def _within_distance_join_sql() -> str:
     """
 
 
+def _q_initial_bearing(spark, sf_dir):
+    """Inverse-geodesic azimuth (geodesic.initial_bearing_cols): the
+    initial great-circle bearing of each OD pair, micro-degree integer
+    output, [0,360) folded by if-branch (never a mod — the
+    negative-modulus law); completes the forward/inverse pair."""
+    from geodesk_spark.geo import geodesic
+
+    pts = _derived_orders(spark, sf_dir)
+    pts = pts.withColumn(
+        "x2", ((F.col("x") * 3 + 987_654_321) % 2147483647)
+    ).withColumn("y2", ((F.col("y") * 5 + 123_456_789) % 2147483647))
+    out = geodesic.initial_bearing_cols(
+        pts, F.col("x"), F.col("y"), F.col("x2"), F.col("y2"), "brg_microdeg"
+    )
+    return out.select("o_orderkey", "brg_microdeg")
+
+
+def _initial_bearing_sql() -> str:
+    from geodesk_spark.geo import geodesic
+
+    src = (
+        f"(select o_orderkey, x, y, "
+        f"(x * 3 + 987654321) % 2147483647 as x2, "
+        f"(y * 5 + 123456789) % 2147483647 as y2 from ({_DERIVED_SQL}) p)"
+    )
+    ctes, val = geodesic.initial_bearing_sql("x", "y", "x2", "y2", "g", src)
+    return f"with {ctes} select o_orderkey, {val} as brg_microdeg from at2_gb_fin"
+
+
 SLERP_FRACS = (0.25, 0.5, 0.75)
 
 

@@ -540,3 +540,83 @@ def intermediate_sql(
         from ln_{t}y_fin)"""
     )
     return ", ".join(ctes), final, f"{t}xi", f"{t}yi"
+
+
+# -- initial bearing (the INVERSE geodesic azimuth) -------------------------
+
+_DEG = 180.0 / math.pi
+
+
+def initial_bearing_microdeg(x1, y1, x2, y2) -> np.ndarray:
+    """Initial great-circle bearing from A toward B, degrees clockwise
+    from north in [0, 360), floor-quantized to integer MICRO-degrees
+    (the float-OUTPUT law) — the inverse-geodesic azimuth completing
+    the forward pair.
+
+    Unit-vector form (no spherical-trig branch cases): with A's local
+    frame east/north derived from A alone (as in destination_point),
+    θ = det_atan2(B·east, B·north); the [0, 360) fold is an exact
+    if-branch, not a mod (Spark pmod vs DuckDB % differ on negatives).
+    Degenerate A≈B yields atan2(0, 0) = 0 → bearing 0 by convention.
+    """
+    ax, ay, az = sphere_from_imps(x1, y1)
+    bx, by, bz = sphere_from_imps(x2, y2)
+    c = np.sqrt(ax * ax + ay * ay)
+    de = (-ay * bx + ax * by) / c
+    dn = (-az * ax * bx - az * ay * by) / c + c * bz
+    th = detmath.det_atan2(de, dn) * _DEG
+    th = np.where(th < 0.0, th + 360.0, th)
+    return np.floor(th * 1e6 + 0.5).astype(np.int64) % 360_000_000
+
+
+def initial_bearing_cols(df, x1, y1, x2, y2, out: str, tag: str = "_brg"):
+    """Column twin of :func:`initial_bearing_microdeg`."""
+    from pyspark.sql import functions as F
+
+    t = tag
+    df = _sphere_cols(df, x1, y1, t + "a")
+    df = _sphere_cols(df, x2, y2, t + "b")
+    ax, ay, az = F.col(t + "asx"), F.col(t + "asy"), F.col(t + "asz")
+    bx, by, bz = F.col(t + "bsx"), F.col(t + "bsy"), F.col(t + "bsz")
+    df = df.withColumn(t + "c", F.sqrt(ax * ax + ay * ay))
+    cc = F.col(t + "c")
+    df = df.withColumn(t + "de", (-ay * bx + ax * by) / cc)
+    df = df.withColumn(t + "dn", (-az * ax * bx - az * ay * by) / cc + cc * bz)
+    df = detmath.det_atan2_cols(df, F.col(t + "de"), F.col(t + "dn"), t + "th",
+                                tag=t + "_a2")
+    deg = F.col(t + "th") * F.lit(_DEG)
+    folded = F.when(deg < 0.0, deg + F.lit(360.0)).otherwise(deg)
+    df = df.withColumn(
+        out,
+        (F.floor(folded * F.lit(1e6) + F.lit(0.5)).cast("long") % 360_000_000),
+    )
+    return df.drop(
+        *[t + p + cn for p in ("a", "b") for cn in ("sx", "sy", "sz")],
+        t + "c", t + "de", t + "dn", t + "th",
+    )
+
+
+def initial_bearing_sql(
+    x1: str, y1: str, x2: str, y2: str, tag: str, src: str
+) -> tuple[str, str]:
+    """(ctes, value_expr) DuckDB twin; value valid in at2_{tag}b_fin."""
+    t = tag
+    ca, la = _sphere_sql(x1, y1, t + "a", src)
+    cb, lb = _sphere_sql(x2, y2, t + "b", la)
+    ctes = [
+        ca,
+        cb,
+        f"""br{t}0 as (select *, sqrt({t}asx * {t}asx + {t}asy * {t}asy) as {t}c
+        from {lb})""",
+        f"""br{t}1 as (select *,
+        (-{t}asy * {t}bsx + {t}asx * {t}bsy) / {t}c as {t}de,
+        (-{t}asz * {t}asx * {t}bsx - {t}asz * {t}asy * {t}bsy) / {t}c
+          + {t}c * {t}bsz as {t}dn
+        from br{t}0)""",
+    ]
+    a2c, a2e = detmath.det_atan2_sql(f"{t}de", f"{t}dn", t + "b", f"br{t}1")
+    ctes.append(a2c)
+    deg = f"(({a2e}) * {_DEG!r})"
+    folded = f"(case when {deg} < 0.0 then {deg} + 360.0 else {deg} end)"
+    val = f"(cast(floor({folded} * 1e6 + 0.5) as bigint) % 360000000)"
+    return ", ".join(ctes), val

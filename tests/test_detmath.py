@@ -225,3 +225,40 @@ def test_intermediate_points_laws(spark):
         F.col("x2"), F.col("y2"), 0.5, "mx", "my",
     ).select("id", "mx", "my").toPandas().sort_values("id")
     assert list(out.mx) == list(xi[1]) and list(out.my) == list(yi[1])
+
+
+def test_initial_bearing_laws(spark):
+    """Inverse-azimuth laws: compass anchors (due north/east from the
+    equator), destination→bearing round trip within 0.01°, and Column
+    output matches numpy bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geodesk_spark.geo import geodesic
+
+    z = np.array([0.0])
+    # due east along the equator, due north up the meridian
+    b_e = geodesic.initial_bearing_microdeg(z, z, np.array([1e8]), z)
+    b_n = geodesic.initial_bearing_microdeg(z, z, z, np.array([1e8]))
+    assert abs(b_e[0] / 1e6 - 90.0) < 1e-3
+    assert min(b_n[0] / 1e6, 360 - b_n[0] / 1e6) < 1e-3
+
+    xs = np.array([0, 500_000_000, -1_000_000_000], float)
+    ys = np.array([0, 300_000_000, -800_000_000], float)
+    d = np.array([200_000.0] * 3)
+    for t in [0.0, 37.0, 245.5]:
+        xi, yi = geodesic.destination_point(xs, ys, t, d)
+        b = geodesic.initial_bearing_microdeg(xs, ys, xi.astype(float), yi.astype(float))
+        err = np.abs(b / 1e6 - t)
+        assert np.all(np.minimum(err, 360 - err) < 0.01), t
+
+    xi, yi = geodesic.destination_point(xs, ys, 37.0, d)
+    exp = geodesic.initial_bearing_microdeg(xs, ys, xi.astype(float), yi.astype(float))
+    pdf = pd.DataFrame({"id": range(3), "x1": xs.astype(np.int64),
+                        "y1": ys.astype(np.int64), "x2": xi, "y2": yi})
+    out = geodesic.initial_bearing_cols(
+        spark.createDataFrame(pdf), F.col("x1"), F.col("y1"),
+        F.col("x2"), F.col("y2"), "brg",
+    ).select("id", "brg").toPandas().sort_values("id")
+    assert list(out.brg) == list(exp)
