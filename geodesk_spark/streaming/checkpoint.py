@@ -458,7 +458,14 @@ def delete_where(p: "Pipeline", stage: str, predicate) -> int:
 
     out = p._version_dir(stage, p._versions(stage)[-1] + 1)
     os.makedirs(out, exist_ok=True)
-    new_dels.coalesce(1).write.mode("overwrite").parquet(_deletes_dir(out))
+    # The vector is O(deleted rows): hash-partition it by data file so a
+    # mass delete (10% of 10^12 rows) spreads over the cluster instead of
+    # funnelling through one task / one parquet file.  No explicit
+    # partition count — AQE's coalescePartitions folds a small vector
+    # back to ~1 file, so the common-case manifest stays compact.
+    new_dels.repartition(F.col("file")).write.mode("overwrite").parquet(
+        _deletes_dir(out)
+    )
     n_deleted = sum(
         r["rows"]
         for r in _file_manifest(_parquet_files(_deletes_dir(out)), _deletes_dir(out))
