@@ -14,3 +14,9 @@ def spark():
     s = get_spark("geodesk-spark-tests", cores=cores, shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: bench-scale deployment smokes (minutes, not seconds)"
+    )
