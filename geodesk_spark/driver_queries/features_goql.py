@@ -861,14 +861,21 @@ def _q_bpe_train(spark, sf_dir):
     """FULL BPE training (textclean.bpe_train): 12 merge rounds over the
     documents corpus — the corpus is scanned ONCE into a word-count
     vocab; every round runs on that bounded table (the real BPE scale
-    shape).  Iterative driver-side argmax loop → rows-only at the
-    driver per the contract; exact parity with a pure-Python Sennrich
-    reference is pinned by test_textclean::test_bpe_train_matches_reference."""
+    shape).  Exact parity with a pure-Python Sennrich reference is
+    pinned by test_textclean::test_bpe_train_matches_reference; since
+    r5 the merge loop also has a full unrolled-CTE DuckDB oracle
+    (textclean.bpe_train_sql — run-parity form of the greedy fold)."""
     from geodesk_spark.operators import textclean
 
     d = tables.load_spread(spark, sf_dir, "documents")
     merges, _ = textclean.bpe_train(d, n_merges=12)
     return merges.orderBy("rank")
+
+
+def _bpe_train_sql() -> str:
+    from geodesk_spark.operators import textclean
+
+    return textclean.bpe_train_sql("documents", n_merges=12)
 
 
 def _q_gopher_quality(spark, sf_dir):

@@ -540,3 +540,82 @@ def bpe_pair_stats_sql(rel: str = "documents", k: int = 20, text_col: str = "tex
       order by cnt desc, pair
       limit {k}
     """
+
+
+def bpe_train_sql(rel: str = "documents", n_merges: int = 10, text_col: str = "text") -> str:
+    """DuckDB twin of the FULL :func:`bpe_train` merge loop, unrolled as
+    ``n_merges`` chained CTE rounds (the IVF-trainer precedent: a
+    bounded iterative trainer IS SQL-expressible by unrolling).
+
+    The only non-obvious piece is the greedy left-to-right merge fold.
+    It is expressible relationally because overlapping pair matches can
+    only CHAIN when ``tok_a == tok_b`` (match at i and i+1 forces
+    seg[i+1] = a = b), so the fold's effect on original positions is:
+    a match at position i merges iff its offset inside its maximal run
+    of consecutive matches is EVEN (gaps-and-islands + parity), and a
+    position is consumed iff its predecessor merged.  A within-round
+    re-merge is impossible (merged token a||b can never equal a), so
+    deciding on ORIGINAL positions is exact.
+
+    Round structure (all on the vocabulary table, bounded by distinct
+    words): p{{r}} pair counts → t{{r}} argmax (count desc, pair asc —
+    the same total order as Spark) → position explode with run-parity
+    merge decision → rebuilt seg list.  Each round's vocab and argmax
+    are ``as materialized`` (multi-referenced CTEs re-expand in the
+    binder otherwise — the map_match lesson).  Early-stop parity: an
+    empty t{{r}} empties every later round, mirroring Spark's break.
+    """
+    parts = [
+        f"""
+      w0 as (select unnest(string_split_regex(lower(trim({text_col})), '\\s+')) as word
+             from {rel}),
+      v0 as materialized (
+        select word, cast(count(*) as bigint) as cnt,
+               list_transform(range(1, length(word) + 1), j -> substr(word, j, 1)) as seg
+        from w0 where word <> '' group by word)"""
+    ]
+    for r in range(1, n_merges + 1):
+        q = r - 1
+        parts.append(f"""
+      p{r} as (
+        select list_extract(seg, i) as a, list_extract(seg, i + 1) as b,
+               sum(cnt) as pcnt
+        from (select cnt, seg, unnest(range(1, len(seg))) as i
+              from v{q} where len(seg) >= 2)
+        group by 1, 2),
+      t{r} as materialized (
+        select cast({r} as int) as rank, a as tok_a, b as tok_b,
+               a || b as merged, cast(pcnt as bigint) as cnt
+        from p{r} order by pcnt desc, a, b limit 1),
+      m{r} as (
+        select e.word, e.cnt, e.i, list_extract(e.seg, e.i) as tok, t.merged as mtok,
+               (e.i < len(e.seg)
+                and list_extract(e.seg, e.i) = t.tok_a
+                and list_extract(e.seg, e.i + 1) = t.tok_b) as hit
+        from (select word, cnt, seg, unnest(range(1, len(seg) + 1)) as i
+              from v{q}) e
+        cross join t{r} t),
+      g{r} as (
+        select word, cnt, i, tok, mtok, hit,
+               i - row_number() over (partition by word, hit order by i) as grp
+        from m{r}),
+      d{r} as (
+        select word, cnt, i, tok, mtok,
+               (hit and (row_number() over (partition by word, hit, grp order by i)
+                         - 1) % 2 = 0) as do_merge
+        from g{r}),
+      s{r} as (
+        select word, cnt, i,
+               case when do_merge then mtok else tok end as otok,
+               coalesce(lag(do_merge) over (partition by word order by i),
+                        false) as consumed
+        from d{r}),
+      v{r} as materialized (
+        select word, cnt, list(otok order by i) as seg
+        from s{r} where not consumed group by word, cnt)""")
+        # noqa: the per-round block above is pure string assembly
+    union = "\n        union all ".join(
+        f"select rank, tok_a, tok_b, merged, cnt from t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "with " + ",".join(parts) + f"\n      {union}\n      order by rank"

@@ -291,3 +291,31 @@ def test_bpe_oracle_parity(spark):
     )
     want = con.execute(textclean.bpe_pair_stats_sql(k=12)).fetchall()
     assert got == [(p, c) for p, c in want]
+
+
+def test_bpe_train_sql_oracle_matches_reference():
+    """The r5 unrolled-CTE oracle (bpe_train_sql): the 8-round merge
+    list from pure DuckDB matches the pure-Python Sennrich reference on
+    the adversarial corpus (overlapping aaaa chains, cross-round
+    ab+ab→abab remerges, tie-broken pairs) — proving the run-parity
+    rewrite of the greedy fold, independently of Spark."""
+    import pandas as pd
+
+    texts = [
+        "abab abab cdcd",
+        "aaaa aa a banana",
+        "low lower lowest newest widest",
+        "abab banana aaaa",
+        "",
+    ]
+    con = duckdb.connect()
+    con.register("docs_pd", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    con.sql("create view documents as select * from docs_pd")
+    got = [
+        tuple(r)
+        for r in con.sql(textclean.bpe_train_sql("documents", n_merges=8))
+        .df()
+        .itertuples(index=False)
+    ]
+    want_merges, _, _ = _bpe_reference(texts, 8)
+    assert got == [tuple(m) for m in want_merges]
