@@ -144,3 +144,29 @@ def test_fuzz_bpe_pairs_parity(spark, docs):
     ]
     want = con.sql(textclean.bpe_pair_stats_sql(k=1000)).fetchall()
     assert got == [(p, c) for p, c in want]
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=st.lists(st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                              min_size=0, max_size=6).map(" ".join),
+                     min_size=1, max_size=6))
+def test_fuzz_bpe_train_sql_oracle_parity(docs):
+    """The r5 unrolled-CTE oracle fuzz (DuckDB-only — no Spark job per
+    example, so 30 examples): bpe_train_sql's merge list matches the
+    pure-Python Sennrich reference on adversarial two-letter corpora,
+    the same maximal-overlap strategy the Spark-side fuzz uses.  This
+    pins the run-parity rewrite of the greedy fold across the aaaa
+    chain space independently of either engine implementation."""
+    from tests.test_textclean import _bpe_reference
+
+    pdf = pd.DataFrame({"doc_id": range(1, len(docs) + 1), "text": docs})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = [
+        tuple(r)
+        for r in con.sql(textclean.bpe_train_sql("documents", n_merges=4))
+        .df()
+        .itertuples(index=False)
+    ]
+    want_merges, _, _ = _bpe_reference(docs, 4)
+    assert got == [tuple(m) for m in want_merges]
