@@ -390,3 +390,40 @@ def test_route_measure_along_polyline(spark):
     assert out[2]["seq"] == 1 and out[2]["t_micro"] == 1_000_000
     assert out[2]["measure_um"] == seg_um
     assert out[3]["seq"] == 3 and out[3]["measure_um"] == 3 * seg_um
+
+
+def test_flagship_plan_shape_regression(spark, tmp_path):
+    """Pin the flagship pipeline's physical plan — the engine's headline
+    scale claims as hard asserts, so a regression (an accidental
+    shuffle, a Python worker in the hot path, a lost broadcast) fails
+    CI instead of silently costing 10x at 100 TB:
+    - ZERO shuffle Exchange before the rollup (one fact-side pass),
+    - the polygon band table arrives by BroadcastExchange into a
+      BroadcastHashJoin,
+    - no BatchEvalPython / ArrowEvalPython / MapInPandas / FlatMapsInPandas
+      nodes anywhere (100% JVM whole-stage codegen)."""
+    import re
+
+    from geodesk_spark.operators import spatial_join, tiling
+    from geodesk_spark.sources import synth
+
+    path = str(tmp_path / "imgs")
+    synth.images_df(spark, 20_000, with_bytes=False, partitions=4).write.parquet(path)
+    prepared = spatial_join.prepare_layer(synth.polygon_layer())
+    imgs = spark.read.parquet(path)
+    pts = tiling.with_point_tiles(tiling.with_imp_coords(imgs))
+    joined = spatial_join.contains_points(
+        pts.select("image_id", "x", "y", "cell"), prepared,
+        keep_cols=["image_id", "cell"],
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    assert "BroadcastHashJoin" in nodes and "BroadcastExchange" in nodes
+    assert "Exchange" not in nodes  # shuffle-free: only BroadcastExchange
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+        assert py_node not in nodes, py_node
+    # the projection must prune to the three columns the kernel needs
+    assert re.search(r"ReadSchema: struct<image_id:string,lon:double,lat:double>", plan)
