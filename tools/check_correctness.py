@@ -47,6 +47,9 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("correctness-check", cores=16, shuffle_partitions=16)
     con = duckdb.connect()
+    # spill to /tmp, not cwd/.tmp — a super-linear oracle once left 74 GB
+    # of temp blocks inside the repo checkout
+    con.sql("set temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         con.sql(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
 
