@@ -613,7 +613,6 @@ def bpe_train_sql(rel: str = "documents", n_merges: int = 10, text_col: str = "t
       v{r} as materialized (
         select word, cnt, list(otok order by i) as seg
         from s{r} where not consumed group by word, cnt)""")
-        # noqa: the per-round block above is pure string assembly
     union = "\n        union all ".join(
         f"select rank, tok_a, tok_b, merged, cnt from t{r}"
         for r in range(1, n_merges + 1)
