@@ -129,6 +129,22 @@ def shoelace2_expr(r: str, engine: str, tag: str = "a") -> str:
     return let_(fold)
 
 
+def ring_area_positive_expr(r: str, engine: str) -> str:
+    """Zone guard: TRUE iff the ring has a nonzero interior
+    (|shoelace| > 0).  A degenerate zone (all vertices coincident, or
+    collinear) has no interior, but Sutherland–Hodgman half-planes
+    built from coincident points are VACUOUS (cross = 0 keeps every
+    vertex), so an unfiltered degenerate zone would "contain" every
+    subject that reaches the clip chain — and then the bbox prefilter,
+    a plan optimization, would decide row membership (found by the
+    overlay fuzz: a collapsed 4-gon made the engines disagree on which
+    segments a point-zone "contains").  The guard runs on the RAW ring
+    on BOTH engines: reversal changes the shoelace summation order and
+    can move the last ulp, so filtering pre-normalization is the only
+    bit-identical form."""
+    return f"abs({shoelace2_expr(r, engine, tag='zg')}) > 0"
+
+
 def ccw_ring_expr(r: str, engine: str, tag: str = "n") -> str:
     """Orientation normalizer: reverse the ring when its signed shoelace
     area is negative (CW) — exact, since the sign test is on the same
@@ -177,6 +193,7 @@ def overlay_area(
     pairs pay the clip chain.  At 10^12 subjects the plan is unchanged:
     scan → broadcast NLJ (bbox) → clip chain → filter, no shuffle.
     """
+    clip = clip.filter(F.expr(ring_area_positive_expr(c_ring, "spark")))
     sxs = F.transform(F.col(s_ring), lambda p: p["x"])
     sys_ = F.transform(F.col(s_ring), lambda p: p["y"])
     cxs = F.transform(F.col(c_ring), lambda p: p["x"])
@@ -252,7 +269,7 @@ def overlay_area_sql(
             f"clipn as materialized (select {cid}, cr"
             + bb.format(r="cr", px="c")
             + f" from (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr"
-            f" from clip0))"
+            f" from clip0 where {ring_area_positive_expr('cr', 'duckdb')}))"
         )
         where = (
             "where s.sx0 <= c.cx1 and c.cx0 <= s.sx1"
@@ -273,7 +290,8 @@ def overlay_area_sql(
     return f"""
       with subj as materialized ({subject_sql}),
       clip0 as materialized ({clip_sql}),
-      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0
+                where {ring_area_positive_expr('cr', 'duckdb')}),
       pairs as (select s.{sid}, c.{cid}, s.r, c.cr from subj s cross join clipn c),
       clipped as (select {sid}, {cid}, {cur} as rc from pairs),
       ar as (select {sid}, {cid},
@@ -312,6 +330,7 @@ def areal_interpolate(
     excluded (no defined share).  Same broadcast/zero-shuffle plan as
     overlay_area plus ONE aggregation shuffle keyed by zone.
     """
+    clip = clip.filter(F.expr(ring_area_positive_expr(c_ring, "spark")))
     sxs = F.transform(F.col(s_ring), lambda p: p["x"])
     sys_ = F.transform(F.col(s_ring), lambda p: p["y"])
     cxs = F.transform(F.col(c_ring), lambda p: p["x"])
@@ -376,7 +395,8 @@ def areal_interpolate_sql(
     return f"""
       with subj as materialized ({subject_sql}),
       clip0 as materialized ({clip_sql}),
-      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0
+                where {ring_area_positive_expr('cr', 'duckdb')}),
       pairs as (select s.{sid}, c.{cid}, s.val, s.r, c.cr
                 from subj s cross join clipn c),
       clipped as (select {sid}, {cid}, val, r, {cur} as rc from pairs),
@@ -489,6 +509,7 @@ def zone_line_length(
     (bbox prefilter in the NLJ condition, then the t-window chain) —
     zero shuffle, zero Python, same 10¹²-row shape as overlay_area.
     """
+    clip = clip.filter(F.expr(ring_area_positive_expr(c_ring, "spark")))
     cxs = F.transform(F.col(c_ring), lambda p: p["x"])
     cys = F.transform(F.col(c_ring), lambda p: p["y"])
     c_pre = clip.select(
@@ -538,7 +559,8 @@ def zone_line_length_sql(
     return f"""
       with segs as materialized ({segs_sql}),
       clip0 as materialized ({clip_sql}),
-      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0),
+      clipn as (select {cid}, {ccw_ring_expr('cr', 'duckdb')} as cr from clip0
+                where {ring_area_positive_expr('cr', 'duckdb')}),
       pairs as (select s.{sid}, c.{cid}, s.x1, s.y1, s.x2, s.y2, c.cr
                 from segs s cross join clipn c),
       lens as (select {sid}, {cid}, {len_expr} as len_in from pairs)

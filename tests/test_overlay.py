@@ -422,3 +422,61 @@ def test_overlay_big_equals_broadcast(spark):
         got = sorted((r.sid, r.cid, r.inter_area) for r in rows)
         assert len(rows) == len({(r.sid, r.cid) for r in rows}), f"dups at cell={cell}"
         assert got == want, f"cell={cell}"
+
+
+def test_degenerate_zone_contributes_nothing(spark):
+    """The r5 fuzz finding (seed 9449): a DEGENERATE zone — all vertices
+    coincident (a point) or collinear (a sliver of zero width) — has no
+    interior, but its Sutherland–Hodgman half-planes are vacuous
+    (cross = 0 keeps everything), so before the zone guard it
+    "contained" whatever survived the bbox prefilter and the two
+    engines disagreed on row membership.  Pin the fixed semantics on
+    ALL THREE convex ops: degenerate zones yield zero rows, valid
+    zones in the same frame are untouched."""
+    import duckdb
+
+    subj = spark.createDataFrame(
+        [(1, _ring((0, 0), (10, 0), (10, 10), (0, 10)))],
+        "sid long, ring array<struct<x:double,y:double>>",
+    )
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0)],
+        "seg_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    clip = spark.createDataFrame(
+        [
+            (100, _ring((1, 1), (1, 1), (1, 1), (1, 1))),   # point
+            (101, _ring((0, 0), (4, 4), (8, 8), (2, 2))),   # collinear
+            (102, _ring((2, 2), (6, 2), (6, 6), (2, 6))),   # valid
+        ],
+        "cid long, cring array<struct<x:double,y:double>>",
+    )
+    got_area = {
+        (r.sid, r.cid): r.inter_area
+        for r in overlay.overlay_area(subj, clip, clip_k=4).collect()
+    }
+    assert got_area == {(1, 102): 16.0}
+    got_len = {
+        (r.seg_id, r.cid) for r in overlay.zone_line_length(segs, clip, 4).collect()
+    }
+    assert got_len == {(1, 102)}
+    got_ai = overlay.areal_interpolate(subj, clip, 4, value_col="sid").collect()
+    assert {r.cid for r in got_ai} == {102}
+
+    # and the SQL twins drop the same zones (engine-parity on the guard)
+    clip_sql = " union all ".join(
+        f"select {c} as cid, [" + ", ".join(
+            f"{{'x': {float(x)!r}, 'y': {float(y)!r}}}" for x, y in pts
+        ) + "]::struct(x double, y double)[] as cr"
+        for c, pts in [
+            (100, [(1, 1)] * 4),
+            (101, [(0, 0), (4, 4), (8, 8), (2, 2)]),
+            (102, [(2, 2), (6, 2), (6, 6), (2, 6)]),
+        ]
+    )
+    segs_sql = ("select 1 as seg_id, cast(0 as double) as x1, cast(0 as double) as y1,"
+                " cast(10 as double) as x2, cast(10 as double) as y2")
+    want = duckdb.sql(
+        overlay.zone_line_length_sql(segs_sql, clip_sql, clip_k=4)
+    ).fetchall()
+    assert {(r[0], r[1]) for r in want} == {(1, 102)}
